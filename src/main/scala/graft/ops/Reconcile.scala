@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reconciliation as one relational program.
+  *
+  * The reference's `verify` command (`nft/bin/verify.py:955-1023`) loops
+  * over chain logs probing the DB for a matching item, reporting
+  * unmatched logs, leftover DB items, and per-field mismatches — i.e. a
+  * full-outer equi-join with both anti sides and field comparison
+  * reported. Here that is a single full-outer join: at 100 TB this is a
+  * shuffle-on-key join (or broadcast if one side is small); both anti
+  * sides come for free from the null pattern instead of two extra
+  * passes.
+  */
+object Reconcile {
+
+  /** Full-outer reconcile of `left` vs `right` on `keys`.
+    * Output: key columns, each compared column from both sides
+    * (`<c>_l` / `<c>_r`), and a `status` column in
+    * {match, mismatch, left_only, right_only}.
+    */
+  def fullOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    val l = compareCols.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"${c}_l"))
+      .withColumn("__l", lit(1))
+    val r = compareCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+      .withColumn("__r", lit(1))
+    val joined = l.join(r, keys, "full_outer")
+    val allEqual = compareCols.map(c => col(s"${c}_l") <=> col(s"${c}_r"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    joined.withColumn("status",
+        when(col("__l").isNull, lit("right_only"))
+          .when(col("__r").isNull, lit("left_only"))
+          .when(allEqual, lit("match"))
+          .otherwise(lit("mismatch")))
+      .drop("__l", "__r")
+  }
+}

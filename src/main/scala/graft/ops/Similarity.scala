@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Determinism: embeddings are quantized to integer milli-units first, so
+  * dot products and norms are exact integer arithmetic in any engine and
+  * any summation order; only the final `dot / (|a||b|)` runs in IEEE
+  * doubles (deterministic given identical inputs). That makes results
+  * reproducible across engines AND across partitionings — ranking never
+  * depends on float summation order, which matters when the same query
+  * must return the same neighbors on 4 cores and on 1000 executors.
+  *
+  * Scale design: brute-force is the correctness baseline (broadcast the
+  * query set, map-side score, per-query top-k via partial aggregation).
+  * The scale path is IVF-style cluster pruning: score only candidates in
+  * the same coarse partition (here the `label` column stands in for a
+  * k-means assignment), turning O(Q x N) into O(Q x N / nlist) with a
+  * shuffle on the cluster id.
+  */
+object Similarity {
+
+  /** Quantize float embedding -> exact integer vector (milli-units). */
+  def quantize(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000).cast("long"))
+
+  def sqNorm(q: Column): Column =
+    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqNorm(col("qv")))
+
+  /** Brute-force cosine top-k: queries = every `queryStride`-th vector,
+    * broadcast against all candidates. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = p.select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("score"))
+  }
+
+  /** IVF-style: same contract but candidates limited to the query's
+    * coarse cluster (`label`), joined on the cluster id. */
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = p.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q),
+        col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), col("score"))
+  }
+
+  /** Embedding-cosine near-dup pairs, cluster-blocked on `label`. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val p = prepared(embeddings)
+    val a = p.select(col("vec_id").as("id_a"), col("label"), col("qv").as("qa"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("id_b"), col("label"), col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("qa"), col("qb"), col("na"), col("nb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"), col("score"))
+  }
+}

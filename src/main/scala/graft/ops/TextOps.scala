@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting. All built
+  * from codegen'd `functions._` / higher-order array functions — no
+  * UDFs — so they stay inside whole-stage codegen and scale linearly
+  * with input splits (pure map-side, zero shuffle).
+  */
+object TextOps {
+
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val GermanMarkers: Seq[String] = Seq("der", "die", "das", "und", "ist")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** doc_id, n_tokens, n_unique, n_chars_actual */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).as("n_chars_actual"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_unique"))
+
+  /** Length / stopword-ratio / mean-token-length quality features.
+    * Ratios are int/int double divisions — bit-deterministic. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(EnglishStopwords.map(lit): _*)
+    docs.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
+        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).as("sum_tok_len"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+        (col("sum_tok_len").cast("double") / col("n_tokens").cast("double")).as("mean_tok_len"))
+  }
+
+  /** Marker-word language-ID heuristic (n-gram language models need no
+    * external data for the engine's contract: the operator shape is
+    * token-frequency scoring + argmax classify). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = array(EnglishStopwords.map(lit): _*)
+    val de = array(GermanMarkers.map(lit): _*)
+    docs.select(
+        col("doc_id"), col("lang"),
+        size(filter(toks, t => array_contains(en, t))).as("en_score"),
+        size(filter(toks, t => array_contains(de, t))).as("de_score"),
+        size(toks).as("n_tokens"))
+      .withColumn("lang_guess",
+        when(col("en_score") > col("de_score"), lit("en"))
+          .when(col("de_score") > col("en_score"), lit("de"))
+          .otherwise(lit("unk")))
+  }
+
+  /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
+    * (the winnowing/rolling-hash idea with md5 as the rolling function). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      substring(md5(lower(col("text"))), 1, 16).as("fp"),
+      when(size(toks) >= 5,
+        array_min(transform(sequence(lit(1), size(toks) - 4), i =>
+          md5(concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3), element_at(toks, i + 4))))))
+        .otherwise(lit(null)).as("min_shingle_fp"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.ops.Lww
+
+/** The crawl-shaped flagship pipeline (SURVEY.md §3.1 re-expressed as one
+  * declarative DAG): scan -> topic filter (P2) -> payload decode (P3) ->
+  * transfer classification (P4) -> synthetic version key (P5) ->
+  * idempotent dedup (K8) -> replayed LWW merge (A4) -> per-key rollup
+  * (A1). One shared scan, branch-free until the single aggregation
+  * shuffle — the 15-stage asyncio bus collapses into a plan Catalyst can
+  * pipeline in one codegen stage before the shuffle.
+  */
+object Crawl {
+
+  def transfers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type").isin("purchase", "click", "error"))
+      .withColumn("k", regexp_replace(col("props"), "[^0-9]", "").cast("int"))
+      .withColumn("from_u", col("user_id"))
+      .withColumn("to_u", col("k") % 15)
+      .withColumn("transaction_type",
+        when(col("to_u") === 0, lit("burn"))
+          .when(col("from_u") === 0, lit("mint"))
+          .otherwise(lit("transfer")))
+      .withColumn("attribute_version",
+        col("event_id") * lit(1000000000L) + col("user_id") * lit(10000L) + col("k"))
+      .dropDuplicates("attribute_version")
+  }
+
+  /** Replay the same range twice at two data versions, LWW-merge, then
+    * roll up per-owner state — the reference's crawl+reprocess semantics
+    * as one job. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val t = transfers(spark, dir)
+    val v1 = t.withColumn("data_version", lit(1))
+    val v2 = t.withColumn("data_version", lit(2))
+    val merged = Lww.merge(v1.unionByName(v2),
+      Seq("attribute_version"), Seq("data_version"))
+    merged.groupBy(col("to_u").as("owner"))
+      .agg(
+        count(lit(1)).as("n_transfers"),
+        sum(when(col("transaction_type") === "burn",
+            -col("value").cast("decimal(18,2)"))
+          .otherwise(col("value").cast("decimal(18,2)"))).cast("double").as("net_value"),
+        max_by(col("transaction_type"), col("attribute_version")).as("last_type"),
+        max(col("attribute_version")).as("last_version"))
+  }
+}

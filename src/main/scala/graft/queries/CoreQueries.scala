@@ -1,0 +1,478 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.ops.{Lww, Reconcile}
+
+/** SURVEY.md §2 operator inventory, one named query per operator id,
+  * expressed over the driver testdata per FIXTURES.md §B and paired with
+  * a DuckDB oracle (`sql`).
+  *
+  * Determinism rules (oracle hash-matches bit-for-bit):
+  *  - timestamps are never output raw: epoch-micros BIGINT or DATE only;
+  *  - double aggregation goes through DECIMAL(18,2) (exact,
+  *    order-independent) and is cast back to DOUBLE at the end;
+  *  - per-row double arithmetic (+, -, *, /, sqrt) is IEEE-deterministic
+  *    and may pass through;
+  *  - every computed column is aliased identically on both sides.
+  */
+object CoreQueries {
+  type QFn = (SparkSession, String) => DataFrame
+  final case class QueryDef(name: String, fn: QFn, sql: String)
+
+  /** Pull the integer payload out of the `props` JSON — the testdata
+    * stand-in for ABI-decoding a log's data word (SURVEY P3/P8). */
+  private def kCol: Column =
+    regexp_replace(col("props"), "[^0-9]", "").cast("int")
+  private val kSql = "CAST(regexp_replace(props, '[^0-9]', '', 'g') AS INTEGER)"
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- S: sources / scans --------------------------------------------------
+
+  private val s1RangeScan: QFn = (s, dir) => {
+    // BlockIDProducer (`evm/producers.py:9-28`): dense integer range drive.
+    val n = Tables.events(s, dir).count()
+    s.range(0, n).toDF("id")
+  }
+
+  private val s2PointLookup: QFn = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val minKey = o.agg(min(col("o_orderkey"))).head().getLong(0)
+    o.filter(col("o_orderkey") === minKey)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+  }
+
+  private val s4RangedScan: QFn = (s, dir) => {
+    // get_logs ranged scan (`evm/rpc.py:289-377`): block-range + topic
+    // predicate, pushed down into the parquet scan.
+    val lo = 1704412800000000L // 2024-01-05T00:00:00Z in epoch micros
+    val hi = 1705017600000000L // 2024-01-12T00:00:00Z
+    Tables.events(s, dir)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi && col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+  }
+
+  private val s5MaxHeight: QFn = (s, dir) =>
+    Tables.events(s, dir).agg(
+      max(col("event_id")).as("max_id"),
+      max(col("ts_us")).as("max_ts_us"),
+      count(lit(1)).as("n"))
+
+  private val s7TimeDimJoin: QFn = (s, dir) => {
+    // BlockTimeService dim lookup (`evm/services.py:64-77`) = broadcast
+    // hash join against the small dimension.
+    val ev = Tables.events(s, dir)
+    val c = Tables.customer(s, dir)
+    ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+  }
+
+  // ---- K: versioned sink semantics ----------------------------------------
+
+  private val k1VersionedUpsert: QFn = (s, dir) => {
+    // write_collection LWW put (`dynamodb.py:78-106`).
+    val base = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+    val v1 = base.withColumn("data_version", lit(1))
+    val v2 = base.filter(col("event_id") % 2 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .withColumn("data_version", lit(2))
+    Lww.merge(v1.unionByName(v2), Seq("event_id"), Seq("data_version"))
+      .select("event_id", "user_id", "value", "data_version")
+  }
+
+  private val k3TwoKeyLww: QFn = (s, dir) => {
+    // update_token_metadata_url (`dynamodb.py:140-200`): two-level
+    // (data_version, url_version) guard + url length cap 2048.
+    val ev = Tables.events(s, dir)
+    val s1 = ev.select(col("event_id"), lit(2).as("data_version"),
+      lit(10).as("url_version"),
+      concat(lit("https://a/"), col("event_id").cast("string")).as("url"))
+    val s2 = ev.select(col("event_id"), lit(2).as("data_version"),
+      when(col("event_id") % 3 === 0, lit(11)).otherwise(lit(9)).as("url_version"),
+      when(col("user_id") === 7, repeat(lit("x"), 3000))
+        .otherwise(concat(lit("https://b/"), col("event_id").cast("string"))).as("url"))
+      .filter(length(col("url")) <= 2048)
+    Lww.merge(s1.unionByName(s2), Seq("event_id"), Seq("data_version", "url_version"))
+      .select("event_id", "data_version", "url_version", "url")
+  }
+
+  private val k4DeltaSum: QFn = (s, dir) =>
+    // update_token_quantity additive merge (`dynamodb.py:202-268`).
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type").isin("purchase", "signup"), dec(col("value")))
+          .otherwise(-dec(col("value")))).cast("double").as("net_value"),
+        count(lit(1)).as("n_events"))
+
+  private val k7HavingNonzero: QFn = (s, dir) => {
+    // delete_token_owner_with_zero_tokens (`dynamodb.py:443-461`):
+    // post-aggregation non-zero filter.
+    Tables.events(s, dir)
+      .withColumn("k", kCol)
+      .withColumn("d", when(col("k") % 2 === 0, dec(col("value"))).otherwise(-dec(col("value"))))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("d")).as("net_dec"))
+      .filter(col("net_dec") =!= 0)
+      .select(col("user_id"), col("event_type"), col("net_dec").cast("double").as("net"))
+  }
+
+  private val k8IdempotentAppend: QFn = (s, dir) => {
+    // write_token_transfer idempotent-by-key append (`dynamodb.py:334-363`).
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
+    ev.unionByName(ev).dropDuplicates("event_id")
+  }
+
+  // ---- P: projections / scalar expressions --------------------------------
+
+  private val p1Filter: QFn = (s, dir) =>
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  private val p2TopicFilter: QFn = (s, dir) =>
+    // topic-signature + arity filter (`nft/evm/consumers.py:222-223`).
+    Tables.events(s, dir).withColumn("k", kCol)
+      .filter(col("event_type") === "click" && col("k") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("k").as("k_val"))
+
+  private val p3AbiSlice: QFn = (s, dir) =>
+    // ABI static decode: address = last 20 bytes of a 32-byte word
+    // (`nft/evm/transformers.py:271-284`); selector = 4-byte digest prefix.
+    Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("0x"), substring(lpad(lower(hex(col("event_id"))), 64, "0"), 25, 40)).as("address"),
+      substring(md5(col("event_type")), 1, 8).as("selector"))
+
+  private val p4CaseClassify: QFn = (s, dir) =>
+    // TokenTransactionTypeOracle (`nft/evm/oracles.py:25-52`).
+    Tables.events(s, dir).withColumn("k", kCol)
+      .withColumn("to_u", col("k") % 15)
+      .select(col("event_id"), col("user_id"), col("to_u"),
+        when(col("to_u") === 0, lit("burn"))
+          .when(col("user_id") === 0, lit("mint"))
+          .otherwise(lit("transfer")).as("transaction_type"))
+
+  private val p5SyntheticKey: QFn = (s, dir) =>
+    // LogVersionOracle (`nft/evm/oracles.py:8-22`): monotonic sort key +
+    // zero-padded hex rendering.
+    Tables.events(s, dir).withColumn("k", kCol)
+      .withColumn("attribute_version",
+        col("event_id") * lit(1000000000L) + col("user_id") * lit(10000L) + col("k"))
+      .select(col("event_id"), col("attribute_version"),
+        lpad(lower(hex(col("attribute_version"))), 40, "0").as("version_hex"))
+
+  private val p6StringReplace: QFn = (s, dir) =>
+    // `{id}` URI substitution (`nft/evm/transformers.py:364-365`).
+    Tables.events(s, dir).select(
+      col("event_id"),
+      regexp_replace(
+        concat(lit("ipfs://collection/{id}/meta?u="), col("user_id").cast("string")),
+        lit("\\{id\\}"), col("event_id").cast("string")).as("url"))
+
+  // ---- G: generators / flattening -----------------------------------------
+
+  private val g1Explode: QFn = (s, dir) =>
+    // block -> tx hashes (`evm/transformers.py:38-45`) as explode.
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  private val g4ExplodeZip: QFn = (s, dir) =>
+    // ERC-1155 TransferBatch parallel-array unzip
+    // (`nft/evm/transformers.py:322-336`) = explode(arrays_zip(ids, vals)).
+    Tables.events(s, dir).withColumn("k", kCol.cast("long"))
+      .withColumn("ids", array(col("event_id") * 2, col("event_id") * 2 + 1))
+      .withColumn("qtys", array(col("k"), col("k") + 1))
+      .withColumn("z", explode(arrays_zip(col("ids"), col("qtys"))))
+      .select(col("event_id"), col("z.ids").as("token_id"), col("z.qtys").as("quantity"))
+
+  private val g5DeltaExplode: QFn = (s, dir) => {
+    // transfer -> up to 2 owner-delta rows (`nft/consumers.py:161-173`).
+    val b = Tables.events(s, dir).withColumn("k", kCol)
+      .withColumn("from_u", col("user_id"))
+      .withColumn("to_u", col("k") % 15)
+      .withColumn("tt",
+        when(col("to_u") === 0, lit("burn"))
+          .when(col("user_id") === 0, lit("mint"))
+          .otherwise(lit("transfer")))
+    b.withColumn("d", explode(array(
+        struct(col("to_u").cast("long").as("account"), col("value").as("delta"), lit("in").as("side")),
+        struct(col("from_u").as("account"), (-col("value")).as("delta"), lit("out").as("side")))))
+      .filter(!(col("tt") === "burn" && col("d.side") === "in") &&
+              !(col("tt") === "mint" && col("d.side") === "out"))
+      .select(col("event_id"), col("d.account").as("account"),
+        col("d.delta").as("delta"), col("tt"))
+  }
+
+  // ---- A: aggregations -----------------------------------------------------
+
+  private val a1TokenRollup: QFn = (s, dir) =>
+    // token state fold (`nft/evm/consumers.py:49-145`): first-mint-wins +
+    // signed quantity sum + last-writer owner, one hash aggregation.
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .when(col("event_type") === "error", -dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("net_qty"),
+        count(lit(1)).as("n"))
+
+  private val a2Argmax: QFn = (s, dir) =>
+    // ERC-721 owner LWW (`nft/evm/consumers.py:376-418`).
+    Tables.events(s, dir).withColumn("k", kCol)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("k") % 15, col("event_id")).as("current_owner"),
+        max(col("event_id")).as("owner_version"))
+
+  private val a3BalanceSum: QFn = (s, dir) =>
+    // ERC-1155 balances (`nft/evm/consumers.py:652-701`): delta explode ->
+    // sum per account -> drop zero balances.
+    g5DeltaExplode(s, dir)
+      .withColumn("dd", when(col("delta") >= 0, dec(col("delta"))).otherwise(-dec(-col("delta"))))
+      .groupBy(col("account"))
+      .agg(sum(col("dd")).as("bal_dec"), count(lit(1)).as("n_deltas"))
+      .filter(col("bal_dec") =!= 0)
+      .select(col("account"), col("bal_dec").cast("double").as("balance"), col("n_deltas"))
+
+  private val a6Count: QFn = (s, dir) => {
+    // verify token-count check (`nft/bin/verify.py:584-607`).
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("total"))))
+  }
+
+  // ---- J: joins ------------------------------------------------------------
+
+  private val j2FullOuterReconcile: QFn = (s, dir) => {
+    // verify transfers DB x chain (`nft/bin/verify.py:955-1023`).
+    val ev = Tables.events(s, dir)
+    val chain = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("value"))
+    val db = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_id"),
+        (col("value") + when(col("user_id") === 3, lit(1.0)).otherwise(lit(0.0))).as("value"))
+    Reconcile.fullOuter(chain, db, Seq("event_id"), Seq("value"))
+      .select(col("event_id"), col("value_l").as("chain_value"),
+        col("value_r").as("db_value"),
+        when(col("status") === "left_only", lit("chain_only"))
+          .when(col("status") === "right_only", lit("db_only"))
+          .otherwise(col("status")).as("status"))
+  }
+
+  private val j3LeftJoinCheck: QFn = (s, dir) => {
+    // verify owners per-owner probe (`nft/bin/verify.py:1094-1132`).
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("c_custkey").isNull, lit("missing_dim")).otherwise(lit("ok")).as("status"))
+  }
+
+  private val j4SemiAnti: QFn = (s, dir) => {
+    // verify collection creation-tx existence (`nft/bin/verify.py:543-564`).
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("tag"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.unionByName(anti)
+  }
+
+  // ---- O: sort / top-k / window -------------------------------------------
+
+  private val o1Sort: QFn = (s, dir) =>
+    Tables.events(s, dir)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(100)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  private val o2LastValueWindow: QFn = (s, dir) => {
+    // verify current-owner-from-last-transfer (`nft/bin/verify.py:646-652`).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  // ---- T: streaming-shaped (batch-expressible for the oracle) -------------
+
+  private val t1Microbatch: QFn = (s, dir) =>
+    // tail per-epoch aggregation (`nft/bin/tail.py:90-204`) expressed as
+    // the day-bucket increment each micro-batch computes.
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+
+  private val t2TumblingWindow: QFn = (s, dir) =>
+    // tumbling event-time window via Spark's window() generator;
+    // epoch-aligned 6h buckets.
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s1_range_scan", s1RangeScan,
+      "SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM events"),
+    QueryDef("s2_point_lookup", s2PointLookup,
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+        |epoch_ms(o_orderdate) AS o_date_ms FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin),
+    QueryDef("s4_ranged_scan", s4RangedScan,
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+        |AND event_type = 'click'""".stripMargin),
+    QueryDef("s5_max_height", s5MaxHeight,
+      "SELECT max(event_id) AS max_id, max(epoch_us(ts)) AS max_ts_us, count(*) AS n FROM events"),
+    QueryDef("s7_time_dim_join", s7TimeDimJoin,
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin),
+    QueryDef("k1_versioned_upsert", k1VersionedUpsert,
+      """WITH v1 AS (SELECT event_id, user_id, value, 1 AS data_version FROM events),
+        |v2 AS (SELECT event_id, user_id, value + 1000.0 AS value, 2 AS data_version
+        |       FROM events WHERE event_id % 2 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT event_id, user_id, value, data_version FROM u
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY data_version DESC) = 1""".stripMargin),
+    QueryDef("k3_two_key_lww", k3TwoKeyLww,
+      """WITH s1 AS (SELECT event_id, 2 AS data_version, 10 AS url_version,
+        |  concat('https://a/', CAST(event_id AS VARCHAR)) AS url FROM events),
+        |s2 AS (SELECT * FROM (SELECT event_id, 2 AS data_version,
+        |  CASE WHEN event_id % 3 = 0 THEN 11 ELSE 9 END AS url_version,
+        |  CASE WHEN user_id = 7 THEN repeat('x', 3000)
+        |       ELSE concat('https://b/', CAST(event_id AS VARCHAR)) END AS url
+        |  FROM events) WHERE length(url) <= 2048),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |SELECT event_id, data_version, url_version, url FROM u
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY data_version DESC, url_version DESC) = 1""".stripMargin),
+    QueryDef("k4_delta_sum", k4DeltaSum,
+      s"""SELECT user_id,
+        |CAST(sum(CASE WHEN event_type IN ('purchase','signup')
+        |  THEN CAST(value AS DECIMAL(18,2)) ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+        |count(*) AS n_events FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("k7_having_nonzero", k7HavingNonzero,
+      s"""SELECT user_id, event_type, CAST(sum(d) AS DOUBLE) AS net FROM (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN ($kSql) % 2 = 0 THEN CAST(value AS DECIMAL(18,2))
+        |         ELSE -CAST(value AS DECIMAL(18,2)) END AS d
+        |  FROM events) GROUP BY user_id, event_type HAVING sum(d) <> 0""".stripMargin),
+    QueryDef("k8_idempotent_append", k8IdempotentAppend,
+      """SELECT DISTINCT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin),
+    QueryDef("p1_filter", p1Filter,
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'"),
+    QueryDef("p2_topic_filter", p2TopicFilter,
+      s"""SELECT event_id, user_id, ($kSql) AS k_val FROM events
+        |WHERE event_type = 'click' AND ($kSql) % 2 = 0""".stripMargin),
+    QueryDef("p3_abi_slice", p3AbiSlice,
+      """SELECT event_id,
+        |concat('0x', substr(lpad(lower(to_hex(event_id)), 64, '0'), 25, 40)) AS address,
+        |substr(md5(event_type), 1, 8) AS selector FROM events""".stripMargin),
+    QueryDef("p4_case_classify", p4CaseClassify,
+      s"""SELECT event_id, user_id, ($kSql) % 15 AS to_u,
+        |CASE WHEN ($kSql) % 15 = 0 THEN 'burn'
+        |     WHEN user_id = 0 THEN 'mint'
+        |     ELSE 'transfer' END AS transaction_type FROM events""".stripMargin),
+    QueryDef("p5_synthetic_key", p5SyntheticKey,
+      s"""SELECT event_id,
+        |event_id * 1000000000 + user_id * 10000 + ($kSql) AS attribute_version,
+        |lpad(lower(to_hex(event_id * 1000000000 + user_id * 10000 + ($kSql))), 40, '0') AS version_hex
+        |FROM events""".stripMargin),
+    QueryDef("p6_string_replace", p6StringReplace,
+      """SELECT event_id,
+        |replace(concat('ipfs://collection/{id}/meta?u=', CAST(user_id AS VARCHAR)),
+        |  '{id}', CAST(event_id AS VARCHAR)) AS url FROM events""".stripMargin),
+    QueryDef("g1_explode", g1Explode,
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
+    QueryDef("g4_explode_zip", g4ExplodeZip,
+      s"""SELECT event_id,
+        |unnest([event_id * 2, event_id * 2 + 1]) AS token_id,
+        |unnest([CAST(($kSql) AS BIGINT), CAST(($kSql) AS BIGINT) + 1]) AS quantity
+        |FROM events""".stripMargin),
+    QueryDef("g5_delta_explode", g5DeltaExplode,
+      s"""WITH b AS (SELECT event_id, user_id AS from_u, ($kSql) % 15 AS to_u, value,
+        |  CASE WHEN ($kSql) % 15 = 0 THEN 'burn'
+        |       WHEN user_id = 0 THEN 'mint' ELSE 'transfer' END AS tt FROM events)
+        |SELECT event_id, CAST(to_u AS BIGINT) AS account, value AS delta, tt FROM b WHERE tt <> 'burn'
+        |UNION ALL
+        |SELECT event_id, from_u AS account, -value AS delta, tt FROM b WHERE tt <> 'mint'""".stripMargin),
+    QueryDef("a1_token_rollup", a1TokenRollup,
+      """SELECT user_id,
+        |arg_min(event_type, event_id) AS first_type,
+        |arg_max(event_type, event_id) AS last_type,
+        |min(event_id) AS first_id, max(event_id) AS last_id,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |  WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(18,2))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS net_qty,
+        |count(*) AS n FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("a2_argmax", a2Argmax,
+      s"""SELECT user_id, arg_max(($kSql) % 15, event_id) AS current_owner,
+        |max(event_id) AS owner_version FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("a3_balance_sum", a3BalanceSum,
+      s"""WITH b AS (SELECT event_id, user_id AS from_u, ($kSql) % 15 AS to_u, value,
+        |  CASE WHEN ($kSql) % 15 = 0 THEN 'burn'
+        |       WHEN user_id = 0 THEN 'mint' ELSE 'transfer' END AS tt FROM events),
+        |d AS (
+        |  SELECT CAST(to_u AS BIGINT) AS account, CAST(value AS DECIMAL(18,2)) AS dd FROM b WHERE tt <> 'burn'
+        |  UNION ALL
+        |  SELECT from_u AS account, -CAST(value AS DECIMAL(18,2)) AS dd FROM b WHERE tt <> 'mint')
+        |SELECT account, CAST(sum(dd) AS DOUBLE) AS balance, count(*) AS n_deltas
+        |FROM d GROUP BY account HAVING sum(dd) <> 0""".stripMargin),
+    QueryDef("a6_count", a6Count,
+      """SELECT event_type, count(*) AS n, (SELECT count(*) FROM events) AS total
+        |FROM events GROUP BY event_type""".stripMargin),
+    QueryDef("j2_full_outer_reconcile", j2FullOuterReconcile,
+      """WITH chain AS (SELECT event_id, value FROM events WHERE event_id % 3 <> 0),
+        |db AS (SELECT event_id,
+        |  value + CASE WHEN user_id = 3 THEN 1.0 ELSE 0.0 END AS value
+        |  FROM events WHERE event_id % 5 <> 0)
+        |SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |a.value AS chain_value, b.value AS db_value,
+        |CASE WHEN a.event_id IS NULL THEN 'db_only'
+        |     WHEN b.event_id IS NULL THEN 'chain_only'
+        |     WHEN a.value = b.value THEN 'match'
+        |     ELSE 'mismatch' END AS status
+        |FROM chain a FULL OUTER JOIN db b ON a.event_id = b.event_id""".stripMargin),
+    QueryDef("j3_left_join_check", j3LeftJoinCheck,
+      """SELECT o.o_orderkey, o.o_custkey,
+        |CASE WHEN c.c_custkey IS NULL THEN 'missing_dim' ELSE 'ok' END AS status
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin),
+    QueryDef("j4_semi_anti", j4SemiAnti,
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin),
+    QueryDef("o1_sort", o1Sort,
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin),
+    QueryDef("o2_last_value_window", o2LastValueWindow,
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""".stripMargin),
+    QueryDef("t1_microbatch", t1Microbatch,
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin),
+    QueryDef("t2_tumbling_window", t2TumblingWindow,
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)
+  )
+}

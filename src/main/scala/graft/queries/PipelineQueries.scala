@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.mm.Media
+import CoreQueries.{QFn, QueryDef}
+
+/** Training-data-pipeline operators (BASELINE.json north star): dedup,
+  * similarity search, text analysis, multimodal plumbing — each oracle-
+  * checked against DuckDB on the `documents` / `embeddings` tables.
+  */
+object PipelineQueries {
+
+  // Shared DuckDB fragments (kept in sync with the Scala ops).
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val preparedSql =
+    s"""q0 AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |n0 AS (SELECT vec_id, label, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm FROM q0)""".stripMargin
+  private def dotSql(a: String, b: String) =
+    s"CAST(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE)"
+
+  private val dedupExact: QFn = (s, dir) => Dedup.exact(Tables.documents(s, dir))
+
+  private val dedupMinhash: QFn = (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir))
+
+  private val dedupSimhash: QFn = (s, dir) => Dedup.simhash(Tables.documents(s, dir))
+
+  private val dedupNgramJaccard: QFn = (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
+
+  private val dedupEmbedCosine: QFn = (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir))
+
+  private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
+
+  private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
+
+  private val textTokens: QFn = (s, dir) =>
+    TextOps.tokenStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_chars_actual").cast("long").as("n_chars_actual"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unique").cast("long").as("n_unique"))
+
+  private val textQuality: QFn = (s, dir) =>
+    TextOps.quality(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stop").cast("long").as("n_stop"),
+        col("stop_ratio"), col("mean_tok_len"))
+
+  private val textLangid: QFn = (s, dir) =>
+    TextOps.langId(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        col("en_score").cast("long").as("en_score"),
+        col("de_score").cast("long").as("de_score"),
+        col("lang_guess"))
+
+  private val textFingerprint: QFn = (s, dir) => TextOps.fingerprint(Tables.documents(s, dir))
+
+  private val mmFeatures: QFn = (s, dir) => Media.features(s, Tables.documents(s, dir))
+
+  private def simhashSumsSql(bits: Int): String =
+    (1 to bits).map { j =>
+      s"sum(((position(substr(h, $j, 1) IN '0123456789abcdef') - 1) % 2) * 2 - 1) AS s$j"
+    }.mkString(",\n")
+  private def simhashPackSql(bits: Int): String =
+    (1 to bits).map { j =>
+      s"(CASE WHEN s$j >= 0 THEN ${1L << (j - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact,
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin),
+    QueryDef("dedup_minhash", dedupMinhash,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |m AS (SELECT doc_id,
+        |  list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS mh0,
+        |  list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS mh1,
+        |  list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS mh2,
+        |  list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS mh3 FROM s),
+        |band AS (
+        |  SELECT doc_id, 0 AS band, mh0 AS h FROM m UNION ALL
+        |  SELECT doc_id, 1 AS band, mh1 AS h FROM m UNION ALL
+        |  SELECT doc_id, 2 AS band, mh2 AS h FROM m UNION ALL
+        |  SELECT doc_id, 3 AS band, mh3 AS h FROM m)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM band a JOIN band b
+        |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin),
+    QueryDef("dedup_simhash", dedupSimhash,
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |hh AS (SELECT doc_id, md5(token) AS h FROM tok),
+        |s AS (SELECT doc_id,
+        |${simhashSumsSql(16)}
+        |FROM hh GROUP BY doc_id)
+        |SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s""".stripMargin),
+    QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  list_distinct(string_split(text, ' ')) AS tokset FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+        |CAST(len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |  AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.n_chars = b.n_chars
+        |  AND a.doc_id < b.doc_id""".stripMargin),
+    QueryDef("dedup_embed_cosine", dedupEmbedCosine,
+      s"""WITH $preparedSql
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+        |    ${dotSql("a.qv", "b.qv")} /
+        |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS score
+        |  FROM n0 a JOIN n0 b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE score >= 0.3""".stripMargin),
+    QueryDef("ann_bruteforce", annBruteforce,
+      s"""WITH $preparedSql,
+        |q AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0 WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_nrm FROM n0)
+        |SELECT q_id, c_id, rank, score FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+        |  FROM (SELECT q.q_id, c.c_id,
+        |    ${dotSql("q.q_qv", "c.c_qv")} /
+        |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
+        |    FROM q JOIN c ON q.q_id <> c.c_id))
+        |WHERE rank <= 3""".stripMargin),
+    QueryDef("ann_ivf", annIvf,
+      s"""WITH $preparedSql,
+        |q AS (SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, nrm AS q_nrm
+        |  FROM n0 WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, qv AS c_qv, nrm AS c_nrm FROM n0)
+        |SELECT q_id, c_id, rank, score FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+        |  FROM (SELECT q.q_id, c.c_id,
+        |    ${dotSql("q.q_qv", "c.c_qv")} /
+        |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
+        |    FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id))
+        |WHERE rank <= 3""".stripMargin),
+    QueryDef("text_tokens", textTokens,
+      """SELECT doc_id, n_chars,
+        |CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin),
+    QueryDef("text_quality", textQuality,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stop,
+        |CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+        |FROM f""".stripMargin),
+    QueryDef("text_langid", textLangid,
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_score
+        |  FROM t)
+        |SELECT doc_id, lang, en_score, de_score,
+        |CASE WHEN en_score > de_score THEN 'en'
+        |     WHEN de_score > en_score THEN 'de'
+        |     ELSE 'unk' END AS lang_guess FROM f""".stripMargin),
+    QueryDef("text_fingerprint", textFingerprint,
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp,
+        |CASE WHEN len(toks) >= 5 THEN
+        |  list_min(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))))
+        |ELSE NULL END AS min_shingle_fp FROM t""".stripMargin),
+    QueryDef("mm_features", mmFeatures,
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |CAST((octet_length(encode(text)) // 640) % 480 AS BIGINT) AS height,
+        |md5(text) AS content_hash FROM documents""".stripMargin)
+  )
+}
