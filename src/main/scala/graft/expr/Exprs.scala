@@ -1,0 +1,94 @@
+package graft.expr
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst scalar expressions for the three gaps Spark's builtin
+  * functions can't cover (SURVEY.md §2.9 / §4): keccak-256 (P9) and
+  * uint256 hex arithmetic/compare beyond 2^63 (P8). Each generates
+  * inline code (a static call — stays inside whole-stage codegen, no
+  * Scala-closure UDF serialization on the hot path).
+  */
+object HexMath {
+  def normalize(hex: String): String = {
+    val h = if (hex.startsWith("0x") || hex.startsWith("0X")) hex.substring(2) else hex
+    if (h.isEmpty) "0" else h
+  }
+
+  /** zero-padded 64-char lowercase hex — `HexInt.padded_hex`
+    * (`core/types.py:113-122`); lexicographic order == numeric order. */
+  def pad64(hex: String): String = {
+    val h = normalize(hex).toLowerCase
+    if (h.length >= 64) h else ("0" * (64 - h.length)) + h
+  }
+
+  def add(a: String, b: String): String =
+    pad64(new BigInteger(normalize(a), 16).add(new BigInteger(normalize(b), 16)).toString(16))
+
+  def sub(a: String, b: String): String =
+    pad64(new BigInteger(normalize(a), 16).subtract(new BigInteger(normalize(b), 16)).toString(16))
+
+  def compare(a: String, b: String): Int =
+    new BigInteger(normalize(a), 16).compareTo(new BigInteger(normalize(b), 16))
+
+  def fromLong(v: Long): String = pad64(java.lang.Long.toHexString(v))
+}
+
+/** keccak256(string) -> 64-char lowercase hex string. */
+case class Keccak256Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Keccak.hashHexOfUtf8(v.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expr.Keccak.hashHexOfUtf8($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): Keccak256Expr = copy(c)
+}
+
+/** hex_add(hexstr, hexstr) -> padded 64-char hex of the uint256 sum. */
+case class HexAddExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(HexMath.add(a.toString, b.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expr.HexMath.add($a.toString(), $b.toString()))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HexAddExpr =
+    copy(l, r)
+}
+
+/** hex_cmp(hexstr, hexstr) -> -1/0/1 uint256 comparison. */
+case class HexCmpExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(HexMath.compare(a.toString, b.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.HexMath.compare($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HexCmpExpr =
+    copy(l, r)
+}
+
+object Exprs {
+  def keccak256(c: Column): Column = GraftColumnShim.column(Keccak256Expr(GraftColumnShim.expression(c)))
+  def hexAdd(a: Column, b: Column): Column =
+    GraftColumnShim.column(HexAddExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+  def hexCmp(a: Column, b: Column): Column =
+    GraftColumnShim.column(HexCmpExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("keccak256", es => Keccak256Expr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hex_add", es => HexAddExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.nft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{Abi, Keccak}
+import graft.model.Addresses
+
+/** EVM log -> NFT entity derivation: the reference's transformer/consumer
+  * chain (`nft/evm/transformers.py:262-376`, `nft/evm/consumers.py`)
+  * re-expressed as declarative DataFrame programs over a `logs` table
+  * with schema FIXTURES.md §A (topics array<string>, data 0x-hex).
+  *
+  * Event signatures are computed with our keccak-256, not hardcoded —
+  * same as the reference deriving them from text signatures
+  * (`evm/types.py:285-313`).
+  */
+object Derive {
+
+  val Erc721TransferSig: String = Keccak.eventTopic("Transfer(address,address,uint256)")
+  val Erc1155TransferSingleSig: String = Keccak.eventTopic("TransferSingle(address,address,address,uint256,uint256)")
+  val Erc1155TransferBatchSig: String = Keccak.eventTopic("TransferBatch(address,address,address,uint256[],uint256[])")
+  val Erc1155UriSig: String = Keccak.eventTopic("URI(string,uint256)")
+
+  /** P5: synthetic monotonic version key, rendered as 40-digit
+    * zero-padded hex (`nft/evm/oracles.py:8-22`). */
+  def attributeVersion(block: Column, txIdx: Column, logIdx: Column): Column =
+    lpad(lower(hex(block * lit(1000000000L) + txIdx * lit(10000L) + logIdx)), 40, "0")
+
+  /** P4: transaction-type oracle (`nft/evm/oracles.py:25-52`):
+    * to==0x0 -> burn; from in {0x0, contract} and to not in {0x0,
+    * contract} -> mint; else transfer. */
+  def transactionType(from_ : Column, to_ : Column, contract: Column): Column = {
+    val zero = lit(Addresses.Zero)
+    when(to_ === zero, lit("burn"))
+      .when((from_ === zero || from_ === contract) && to_ =!= zero && to_ =!= contract, lit("mint"))
+      .otherwise(lit("transfer"))
+  }
+
+  private def transferCols(tokenId: Column, quantity: Column, from_ : Column,
+                           to_ : Column, collectionType: String): Seq[Column] = Seq(
+    lit("ethereum").as("blockchain"),
+    col("address").as("collection_id"),
+    tokenId.as("token_id"),
+    lit(collectionType).as("collection_type"),
+    transactionType(from_, to_, col("address")).as("transaction_type"),
+    from_.as("from_"),
+    to_.as("to_"),
+    quantity.as("quantity"),
+    col("block_number").as("block_id"),
+    col("transaction_hash"),
+    col("transaction_index"),
+    col("log_index"),
+    attributeVersion(col("block_number"), col("transaction_index"), col("log_index"))
+      .as("attribute_version"))
+
+  /** ERC-721 Transfer: sig match + arity 4 — the 4-topic check is what
+    * excludes ERC-20 `Transfer` (same signature!,
+    * `nft/evm/consumers.py:222-223`). token_id is indexed (topic 4). */
+  def erc721Transfers(logs: DataFrame): DataFrame =
+    logs.filter(element_at(col("topics"), 1) === lit(Erc721TransferSig) &&
+        size(col("topics")) === 4)
+      .select(transferCols(
+        Abi.topicUint(element_at(col("topics"), 4)),
+        lit(graft.expr.HexMath.pad64("1")),
+        Abi.topicAddress(element_at(col("topics"), 2)),
+        Abi.topicAddress(element_at(col("topics"), 3)),
+        "ERC-721"): _*)
+
+  /** ERC-1155 TransferSingle: (id, value) are static data words
+    * (`nft/evm/transformers.py:296-310`). */
+  def erc1155SingleTransfers(logs: DataFrame): DataFrame =
+    logs.filter(element_at(col("topics"), 1) === lit(Erc1155TransferSingleSig) &&
+        size(col("topics")) === 4)
+      .select(transferCols(
+        Abi.dataWord(col("data"), 1),
+        Abi.dataWord(col("data"), 2),
+        Abi.topicAddress(element_at(col("topics"), 3)),
+        Abi.topicAddress(element_at(col("topics"), 4)),
+        "ERC-1155"): _*)
+
+  /** ERC-1155 TransferBatch: dynamic (uint256[] ids, uint256[] values)
+    * unzipped positionally (`nft/evm/transformers.py:322-336`) =
+    * explode(arrays_zip(ids, values)). */
+  def erc1155BatchTransfers(logs: DataFrame): DataFrame =
+    logs.filter(element_at(col("topics"), 1) === lit(Erc1155TransferBatchSig) &&
+        size(col("topics")) === 4)
+      .withColumn("ids", Abi.decodeUintArrayUdf(col("data"), lit(0)))
+      .withColumn("vals", Abi.decodeUintArrayUdf(col("data"), lit(1)))
+      .withColumn("z", explode(arrays_zip(col("ids"), col("vals"))))
+      .select(transferCols(
+        col("z.ids"),
+        col("z.vals"),
+        Abi.topicAddress(element_at(col("topics"), 3)),
+        Abi.topicAddress(element_at(col("topics"), 4)),
+        "ERC-1155"): _*)
+
+  /** All transfer-shaped logs, one unioned fact stream, deduped on the
+    * idempotency key (K8, `dynamodb.py:334-363`). */
+  def transfers(logs: DataFrame): DataFrame =
+    erc721Transfers(logs)
+      .unionByName(erc1155SingleTransfers(logs))
+      .unionByName(erc1155BatchTransfers(logs))
+      .dropDuplicates("collection_id", "attribute_version", "token_id")
+
+  /** ERC-1155 URI events: dynamic string + indexed token id, with the
+    * `{id}` substitution (`nft/evm/transformers.py:339-376`). */
+  def uriUpdates(logs: DataFrame): DataFrame =
+    logs.filter(element_at(col("topics"), 1) === lit(Erc1155UriSig) &&
+        size(col("topics")) === 2)
+      .withColumn("token_id", Abi.topicUint(element_at(col("topics"), 2)))
+      .withColumn("metadata_url",
+        regexp_replace(Abi.decodeStringUdf(col("data"), lit(0)),
+          lit("\\{id\\}"), col("token_id")))
+      .filter(length(col("metadata_url")) <= 2048) // P10, `dynamodb.py:160-167`
+      .select(col("address").as("collection_id"), col("token_id"), col("metadata_url"),
+        attributeVersion(col("block_number"), col("transaction_index"), col("log_index"))
+          .as("metadata_url_version"))
+
+  /** A1: per-token state fold (`nft/evm/consumers.py:49-145`):
+    * first-mint-wins mint fields, signed quantity sum, argmax owner;
+    * ERC-1155 forces current_owner null (`consumers.py:90-91`). */
+  def tokens(transfers: DataFrame, blockTimes: DataFrame): DataFrame = {
+    val enriched = transfers.join(broadcast(blockTimes),
+      transfers("block_id") === blockTimes("number"), "left")
+    enriched
+      .groupBy(col("blockchain"), col("collection_id"), col("token_id"))
+      .agg(
+        first(col("collection_type")).as("collection_type"),
+        min_by(struct(col("block_id"), col("timestamp"), col("to_")),
+          when(col("transaction_type") === "mint", col("attribute_version"))).as("mint_info"),
+        sum(when(col("transaction_type") === "mint", Abi.wordToLong(col("quantity")))
+          .when(col("transaction_type") === "burn", -Abi.wordToLong(col("quantity")))
+          .otherwise(lit(0L))).as("quantity"),
+        max_by(col("to_"), col("attribute_version")).as("last_to"),
+        max(col("attribute_version")).as("attribute_version"))
+      .select(col("blockchain"), col("collection_id"), col("token_id"),
+        col("mint_info.block_id").as("mint_block"),
+        col("mint_info.timestamp").as("mint_date"),
+        col("mint_info.to_").as("original_owner"),
+        col("quantity"),
+        when(col("collection_type") === "ERC-1155", lit(null))
+          .otherwise(col("last_to")).as("current_owner"),
+        col("attribute_version"))
+  }
+
+  /** A3/G5/K7: per-(token, account) balances — delta explode, sum,
+    * drop zeros (`nft/evm/consumers.py:652-701`, `nft/consumers.py:161-173`). */
+  def owners(transfers: DataFrame): DataFrame =
+    transfers
+      .withColumn("d", explode(array(
+        struct(col("to_").as("account"), Abi.wordToLong(col("quantity")).as("delta"), lit("in").as("side")),
+        struct(col("from_").as("account"), (-Abi.wordToLong(col("quantity"))).as("delta"), lit("out").as("side")))))
+      .filter(!(col("transaction_type") === "burn" && col("d.side") === "in") &&
+              !(col("transaction_type") === "mint" && col("d.side") === "out"))
+      .groupBy(col("blockchain"), col("collection_id"), col("token_id"), col("d.account"))
+      .agg(sum(col("d.delta")).as("quantity"))
+      .filter(col("quantity") =!= 0)
+}

@@ -176,6 +176,30 @@ object CoreQueries {
         concat(lit("ipfs://collection/{id}/meta?u="), col("user_id").cast("string")),
         lit("\\{id\\}"), col("event_id").cast("string")).as("url"))
 
+  private val p8Uint256Math: QFn = (s, dir) => {
+    // HexInt uint256 arithmetic/compare beyond 2^63 (`core/types.py:9-122`)
+    // via the custom hex_add / hex_cmp Catalyst expressions. No DuckDB
+    // oracle (needs 256-bit ints) -> rows-only check.
+    import graft.expr.Exprs
+    Tables.events(s, dir).withColumn("k", kCol)
+      .select(col("event_id"),
+        lpad(lower(hex(col("event_id"))), 64, "0").as("a"),
+        lpad(lower(hex(col("k"))), 64, "0").as("b"))
+      .select(col("event_id"), col("a"), col("b"),
+        Exprs.hexAdd(col("a"), col("b")).as("sum_hex"),
+        Exprs.hexCmp(col("a"), col("b")).as("cmp"))
+  }
+
+  private val p9Keccak: QFn = (s, dir) => {
+    // function_digest (`evm/bin.py:18-35`): keccak-256 topic + 4-byte
+    // selector of a text signature. No DuckDB keccak -> rows-only check.
+    import graft.expr.Exprs
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        Exprs.keccak256(concat(col("event_type"), lit("(address,uint256)"))).as("topic0"))
+      .withColumn("selector", substring(col("topic0"), 1, 8))
+  }
+
   // ---- G: generators / flattening -----------------------------------------
 
   private val g1Explode: QFn = (s, dir) =>
@@ -398,6 +422,8 @@ object CoreQueries {
       """SELECT event_id,
         |replace(concat('ipfs://collection/{id}/meta?u=', CAST(user_id AS VARCHAR)),
         |  '{id}', CAST(event_id AS VARCHAR)) AS url FROM events""".stripMargin),
+    QueryDef("p8_uint256_math", p8Uint256Math, ""),
+    QueryDef("p9_keccak", p9Keccak, ""),
     QueryDef("g1_explode", g1Explode,
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
     QueryDef("g4_explode_zip", g4ExplodeZip,

@@ -1,0 +1,56 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ABI decode vectors built per the public ABI spec's head/tail
+  * encoding (the same cases the reference's transformer tests exercise,
+  * `test/blockcrawler/nft/test_evm_transformers.py`). */
+class AbiSpec extends SparkSpec {
+
+  private def word(v: Long): String = HexMath.pad64(java.lang.Long.toHexString(v))
+
+  test("decodeUintArray: (uint256[] ids, uint256[] values) head/tail") {
+    // head: offset(ids)=0x40, offset(values)=0xa0; ids=[7,9], values=[100,200]
+    val data = "0x" + word(0x40) + word(0xa0) +
+      word(2) + word(7) + word(9) +
+      word(2) + word(100) + word(200)
+    assert(Abi.decodeUintArray(data, 0).toSeq === Seq(word(7), word(9)))
+    assert(Abi.decodeUintArray(data, 1).toSeq === Seq(word(100), word(200)))
+  }
+
+  test("decodeString: dynamic utf-8 with offset") {
+    val s = "ipfs://meta/{id}.json"
+    val bytes = s.getBytes("UTF-8")
+    val hexBytes = bytes.map(b => f"${b & 0xff}%02x").mkString
+    val padded = hexBytes + "0" * (64 - hexBytes.length % 64)
+    val data = "0x" + word(0x20) + word(bytes.length.toLong) + padded
+    assert(Abi.decodeString(data, 0) === s)
+  }
+
+  test("empty data decodes to empty/null") {
+    assert(Abi.decodeUintArray("0x", 0).isEmpty)
+    assert(Abi.decodeString("0x", 0) === null)
+  }
+
+  test("static slices + custom expressions inside a plan") {
+    import spark.implicits._
+    Exprs.register(spark)
+    val topic = "0x000000000000000000000000a16081f360e3847006db660bae1c6d1b2e17ec2a"
+    val df = Seq((topic, word(5), word(7))).toDF("topic", "qa", "qb")
+      .select(
+        Abi.topicAddress($"topic").as("addr"),
+        Abi.wordToLong($"qa").as("num"),
+        Exprs.hexAdd($"qa", $"qb").as("sum"),
+        Exprs.hexCmp($"qa", $"qb").as("cmp"),
+        Exprs.keccak256(lit("Transfer(address,address,uint256)")).as("sig"))
+    val r = df.head()
+    assert(r.getAs[String]("addr") === "0xa16081f360e3847006db660bae1c6d1b2e17ec2a")
+    assert(r.getAs[String]("sum") === word(12))
+    assert(r.getAs[Int]("cmp") === -1)
+    assert("0x" + r.getAs[String]("sig") === graft.nft.Derive.Erc721TransferSig)
+    // SQL surface
+    val viaSql = spark.sql("SELECT hex_add('0x01', 'ff') AS s").head().getString(0)
+    assert(viaSql === word(0x100))
+  }
+}
