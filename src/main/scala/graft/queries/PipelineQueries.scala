@@ -80,10 +80,10 @@ object PipelineQueries {
         |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
         |m AS (SELECT doc_id,
-        |  list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS mh0,
-        |  list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS mh1,
-        |  list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS mh2,
-        |  list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS mh3 FROM s),
+        |  list_min(list_transform(sh, x -> substr(x, 1, 8))) AS mh0,
+        |  list_min(list_transform(sh, x -> substr(x, 9, 8))) AS mh1,
+        |  list_min(list_transform(sh, x -> substr(x, 17, 8))) AS mh2,
+        |  list_min(list_transform(sh, x -> substr(x, 25, 8))) AS mh3 FROM s),
         |band AS (
         |  SELECT doc_id, 0 AS band, mh0 AS h FROM m UNION ALL
         |  SELECT doc_id, 1 AS band, mh1 AS h FROM m UNION ALL

@@ -25,11 +25,15 @@ object Tables {
     // Runtime-settable, so this works even on a session we didn't build.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    val withUs = raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
-      case _        => raw.withColumn("ts_us", unix_micros(col("ts")))
+    // `ts_ns` stays the raw scan column: range predicates against it are
+    // pushed into the parquet scan (row-group pruning); the derived
+    // `ts_us`/`ts` would block pushdown if filtered on instead.
+    val withNs = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts_ns", col("ts"))
+      case _        => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
     }
-    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
+    withNs.withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
