@@ -1,0 +1,46 @@
+package graft.pipelines
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelinesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("crawl flagship produces per-owner rollup") {
+    val out = Crawl.run(spark, dir)
+    assert(out.count() > 0)
+    assert(out.columns.toSet === Set("owner", "n_transfers", "net_value", "last_type", "last_version"))
+  }
+
+  test("load writes transfers/tokens/owners tables; replay produces identical tables") {
+    val o1 = Files.createTempDirectory("load1").toString
+    val o2 = Files.createTempDirectory("load2").toString
+    Load.run(spark, dir, o1)
+    Load.run(spark, dir, o2)
+    for (t <- Seq("transfers", "tokens", "owners")) {
+      val a = spark.read.parquet(s"$o1/$t").collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$o2/$t").collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"table $t differs across replays")
+      assert(a.nonEmpty)
+    }
+    // partitioned fact layout
+    assert(new java.io.File(s"$o1/transfers").listFiles().exists(_.getName.startsWith("owner_bucket=")))
+  }
+
+  test("block-time CSV cache round-trips (S8)") {
+    val out = Files.createTempDirectory("btc").toString + "/cache"
+    Load.writeBlockTimeCsv(spark, dir, out)
+    val back = Load.readBlockTimeCsv(spark, out)
+    assert(back.count() === 1000)
+    assert(back.schema.map(_.dataType.simpleString) === Seq("bigint", "bigint"))
+  }
+
+  test("custom functions register on the SQL surface") {
+    graft.expr.Exprs.register(spark)
+    assert(spark.sql("SELECT keccak256('') h").head().getString(0) ===
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+  }
+}
