@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Sink-side infrastructure mirrored from the reference:
+  *
+  *  - K10 rate limiter (`dynamodb.py:554-616`): token-bucket per second,
+  *    applied per partition in `foreachPartition` — N partitions × limit
+  *    = the reference's table-level ceiling split across writers.
+  *  - K9 parallel batch writer (`dynamodb.py:500-530`): batched iteration
+  *    per partition (25-item batches like the DynamoDB limit).
+  *  - S9 config/data_version read-and-increment
+  *    (`nft/bin/shared.py:153-184`): driver-side scalar on a config
+  *    table.
+  *  - A5 stats counters (`core/stats.py:13-146`): Spark accumulators —
+  *    executor-safe named counters, readable on the driver.
+  */
+object SinkUtils {
+
+  /** Simple token bucket: `permitsPerSecond` tokens refilled each
+    * wall-clock second, `acquire()` blocks across the boundary — the
+    * reference's spin-wait (`dynamodb.py:592-616`) without the spin. */
+  final class RateLimiter(permitsPerSecond: Long) extends Serializable {
+    private var windowStart = 0L
+    private var used = 0L
+    def acquire(n: Long = 1): Unit = synchronized {
+      val now = System.nanoTime()
+      if (now - windowStart >= 1000000000L) { windowStart = now; used = 0L }
+      if (used + n > permitsPerSecond) {
+        val sleepNs = 1000000000L - (now - windowStart)
+        if (sleepNs > 0) Thread.sleep(sleepNs / 1000000, (sleepNs % 1000000).toInt)
+        windowStart = System.nanoTime(); used = 0L
+      }
+      used += n
+    }
+  }
+
+  /** Rate-limited, batched foreachPartition sink. `write` receives one
+    * batch of rows; the per-partition limiter bounds batches/sec so the
+    * aggregate across `df.rdd.getNumPartitions` partitions respects an
+    * external store's ceiling. */
+  def rateLimitedForeach(df: DataFrame, batchSize: Int, batchesPerSecondPerPartition: Long)
+                        (write: Seq[Row] => Unit): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val limiter = new RateLimiter(batchesPerSecondPerPartition)
+      it.grouped(batchSize).foreach { batch =>
+        limiter.acquire()
+        write(batch)
+      }
+    }
+
+  /** S9: read the per-blockchain data_version from a config table;
+    * `increment` returns the bumped version after persisting it back. */
+  def readDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int =
+    try {
+      val row = spark.read.parquet(configPath)
+        .filter(col("blockchain") === blockchain)
+        .select(max(col("data_version"))).head()
+      if (row.isNullAt(0)) 0 else row.getInt(0)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => 0 // table not created yet
+    }
+
+  def incrementDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int = {
+    import spark.implicits._
+    val next = readDataVersion(spark, configPath, blockchain) + 1
+    val updated = Seq((blockchain, next)).toDF("blockchain", "data_version")
+    val merged =
+      try Lww.upsert(spark.read.parquet(configPath), updated,
+        Seq("blockchain"), Seq("data_version"))
+      catch { case _: org.apache.spark.sql.AnalysisException => updated }
+    val tmp = configPath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+    next
+  }
+
+  /** A5: named executor-safe counters (the reference's StatsService). */
+  final class Stats(spark: SparkSession) extends Serializable {
+    private val counters = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
+    def counter(name: String): LongAccumulator =
+      counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(s"graft.$name"))
+    def snapshot(): Map[String, Long] =
+      counters.map { case (k, a) => k -> a.value.longValue }.toMap
+  }
+}

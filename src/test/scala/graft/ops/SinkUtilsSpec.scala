@@ -1,0 +1,43 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class SinkUtilsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rate-limited batched sink delivers every row in batches") {
+    val df = spark.range(0, 100).toDF("id")
+    val seen = spark.sparkContext.collectionAccumulator[Long]("seen")
+    SinkUtils.rateLimitedForeach(df, batchSize = 25, batchesPerSecondPerPartition = 1000) { batch =>
+      assert(batch.size <= 25)
+      batch.foreach(r => seen.add(r.getLong(0)))
+    }
+    assert(seen.value.size === 100)
+  }
+
+  test("rate limiter bounds throughput") {
+    val rl = new SinkUtils.RateLimiter(2)
+    val t0 = System.nanoTime()
+    (1 to 5).foreach(_ => rl.acquire()) // 5 permits at 2/s -> >= ~1.5s wall
+    assert((System.nanoTime() - t0) / 1e9 >= 1.0)
+  }
+
+  test("data_version read + increment round-trips (S9)") {
+    val cfg = Files.createTempDirectory("cfg").toString + "/config"
+    assert(SinkUtils.incrementDataVersion(spark, cfg, "ethereum") === 1)
+    assert(SinkUtils.incrementDataVersion(spark, cfg, "ethereum") === 2)
+    assert(SinkUtils.readDataVersion(spark, cfg, "ethereum") === 2)
+    assert(SinkUtils.readDataVersion(spark, cfg, "polygon") === 0)
+  }
+
+  test("stats counters aggregate across executors (A5)") {
+    val stats = new SinkUtils.Stats(spark)
+    val c = stats.counter("rows")
+    spark.range(0, 1000).toDF("id").foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach(_ => c.add(1))
+    }
+    assert(stats.snapshot()("rows") === 1000L)
+  }
+}
