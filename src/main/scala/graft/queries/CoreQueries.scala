@@ -351,6 +351,35 @@ object CoreQueries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
 
+  // ---- classic OLAP shapes over the big fact tables (throughput anchors) --
+
+  private val q1PricingSummary: QFn = (s, dir) =>
+    // the canonical scan-heavy partial+final aggregation: lineitem at
+    // bench SF is the largest table; exercises decimal-exact sums.
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q3JoinAgg: QFn = (s, dir) => {
+    // dim-filtered fact join: customer (broadcast) |x| orders |x| lineitem,
+    // aggregated by order — the shuffle-join shape that dominates at scale.
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -498,6 +527,24 @@ object CoreQueries {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin),
+    QueryDef("q1_pricing_summary", q1PricingSummary,
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    QueryDef("q3_join_agg", q3JoinAgg,
+      """SELECT l.l_orderkey, o.o_orderpriority,
+        |CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey, o.o_orderpriority""".stripMargin),
     QueryDef("t2_tumbling_window", t2TumblingWindow,
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
         |event_type, count(*) AS n,
