@@ -41,38 +41,52 @@ object Similarity {
     embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqNorm(col("qv")))
 
-  /** Brute-force cosine top-k: queries = every `queryStride`-th vector,
-    * broadcast against all candidates. */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame = {
-    val p = prepared(embeddings)
-    val q = p.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val c = p.select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    // row_number + filter plans as WindowGroupLimit: partial top-k runs
+    // below the exchange, so only k rows per query per input partition
+    // shuffle — the property that keeps top-k viable at cluster scale.
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), col("score"))
   }
 
-  /** IVF-style: same contract but candidates limited to the query's
-    * coarse cluster (`label`), joined on the cluster id. */
-  def ivfTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame = {
-    val p = prepared(embeddings)
-    val q = p.filter(col("vec_id") % queryStride === 0)
+  /** Brute-force cosine top-k of `queries` (vec_id, embedding[, label])
+    * against all candidates. The query set must be broadcast-sized —
+    * that is the contract of brute force; a query set that scales with
+    * the corpus belongs on `ivfTopK` where cluster pruning bounds the
+    * scored pairs. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = prepared(queries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = prepared(embeddings)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    topK(scored, k)
+  }
+
+  /** IVF-style: candidates limited to the query's coarse cluster
+    * (`label` stands in for a k-means assignment), joined on the
+    * cluster id — O(Q x N / nlist) scored pairs, shuffled on cluster. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = prepared(queries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val c = p.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val c = prepared(embeddings)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val scored = c.join(broadcast(q),
         col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"), col("score"))
+    topK(scored, k)
   }
+
+  /** Fixture wrappers: every `queryStride`-th vector as the query set. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =
+    bruteForceTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =
+    ivfTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
 
   /** Embedding-cosine near-dup pairs, cluster-blocked on `label`. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
