@@ -351,6 +351,26 @@ object CoreQueries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total"))
 
+  private val t3SessionWindow: QFn = (s, dir) =>
+    // session windows (30-min inactivity gap) — beyond the reference's
+    // surface but the canonical event-stream operator; Spark's native
+    // session_window generator. Oracle = gaps-and-islands SQL.
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("total"))
+
+  private val a7Pivot: QFn = (s, dir) =>
+    // wide per-key layout via pivot (conditional aggregation) — the
+    // "counters per entity" shape of the reference's stats service.
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
   // ---- classic OLAP shapes over the big fact tables (throughput anchors) --
 
   private val q1PricingSummary: QFn = (s, dir) =>
@@ -527,6 +547,25 @@ object CoreQueries {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin),
+    QueryDef("t3_session_window", t3SessionWindow,
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, ts_us, value,
+        |  sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM o)
+        |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, session_id""".stripMargin),
+    QueryDef("a7_pivot", a7Pivot,
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'view') AS "view",
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin),
     QueryDef("q1_pricing_summary", q1PricingSummary,
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
