@@ -1,0 +1,47 @@
+package graft.nft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Receipt -> Collection derivation: the crawl pipeline's branch (a)
+  * (`nft/evm/transformers.py:48-197`): contract-creation receipts,
+  * classified by an ERC-165 interface-support snapshot, enriched with
+  * name/symbol metadata and the K1 sink's derived columns.
+  *
+  * The reference probes `supportsInterface` live per contract (J6);
+  * batch-side that lookup is a dimension join against a pre-fetched
+  * snapshot table (contract_address, supports_erc721, supports_erc1155,
+  * name, symbol, total_supply) — the same pinning the reference itself
+  * does for `tokenURI(..) at mint block` (J5).
+  */
+object Collections {
+
+  def fromReceipts(receipts: DataFrame, interfaceSnapshot: DataFrame,
+                   blockTimes: DataFrame, dataVersion: Int): DataFrame = {
+    val creations = receipts
+      .filter(col("contract_address").isNotNull && col("status") === 1)
+      .select(col("contract_address").as("collection_id"),
+        col("from_").as("creator"),
+        col("block_number").as("block_created"))
+    creations
+      .join(broadcast(interfaceSnapshot), Seq("collection_id"), "inner")
+      .filter(col("supports_erc721") || col("supports_erc1155"))
+      .join(broadcast(blockTimes.select(col("number"), col("timestamp"))),
+        col("block_created") === col("number"), "left")
+      .select(
+        lit("ethereum").as("blockchain"),
+        col("collection_id"),
+        col("creator"),
+        col("block_created"),
+        when(col("supports_erc721"), lit("ERC-721"))
+          .otherwise(lit("ERC-1155")).as("specification"),
+        col("timestamp").as("date_created"),
+        lit(dataVersion).as("data_version"),
+        col("name"),
+        // P7 (`dynamodb.py:92-94`): lower + 1024-char truncation, empty -> null
+        when(length(col("name")) > 0, lower(substring(col("name"), 1, 1024)))
+          .otherwise(lit(null)).as("name_lower"),
+        col("symbol"),
+        col("total_supply"))
+  }
+}

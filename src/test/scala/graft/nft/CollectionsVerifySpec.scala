@@ -1,0 +1,70 @@
+package graft.nft
+
+import graft.SparkSpec
+import graft.pipelines.VerifyPipeline
+import org.apache.spark.sql.functions._
+
+class CollectionsVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("receipts -> collections with ERC-165 classification and name_lower") {
+    val receipts = Seq(
+      // successful 721 creation
+      ("0xc1", "0xdeployer1", 100L, Some(1L), Some("0xc1addr")),
+      // successful 1155 creation
+      ("0xc2", "0xdeployer2", 101L, Some(1L), Some("0xc2addr")),
+      // failed creation -> excluded
+      ("0xc3", "0xdeployer3", 102L, Some(0L), Some("0xc3addr")),
+      // plain tx, no contract -> excluded
+      ("0xc4", "0xsender", 103L, Some(1L), None)
+    ).toDF("transaction_hash", "from_", "block_number", "status", "contract_address")
+    val iface = Seq(
+      ("0xc1addr", true, false, "Bored Things", "BT", "10000"),
+      ("0xc2addr", false, true, "", null, null),
+      ("0xc3addr", true, false, "x", "x", "1")
+    ).toDF("collection_id", "supports_erc721", "supports_erc1155", "name", "symbol", "total_supply")
+    val times = Seq((100L, 1000L), (101L, 1010L)).toDF("number", "timestamp")
+
+    val got = Collections.fromReceipts(receipts, iface, times, dataVersion = 3)
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+    assert(got.keySet === Set("0xc1addr", "0xc2addr"))
+    val c1 = got("0xc1addr")
+    assert(c1.getAs[String]("specification") === "ERC-721")
+    assert(c1.getAs[String]("name_lower") === "bored things")
+    assert(c1.getAs[Long]("date_created") === 1000L)
+    assert(c1.getAs[Int]("data_version") === 3)
+    val c2 = got("0xc2addr")
+    assert(c2.getAs[String]("specification") === "ERC-1155")
+    assert(c2.isNullAt(c2.fieldIndex("name_lower"))) // empty name -> null
+  }
+
+  test("verify pipeline reports transfer/owner/count discrepancies only") {
+    def t(c: String, tok: String, v: String, from: String, to: String, q: String) =
+      (c, tok, v, from, to, q)
+    val chainT = Seq(
+      t("c1", "t1", "v1", "a", "b", "1"),
+      t("c1", "t2", "v2", "b", "c", "1"), // missing in db
+      t("c1", "t3", "v3", "c", "d", "1")  // quantity differs
+    ).toDF("collection_id", "token_id", "attribute_version", "from_", "to_", "quantity")
+    val dbT = Seq(
+      t("c1", "t1", "v1", "a", "b", "1"),
+      t("c1", "t3", "v3", "c", "d", "2"),
+      t("c1", "t4", "v4", "d", "e", "1")  // extra in db
+    ).toDF("collection_id", "token_id", "attribute_version", "from_", "to_", "quantity")
+    val chainO = Seq(("c1", "t1", "b", 1L)).toDF("collection_id", "token_id", "account", "quantity")
+    val dbO = Seq(("c1", "t1", "b", 1L)).toDF("collection_id", "token_id", "account", "quantity")
+    val dbTok = Seq(("c1", "t1"), ("c1", "t3")).toDF("collection_id", "token_id")
+    val supply = Seq(("c1", 3L)).toDF("collection_id", "total_supply")
+
+    val report = VerifyPipeline.run(chainT, dbT, chainO, dbO, dbTok, supply).collect()
+    val byCheck = report.groupBy(_.getAs[String]("check")).view.mapValues(_.length).toMap
+    assert(byCheck("transfers") === 3) // left_only t2, mismatch t3, right_only t4
+    assert(byCheck.getOrElse("owners", 0) === 0) // all owners match
+    assert(byCheck("counts") === 1) // 2 tokens != supply 3
+    val details = report.filter(_.getAs[String]("check") == "transfers")
+      .map(r => r.getAs[String]("token_id") -> r.getAs[String]("detail")).toMap
+    assert(details("t2") === "left_only")
+    assert(details("t3") === "mismatch")
+    assert(details("t4") === "right_only")
+  }
+}
