@@ -56,4 +56,42 @@ object Media {
     implicit val s: SparkSession = spark
     featurize(asMedia(docs).as[MediaRow]).toDF()
   }
+
+  final case class ResizedMedia(media_id: Long, media: Array[Byte],
+                                width: Long, height: Long)
+
+  /** STUB resize: a real build would decode, scale to (w, h), re-encode.
+    * The fake deterministically re-samples the byte stream to the target
+    * "pixel count" so output sizes and partition shapes are realistic. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val target = math.max(1, (w.toLong * h / 64).toInt) // fake: bytes ~ pixels/64
+        val out = Array.tabulate(target)(i => row.media(((i.toLong * row.media.length) / target).toInt))
+        ResizedMedia(row.media_id, out, w.toLong, h.toLong)
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_index: Long, frame: Array[Byte])
+
+  /** STUB frame-sample: a real build would demux a video and decode
+    * every `stride`-th frame. The fake slices the byte stream into
+    * fixed "frames"; the Spark-side shape — one row in, N frame rows
+    * out of a partition-batched decoder — is the real contract. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
+                  (implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val nFrames = math.max(1, row.media.length / frameBytes)
+        (0L until nFrames.toLong by stride.toLong).map { fi =>
+          val lo = (fi * frameBytes).toInt
+          Frame(row.media_id, fi, row.media.slice(lo, math.min(lo + frameBytes, row.media.length)))
+        }
+      }
+    }
+  }
 }
