@@ -60,6 +60,23 @@ object ArrayKernels {
     new GenericArrayData(mins.map(UTF8String.fromString(_)))
   }
 
+  /** float embedding -> exact integer milli-units: round(x * 1000)
+    * computed in double space (float->double is exact, double mult +
+    * half-away-from-zero round match the DuckDB oracle bit-for-bit). */
+  def quantize(e: ArrayData): ArrayData = {
+    val n = e.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // BigDecimal HALF_UP == Spark's round() == DuckDB's round():
+      // half away from zero (math.round would round half toward +inf)
+      out(i) = java.math.BigDecimal.valueOf(e.getFloat(i).toDouble * 1000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact integer dot product of two long arrays (quantized
     * embeddings); order-independent, overflow-checked by construction
     * (|q| <= ~1000 per element, dim <= 4096). */
@@ -94,6 +111,16 @@ case class MinHashSigsExpr(child: Expression, numHashes: Int = 4) extends UnaryE
     copy(child = c)
 }
 
+/** quantize_embedding(array<float>) -> array<long> milli-units. */
+case class QuantizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.quantize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ArrayKernels.quantize($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeExpr = copy(c)
+}
+
 /** dot_long(array<long>, array<long>) -> long. */
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -108,6 +135,8 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
 object ArrayExprs {
   def minhashSigs(c: Column, numHashes: Int = 4): Column =
     GraftColumnShim.column(MinHashSigsExpr(GraftColumnShim.expression(c), numHashes))
+  def quantize(c: Column): Column =
+    GraftColumnShim.column(QuantizeExpr(GraftColumnShim.expression(c)))
   def dotLong(a: Column, b: Column): Column =
     GraftColumnShim.column(DotLongExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize float embedding -> exact integer vector (milli-units). */
-  def quantize(e: Column): Column =
-    transform(e, x => round(x.cast("double") * 1000).cast("long"))
+  /** Quantize float embedding -> exact integer vector (milli-units);
+    * native kernel (see ArrayExprs) — same semantics as
+    * `transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))`. */
+  def quantize(e: Column): Column = graft.expr.ArrayExprs.quantize(e)
 
   /** Exact integer norms/dots via the native DotLongExpr kernel — the
     * `aggregate(zip_with(...))` builtin formulation evaluates its lambda
