@@ -1,0 +1,24 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import graft.tables.Tables
+
+/** SQL surface: registers the testdata tables as temp views and the
+  * engine's custom functions, so `spark.sql` works end-to-end:
+  *
+  * {{{
+  * Catalog.registerAll(spark, "/root/testdata/sf0.01")
+  * spark.sql("SELECT keccak256(event_type), count(*) FROM events GROUP BY 1")
+  * }}}
+  */
+object Catalog {
+  val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    TableNames.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.expr.Exprs.register(spark)
+    graft.expr.Abi.register(spark)
+  }
+}
