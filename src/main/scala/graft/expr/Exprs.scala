@@ -65,6 +65,19 @@ case class HexAddExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(l, r)
 }
 
+/** hex_sub(hexstr, hexstr) -> padded 64-char hex of the difference. */
+case class HexSubExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(HexMath.sub(a.toString, b.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expr.HexMath.sub($a.toString(), $b.toString()))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HexSubExpr =
+    copy(l, r)
+}
+
 /** hex_cmp(hexstr, hexstr) -> -1/0/1 uint256 comparison. */
 case class HexCmpExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -83,12 +96,16 @@ object Exprs {
     GraftColumnShim.column(HexAddExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def hexCmp(a: Column, b: Column): Column =
     GraftColumnShim.column(HexCmpExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+  def hexSub(a: Column, b: Column): Column =
+    GraftColumnShim.column(HexSubExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256Expr(es.head), "built-in")
     reg.createOrReplaceTempFunction("hex_add", es => HexAddExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hex_sub", es => HexSubExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")
+    Uint256Sum.register(spark)
   }
 }

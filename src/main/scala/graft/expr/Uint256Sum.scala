@@ -1,0 +1,36 @@
+package graft.expr
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact uint256 sum over 64-char-hex columns (SURVEY §2.9: the one
+  * custom aggregate the reference's semantics can need — quantities are
+  * uint256 and overflow DecimalType(38)). Buffer is a byte-serialized
+  * BigInt; output is the canonical padded hex so ordering stays
+  * lexicographic == numeric. Partial+final merge comes from the
+  * Aggregator contract (map-side combine like any algebraic agg).
+  */
+object Uint256Sum extends Aggregator[String, Array[Byte], String] {
+
+  override def zero: Array[Byte] = BigInt(0).toByteArray
+
+  override def reduce(buf: Array[Byte], hex: String): Array[Byte] =
+    if (hex == null) buf
+    else (BigInt(buf) + BigInt(HexMath.normalize(hex), 16)).toByteArray
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    (BigInt(a) + BigInt(b)).toByteArray
+
+  override def finish(buf: Array[Byte]): String = {
+    val hex = BigInt(buf).toString(16)
+    // sums can exceed 64 hex chars; pad64 keeps >=64 intact
+    HexMath.pad64(hex)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+
+  /** SQL/DataFrame registration: `uint256_sum(hexCol)`. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("uint256_sum", org.apache.spark.sql.functions.udaf(this))
+}
