@@ -14,8 +14,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warm-up so the first timed query doesn't absorb
-    // executor + codegen startup
+    // executor startup, the Janino codegen compiler, the parquet reader
+    // path, or the shuffle machinery. Each statement warms one physical
+    // machine the timed queries rely on; none computes a timed result.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(100000).selectExpr("id", "id % 7 AS k", "CAST(id AS DECIMAL(18,2)) AS d")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("d")).collect()     // hash agg + shuffle
+    spark.range(10000).selectExpr("id", "id % 5 AS p")
+      .selectExpr("*", "row_number() OVER (PARTITION BY p ORDER BY id DESC) AS rn")
+      .filter("rn = 1").collect()                                              // window exec
+    spark.range(1000).selectExpr("id", "explode(array(id, id + 1)) AS e").collect() // generator
+    graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

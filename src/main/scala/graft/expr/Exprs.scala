@@ -40,6 +40,49 @@ object HexMath {
   def fromLong(v: Long): String = pad64(java.lang.Long.toHexString(v))
 }
 
+object DigitKernels {
+  /** All digits of `s` in order, parsed as an int — same result as
+    * `CAST(regexp_replace(s, '[^0-9]', '') AS INT)` without the regex
+    * engine on the hot path. Returns Int.MinValue as a "null" sentinel
+    * when `s` has no digits or the value overflows an int (the caller
+    * expression translates the sentinel to SQL NULL). */
+  def digitsToInt(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var any = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        any = true
+        acc = acc * 10 + (b - '0')
+        if (acc > Int.MaxValue) return Int.MinValue
+      }
+      i += 1
+    }
+    if (any) acc.toInt else Int.MinValue
+  }
+}
+
+/** digits_int(string) -> int: digit-subsequence parse (P3 ABI payload
+  * extraction without a regex per row). */
+case class DigitsIntExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = DigitKernels.digitsToInt(v.asInstanceOf[UTF8String])
+    if (r == Int.MinValue) null else Integer.valueOf(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.DigitKernels.digitsToInt($c);
+         |${ev.isNull} = (${ev.value} == Integer.MIN_VALUE);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): DigitsIntExpr = copy(c)
+}
+
 /** keccak256(string) -> 64-char lowercase hex string. */
 case class Keccak256Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -92,6 +135,7 @@ case class HexCmpExpr(left: Expression, right: Expression) extends BinaryExpress
 
 object Exprs {
   def keccak256(c: Column): Column = GraftColumnShim.column(Keccak256Expr(GraftColumnShim.expression(c)))
+  def digitsInt(c: Column): Column = GraftColumnShim.column(DigitsIntExpr(GraftColumnShim.expression(c)))
   def hexAdd(a: Column, b: Column): Column =
     GraftColumnShim.column(HexAddExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def hexCmp(a: Column, b: Column): Column =
@@ -103,6 +147,7 @@ object Exprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256Expr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("digits_int", es => DigitsIntExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("hex_add", es => HexAddExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_sub", es => HexSubExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")

@@ -23,9 +23,11 @@ object CoreQueries {
   final case class QueryDef(name: String, fn: QFn, sql: String)
 
   /** Pull the integer payload out of the `props` JSON — the testdata
-    * stand-in for ABI-decoding a log's data word (SURVEY P3/P8). */
-  private def kCol: Column =
-    regexp_replace(col("props"), "[^0-9]", "").cast("int")
+    * stand-in for ABI-decoding a log's data word (SURVEY P3/P8). Native
+    * digit-subsequence kernel; same semantics as
+    * `CAST(regexp_replace(props, '[^0-9]', '') AS INT)` without a regex
+    * per row (this column sits in the hot path of ~10 queries). */
+  private def kCol: Column = graft.expr.Exprs.digitsInt(col("props"))
   private val kSql = "CAST(regexp_replace(props, '[^0-9]', '', 'g') AS INTEGER)"
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")

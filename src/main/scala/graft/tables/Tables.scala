@@ -18,8 +18,17 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // Loading a parquet table costs a file listing + footer/schema read
+  // per call; with ~50 declared queries each re-loading its inputs that
+  // fixed cost dominates small-SF runs. Cache the analyzed DataFrame per
+  // (session, path) — keyed on the session so a restarted session never
+  // sees plans bound to a stopped SparkContext.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    cache.computeIfAbsent((spark, path(dir, name)),
+      { case (s, p) => s.read.parquet(p) })
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable, so this works even on a session we didn't build.
