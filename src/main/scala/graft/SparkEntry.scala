@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §B. */
 object SparkEntry {
 
   private val allDefs: Seq[CoreQueries.QueryDef] =
-    CoreQueries.defs ++ PipelineQueries.defs
+    CoreQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

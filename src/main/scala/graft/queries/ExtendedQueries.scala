@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import CoreQueries.{QFn, QueryDef}
+
+/** Operators beyond the reference's own surface that a complete
+  * engine needs (SURVEY §2.7 "absent" list + BASELINE.json north star):
+  * ranking/frame window functions, top-k per group, set operations,
+  * rollup subtotals, distinct aggregation, exact-moment statistics,
+  * as-of and range joins, sliding event-time windows, and a sign-bit
+  * LSH ANN variant. Same determinism rules as CoreQueries (scaladoc
+  * there); every query is DuckDB-oracled except the sketch aggregates
+  * (approximate by definition -> rows-only check).
+  */
+object ExtendedQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- O: windows / ranking / top-k ---------------------------------------
+
+  private val o3RankLag: QFn = (s, dir) => {
+    // Ranking with real ties (rank vs dense_rank) + lag/lead over a
+    // fully deterministic ordering. Rank values depend only on the
+    // orderBy key, so ties are reproducible; lag/lead order by the
+    // unique event_id.
+    val ev = Tables.events(s, dir)
+      .withColumn("vb", floor(col("value") / 100).cast("int"))
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("vb"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("vb"),
+      rank().over(wRank).as("rnk"),
+      dense_rank().over(wRank).as("drnk"),
+      lag(col("value"), 1).over(wSeq).as("prev_value"),
+      lead(col("value"), 1).over(wSeq).as("next_value"))
+  }
+
+  private val o4MovingAgg: QFn = (s, dir) => {
+    // Frame-spec window: trailing 4-row sum/avg per user ordered by
+    // event_id. Decimal-exact inside the frame, double at the edge.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(w).cast("double").as("mov_sum"),
+      count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg", col("mov_sum") / col("mov_n").cast("double"))
+  }
+
+  private val o5TopkPerGroup: QFn = (s, dir) => {
+    // Top-3 rows per group. row_number + filter plans as
+    // WindowGroupLimit: each input partition forwards at most k rows
+    // per group to the shuffle - the shape that keeps per-entity top-k
+    // viable when groups are millions of rows.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_id"), col("user_id"), col("value"), col("rn"))
+  }
+
+  // ---- U: set operations ---------------------------------------------------
+
+  private val u1SetOps: QFn = (s, dir) => {
+    // INTERSECT / EXCEPT as user-facing operators (the reference only
+    // has the J2 full-outer anti sides).
+    val ev = Tables.events(s, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val erroring = ev.filter(col("event_type") === "error").select(col("user_id"))
+    purchasers.intersect(erroring).withColumn("tag", lit("both"))
+      .unionByName(purchasers.except(erroring).withColumn("tag", lit("purchase_only")))
+      .unionByName(erroring.except(purchasers).withColumn("tag", lit("error_only")))
+  }
+
+  // ---- A: grouping sets / distinct / moments -------------------------------
+
+  private val a8Rollup: QFn = (s, dir) =>
+    // ROLLUP subtotals; null grouping slots replaced by sentinels so
+    // the oracle compare never depends on null-vs-subtotal ambiguity
+    // (event_type / bucket are never null in the data).
+    Tables.events(s, dir)
+      .withColumn("bucket", col("user_id") % 5)
+      .rollup(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("bucket"), lit(-1L)).as("bucket"), col("n"), col("total"))
+
+  private val a9DistinctAgg: QFn = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_id") % 7).as("n_user_slots"),
+        count(lit(1)).as("n"))
+
+  private val a10Moments: QFn = (s, dir) => {
+    // Exact-moment statistics: accumulate sum and sum-of-squares as
+    // decimals (order-independent), derive variance/stddev with a fixed
+    // double expression afterwards. Spark's stddev_samp aggregates in
+    // floating point where the result depends on partition order - this
+    // formulation is the scale-safe deterministic alternative.
+    val d = dec(col("value"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d).cast("double").as("s1"),
+        sum(d * d).cast("double").as("s2"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("stddev", sqrt(col("variance")))
+  }
+
+  // ---- J: as-of / range joins ---------------------------------------------
+
+  private val j5AsofJoin: QFn = (s, dir) => {
+    // As-of join (absent from both the reference and stock Spark as a
+    // physical operator): for each event, the latest order of the same
+    // user at-or-before the event time. Composed from existing ops:
+    // equi-join on the user key + inequality filter + argmax, packed
+    // into one long so the argmax stays a plain max in HashAggregate.
+    // At scale this shuffles both sides once on the user key; the
+    // inequality never leaves the probe side.
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"),
+      col("o_orderkey"))
+    // packed = day * 1e10 + orderkey: day ~2e4, orderkey < 1e10 -> no overflow,
+    // max() picks latest day then highest orderkey (deterministic tiebreak).
+    val packed = col("o_day") * lit(10000000000L) + col("o_orderkey")
+    ev.join(o,
+        ev("user_id") === o("o_custkey") &&
+          o("o_day") * lit(86400000000L) <= ev("ts_us"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(max(packed).as("lp"))
+      .select(col("event_id"), col("user_id"),
+        (col("lp") / lit(10000000000L)).cast("long").as("last_order_day"),
+        (col("lp") % lit(10000000000L)).as("last_orderkey"))
+  }
+
+  private val j6RangeJoin: QFn = (s, dir) => {
+    // Range (band) join: orders of the same user within the 7 days
+    // before each event. Equality on the user key keeps the join
+    // hash-partitioned; the band predicate filters inside the bucket,
+    // so matched volume stays O(orders-per-user), never a cross product.
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_us"),
+      col("o_orderkey"))
+    ev.join(o,
+        ev("user_id") === o("o_custkey") &&
+          o("o_us") <= ev("ts_us") &&
+          o("o_us") > ev("ts_us") - lit(7L * 86400000000L), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("o_orderkey")).as("n_orders_7d"),
+        coalesce(max(col("o_orderkey")), lit(-1L)).as("max_orderkey_7d"))
+  }
+
+  // ---- T: sliding windows --------------------------------------------------
+
+  private val t4SlidingWindow: QFn = (s, dir) =>
+    // Sliding event-time windows (6h length, 3h slide): every event
+    // lands in exactly two epoch-aligned windows. Native window()
+    // generator - the streaming-ready formulation.
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+
+  // ---- ANN: sign-bit LSH ---------------------------------------------------
+
+  private val annLsh: QFn = (s, dir) => {
+    // Random-hyperplane-style LSH with the coordinate signs of the
+    // first 16 dims as the hyperplane set (deterministic, engine-
+    // agnostic). Bucket equality prunes candidates before any scoring;
+    // the bucket id is a shuffle key, so at scale this is one hash
+    // shuffle + tiny per-bucket scoring, same shape as dedup_minhash.
+    import graft.ops.Similarity
+    val p = Tables.embeddings(s, dir).select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", Similarity.sqNorm(col("qv")))
+    val bucket = (0 until 16).map { i =>
+      when(element_at(col("qv"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = p.withColumn("bucket", bucket)
+    val q = withB.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = withB.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q),
+        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("score",
+        Similarity.cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"), col("rank"), col("score"))
+  }
+
+  // ---- X: sketch aggregates (approximate -> rows-only check) ---------------
+
+  private val x1ApproxSketch: QFn = (s, dir) =>
+    // HLL++ distinct sketch + quantile sketch - the partial-mergeable
+    // aggregates a 1000-executor rollup actually ships between stages.
+    // Approximate by definition, so no DuckDB hash oracle (driver
+    // records a rows-only check), but estimates are asserted against
+    // exact counts in ExtendedQueriesSpec.
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n"))
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("o3_rank_lag", o3RankLag,
+      """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,
+        |rank() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS rnk,
+        |dense_rank() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS drnk,
+        |lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        |FROM events""".stripMargin),
+    QueryDef("o4_moving_agg", o4MovingAgg,
+      """SELECT event_id, user_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+        |count(*) OVER w AS mov_n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+    QueryDef("o5_topk_per_group", o5TopkPerGroup,
+      """SELECT event_id, user_id, value,
+        |row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |FROM events
+        |QUALIFY rn <= 3""".stripMargin),
+    QueryDef("u1_set_ops", u1SetOps,
+      """SELECT user_id, 'both' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin),
+    QueryDef("a8_rollup", a8Rollup,
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |coalesce(bucket, -1) AS bucket, n, total FROM (
+        |  SELECT event_type, user_id % 5 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY ROLLUP(event_type, user_id % 5))""".stripMargin),
+    QueryDef("a9_distinct_agg", a9DistinctAgg,
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT (user_id, event_id % 7)) AS n_user_slots,
+        |count(*) AS n FROM events GROUP BY event_type""".stripMargin),
+    QueryDef("a10_moments", a10Moments,
+      """SELECT event_type, n, s1, s2,
+        |(s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS variance,
+        |sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev
+        |FROM (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)""".stripMargin),
+    QueryDef("j5_asof_join", j5AsofJoin,
+      """SELECT e.event_id, e.user_id,
+        |max(o.o_day * 10000000000 + o.o_orderkey) // 10000000000 AS last_order_day,
+        |max(o.o_day * 10000000000 + o.o_orderkey) % 10000000000 AS last_orderkey
+        |FROM events e LEFT JOIN (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS o_day, o_orderkey
+        |  FROM orders) o
+        |ON e.user_id = o.o_custkey AND o.o_day * 86400000000 <= epoch_us(ts)
+        |GROUP BY e.event_id, e.user_id""".stripMargin),
+    QueryDef("j6_range_join", j6RangeJoin,
+      """SELECT e.event_id, e.user_id,
+        |count(o.o_orderkey) AS n_orders_7d,
+        |coalesce(max(o.o_orderkey), -1) AS max_orderkey_7d
+        |FROM events e LEFT JOIN (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey FROM orders) o
+        |ON e.user_id = o.o_custkey AND o.o_us <= epoch_us(e.ts)
+        |  AND o.o_us > epoch_us(e.ts) - 604800000000
+        |GROUP BY e.event_id, e.user_id""".stripMargin),
+    QueryDef("t4_sliding_window", t4SlidingWindow,
+      """WITH x AS (SELECT event_type, value,
+        |  (epoch_us(ts) // 10800000000) * 10800000000 AS s1 FROM events)
+        |SELECT s AS window_start_us, event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT event_type, value, unnest([s1, s1 - 10800000000]) AS s FROM x)
+        |GROUP BY 1, 2""".stripMargin),
+    QueryDef("ann_lsh", annLsh,
+      """WITH q0 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n0 AS (SELECT vec_id, qv,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM q0),
+        |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, qv AS q_qv, nrm AS q_nrm
+        |  FROM n0 WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS c_id, bucket AS c_bucket, qv AS c_qv, nrm AS c_nrm FROM n0)
+        |SELECT q_id, c_id, rank, score FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+        |  FROM (SELECT q.q_id, c.c_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(q.q_qv)),
+        |      i -> q.q_qv[i] * c.c_qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
+        |    FROM q JOIN c ON q.q_bucket = c.c_bucket AND q.q_id <> c.c_id))
+        |WHERE rank <= 3""".stripMargin),
+    QueryDef("x1_approx_sketch", x1ApproxSketch, "")
+  )
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+
+/** Semantic checks for the extended operators on sf0.001 — invariants a
+  * human can verify by hand, complementing the DuckDB hash oracle. */
+class ExtendedQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("t4_sliding_window: every event lands in exactly two windows") {
+    val events = graft.tables.Tables.events(spark, dir).count()
+    val windowed = run("t4_sliding_window")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(windowed === 2 * events)
+  }
+
+  test("o5_topk_per_group: at most 3 rows per user, ranks 1..k contiguous") {
+    val byUser = run("o5_topk_per_group").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("k"),
+        org.apache.spark.sql.functions.collect_set("rn").as("rns"))
+      .collect()
+    byUser.foreach { r =>
+      val k = r.getLong(1)
+      assert(k <= 3)
+      assert(r.getSeq[Int](2).sorted === (1 to k.toInt))
+    }
+  }
+
+  test("j5_asof_join: picked order is at-or-before the event, none later exists") {
+    import org.apache.spark.sql.functions._
+    val res = run("j5_asof_join")
+    val ev = graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_us"))
+    val o = graft.tables.Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"))
+    // every matched last_order_day is <= the event's day
+    val bad = res.join(ev, "event_id")
+      .filter(col("last_order_day").isNotNull &&
+        col("last_order_day") * lit(86400000000L) > col("ts_us"))
+      .count()
+    assert(bad === 0)
+    // and no order of that user exists strictly between it and the event
+    val later = res.join(ev, "event_id")
+      .join(o, res("user_id") === o("o_custkey") &&
+        o("o_day") * lit(86400000000L) <= col("ts_us") &&
+        o("o_day") > col("last_order_day"))
+      .count()
+    assert(later === 0)
+  }
+
+  test("j6_range_join: n_orders_7d matches a direct recount") {
+    import org.apache.spark.sql.functions._
+    val res = run("j6_range_join")
+    val total = res.agg(sum("n_orders_7d")).head().getLong(0)
+    val ev = graft.tables.Tables.events(spark, dir).select(col("user_id").as("u"), col("ts_us"))
+    val o = graft.tables.Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_us"))
+    val direct = ev.join(o, col("u") === col("o_custkey") &&
+      col("o_us") <= col("ts_us") &&
+      col("o_us") > col("ts_us") - lit(7L * 86400000000L)).count()
+    assert(total === direct)
+  }
+
+  test("a10_moments: variance matches direct two-pass computation") {
+    import org.apache.spark.sql.functions._
+    val res = run("a10_moments").select("event_type", "variance").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vals = graft.tables.Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)))
+    vals.foreach { case (et, xs) =>
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(res(et) - v) < 1e-6 * math.max(1.0, v), s"$et: ${res(et)} vs $v")
+    }
+  }
+
+  test("x1_approx_sketch: estimates land within published error bounds") {
+    import org.apache.spark.sql.functions._
+    val res = run("x1_approx_sketch").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.tables.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, nu) =>
+      val est = res(et)._1
+      assert(math.abs(est - nu).toDouble / nu < 0.1, s"$et: HLL $est vs exact $nu")
+    }
+  }
+
+  test("u1_set_ops: tags partition the purchaser/error user sets") {
+    val rows = run("u1_set_ops").collect()
+    val byTag = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val both = byTag.getOrElse("both", Set.empty)
+    val pOnly = byTag.getOrElse("purchase_only", Set.empty)
+    val eOnly = byTag.getOrElse("error_only", Set.empty)
+    assert((both & pOnly).isEmpty && (both & eOnly).isEmpty && (pOnly & eOnly).isEmpty)
+  }
+
+  test("a8_rollup: grand total row equals sum of leaf rows") {
+    import org.apache.spark.sql.functions._
+    val df = run("a8_rollup")
+    val grand = df.filter(col("event_type") === "ALL" && col("bucket") === -1L)
+      .select("n").head().getLong(0)
+    val leaves = df.filter(col("event_type") =!= "ALL" && col("bucket") =!= -1L)
+      .agg(sum("n")).head().getLong(0)
+    assert(grand === leaves)
+  }
+}

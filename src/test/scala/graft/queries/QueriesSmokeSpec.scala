@@ -9,10 +9,12 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   // pair-producing queries may legitimately return 0 rows at tiny SF
-  private val mayBeEmpty = Set("dedup_embed_cosine", "dedup_minhash", "dedup_ngram_jaccard")
+  private val mayBeEmpty =
+    Set("dedup_embed_cosine", "dedup_minhash", "dedup_ngram_jaccard", "ann_lsh")
 
   test("oracleSql covers every query except declared rows-only ops") {
-    val rowsOnly = Set("p8_uint256_math", "p9_keccak") // no 256-bit/keccak in DuckDB
+    // no 256-bit ints / keccak in DuckDB; sketches are approximate by definition
+    val rowsOnly = Set("p8_uint256_math", "p9_keccak", "x1_approx_sketch")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
