@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Drives the stateful streaming operators with a file source (one
+  * parquet file per micro-batch, as TailSpec). */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  private def mkDirs() =
+    (Files.createTempDirectory("sess_src").toString,
+      Files.createTempDirectory("sess_ckpt").toString)
+
+  private def writeFile(dir: String, file: String, rows: Seq[(Long, String, Double)]): Unit =
+    rows.toDF("user_id", "tss", "value")
+      .select($"user_id", to_timestamp($"tss").as("ts"), $"value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$file")
+
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by timeout") {
+    val (dir, ckpt) = mkDirs()
+    // user 1: two sessions 30+ min apart; user 2: one session.
+    writeFile(dir, "f1", Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0),
+      (2L, "2024-01-01 00:05:00", 5.0)))
+    writeFile(dir, "f2", Seq(
+      (1L, "2024-01-01 01:00:00", 3.0))) // gap-crossing: closes session 1
+    // f3 only advances the watermark far past everything open
+    writeFile(dir, "f3", Seq(
+      (9L, "2024-01-01 09:00:00", 0.0)))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*").as[Sessionize.Ev]
+    val q = Sessionize.sessions(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT * FROM sess_out").as[Sessionize.ClosedSession]
+      .collect().map(s => (s.user_id, s.session_start_us) -> ((s.n, s.total))).toMap
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z epoch micros
+    val min = 60000000L
+    assert(got((1L, base)) === ((2L, 3.0)))            // closed by the gap-crossing event
+    assert(got((2L, base + 5 * min)) === ((1L, 5.0)))  // closed by event-time timeout
+    assert(got((1L, base + 60 * min)) === ((1L, 3.0))) // closed by timeout after f3
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed keys across micro-batches") {
+    val (dir, ckpt) = mkDirs()
+    writeFile(dir, "f1", Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (2L, "2024-01-01 00:01:00", 2.0)))
+    writeFile(dir, "f2", Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),   // exact replay (K8 idempotence)
+      (3L, "2024-01-01 00:02:00", 3.0)))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val q = Sessionize.dedupWithinWatermark(stream, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val users = spark.sql("SELECT user_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+    assert(users === Array(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join matches only rows inside the band") {
+    val (ldir, ckpt) = mkDirs()
+    val rdir = Files.createTempDirectory("sess_r").toString
+    writeFile(ldir, "f1", Seq((1L, "2024-01-01 01:00:00", 10.0)))
+    writeFile(rdir, "f1", Seq(
+      (1L, "2024-01-01 00:30:00", 1.0),   // inside 60-min band
+      (1L, "2024-01-01 02:00:00", 2.0),   // after the event -> excluded
+      (1L, "2023-12-31 23:00:00", 3.0)))  // too old -> excluded
+
+    val l = spark.readStream.schema(schema).parquet(ldir + "/*")
+    val r = spark.readStream.schema(schema).parquet(rdir + "/*")
+    val q = Sessionize.intervalJoin(l, r, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("join_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT r_value FROM join_out").collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(1.0))
+  }
+}
