@@ -121,6 +121,20 @@ case class HexSubExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(l, r)
 }
 
+/** hex_to_dec(hexstr) -> decimal string of the uint256 value (for
+  * engines whose widest integer can hold it, e.g. a 128-bit HUGEINT,
+  * this makes the custom uint256 aggregate differentially checkable). */
+case class HexToDecExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(new BigInteger(HexMath.normalize(v.toString), 16).toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"new java.math.BigInteger(graft.expr.HexMath.normalize($c.toString()), 16).toString())")
+  override protected def withNewChildInternal(c: Expression): HexToDecExpr = copy(c)
+}
+
 /** hex_cmp(hexstr, hexstr) -> -1/0/1 uint256 comparison. */
 case class HexCmpExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -142,6 +156,7 @@ object Exprs {
     GraftColumnShim.column(HexCmpExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def hexSub(a: Column, b: Column): Column =
     GraftColumnShim.column(HexSubExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+  def hexToDec(c: Column): Column = GraftColumnShim.column(HexToDecExpr(GraftColumnShim.expression(c)))
 
   /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */
   def register(spark: SparkSession): Unit = {
@@ -151,6 +166,7 @@ object Exprs {
     reg.createOrReplaceTempFunction("hex_add", es => HexAddExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_sub", es => HexSubExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hex_to_dec", es => HexToDecExpr(es.head), "built-in")
     Uint256Sum.register(spark)
   }
 }

@@ -203,6 +203,52 @@ object ExtendedQueries {
       .select(col("q_id"), col("c_id"), col("rank"), col("score"))
   }
 
+  // ---- P/K/A/text: JSON, exact uint256 agg, percentiles, doc frequency ----
+
+  private val p7JsonExtract: QFn = (s, dir) =>
+    // JSON path extraction at the source edge (SURVEY §2.3: RPC payload
+    // decode = from_json/get_json_object). Codegen'd path evaluation,
+    // no UDF.
+    Tables.events(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+
+  private val k9Uint256Sum: QFn = (s, dir) => {
+    // The custom uint256 Aggregator (SURVEY §2.9) made differentially
+    // checkable: Spark sums 64-char-hex values exactly in BigInt and
+    // renders the decimal string; the oracle sums the same values into
+    // a 128-bit HUGEINT. Values here stay far below 2^127, so both are
+    // exact and equal; beyond 2^127 only the Spark side stays correct.
+    import org.apache.spark.sql.functions.udaf
+    val u256 = udaf(graft.expr.Uint256Sum)
+    Tables.events(s, dir)
+      .withColumn("qty_hex", lpad(lower(hex(col("event_id") * lit(1000000000L))), 64, "0"))
+      .groupBy(col("user_id"))
+      .agg(u256(col("qty_hex")).as("total_hex"))
+      .select(col("user_id"), graft.expr.Exprs.hexToDec(col("total_hex")).as("total_dec"))
+  }
+
+  private val a11Percentiles: QFn = (s, dir) =>
+    // Exact percentiles (linear interpolation over sorted values) on an
+    // integer-floored measure so the interpolation arithmetic is
+    // bit-identical across engines.
+    Tables.events(s, dir)
+      .withColumn("v", floor(col("value")))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.5)").as("median_v"),
+        expr("percentile(v, 0.9)").as("p90_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  private val textDf: QFn = (s, dir) =>
+    // Corpus vocabulary statistics: term frequency + document frequency
+    // per token — the df table a TF-IDF pipeline joins against. Explode
+    // -> hash shuffle on token -> count + distinct count.
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 10)
+
   // ---- X: sketch aggregates (approximate -> rows-only check) ---------------
 
   private val x1ApproxSketch: QFn = (s, dir) =>
@@ -318,6 +364,23 @@ object ExtendedQueries {
         |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
         |    FROM q JOIN c ON q.q_bucket = c.c_bucket AND q.q_id <> c.c_id))
         |WHERE rank <= 3""".stripMargin),
+    QueryDef("p7_json_extract", p7JsonExtract,
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events""".stripMargin),
+    QueryDef("k9_uint256_sum", k9Uint256Sum,
+      """SELECT user_id, CAST(sum(event_id * 1000000000) AS VARCHAR) AS total_dec
+        |FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("a11_percentiles", a11Percentiles,
+      """SELECT event_type,
+        |quantile_cont(floor(value), 0.5) AS median_v,
+        |quantile_cont(floor(value), 0.9) AS p90_v,
+        |CAST(min(floor(value)) AS BIGINT) AS min_v,
+        |CAST(max(floor(value)) AS BIGINT) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin),
+    QueryDef("text_df", textDf,
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token HAVING count(DISTINCT doc_id) >= 10""".stripMargin),
     QueryDef("x1_approx_sketch", x1ApproxSketch, "")
   )
 }
