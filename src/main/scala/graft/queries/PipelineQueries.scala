@@ -61,6 +61,18 @@ object PipelineQueries {
 
   private val mmFeatures: QFn = (s, dir) => Media.features(s, Tables.documents(s, dir))
 
+  private val mmFrames: QFn = (s, dir) => {
+    // video-style frame sampling: 1 blob row in -> N frame rows out of a
+    // partition-batched decoder (stub codec, real generator plumbing).
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    import sp.implicits._
+    Media.sampleFrames(Media.asMedia(Tables.documents(s, dir)).as[Media.MediaRow], 256, 2)
+      .toDF()
+      .select(col("media_id"), col("frame_index"),
+        length(col("frame")).as("n_frame_bytes"),
+        md5(col("frame")).as("frame_hash"))
+  }
+
   private def simhashSumsSql(bits: Int): String =
     (1 to bits).map { j =>
       s"sum(((position(substr(h, $j, 1) IN '0123456789abcdef') - 1) % 2) * 2 - 1) AS s$j"
@@ -175,6 +187,14 @@ object PipelineQueries {
         |  list_min(list_transform(generate_series(1, len(toks) - 4),
         |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))))
         |ELSE NULL END AS min_shingle_fp FROM t""".stripMargin),
+    QueryDef("mm_frames", mmFrames,
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, unnest(generate_series(0, greatest(len // 256, 1) - 1, 2)) AS frame_index,
+        |  text FROM t)
+        |SELECT doc_id AS media_id, frame_index,
+        |octet_length(encode(substr(text, CAST(frame_index * 256 + 1 AS INTEGER), 256))) AS n_frame_bytes,
+        |md5(substr(text, CAST(frame_index * 256 + 1 AS INTEGER), 256)) AS frame_hash
+        |FROM f""".stripMargin),
     QueryDef("mm_features", mmFeatures,
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
