@@ -249,6 +249,24 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 10)
 
+  // ---- E: skew mitigation --------------------------------------------------
+
+  private val e1SaltedHotkey: QFn = (s, dir) => {
+    // Two-phase salted aggregation over a 5-value hot key (event_type):
+    // shuffle 1 on (key, salt) spreads each hot key over 32 reducers,
+    // shuffle 2 moves only 32 partial rows per key. Oracled against the
+    // plain GROUP BY - the salting must be semantically invisible
+    // (decimal partials keep the merge order-independent).
+    import graft.ops.Skew
+    val agg = Skew.SaltedAgg(
+      partial = Seq(sum(dec(col("value"))).as("__p_sum"), count(lit(1)).as("__p_cnt")),
+      merge = Seq(sum(col("__p_sum")).cast("double").as("total"),
+        sum(col("__p_cnt")).as("n")))
+    Skew.saltedAggregate(
+      Tables.events(s, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), agg)
+  }
+
   // ---- X: sketch aggregates (approximate -> rows-only check) ---------------
 
   private val x1ApproxSketch: QFn = (s, dir) =>
@@ -381,6 +399,10 @@ object ExtendedQueries {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING count(DISTINCT doc_id) >= 10""".stripMargin),
+    QueryDef("e1_salted_hotkey", e1SaltedHotkey,
+      """SELECT event_type,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |count(*) AS n FROM events GROUP BY event_type""".stripMargin),
     QueryDef("x1_approx_sketch", x1ApproxSketch, "")
   )
 }
