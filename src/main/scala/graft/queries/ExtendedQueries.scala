@@ -48,6 +48,18 @@ object ExtendedQueries {
       .withColumn("mov_avg", col("mov_sum") / col("mov_n").cast("double"))
   }
 
+  private val o6RangeFrame: QFn = (s, dir) => {
+    // RANGE frame keyed on event time: trailing 1-hour sum per user -
+    // the time-based window a rate/volume monitor computes per entity.
+    // Unlike the ROWS frame (o4), frame membership is a value predicate
+    // on the ordering key, so peers with equal ts aggregate together.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L + 1, Window.currentRow)
+    Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"),
+      sum(dec(col("value"))).over(w).cast("double").as("trail_1h_sum"),
+      count(lit(1)).over(w).as("trail_1h_n"))
+  }
+
   private val o5TopkPerGroup: QFn = (s, dir) => {
     // Top-3 rows per group. row_number + filter plans as
     // WindowGroupLimit: each input partition forwards at most k rows
@@ -298,6 +310,13 @@ object ExtendedQueries {
         |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+    QueryDef("o6_range_frame", o6RangeFrame,
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_1h_sum,
+        |count(*) OVER w AS trail_1h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin),
     QueryDef("o5_topk_per_group", o5TopkPerGroup,
       """SELECT event_id, user_id, value,
         |row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn

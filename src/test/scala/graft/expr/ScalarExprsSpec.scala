@@ -1,0 +1,57 @@
+package graft.expr
+
+import java.math.BigInteger
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-2 scalar expressions: digits_int ≅ the
+  * regexp_replace+cast reference, hex_to_dec ≅ BigInteger, both through
+  * the full codegen'd plan (not just the kernels). */
+class ScalarExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+
+  test("digits_int matches regexp_replace + cast on random noisy strings") {
+    val noise = "abc{}:,. \"xyz".toCharArray
+    val rows = (1 to 300).map { _ =>
+      val sb = new StringBuilder
+      val nDigits = rnd.nextInt(8)
+      val digits = if (nDigits == 0) "" else (1 to nDigits).map(_ => rnd.nextInt(10)).mkString
+      var di = 0
+      (0 until 10 + rnd.nextInt(10)).foreach { _ =>
+        if (di < digits.length && rnd.nextBoolean()) { sb += digits(di); di += 1 }
+        else sb += noise(rnd.nextInt(noise.length))
+      }
+      sb ++= digits.substring(di)
+      sb.toString
+    } :+ "" :+ "no digits here" :+ "007"
+    val df = rows.toDF("s")
+    val got = df.select(Exprs.digitsInt(col("s")).as("a"),
+      expr("try_cast(regexp_replace(s, '[^0-9]', '') AS INT)").as("b")).collect()
+    got.foreach { r =>
+      val a = if (r.isNullAt(0)) null else r.getInt(0)
+      val b = if (r.isNullAt(1)) null else r.getInt(1)
+      assert(a === b)
+    }
+  }
+
+  test("digits_int nulls on no digits and on int overflow") {
+    val got = Seq("xyz", "99999999999", "2147483647", "2147483648")
+      .toDF("s").select(Exprs.digitsInt(col("s"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))           // > Int.MaxValue -> null
+    assert(got(2).getInt(0) === Int.MaxValue)
+    assert(got(3).isNullAt(0))
+  }
+
+  test("hex_to_dec matches BigInteger across the uint256 range") {
+    val vals = (1 to 200).map(_ => new BigInteger(1 + rnd.nextInt(256), rnd.self)) :+
+      BigInteger.ZERO :+ BigInteger.ONE
+    val df = vals.map(v => HexMath.pad64(v.toString(16))).toDF("h")
+    val got = df.select(Exprs.hexToDec(col("h"))).collect().map(_.getString(0))
+    got.zip(vals).foreach { case (g, v) => assert(g === v.toString) }
+  }
+}
