@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expr.{HexAddExpr, HexCmpExpr, Keccak256Expr, MinHashSigsExpr}
+import graft.expr.{DigitsIntExpr, HexAddExpr, HexCmpExpr, HexSubExpr, HexToDecExpr, Keccak256Expr, MinHashSigsExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for any session built with
@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hex_cmp"),
       new ExpressionInfo(classOf[HexCmpExpr].getName, "hex_cmp"),
       es => HexCmpExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hex_sub"),
+      new ExpressionInfo(classOf[HexSubExpr].getName, "hex_sub"),
+      es => HexSubExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hex_to_dec"),
+      new ExpressionInfo(classOf[HexToDecExpr].getName, "hex_to_dec"),
+      es => HexToDecExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("digits_int"),
+      new ExpressionInfo(classOf[DigitsIntExpr].getName, "digits_int"),
+      es => DigitsIntExpr(es.head)))
     e.injectFunction((FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       es => MinHashSigsExpr(es.head)))

@@ -24,4 +24,20 @@ class CatalogSpec extends SparkSpec {
     ).head().getString(0)
     assert(abi === "hi")
   }
+
+  test("round-2 scalar functions resolve from SQL") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT digits_int('a1b2c3') AS d,
+             hex_to_dec('ff') AS hd,
+             hex_sub(lpad('f', 64, '0'), lpad('1', 64, '0')) AS hs,
+             uint256_sum(lpad('2', 64, '0')) AS us
+      FROM (SELECT 1)
+      GROUP BY 1, 2, 3
+    """).head()
+    assert(r.getAs[Int]("d") === 123)
+    assert(r.getAs[String]("hd") === "255")
+    assert(BigInt(r.getAs[String]("hs"), 16) === BigInt(14))
+    assert(BigInt(r.getAs[String]("us"), 16) === BigInt(2))
+  }
 }
