@@ -25,15 +25,18 @@ object Bench {
       .filter("rn = 1").collect()                                              // window exec
     spark.range(1000).selectExpr("id", "explode(array(id, id + 1)) AS e").collect() // generator
     graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
+    val errors = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable => errors += name; System.err.println(s"[bench] $name failed: $t") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

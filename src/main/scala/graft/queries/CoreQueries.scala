@@ -416,6 +416,53 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  private val q5LocalSupplier: QFn = (s, dir) => {
+    // the 6-table star join: region/nation/supplier dims broadcast,
+    // fact-side shuffle only on the orderkey join - the multi-dim
+    // pruning shape that dominates warehouse workloads.
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q18LargeOrders: QFn = (s, dir) => {
+    // top-k over a semi-join-pruned aggregation: orders whose lineitem
+    // quantity sum exceeds the threshold, ranked by price. The HAVING
+    // subquery runs as one partial+final agg, then prunes the fact join
+    // via left-semi before the final rollup - never a second full scan
+    // of the join result.
+    val l = Tables.lineitem(s, dir)
+    val big = l.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(dec(col("l_quantity"))).as("q")).filter(col("q") > 200)
+      .select(col("bk"))
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    l.join(big.hint("broadcast"), l("l_orderkey") === big("bk"), "left_semi")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -600,6 +647,33 @@ object CoreQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY l.l_orderkey, o.o_orderpriority""".stripMargin),
+    QueryDef("q5_local_supplier", q5LocalSupplier,
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin),
+    QueryDef("q18_large_orders", q18LargeOrders,
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |epoch_ms(o.o_orderdate) AS o_date_ms, o.o_totalprice,
+        |CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, epoch_ms(o.o_orderdate), o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
     QueryDef("t2_tumbling_window", t2TumblingWindow,
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
         |event_type, count(*) AS n,
