@@ -153,6 +153,25 @@ object ExtendedQueries {
         (col("lp") % lit(10000000000L)).as("last_orderkey"))
   }
 
+  private val j7AsofMerge: QFn = (s, dir) => {
+    // Same as-of semantics as j5, different physical strategy: the
+    // merge-sweep operator (ops/AsofJoin) - union + one key shuffle +
+    // secondary sort + O(n) sweep, shuffling rows instead of pairs.
+    // Hash-checked against the identical oracle SQL as j5, proving the
+    // two strategies agree bit-for-bit.
+    import graft.ops.AsofJoin
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"),
+      col("o_orderkey"))
+      .withColumn("o_us", col("o_day") * lit(86400000000L))
+    AsofJoin.asofJoin(ev, o, "user_id", "o_custkey", "ts_us", "o_us",
+        Seq("o_day", "o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        col("o_day").as("last_order_day"), col("o_orderkey").as("last_orderkey"))
+  }
+
   private val j6RangeJoin: QFn = (s, dir) => {
     // Range (band) join: orders of the same user within the 7 days
     // before each event. Equality on the user key keeps the join
@@ -356,6 +375,16 @@ object ExtendedQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type)""".stripMargin),
     QueryDef("j5_asof_join", j5AsofJoin,
+      """SELECT e.event_id, e.user_id,
+        |max(o.o_day * 10000000000 + o.o_orderkey) // 10000000000 AS last_order_day,
+        |max(o.o_day * 10000000000 + o.o_orderkey) % 10000000000 AS last_orderkey
+        |FROM events e LEFT JOIN (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS o_day, o_orderkey
+        |  FROM orders) o
+        |ON e.user_id = o.o_custkey AND o.o_day * 86400000000 <= epoch_us(ts)
+        |GROUP BY e.event_id, e.user_id""".stripMargin),
+    QueryDef("j7_asof_merge", j7AsofMerge,
+      // identical oracle as j5_asof_join: two physical strategies, one semantic
       """SELECT e.event_id, e.user_id,
         |max(o.o_day * 10000000000 + o.o_orderkey) // 10000000000 AS last_order_day,
         |max(o.o_day * 10000000000 + o.o_orderkey) % 10000000000 AS last_orderkey

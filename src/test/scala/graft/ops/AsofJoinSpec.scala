@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: inclusive match, tiebreak, no-match null, key isolation") {
+    val left = Seq(
+      (1L, 100L, "e1"),  // matches r at t=100 (inclusive) -> tie: highest val wins
+      (1L, 150L, "e2"),  // matches r at t=100 still
+      (1L, 50L, "e3"),   // before any right -> null
+      (2L, 500L, "e4"),  // key 2: matches its own right only
+      (3L, 500L, "e5")   // key with no rights -> null
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 100L, 10L), (1L, 100L, 11L), // equal-time pair: 11 must win
+      (1L, 200L, 12L),                  // after e2 -> never matched here
+      (2L, 400L, 20L),
+      (4L, 1L, 40L)                     // unmatched right key
+    ).toDF("k", "t", "v")
+
+    val got = AsofJoin.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .select($"name", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got === Map("e1" -> 11L, "e2" -> 11L, "e3" -> null,
+      "e4" -> 20L, "e5" -> null))
+  }
+
+  test("merge strategy agrees with the compose-argmax strategy on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.SparkEntry.queries("j5_asof_join")(spark, dir)
+    val b = graft.SparkEntry.queries("j7_asof_merge")(spark, dir)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "user_id", "last_order_day", "last_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).sortBy(_._1).toSeq
+    assert(norm(a) === norm(b))
+  }
+}
