@@ -26,16 +26,25 @@ object Bench {
     spark.range(1000).selectExpr("id", "explode(array(id, id + 1)) AS e").collect() // generator
     graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
     val errors = Seq.newBuilder[String]
+    // A failed query reports sentinel -1 and is excluded from `total`:
+    // its wall time (however long it spent failing) would otherwise
+    // skew the headline number while producing no result. The `errors`
+    // array is the failure signal.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case t: Throwable => errors += name; System.err.println(s"[bench] $name failed: $t") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          errors += name; System.err.println(s"[bench] $name failed: $t")
+          name -> -1.0
+      }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -38,24 +38,53 @@ object Dedup {
       .select(col("doc_id") +: sigCols: _*)
   }
 
+  /** Per-bucket membership with a hard size cap: rank rows inside each
+    * bucket by `id` and keep the first `cap`. Plans as WindowGroupLimit,
+    * so at most `cap` rows per bucket per input partition ever shuffle —
+    * this is what bounds a degenerate bucket (e.g. thousands of
+    * near-empty docs sharing a min-hash) to O(cap^2) pair work instead
+    * of O(m^2). The truncation is deterministic (smallest ids win) and
+    * mirrored verbatim in the DuckDB oracle via QUALIFY. */
+  private[ops] def capBuckets(df: DataFrame, bucketCols: Seq[Column], id: Column,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols: _*).orderBy(id.asc)
+    df.withColumn("bucket_rank", row_number().over(w))
+      .filter(col("bucket_rank") <= cap)
+      .drop("bucket_rank")
+  }
+
+  /** All ordered pairs (i < j) from a sorted id array, as structs. The
+    * lambda runs interpreted, but over exactly the pairs the operator
+    * emits — O(output), nothing wasted. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** LSH banding: candidate pairs = docs agreeing on any band's MinHash.
-    * Implemented as explode(band, hash) -> shuffle on (band, hash) ->
-    * within-bucket self-join -> distinct pairs. The self-join's two
-    * sides recompute the signatures rather than persist them: the
-    * signature relation is tiny and single-pass to rebuild, and
-    * measured cache materialization costs ~10x the recompute (callers
-    * that iterate can persist the `minhashSignatures` output upstream).
+    * Shape: signature kernel (one pass over the corpus) -> explode to
+    * (band, hash) rows -> ONE shuffle on the bucket key -> per-bucket
+    * pair generation -> distinct. Earlier rounds wrote this as a
+    * bucket-key self-join, which evaluated the signature kernel once per
+    * join side (two full corpus scans) and was the slowest query in the
+    * r2 bench; grouping generates the same pair set from a single pass.
+    * `maxBucket` caps degenerate buckets (see capBuckets).
     */
-  def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes)
     val banded = sigs.select(col("doc_id"), explode(array(
       (0 until numHashes).map(s => struct(lit(s).as("band"), col(s"mh$s").as("h"))): _*
     )).as("b")).select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // The window and the groupBy hash-partition on the same (band, h)
+    // key, so the aggregation reuses the window's exchange — one shuffle.
+    capBuckets(banded, Seq(col("band"), col("h")), col("doc_id"), maxBucket)
+      .groupBy(col("band"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -78,19 +107,26 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup on equality-blocked candidate pairs
-    * (source, n_chars). Inclusion-exclusion avoids a union materialize. */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), col("source"), col("n_chars"),
-      array_distinct(toks).as("tokset"))
-    val a = t.alias("a")
-    val b = t.alias("b")
-    a.join(b, col("a.source") === col("b.source") &&
-        col("a.n_chars") === col("b.n_chars") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", size(array_intersect(col("a.tokset"), col("b.tokset"))))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+  /** n-gram (token-set) Jaccard scored over MinHash-LSH candidate
+    * pairs. Earlier rounds blocked on `(source, n_chars)` equality —
+    * that both misses near-dups that differ by a single character
+    * (recall) and goes quadratic inside a hot length class. Blocking on
+    * the MinHash bands targets *content* similarity: candidates come
+    * from `minhashCandidatePairs` (bounded per-bucket work), then the
+    * exact token-set Jaccard is computed for just those pairs via two
+    * doc_id equi-joins — O(candidates), never O(block^2).
+    * Inclusion-exclusion avoids a union materialize. */
+  def ngramJaccardPairs(docs: DataFrame, numHashes: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
+    val cand = minhashCandidatePairs(docs, numHashes, maxBucket)
+    val t = docs.select(col("doc_id"), array_distinct(toks).as("tokset"))
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (size(col("a.tokset")) + size(col("b.tokset")) - col("inter")).cast("double"))
+          (size(col("ts_a")) + size(col("ts_b")) - col("inter")).cast("double"))
           .as("jaccard"))
   }
 }

@@ -89,9 +89,21 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =
     ivfTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
 
-  /** Embedding-cosine near-dup pairs, cluster-blocked on `label`. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val p = prepared(embeddings)
+  /** Embedding-cosine near-dup pairs, cluster-blocked on `label`.
+    *
+    * `maxBlock` bounds the self-join inside a block: members are ranked
+    * by `vec_id` and only the first `maxBlock` participate (plans as
+    * WindowGroupLimit, so the cap applies before the shuffle). A hot
+    * label at corpus scale otherwise makes the block self-join
+    * quadratic without bound; the cap trades documented recall
+    * (smallest-id members win, mirrored in the DuckDB oracle via
+    * QUALIFY) for an O(maxBlock^2)-per-block ceiling. Callers needing
+    * full recall inside hot blocks should sub-bucket by an LSH key
+    * first (see the sign-bit bucketing in ExtendedQueries.annLsh). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3,
+      maxBlock: Int = 4096): DataFrame = {
+    val p = Dedup.capBuckets(prepared(embeddings), Seq(col("label")),
+      col("vec_id"), maxBlock)
     val a = p.select(col("vec_id").as("id_a"), col("label"), col("qv").as("qa"), col("nrm").as("na"))
     val b = p.select(col("vec_id").as("id_b"), col("label"), col("qv").as("qb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))

@@ -13,6 +13,28 @@ import CoreQueries.{QFn, QueryDef}
 object PipelineQueries {
 
   // Shared DuckDB fragments (kept in sync with the Scala ops).
+  // MinHash band relation + per-bucket cap — mirrors
+  // Dedup.minhashCandidatePairs (4 hashes, maxBucket 1024) verbatim.
+  private val minhashBandsSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+      |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3),
+      |m AS (SELECT doc_id,
+      |  list_min(list_transform(sh, x -> substr(x, 1, 8))) AS mh0,
+      |  list_min(list_transform(sh, x -> substr(x, 9, 8))) AS mh1,
+      |  list_min(list_transform(sh, x -> substr(x, 17, 8))) AS mh2,
+      |  list_min(list_transform(sh, x -> substr(x, 25, 8))) AS mh3 FROM s),
+      |band AS (
+      |  SELECT doc_id, 0 AS band, mh0 AS h FROM m UNION ALL
+      |  SELECT doc_id, 1 AS band, mh1 AS h FROM m UNION ALL
+      |  SELECT doc_id, 2 AS band, mh2 AS h FROM m UNION ALL
+      |  SELECT doc_id, 3 AS band, mh3 AS h FROM m),
+      |band2 AS (SELECT doc_id, band, h FROM band
+      |  QUALIFY row_number() OVER (PARTITION BY band, h ORDER BY doc_id) <= 1024),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band2 a JOIN band2 b
+      |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
   private val preparedSql =
@@ -87,23 +109,8 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin),
     QueryDef("dedup_minhash", dedupMinhash,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
-        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |m AS (SELECT doc_id,
-        |  list_min(list_transform(sh, x -> substr(x, 1, 8))) AS mh0,
-        |  list_min(list_transform(sh, x -> substr(x, 9, 8))) AS mh1,
-        |  list_min(list_transform(sh, x -> substr(x, 17, 8))) AS mh2,
-        |  list_min(list_transform(sh, x -> substr(x, 25, 8))) AS mh3 FROM s),
-        |band AS (
-        |  SELECT doc_id, 0 AS band, mh0 AS h FROM m UNION ALL
-        |  SELECT doc_id, 1 AS band, mh1 AS h FROM m UNION ALL
-        |  SELECT doc_id, 2 AS band, mh2 AS h FROM m UNION ALL
-        |  SELECT doc_id, 3 AS band, mh3 AS h FROM m)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM band a JOIN band b
-        |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin),
+      s"""WITH $minhashBandsSql
+        |SELECT id_a, id_b FROM cand""".stripMargin),
     QueryDef("dedup_simhash", dedupSimhash,
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |hh AS (SELECT doc_id, md5(token) AS h FROM tok),
@@ -112,21 +119,22 @@ object PipelineQueries {
         |FROM hh GROUP BY doc_id)
         |SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s""".stripMargin),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
-      """WITH t AS (SELECT doc_id, source, n_chars,
-        |  list_distinct(string_split(text, ' ')) AS tokset FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH $minhashBandsSql,
+        |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents)
+        |SELECT c.id_a, c.id_b,
         |CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
         |CAST(len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
         |  AS jaccard
-        |FROM t a JOIN t b ON a.source = b.source AND a.n_chars = b.n_chars
-        |  AND a.doc_id < b.doc_id""".stripMargin),
+        |FROM cand c JOIN ts a ON c.id_a = a.doc_id JOIN ts b ON c.id_b = b.doc_id""".stripMargin),
     QueryDef("dedup_embed_cosine", dedupEmbedCosine,
-      s"""WITH $preparedSql
+      s"""WITH $preparedSql,
+        |nc AS (SELECT vec_id, label, qv, nrm FROM n0
+        |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 4096)
         |SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
         |    ${dotSql("a.qv", "b.qv")} /
         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS score
-        |  FROM n0 a JOIN n0 b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM nc a JOIN nc b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE score >= 0.3""".stripMargin),
     QueryDef("ann_bruteforce", annBruteforce,
       s"""WITH $preparedSql,

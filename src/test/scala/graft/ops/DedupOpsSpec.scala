@@ -47,6 +47,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(math.abs(got((1L, 3L)) - 7.0 / 9.0) < 1e-15)
   }
 
+  test("degenerate hot bucket is capped: pair count bounded by maxBucket^2, not m^2") {
+    // 50 identical docs land in ONE (band, h) bucket on every band.
+    // Uncapped that is 50*49/2 = 1225 pairs; maxBucket=8 bounds it to
+    // 8*7/2 = 28 (the 8 smallest doc_ids), deterministically.
+    val hot = (1L to 50L).map(i => (i, "same text repeated again and again", "s", 34L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val pairs = Dedup.minhashCandidatePairs(hot, maxBucket = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.size === 28)
+    assert(pairs.forall { case (a, b) => a < b && a <= 8 && b <= 8 })
+    // Same bound flows through the jaccard scorer (candidates are shared).
+    val j = Dedup.ngramJaccardPairs(hot, maxBucket = 8).collect()
+    assert(j.length === 28 && j.forall(_.getAs[Double]("jaccard") === 1.0))
+    // And the embedding block cap: one hot label, maxBlock=4 -> 6 pairs.
+    val emb = (1L to 20L).map(i => (i, Array(1.0f, 2.0f, 3.0f), 7)).toDF("vec_id", "embedding", "label")
+    val nd = Similarity.nearDupPairs(emb, threshold = 0.0, maxBlock = 4).collect()
+    assert(nd.length === 6)
+    assert(nd.forall(r => r.getAs[Long]("id_a") <= 4 && r.getAs[Long]("id_b") <= 4))
+  }
+
   test("text ops: stats, quality, langid, fingerprint") {
     val one = Seq((1L, "the cat and the hat", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
