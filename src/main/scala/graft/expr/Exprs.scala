@@ -31,8 +31,14 @@ object HexMath {
   def add(a: String, b: String): String =
     pad64(new BigInteger(normalize(a), 16).add(new BigInteger(normalize(b), 16)).toString(16))
 
-  def sub(a: String, b: String): String =
-    pad64(new BigInteger(normalize(a), 16).subtract(new BigInteger(normalize(b), 16)).toString(16))
+  /** Difference with a canonical signed form: non-negative results are
+    * plain pad64 hex (lexicographic == numeric); negative results are
+    * `-` + pad64(|diff|). Earlier versions padded the raw negative
+    * BigInteger rendering ("000…0-5"), which was unparseable. */
+  def sub(a: String, b: String): String = {
+    val d = new BigInteger(normalize(a), 16).subtract(new BigInteger(normalize(b), 16))
+    if (d.signum() < 0) "-" + pad64(d.negate().toString(16)) else pad64(d.toString(16))
+  }
 
   def compare(a: String, b: String): Int =
     new BigInteger(normalize(a), 16).compareTo(new BigInteger(normalize(b), 16))

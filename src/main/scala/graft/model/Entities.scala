@@ -115,7 +115,7 @@ final case class TokenOwner(
     account: String,
     collection_id: String,
     token_id: String,
-    quantity: String,
+    quantity: String, // hex64, or "-" + hex64 when net-negative mid-replay
     data_version: Int)
 
 object Addresses {

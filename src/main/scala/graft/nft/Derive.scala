@@ -116,9 +116,19 @@ object Derive {
         attributeVersion(col("block_number"), col("transaction_index"), col("log_index"))
           .as("metadata_url_version"))
 
+  private def u256 = udaf(graft.expr.Uint256Sum)
+  private val hexZero = graft.expr.HexMath.pad64("0")
+
   /** A1: per-token state fold (`nft/evm/consumers.py:49-145`):
-    * first-mint-wins mint fields, signed quantity sum, argmax owner;
-    * ERC-1155 forces current_owner null (`consumers.py:90-91`). */
+    * first-mint-wins mint fields, exact quantity fold, argmax owner;
+    * ERC-1155 forces current_owner null (`consumers.py:90-91`).
+    *
+    * Quantity is full-range uint256 (SURVEY §1.3 / `core/types.py:9-122`)
+    * — an ERC-1155 value above 2^63 silently overflowed the earlier
+    * long-typed sum. Mint and burn totals now fold through the exact
+    * `Uint256Sum` aggregator (partial+final merge like any algebraic
+    * agg) and the net supply is their `hex_sub`: pad64 hex when
+    * non-negative, `-` + pad64 when the data is inconsistent. */
   def tokens(transfers: DataFrame, blockTimes: DataFrame): DataFrame = {
     val enriched = transfers.join(broadcast(blockTimes),
       transfers("block_id") === blockTimes("number"), "left")
@@ -128,31 +138,36 @@ object Derive {
         first(col("collection_type")).as("collection_type"),
         min_by(struct(col("block_id"), col("timestamp"), col("to_")),
           when(col("transaction_type") === "mint", col("attribute_version"))).as("mint_info"),
-        sum(when(col("transaction_type") === "mint", Abi.wordToLong(col("quantity")))
-          .when(col("transaction_type") === "burn", -Abi.wordToLong(col("quantity")))
-          .otherwise(lit(0L))).as("quantity"),
+        u256(when(col("transaction_type") === "mint", col("quantity"))).as("mint_total"),
+        u256(when(col("transaction_type") === "burn", col("quantity"))).as("burn_total"),
         max_by(col("to_"), col("attribute_version")).as("last_to"),
         max(col("attribute_version")).as("attribute_version"))
       .select(col("blockchain"), col("collection_id"), col("token_id"),
         col("mint_info.block_id").as("mint_block"),
         col("mint_info.timestamp").as("mint_date"),
         col("mint_info.to_").as("original_owner"),
-        col("quantity"),
+        graft.expr.Exprs.hexSub(col("mint_total"), col("burn_total")).as("quantity"),
         when(col("collection_type") === "ERC-1155", lit(null))
           .otherwise(col("last_to")).as("current_owner"),
         col("attribute_version"))
   }
 
-  /** A3/G5/K7: per-(token, account) balances — delta explode, sum,
-    * drop zeros (`nft/evm/consumers.py:652-701`, `nft/consumers.py:161-173`). */
+  /** A3/G5/K7: per-(token, account) balances — delta explode, exact
+    * in/out uint256 fold, drop zeros (`nft/evm/consumers.py:652-701`,
+    * `nft/consumers.py:161-173`). Balance is `hex_sub(in, out)`: pad64
+    * hex, or `-` + pad64 for accounts net-negative mid-replay (matches
+    * the reference keeping balances as arbitrary-precision ints). */
   def owners(transfers: DataFrame): DataFrame =
     transfers
       .withColumn("d", explode(array(
-        struct(col("to_").as("account"), Abi.wordToLong(col("quantity")).as("delta"), lit("in").as("side")),
-        struct(col("from_").as("account"), (-Abi.wordToLong(col("quantity"))).as("delta"), lit("out").as("side")))))
+        struct(col("to_").as("account"), lit("in").as("side")),
+        struct(col("from_").as("account"), lit("out").as("side")))))
       .filter(!(col("transaction_type") === "burn" && col("d.side") === "in") &&
               !(col("transaction_type") === "mint" && col("d.side") === "out"))
       .groupBy(col("blockchain"), col("collection_id"), col("token_id"), col("d.account"))
-      .agg(sum(col("d.delta")).as("quantity"))
-      .filter(col("quantity") =!= 0)
+      .agg(u256(when(col("d.side") === "in", col("quantity"))).as("in_total"),
+        u256(when(col("d.side") === "out", col("quantity"))).as("out_total"))
+      .select(col("blockchain"), col("collection_id"), col("token_id"), col("account"),
+        graft.expr.Exprs.hexSub(col("in_total"), col("out_total")).as("quantity"))
+      .filter(col("quantity") =!= lit(hexZero))
 }

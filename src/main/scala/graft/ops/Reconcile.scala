@@ -18,8 +18,13 @@ object Reconcile {
 
   /** Full-outer reconcile of `left` vs `right` on `keys`.
     * Output: key columns, each compared column from both sides
-    * (`<c>_l` / `<c>_r`), and a `status` column in
-    * {match, mismatch, left_only, right_only}.
+    * (`<c>_l` / `<c>_r`), a `status` column in
+    * {match, mismatch, left_only, right_only}, and `mismatch_cols` —
+    * the names of the columns that differ, in `compareCols` order
+    * (empty unless status is mismatch). The per-field report matches
+    * the reference's verify granularity (`nft/bin/verify.py:852-934`),
+    * and costs nothing extra: the per-column `<=>` terms already feed
+    * the status expression.
     */
   def fullOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
                 compareCols: Seq[String]): DataFrame = {
@@ -30,11 +35,16 @@ object Reconcile {
     val joined = l.join(r, keys, "full_outer")
     val allEqual = compareCols.map(c => col(s"${c}_l") <=> col(s"${c}_r"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    val differing = array(compareCols.map(c =>
+      when(!(col(s"${c}_l") <=> col(s"${c}_r")), lit(c))): _*)
     joined.withColumn("status",
         when(col("__l").isNull, lit("right_only"))
           .when(col("__r").isNull, lit("left_only"))
           .when(allEqual, lit("match"))
           .otherwise(lit("mismatch")))
+      .withColumn("mismatch_cols",
+        when(col("status") === "mismatch", array_compact(differing))
+          .otherwise(array().cast("array<string>")))
       .drop("__l", "__r")
   }
 }

@@ -26,7 +26,15 @@ object Skew {
 
   def saltedAggregate(df: DataFrame, keys: Seq[String], agg: SaltedAgg,
                       buckets: Int = 32): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // The salt is a pure function of row content (hash of every
+    // column), NOT spark_partition_id/monotonically_increasing_id: a
+    // nondeterministic shuffle key marks the stage indeterminate, and
+    // one fetch failure then recomputes the whole stage on a large
+    // cluster. Content hashing keeps retries cheap; rows of a hot key
+    // still spread because their non-key columns differ (fully
+    // identical rows share a bucket, which algebraic aggregates absorb).
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(agg.partial.head, agg.partial.tail: _*)
     phase1.groupBy(keys.map(col): _*)

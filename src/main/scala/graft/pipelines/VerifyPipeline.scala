@@ -32,7 +32,13 @@ object VerifyPipeline {
         compareCols = Seq("from_", "to_", "quantity"))
       .filter(col("status") =!= "match")
       .select(lit("transfers").as("check"), col("collection_id"), col("token_id"),
-        col("status").as("detail"))
+        // mismatch rows name the differing fields — `mismatch:from_,to_`
+        // — the reference verify's per-field granularity
+        // (`nft/bin/verify.py:852-934`).
+        concat(col("status"),
+          when(size(col("mismatch_cols")) > 0,
+            concat(lit(":"), array_join(col("mismatch_cols"), ","))).otherwise(lit("")))
+          .as("detail"))
 
   def ownersReport(chainOwners: DataFrame, dbOwners: DataFrame): DataFrame = {
     val keys = Seq("collection_id", "token_id", "account")

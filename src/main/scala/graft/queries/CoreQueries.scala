@@ -309,7 +309,9 @@ object CoreQueries {
         col("value_r").as("db_value"),
         when(col("status") === "left_only", lit("chain_only"))
           .when(col("status") === "right_only", lit("db_only"))
-          .otherwise(col("status")).as("status"))
+          .otherwise(col("status")).as("status"),
+        // rendered as a CSV string so both engines hash identically
+        array_join(col("mismatch_cols"), ",").as("mismatch_cols"))
   }
 
   private val j3LeftJoinCheck: QFn = (s, dir) => {
@@ -588,7 +590,9 @@ object CoreQueries {
         |CASE WHEN a.event_id IS NULL THEN 'db_only'
         |     WHEN b.event_id IS NULL THEN 'chain_only'
         |     WHEN a.value = b.value THEN 'match'
-        |     ELSE 'mismatch' END AS status
+        |     ELSE 'mismatch' END AS status,
+        |CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+        |       AND a.value <> b.value THEN 'value' ELSE '' END AS mismatch_cols
         |FROM chain a FULL OUTER JOIN db b ON a.event_id = b.event_id""".stripMargin),
     QueryDef("j3_left_join_check", j3LeftJoinCheck,
       """SELECT o.o_orderkey, o.o_custkey,

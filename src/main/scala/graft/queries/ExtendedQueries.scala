@@ -259,6 +259,26 @@ object ExtendedQueries {
       .select(col("user_id"), graft.expr.Exprs.hexToDec(col("total_hex")).as("total_dec"))
   }
 
+  private val k10Uint256Net: QFn = (s, dir) => {
+    // Signed net of two exact uint256 folds — the shape the NFT
+    // derivation uses for token supply (mint total - burn total,
+    // Derive.tokens) and owner balances (in - out, Derive.owners),
+    // made differentially checkable: hex_sub renders `-` + pad64 for
+    // negative nets, translated to a signed decimal string.
+    import org.apache.spark.sql.functions.udaf
+    val u256 = udaf(graft.expr.Uint256Sum)
+    Tables.events(s, dir)
+      .withColumn("qty_hex", lpad(lower(hex(col("event_id") * lit(1000000L))), 64, "0"))
+      .groupBy(col("user_id"))
+      .agg(u256(when(col("event_type") === "click", col("qty_hex"))).as("in_hex"),
+        u256(when(col("event_type") === "view", col("qty_hex"))).as("out_hex"))
+      .withColumn("net_hex", graft.expr.Exprs.hexSub(col("in_hex"), col("out_hex")))
+      .select(col("user_id"),
+        when(col("net_hex").startsWith("-"),
+          concat(lit("-"), graft.expr.Exprs.hexToDec(substring(col("net_hex"), 2, 64))))
+          .otherwise(graft.expr.Exprs.hexToDec(col("net_hex"))).as("net_dec"))
+  }
+
   private val a11Percentiles: QFn = (s, dir) =>
     // Exact percentiles (linear interpolation over sorted values) on an
     // integer-floored measure so the interpolation arithmetic is
@@ -435,6 +455,12 @@ object ExtendedQueries {
         |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events""".stripMargin),
     QueryDef("k9_uint256_sum", k9Uint256Sum,
       """SELECT user_id, CAST(sum(event_id * 1000000000) AS VARCHAR) AS total_dec
+        |FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("k10_uint256_net", k10Uint256Net,
+      """SELECT user_id, CAST(
+        |  sum(CASE WHEN event_type = 'click' THEN event_id * 1000000 ELSE 0 END) -
+        |  sum(CASE WHEN event_type = 'view' THEN event_id * 1000000 ELSE 0 END)
+        |AS VARCHAR) AS net_dec
         |FROM events GROUP BY user_id""".stripMargin),
     QueryDef("a11_percentiles", a11Percentiles,
       """SELECT event_type,

@@ -50,6 +50,19 @@ class HexMathSpec extends AnyFunSuite {
     }
   }
 
+  test("sub renders negative differences as '-' + pad64(|diff|)") {
+    (1 to N).foreach { _ =>
+      val (x, y) = (uint256(), uint256())
+      val (hi, lo) = if (x.compareTo(y) >= 0) (x, y) else (y, x)
+      val got = HexMath.sub(lo.toString(16), hi.toString(16))
+      if (hi == lo) assert(got === HexMath.pad64("0"))
+      else {
+        assert(got.startsWith("-") && got.length === 65)
+        assert(new BigInteger(got.substring(1), 16) === hi.subtract(lo))
+      }
+    }
+  }
+
   test("boundary values") {
     assert(HexMath.pad64("0") === "0" * 64)
     val max = new BigInteger("f" * 64, 16)

@@ -64,7 +64,7 @@ class CollectionsVerifySpec extends SparkSpec {
     val details = report.filter(_.getAs[String]("check") == "transfers")
       .map(r => r.getAs[String]("token_id") -> r.getAs[String]("detail")).toMap
     assert(details("t2") === "left_only")
-    assert(details("t3") === "mismatch")
+    assert(details("t3") === "mismatch:quantity") // names the differing field
     assert(details("t4") === "right_only")
   }
 }

@@ -101,23 +101,46 @@ class DeriveSpec extends SparkSpec {
     assert(t7.getAs[Long]("mint_block") === 100L)
     assert(t7.getAs[Long]("mint_date") === 1000L)
     assert(t7.getAs[String]("original_owner") === alice)
-    assert(t7.getAs[Long]("quantity") === 0L) // mint +1, burn -1
+    assert(t7.getAs[String]("quantity") === word(0)) // mint +1, burn -1
     assert(t7.getAs[String]("current_owner") === Addresses.Zero) // last transfer was the burn
     val t9 = tokens(word(9))
-    assert(t9.getAs[Long]("quantity") === 5L) // single mint of 5
+    assert(t9.getAs[String]("quantity") === word(5)) // single mint of 5
     assert(t9.getAs[Long]("mint_block") === 104L)
     assert(t9.isNullAt(t9.fieldIndex("current_owner"))) // ERC-1155 forces null
   }
 
   test("owners balances: deltas sum, zeros dropped") {
     val owners = Derive.owners(Derive.transfers(fixtureLogs))
-      .collect().map(r => (r.getAs[String]("token_id"), r.getAs[String]("account")) -> r.getAs[Long]("quantity")).toMap
+      .collect().map(r => (r.getAs[String]("token_id"), r.getAs[String]("account")) -> r.getAs[String]("quantity")).toMap
     // token 7: alice +1 (mint) -1 (out) = 0 dropped; bob +1 -1 (burn out) = 0 dropped
     assert(!owners.keys.exists(_._1 == word(7)))
     // token 11: alice -2, bob +2
-    assert(owners((word(11), bob)) === 2L)
-    assert(owners((word(11), alice)) === -2L)
-    assert(owners((word(12), bob)) === 3L)
+    assert(owners((word(11), bob)) === word(2))
+    assert(owners((word(11), alice)) === "-" + word(2))
+    assert(owners((word(12), bob)) === word(3))
+  }
+
+  test("quantity above 2^63 folds exactly (uint256, no long overflow)") {
+    // 1155 mint of 2^70 to alice, then burn of 1: net 2^70 - 1. The
+    // earlier long-typed sum overflowed/nulled here (SURVEY §1.3).
+    val big = "4" + "0" * 17 // 2^70 = 0x4 << 68
+    val logs = Seq(
+      log(200, 0, 0, Seq(Derive.Erc1155TransferSingleSig, pad32Addr(alice),
+        pad32Addr(Addresses.Zero), pad32Addr(alice)),
+        data = "0x" + word(21) + HexMath.pad64(big)),
+      log(201, 0, 0, Seq(Derive.Erc1155TransferSingleSig, pad32Addr(alice),
+        pad32Addr(alice), pad32Addr(Addresses.Zero)),
+        data = "0x" + word(21) + word(1))
+    ).toDF()
+    val expected = HexMath.sub(big, "1") // pad64(2^70 - 1)
+    val t = Derive.tokens(Derive.transfers(logs),
+      Seq((200L, 1L), (201L, 2L)).toDF("number", "timestamp")).collect()
+    assert(t.length === 1)
+    assert(t.head.getAs[String]("quantity") === expected)
+    assert(BigInt(expected, 16) === (BigInt(1) << 70) - 1)
+    val o = Derive.owners(Derive.transfers(logs)).collect()
+    assert(o.length === 1 && o.head.getAs[String]("account") === alice)
+    assert(o.head.getAs[String]("quantity") === expected)
   }
 
   private def rowsOf(df: DataFrame): Seq[String] =
