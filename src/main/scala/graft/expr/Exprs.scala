@@ -43,6 +43,13 @@ object HexMath {
   def compare(a: String, b: String): Int =
     new BigInteger(normalize(a), 16).compareTo(new BigInteger(normalize(b), 16))
 
+  /** Decimal rendering that yields null (not an exception) on a
+    * malformed hex string — hex_to_dec is on the SQL surface where
+    * users pass arbitrary strings. */
+  def toDecOrNull(s: String): UTF8String =
+    try UTF8String.fromString(new BigInteger(normalize(s), 16).toString)
+    catch { case _: NumberFormatException => null }
+
   def fromLong(v: Long): String = pad64(java.lang.Long.toHexString(v))
 }
 
@@ -129,15 +136,21 @@ case class HexSubExpr(left: Expression, right: Expression) extends BinaryExpress
 
 /** hex_to_dec(hexstr) -> decimal string of the uint256 value (for
   * engines whose widest integer can hold it, e.g. a 128-bit HUGEINT,
-  * this makes the custom uint256 aggregate differentially checkable). */
+  * this makes the custom uint256 aggregate differentially checkable).
+  * Malformed input yields NULL — this function is registered on the
+  * SQL surface, so a bad string must not fail the whole query. */
 case class HexToDecExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(new BigInteger(HexMath.normalize(v.toString), 16).toString)
+    HexMath.toDecOrNull(v.toString)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"new java.math.BigInteger(graft.expr.HexMath.normalize($c.toString()), 16).toString())")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.HexMath.toDecOrNull($c.toString());
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): HexToDecExpr = copy(c)
 }
 

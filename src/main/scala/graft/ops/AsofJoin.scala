@@ -39,10 +39,28 @@ object AsofJoin {
     *                   also the deterministic tiebreak order for
     *                   equal-time rights
     */
+  private def requireIntegral(df: DataFrame, c: String, role: String): Unit = {
+    val dt = df.schema(c).dataType
+    val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    require(integral,
+      s"asofJoin $role column '$c' must be an integral type " +
+        s"(byte/short/int/long); got ${dt.simpleString}. A string or decimal " +
+        "column would silently cast to null (or merge distinct values that " +
+        "truncate alike) — re-key to a long (e.g. xxhash64) before the join.")
+  }
+
+  /** Key and time columns are restricted to integral types — checked at
+    * plan-build time (see requireIntegral). Null keys/times never match:
+    * null-key rights are filtered out, null-key lefts emit with null
+    * right values (left-join semantics, matching DuckDB's ASOF JOIN). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightVals: Seq[String]): DataFrame = {
+    requireIntegral(left, leftKey, "left key")
+    requireIntegral(right, rightKey, "right key")
+    requireIntegral(left, leftTime, "left time")
+    requireIntegral(right, rightTime, "right time")
     val leftSchema = left.schema
     val rightValFields = rightVals.map { c =>
       val f = right.schema(c)
@@ -58,10 +76,12 @@ object AsofJoin {
     val lTagged = left.select(
       col(leftKey).cast("long").as("__k"), col(leftTime).cast("long").as("__t"),
       lit(1).as("__tag"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val rTagged = right.select(
-      col(rightKey).cast("long").as("__k"), col(rightTime).cast("long").as("__t"),
-      lit(0).as("__tag"), lit(null).cast(lType).as("__l"),
-      rStruct.as("__r"))
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).cast("long").as("__k"), col(rightTime).cast("long").as("__t"),
+        lit(0).as("__tag"), lit(null).cast(lType).as("__l"),
+        rStruct.as("__r"))
 
     val sortTiebreak: Seq[Column] = rightVals.map(c => col(s"__r.$c"))
     val swept = lTagged.unionByName(rTagged)
@@ -72,6 +92,10 @@ object AsofJoin {
         var haveKey = false
         var curRight: Row = null
         it.flatMap { row =>
+          // null-key lefts (rights are pre-filtered) match nothing
+          if (row.isNullAt(0)) {
+            Some(Row.fromSeq(row.getStruct(3).toSeq ++ rightVals.map(_ => null)))
+          } else {
           val k = row.getLong(0)
           if (!haveKey || k != curKey) { curKey = k; haveKey = true; curRight = null }
           if (row.getInt(2) == 0) { // right row: update state, emit nothing
@@ -83,6 +107,7 @@ object AsofJoin {
               if (curRight == null) rightVals.map(_ => null)
               else curRight.toSeq
             Some(Row.fromSeq(l.toSeq ++ rvals))
+          }
           }
         }
       }(Encoders.row(outSchema))

@@ -53,7 +53,12 @@ object Sessionize {
         val us = e.ts.getTime * 1000L
         open match {
           case Some(s) if us - s.lastUs < gapUs =>
-            open = Some(OpenSession(s.startUs, math.max(s.lastUs, us), s.n + 1, s.total + e.value))
+            // min() on the start: a cross-batch out-of-order event still
+            // inside the watermark can land before the open session's
+            // start, and must extend it — keeps session_start_us in
+            // lockstep with the batch session_window twin.
+            open = Some(OpenSession(math.min(s.startUs, us),
+              math.max(s.lastUs, us), s.n + 1, s.total + e.value))
           case Some(s) =>
             closed += ClosedSession(userId, s.startUs, s.lastUs, s.n, s.total)
             open = Some(OpenSession(us, us, 1, e.value))

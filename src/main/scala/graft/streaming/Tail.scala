@@ -30,19 +30,48 @@ object Tail {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Deterministic key bucket — the sink's partition column. */
+  def bucketExpr(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
   /** foreachBatch LWW sink: each micro-batch upserts into `target`
     * parquet with the A4 argmax semantics — replay-idempotent, so task
     * retries / batch replays converge (the reference's idempotence
-    * invariant). */
-  def lwwSink(target: String, keys: Seq[String], versionCols: Seq[String])
-             (batch: DataFrame, batchId: Long): Unit = {
+    * invariant).
+    *
+    * The target is partitioned by `__bucket = pmod(hash(keys), N)` and
+    * each micro-batch rewrites ONLY the buckets its keys land in
+    * (dynamic partition overwrite): per-epoch I/O is O(touched buckets
+    * x bucket size), not O(table) — the property that lets a continuous
+    * tail run against a 100 TB target. An earlier version rewrote the
+    * whole table through a tmp dir every epoch. Size `numBuckets` so a
+    * bucket is a few GB at the target's scale; a format with row-level
+    * MERGE (Delta/Iceberg) replaces this sink wholesale where available. */
+  def lwwSink(target: String, keys: Seq[String], versionCols: Seq[String],
+              numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val merged =
-      try Lww.upsert(spark.read.parquet(target), batch, keys, versionCols)
-      catch { case _: org.apache.spark.sql.AnalysisException => batch } // first batch
-    val tmp = target + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
+    val bucket = bucketExpr(keys, numBuckets)
+    // The touched-bucket list is at most numBuckets ints — a metadata-
+    // scale collect, not a data collect.
+    val touched = batch.select(bucket.as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existing =
+      try Some(spark.read.parquet(target)
+        .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
+        .drop("__bucket"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
+    val merged = existing match {
+      case Some(e) => Lww.upsert(e, batch, keys, versionCols)
+      case None    => batch
+    }
+    // localCheckpoint materializes the merged buckets (bounded by the
+    // touched set) and cuts the plan's lineage back to `target`, so the
+    // overwrite below is not "a path that is also being read from".
+    merged.withColumn("__bucket", bucket).localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(target)
   }
 
   /** File-source tail: treats new parquet files in `dir` as arriving

@@ -22,13 +22,19 @@ object Tables {
   // per call; with ~50 declared queries each re-loading its inputs that
   // fixed cost dominates small-SF runs. Cache the analyzed DataFrame per
   // (session, path) — keyed on the session so a restarted session never
-  // sees plans bound to a stopped SparkContext.
+  // sees plans bound to a stopped SparkContext. Entries of stopped
+  // sessions are purged on access so long-lived JVMs that cycle many
+  // sessions (test suites) don't leak analyzed plans. Note the cached
+  // plan snapshots the file listing: data rewritten at the same path
+  // during a session's lifetime won't be picked up.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, path(dir, name)),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable, so this works even on a session we didn't build.

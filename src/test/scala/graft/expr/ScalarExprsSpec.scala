@@ -47,6 +47,18 @@ class ScalarExprsSpec extends SparkSpec {
     assert(got(3).isNullAt(0))
   }
 
+  test("hex_to_dec yields NULL on malformed input instead of failing the query") {
+    spark.sql("SELECT 1").collect() // ensure session alive
+    Exprs.register(spark)
+    val got = spark.sql(
+      "SELECT hex_to_dec(s) FROM VALUES ('ff'), ('not hex'), (''), ('0x10') t(s)")
+      .collect()
+    assert(got(0).getString(0) === "255")
+    assert(got(1).isNullAt(0))
+    assert(got(2).getString(0) === "0") // normalize('') = '0' by contract
+    assert(got(3).getString(0) === "16")
+  }
+
   test("hex_to_dec matches BigInteger across the uint256 range") {
     val vals = (1 to 200).map(_ => new BigInteger(1 + rnd.nextInt(256), rnd.self)) :+
       BigInteger.ZERO :+ BigInteger.ONE

@@ -28,6 +28,29 @@ class AsofJoinSpec extends SparkSpec {
       "e4" -> 20L, "e5" -> null))
   }
 
+  test("non-integral key/time columns are rejected at plan-build time") {
+    val l = Seq(("a", 1L, "x")).toDF("k", "t", "name")
+    val r = Seq(("a", 1L, 1L)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, r, "k", "k", "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("must be an integral type"))
+    val ld = Seq((1L, 1.5, "x")).toDF("k", "t", "name")
+    val rd = Seq((1L, 1.5, 1L)).toDF("k", "t", "v")
+    assert(intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(ld, rd, "k", "k", "t", "t", Seq("v"))
+    }.getMessage.contains("left time"))
+  }
+
+  test("null keys: lefts emit unmatched, rights are ignored") {
+    val left = Seq((Some(1L), 100L, "a"), (None, 100L, "b")).toDF("k", "t", "name")
+    val right = Seq((Some(1L), 50L, 10L), (None, 50L, 99L)).toDF("k", "t", "v")
+    val got = AsofJoin.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("name") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) null else r.getAs[Long]("v"))).toMap
+    assert(got === Map("a" -> 10L, "b" -> null))
+  }
+
   test("merge strategy agrees with the compose-argmax strategy on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("j5_asof_join")(spark, dir)
