@@ -85,4 +85,41 @@ object SinkUtils {
     def snapshot(): Map[String, Long] =
       counters.map { case (k, a) => k -> a.value.longValue }.toMap
   }
+
+  /** A5's interval report (the reference's `StatsWriter.write_at_interval`,
+    * `core/stats.py:105-146`): one formatted line per interval with the
+    * running total and the per-interval delta of every counter, emitted
+    * from a driver-side daemon thread (accumulator values only exist on
+    * the driver). `writeLine()` is callable directly for a final flush
+    * or from tests; `stop()` flushes once more. */
+  final class StatsReporter(stats: Stats, intervalSeconds: Long = 60,
+                            emit: String => Unit = s => System.err.println(s)) {
+    private val last = scala.collection.mutable.Map.empty[String, Long]
+    def line(): String = synchronized {
+      val parts = stats.snapshot().toSeq.sortBy(_._1).map { case (k, v) =>
+        val d = v - last.getOrElse(k, 0L)
+        last(k) = v
+        s"$k=$v(+$d)"
+      }
+      s"graft stats: ${parts.mkString(" ")}"
+    }
+    def writeLine(): Unit = emit(line())
+    @volatile private var running = false
+    private var thread: Thread = null
+    def start(): this.type = synchronized {
+      running = true
+      thread = new Thread(() => {
+        try while (running) { Thread.sleep(intervalSeconds * 1000); if (running) writeLine() }
+        catch { case _: InterruptedException => () }
+      }, "graft-stats-reporter")
+      thread.setDaemon(true)
+      thread.start()
+      this
+    }
+    def stop(): Unit = synchronized {
+      running = false
+      if (thread != null) thread.interrupt()
+      writeLine()
+    }
+  }
 }

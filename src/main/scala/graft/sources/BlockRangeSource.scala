@@ -26,8 +26,15 @@ import scala.jdk.CollectionConverters._
   *  - `numPartitions` range splits per batch: on a cluster each
   *    executor fetches its own block sub-range (the RPC fan-out the
   *    reference does with a connection pool, `evm/rpc.py:380-422`).
+  *  - each partition reads through a pluggable [[BlockFetcher]]
+  *    (option `fetcher` = class name) in `fetchChunk`-sized windows,
+  *    shrinking the window ÷10 and retrying when the fetcher signals
+  *    the range is too large — the reference's adaptive re-request
+  *    loop against providers that reject wide queries
+  *    (`evm/rpc.py:366-377`).
   *
-  * Options: start, maxBlock, blocksPerTrigger, trailBlocks, numPartitions.
+  * Options: start, maxBlock, blocksPerTrigger, trailBlocks,
+  * numPartitions, fetcher, fetchChunk.
   * Usage: spark.readStream.format("blockrange").option(...).load()
   */
 class BlockRangeSource extends TableProvider with DataSourceRegister {
@@ -41,6 +48,32 @@ class BlockRangeSource extends TableProvider with DataSourceRegister {
 
 object BlockRangeSource {
   val Schema: StructType = StructType(Seq(StructField("block_number", LongType, nullable = false)))
+}
+
+/** The seam where a real chain client plugs into the source: one call
+  * fetches the rows of the block window [lo, hi). Implementations must
+  * be serializable-by-name — the reader instantiates the class on the
+  * executor (no closure shipping), the way a JSON-RPC client would be
+  * constructed next to its connection pool. A fetcher signals an
+  * over-wide window (provider response-size cap, the reference's
+  * "query returned more than X results" error) by throwing
+  * [[RangeTooLargeException]]; the reader reacts by shrinking its
+  * window ÷10 and retrying. */
+trait BlockFetcher {
+  def fetch(lo: Long, hi: Long): Iterator[Long]
+}
+
+final class RangeTooLargeException(msg: String) extends RuntimeException(msg)
+
+/** Default fetcher — the simulated chain (block ids generated locally). */
+final class SimulatedFetcher extends BlockFetcher {
+  override def fetch(lo: Long, hi: Long): Iterator[Long] = Iterator.range(lo, hi)
+}
+
+object BlockFetcher {
+  val Simulated: String = classOf[SimulatedFetcher].getName
+  def forName(className: String): BlockFetcher =
+    Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockFetcher]
 }
 
 final class BlockRangeTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -61,17 +94,21 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap) extends Scan {
   private val blocksPerTrigger = options.getLong("blocksPerTrigger", 100L)
   private val trailBlocks = options.getLong("trailBlocks", 0L)
   private val numPartitions = options.getInt("numPartitions", 4)
+  private val fetcherClass = options.getOrDefault("fetcher", BlockFetcher.Simulated)
+  private val fetchChunk = options.getLong("fetchChunk", Long.MaxValue)
 
   override def readSchema(): StructType = BlockRangeSource.Schema
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       BlockRangePartitioning.split(start, maxBlock, numPartitions)
-    override def createReaderFactory(): PartitionReaderFactory = BlockRangeReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      BlockRangeReaderFactory(fetcherClass, fetchChunk)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockRangeMicroBatchStream(start, maxBlock, blocksPerTrigger, trailBlocks, numPartitions)
+    new BlockRangeMicroBatchStream(start, maxBlock, blocksPerTrigger, trailBlocks,
+      numPartitions, fetcherClass, fetchChunk)
 }
 
 final case class BlockOffset(block: Long) extends Offset {
@@ -81,7 +118,9 @@ final case class BlockOffset(block: Long) extends Offset {
 /** Simulated chain: head height advances by `blocksPerTrigger` per poll;
   * the available offset is head − trail (never below start). */
 final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
-                                       trailBlocks: Long, numPartitions: Int)
+                                       trailBlocks: Long, numPartitions: Int,
+                                       fetcherClass: String = BlockFetcher.Simulated,
+                                       fetchChunk: Long = Long.MaxValue)
     extends MicroBatchStream {
   private var head: Long = start
 
@@ -99,7 +138,8 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
       startOff.asInstanceOf[BlockOffset].block,
       endOff.asInstanceOf[BlockOffset].block, numPartitions)
 
-  override def createReaderFactory(): PartitionReaderFactory = BlockRangeReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    BlockRangeReaderFactory(fetcherClass, fetchChunk)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -117,14 +157,36 @@ object BlockRangePartitioning {
   }
 }
 
-object BlockRangeReaderFactory extends PartitionReaderFactory {
+/** Per-partition reader: drives the fetcher over [lo, hi) in
+  * `initialChunk`-sized windows. A RangeTooLargeException shrinks the
+  * window ÷10 (floor 1 block) and re-requests — the reference's
+  * adaptive narrowing when a provider caps response size
+  * (`evm/rpc.py:366-377`). The shrunk size sticks for the rest of the
+  * partition: a provider that rejected a window once will reject its
+  * siblings, so re-probing wide every chunk just burns a round-trip. */
+final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Long)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
+    val fetcher = BlockFetcher.forName(fetcherClass)
     new PartitionReader[InternalRow] {
-      private var cur = p.lo - 1
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      override def next(): Boolean = { cur += 1; cur < p.hi }
-      override def get(): InternalRow = { row.update(0, cur); row }
+      private var chunk = math.max(1L, math.min(initialChunk, p.hi - p.lo))
+      private var cur = p.lo
+      private var it: Iterator[Long] = Iterator.empty
+      private var value = 0L
+      override def next(): Boolean = {
+        while (!it.hasNext && cur < p.hi) {
+          val windowHi = math.min(cur + chunk, p.hi)
+          try { it = fetcher.fetch(cur, windowHi); cur = windowHi }
+          catch {
+            case _: RangeTooLargeException if chunk > 1 =>
+              chunk = math.max(1L, chunk / 10)
+          }
+        }
+        if (it.hasNext) { value = it.next(); true } else false
+      }
+      override def get(): InternalRow = { row.update(0, value); row }
       override def close(): Unit = ()
     }
   }

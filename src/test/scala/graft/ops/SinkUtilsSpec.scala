@@ -40,4 +40,21 @@ class SinkUtilsSpec extends SparkSpec {
     }
     assert(stats.snapshot()("rows") === 1000L)
   }
+
+  test("stats reporter emits interval lines with totals and deltas (A5)") {
+    val stats = new SinkUtils.Stats(spark)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rep = new SinkUtils.StatsReporter(stats, emit = lines += _)
+    stats.counter("blocks").add(10)
+    rep.writeLine()
+    stats.counter("blocks").add(5)
+    stats.counter("errors").add(1)
+    rep.writeLine()
+    assert(lines(0) === "graft stats: blocks=10(+10)")
+    assert(lines(1) === "graft stats: blocks=15(+5) errors=1(+1)")
+    // the daemon thread flavor: starts, flushes on stop, dies with the JVM
+    val n0 = lines.size
+    rep.start().stop()
+    assert(lines.size === n0 + 1)
+  }
 }

@@ -3,6 +3,25 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Mock provider with a response-size cap: any window wider than 10
+  * blocks is rejected the way a rate-limited RPC endpoint rejects a
+  * too-wide eth_getLogs query. Windows served/rejected are recorded in
+  * a static log (driver == executor under local[*]). */
+class CappedFetcher extends BlockFetcher {
+  override def fetch(lo: Long, hi: Long): Iterator[Long] = {
+    if (hi - lo > 10) {
+      CappedFetcher.rejected.incrementAndGet()
+      throw new RangeTooLargeException(s"window [$lo, $hi) exceeds 10 blocks")
+    }
+    CappedFetcher.served.add(hi - lo)
+    Iterator.range(lo, hi)
+  }
+}
+object CappedFetcher {
+  val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+  val served = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+}
+
 class BlockRangeSourceSpec extends SparkSpec {
 
   test("batch read covers [start, maxBlock) across partitions") {
@@ -12,6 +31,24 @@ class BlockRangeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 4)
     val agg = df.agg(count(lit(1)), min(col("block_number")), max(col("block_number"))).head()
     assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((100L, 10L, 109L)))
+  }
+
+  test("a partition that hits the provider's size cap splits ÷10 and completes") {
+    CappedFetcher.rejected.set(0)
+    CappedFetcher.served.clear()
+    val df = spark.read.format("blockrange")
+      .option("start", "0").option("maxBlock", "400")
+      .option("numPartitions", "2") // 2 partitions x 200 blocks each
+      .option("fetcher", classOf[CappedFetcher].getName)
+      .load()
+    val agg = df.agg(count(lit(1)), min(col("block_number")), max(col("block_number"))).head()
+    // completes despite every initial 200-block window being rejected
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((400L, 0L, 399L)))
+    // each partition probed 200 (reject), shrank to 20 (reject), then 2
+    assert(CappedFetcher.rejected.get() === 4)
+    val widths = CappedFetcher.served.toArray(Array.empty[java.lang.Long]).toSeq.map(_.longValue)
+    assert(widths.nonEmpty && widths.forall(_ <= 10L))
+    assert(widths.sum === 400L)
   }
 
   test("micro-batch stream advances per poll and honors trailBlocks") {
