@@ -33,8 +33,14 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int = 4): DataFrame = {
     require(numHashes <= 4, "4 disjoint 8-char slices per md5")
     val sigCols = (0 until numHashes).map(s => col("sig").getItem(s).as(s"mh$s"))
-    docs.select(col("doc_id"), graft.expr.ArrayExprs.minhashSigs(col("text"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    // Guard with the cheap token-count predicate rather than filtering
+    // the kernel output for null: `filter(sig IS NOT NULL)` pushes below
+    // the projection and makes Catalyst evaluate the md5-per-shingle
+    // kernel TWICE per row (once in the Filter, once in the Project —
+    // observed in the physical plan). The kernel returns null exactly
+    // when the doc has < 3 tokens, so this filter is equivalent.
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), graft.expr.ArrayExprs.minhashSigs(col("text"), numHashes).as("sig"))
       .select(col("doc_id") +: sigCols: _*)
   }
 
@@ -44,7 +50,10 @@ object Dedup {
     * this is what bounds a degenerate bucket (e.g. thousands of
     * near-empty docs sharing a min-hash) to O(cap^2) pair work instead
     * of O(m^2). The truncation is deterministic (smallest ids win) and
-    * mirrored verbatim in the DuckDB oracle via QUALIFY. */
+    * mirrored verbatim in the DuckDB oracle via QUALIFY. Default caps
+    * stay at/below spark.sql.optimizer.windowGroupLimitThreshold (1000)
+    * — above it the rank filter stays a full Window instead of the
+    * partial-limit rewrite. */
   private[ops] def capBuckets(df: DataFrame, bucketCols: Seq[Column], id: Column,
       cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -72,7 +81,7 @@ object Dedup {
     * `maxBucket` caps degenerate buckets (see capBuckets).
     */
   def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes)
     val banded = sigs.select(col("doc_id"), explode(array(
       (0 until numHashes).map(s => struct(lit(s).as("band"), col(s"mh$s").as("h"))): _*
@@ -117,7 +126,7 @@ object Dedup {
     * doc_id equi-joins — O(candidates), never O(block^2).
     * Inclusion-exclusion avoids a union materialize. */
   def ngramJaccardPairs(docs: DataFrame, numHashes: Int = 4,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     val cand = minhashCandidatePairs(docs, numHashes, maxBucket)
     val t = docs.select(col("doc_id"), array_distinct(toks).as("tokset"))
     cand

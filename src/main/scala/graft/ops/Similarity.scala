@@ -101,7 +101,7 @@ object Similarity {
     * full recall inside hot blocks should sub-bucket by an LSH key
     * first (see the sign-bit bucketing in ExtendedQueries.annLsh). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3,
-      maxBlock: Int = 4096): DataFrame = {
+      maxBlock: Int = 1000): DataFrame = {
     val p = Dedup.capBuckets(prepared(embeddings), Seq(col("label")),
       col("vec_id"), maxBlock)
     val a = p.select(col("vec_id").as("id_a"), col("label"), col("qv").as("qa"), col("nrm").as("na"))

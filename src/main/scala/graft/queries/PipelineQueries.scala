@@ -14,7 +14,7 @@ object PipelineQueries {
 
   // Shared DuckDB fragments (kept in sync with the Scala ops).
   // MinHash band relation + per-bucket cap — mirrors
-  // Dedup.minhashCandidatePairs (4 hashes, maxBucket 1024) verbatim.
+  // Dedup.minhashCandidatePairs (4 hashes, maxBucket 1000) verbatim.
   private val minhashBandsSql =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |s AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
@@ -31,7 +31,7 @@ object PipelineQueries {
       |  SELECT doc_id, 2 AS band, mh2 AS h FROM m UNION ALL
       |  SELECT doc_id, 3 AS band, mh3 AS h FROM m),
       |band2 AS (SELECT doc_id, band, h FROM band
-      |  QUALIFY row_number() OVER (PARTITION BY band, h ORDER BY doc_id) <= 1024),
+      |  QUALIFY row_number() OVER (PARTITION BY band, h ORDER BY doc_id) <= 1000),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band2 a JOIN band2 b
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
@@ -129,7 +129,7 @@ object PipelineQueries {
     QueryDef("dedup_embed_cosine", dedupEmbedCosine,
       s"""WITH $preparedSql,
         |nc AS (SELECT vec_id, label, qv, nrm FROM n0
-        |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 4096)
+        |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 1000)
         |SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
         |    ${dotSql("a.qv", "b.qv")} /
