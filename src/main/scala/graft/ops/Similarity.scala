@@ -83,11 +83,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** 16-bit sign-pattern LSH bucket (coordinate signs of the first 16
+    * dims as the hyperplane set — deterministic and engine-agnostic).
+    * try_element_at: a vector shorter than `bits` dims contributes 0
+    * for the missing positions (ANSI element_at would throw), the same
+    * NULL-case semantics as the DuckDB mirror's `qv[i]`. */
+  def signBucket(qv: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      when(try_element_at(qv, lit(i + 1)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Fixture wrappers: every `queryStride`-th vector as the query set. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =
     bruteForceTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
   def ivfTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =
     ivfTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
+
+  /** Embedding near-dup pairs sub-bucketed by sign-bit LSH inside the
+    * label block: candidates must agree on (label, 16-bit sign
+    * pattern). This is the scale path for a hot label — its members
+    * spread over up to 2^16 sub-buckets, so the per-block self-join
+    * drops from O(m^2) to the sum of squared sub-bucket sizes — at a
+    * recall cost only for near-dups whose leading-dim signs differ
+    * (cosine >= threshold pairs almost always agree). Use
+    * [[nearDupPairs]] when blocks are known-bounded and full in-block
+    * recall matters. */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val p = prepared(embeddings).withColumn("bucket", signBucket(col("qv")))
+    val a = p.select(col("vec_id").as("id_a"), col("label"), col("bucket"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("id_b"), col("label"), col("bucket"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("qa"), col("qb"), col("na"), col("nb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"), col("score"))
+  }
 
   /** Embedding-cosine near-dup pairs, cluster-blocked on `label`.
     *

@@ -41,9 +41,12 @@ object CoreQueries {
   }
 
   private val s2PointLookup: QFn = (s, dir) => {
+    // the lookup key is a broadcast 1-row scalar, not a driver-side
+    // .head() — the whole lookup stays one job (no action to
+    // parameterize the plan)
     val o = Tables.orders(s, dir)
-    val minKey = o.agg(min(col("o_orderkey"))).head().getLong(0)
-    o.filter(col("o_orderkey") === minKey)
+    val minKey = o.agg(min(col("o_orderkey")).as("__mk"))
+    o.join(broadcast(minKey), col("o_orderkey") === col("__mk"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))

@@ -54,6 +54,8 @@ object PipelineQueries {
 
   private val dedupEmbedCosine: QFn = (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir))
 
+  private val dedupEmbedLsh: QFn = (s, dir) => Similarity.nearDupPairsLsh(Tables.embeddings(s, dir))
+
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
@@ -135,6 +137,19 @@ object PipelineQueries {
         |    ${dotSql("a.qv", "b.qv")} /
         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS score
         |  FROM nc a JOIN nc b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE score >= 0.3""".stripMargin),
+    QueryDef("dedup_embed_lsh", dedupEmbedLsh,
+      s"""WITH $preparedSql,
+        |nb AS (SELECT vec_id, label, qv, nrm,
+        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM n0)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+        |    ${dotSql("a.qv", "b.qv")} /
+        |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS score
+        |  FROM nb a JOIN nb b ON a.label = b.label AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id)
         |WHERE score >= 0.3""".stripMargin),
     QueryDef("ann_bruteforce", annBruteforce,
       s"""WITH $preparedSql,

@@ -100,5 +100,11 @@ class DedupOpsSpec extends SparkSpec {
     assert(ivf.count() > 0)
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.99).collect()
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 100L))
+    // LSH sub-bucket variant: identical vectors share the sign bucket,
+    // so the pair survives; the opposite-sign vector 3 cannot pair with 0
+    val lsh = Similarity.nearDupPairsLsh(emb, threshold = -1.0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.contains((0L, 100L)))
+    assert(!lsh.contains((0L, 3L)))
   }
 }

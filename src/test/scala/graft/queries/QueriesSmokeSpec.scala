@@ -10,7 +10,8 @@ class QueriesSmokeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   // pair-producing queries may legitimately return 0 rows at tiny SF
   private val mayBeEmpty =
-    Set("dedup_embed_cosine", "dedup_minhash", "dedup_ngram_jaccard", "ann_lsh")
+    Set("dedup_embed_cosine", "dedup_embed_lsh", "dedup_minhash",
+      "dedup_ngram_jaccard", "ann_lsh")
 
   test("oracleSql covers every query except declared rows-only ops") {
     // no 256-bit ints / keccak in DuckDB; sketches are approximate by definition
