@@ -51,6 +51,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Map("a" -> 10L, "b" -> null))
   }
 
+  test("random differential: merge sweep equals an in-memory brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    // few keys + small time domain on purpose: maximizes equal-time
+    // collisions and per-key density, the hard cases for the sweep
+    val leftRows = (1 to 400).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(60).toLong, i.toLong))
+    val rightRows = (1 to 400).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(60).toLong, rnd.nextInt(1000).toLong))
+    val left = leftRows.toDF("k", "t", "name")
+    val right = rightRows.toDF("k", "t", "v")
+    val got = AsofJoin.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(x => (x._1, x._2, x._3))
+    val expected = leftRows.map { case (k, t, name) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val v = if (cands.isEmpty) None else {
+        val maxT = cands.map(_._2).max
+        // equal-time rights: sweep order is the tiebreak (rightVals asc),
+        // last swept wins -> max v among the latest-time candidates
+        Some(cands.filter(_._2 == maxT).map(_._3).max)
+      }
+      (k, t, name, v)
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq === expected)
+  }
+
   test("merge strategy agrees with the compose-argmax strategy on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("j5_asof_join")(spark, dir)
