@@ -4,15 +4,21 @@ import org.apache.spark.sql.SparkSession
 /** Plan inspector: prints the formatted physical plan for the queries
   * whose scale behavior matters most (pushdown, broadcast, codegen
   * spans). Usage: runMain graft.Explain [name ...]
+  *
+  * SPARK_GRAFT_NO_BROADCAST=1 disables broadcast joins — the "plan at
+  * cluster scale" view, where stats no longer fit any side under the
+  * broadcast threshold and self-joins should show ReusedExchange.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val noBroadcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", if (noBroadcast) "-1" else "10MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -128,14 +128,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, numHashes: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val cand = minhashCandidatePairs(docs, numHashes, maxBucket)
+    // One tokset relation, self-joined by alias (renames above the
+    // join): both sides shuffle on doc_id over the identical subtree,
+    // so at SMJ scale the second lookup is a ReusedExchange — docs are
+    // tokenized once, not twice.
     val t = docs.select(col("doc_id"), array_distinct(toks).as("tokset"))
+    val ta = t.alias("ta")
+    val tb = t.alias("tb")
     cand
-      .join(t.select(col("doc_id").as("id_a"), col("tokset").as("ts_a")), "id_a")
-      .join(t.select(col("doc_id").as("id_b"), col("tokset").as("ts_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .join(ta, col("id_a") === col("ta.doc_id"))
+      .join(tb, col("id_b") === col("tb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("ta.tokset"), col("tb.tokset"))))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (size(col("ts_a")) + size(col("ts_b")) - col("inter")).cast("double"))
+          (size(col("ta.tokset")) + size(col("tb.tokset")) - col("inter")).cast("double"))
           .as("jaccard"))
   }
 }

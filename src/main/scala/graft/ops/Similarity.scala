@@ -110,15 +110,16 @@ object Similarity {
     * recall matters. */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val p = prepared(embeddings).withColumn("bucket", signBucket(col("qv")))
-    val a = p.select(col("vec_id").as("id_a"), col("label"), col("bucket"),
-      col("qv").as("qa"), col("nrm").as("na"))
-    val b = p.select(col("vec_id").as("id_b"), col("label"), col("bucket"),
-      col("qv").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("label", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("qa"), col("qb"), col("na"), col("nb")))
+    // same-plan self-join (renames above): sides share one shuffle via
+    // ReusedExchange when the join runs as SMJ — see nearDupPairs
+    val a = p.alias("a")
+    val b = p.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").as("label"),
+        cosine(col("a.qv"), col("b.qv"), col("a.nrm"), col("b.nrm")).as("score"))
       .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("label"), col("score"))
   }
 
   /** Embedding-cosine near-dup pairs, cluster-blocked on `label`.
@@ -136,12 +137,17 @@ object Similarity {
       maxBlock: Int = 1000): DataFrame = {
     val p = Dedup.capBuckets(prepared(embeddings), Seq(col("label")),
       col("vec_id"), maxBlock)
-    val a = p.select(col("vec_id").as("id_a"), col("label"), col("qv").as("qa"), col("nrm").as("na"))
-    val b = p.select(col("vec_id").as("id_b"), col("label"), col("qv").as("qb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("qa"), col("qb"), col("na"), col("nb")))
+    // Self-join the SAME plan with per-side renames ABOVE the join, not
+    // below it: the two shuffle subtrees then canonicalize identically,
+    // so when the join runs as SMJ (any real scale — broadcast only
+    // applies while one side fits in memory) the second side is a
+    // ReusedExchange and the corpus is scanned + quantized ONCE.
+    val a = p.alias("a")
+    val b = p.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").as("label"),
+        cosine(col("a.qv"), col("b.qv"), col("a.nrm"), col("b.nrm")).as("score"))
       .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("label"), col("score"))
   }
 }
