@@ -37,11 +37,15 @@ object Derive {
   }
 
   private def transferCols(tokenId: Column, quantity: Column, from_ : Column,
-                           to_ : Column, collectionType: String): Seq[Column] = Seq(
+                           to_ : Column, collectionType: String): Seq[Column] =
+    transferColsC(tokenId, quantity, from_, to_, lit(collectionType))
+
+  private def transferColsC(tokenId: Column, quantity: Column, from_ : Column,
+                            to_ : Column, collectionType: Column): Seq[Column] = Seq(
     lit("ethereum").as("blockchain"),
     col("address").as("collection_id"),
     tokenId.as("token_id"),
-    lit(collectionType).as("collection_type"),
+    collectionType.as("collection_type"),
     transactionType(from_, to_, col("address")).as("transaction_type"),
     from_.as("from_"),
     to_.as("to_"),
@@ -94,13 +98,45 @@ object Derive {
         Abi.topicAddress(element_at(col("topics"), 4)),
         "ERC-1155"): _*)
 
-  /** All transfer-shaped logs, one unioned fact stream, deduped on the
-    * idempotency key (K8, `dynamodb.py:334-363`). */
-  def transfers(logs: DataFrame): DataFrame =
-    erc721Transfers(logs)
-      .unionByName(erc1155SingleTransfers(logs))
-      .unionByName(erc1155BatchTransfers(logs))
+  /** All transfer-shaped logs as ONE pass over the log stream, deduped
+    * on the idempotency key (K8, `dynamodb.py:334-363`).
+    *
+    * The per-standard functions above union-ed here would scan the logs
+    * relation three times (the topic predicates filter on an array
+    * element, so no pushdown makes the branches cheap); instead the
+    * kind is classified once per row and every downstream column is a
+    * CASE over it — including the (token_id, quantity) item list, which
+    * is a 1-element array for 721/1155-single and the zipped pair
+    * arrays for 1155-batch, exploded uniformly. CaseWhen evaluates
+    * branches lazily, so the batch-decode UDFs still run only on batch
+    * rows. A spec pins this equal to the union-of-three formulation. */
+  def transfers(logs: DataFrame): DataFrame = {
+    val sig = element_at(col("topics"), 1)
+    val arity4 = size(col("topics")) === 4
+    val kind = when(sig === lit(Erc721TransferSig) && arity4, lit("721"))
+      .when(sig === lit(Erc1155TransferSingleSig) && arity4, lit("1155s"))
+      .when(sig === lit(Erc1155TransferBatchSig) && arity4, lit("1155b"))
+    def pair(id: Column, q: Column) = struct(id.as("token_id"), q.as("qty"))
+    val items =
+      when(col("kind") === "1155b",
+        zip_with(Abi.decodeUintArrayUdf(col("data"), lit(0)),
+          Abi.decodeUintArrayUdf(col("data"), lit(1)), (i, q) => pair(i, q)))
+      .when(col("kind") === "1155s",
+        array(pair(Abi.dataWord(col("data"), 1), Abi.dataWord(col("data"), 2))))
+      .otherwise(array(pair(Abi.topicUint(element_at(col("topics"), 4)),
+        lit(graft.expr.HexMath.pad64("1")))))
+    val is721 = col("kind") === "721"
+    val fromCol = when(is721, Abi.topicAddress(element_at(col("topics"), 2)))
+      .otherwise(Abi.topicAddress(element_at(col("topics"), 3)))
+    val toCol = when(is721, Abi.topicAddress(element_at(col("topics"), 3)))
+      .otherwise(Abi.topicAddress(element_at(col("topics"), 4)))
+    val ctype = when(is721, lit("ERC-721")).otherwise(lit("ERC-1155"))
+    logs.withColumn("kind", kind)
+      .filter(col("kind").isNotNull)
+      .withColumn("item", explode(items))
+      .select(transferColsC(col("item.token_id"), col("item.qty"), fromCol, toCol, ctype): _*)
       .dropDuplicates("collection_id", "attribute_version", "token_id")
+  }
 
   /** ERC-1155 URI events: dynamic string + indexed token id, with the
     * `{id}` substitution (`nft/evm/transformers.py:339-376`). */

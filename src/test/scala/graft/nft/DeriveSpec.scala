@@ -146,6 +146,14 @@ class DeriveSpec extends SparkSpec {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("single-pass transfers equals the union of the per-standard derivations") {
+    val unioned = Derive.erc721Transfers(fixtureLogs)
+      .unionByName(Derive.erc1155SingleTransfers(fixtureLogs))
+      .unionByName(Derive.erc1155BatchTransfers(fixtureLogs))
+      .dropDuplicates("collection_id", "attribute_version", "token_id")
+    assert(rowsOf(Derive.transfers(fixtureLogs)) === rowsOf(unioned))
+  }
+
   test("replay idempotence: deriving from duplicated logs equals single run") {
     val once = Derive.transfers(fixtureLogs)
     val twice = Derive.transfers(fixtureLogs.unionByName(fixtureLogs))
