@@ -18,7 +18,7 @@ object Crawl {
   def transfers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.filter(col("event_type").isin("purchase", "click", "error"))
-      .withColumn("k", regexp_replace(col("props"), "[^0-9]", "").cast("int"))
+      .withColumn("k", graft.expr.Exprs.digitsInt(col("props"))) // native kernel, no regex/row
       .withColumn("from_u", col("user_id"))
       .withColumn("to_u", col("k") % 15)
       .withColumn("transaction_type",

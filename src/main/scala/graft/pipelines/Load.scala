@@ -20,13 +20,19 @@ import graft.tables.Tables
 object Load {
 
   def run(spark: SparkSession, dir: String, outDir: String, nBuckets: Int = 16): DataFrame = {
-    val transfers = Crawl.transfers(spark, dir)
+    val derived = Crawl.transfers(spark, dir)
       .withColumn("owner_bucket", pmod(hash(col("to_u")), lit(nBuckets)))
 
     // K8 fact table: idempotent append keyed by attribute_version
-    transfers.write.mode(SaveMode.Overwrite)
+    derived.write.mode(SaveMode.Overwrite)
       .partitionBy("owner_bucket")
       .parquet(s"$outDir/transfers")
+
+    // The rollups read the just-written fact table back rather than
+    // re-running the derivation per action: derive once, then two
+    // column-pruned scans of compact parquet — the cheaper side of the
+    // trade whenever the derivation is more than a projection.
+    val transfers = spark.read.parquet(s"$outDir/transfers")
 
     // A1-shaped rollup -> tokens table
     val tokens = transfers.groupBy(col("to_u").as("owner"))
