@@ -116,6 +116,97 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list:
+    * turns pairwise duplicate evidence into duplicate CLUSTERS, each
+    * labeled by its minimum member id — the canonical representative a
+    * dedup pipeline keeps.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label). The neighbor step moves labels one hop; the
+    * label's-label step doubles the effective propagation distance, so
+    * convergence is O(log diameter) rounds, not O(diameter) — on a
+    * 100 TB corpus where a chain of near-dup pairs can be long, that is
+    * the difference between ~8 shuffles and ~hundreds. Each round is
+    * O(E) shuffle; `localCheckpoint` caps lineage so round N's plan
+    * doesn't re-derive rounds 1..N-1. Labels only ever decrease, so the
+    * fixpoint is exactly the per-component min regardless of join order.
+    *
+    * Duplicate-cluster graphs are unions of band cliques (diameter is
+    * tiny in practice); `maxIter` is a safety bound that covers a
+    * diameter-2^maxIter path, not a tuning knob.
+    *
+    * Returns (node, label). Nodes with no edge are absent — callers
+    * coalesce to the node's own id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // materialized once, re-joined every round
+    // Round 0 folded into the init: label = min(self, neighbors). A band
+    // clique (the common dup-graph shape) is already converged here, so
+    // the loop's first pass is just the fixpoint confirmation.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    var cached = labels
+    while (!converged && iter < maxIter) {
+      val viaEdge = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"), lit(null).cast("long").as("prev"))
+      val lab2 = labels.select(col("node").as("l_node"), col("label").as("l_label"))
+      val viaJump = labels.join(lab2, labels("label") === lab2("l_node"))
+        .select(labels("node"), col("l_label").as("label"), lit(null).cast("long").as("prev"))
+      // The old label rides along as `prev` (min ignores the nulls from
+      // the propagation rows), so convergence is a filter over the
+      // checkpointed result — no extra shuffle join per round.
+      val next = labels.select(col("node"), col("label"), col("label").as("prev"))
+        .union(viaEdge).union(viaJump)
+        .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup verdict for a corpus: every document gets its duplicate
+    * cluster's canonical id (min doc_id over the connected component of
+    * MinHash candidate pairs; singletons are their own cluster) and a
+    * keep/drop flag. This is the end-to-end output a training-data
+    * pipeline actually consumes — pairs are evidence, this is the
+    * decision. */
+  def clusters(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val cc = connectedComponents(minhashCandidatePairs(docs, numHashes, maxBucket))
+    docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep",
+        when(col("doc_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Incremental exact dedup: the operational shape at scale. A standing
+    * corpus is never re-deduped; each new batch is checked against the
+    * corpus's content-hash index and within itself. Returns the batch
+    * rows that survive (first copy per new hash, nothing already in the
+    * corpus).
+    *
+    * Scale: one shuffle of the batch on its content hash (the groupBy),
+    * one hash-keyed anti-join against the index. The index side is a
+    * (hash) relation — at 100 TB it lives as a table bucketed by hash,
+    * so the anti-join co-locates without shuffling the corpus; the
+    * batch (small side) is what moves. */
+  def incrementalExact(batch: DataFrame, corpusHashes: DataFrame): DataFrame =
+    batch.withColumn("text_hash", md5(col("text")))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+
   /** n-gram (token-set) Jaccard scored over MinHash-LSH candidate
     * pairs. Earlier rounds blocked on `(source, n_chars)` equality —
     * that both misses near-dups that differ by a single character

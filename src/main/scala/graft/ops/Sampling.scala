@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * Everything here is keyed on a key HASH, never on `rand()`: the
+  * sample is stable under re-runs, task retries, backfills and engine
+  * changes, so downstream artifacts (shards, eval splits) are
+  * reproducible. Pure map-side filters — zero shuffle, scales linearly
+  * with splits at any corpus size.
+  */
+object Sampling {
+
+  /** A uniform bucket in [0, 256): the first two hex digits of
+    * md5(key-as-string). `conv` on 2 hex chars is ANSI-safe (fits a
+    * long); a DuckDB oracle mirrors it with `position(... IN
+    * '0123456789abcdef')` digit arithmetic — same value, so membership
+    * is auditable from any engine. */
+  def hashBucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** Deterministic stratified downsample: keep a row iff its hash
+    * bucket falls under its stratum's keep-rate (numerator out of 256 —
+    * exact bucket membership, no modulo bias). `rates` maps stratum
+    * value -> numerator; unlisted strata use `default`. The common use:
+    * downweight an over-represented language/source while keeping all
+    * of a rare one. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], default: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket256(key)).filter(col("bucket") < rate)
+  }
+}

@@ -58,6 +58,55 @@ object TextOps {
           .otherwise(lit("unk")))
   }
 
+  /** Per-stratum quantile quality gate: drop each language's bottom
+    * `frac` of documents by quality score (stopword ratio here — any
+    * score column works). Exact semantics via `percent_rank` — the
+    * (rank-1)/(n-1) division is int/int double arithmetic, bit-equal
+    * across engines; the doc_id tiebreak makes ranks unique so the
+    * boundary is deterministic.
+    *
+    * Scale note: one window partitioned by language means one task per
+    * language — a 90%-English corpus serializes on one partition. At
+    * corpus scale use `qualityFilterByCutoff`: per-language cutoffs via
+    * aggregation (tiny result) broadcast back as a map-side filter,
+    * trading exact rank semantics for O(rows) parallelism. */
+  def qualityFilter(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("stop_ratio").asc, col("doc_id").asc)
+    scoredByLang(docs)
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= frac)
+      .select(col("doc_id"), col("lang"), col("stop_ratio"), col("q_rank"))
+  }
+
+  /** (doc_id, lang, stop_ratio) — the quality features with the stratum
+    * column kept, computed in one map-side pass (no self-join back). */
+  private def scoredByLang(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(EnglishStopwords.map(lit): _*)
+    docs.select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .select(col("doc_id"), col("lang"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
+  }
+
+  /** Scale-path twin of `qualityFilter`: per-language approximate
+    * cutoff (approx_percentile sketch, mergeable partials) computed in
+    * one aggregation whose result is a few rows per language, then
+    * broadcast-joined back and applied map-side. No per-language
+    * serialization, no full sort — survives a monolingual 100 TB
+    * corpus. The cutoff is approximate where the window version is
+    * exact; both keep ~(1-frac) of each language. */
+  def qualityFilterByCutoff(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val scored = scoredByLang(docs)
+    val cutoffs = scored.groupBy(col("lang"))
+      .agg(expr(s"approx_percentile(stop_ratio, $frac)").as("cutoff"))
+    scored.join(broadcast(cutoffs), "lang")
+      .filter(col("stop_ratio") >= col("cutoff"))
+      .select(col("doc_id"), col("lang"), col("stop_ratio"))
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

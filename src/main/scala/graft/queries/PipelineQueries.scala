@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Sampling, Similarity, TextOps}
 import graft.mm.Media
 import CoreQueries.{QFn, QueryDef}
 
@@ -49,6 +49,26 @@ object PipelineQueries {
   private val dedupMinhash: QFn = (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir))
 
   private val dedupSimhash: QFn = (s, dir) => Dedup.simhash(Tables.documents(s, dir))
+
+  private val dedupClusters: QFn = (s, dir) => Dedup.clusters(Tables.documents(s, dir))
+
+  private val dedupIncremental: QFn = (s, dir) => {
+    // the operational shape: a standing corpus (here doc_id % 10 < 8)
+    // is indexed by content hash once; the new batch dedups against the
+    // index and within itself — the corpus is never re-scanned in full.
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalExact(
+      docs.filter(col("doc_id") % 10 >= 8),
+      docs.filter(col("doc_id") % 10 < 8).select(md5(col("text")).as("text_hash")))
+  }
+
+  private val sampleStratified: QFn = (s, dir) =>
+    Sampling.stratified(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      col("doc_id"), col("lang"), Map("en" -> 77, "de" -> 128), default = 205)
+
+  private val textQualityFilter: QFn = (s, dir) =>
+    TextOps.qualityFilter(Tables.documents(s, dir))
 
   private val dedupNgramJaccard: QFn = (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
 
@@ -120,6 +140,45 @@ object PipelineQueries {
         |${simhashSumsSql(16)}
         |FROM hh GROUP BY doc_id)
         |SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s""".stripMargin),
+    QueryDef("dedup_clusters", dedupClusters,
+      s"""WITH RECURSIVE $minhashBandsSql,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |      UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |        FROM reach GROUP BY src)
+        |SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id,
+        |CAST(CASE WHEN COALESCE(l.label, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin),
+    QueryDef("dedup_incremental", dedupIncremental,
+      """WITH corpus AS (SELECT md5(text) AS text_hash FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT text_hash, min(doc_id) AS doc_id, count(*) AS n_in_batch
+        |FROM batch WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+        |GROUP BY text_hash""".stripMargin),
+    QueryDef("sample_stratified", sampleStratified,
+      """WITH b AS (SELECT doc_id, lang, source, n_chars,
+        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
+        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 77 WHEN 'de' THEN 128 ELSE 205 END""".stripMargin),
+    QueryDef("text_quality_filter", textQualityFilter,
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio FROM f)
+        |SELECT doc_id, lang, stop_ratio, q_rank FROM (
+        |  SELECT doc_id, lang, stop_ratio,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS q_rank
+        |  FROM s)
+        |WHERE q_rank >= 0.25""".stripMargin),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       s"""WITH $minhashBandsSql,
         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents)

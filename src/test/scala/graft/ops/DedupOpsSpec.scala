@@ -84,6 +84,80 @@ class DedupOpsSpec extends SparkSpec {
     assert(fp.getAs[String]("min_shingle_fp") !== null)
   }
 
+  test("connected components: labels a path graph and keeps components apart") {
+    // Path 1-2-3-4-5 exercises multi-hop propagation (pointer jumping);
+    // 10-11 is a separate component; 20-20 self-loop stays alone.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(got(20L) === 20L)
+  }
+
+  test("clusters: exact+near dups share a cluster, keep flag marks the min id") {
+    val got = Dedup.clusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("keep")))).toMap
+    // docs 1,2 identical and 3 near-dup: all cluster to min id 1
+    assert(got(1L) === ((1L, 1L)))
+    assert(got(2L) === ((1L, 0L)))
+    assert(got(3L) === ((1L, 0L)))
+    // 4 is unique content, 5 is too short to shingle: own singleton clusters
+    assert(got(4L) === ((4L, 1L)))
+    assert(got(5L) === ((5L, 1L)))
+  }
+
+  test("incremental dedup: batch drops corpus dups, keeps first copy per new hash") {
+    val corpus = docs.filter(col("doc_id") <= 2) // holds the "quick brown fox dog" text
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s1", 43L), // already in corpus
+      (11L, "fresh novel content never seen before", "s3", 37L),
+      (12L, "fresh novel content never seen before", "s3", 37L) // batch-internal dup of 11
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.incrementalExact(batch,
+        corpus.select(md5(col("text")).as("text_hash"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_in_batch")).toMap
+    assert(got === Map(11L -> 2L)) // 10 suppressed by corpus; 12 folded into 11
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratified(df, col("doc_id"), col("lang"),
+      Map("en" -> 64), default = 256).collect()
+    val en = kept.count(_.getAs[String]("lang") == "en")
+    val xx = kept.count(_.getAs[String]("lang") == "xx")
+    assert(xx === n / 2) // rate 256/256 keeps everything
+    // md5 buckets are uniform: expect ~ n/2 * 64/256 = 250, allow slack
+    assert(en > 150 && en < 350, s"en kept $en")
+    // determinism: a rerun keeps exactly the same rows
+    val again = Sampling.stratified(df, col("doc_id"), col("lang"),
+      Map("en" -> 64), default = 256).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("quality filter drops each language's bottom quartile; scale twin agrees in shape") {
+    // 8 en docs with stopword ratios 0/8..7/8 (i 'the's then filler), 4 xx docs
+    val rows = (0 until 8).map { i =>
+      val toks = Seq.fill(i)("the") ++ Seq.fill(8 - i)(s"w$i")
+      (i.toLong, toks.mkString(" "), "en")
+    } ++ (10 until 14).map(i => (i.toLong, s"x$i y$i z$i unique$i", "xx"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val kept = TextOps.qualityFilter(df, 0.25).collect()
+    val keptEn = kept.filter(_.getAs[String]("lang") == "en").map(_.getAs[Long]("doc_id")).toSet
+    // percent_rank >= 0.25 over 8 rows keeps ranks 3..8 -> doc_ids 2..7
+    assert(keptEn === (2L to 7L).toSet)
+    // xx docs all share ratio 0.0; tiebreak by doc_id keeps the top 3 of 4
+    val keptXx = kept.filter(_.getAs[String]("lang") == "xx").map(_.getAs[Long]("doc_id")).toSet
+    assert(keptXx === Set(11L, 12L, 13L))
+    val approx = TextOps.qualityFilterByCutoff(df, 0.25)
+    assert(approx.columns.toSet === Set("doc_id", "lang", "stop_ratio"))
+    assert(approx.count() >= 6) // keeps ~75% of each language
+  }
+
   test("similarity: identical vectors rank first with score 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
