@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share enough
+  * word n-gram shingles with any document of an evaluation/benchmark
+  * set that they would leak the benchmark into training.
+  *
+  * Scale shape: the benchmark side is small by nature (eval suites are
+  * thousands of docs, the corpus is billions), so its distinct-shingle
+  * relation broadcasts — the 100 TB train side is scanned ONCE map-side
+  * with no shuffle of raw text. Only matched (train_id, bench_id,
+  * shingle) hits — bounded by actual contamination, not corpus size —
+  * enter the counting shuffle. Never a text self-join.
+  */
+object Decontaminate {
+
+  /** Distinct word-3-gram md5 shingles per doc, exploded to
+    * (doc_id, sh) rows. Docs with < 3 tokens have no shingles and
+    * cannot be flagged — same convention as MinHash. */
+  private[ops] def shingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+          md5(concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))))
+          .as("sh"))
+  }
+
+  /** (train_id, bench_id, n_overlap) for every train/bench pair sharing
+    * at least `minOverlap` distinct shingles. `n_overlap` counts
+    * distinct shared shingles — the decontamination score a pipeline
+    * thresholds on to drop or flag train docs. */
+  def overlap(train: DataFrame, bench: DataFrame, minOverlap: Int = 3): DataFrame =
+    shingles(train).withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(shingles(bench).withColumnRenamed("doc_id", "bench_id")), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.ops.{Dedup, Sampling, Similarity, TextOps}
+import graft.ops.{Decontaminate, Dedup, Sampling, Similarity, TextOps}
 import graft.mm.Media
 import CoreQueries.{QFn, QueryDef}
 
@@ -69,6 +69,14 @@ object PipelineQueries {
 
   private val textQualityFilter: QFn = (s, dir) =>
     TextOps.qualityFilter(Tables.documents(s, dir))
+
+  private val textDecontaminate: QFn = (s, dir) => {
+    // benchmark split = every 20th doc; the train side never self-joins
+    val docs = Tables.documents(s, dir)
+    Decontaminate.overlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
 
   private val dedupNgramJaccard: QFn = (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
 
@@ -179,6 +187,17 @@ object PipelineQueries {
         |    percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS q_rank
         |  FROM s)
         |WHERE q_rank >= 0.25""".stripMargin),
+    QueryDef("text_decontaminate", textDecontaminate,
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0),
+        |be AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
+        |trs AS (SELECT doc_id AS train_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM tr WHERE len(toks) >= 3),
+        |bes AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM be WHERE len(toks) >= 3)
+        |SELECT t.train_id, b.bench_id, count(*) AS n_overlap
+        |FROM trs t JOIN bes b ON t.sh = b.sh
+        |GROUP BY t.train_id, b.bench_id
+        |HAVING count(*) >= 3""".stripMargin),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       s"""WITH $minhashBandsSql,
         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents)

@@ -158,6 +158,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(approx.count() >= 6) // keeps ~75% of each language
   }
 
+  test("decontamination flags train docs sharing shingles with the benchmark") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s", 34L), // 4 shared shingles with bench 100
+      (2L, "alpha beta gamma different tail here", "s", 36L), // 1 shared shingle — below threshold
+      (3L, "totally unrelated words in this doc", "s", 35L),
+      (4L, "a b", "s", 3L) // too short to shingle
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", "s", 34L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Decontaminate.overlap(train, bench, minOverlap = 3).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_overlap"))).toSet
+    assert(got === Set((1L, 100L, 4L)))
+    // lowering the threshold surfaces the partial-overlap doc too
+    val loose = Decontaminate.overlap(train, bench, minOverlap = 1).collect()
+      .map(_.getAs[Long]("train_id")).toSet
+    assert(loose === Set(1L, 2L))
+  }
+
   test("similarity: identical vectors rank first with score 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
