@@ -107,6 +107,22 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("stop_ratio"))
   }
 
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val LongNumRe = "[0-9]{4,}"
+
+  /** PII redaction: mask email addresses and long digit runs (account /
+    * phone-number shaped) in a text column, and count what was found.
+    * Pure map-side regexp work inside whole-stage codegen — zero
+    * shuffle, linear in splits. Patterns are deliberately RE2-safe
+    * (character classes + bounded quantifiers, no backrefs/lookarounds)
+    * so any engine can audit the masking. Emails are masked before
+    * digit runs so an address is reported once, as an email. */
+  def piiMask(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("masked",
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>"))
+      .withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_nums", size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast("long"))
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -70,6 +70,19 @@ object PipelineQueries {
   private val textQualityFilter: QFn = (s, dir) =>
     TextOps.qualityFilter(Tables.documents(s, dir))
 
+  private val textPiiMask: QFn = (s, dir) => {
+    // The synthetic corpus carries no PII, so the query plants a
+    // deterministic email + account number per row from real columns —
+    // both engines derive the identical input, so the oracle exercises
+    // the masking on every row instead of passing vacuously.
+    val synth = concat(substring(col("text"), 1, 40),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail.example order "),
+      (col("n_chars") * 1000 + col("doc_id")).cast("string"))
+    TextOps.piiMask(Tables.documents(s, dir).withColumn("synth", synth), col("synth"))
+      .select(col("doc_id"), col("masked"), col("n_emails"), col("n_nums"))
+  }
+
   private val textDecontaminate: QFn = (s, dir) => {
     // benchmark split = every 20th doc; the train side never self-joins
     val docs = Tables.documents(s, dir)
@@ -187,6 +200,17 @@ object PipelineQueries {
         |    percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS q_rank
         |  FROM s)
         |WHERE q_rank >= 0.25""".stripMargin),
+    QueryDef("text_pii_mask", textPiiMask,
+      """WITH s AS (SELECT doc_id,
+        |  concat(substr(text, 1, 40), ' contact u', CAST(doc_id AS VARCHAR),
+        |         '@mail.example order ', CAST(n_chars * 1000 + doc_id AS VARCHAR)) AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |  '[0-9]{4,}', '<NUM>', 'g') AS masked,
+        |CAST(len(regexp_extract_all(synth, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(synth, '[0-9]{4,}')) AS BIGINT) AS n_nums
+        |FROM s""".stripMargin),
     QueryDef("text_decontaminate", textDecontaminate,
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0),
         |be AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),

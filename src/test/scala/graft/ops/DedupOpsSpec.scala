@@ -158,6 +158,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(approx.count() >= 6) // keeps ~75% of each language
   }
 
+  test("pii mask redacts emails and long digit runs, counts both") {
+    val df = Seq(
+      (1L, "reach me at jane.doe@corp.example or call 5551234567 ext 12"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.com c.d@e.org and order 99887766")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiMask(df, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("masked"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_nums")))).toMap
+    assert(got(1L)._1 === "reach me at <EMAIL> or call <NUM> ext 12") // "12" too short to mask
+    assert(got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(2L) === (("no pii here at all", 0L, 0L)))
+    assert(got(3L)._1 === "two mails <EMAIL> <EMAIL> and order <NUM>")
+    assert(got(3L)._2 === 2L && got(3L)._3 === 1L)
+  }
+
   test("decontamination flags train docs sharing shingles with the benchmark") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "s", 34L), // 4 shared shingles with bench 100
