@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expr.{DigitsIntExpr, HexAddExpr, HexCmpExpr, HexSubExpr, HexToDecExpr, Keccak256Expr, MinHashSigsExpr}
+import graft.expr.{DigitsIntExpr, HexAddExpr, HexCmpExpr, HexSubExpr, HexToDecExpr, Keccak256Expr, MinHashSigsExpr, ShingleHashesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions for any session built with
@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       es => MinHashSigsExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      es => ShingleHashesExpr(es.head)))
   }
 }
