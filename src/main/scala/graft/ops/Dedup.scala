@@ -175,14 +175,38 @@ object Dedup {
     labels
   }
 
+  /** Star edges per LSH bucket: (bucket-min id, other member) instead
+    * of all C(m,2) member pairs. For CONNECTIVITY the star is
+    * equivalent to the clique — every bucket member reaches every other
+    * through the hub — so connected components over stars equal
+    * components over the full candidate-pair set, while a size-m bucket
+    * contributes m-1 edges instead of m(m-1)/2 and needs no
+    * cross-bucket `distinct`. This is what makes clustering affordable
+    * where pair *scoring* (which genuinely needs each pair) is not. */
+  private[ops] def bucketStarEdges(docs: DataFrame, numHashes: Int,
+      maxBucket: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes)
+    val banded = sigs.select(col("doc_id"), explode(array(
+      (0 until numHashes).map(s => struct(lit(s).as("band"), col(s"mh$s").as("h"))): _*
+    )).as("b")).select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
+    capBuckets(banded, Seq(col("band"), col("h")), col("doc_id"), maxBucket)
+      .groupBy(col("band"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(element_at(col("ids"), 1).as("id_a"),
+        explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
+  }
+
   /** Full dedup verdict for a corpus: every document gets its duplicate
     * cluster's canonical id (min doc_id over the connected component of
     * MinHash candidate pairs; singletons are their own cluster) and a
     * keep/drop flag. This is the end-to-end output a training-data
     * pipeline actually consumes — pairs are evidence, this is the
-    * decision. */
+    * decision. Connectivity comes from bucket STARS (see
+    * bucketStarEdges): identical components to the full pair set at a
+    * fraction of the edge volume. */
   def clusters(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val cc = connectedComponents(minhashCandidatePairs(docs, numHashes, maxBucket))
+    val cc = connectedComponents(bucketStarEdges(docs, numHashes, maxBucket))
     docs.select(col("doc_id"))
       .join(cc, docs("doc_id") === cc("node"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
