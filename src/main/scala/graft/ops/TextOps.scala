@@ -107,6 +107,38 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("stop_ratio"))
   }
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks — the GPT-2-style split pattern reduced to
+    * ASCII classes so it evaluates identically under Java regex and
+    * RE2. Subword-piece counts from this are the standard proxy for
+    * "model tokens" when the real tokenizer isn't in the data plane. */
+  val BpeishRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** doc_id, n_tokens (whitespace), n_pieces (BPE-ish regex),
+    * chars_per_piece — the cost estimate a training pipeline budgets
+    * with. Map-side only. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeishRe), lit(0))).cast("long").as("n_pieces"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .withColumn("chars_per_piece",
+        col("n_chars_actual").cast("double") / col("n_pieces").cast("double"))
+
+  /** Repetition signal (the Gopher-rule family): fraction of duplicate
+    * word 3-grams per document, 1 - distinct/total. Highly repetitive
+    * docs (boilerplate, keyword stuffing, generation loops) score near
+    * 1 and get filtered. Uses the native shingle kernel; docs with < 3
+    * tokens score 0 (nothing to repeat). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val total = (size(tokens(col("text"))) - 2).cast("double")
+    docs.select(col("doc_id"),
+      when(size(tokens(col("text"))) < 3, lit(0.0d))
+        .otherwise(lit(1.0d) -
+          size(graft.expr.ArrayExprs.shingleHashes(col("text"))).cast("double") / total)
+        .as("rep_ratio"))
+  }
+
   val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
   val LongNumRe = "[0-9]{4,}"
 

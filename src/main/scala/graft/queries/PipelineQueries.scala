@@ -124,6 +124,10 @@ object PipelineQueries {
 
   private val textFingerprint: QFn = (s, dir) => TextOps.fingerprint(Tables.documents(s, dir))
 
+  private val textBpeTokens: QFn = (s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))
+
+  private val textRepetition: QFn = (s, dir) => TextOps.repetition(Tables.documents(s, dir))
+
   private val mmFeatures: QFn = (s, dir) => Media.features(s, Tables.documents(s, dir))
 
   private val mmFrames: QFn = (s, dir) => {
@@ -200,6 +204,22 @@ object PipelineQueries {
         |    percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS q_rank
         |  FROM s)
         |WHERE q_rank >= 0.25""".stripMargin),
+    QueryDef("text_bpe_tokens", textBpeTokens,
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_pieces,
+        |CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |CAST(length(text) AS DOUBLE) /
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) AS chars_per_piece
+        |FROM documents""".stripMargin),
+    QueryDef("text_repetition", textRepetition,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |CASE WHEN len(toks) < 3 THEN 0.0
+        |ELSE 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS DOUBLE)
+        |  / CAST(len(toks) - 2 AS DOUBLE) END AS rep_ratio
+        |FROM t""".stripMargin),
     QueryDef("text_pii_mask", textPiiMask,
       """WITH s AS (SELECT doc_id,
         |  concat(substr(text, 1, 40), ' contact u', CAST(doc_id AS VARCHAR),

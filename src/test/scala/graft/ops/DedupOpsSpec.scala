@@ -158,6 +158,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(approx.count() >= 6) // keeps ~75% of each language
   }
 
+  test("bpe-ish piece counting and repetition scoring") {
+    val df = Seq(
+      (1L, "hello world42 x-y"), // pieces: hello, world, 42, x, -, y
+      (2L, "spam spam spam spam spam"), // 3 identical 3-grams
+      (3L, "a b") // too short for shingles
+    ).toDF("doc_id", "text")
+    val bpe = TextOps.bpeTokenStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pieces")).toMap
+    assert(bpe(1L) === 6L)
+    val rep = TextOps.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(rep(1L) === 0.0) // one distinct 3-gram, total 1
+    assert(rep(2L) === (1.0 - 1.0 / 3.0)) // 3 shingles, 1 distinct
+    assert(rep(3L) === 0.0)
+  }
+
   test("pii mask redacts emails and long digit runs, counts both") {
     val df = Seq(
       (1L, "reach me at jane.doe@corp.example or call 5551234567 ext 12"),
