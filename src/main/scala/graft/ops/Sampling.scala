@@ -34,4 +34,18 @@ object Sampling {
     }
     df.withColumn("bucket", hashBucket256(key)).filter(col("bucket") < rate)
   }
+
+  /** Deterministic mixture quota: keep exactly `quota` rows per stratum
+    * (fewer if the stratum is smaller), chosen as the quota smallest
+    * md5-of-key values — a uniform, rerun-stable draw. The rank filter
+    * stays <= 1000 so it plans as WindowGroupLimit: at most `quota`
+    * rows per stratum per input partition ever reach the shuffle. The
+    * common use: a balanced cross-source eval slice from a skewed
+    * corpus. */
+  def mixtureQuota(df: DataFrame, key: Column, stratum: Column, quota: Int): DataFrame = {
+    require(quota <= 1000, "rank filters above windowGroupLimitThreshold lose the partial top-k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= quota)
+  }
 }

@@ -62,6 +62,11 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 10 < 8).select(md5(col("text")).as("text_hash")))
   }
 
+  private val sampleMixture: QFn = (s, dir) =>
+    Sampling.mixtureQuota(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"), col("source"), quota = 15)
+
   private val sampleStratified: QFn = (s, dir) =>
     Sampling.stratified(
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
@@ -204,6 +209,12 @@ object PipelineQueries {
         |    percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS q_rank
         |  FROM s)
         |WHERE q_rank >= 0.25""".stripMargin),
+    QueryDef("sample_mixture", sampleMixture,
+      """SELECT doc_id, lang, source,
+        |CAST(row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |FROM documents
+        |QUALIFY rn <= 15""".stripMargin),
     QueryDef("text_bpe_tokens", textBpeTokens,
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

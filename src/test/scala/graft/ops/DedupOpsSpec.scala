@@ -96,6 +96,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(20L) === 20L)
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: plain union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // min node id in the component = min over all touched nodes with same root
+          val root = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("clusters: exact+near dups share a cluster, keep flag marks the min id") {
     val got = Dedup.clusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -136,6 +160,21 @@ class DedupOpsSpec extends SparkSpec {
     // determinism: a rerun keeps exactly the same rows
     val again = Sampling.stratified(df, col("doc_id"), col("lang"),
       Map("en" -> 64), default = 256).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("mixture quota keeps exactly k per stratum, deterministically") {
+    val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.mixtureQuota(df, col("doc_id"), col("source"), quota = 20).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 20, "b" -> 20))
+    // small stratum: quota larger than the stratum keeps all of it
+    val tiny = Sampling.mixtureQuota(df.filter(col("doc_id") < 9), col("doc_id"),
+      col("source"), quota = 20).count()
+    assert(tiny === 9L)
+    val again = Sampling.mixtureQuota(df, col("doc_id"), col("source"), quota = 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
