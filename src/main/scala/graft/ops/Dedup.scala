@@ -141,14 +141,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Lazy localCheckpoint throughout: lineage is truncated per round,
+    // but materialization piggybacks on the round's convergence count —
+    // one action per round, not two.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // materialized once, re-joined every round
+      .localCheckpoint(false) // materialized once, re-joined every round
     // Round 0 folded into the init: label = min(self, neighbors). A band
     // clique (the common dup-graph shape) is already converged here, so
     // the loop's first pass is just the fixpoint confirmation.
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     var cached = labels
@@ -164,7 +167,7 @@ object Dedup {
       val next = labels.select(col("node"), col("label"), col("label").as("prev"))
         .union(viaEdge).union(viaJump)
         .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.filter(col("label") < col("prev")).count()
       cached.unpersist()
       cached = next
