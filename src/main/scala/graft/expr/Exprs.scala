@@ -186,6 +186,8 @@ object Exprs {
     reg.createOrReplaceTempFunction("hex_sub", es => HexSubExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_to_dec", es => HexToDecExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sigs", es => MinHashSigsExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "built-in")
     Uint256Sum.register(spark)
   }
 }

@@ -229,6 +229,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(3L)._2 === 2L && got(3L)._3 === 1L)
   }
 
+  test("pii masking is idempotent: re-masking masked text changes nothing") {
+    val rnd = new scala.util.Random(7)
+    val pieces = Seq("user.name@host.example", "5551234567", "plain", "words",
+      "x@y.z", "99887766", "a1b2", "end.")
+    val texts = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(6)(pieces(rnd.nextInt(pieces.length))).mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val once = TextOps.piiMask(df, col("text")).select(col("doc_id"), col("masked"))
+    val again = TextOps.piiMask(once.withColumnRenamed("masked", "text"), col("text"))
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[String]("masked"))
+    assert(again.forall { case (a, b) => a == b })
+  }
+
   test("decontamination flags train docs sharing shingles with the benchmark") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "s", 34L), // 4 shared shingles with bench 100

@@ -25,6 +25,19 @@ class CatalogSpec extends SparkSpec {
     assert(abi === "hi")
   }
 
+  test("round-3 kernels resolve from SQL") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT size(shingle_hashes('a b c d')) AS n_sh,
+             shingle_hashes('a b') AS too_short,
+             element_at(minhash_sigs('a b c d'), 1) AS mh0
+      FROM (SELECT 1)
+    """).head()
+    assert(r.getAs[Int]("n_sh") === 2)
+    assert(r.isNullAt(1))
+    assert(r.getAs[String]("mh0").length === 8)
+  }
+
   test("round-2 scalar functions resolve from SQL") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""
