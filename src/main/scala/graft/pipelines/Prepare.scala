@@ -37,10 +37,16 @@ object Prepare {
     val docs = Tables.documents(spark, dir)
     val n0 = docs.count()
 
-    // 1. quality gate (approximate per-language cutoff, broadcast back)
-    val gated = TextOps.qualityFilterByCutoff(docs, qualityFrac)
+    // 1. quality gate (approximate per-language cutoff, broadcast back).
+    // The gated corpus is STAGED to parquet rather than cached: dedup
+    // makes several passes over it (signatures + the keep join), and a
+    // durable staging table is the 100 TB answer — resumable, survives
+    // executor loss, and each pass is a column-pruned scan of compact
+    // parquet instead of a re-run of the gate.
+    TextOps.qualityFilterByCutoff(docs, qualityFrac)
       .select("doc_id").join(docs, "doc_id")
-    val gatedC = gated.localCheckpoint() // each later stage reads this, not a re-derivation
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stage_gated")
+    val gatedC = spark.read.parquet(s"$outDir/stage_gated")
     val n1 = gatedC.count()
 
     // 2. one doc per duplicate cluster
