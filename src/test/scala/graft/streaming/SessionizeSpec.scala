@@ -76,6 +76,38 @@ class SessionizeSpec extends SparkSpec {
     assert(users === Array(1L, 2L, 3L))
   }
 
+  test("streaming corpus ingest drops corpus dups and in-stream replays") {
+    val (dir, ckpt) = mkDirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ingest_ts", TimestampType),
+      StructField("text", StringType)))
+    def writeDocs(file: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "tss", "text")
+        .select($"doc_id", to_timestamp($"tss").as("ingest_ts"), $"text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$file")
+
+    writeDocs("f1", Seq(
+      (10L, "2024-01-01 00:00:00", "already in corpus"),
+      (11L, "2024-01-01 00:00:30", "brand new a")))
+    writeDocs("f2", Seq(
+      (12L, "2024-01-01 00:01:00", "brand new a"), // in-stream replay of 11
+      (13L, "2024-01-01 00:01:30", "brand new b")))
+
+    val corpusHashes = Seq("already in corpus").toDF("t")
+      .select(md5($"t").as("text_hash"))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val q = Ingest.dedupedStream(stream, corpusHashes)
+      .writeStream.outputMode("append").format("memory").queryName("ingest_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.sql("SELECT doc_id FROM ingest_out").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(11L, 13L)) // 10 = corpus dup, 12 = stream replay
+  }
+
   test("stream-stream interval join matches only rows inside the band") {
     val (ldir, ckpt) = mkDirs()
     val rdir = Files.createTempDirectory("sess_r").toString
