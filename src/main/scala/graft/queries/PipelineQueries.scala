@@ -102,6 +102,20 @@ object PipelineQueries {
 
   private val dedupEmbedLsh: QFn = (s, dir) => Similarity.nearDupPairsLsh(Tables.embeddings(s, dir))
 
+  private val dedupEmbedClusters: QFn = (s, dir) => {
+    // semantic dedup verdict: connected components over embedding
+    // near-dup pairs — the embedding-space twin of dedup_clusters,
+    // same CC machinery over a different similarity graph.
+    val emb = Tables.embeddings(s, dir)
+    val cc = Dedup.connectedComponents(
+      Similarity.nearDupPairs(emb).select(col("id_a"), col("id_b")))
+    emb.select(col("vec_id"))
+      .join(cc, emb("vec_id") === cc("node"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep",
+        when(col("vec_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
+  }
+
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
@@ -284,6 +298,27 @@ object PipelineQueries {
         |  FROM nb a JOIN nb b ON a.label = b.label AND a.bucket = b.bucket
         |    AND a.vec_id < b.vec_id)
         |WHERE score >= 0.3""".stripMargin),
+    QueryDef("dedup_embed_clusters", dedupEmbedClusters,
+      s"""WITH RECURSIVE $preparedSql,
+        |nc AS (SELECT vec_id, label, qv, nrm FROM n0
+        |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= 1000),
+        |p AS (SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${dotSql("a.qv", "b.qv")} /
+        |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS score
+        |  FROM nc a JOIN nc b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE score >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |        FROM reach GROUP BY src)
+        |SELECT emb.vec_id, COALESCE(l.label, emb.vec_id) AS cluster_id,
+        |CAST(CASE WHEN COALESCE(l.label, emb.vec_id) = emb.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.node""".stripMargin),
     QueryDef("ann_bruteforce", annBruteforce,
       s"""WITH $preparedSql,
         |q AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0 WHERE vec_id % 100 = 0),
