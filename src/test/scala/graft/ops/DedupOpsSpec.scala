@@ -96,6 +96,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(20L) === 20L)
   }
 
+  test("connected components: empty edges and dup-free corpora degrade cleanly") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+    val uniq = Seq(
+      (1L, "alpha beta gamma delta", "s", 22L),
+      (2L, "epsilon zeta eta theta", "s", 22L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.clusters(uniq).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L)) // everyone is their own canonical
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
