@@ -55,6 +55,34 @@ class SessionizeSpec extends SparkSpec {
     assert(got((1L, base + 60 * min)) === ((1L, 3.0))) // closed by timeout after f3
   }
 
+  test("late-but-allowed event extends an open session's start downward") {
+    val (dir, ckpt) = mkDirs()
+    writeFile(dir, "f1", Seq(
+      (1L, "2024-01-01 00:10:00", 1.0)))
+    // batch 2: late event at 00:05 — within the watermark, inside the
+    // gap relative to the open session — must LOWER session_start_us
+    writeFile(dir, "f2", Seq(
+      (1L, "2024-01-01 00:05:00", 2.0)))
+    writeFile(dir, "f3", Seq(
+      (9L, "2024-01-01 09:00:00", 0.0))) // watermark push: closes user 1
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*").as[Sessionize.Ev]
+    val q = Sessionize.sessions(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_late_out")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT * FROM sess_late_out").as[Sessionize.ClosedSession]
+      .collect().filter(_.user_id == 1L)
+    val base = 1704067200000000L
+    val min = 60000000L
+    assert(got.length === 1)
+    assert(got.head.session_start_us === base + 5 * min) // extended down to 00:05
+    assert(got.head.n === 2L && got.head.total === 3.0)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed keys across micro-batches") {
     val (dir, ckpt) = mkDirs()
     writeFile(dir, "f1", Seq(
