@@ -1,0 +1,78 @@
+package graft.expr
+
+import java.security.MessageDigest
+import scala.util.Random
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (seeded-random, no Spark session): the native array
+  * kernels ≅ naive reference implementations over random token
+  * streams. These are the hot loops every dedup/decontamination
+  * operator rides on — a silent divergence here would break oracle
+  * parity everywhere downstream. */
+class ArrayKernelsSpec extends AnyFunSuite {
+
+  private val rnd = new Random(1234)
+  private val N = 200
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def randomText(): String = {
+    val n = rnd.nextInt(12) // 0..11 tokens, covers the < 3 edge
+    Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" ")
+  }
+
+  private def refShingles(text: String): Seq[String] = {
+    val t = text.split(" ", -1)
+    (0 until math.max(0, t.length - 2))
+      .map(i => md5hex(s"${t(i)} ${t(i + 1)} ${t(i + 2)}")).distinct
+  }
+
+  test("shingleHashes matches a naive distinct-md5 reference") {
+    (1 to N).foreach { _ =>
+      val text = randomText()
+      val got = ArrayKernels.shingleHashes(UTF8String.fromString(text))
+      val want = refShingles(text)
+      if (text.split(" ", -1).length < 3) assert(got === null, text)
+      else assert(got.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq === want, text)
+    }
+  }
+
+  test("minhashSigs matches per-slice minima of the full shingle set") {
+    (1 to N).foreach { _ =>
+      val text = randomText()
+      val toks = text.split(" ", -1)
+      val all = (0 until math.max(0, toks.length - 2))
+        .map(i => md5hex(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+      val got = ArrayKernels.minhashSigs(UTF8String.fromString(text), 4)
+      if (toks.length < 3) assert(got === null, text)
+      else {
+        val sigs = got.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString)
+        (0 until 4).foreach { s =>
+          assert(sigs(s) === all.map(_.substring(8 * s, 8 * s + 8)).min, s"$text slice $s")
+        }
+      }
+    }
+  }
+
+  test("dotLong and quantize compose to the exact integer dot product") {
+    (1 to N).foreach { _ =>
+      val dim = 1 + rnd.nextInt(8)
+      val a = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      def q(x: Float): Long = java.math.BigDecimal.valueOf(x.toDouble * 1000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val want = (0 until dim).map(i => q(a(i)) * q(b(i))).sum
+      val qa = ArrayKernels.quantize(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        a.map(java.lang.Float.valueOf)))
+      val qb = ArrayKernels.quantize(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        b.map(java.lang.Float.valueOf)))
+      assert(ArrayKernels.dotLong(qa, qb) === want)
+    }
+  }
+}
