@@ -182,6 +182,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // The edge checkpoint is dead once the fixpoint is reached (the
+    // returned labels' lineage was cut by their own checkpoint); free
+    // its blocks instead of pinning O(E) storage for the session.
+    edges.unpersist()
+    // The returned frame is backed by the final round's cached blocks;
+    // long-lived callers should unpersist after consuming it.
     labels
   }
 
@@ -203,8 +209,11 @@ object Dedup {
       .groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // slice length = size(ids): Int.MaxValue here overflows in Slice's
+      // INTERPRETED eval (start + length wraps negative -> empty array),
+      // which would silently emit zero edges under codegen fallback.
       .select(element_at(col("ids"), 1).as("id_a"),
-        explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("id_b"))
   }
 
   /** Full dedup verdict for a corpus: every document gets its duplicate
@@ -215,14 +224,21 @@ object Dedup {
     * decision. Connectivity comes from bucket STARS (see
     * bucketStarEdges): identical components to the full pair set at a
     * fraction of the edge volume. */
-  def clusters(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val cc = connectedComponents(bucketStarEdges(docs, numHashes, maxBucket))
-    docs.select(col("doc_id"))
-      .join(cc, docs("doc_id") === cc("node"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  def clusters(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame =
+    clusterVerdict(docs.select(col("doc_id")), "doc_id",
+      connectedComponents(bucketStarEdges(docs, numHashes, maxBucket)))
+
+  /** The cluster verdict convention, shared by every similarity graph
+    * (text MinHash, embedding cosine, ...): each id gets its
+    * component's min id as cluster_id (singletons: own id) and a keep
+    * flag marking the canonical representative. Keeping this in ONE
+    * place is what guarantees the text and embedding dedup verdicts
+    * can't silently diverge. */
+  def clusterVerdict(ids: DataFrame, idCol: String, cc: DataFrame): DataFrame =
+    ids.join(cc, ids(idCol) === cc("node"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
       .withColumn("keep",
-        when(col("doc_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
-  }
+        when(col(idCol) === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
 
   /** Incremental exact dedup: the operational shape at scale. A standing
     * corpus is never re-deduped; each new batch is checked against the

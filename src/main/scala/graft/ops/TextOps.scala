@@ -139,7 +139,7 @@ object TextOps {
         .as("rep_ratio"))
   }
 
-  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
   val LongNumRe = "[0-9]{4,}"
 
   /** PII redaction: mask email addresses and long digit runs (account /
@@ -148,12 +148,16 @@ object TextOps {
     * shuffle, linear in splits. Patterns are deliberately RE2-safe
     * (character classes + bounded quantifiers, no backrefs/lookarounds)
     * so any engine can audit the masking. Emails are masked before
-    * digit runs so an address is reported once, as an email. */
-  def piiMask(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("masked",
-        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>"))
+    * digit runs so an address is reported once, as an email — n_nums
+    * therefore counts digit runs on the email-masked text, never
+    * double-reporting digits inside an address. */
+  def piiMask(df: DataFrame, text: Column): DataFrame = {
+    val emailMasked = regexp_replace(text, EmailRe, "<EMAIL>")
+    df.withColumn("masked", regexp_replace(emailMasked, LongNumRe, "<NUM>"))
       .withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"))
-      .withColumn("n_nums", size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast("long"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(emailMasked, lit(LongNumRe), lit(0))).cast("long"))
+  }
 
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */

@@ -49,10 +49,14 @@ object Prepare {
     val gatedC = spark.read.parquet(s"$outDir/stage_gated")
     val n1 = gatedC.count()
 
-    // 2. one doc per duplicate cluster
-    val keep = Dedup.clusters(gatedC).filter(col("keep") === 1L).select("doc_id")
+    // 2. one doc per duplicate cluster. The keep set (a doc_id list) is
+    // staged too, so the CC computation runs exactly once — the join
+    // below and the funnel count both read the staged result.
+    Dedup.clusters(gatedC).filter(col("keep") === 1L).select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stage_keep")
+    val keep = spark.read.parquet(s"$outDir/stage_keep")
+    val n2 = keep.count() // keep join is 1:1 -> this IS the deduped count
     val deduped = gatedC.join(keep, "doc_id")
-    val n2 = deduped.count()
 
     // 3. PII redaction (map-side; masked text replaces the original)
     val masked = TextOps.piiMask(deduped, col("text"))
@@ -61,14 +65,16 @@ object Prepare {
     // 4. deterministic stratified downsample
     val sampled = Sampling.stratified(masked, col("doc_id"), col("lang"),
       rates, defaultRate)
-    val n3 = sampled.count()
 
     // 5. hash-bucketed shard write: every shard dir gets its writers,
     // no shard depends on global order — retry/backfill stable because
-    // the shard of a doc is a pure function of its id
+    // the shard of a doc is a pure function of its id. The write runs
+    // the dedup-join -> mask -> sample chain ONCE; the funnel count
+    // reads the written shards back instead of re-running the chain.
     sampled.withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/corpus")
+    val n3 = spark.read.parquet(s"$outDir/corpus").count()
 
     Seq(
       ("input", n0),

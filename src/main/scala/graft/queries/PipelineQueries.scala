@@ -107,13 +107,9 @@ object PipelineQueries {
     // near-dup pairs — the embedding-space twin of dedup_clusters,
     // same CC machinery over a different similarity graph.
     val emb = Tables.embeddings(s, dir)
-    val cc = Dedup.connectedComponents(
-      Similarity.nearDupPairs(emb).select(col("id_a"), col("id_b")))
-    emb.select(col("vec_id"))
-      .join(cc, emb("vec_id") === cc("node"), "left")
-      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
-      .withColumn("keep",
-        when(col("vec_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
+    Dedup.clusterVerdict(emb.select(col("vec_id")), "vec_id",
+      Dedup.connectedComponents(
+        Similarity.nearDupPairs(emb).select(col("id_a"), col("id_b"))))
   }
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
@@ -251,10 +247,11 @@ object PipelineQueries {
         |         '@mail.example order ', CAST(n_chars * 1000 + doc_id AS VARCHAR)) AS synth
         |  FROM documents)
         |SELECT doc_id,
-        |regexp_replace(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |regexp_replace(regexp_replace(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]{4,}', '<NUM>', 'g') AS masked,
-        |CAST(len(regexp_extract_all(synth, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
-        |CAST(len(regexp_extract_all(synth, '[0-9]{4,}')) AS BIGINT) AS n_nums
+        |CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(regexp_replace(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |  '[0-9]{4,}')) AS BIGINT) AS n_nums
         |FROM s""".stripMargin),
     QueryDef("text_decontaminate", textDecontaminate,
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0),

@@ -229,7 +229,9 @@ class DedupOpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "reach me at jane.doe@corp.example or call 5551234567 ext 12"),
       (2L, "no pii here at all"),
-      (3L, "two mails a@b.com c.d@e.org and order 99887766")
+      (3L, "two mails a@b.com c.d@e.org and order 99887766"),
+      (4L, "JANE.DOE@CORP-MAIL.COM shouts"), // mixed case must still mask
+      (5L, "user1234@host.example only")     // digits inside the address: no <NUM>
     ).toDF("doc_id", "text")
     val got = TextOps.piiMask(df, col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -239,6 +241,9 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(2L) === (("no pii here at all", 0L, 0L)))
     assert(got(3L)._1 === "two mails <EMAIL> <EMAIL> and order <NUM>")
     assert(got(3L)._2 === 2L && got(3L)._3 === 1L)
+    assert(got(4L)._1 === "<EMAIL> shouts")
+    // digits inside a masked address are not double-reported as numbers
+    assert(got(5L) === (("<EMAIL> only", 1L, 0L)))
   }
 
   test("pii masking is idempotent: re-masking masked text changes nothing") {
