@@ -121,60 +121,92 @@ object Dedup {
     * labeled by its minimum member id — the canonical representative a
     * dedup pipeline keeps.
     *
-    * Algorithm: min-label propagation with pointer jumping. Each round
-    * every node takes the min of (its label, its neighbors' labels, its
-    * label's label). The neighbor step moves labels one hop; the
-    * label's-label step doubles the effective propagation distance, so
-    * convergence is O(log diameter) rounds, not O(diameter) — on a
-    * 100 TB corpus where a chain of near-dup pairs can be long, that is
-    * the difference between ~8 shuffles and ~hundreds. Each round is
-    * O(E) shuffle; `localCheckpoint` caps lineage so round N's plan
-    * doesn't re-derive rounds 1..N-1. Labels only ever decrease, so the
-    * fixpoint is exactly the per-component min regardless of join order.
+    * Algorithm: hash-to-min label propagation (Rastogi et al.,
+    * "Finding Connected Components in Map-Reduce in Logarithmic
+    * Rounds"). Each round: (1) PULL — every node takes the min of its
+    * own and its neighbors' labels; (2) PUSH — every node sends that
+    * min to its current label node; (3) JUMP — every node also pulls
+    * the min at its label node. The push step is what makes this
+    * converge in O(log d) rounds: a pull-only rule (even with pointer
+    * jumping) plateaus at local minima and degrades to O(d) — measured
+    * 17 rounds pull-only vs 7 hash-to-min on the same near-dup graph.
+    * On a 100 TB corpus where a chain of near-dup pairs can be long,
+    * that is the difference between ~8 shuffles and ~hundreds. Each
+    * round is O(E) shuffle; `localCheckpoint` caps lineage so round
+    * N's plan doesn't re-derive rounds 1..N-1. Labels only ever
+    * decrease, so the fixpoint is exactly the per-component min
+    * regardless of join order.
     *
     * Duplicate-cluster graphs are unions of band cliques (diameter is
-    * tiny in practice); `maxIter` is a safety bound that covers a
-    * diameter-2^maxIter path, not a tuning knob.
+    * tiny in practice); `maxIter` is a safety bound, not a tuning knob,
+    * and the loop FAILS LOUDLY if it trips — an unconverged label map
+    * would silently under-merge clusters.
+    *
+    * Checkpoints are EAGER: a lazily-marked checkpoint (eager=false)
+    * did not reliably truncate lineage under AQE here — per-round cost
+    * grew geometrically past ~10 rounds (0.4 s → 122 s/round measured
+    * on a 14-round graph) as later plans re-derived earlier rounds.
+    * Eager materialization costs one extra tiny job per round and makes
+    * every round flat.
+    *
+    * ADAPTIVE small-graph path: the candidate-pair graph is orders of
+    * magnitude smaller than the corpus (only near-dups produce edges —
+    * 50k docs yield ~13k edges here), so after the one mandatory edge
+    * materialization, if the graph fits comfortably in a single task
+    * (`localEdgeLimit`, default 4M undirected edges ≈ 128 MB) it is
+    * solved exactly by union-find in ONE executor task instead of ~7
+    * full shuffle rounds. This is not a driver-side collect — the
+    * mapPartitions task runs on an executor and the result re-enters
+    * the plan as a (tiny, broadcastable) relation. Above the limit the
+    * distributed hash-to-min loop below takes over — same output,
+    * proven by a differential spec.
     *
     * Returns (node, label). Nodes with no edge are absent — callers
     * coalesce to the node's own id.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      localEdgeLimit: Long = 4L << 20): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    // Lazy localCheckpoint throughout: lineage is truncated per round,
-    // but materialization piggybacks on the round's convergence count —
-    // one action per round, not two.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false) // materialized once, re-joined every round
+      .localCheckpoint() // materialized once, re-joined every round
+    // Cheap: counts the just-materialized checkpoint blocks, no recompute.
+    if (edges.count() <= 2 * localEdgeLimit) return unionFindLocal(edges)
     // Round 0 folded into the init: label = min(self, neighbors). A band
     // clique (the common dup-graph shape) is already converged here, so
     // the loop's first pass is just the fixpoint confirmation.
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     var cached = labels
     while (!converged && iter < maxIter) {
-      val viaEdge = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"), lit(null).cast("long").as("prev"))
-      // Two jump hops per round (label of label, then its label again):
-      // reach per round triples-ish instead of doubling, one more join
-      // of the same small label relation — measured fewer rounds on
-      // chain-shaped dup graphs, and at scale rounds are full shuffles.
-      val lab2 = labels.select(col("node").as("l_node"), col("label").as("l_label"))
-      val jump1 = labels.join(lab2, labels("label") === lab2("l_node"))
-        .select(labels("node"), col("l_label").as("label"))
-      val lab3 = labels.select(col("node").as("m_node"), col("label").as("m_label"))
-      val viaJump = jump1.join(lab3, jump1("label") === lab3("m_node"))
-        .select(jump1("node"), col("m_label").as("label"), lit(null).cast("long").as("prev"))
+      // PULL: m(v) = min(label(v), label of every neighbor). The one
+      // O(E) join of the round.
+      val m = labels
+        .union(edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label")))
+        .groupBy("node").agg(min("label").as("m"))
+      val mRen = m.select(col("node").as("m_node"), col("m"))
+      // PUSH: v sends m(v) to its label node — the reverse-direction
+      // flow that breaks pull-only plateaus (label nodes learn the
+      // smaller min discovered anywhere in their cluster-in-progress).
+      val push = labels.join(mRen, labels("node") === mRen("m_node"))
+        .select(labels("label").as("node"), col("m").as("label"),
+          lit(null).cast("long").as("prev"))
+      // JUMP: v pulls m(label(v)) — pointer-jumping on the label graph.
+      val jump = labels.join(mRen, labels("label") === mRen("m_node"))
+        .select(labels("node"), col("m").as("label"),
+          lit(null).cast("long").as("prev"))
+      val self = m.select(col("node"), col("m").as("label"),
+        lit(null).cast("long").as("prev"))
       // The old label rides along as `prev` (min ignores the nulls from
       // the propagation rows), so convergence is a filter over the
       // checkpointed result — no extra shuffle join per round.
       val next = labels.select(col("node"), col("label"), col("label").as("prev"))
-        .union(viaEdge).union(viaJump)
+        .union(self).union(push).union(jump)
         .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val changed = next.filter(col("label") < col("prev")).count()
       cached.unpersist()
       cached = next
@@ -182,12 +214,62 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds - " +
+        "an unconverged label map would silently under-merge clusters")
+    finishCc(edges, labels)
+  }
+
+  private def finishCc(edges: DataFrame, labels: DataFrame): DataFrame = {
     // The edge checkpoint is dead once the fixpoint is reached (the
     // returned labels' lineage was cut by their own checkpoint); free
     // its blocks instead of pinning O(E) storage for the session.
     edges.unpersist()
     // The returned frame is backed by the final round's cached blocks;
     // long-lived callers should unpersist after consuming it.
+    labels
+  }
+
+  /** Exact single-task components for a small edge relation: coalesce
+    * to one executor task, run union-find with union-by-min (so each
+    * root IS its component's minimum id), emit (node, label). Output
+    * schema and values are identical to the iterative path. */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val labels = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as(tup)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x // path compression keeps the scan amortized ~O(E α(N))
+          while (parent.getOrDefault(c, c) != r) {
+            val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+          }
+          r
+        }
+        val nodes = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { case (a, b) =>
+          nodes.add(a); nodes.add(b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min: the surviving root is the smaller id, so the
+          // invariant "root == min member of its component" holds at
+          // every step (singletons trivially satisfy it).
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        nodes.forEach(n => out += ((n.longValue(), find(n.longValue()))))
+        out.result()
+      }(tup)
+      .toDF("node", "label")
+      // Eager checkpoint: materializes the (tiny) result so the edge
+      // blocks it was derived from can be freed immediately.
+      .localCheckpoint()
+    edges.unpersist()
     labels
   }
 

@@ -89,11 +89,16 @@ class DedupOpsSpec extends SparkSpec {
     // 10-11 is a separate component; 20-20 self-loop stays alone.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 20L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-    assert((1L to 5L).forall(got(_) == 1L))
-    assert(got(10L) === 10L && got(11L) === 10L)
-    assert(got(20L) === 20L)
+    // Both execution paths must agree: single-task union-find (default
+    // for a graph this small) and the distributed hash-to-min loop
+    // (forced via localEdgeLimit = 0).
+    for (limit <- Seq(4L << 20, 0L)) {
+      val got = Dedup.connectedComponents(pairs, localEdgeLimit = limit).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert((1L to 5L).forall(got(_) == 1L), s"limit=$limit")
+      assert(got(10L) === 10L && got(11L) === 10L, s"limit=$limit")
+      assert(got(20L) === 20L, s"limit=$limit")
+    }
   }
 
   test("connected components: empty edges and dup-free corpora degrade cleanly") {
@@ -126,9 +131,13 @@ class DedupOpsSpec extends SparkSpec {
           val root = find(v.toInt)
           edges.flatMap(e => Seq(e._1, e._2)).filter(u => find(u.toInt) == root).min
         }).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
-        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-      assert(got === expect, s"trial $trial")
+      // differential across BOTH execution paths on every trial
+      for (limit <- Seq(4L << 20, 0L)) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            localEdgeLimit = limit).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+        assert(got === expect, s"trial $trial limit=$limit")
+      }
     }
   }
 
