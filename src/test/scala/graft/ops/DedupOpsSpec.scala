@@ -141,6 +141,19 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed CC converges in O(log d) rounds on a deep path graph") {
+    // A 256-node path is the adversarial shape for label propagation:
+    // information must flow 255 hops. Hash-to-min must close it well
+    // inside the maxIter=50 safety bound (observed ~9 rounds; a
+    // pull-only rule needs >25 and would trip the bound on longer
+    // paths). Forced onto the iterative path with localEdgeLimit=0.
+    val path = (1L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(path, localEdgeLimit = 0L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got.size === 256)
+    assert(got.values.forall(_ == 1L))
+  }
+
   test("clusters: exact+near dups share a cluster, keep flag marks the min id") {
     val got = Dedup.clusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
