@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.ops.{Decontaminate, Dedup, Sampling, Similarity, TextOps}
+import graft.ops.{Decontaminate, Dedup, Packing, Sampling, Similarity, TextOps}
 import graft.mm.Media
 import CoreQueries.{QFn, QueryDef}
 
@@ -111,6 +111,9 @@ object PipelineQueries {
       Dedup.connectedComponents(
         Similarity.nearDupPairs(emb).select(col("id_a"), col("id_b"))))
   }
+
+  private val packSequences: QFn = (s, dir) =>
+    Packing.pack(Tables.documents(s, dir), seqLen = 256L, shards = 8)
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
@@ -388,6 +391,22 @@ object PipelineQueries {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |CAST((octet_length(encode(text)) // 640) % 480 AS BIGINT) AS height,
-        |md5(text) AS content_hash FROM documents""".stripMargin)
+        |md5(text) AS content_hash FROM documents""".stripMargin),
+    QueryDef("pack_sequences", packSequences,
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
+        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(unnest(generate_series(0, greatest(0, (n_tokens - 1) // 256))) AS BIGINT) AS chunk_idx
+        |  FROM t),
+        |k AS (SELECT doc_id, shard, chunk_idx,
+        |  CAST(least(256, n_tokens - chunk_idx * 256) AS BIGINT) AS chunk_tokens FROM c),
+        |w AS (SELECT doc_id, chunk_idx, shard, chunk_tokens,
+        |  CAST(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS BIGINT)
+        |    - chunk_tokens AS start_tok FROM k)
+        |SELECT doc_id, chunk_idx, shard, chunk_tokens, start_tok,
+        |start_tok // 256 AS seq_id, start_tok % 256 AS seq_off FROM w""".stripMargin)
   )
 }
