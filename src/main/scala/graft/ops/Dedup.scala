@@ -322,6 +322,28 @@ object Dedup {
       .withColumn("keep",
         when(col(idCol) === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
 
+  /** Keep-best dedup policy: where [[clusterVerdict]] keeps each
+    * cluster's minimum id, this keeps its highest-QUALITY member — the
+    * policy real pipelines want when near-dups differ (e.g. one copy is
+    * truncated). Quality here is (n_chars DESC, doc_id ASC): longest
+    * member wins, id breaks ties deterministically.
+    *
+    * Scale: one extra hash exchange on cluster_id + a rank filter that
+    * stays a WindowGroupLimit (k=1), so at most one row per cluster per
+    * input partition reaches the shuffle. */
+  def keepBest(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val clustered = clusters(docs, numHashes, maxBucket)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clustered
+      .withColumn("rn", row_number().over(byQuality))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("keep_best"))
+  }
+
   /** Incremental exact dedup: the operational shape at scale. A standing
     * corpus is never re-deduped; each new batch is checked against the
     * corpus's content-hash index and within itself. Returns the batch

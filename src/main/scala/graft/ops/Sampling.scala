@@ -48,4 +48,28 @@ object Sampling {
       .partitionBy(stratum).orderBy(md5(key.cast("string")).asc, key.asc)
     df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= quota)
   }
+
+  /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
+    * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
+    * smallest one (which keeps 100%) without the hard cap of a quota.
+    * This is the standard "temperature sampling" mixture reweight with
+    * the exponent fixed at 1/2 so the whole computation stays IEEE-bit-
+    * exact across engines (division and sqrt of exact integers — no
+    * pow/ln, whose last-ulp rounding differs between libms).
+    *
+    * Scale: one tiny groupBy builds the per-stratum counts; the rates
+    * broadcast back onto the corpus and the keep decision is the usual
+    * deterministic md5-bucket test — map-side, rerun-stable, no second
+    * shuffle of the data. */
+  def temperature(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .select(col("s"), (sqrt(col("n_min").cast("double") / col("n_s").cast("double")) * 256.0)
+        .as("rate256"))
+    df.join(broadcast(withMin), stratum === col("s"))
+      .withColumn("bucket", hashBucket256(key))
+      .filter(col("bucket").cast("double") < col("rate256"))
+      .drop("s", "rate256")
+  }
 }

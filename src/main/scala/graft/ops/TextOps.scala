@@ -159,6 +159,31 @@ object TextOps {
         size(regexp_extract_all(emailMasked, lit(LongNumRe), lit(0))).cast("long"))
   }
 
+  /** Unigram-LM quality proxy: score each document by how common its
+    * tokens are in the corpus itself — the classic cheap stand-in for
+    * reference-LM perplexity filtering (junk/garbled text is dominated
+    * by rare tokens). Returns per doc: n_tokens, sum_tok_freq (sum of
+    * each token's corpus-wide occurrence count), n_rare (tokens seen
+    * fewer than `rareBelow` times corpus-wide) and mean_tok_freq.
+    *
+    * Scale: one explode + token-keyed shuffle builds the frequency
+    * relation; the token->freq join shuffles on the same key (the
+    * token exchange is reused, not recomputed); the doc roll-up is a
+    * partial-agg groupBy. Everything is integer arithmetic until the
+    * final single division (two exact longs -> double, IEEE-bit-exact
+    * cross-engine) — no transcendental in the score, so the result
+    * hash-matches any engine. */
+  def unigramScore(docs: DataFrame, rareBelow: Long = 3L): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tok.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tok_freq"),
+        sum(when(col("tf") < rareBelow, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+      .withColumn("mean_tok_freq",
+        col("sum_tok_freq").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

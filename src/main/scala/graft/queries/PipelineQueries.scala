@@ -115,6 +115,16 @@ object PipelineQueries {
   private val packSequences: QFn = (s, dir) =>
     Packing.pack(Tables.documents(s, dir), seqLen = 256L, shards = 8)
 
+  private val textUnigramScore: QFn = (s, dir) =>
+    TextOps.unigramScore(Tables.documents(s, dir))
+
+  private val sampleTemperature: QFn = (s, dir) =>
+    Sampling.temperature(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"), col("source"))
+
+  private val dedupKeepBest: QFn = (s, dir) => Dedup.keepBest(Tables.documents(s, dir))
+
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
@@ -407,6 +417,42 @@ object PipelineQueries {
         |  CAST(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS BIGINT)
         |    - chunk_tokens AS start_tok FROM k)
         |SELECT doc_id, chunk_idx, shard, chunk_tokens, start_tok,
-        |start_tok // 256 AS seq_id, start_tok % 256 AS seq_off FROM w""".stripMargin)
+        |start_tok // 256 AS seq_id, start_tok % 256 AS seq_off FROM w""".stripMargin),
+    QueryDef("text_unigram_score", textUnigramScore,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |j AS (SELECT t.doc_id, f.tf FROM tok t JOIN freq f ON t.token = f.token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(tf) AS BIGINT) AS sum_tok_freq,
+        |CAST(sum(CASE WHEN tf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tok_freq
+        |FROM j GROUP BY doc_id""".stripMargin),
+    QueryDef("sample_temperature", sampleTemperature,
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |c AS (SELECT source AS s, count(*) AS n_s FROM d GROUP BY source),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT s, sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) * 256.0 AS rate256 FROM c, m),
+        |b AS (SELECT doc_id, lang, source,
+        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
+        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) AS bucket
+        |  FROM d)
+        |SELECT doc_id, lang, source, bucket FROM b JOIN r ON b.source = r.s
+        |WHERE CAST(bucket AS DOUBLE) < rate256""".stripMargin),
+    QueryDef("dedup_keep_best", dedupKeepBest,
+      s"""WITH RECURSIVE $minhashBandsSql,
+        |e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |      UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |        FROM reach GROUP BY src),
+        |cl AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id, d.n_chars
+        |       FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+        |SELECT doc_id, cluster_id, n_chars,
+        |CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+        |  THEN 1 ELSE 0 END AS BIGINT) AS keep_best
+        |FROM cl""".stripMargin)
   )
 }

@@ -212,6 +212,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("temperature sampling keeps the smallest stratum whole and shrinks big ones toward sqrt") {
+    // strata: "big" 1600 docs, "small" 100 -> keep-rate sqrt(100/1600) = 1/4
+    val df = (0 until 1700).map(i => (i.toLong, if (i < 1600) "big" else "small"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperature(df, col("doc_id"), col("source")).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc("small") === 100) // rate 1.0: nothing dropped
+    // big keeps buckets < sqrt(1/16)*256 = 64 of 256: ~400, md5-uniform slack
+    assert(bySrc("big") > 300 && bySrc("big") < 500, s"big kept ${bySrc("big")}")
+    val again = Sampling.temperature(df, col("doc_id"), col("source"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet) // rerun-stable
+  }
+
+  test("unigram score: common-token docs score high, rare-token docs flag n_rare") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus freq: a=3, b=1, c=1
+    val got = TextOps.unigramScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_tok_freq"),
+          r.getAs[Long]("n_rare"), r.getAs[Double]("mean_tok_freq")))).toMap
+    assert(got(1L) === ((3L, 7L, 1L, 7.0 / 3.0)))
+    assert(got(2L) === ((2L, 4L, 1L, 2.0)))
+  }
+
+  test("keepBest: the highest-quality cluster member wins, not the min id") {
+    val d = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog", "s", 10L),
+      (12L, "the quick brown fox jumps over the lazy dog", "s", 20L), // same text, longer
+      (13L, "unrelated totally different content words here", "s", 46L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.keepBest(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_best")))).toMap
+    assert(got(11L) === ((11L, 0L))) // smaller id but shorter: dropped
+    assert(got(12L) === ((11L, 1L))) // longest member is canonical
+    assert(got(13L) === ((13L, 1L))) // singleton keeps itself
+  }
+
   test("quality filter drops each language's bottom quartile; scale twin agrees in shape") {
     // 8 en docs with stopword ratios 0/8..7/8 (i 'the's then filler), 4 xx docs
     val rows = (0 until 8).map { i =>
