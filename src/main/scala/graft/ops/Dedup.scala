@@ -328,9 +328,10 @@ object Dedup {
     * truncated). Quality here is (n_chars DESC, doc_id ASC): longest
     * member wins, id breaks ties deterministically.
     *
-    * Scale: one extra hash exchange on cluster_id + a rank filter that
-    * stays a WindowGroupLimit (k=1), so at most one row per cluster per
-    * input partition reaches the shuffle. */
+    * Scale: one extra hash exchange on cluster_id feeding a full
+    * Window (every member needs its verdict flag, so a top-1 prune
+    * cannot apply); cluster sizes are bounded by the bucket caps
+    * upstream, so no window partition is unbounded. */
   def keepBest(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val clustered = clusters(docs, numHashes, maxBucket)
       .select(col("doc_id"), col("cluster_id"))

@@ -167,9 +167,12 @@ object TextOps {
     * fewer than `rareBelow` times corpus-wide) and mean_tok_freq.
     *
     * Scale: one explode + token-keyed shuffle builds the frequency
-    * relation; the token->freq join shuffles on the same key (the
-    * token exchange is reused, not recomputed); the doc roll-up is a
-    * partial-agg groupBy. Everything is integer arithmetic until the
+    * relation, which is vocab-sized — tiny next to the corpus — so
+    * Catalyst broadcasts it and the corpus token stream never shuffles
+    * for the join; the doc roll-up is a partial-agg groupBy. Above the
+    * broadcast threshold (a truly huge vocab) the join degrades to a
+    * token-keyed SMJ — still O(tokens), never O(tokens^2). Everything
+    * is integer arithmetic until the
     * final single division (two exact longs -> double, IEEE-bit-exact
     * cross-engine) — no transcendental in the score, so the result
     * hash-matches any engine. */
