@@ -58,7 +58,7 @@ object Packing {
     * in each sequence and how many of its tokens they fill — the
     * utilization view a pipeline monitors (a healthy concat-and-chunk
     * pack fills every sequence except each shard's last). */
-  def packStats(packed: DataFrame, seqLen: Long = 256L): DataFrame =
+  def packStats(packed: DataFrame): DataFrame =
     packed
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_chunks_starting"),

@@ -53,7 +53,7 @@ class PackingSpec extends SparkSpec {
   test("packStats: every sequence except the shard tail is full") {
     // 6 docs x 4 tokens, one shard, seqLen 8 -> 3 sequences, 2 chunks start in each
     val docs = docsOf((1L to 6L).map(i => (i, "a b c d")): _*)
-    val stats = Packing.packStats(Packing.pack(docs, seqLen = 8L, shards = 1), seqLen = 8L)
+    val stats = Packing.packStats(Packing.pack(docs, seqLen = 8L, shards = 1))
       .orderBy("seq_id").collect()
     assert(stats.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_chunks_starting"),
       r.getAs[Long]("tokens_started_here"))).toSeq ===
