@@ -187,6 +187,31 @@ object TextOps {
         col("sum_tok_freq").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Cross-document repeated-shingle coverage: for each document, the
+    * fraction of its distinct 3-gram shingles that also appear in at
+    * least one OTHER document — the boilerplate/templated-text signal
+    * (site chrome, license headers, scraped nav bars score near 1.0).
+    * Complements [[graft.ops.Decontaminate]]: that checks overlap
+    * against a benchmark set, this finds repetition within the corpus
+    * itself. Documents under 3 tokens have no shingles and drop out.
+    *
+    * Scale: same shape as [[unigramScore]] — shingle explode (native
+    * kernel, distinct within doc) -> shingle-keyed shuffle for the
+    * document-frequency relation -> join back (broadcast while the
+    * shared-shingle vocab is small, shingle-keyed SMJ beyond) -> doc
+    * roll-up. Integer counts + one final division: hash-exact. */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(graft.expr.ArrayExprs.shingleHashes(col("text"))).as("sh"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    sh.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

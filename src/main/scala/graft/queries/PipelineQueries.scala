@@ -125,6 +125,9 @@ object PipelineQueries {
 
   private val dedupKeepBest: QFn = (s, dir) => Dedup.keepBest(Tables.documents(s, dir))
 
+  private val textBoilerplate: QFn = (s, dir) =>
+    TextOps.boilerplate(Tables.documents(s, dir))
+
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
@@ -453,6 +456,17 @@ object PipelineQueries {
         |SELECT doc_id, cluster_id, n_chars,
         |CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
         |  THEN 1 ELSE 0 END AS BIGINT) AS keep_best
-        |FROM cl""".stripMargin)
+        |FROM cl""".stripMargin),
+    QueryDef("text_boilerplate", textBoilerplate,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM t WHERE len(toks) >= 3),
+        |f AS (SELECT sh, count(*) AS n_docs FROM s GROUP BY sh),
+        |j AS (SELECT s.doc_id, f.n_docs FROM s JOIN f ON s.sh = f.sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |CAST(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS shared_frac
+        |FROM j GROUP BY doc_id""".stripMargin)
   )
 }

@@ -237,6 +237,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 4L, 1L, 2.0)))
   }
 
+  test("boilerplate: shared shingles flag templated text; unique docs score 0") {
+    val d = Seq(
+      (1L, "site nav bar home about contact page one"),
+      (2L, "site nav bar home about contact page two"), // shares 5 of 6 shingles with 1
+      (3L, "completely original writing with fresh words"),
+      (4L, "hi there") // < 3 tokens: no shingles, drops out
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("shared_frac")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((6L, 5L, 5.0 / 6.0))) // only "contact page one" is unique
+    assert(got(2L) === ((6L, 5L, 5.0 / 6.0)))
+    assert(got(3L) === ((4L, 0L, 0.0)))
+  }
+
   test("keepBest: the highest-quality cluster member wins, not the min id") {
     val d = Seq(
       (11L, "the quick brown fox jumps over the lazy dog", "s", 10L),
