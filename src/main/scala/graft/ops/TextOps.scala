@@ -195,19 +195,23 @@ object TextOps {
     * against a benchmark set, this finds repetition within the corpus
     * itself. Documents under 3 tokens have no shingles and drop out.
     *
-    * Scale: same shape as [[unigramScore]] — shingle explode (native
-    * kernel, distinct within doc) -> shingle-keyed shuffle for the
-    * document-frequency relation -> join back (broadcast while the
-    * shared-shingle vocab is small, shingle-keyed SMJ beyond) -> doc
-    * roll-up. Integer counts + one final division: hash-exact. */
+    * Scale: shingle explode (native kernel, distinct within doc) ->
+    * shingle-keyed shuffle builds the frequency relation, FILTERED to
+    * shingles seen in >1 doc before it ever reaches the join — unshared
+    * shingles (the vast majority of a healthy corpus) never join, and
+    * the shared subset is what has a chance to broadcast. A left join
+    * marks shared rows; one doc-keyed roll-up counts both totals.
+    * Integer counts + one final division: hash-exact. */
   def boilerplate(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(graft.expr.ArrayExprs.shingleHashes(col("text"))).as("sh"))
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
-    sh.join(freq, "sh")
+    val shared = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("sh"), lit(1L).as("is_shared"))
+    sh.join(shared, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("n_docs") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
