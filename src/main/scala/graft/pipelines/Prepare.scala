@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.{Dedup, Packing, Sampling, TextOps}
 import graft.tables.Tables
 
 /** End-to-end training-corpus preparation: the pipeline a user of the
@@ -20,6 +20,9 @@ import graft.tables.Tables
   *   5. shard write     — hash-bucketed parquet, parallel writers, no
   *                        tiny files, layout reusable for co-located
   *                        joins downstream
+  *   6. sequence layout — concat-and-chunk pack of the final corpus
+  *                        into fixed-length training sequences
+  *                        (written beside the shards as `packing/`)
   *
   * Every stage is one of the library's tested operators; the composition
   * adds no new shuffle beyond what each stage documents. Returns a
@@ -31,7 +34,7 @@ object Prepare {
   def run(spark: SparkSession, dir: String, outDir: String,
       qualityFrac: Double = 0.25,
       rates: Map[String, Int] = Map("en" -> 205), defaultRate: Int = 256,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = 16, seqLen: Long = 256L): DataFrame = {
     import spark.implicits._
 
     val docs = Tables.documents(spark, dir)
@@ -76,11 +79,20 @@ object Prepare {
       .parquet(s"$outDir/corpus")
     val n3 = spark.read.parquet(s"$outDir/corpus").count()
 
+    // 6. training-sequence layout over the WRITTEN corpus (so the pack
+    // reads compact staged parquet, not the transform chain), written
+    // beside the shards — the trainer-facing index (doc chunk ->
+    // sequence + offset), recomputable from the corpus alone.
+    Packing.pack(spark.read.parquet(s"$outDir/corpus"), seqLen, nShards)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packing")
+    val n4 = spark.read.parquet(s"$outDir/packing").count()
+
     Seq(
       ("input", n0),
       ("quality_gated", n1),
       ("deduped", n2),
-      ("sampled_written", n3)
+      ("sampled_written", n3),
+      ("packed_chunks", n4)
     ).toDF("stage", "rows")
   }
 }

@@ -63,6 +63,18 @@ class PipelinesSpec extends SparkSpec {
     assert(corpus.select("shard").distinct().count() <= 4)
     // no unmasked emails survive
     assert(corpus.filter(org.apache.spark.sql.functions.col("text").contains("@")).count() === 0)
+    // packing stage: every surviving doc appears in the sequence layout,
+    // and each shard's stream offsets are a gapless prefix sum
+    val packed = spark.read.parquet(s"$out/packing")
+    assert(funnel("packed_chunks") === packed.count())
+    assert(packed.select("doc_id").distinct().count() === funnel("sampled_written"))
+    val perShard = packed.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.sum("chunk_tokens").as("toks"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.expr("start_tok + chunk_tokens")).as("stream_end"))
+      .collect()
+    perShard.foreach(r =>
+      assert(r.getAs[Long]("toks") === r.getAs[Long]("stream_end"))) // gapless
   }
 
   test("block-time CSV cache round-trips (S8)") {
