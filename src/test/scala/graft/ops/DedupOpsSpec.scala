@@ -141,6 +141,18 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("bucket caps keep their partial WindowGroupLimit (map-side skew prune)") {
+    // The rank-cap must plan as WindowGroupLimit BELOW the exchange so a
+    // degenerate hot bucket is pruned to `cap` rows per input partition
+    // BEFORE it shuffles. Regression guard: adding any non-rank window
+    // function to the same window spec silently disables this rewrite.
+    for (df <- Seq(Dedup.minhashCandidatePairs(docs),
+        Dedup.bucketStarEdges(docs, 4, 1000))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"lost the rank-cap rewrite:\n$plan")
+    }
+  }
+
   test("distributed CC converges in O(log d) rounds on a deep path graph") {
     // A 256-node path is the adversarial shape for label propagation:
     // information must flow 255 hops. Hash-to-min must close it well
