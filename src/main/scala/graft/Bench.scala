@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rules (sessions built withExtensions get these
+    // from GraftExtensions; a plain session installs them at runtime)
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.TokenCountRule)
     // JVM/session warm-up so the first timed query doesn't absorb
     // executor startup, the Janino codegen compiler, the parquet reader
     // path, or the shuffle machinery. Each statement warms one physical

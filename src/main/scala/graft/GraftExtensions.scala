@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
       es => ShingleHashesExpr(es.head)))
+    e.injectOptimizerRule(_ => graft.plans.TokenCountRule)
   }
 }

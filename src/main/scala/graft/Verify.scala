@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rules (sessions built withExtensions get these
+    // from GraftExtensions; a plain session installs them at runtime)
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.TokenCountRule)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -96,6 +96,41 @@ case class DigitsIntExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DigitsIntExpr = copy(c)
 }
 
+object TokenKernels {
+  /** Exactly `size(split(s, " "))` without materializing the array:
+    * separator count + 1 in one byte scan. A 0x20 byte never occurs
+    * inside a multi-byte UTF-8 sequence (continuation bytes are
+    * >= 0x80), so counting space BYTES counts space CHARS. Matches
+    * Spark's split(limit = -1) semantics bit-for-bit: leading /
+    * trailing / consecutive separators all produce empty tokens, and
+    * the empty string has one token. */
+  def tokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var n = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** token_count(string) = size(split(s, ' ')) with no per-row array
+  * allocation — substituted automatically by
+  * [[graft.plans.TokenCountRule]] wherever the split-size idiom
+  * appears, so every token-counting query (packing, token stats,
+  * quality gates) pays one byte scan instead of building and
+  * discarding a token array per row. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Integer.valueOf(TokenKernels.tokenCount(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr = copy(c)
+}
+
 /** keccak256(string) -> 64-char lowercase hex string. */
 case class Keccak256Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

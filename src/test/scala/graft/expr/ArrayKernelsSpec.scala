@@ -25,6 +25,20 @@ class ArrayKernelsSpec extends AnyFunSuite {
     Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" ")
   }
 
+  test("tokenCount == split(' ', -1).length on adversarial strings") {
+    val cases = Seq("", " ", "  ", "a", "a b", " a", "a ", "a  b ",
+      "héllo wörld", "日本 語 テスト", "a\tb", "\n \n") ++
+      Seq.fill(N) {
+        Seq.fill(rnd.nextInt(8))(
+          Seq("", "w" + rnd.nextInt(5), "é", "日本", " ")(rnd.nextInt(5))
+        ).mkString(" ")
+      }
+    cases.foreach { s =>
+      assert(TokenKernels.tokenCount(UTF8String.fromString(s)) ===
+        s.split(" ", -1).length, s"for ${s.replace(" ", "_")}")
+    }
+  }
+
   private def refShingles(text: String): Seq[String] = {
     val t = text.split(" ", -1)
     (0 until math.max(0, t.length - 2))

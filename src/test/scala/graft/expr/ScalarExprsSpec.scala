@@ -14,6 +14,30 @@ class ScalarExprsSpec extends SparkSpec {
 
   private val rnd = new Random(7)
 
+  test("TokenCountRule rewrites size(split(s, ' ')) and preserves results") {
+    spark.experimental.extraOptimizations = Seq(graft.plans.TokenCountRule)
+    // non-foldable input (constant folding would collapse a literal to
+    // a LocalRelation before the plan can be inspected)
+    val df = spark.range(3)
+      .select(size(split(concat(lit("x  y "), col("id").cast("string")), " ")).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("tokencount"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(4, 4, 4)) // "x  y 0" etc.
+    // full value sweep through the rewritten path
+    val vals = Seq("", " ", "a b  c ", "héllo wörld x").toDF("text")
+      .select(col("text"), size(split(col("text"), " ")).as("n"))
+    vals.collect().foreach(r =>
+      assert(r.getInt(1) === r.getString(0).split(" ", -1).length))
+    // null propagates as null
+    assert(spark.sql("SELECT size(split(CAST(NULL AS STRING), ' ')) AS n")
+      .head().isNullAt(0))
+    // a non-space separator is untouched
+    val other = spark.range(1)
+      .select(size(split(concat(lit("a,b,"), col("id").cast("string")), ",")).as("n"))
+    assert(!other.queryExecution.optimizedPlan.toString.toLowerCase.contains("tokencount"))
+    assert(other.head().getInt(0) === 3)
+  }
+
   test("digits_int matches regexp_replace + cast on random noisy strings") {
     val noise = "abc{}:,. \"xyz".toCharArray
     val rows = (1 to 300).map { _ =>
