@@ -83,6 +83,90 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic integer k-means coarse quantizer (Lloyd's with a
+    * FIXED iteration count): hash-seeded init (the `nlist` vectors with
+    * the smallest md5(vec_id) — rerun-stable, no RNG), then `iters`
+    * rounds of assign + recompute. Centroids are ROUNDED-INTEGER-MEAN
+    * vectors, so the assignment metric
+    * `||x||² - 2·x·m + ||m||²` is pure integer arithmetic end to end —
+    * every train/assign/probe decision (argmin with centroid-id
+    * tie-break) is bit-reproducible on any engine, which is what lets
+    * the trained index hash-match a SQL oracle.
+    *
+    * Scale: each iteration is one map-side cross join against the
+    * broadcast (nlist-row) centroid relation + one (cell, dim)-keyed
+    * mean shuffle of N×dims skinny rows — the standard distributed
+    * Lloyd shape. Seeding ranks one md5 pass over the corpus.
+    * Returns (cell, cv, cnrm). */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm"))
+    val seedW = Window.orderBy(col("seed_r"), col("vec_id"))
+    var cents = vecs.withColumn("seed_r", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= nlist)
+      .select(col("rn").cast("long").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    var i = 0
+    while (i < iters) {
+      cents = roundedMeans(assignCells(vecs, cents))
+      i += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment with integer distances; ties break on
+    * the smaller cell id (lexicographic struct min). */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", col("nrm") - lit(2L) * dot(col("qv"), col("cv")) + col("cnrm"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cell"))).as("best"),
+        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("best").getField("cell").as("cell"))
+
+  /** Element-wise rounded-integer mean per cell: (cell, dim)-keyed sum
+    * shuffle, one exact double division + round per dimension, array
+    * rebuilt in dim order. Cells that lose all members simply vanish
+    * (standard k-means collapse). */
+  private def roundedMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .withColumn("m", round(col("s").cast("double") / col("c").cast("double")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), expr("transform(dm, x -> x.m)").as("cv"))
+      .withColumn("cnrm", sqNorm(col("cv")))
+
+  /** IVF search over the TRAINED quantizer: assign candidates to their
+    * final cell once, probe each query's `nprobe` nearest cells, score
+    * cosine only inside probed cells — O(Q·N·nprobe/nlist) scored pairs
+    * instead of O(Q·N), the classic recall/cost dial. Queries share
+    * brute force's broadcast-sized contract. */
+  def ivfTrainedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    // materialized once: the tiny centroid relation is consumed by both
+    // the candidate assignment and the query probe below
+    val cents = kmeansCentroids(embeddings, nlist, iters).localCheckpoint()
+    val cand = assignCells(
+      prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm")), cents)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"), col("cell"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("pd"), col("cell"))
+    val probes = prepared(queries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pd", col("q_nrm") - lit(2L) * dot(col("q_qv"), col("cv")) + col("cnrm"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("cell"))
+    val scored = cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    topK(scored, k)
+  }
+
+  /** Fixture wrapper matching the other ANN variants' query stride. */
+  def ivfTrainedTopK(embeddings: DataFrame, k: Int, queryStride: Int): DataFrame =
+    ivfTrainedTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
+
   /** 16-bit sign-pattern LSH bucket (coordinate signs of the first 16
     * dims as the hyperplane set — deterministic and engine-agnostic).
     * try_element_at: a vector shorter than `bits` dims contributes 0

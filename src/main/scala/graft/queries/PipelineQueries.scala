@@ -44,6 +44,33 @@ object PipelineQueries {
   private def dotSql(a: String, b: String) =
     s"CAST(CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE)"
 
+  // Integer dot (no DOUBLE cast) — used in k-means distances, which must
+  // stay exact integer arithmetic to mirror Similarity.assignCells.
+  private def idotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  // One Lloyd assignment step: nearest centroid by ||x||^2 - 2 x.m + ||m||^2
+  // with ties to the smaller cell — mirrors Similarity.assignCells verbatim.
+  private def kmAssignSql(out: String, cents: String) =
+    s"""$out AS (SELECT vec_id, qv, nrm, cell FROM (
+       |  SELECT v.vec_id, v.qv, v.nrm, s.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.nrm - 2 * ${idotSql("v.qv", "s.cv")} + s.cnrm, s.cell) AS rn
+       |  FROM n0 v CROSS JOIN $cents s) WHERE rn = 1)""".stripMargin
+
+  // Rounded-integer-mean centroids from an assignment — mirrors
+  // Similarity.roundedMeans (exact double division of exact ints, then
+  // half-away-from-zero round, identical in both engines).
+  private def kmMeanSql(prefix: String, from: String) =
+    s"""${prefix}e AS (SELECT cell, u.i AS dim, qv[u.i] AS v
+       |  FROM $from, (SELECT unnest(generate_series(1, 64)) AS i) u),
+       |${prefix}s AS (SELECT cell, dim,
+       |  CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM ${prefix}e GROUP BY cell, dim),
+       |${prefix}m AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ${prefix}s GROUP BY cell),
+       |${prefix}n AS (SELECT cell, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm FROM ${prefix}m)""".stripMargin
+
   private val dedupExact: QFn = (s, dir) => Dedup.exact(Tables.documents(s, dir))
 
   private val dedupMinhash: QFn = (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir))
@@ -129,6 +156,9 @@ object PipelineQueries {
     TextOps.boilerplate(Tables.documents(s, dir))
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
+
+  private val annIvfTrained: QFn = (s, dir) =>
+    Similarity.ivfTrainedTopK(Tables.embeddings(s, dir), k = 3, queryStride = 100)
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
 
@@ -356,6 +386,30 @@ object PipelineQueries {
         |    ${dotSql("q.q_qv", "c.c_qv")} /
         |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
         |    FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id))
+        |WHERE rank <= 3""".stripMargin),
+    QueryDef("ann_ivf_trained", annIvfTrained,
+      s"""WITH $preparedSql,
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell,
+        |  qv AS cv, nrm AS cnrm FROM n0
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |${kmAssignSql("a1", "seed")},
+        |${kmMeanSql("m1", "a1")},
+        |${kmAssignSql("a2", "m1n")},
+        |${kmMeanSql("m2", "a2")},
+        |${kmAssignSql("af", "m2n")},
+        |qs AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0 WHERE vec_id % 100 = 0),
+        |pr AS (SELECT q_id, q_qv, q_nrm, cell FROM (
+        |  SELECT q.q_id, q.q_qv, q.q_nrm, c.cell,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY q.q_nrm - 2 * ${idotSql("q.q_qv", "c.cv")} + c.cnrm, c.cell) AS rn
+        |  FROM qs q CROSS JOIN m2n c) WHERE rn <= 2)
+        |SELECT q_id, c_id, rank, score FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+        |  FROM (SELECT p.q_id, a.vec_id AS c_id,
+        |    ${dotSql("p.q_qv", "a.qv")} /
+        |    (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS score
+        |    FROM pr p JOIN af a ON p.cell = a.cell AND p.q_id <> a.vec_id))
         |WHERE rank <= 3""".stripMargin),
     QueryDef("text_tokens", textTokens,
       """SELECT doc_id, n_chars,
