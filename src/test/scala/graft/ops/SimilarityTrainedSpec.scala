@@ -47,6 +47,15 @@ class SimilarityTrainedSpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("kmeans degrades cleanly: nlist larger than the corpus") {
+    val tiny = blobs.limit(3)
+    val cents = Similarity.kmeansCentroids(tiny, nlist = 5, iters = 2).collect()
+    assert(cents.length <= 3 && cents.nonEmpty) // at most one cell per vector
+    val got = Similarity.ivfTrainedTopK(tiny, tiny.limit(1), k = 2,
+      nlist = 5, iters = 2, nprobe = 5).count()
+    assert(got <= 2)
+  }
+
   test("trained IVF with nprobe=1 keeps in-blob neighbors (pruning works)") {
     val q = blobs.filter(col("vec_id") === 0L) // a blob-0 member
     val got = Similarity.ivfTrainedTopK(blobs, q, k = 3, nlist = 3, iters = 2, nprobe = 1)
