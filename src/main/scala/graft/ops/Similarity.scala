@@ -100,10 +100,16 @@ object Similarity {
     * Returns (cell, cv, cnrm). */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
     val vecs = prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm"))
+    // orderBy + limit plans as TakeOrderedAndProject (per-partition
+    // partial top-nlist, merged at the driver) — NOT a single-task
+    // global window sort, which is what an unpartitioned row_number
+    // over the corpus would be. The cell-numbering window then runs
+    // over only the nlist selected rows.
     val seedW = Window.orderBy(col("seed_r"), col("vec_id"))
     var cents = vecs.withColumn("seed_r", md5(col("vec_id").cast("string")))
-      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= nlist)
-      .select(col("rn").cast("long").as("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+      .orderBy(col("seed_r"), col("vec_id")).limit(nlist)
+      .withColumn("cell", row_number().over(seedW).cast("long"))
+      .select(col("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
     var i = 0
     while (i < iters) {
       cents = roundedMeans(assignCells(vecs, cents))
