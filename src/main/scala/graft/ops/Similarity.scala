@@ -93,40 +93,63 @@ object Similarity {
     * tie-break) is bit-reproducible on any engine, which is what lets
     * the trained index hash-match a SQL oracle.
     *
-    * Scale: each iteration is one map-side cross join against the
-    * broadcast (nlist-row) centroid relation + one (cell, dim)-keyed
-    * mean shuffle of N×dims skinny rows — the standard distributed
-    * Lloyd shape. Seeding ranks one md5 pass over the corpus.
-    * Returns (cell, cv, cnrm). */
+    * Scale: each iteration is a map-side per-row argmin against
+    * DRIVER-HELD centroid literals (the MLlib pattern — centroids are
+    * metadata-scale) + one (cell, dim)-keyed mean shuffle of N×dims
+    * skinny rows; no N×nlist row blow-up exists anywhere. Seeding is a
+    * distributed top-nlist over one md5 pass. Returns (cell, cv, cnrm). */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    trainCents(embeddings, nlist, iters).map(c => (c.cell, c.cv, c.cnrm)).toSeq
+      .toDF("cell", "cv", "cnrm")
+  }
+
+  /** Driver-held centroid: nlist rows of 64 longs — metadata scale,
+    * like a partition list, NOT a data collect. Holding them driver-
+    * side is what makes assignment a map-side expression. */
+  private case class Cent(cell: Long, cv: Seq[Long], cnrm: Long)
+
+  private def trainCents(embeddings: DataFrame, nlist: Int, iters: Int): Array[Cent] = {
     val vecs = prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm"))
     // orderBy + limit plans as TakeOrderedAndProject (per-partition
     // partial top-nlist, merged at the driver) — NOT a single-task
     // global window sort, which is what an unpartitioned row_number
-    // over the corpus would be. The cell-numbering window then runs
-    // over only the nlist selected rows.
-    val seedW = Window.orderBy(col("seed_r"), col("vec_id"))
+    // over the corpus would be.
     var cents = vecs.withColumn("seed_r", md5(col("vec_id").cast("string")))
       .orderBy(col("seed_r"), col("vec_id")).limit(nlist)
-      .withColumn("cell", row_number().over(seedW).cast("long"))
-      .select(col("cell"), col("qv").as("cv"), col("nrm").as("cnrm"))
+      .collect().sortBy(r => (r.getAs[String]("seed_r"), r.getAs[Long]("vec_id")))
+      .zipWithIndex
+      .map { case (r, i) =>
+        val cv = r.getAs[scala.collection.Seq[Long]]("qv").toVector
+        Cent(i + 1L, cv, r.getAs[Long]("nrm"))
+      }
     var i = 0
     while (i < iters) {
-      cents = roundedMeans(assignCells(vecs, cents))
+      val assigned = vecs.withColumn("cell",
+        assignExpr(cents, col("qv"), col("nrm")))
+      cents = roundedMeans(assigned).collect()
+        .map(r => Cent(r.getAs[Long]("cell"),
+          r.getAs[scala.collection.Seq[Long]]("cv").toVector,
+          r.getAs[Long]("cnrm")))
+        .sortBy(_.cell)
       i += 1
     }
     cents
   }
 
-  /** Nearest-centroid assignment with integer distances; ties break on
-    * the smaller cell id (lexicographic struct min). */
-  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d", col("nrm") - lit(2L) * dot(col("qv"), col("cv")) + col("cnrm"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cell"))).as("best"),
-        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("qv"), col("nrm"), col("best").getField("cell").as("cell"))
+  /** Map-side nearest-centroid argmin: one codegen'd integer dot per
+    * centroid per row against DRIVER-HELD centroid literals — zero
+    * shuffle, no N x nlist row blow-up. Ties break on the smaller cell
+    * id (lexicographic struct least). */
+  private def assignExpr(cents: Array[Cent], qv: Column, nrm: Column): Column = {
+    require(cents.nonEmpty, "k-means requires a non-empty corpus to seed from")
+    val ds = cents.map { c =>
+      struct((nrm - lit(2L) * dot(qv, typedlit(c.cv)) + lit(c.cnrm)).as("d"),
+        lit(c.cell).as("cell"))
+    }
+    least(ds.toIndexedSeq: _*).getField("cell")
+  }
 
   /** Element-wise rounded-integer mean per cell: (cell, dim)-keyed sum
     * shuffle, one exact double division + round per dimension, array
@@ -149,20 +172,21 @@ object Similarity {
     * brute force's broadcast-sized contract. */
   def ivfTrainedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    // materialized once: the tiny centroid relation is consumed by both
-    // the candidate assignment and the query probe below
-    val cents = kmeansCentroids(embeddings, nlist, iters).localCheckpoint()
-    val cand = assignCells(
-      prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm")), cents)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"), col("cell"))
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("pd"), col("cell"))
+    val cents = trainCents(embeddings, nlist, iters)
+    val cand = prepared(embeddings)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+      .withColumn("cell", assignExpr(cents, col("c_qv"), col("c_nrm")))
+    // probe expansion is map-side too: per query, sort the nlist
+    // (distance, cell) structs and explode the first nprobe — no
+    // window, no per-centroid row blow-up before the slice
+    val probeArr = array_sort(array(cents.toIndexedSeq.map { c =>
+      struct((col("q_nrm") - lit(2L) * dot(col("q_qv"), typedlit(c.cv)) + lit(c.cnrm)).as("d"),
+        lit(c.cell).as("cell"))
+    }: _*))
     val probes = prepared(queries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("pd", col("q_nrm") - lit(2L) * dot(col("q_qv"), col("cv")) + col("cnrm"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("cell"))
+      .withColumn("p", explode(slice(probeArr, 1, nprobe)))
+      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("p").getField("cell").as("cell"))
     val scored = cand.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
