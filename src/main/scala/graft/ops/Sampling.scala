@@ -61,6 +61,23 @@ object Sampling {
     * broadcast back onto the corpus and the keep decision is the usual
     * deterministic md5-bucket test — map-side, rerun-stable, no second
     * shuffle of the data. */
+  /** Deterministic train/val/test assignment: the md5 bucket of the key
+    * partitions [0, 256) into contiguous ranges sized by the requested
+    * out-of-256 rates (train gets the remainder). Pure map-side — a
+    * document's split is a function of its id alone, so it never moves
+    * between splits across re-runs, retries, or corpus growth, which is
+    * the property an eval split must have to stay uncontaminated. */
+  def split(df: DataFrame, key: Column, valRate: Int = 13, testRate: Int = 13): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 256,
+      "rates are out-of-256 bucket counts and must leave room for train")
+    val b = hashBucket256(key)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < valRate, lit("val"))
+          .when(b < valRate + testRate, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   def temperature(df: DataFrame, key: Column, stratum: Column): DataFrame = {
     val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
     val withMin = counts.crossJoin(

@@ -157,6 +157,11 @@ object PipelineQueries {
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
 
+  private val sampleSplit: QFn = (s, dir) =>
+    Sampling.split(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"))
+
   private val annIvfTrained: QFn = (s, dir) =>
     Similarity.ivfTrainedTopK(Tables.embeddings(s, dir), k = 3, queryStride = 100)
 
@@ -387,6 +392,15 @@ object PipelineQueries {
         |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
         |    FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id))
         |WHERE rank <= 3""".stripMargin),
+    QueryDef("sample_split", sampleSplit,
+      """WITH b AS (SELECT doc_id, lang, source,
+        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
+        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, source, bucket,
+        |CASE WHEN bucket < 13 THEN 'val'
+        |     WHEN bucket < 26 THEN 'test'
+        |     ELSE 'train' END AS split FROM b""".stripMargin),
     QueryDef("ann_ivf_trained", annIvfTrained,
       s"""WITH $preparedSql,
         |seed AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell,

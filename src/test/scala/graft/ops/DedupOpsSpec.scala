@@ -224,6 +224,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("split assignment is total, deterministic, and roughly proportioned") {
+    val df = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Sampling.split(df, col("doc_id")).collect()
+    assert(got.length === 2000) // total: every doc lands in exactly one split
+    val bySplit = got.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // 13/256 ≈ 5% each for val/test, md5-uniform slack
+    assert(bySplit("val") > 50 && bySplit("val") < 160, bySplit)
+    assert(bySplit("test") > 50 && bySplit("test") < 160, bySplit)
+    val again = Sampling.split(df, col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    got.foreach(r => assert(again(r.getAs[Long]("doc_id")) === r.getAs[String]("split")))
+    // membership is stable under corpus growth: the same doc keeps its
+    // split when half the corpus is missing
+    val half = Sampling.split(df.filter(col("doc_id") < 1000L), col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    half.foreach { case (id, s) => assert(again(id) === s) }
+  }
+
   test("temperature sampling keeps the smallest stratum whole and shrinks big ones toward sqrt") {
     // strata: "big" 1600 docs, "small" 100 -> keep-rate sqrt(100/1600) = 1/4
     val df = (0 until 1700).map(i => (i.toLong, if (i < 1600) "big" else "small"))
