@@ -50,6 +50,40 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("pack matches an independent sequential reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 3) {
+      val seqLen = 1L + rnd.nextInt(9)
+      val shards = 1 + rnd.nextInt(4)
+      val rows = (1L to 50L).map(i =>
+        (i, Seq.fill(rnd.nextInt(25))("w" + rnd.nextInt(3)).mkString(" ")))
+      // reference: same md5 bucket, chunks laid out sequentially per shard
+      val expected = rows.map { case (id, text) =>
+        val bucket = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 2), 16)
+        (id, bucket % shards, text.split(" ", -1).length.toLong)
+      }.groupBy(_._2).flatMap { case (shard, docs) =>
+        var off = 0L
+        docs.sortBy(_._1).flatMap { case (id, _, n) =>
+          val chunks = (0L until math.max(1L, (n + seqLen - 1) / seqLen)).map { ci =>
+            val ct = math.min(seqLen, n - ci * seqLen)
+            val r = ((id, ci), (shard, ct, off, off / seqLen, off % seqLen))
+            off += ct
+            r
+          }
+          chunks
+        }
+      }
+      val got = Packing.pack(rows.toDF("doc_id", "text"), seqLen, shards).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("chunk_tokens"),
+            r.getAs[Long]("start_tok"), r.getAs[Long]("seq_id"),
+            r.getAs[Long]("seq_off")))).toMap
+      assert(got === expected.toMap, s"trial $trial seqLen=$seqLen shards=$shards")
+    }
+  }
+
   test("packStats: every sequence except the shard tail is full") {
     // 6 docs x 4 tokens, one shard, seqLen 8 -> 3 sequences, 2 chunks start in each
     val docs = docsOf((1L to 6L).map(i => (i, "a b c d")): _*)
