@@ -80,15 +80,39 @@ object Dedup {
     * r2 bench; grouping generates the same pair set from a single pass.
     * `maxBucket` caps degenerate buckets (see capBuckets).
     */
-  def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4,
+  /** (doc_id, band, h) rows — the shape a standing near-dup index
+    * stores (bucketed by (band, h) at rest). Degenerate buckets are
+    * capped at BUILD time, so the bound is paid once, not per probe. */
+  def bandIndex(docs: DataFrame, numHashes: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes)
     val banded = sigs.select(col("doc_id"), explode(array(
       (0 until numHashes).map(s => struct(lit(s).as("band"), col(s"mh$s").as("h"))): _*
     )).as("b")).select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
-    // The window and the groupBy hash-partition on the same (band, h)
-    // key, so the aggregation reuses the window's exchange — one shuffle.
     capBuckets(banded, Seq(col("band"), col("h")), col("doc_id"), maxBucket)
+  }
+
+  /** Incremental near-dup: candidate (batch, corpus) pairs from probing
+    * a new batch's bands against a standing corpus band index — the
+    * MinHash twin of [[incrementalExact]]. Only the batch computes
+    * signatures; the corpus side is a pre-built [[bandIndex]] relation
+    * that at scale lives bucketed on (band, h), so the probe join
+    * co-locates without the corpus ever being re-scanned or
+    * self-joined. O(batch) new work per batch, independent of corpus
+    * size. */
+  def incrementalMinhashPairs(batch: DataFrame, corpusBands: DataFrame,
+      numHashes: Int = 4, maxBucket: Int = 1000): DataFrame =
+    bandIndex(batch, numHashes, maxBucket)
+      .join(corpusBands.select(col("doc_id").as("corpus_id"), col("band"), col("h")),
+        Seq("band", "h"))
+      .select(col("doc_id").as("batch_id"), col("corpus_id"))
+      .distinct()
+
+  def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    // The cap window and the groupBy hash-partition on the same (band, h)
+    // key, so the aggregation reuses the window's exchange — one shuffle.
+    bandIndex(docs, numHashes, maxBucket)
       .groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

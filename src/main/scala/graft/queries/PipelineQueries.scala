@@ -35,6 +35,27 @@ object PipelineQueries {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band2 a JOIN band2 b
       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+  // Per-subset band CTE chain (suffix + WHERE clause) — the same
+  // shingle/min/band/cap pattern as minhashBandsSql, scoped to a split
+  // of `documents`. Mirrors Dedup.bandIndex on that subset.
+  private def bandSideSql(sfx: String, where: String) =
+    s"""t$sfx AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE $where),
+       |s$sfx AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+       |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+       |  FROM t$sfx WHERE len(toks) >= 3),
+       |m$sfx AS (SELECT doc_id,
+       |  list_min(list_transform(sh, x -> substr(x, 1, 8))) AS mh0,
+       |  list_min(list_transform(sh, x -> substr(x, 9, 8))) AS mh1,
+       |  list_min(list_transform(sh, x -> substr(x, 17, 8))) AS mh2,
+       |  list_min(list_transform(sh, x -> substr(x, 25, 8))) AS mh3 FROM s$sfx),
+       |band$sfx AS (
+       |  SELECT doc_id, 0 AS band, mh0 AS h FROM m$sfx UNION ALL
+       |  SELECT doc_id, 1 AS band, mh1 AS h FROM m$sfx UNION ALL
+       |  SELECT doc_id, 2 AS band, mh2 AS h FROM m$sfx UNION ALL
+       |  SELECT doc_id, 3 AS band, mh3 AS h FROM m$sfx),
+       |b2$sfx AS (SELECT doc_id, band, h FROM band$sfx
+       |  QUALIFY row_number() OVER (PARTITION BY band, h ORDER BY doc_id) <= 1000)""".stripMargin
+
   private val qvSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
   private val preparedSql =
@@ -156,6 +177,13 @@ object PipelineQueries {
     TextOps.boilerplate(Tables.documents(s, dir))
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
+
+  private val dedupIncrementalMinhash: QFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalMinhashPairs(
+      docs.filter(col("doc_id") % 10 >= 8),
+      Dedup.bandIndex(docs.filter(col("doc_id") % 10 < 8)))
+  }
 
   private val sampleSplit: QFn = (s, dir) =>
     Sampling.split(
@@ -392,6 +420,11 @@ object PipelineQueries {
         |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
         |    FROM q JOIN c ON q.q_label = c.c_label AND q.q_id <> c.c_id))
         |WHERE rank <= 3""".stripMargin),
+    QueryDef("dedup_incremental_minhash", dedupIncrementalMinhash,
+      s"""WITH ${bandSideSql("b", "doc_id % 10 >= 8")},
+        |${bandSideSql("c", "doc_id % 10 < 8")}
+        |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM b2b b JOIN b2c c ON b.band = c.band AND b.h = c.h""".stripMargin),
     QueryDef("sample_split", sampleSplit,
       """WITH b AS (SELECT doc_id, lang, source,
         |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16

@@ -179,6 +179,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(5L) === ((5L, 1L)))
   }
 
+  test("incremental minhash: batch probes the corpus band index, no corpus self-pairs") {
+    // corpus: docs 1,2 (identical text); batch: 6 = near-dup of corpus,
+    // 7 = novel. Expect (6 -> 1) and (6 -> 2) candidates, nothing for 7,
+    // and no corpus-corpus pair anywhere.
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog", "s1", 43L),
+      (7L, "nothing like anything else in the corpus at all", "s2", 47L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.incrementalMinhashPairs(batch, Dedup.bandIndex(corpus)).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(got === Set((6L, 1L), (6L, 2L)))
+  }
+
   test("incremental dedup: batch drops corpus dups, keeps first copy per new hash") {
     val corpus = docs.filter(col("doc_id") <= 2) // holds the "quick brown fox dog" text
     val batch = Seq(
