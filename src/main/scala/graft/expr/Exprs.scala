@@ -105,11 +105,14 @@ object TokenKernels {
     * trailing / consecutive separators all produce empty tokens, and
     * the empty string has one token. */
   def tokenCount(s: UTF8String): Int = {
-    val bytes = s.getBytes
+    // getByte indexing, not getBytes: an UnsafeRow-backed string would
+    // copy its bytes out per row — the allocation this kernel exists
+    // to avoid.
+    val len = s.numBytes
     var n = 1
     var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') n += 1
+    while (i < len) {
+      if (s.getByte(i) == ' ') n += 1
       i += 1
     }
     n

@@ -71,15 +71,6 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
-  /** LSH banding: candidate pairs = docs agreeing on any band's MinHash.
-    * Shape: signature kernel (one pass over the corpus) -> explode to
-    * (band, hash) rows -> ONE shuffle on the bucket key -> per-bucket
-    * pair generation -> distinct. Earlier rounds wrote this as a
-    * bucket-key self-join, which evaluated the signature kernel once per
-    * join side (two full corpus scans) and was the slowest query in the
-    * r2 bench; grouping generates the same pair set from a single pass.
-    * `maxBucket` caps degenerate buckets (see capBuckets).
-    */
   /** (doc_id, band, h) rows — the shape a standing near-dup index
     * stores (bucketed by (band, h) at rest). Degenerate buckets are
     * capped at BUILD time, so the bound is paid once, not per probe. */
@@ -108,6 +99,13 @@ object Dedup {
       .select(col("doc_id").as("batch_id"), col("corpus_id"))
       .distinct()
 
+  /** LSH banding: candidate pairs = docs agreeing on any band's MinHash.
+    * Shape: [[bandIndex]] (signature kernel in one corpus pass, ONE
+    * shuffle on the bucket key, capped buckets) -> per-bucket pair
+    * generation -> distinct. Earlier rounds wrote this as a bucket-key
+    * self-join, which evaluated the signature kernel once per join side
+    * (two full corpus scans) and was the slowest query in the r2 bench;
+    * grouping generates the same pair set from a single pass. */
   def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     // The cap window and the groupBy hash-partition on the same (band, h)
@@ -192,7 +190,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeLimit: Long = 4L << 20): DataFrame = {
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Integral ids are the CC contract; the cast makes BOTH execution
+    // paths emit long node/label columns, so the output schema does not
+    // depend on which path the data volume selects.
+    val fwd = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // materialized once, re-joined every round
     // Cheap: counts the just-materialized checkpoint blocks, no recompute.
@@ -257,39 +259,58 @@ object Dedup {
   }
 
   /** Exact single-task components for a small edge relation: coalesce
-    * to one executor task, run union-find with union-by-min (so each
-    * root IS its component's minimum id), emit (node, label). Output
-    * schema and values are identical to the iterative path. */
+    * to one executor task, remap node ids to dense ints (sort + binary
+    * search over a primitive long array), run union-find over an Int
+    * parent array, emit (node, label = component-min id). Everything is
+    * primitive arrays — no boxing — so memory is ~16·E transient for
+    * the edge buffer plus ~12·N for nodes+parents: the default 4M-edge
+    * limit costs ~128 MB + ~100 MB in the one task, a budget any
+    * executor has. Output schema and values are identical to the
+    * iterative path. */
   private def unionFindLocal(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val labels = edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
+      .select(col("src"), col("dst"))
       .as(tup)
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
+        val srcB = Array.newBuilder[Long]
+        val dstB = Array.newBuilder[Long]
+        it.foreach { case (a, b) => srcB += a; dstB += b }
+        val src = srcB.result(); val dst = dstB.result()
+        // dense remap: sorted distinct node ids (primitive sort +
+        // in-place dedup — scala's .distinct would box); index = dense id
+        val all = new Array[Long](src.length + dst.length)
+        System.arraycopy(src, 0, all, 0, src.length)
+        System.arraycopy(dst, 0, all, src.length, dst.length)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var j = 0
+        while (j < all.length) {
+          if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+          j += 1
+        }
+        val nodes = java.util.Arrays.copyOf(all, n)
+        val idx = (x: Long) => java.util.Arrays.binarySearch(nodes, x)
+        val parent = Array.tabulate(nodes.length)(identity)
+        def find(x: Int): Int = {
           var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          while (parent(r) != r) r = parent(r)
           var c = x // path compression keeps the scan amortized ~O(E α(N))
-          while (parent.getOrDefault(c, c) != r) {
-            val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
-          }
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        val nodes = new java.util.TreeSet[java.lang.Long]()
-        it.foreach { case (a, b) =>
-          nodes.add(a); nodes.add(b)
-          val ra = find(a); val rb = find(b)
-          // union-by-min: the surviving root is the smaller id, so the
-          // invariant "root == min member of its component" holds at
-          // every step (singletons trivially satisfy it).
-          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        var i = 0
+        while (i < src.length) {
+          val ra = find(idx(src(i))); val rb = find(idx(dst(i)))
+          // union-by-min: dense ids preserve the id order, so the
+          // smaller dense root IS the smaller node id and the invariant
+          // "root == min member of its component" holds at every step.
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          i += 1
         }
-        val out = Iterator.newBuilder[(Long, Long)]
-        nodes.forEach(n => out += ((n.longValue(), find(n.longValue()))))
-        out.result()
+        nodes.indices.iterator.map(n => (nodes(n), nodes(find(n))))
       }(tup)
       .toDF("node", "label")
       // Eager checkpoint: materializes the (tiny) result so the edge
@@ -356,8 +377,11 @@ object Dedup {
     *
     * Scale: one extra hash exchange on cluster_id feeding a full
     * Window (every member needs its verdict flag, so a top-1 prune
-    * cannot apply); cluster sizes are bounded by the bucket caps
-    * upstream, so no window partition is unbounded. */
+    * cannot apply). The bucket caps bound per-BUCKET membership, not
+    * component size — transitive chains can merge many buckets into
+    * one cluster, so a pathological dup graph can still produce a hot
+    * window partition; that skew is inherent to any per-cluster
+    * verdict and shared with dedup_clusters' output shape. */
   def keepBest(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val clustered = clusters(docs, numHashes, maxBucket)
       .select(col("doc_id"), col("cluster_id"))

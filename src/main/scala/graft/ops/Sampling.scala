@@ -49,18 +49,6 @@ object Sampling {
     df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= quota)
   }
 
-  /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
-    * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
-    * smallest one (which keeps 100%) without the hard cap of a quota.
-    * This is the standard "temperature sampling" mixture reweight with
-    * the exponent fixed at 1/2 so the whole computation stays IEEE-bit-
-    * exact across engines (division and sqrt of exact integers — no
-    * pow/ln, whose last-ulp rounding differs between libms).
-    *
-    * Scale: one tiny groupBy builds the per-stratum counts; the rates
-    * broadcast back onto the corpus and the keep decision is the usual
-    * deterministic md5-bucket test — map-side, rerun-stable, no second
-    * shuffle of the data. */
   /** Deterministic train/val/test assignment: the md5 bucket of the key
     * partitions [0, 256) into contiguous ranges sized by the requested
     * out-of-256 rates (train gets the remainder). Pure map-side — a
@@ -78,8 +66,25 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
+    * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
+    * smallest one (which keeps 100%) without the hard cap of a quota.
+    * This is the standard "temperature sampling" mixture reweight with
+    * the exponent fixed at 1/2 so the whole computation stays IEEE-bit-
+    * exact across engines (division and sqrt of exact integers — no
+    * pow/ln, whose last-ulp rounding differs between libms).
+    *
+    * Rows with a NULL stratum are DROPPED (a mixture weight for an
+    * unknown source is undefined) and excluded from the counts, so a
+    * null group can never set n_min and shrink every real stratum.
+    *
+    * Scale: one tiny groupBy builds the per-stratum counts; the rates
+    * broadcast back onto the corpus and the keep decision is the usual
+    * deterministic md5-bucket test — map-side, rerun-stable, no second
+    * shuffle of the data. */
   def temperature(df: DataFrame, key: Column, stratum: Column): DataFrame = {
-    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
+    val counts = df.filter(stratum.isNotNull)
+      .groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("n_s")).as("n_min"))))
       .select(col("s"), (sqrt(col("n_min").cast("double") / col("n_s").cast("double")) * 256.0)

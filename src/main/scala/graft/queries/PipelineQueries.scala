@@ -84,7 +84,7 @@ object PipelineQueries {
   // half-away-from-zero round, identical in both engines).
   private def kmMeanSql(prefix: String, from: String) =
     s"""${prefix}e AS (SELECT cell, u.i AS dim, qv[u.i] AS v
-       |  FROM $from, (SELECT unnest(generate_series(1, 64)) AS i) u),
+       |  FROM $from, unnest(generate_series(1, len(qv))) AS u(i)),
        |${prefix}s AS (SELECT cell, dim,
        |  CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
        |  FROM ${prefix}e GROUP BY cell, dim),
@@ -533,7 +533,7 @@ object PipelineQueries {
         |FROM j GROUP BY doc_id""".stripMargin),
     QueryDef("sample_temperature", sampleTemperature,
       """WITH d AS (SELECT doc_id, lang, source FROM documents),
-        |c AS (SELECT source AS s, count(*) AS n_s FROM d GROUP BY source),
+        |c AS (SELECT source AS s, count(*) AS n_s FROM d WHERE source IS NOT NULL GROUP BY source),
         |m AS (SELECT min(n_s) AS n_min FROM c),
         |r AS (SELECT s, sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) * 256.0 AS rate256 FROM c, m),
         |b AS (SELECT doc_id, lang, source,
