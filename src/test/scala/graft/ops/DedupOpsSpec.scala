@@ -271,6 +271,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(again === kept.map(_.getAs[Long]("doc_id")).toSet) // rerun-stable
   }
 
+  test("temperature: NULL strata are dropped and cannot shrink real strata") {
+    // one NULL-source row; if it reached the counts it would set
+    // n_min = 1 and shrink "a" to sqrt(1/8)*256 = 90 buckets (~35%)
+    val rows = (1L to 8L).map(i => (i, "a")) :+ ((9L, null: String))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.temperature(df, col("doc_id"), col("source")).collect()
+    assert(kept.length === 8) // "a" is the only (and smallest) stratum: keeps 100%
+    assert(kept.forall(_.getAs[String]("source") == "a")) // null row dropped
+  }
+
+  test("connectedComponents: output schema is long on both paths, int ids accepted") {
+    import org.apache.spark.sql.types.LongType
+    val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType ids
+    for (limit <- Seq(4L << 20, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, localEdgeLimit = limit)
+      assert(cc.schema("node").dataType === LongType, s"limit=$limit")
+      assert(cc.schema("label").dataType === LongType, s"limit=$limit")
+      val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"limit=$limit")
+    }
+  }
+
   test("unigram score: common-token docs score high, rare-token docs flag n_rare") {
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     // corpus freq: a=3, b=1, c=1
