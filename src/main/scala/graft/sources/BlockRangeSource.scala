@@ -84,11 +84,64 @@ final class BlockRangeTable(options: CaseInsensitiveStringMap) extends Table wit
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
-    () => new BlockRangeScan(merged)
+    new BlockRangeScanBuilder(merged)
   }
 }
 
-final class BlockRangeScan(options: CaseInsensitiveStringMap) extends Scan {
+/** Filter pushdown for the batch path: `block_number` range predicates
+  * narrow the planned block window itself, so a query for blocks
+  * [900, 950) of a billion-block chain plans (and FETCHES) exactly
+  * that window — partition pruning at the source, the reference's
+  * ranged `get_logs` semantics (`evm/rpc.py:289-377`). The narrowed
+  * predicates are consumed exactly (the window is the predicate), so
+  * Spark does not re-evaluate them post-scan; anything else stays a
+  * residual filter. */
+final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  private var lo = options.getLong("start", 0L)
+  private var hi = options.getLong("maxBlock", 1000L)
+  private var pushed: Array[Filter] = Array.empty
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case x: Long => Some(x)
+    case x: Int => Some(x.toLong)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("block_number", v) => asLong(v).isDefined
+      case GreaterThan("block_number", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("block_number", v) => asLong(v).isDefined
+      case LessThan("block_number", v) => asLong(v).isDefined
+      case LessThanOrEqual("block_number", v) => asLong(v).isDefined
+      case _ => false
+    }
+    supported.foreach {
+      case EqualTo(_, v) =>
+        val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, asLong(v).get)
+      case LessThan(_, v) => hi = math.min(hi, asLong(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, asLong(v).get + 1)
+      case _ => ()
+    }
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BlockRangeScan(options, lo, hi)
+}
+
+final class BlockRangeScan(options: CaseInsensitiveStringMap,
+    batchLo: Long, batchHi: Long) extends Scan {
+  def this(options: CaseInsensitiveStringMap) =
+    this(options, options.getLong("start", 0L), options.getLong("maxBlock", 1000L))
   private val start = options.getLong("start", 0L)
   private val maxBlock = options.getLong("maxBlock", 1000L)
   private val blocksPerTrigger = options.getLong("blocksPerTrigger", 100L)
@@ -100,8 +153,10 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap) extends Scan {
   override def readSchema(): StructType = BlockRangeSource.Schema
 
   override def toBatch: Batch = new Batch {
+    // [batchLo, batchHi) is the pushdown-narrowed window (equal to
+    // [start, maxBlock) when no block_number predicates were pushed)
     override def planInputPartitions(): Array[InputPartition] =
-      BlockRangePartitioning.split(start, maxBlock, numPartitions)
+      BlockRangePartitioning.split(batchLo, batchHi, numPartitions)
     override def createReaderFactory(): PartitionReaderFactory =
       BlockRangeReaderFactory(fetcherClass, fetchChunk)
   }

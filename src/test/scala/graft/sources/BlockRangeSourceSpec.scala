@@ -22,7 +22,44 @@ object CappedFetcher {
   val served = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
 
+/** Records every fetched window so a spec can prove WHICH blocks the
+  * source actually requested (driver == executor under local[*]). */
+class WindowLogFetcher extends BlockFetcher {
+  override def fetch(lo: Long, hi: Long): Iterator[Long] = {
+    WindowLogFetcher.windows.add((lo, hi))
+    Iterator.range(lo, hi)
+  }
+}
+object WindowLogFetcher {
+  val windows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+}
+
 class BlockRangeSourceSpec extends SparkSpec {
+
+  test("block_number range predicates prune the planned window (filter pushdown)") {
+    WindowLogFetcher.windows.clear()
+    val df = spark.read.format("blockrange")
+      .option("start", "0").option("maxBlock", "100000")
+      .option("numPartitions", "4")
+      .option("fetcher", classOf[WindowLogFetcher].getName)
+      .load()
+      .filter(col("block_number") >= 90000 && col("block_number") < 90050)
+    assert(df.count() === 50)
+    // the source must have FETCHED only the filtered window — a
+    // post-scan filter over the full chain would log [0, 100000) here
+    val fetched = WindowLogFetcher.windows.toArray(Array.empty[(Long, Long)])
+    assert(fetched.nonEmpty)
+    assert(fetched.forall { case (lo, hi) => lo >= 90000L && hi <= 90050L },
+      fetched.mkString(", "))
+    // contradictory predicates plan an empty scan, not a job failure
+    WindowLogFetcher.windows.clear()
+    val none = spark.read.format("blockrange")
+      .option("start", "0").option("maxBlock", "1000")
+      .option("fetcher", classOf[WindowLogFetcher].getName).load()
+      .filter(col("block_number") === 500 && col("block_number") === 700)
+    assert(none.count() === 0)
+    assert(WindowLogFetcher.windows.isEmpty)
+  }
 
   test("batch read covers [start, maxBlock) across partitions") {
     val df = spark.read.format("blockrange")
