@@ -142,8 +142,6 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
     batchLo: Long, batchHi: Long) extends Scan {
   def this(options: CaseInsensitiveStringMap) =
     this(options, options.getLong("start", 0L), options.getLong("maxBlock", 1000L))
-  private val start = options.getLong("start", 0L)
-  private val maxBlock = options.getLong("maxBlock", 1000L)
   private val blocksPerTrigger = options.getLong("blocksPerTrigger", 100L)
   private val trailBlocks = options.getLong("trailBlocks", 0L)
   private val numPartitions = options.getInt("numPartitions", 4)
@@ -161,8 +159,12 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
       BlockRangeReaderFactory(fetcherClass, fetchChunk)
   }
 
+  // The narrowed window applies to the STREAM too: the builder consumed
+  // the block_number predicates, so if the stream ignored [batchLo,
+  // batchHi) a pushed filter would silently stop filtering. Honoring it
+  // here keeps both paths' semantics identical to the un-pushed plan.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockRangeMicroBatchStream(start, maxBlock, blocksPerTrigger, trailBlocks,
+    new BlockRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
       numPartitions, fetcherClass, fetchChunk)
 }
 

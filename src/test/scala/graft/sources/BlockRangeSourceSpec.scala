@@ -88,6 +88,26 @@ class BlockRangeSourceSpec extends SparkSpec {
     assert(widths.sum === 400L)
   }
 
+  test("streaming honors a pushed block_number predicate (never drops it)") {
+    // If the ScanBuilder consumes the filter but the stream ignored the
+    // narrowed window, out-of-range blocks would leak into the sink.
+    val ckpt = java.nio.file.Files.createTempDirectory("br_ckpt_f").toString
+    val stream = spark.readStream.format("blockrange")
+      .option("start", "0").option("maxBlock", "200")
+      .option("blocksPerTrigger", "100")
+      .load()
+      .filter(col("block_number") >= 150)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("blocks_filtered")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT count(*) n, min(block_number) mn, max(block_number) mx FROM blocks_filtered").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((50L, 150L, 199L)))
+  }
+
   test("micro-batch stream advances per poll and honors trailBlocks") {
     val ckpt = java.nio.file.Files.createTempDirectory("br_ckpt").toString
     val stream = spark.readStream.format("blockrange")
