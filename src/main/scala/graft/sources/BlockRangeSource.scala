@@ -97,11 +97,24 @@ final class BlockRangeTable(options: CaseInsensitiveStringMap) extends Table wit
   * Spark does not re-evaluate them post-scan; anything else stays a
   * residual filter. */
 final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
   private var lo = options.getLong("start", 0L)
   private var hi = options.getLong("maxBlock", 1000L)
   private var pushed: Array[Filter] = Array.empty
+
+  // LIMIT n over a dense block range is exactly "the first n blocks of
+  // the (filter-narrowed) window" — plan only those. Filters push
+  // before limits in V2ScanRelationPushDown, so `lo` is final here.
+  // isPartiallyPushed stays at its default (true): Spark keeps its own
+  // limit operator, which costs nothing and stays safe if a future
+  // fetcher returns sparse ranges.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.max(lo, lo + limit))
+    true
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case x: Long => Some(x)

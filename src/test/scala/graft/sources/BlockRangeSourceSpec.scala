@@ -61,6 +61,20 @@ class BlockRangeSourceSpec extends SparkSpec {
     assert(WindowLogFetcher.windows.isEmpty)
   }
 
+  test("LIMIT plans only the first n blocks of the filtered window") {
+    WindowLogFetcher.windows.clear()
+    val df = spark.read.format("blockrange")
+      .option("start", "0").option("maxBlock", "100000")
+      .option("fetcher", classOf[WindowLogFetcher].getName)
+      .load()
+      .filter(col("block_number") >= 5000)
+      .limit(10)
+    assert(df.collect().map(_.getLong(0)).toSeq === (5000L until 5010L))
+    val fetched = WindowLogFetcher.windows.toArray(Array.empty[(Long, Long)])
+    assert(fetched.forall { case (lo, hi) => lo >= 5000L && hi <= 5010L },
+      fetched.mkString(", "))
+  }
+
   test("batch read covers [start, maxBlock) across partitions") {
     val df = spark.read.format("blockrange")
       .option("start", "10").option("maxBlock", "110")
