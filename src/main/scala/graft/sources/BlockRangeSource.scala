@@ -112,9 +112,15 @@ final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
   // limit operator, which costs nothing and stays safe if a future
   // fetcher returns sparse ranges.
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, math.max(lo, lo + limit))
+    hi = math.min(hi, math.max(lo, satAdd(lo, limit.toLong)))
     true
   }
+
+  // Pushed bounds are trusted (never re-evaluated post-scan), so boundary
+  // values like `block_number <= Long.MaxValue` must saturate rather than
+  // wrap to Long.MinValue and silently plan an empty window.
+  private def satAdd(x: Long, d: Long): Long =
+    if (x > Long.MaxValue - d) Long.MaxValue else x + d
 
   private def asLong(v: Any): Option[Long] = v match {
     case x: Long => Some(x)
@@ -135,11 +141,11 @@ final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
     }
     supported.foreach {
       case EqualTo(_, v) =>
-        val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1)
-      case GreaterThan(_, v) => lo = math.max(lo, asLong(v).get + 1)
+        val x = asLong(v).get; lo = math.max(lo, x); hi = math.min(hi, satAdd(x, 1L))
+      case GreaterThan(_, v) => lo = math.max(lo, satAdd(asLong(v).get, 1L))
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, asLong(v).get)
       case LessThan(_, v) => hi = math.min(hi, asLong(v).get)
-      case LessThanOrEqual(_, v) => hi = math.min(hi, asLong(v).get + 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, satAdd(asLong(v).get, 1L))
       case _ => ()
     }
     pushed = supported
