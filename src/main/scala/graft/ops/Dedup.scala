@@ -375,24 +375,28 @@ object Dedup {
     * truncated). Quality here is (n_chars DESC, doc_id ASC): longest
     * member wins, id breaks ties deterministically.
     *
-    * Scale: one extra hash exchange on cluster_id feeding a full
-    * Window (every member needs its verdict flag, so a top-1 prune
-    * cannot apply). The bucket caps bound per-BUCKET membership, not
-    * component size — transitive chains can merge many buckets into
-    * one cluster, so a pathological dup graph can still produce a hot
-    * window partition; that skew is inherent to any per-cluster
-    * verdict and shared with dedup_clusters' output shape. */
+    * Scale: two phases, neither with a hot-partition risk. Phase 1 is
+    * a per-cluster argmax as a packed struct max — partial+final
+    * HashAggregate, so a pathological transitive cluster (bucket caps
+    * bound per-BUCKET membership, not component size) is reduced
+    * map-side before any shuffle sees it, where a Window partitioned
+    * by cluster_id would funnel the whole cluster through one task.
+    * Phase 2 joins the 1-row-per-cluster best back — broadcast while
+    * the cluster directory fits (the hint below), and if it ever
+    * outgrows broadcast, dropping the hint degrades to an AQE
+    * skew-splittable SMJ, still never a single-task window. */
   def keepBest(docs: DataFrame, numHashes: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val clustered = clusters(docs, numHashes, maxBucket)
       .select(col("doc_id"), col("cluster_id"))
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-    val byQuality = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    clustered
-      .withColumn("rn", row_number().over(byQuality))
+    // argmax(n_chars DESC, doc_id ASC) == max of (n_chars, -doc_id)
+    // under lexicographic struct ordering
+    val best = clustered.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"))
+    clustered.join(broadcast(best), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("n_chars"),
-        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("keep_best"))
+        when(col("doc_id") === col("best_id"), lit(1L)).otherwise(lit(0L)).as("keep_best"))
   }
 
   /** Incremental exact dedup: the operational shape at scale. A standing

@@ -165,14 +165,39 @@ object Similarity {
       .select(col("cell"), expr("transform(dm, x -> x.m)").as("cv"))
       .withColumn("cnrm", sqNorm(col("cv")))
 
-  /** IVF search over the TRAINED quantizer: assign candidates to their
-    * final cell once, probe each query's `nprobe` nearest cells, score
-    * cosine only inside probed cells — O(Q·N·nprobe/nlist) scored pairs
-    * instead of O(Q·N), the classic recall/cost dial. Queries share
-    * brute force's broadcast-sized contract. */
+  /** One-shot convenience: train the quantizer, then search — the
+    * shape a notebook exploration wants. A production index is built
+    * ONCE ([[kmeansCentroids]]) and searched many times
+    * ([[ivfSearch]]); this method exists so the two stay glued by
+    * construction (it IS build→search, spec-enforced equal). */
   def ivfTrainedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val cents = trainCents(embeddings, nlist, iters)
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame =
+    searchWithCents(trainCents(embeddings, nlist, iters), embeddings, queries, k, nprobe)
+
+  /** IVF search over a PRE-TRAINED quantizer relation — the
+    * build-once/search-many path. `centroids` is the (cell, cv, cnrm)
+    * relation produced by [[kmeansCentroids]]: nlist metadata-scale
+    * rows, collected driver-side so assignment and probe expansion stay
+    * map-side expressions (the same reason MLlib holds k-means
+    * centroids on the driver). Retraining never happens here — an index
+    * rebuilt per query isn't an index. */
+  def ivfSearch(centroids: DataFrame, embeddings: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids.select(col("cell"), col("cv"), col("cnrm")).collect()
+      .map(r => Cent(r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Long]]("cv").toVector, r.getAs[Long]("cnrm")))
+      .sortBy(_.cell)
+    searchWithCents(cents, embeddings, queries, k, nprobe)
+  }
+
+  /** Search core shared by the one-shot and pre-trained paths: assign
+    * candidates to their final cell once, probe each query's `nprobe`
+    * nearest cells, score cosine only inside probed cells —
+    * O(Q·N·nprobe/nlist) scored pairs instead of O(Q·N), the classic
+    * recall/cost dial. Queries share brute force's broadcast-sized
+    * contract. */
+  private def searchWithCents(cents: Array[Cent], embeddings: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cand = prepared(embeddings)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
       .withColumn("cell", assignExpr(cents, col("c_qv"), col("c_nrm")))
