@@ -63,6 +63,24 @@ final case class EvmTransactionReceipt(
     status: Option[Long],
     logs: Seq[EvmLog])
 
+// `evm/rpc.py:150-196`: get_blocks with `full_transactions=True` — the
+// inflated typed form the crawler consumes (field-by-field conversion of
+// the RPC response), vs [[EvmBlock]]'s hash-list form. `transactions` is
+// the nested full-object list; exploding it is the reference's
+// block -> transaction fan-out (SURVEY G1).
+final case class EvmBlockWithTxs(
+    number: Long,
+    hash: String,
+    parent_hash: String,
+    timestamp: Long,
+    miner: String,
+    gas_limit: Long,
+    gas_used: Long,
+    size: Long,
+    difficulty: String,
+    transactions: Seq[EvmTransaction],
+    uncles: Seq[String])
+
 // `nft/entities.py:18-31`
 final case class Collection(
     blockchain: String,

@@ -35,9 +35,15 @@ object CoreQueries {
   // ---- S: sources / scans --------------------------------------------------
 
   private val s1RangeScan: QFn = (s, dir) => {
-    // BlockIDProducer (`evm/producers.py:9-28`): dense integer range drive.
-    val n = Tables.events(s, dir).count()
-    s.range(0, n).toDF("id")
+    // BlockIDProducer (`evm/producers.py:9-28`): dense integer range
+    // drive. The chain table itself is the height authority, so the
+    // dense range [0, n) derives from its dense key normalized by a
+    // broadcast min scalar — ONE distributed job (no driver-side
+    // count() action parameterizing a second plan, no global window).
+    val ev = Tables.events(s, dir)
+    val minKey = ev.agg(min(col("event_id")).as("__mn"))
+    ev.crossJoin(broadcast(minKey))
+      .select((col("event_id") - col("__mn")).cast("long").as("id"))
   }
 
   private val s2PointLookup: QFn = (s, dir) => {

@@ -65,6 +65,13 @@ trait BlockFetcher {
 
 final class RangeTooLargeException(msg: String) extends RuntimeException(msg)
 
+/** Retryable throttle signal — the provider said "slow down" (HTTP 429
+  * TooManyRequests in the reference, which backs off and replays the
+  * in-flight request, `core/rpc.py:305-310,327-353`). Distinct from
+  * [[RangeTooLargeException]]: a throttle means retry the SAME window
+  * later, not a narrower one. */
+final class ThrottledException(msg: String) extends RuntimeException(msg)
+
 /** Default fetcher — the simulated chain (block ids generated locally). */
 final class SimulatedFetcher extends BlockFetcher {
   override def fetch(lo: Long, hi: Long): Iterator[Long] = Iterator.range(lo, hi)
@@ -112,15 +119,41 @@ final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
   // limit operator, which costs nothing and stays safe if a future
   // fetcher returns sparse ranges.
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, math.max(lo, satAdd(lo, limit.toLong)))
+    hi = math.min(hi, math.max(lo, BlockWindow.satAdd(lo, limit.toLong)))
     true
   }
 
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val n = BlockWindow.narrow(lo, hi, filters, "block_number")
+    lo = n.lo; hi = n.hi; pushed = n.supported
+    n.residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BlockRangeScan(options, lo, hi)
+}
+
+/** Shared pushdown math for the block-keyed sources: range predicates on
+  * the block column narrow the planned window itself. The narrowed
+  * predicates are consumed exactly (the window IS the predicate), so
+  * Spark does not re-evaluate them post-scan; anything else stays a
+  * residual filter. */
+object BlockWindow {
+  import org.apache.spark.sql.sources._
+
+  final case class Narrowed(lo: Long, hi: Long,
+      supported: Array[Filter], residual: Array[Filter])
+
   // Pushed bounds are trusted (never re-evaluated post-scan), so boundary
   // values like `block_number <= Long.MaxValue` must saturate rather than
-  // wrap to Long.MinValue and silently plan an empty window.
-  private def satAdd(x: Long, d: Long): Long =
+  // wrap to Long.MinValue and silently plan an empty window. Non-negative
+  // deltas only: for d < 0 the guard itself would overflow and return a
+  // silently saturated bound from what is really a subtraction.
+  def satAdd(x: Long, d: Long): Long = {
+    require(d >= 0, s"satAdd expects a non-negative delta, got $d")
     if (x > Long.MaxValue - d) Long.MaxValue else x + d
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case x: Long => Some(x)
@@ -130,13 +163,15 @@ final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
     case _ => None
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  def narrow(lo0: Long, hi0: Long, filters: Array[Filter], column: String): Narrowed = {
+    var lo = lo0
+    var hi = hi0
     val (supported, residual) = filters.partition {
-      case EqualTo("block_number", v) => asLong(v).isDefined
-      case GreaterThan("block_number", v) => asLong(v).isDefined
-      case GreaterThanOrEqual("block_number", v) => asLong(v).isDefined
-      case LessThan("block_number", v) => asLong(v).isDefined
-      case LessThanOrEqual("block_number", v) => asLong(v).isDefined
+      case EqualTo(`column`, v) => asLong(v).isDefined
+      case GreaterThan(`column`, v) => asLong(v).isDefined
+      case GreaterThanOrEqual(`column`, v) => asLong(v).isDefined
+      case LessThan(`column`, v) => asLong(v).isDefined
+      case LessThanOrEqual(`column`, v) => asLong(v).isDefined
       case _ => false
     }
     supported.foreach {
@@ -148,13 +183,8 @@ final class BlockRangeScanBuilder(options: CaseInsensitiveStringMap)
       case LessThanOrEqual(_, v) => hi = math.min(hi, satAdd(asLong(v).get, 1L))
       case _ => ()
     }
-    pushed = supported
-    residual
+    Narrowed(lo, hi, supported, residual)
   }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def build(): Scan = new BlockRangeScan(options, lo, hi)
 }
 
 final class BlockRangeScan(options: CaseInsensitiveStringMap,
@@ -166,6 +196,10 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
   private val numPartitions = options.getInt("numPartitions", 4)
   private val fetcherClass = options.getOrDefault("fetcher", BlockFetcher.Simulated)
   private val fetchChunk = options.getLong("fetchChunk", Long.MaxValue)
+  private val backoff = BackoffPolicy(
+    options.getLong("throttleBaseMs", 50L),
+    options.getLong("throttleCapMs", 5000L),
+    options.getInt("throttleMaxRetries", 8))
 
   override def readSchema(): StructType = BlockRangeSource.Schema
 
@@ -175,7 +209,7 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
     override def planInputPartitions(): Array[InputPartition] =
       BlockRangePartitioning.split(batchLo, batchHi, numPartitions)
     override def createReaderFactory(): PartitionReaderFactory =
-      BlockRangeReaderFactory(fetcherClass, fetchChunk)
+      BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff)
   }
 
   // The narrowed window applies to the STREAM too: the builder consumed
@@ -184,7 +218,7 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
   // here keeps both paths' semantics identical to the un-pushed plan.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BlockRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
-      numPartitions, fetcherClass, fetchChunk)
+      numPartitions, fetcherClass, fetchChunk, backoff)
 }
 
 final case class BlockOffset(block: Long) extends Offset {
@@ -196,7 +230,8 @@ final case class BlockOffset(block: Long) extends Offset {
 final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
                                        trailBlocks: Long, numPartitions: Int,
                                        fetcherClass: String = BlockFetcher.Simulated,
-                                       fetchChunk: Long = Long.MaxValue)
+                                       fetchChunk: Long = Long.MaxValue,
+                                       backoff: BackoffPolicy = BackoffPolicy())
     extends MicroBatchStream {
   private var head: Long = start
 
@@ -215,10 +250,21 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
       endOff.asInstanceOf[BlockOffset].block, numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BlockRangeReaderFactory(fetcherClass, fetchChunk)
+    BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Bounded exponential backoff for retryable throttles: sleep
+  * `baseMs * 2^attempt` capped at `capMs`, give up (and rethrow, so the
+  * task fails loudly and Spark's task retry takes over) after
+  * `maxRetries` consecutive throttles. A successful fetch resets the
+  * attempt counter — steady-state throttling re-probes at the base
+  * delay, the reference's limiter behavior (`core/rpc.py:365-397`). */
+final case class BackoffPolicy(baseMs: Long = 50L, capMs: Long = 5000L, maxRetries: Int = 8) {
+  def delayMs(attempt: Int): Long =
+    math.min(capMs, baseMs << math.min(attempt, 62))
 }
 
 final case class BlockRangePartition(lo: Long, hi: Long) extends InputPartition
@@ -239,8 +285,13 @@ object BlockRangePartitioning {
   * adaptive narrowing when a provider caps response size
   * (`evm/rpc.py:366-377`). The shrunk size sticks for the rest of the
   * partition: a provider that rejected a window once will reject its
-  * siblings, so re-probing wide every chunk just burns a round-trip. */
-final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Long)
+  * siblings, so re-probing wide every chunk just burns a round-trip.
+  * A ThrottledException replays the SAME window after a bounded
+  * exponential backoff ([[BackoffPolicy]]) — the reference's 429
+  * handling (`core/rpc.py:305-310,327-353`); `maxRetries` consecutive
+  * throttles rethrow, failing the task loudly. */
+final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Long,
+    backoff: BackoffPolicy = BackoffPolicy())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
@@ -251,13 +302,18 @@ final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Lon
       private var cur = p.lo
       private var it: Iterator[Long] = Iterator.empty
       private var value = 0L
+      private var throttles = 0
       override def next(): Boolean = {
         while (!it.hasNext && cur < p.hi) {
           val windowHi = math.min(cur + chunk, p.hi)
-          try { it = fetcher.fetch(cur, windowHi); cur = windowHi }
+          try { it = fetcher.fetch(cur, windowHi); cur = windowHi; throttles = 0 }
           catch {
             case _: RangeTooLargeException if chunk > 1 =>
               chunk = math.max(1L, chunk / 10)
+            case t: ThrottledException =>
+              if (throttles >= backoff.maxRetries) throw t
+              Thread.sleep(backoff.delayMs(throttles))
+              throttles += 1
           }
         }
         if (it.hasNext) { value = it.next(); true } else false
