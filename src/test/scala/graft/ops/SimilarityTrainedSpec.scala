@@ -56,6 +56,21 @@ class SimilarityTrainedSpec extends SparkSpec {
     assert(got <= 2)
   }
 
+  test("build-once/search-many equals the one-shot train+search path") {
+    // the production shape: kmeansCentroids builds the index relation
+    // ONCE; ivfSearch probes it. Must return exactly what the one-shot
+    // convenience (train inside the call) returns — glued by construction,
+    // enforced here so the two paths can never drift.
+    val q = blobs.filter(col("vec_id") % 20 === 0)
+    val cents = Similarity.kmeansCentroids(blobs, nlist = 3, iters = 2)
+    val fromIndex = Similarity.ivfSearch(cents, blobs, q, k = 3, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"), r.getAs[Int]("rank"))).toSet
+    val oneShot = Similarity.ivfTrainedTopK(blobs, q, k = 3, nlist = 3, iters = 2, nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"), r.getAs[Int]("rank"))).toSet
+    assert(fromIndex === oneShot)
+  }
+
   test("trained IVF with nprobe=1 keeps in-blob neighbors (pruning works)") {
     val q = blobs.filter(col("vec_id") === 0L) // a blob-0 member
     val got = Similarity.ivfTrainedTopK(blobs, q, k = 3, nlist = 3, iters = 2, nprobe = 1)
