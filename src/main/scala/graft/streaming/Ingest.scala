@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.ops.Dedup
+import org.apache.spark.sql.{AnalysisException, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous corpus ingestion — the streaming twin of
   * `Dedup.incrementalExact`. New documents arrive as a stream; each
@@ -25,4 +27,68 @@ object Ingest {
       .withWatermark(tsCol, watermark)
       .join(corpusHashes, Seq("text_hash"), "left_anti")
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
+
+  // ---- streaming NEAR-dup ingest ------------------------------------------
+
+  /** One micro-batch of near-dup-aware ingestion — the foreachBatch body
+    * of [[startNearDupIngest]], exposed so batch replays and specs drive
+    * it directly. Semantics: a batch doc survives iff (a) no smaller-id
+    * batch doc shares a MinHash band with it (greedy first-seen-wins
+    * WITHIN the batch; docs linked only transitively — through a dropped
+    * middleman, never directly colliding — survive, a deterministic
+    * recall trade documented here; full transitive closure is the batch
+    * [[Dedup.clusters]] path), and (b) no standing-corpus doc shares a
+    * band with it ([[Dedup.incrementalMinhashPairs]] probe). Survivors
+    * append to the
+    * corpus at `outPath` AND their bands to the index at `indexPath`, so
+    * the NEXT batch's probe sees them.
+    *
+    * Scale: per-batch work is O(batch) — the corpus side is the standing
+    * band index, probed by an equi-join on (band, h) (bucketed by that
+    * key at rest it co-locates without a corpus shuffle), never
+    * re-scanned as text and never self-joined. All dedup state lives in
+    * the index relation — bounded by corpus size, nothing accumulates in
+    * the stream's state store. */
+  def processNearDupBatch(batch: DataFrame, indexPath: String, outPath: String,
+      numHashes: Int = 4, maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val inBatchDropped = Dedup.minhashCandidatePairs(batch, numHashes, maxBucket)
+      .select(col("id_b").as("doc_id")).distinct()
+    val batchKept = batch.join(inBatchDropped, Seq("doc_id"), "left_anti")
+    val standing: Option[DataFrame] =
+      try Some(spark.read.parquet(indexPath)) catch { case _: AnalysisException => None }
+    val survivors = standing match {
+      case Some(bands) =>
+        val hits = Dedup.incrementalMinhashPairs(batchKept, bands, numHashes, maxBucket)
+          .select(col("batch_id").as("doc_id")).distinct()
+        batchKept.join(hits, Seq("doc_id"), "left_anti")
+      case None => batchKept
+    }
+    // cache: survivors feed two sinks (corpus + index) — without it the
+    // dedup joins above would run twice
+    survivors.persist()
+    try {
+      survivors.write.mode("append").parquet(outPath)
+      Dedup.bandIndex(survivors, numHashes, maxBucket)
+        .write.mode("append").parquet(indexPath)
+    } finally survivors.unpersist()
+  }
+
+  /** Continuous near-dup ingestion: the streaming twin of
+    * [[Dedup.incrementalMinhashPairs]], wired the way the reference's
+    * tail loop feeds its sink (`nft/bin/tail.py:90-204` — poll, derive,
+    * idempotent write, advance). Each micro-batch runs
+    * [[processNearDupBatch]]: foreachBatch is the right harness here
+    * because the dedup verdict depends on a standing parquet index that
+    * the batch itself appends to — exactly-once per epoch, replays are
+    * idempotent at the batch boundary via the checkpoint. */
+  def startNearDupIngest(newDocs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processNearDupBatch(batch, indexPath, outPath, numHashes, maxBucket)
+      }
+      .start()
 }

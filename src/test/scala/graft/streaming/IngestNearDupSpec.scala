@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class IngestNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("two micro-batches: near-dups of batch 1 are dropped in batch 2, state stays bounded") {
+    val idx = tmp("nd_idx") + "/bands"
+    val out = tmp("nd_out") + "/corpus"
+    val ckpt = tmp("nd_ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val docs = input.toDF.toDF("doc_id", "text", "source", "n_chars")
+    val q = Ingest.startNearDupIngest(docs, idx, out, ckpt)
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", "s1", 43L),
+        (2L, "completely different words appear here entirely now", "s1", 51L))
+      q.processAllAvailable()
+      // batch 2: 10 duplicates corpus doc 1 (must be dropped by the
+      // standing-index probe); 11 is new (kept); 12/13 duplicate each
+      // other within the batch (greedy keep-min keeps 12 only)
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog", "s2", 43L),
+        (11L, "yet another brand new unique document text", "s2", 42L),
+        (12L, "twin documents sharing the very same words", "s2", 42L),
+        (13L, "twin documents sharing the very same words", "s2", 42L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 11L, 12L))
+    // the ONLY dedup state is the band index: survivors x numHashes rows,
+    // nothing proportional to stream length or dropped docs
+    val bands = spark.read.parquet(idx)
+    assert(bands.count() === 4L * 4L)
+    assert(bands.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 11L, 12L))
+    // replaying the dropped doc in a LATER batch still drops it (the
+    // index persisted across batches)
+    val replayIdx = idx
+    val batch3 = Seq((20L, "the quick brown fox jumps over the lazy dog", "s3", 43L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    Ingest.processNearDupBatch(batch3, replayIdx, out)
+    val kept3 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept3 === Set(1L, 2L, 11L, 12L))
+  }
+
+  test("first batch against a missing index bootstraps it (no corpus yet)") {
+    val idx = tmp("nd_idx2") + "/bands"
+    val out = tmp("nd_out2") + "/corpus"
+    val batch = Seq(
+      (1L, "some perfectly ordinary first document here", "s", 43L),
+      (2L, "some perfectly ordinary first document here", "s", 43L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    Ingest.processNearDupBatch(batch, idx, out)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(spark.read.parquet(idx).count() === 4L)
+  }
+}
