@@ -69,6 +69,79 @@ object Abi {
     new String(bytes, StandardCharsets.UTF_8)
   }
 
+  // ---- encoding: the request half of eth_call ----
+
+  /** Typed ABI argument for call encoding — the reference's `EthCall`
+    * request construction (`evm/rpc.py:23-92`, selector + encoded args
+    * `evm/bin.py:18-35`). Static types inline a 32-byte word in the
+    * head; dynamic types put an offset word in the head and append
+    * their payload to the tail (the exact layout [[decodeUintArray]] /
+    * [[decodeString]] reverses — round-trip spec-enforced). */
+  sealed trait AbiArg {
+    def isDynamic: Boolean
+  }
+  final case class AbiUint(value: BigInteger) extends AbiArg {
+    require(value.signum() >= 0 && value.bitLength() <= 256, s"uint256 out of range: $value")
+    def isDynamic = false
+  }
+  final case class AbiAddress(address: String) extends AbiArg {
+    def isDynamic = false
+  }
+  final case class AbiBool(b: Boolean) extends AbiArg {
+    def isDynamic = false
+  }
+  final case class AbiString(s: String) extends AbiArg {
+    def isDynamic = true
+  }
+  final case class AbiUintArray(values: Seq[BigInteger]) extends AbiArg {
+    def isDynamic = true
+  }
+
+  private def word(v: BigInteger): String = {
+    val h = v.toString(16)
+    ("0" * (64 - h.length)) + h
+  }
+
+  private def headWord(a: AbiArg): String = a match {
+    case AbiUint(v) => word(v)
+    case AbiAddress(addr) => {
+      val h = strip0x(addr).toLowerCase
+      ("0" * (64 - h.length)) + h
+    }
+    case AbiBool(b) => word(if (b) BigInteger.ONE else BigInteger.ZERO)
+    case _ => throw new IllegalStateException("dynamic head is an offset")
+  }
+
+  private def tailHex(a: AbiArg): String = a match {
+    case AbiString(s) =>
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+      val padded = hex + "0" * ((64 - hex.length % 64) % 64)
+      word(BigInteger.valueOf(bytes.length)) + padded
+    case AbiUintArray(vs) =>
+      word(BigInteger.valueOf(vs.length)) + vs.map(word).mkString
+    case _ => ""
+  }
+
+  /** Head/tail-encode an argument list (no selector) — the payload the
+    * decoders above consume. */
+  def encodeArgs(args: Seq[AbiArg]): String = {
+    val headSize = 32L * args.length
+    val (heads, tails, _) = args.foldLeft((Vector.empty[String], Vector.empty[String], headSize)) {
+      case ((hs, ts, off), a) =>
+        if (a.isDynamic) {
+          val t = tailHex(a)
+          (hs :+ word(BigInteger.valueOf(off)), ts :+ t, off + t.length / 2)
+        } else (hs :+ headWord(a), ts, off)
+    }
+    (heads ++ tails).mkString
+  }
+
+  /** Full calldata: 4-byte keccak selector + encoded args — what the
+    * reference sends as `data` in an eth_call request. */
+  def encodeCall(signature: String, args: Seq[AbiArg]): String =
+    Keccak.functionSelector(signature) + encodeArgs(args)
+
   val decodeUintArrayUdf =
     udf((data: String, slot: Int) => decodeUintArray(data, slot))
   val decodeStringUdf =

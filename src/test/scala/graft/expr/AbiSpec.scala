@@ -33,6 +33,50 @@ class AbiSpec extends SparkSpec {
     assert(Abi.decodeString("0x", 0) === null)
   }
 
+  test("encodeCall: published ERC-20/721 selectors come out exactly") {
+    import Abi._
+    // canonical public vectors: transfer(address,uint256) = 0xa9059cbb,
+    // balanceOf(address) = 0x70a08231, ownerOf(uint256) = 0x6352211e
+    assert(encodeCall("transfer(address,uint256)", Seq.empty).startsWith("0xa9059cbb"))
+    assert(encodeCall("balanceOf(address)", Seq.empty) === "0x70a08231")
+    assert(encodeCall("ownerOf(uint256)",
+      Seq(AbiUint(java.math.BigInteger.valueOf(7)))) === "0x6352211e" + word(7))
+  }
+
+  test("encode/decode round-trip: static args land in their slots") {
+    import Abi._
+    val addr = "0xa16081f360e3847006db660bae1c6d1b2e17ec2a"
+    val big = new java.math.BigInteger("2").pow(255).subtract(java.math.BigInteger.ONE)
+    val payload = "0x" + encodeArgs(Seq(
+      AbiAddress(addr), AbiUint(big), AbiBool(true), AbiUint(java.math.BigInteger.ZERO)))
+    val slot1 = payload.drop(2).slice(0, 64)
+    assert(slot1.takeRight(40) === addr.drop(2))
+    assert(payload.drop(2).slice(64, 128) === HexMath.pad64(big.toString(16)))
+    assert(payload.drop(2).slice(128, 192) === word(1)) // bool true
+    assert(payload.drop(2).slice(192, 256) === word(0))
+  }
+
+  test("encode/decode round-trip: dynamic string and uint[] through the real decoders") {
+    import Abi._
+    val cases = Seq(
+      (Seq.empty[java.math.BigInteger], ""),
+      (Seq(java.math.BigInteger.valueOf(7), java.math.BigInteger.valueOf(9)), "ipfs://meta/{id}.json"),
+      (Seq(new java.math.BigInteger("2").pow(200)), "unicode é中文 tail"),
+      ((1L to 40L).map(java.math.BigInteger.valueOf).toSeq, "x" * 95))
+    cases.foreach { case (arr, s) =>
+      // mixed head: static, dynamic, static, dynamic — offsets must skip
+      // the whole head and earlier tails
+      val payload = "0x" + encodeArgs(Seq(
+        AbiUint(java.math.BigInteger.valueOf(42)),
+        AbiUintArray(arr),
+        AbiBool(false),
+        AbiString(s)))
+      assert(Abi.decodeUintArray(payload, 1).toSeq === arr.map(v => HexMath.pad64(v.toString(16))))
+      assert(Abi.decodeString(payload, 3) === (if (s.isEmpty) s else s))
+      assert(payload.drop(2).slice(0, 64) === word(42))
+    }
+  }
+
   test("static slices + custom expressions inside a plan") {
     import spark.implicits._
     Exprs.register(spark)
