@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   * the engine at a chain by implementing [[BlockDataFetcher]] over
   * their RPC client; everything downstream (G1 explode, Crawl
   * derivation, time-dim joins) is a plain DataFrame program over the
-  * rows this source emits.
+  * rows this source emits. See [[ReceiptDataSource]] for the
+  * receipts+logs twin.
   *
   *  - same window planning as the drive source: `number` range
   *    predicates and LIMIT narrow the planned window itself
@@ -37,7 +38,8 @@ import scala.jdk.CollectionConverters._
   *    pruned columns;
   *  - per-partition adaptive fetch: window ÷10 shrink on
   *    [[RangeTooLargeException]], bounded exponential backoff on
-  *    [[ThrottledException]] — identical contract to the drive source;
+  *    [[ThrottledException]] — identical contract to the drive source
+  *    ([[AdaptiveRangeReader]]);
   *  - micro-batch stream: the tail loop over typed blocks
   *    (`nft/bin/tail.py:90-204`), head advancing `blocksPerTrigger` per
   *    poll minus `trailBlocks` of reorg lag.
@@ -53,7 +55,9 @@ class BlockDataSource extends TableProvider with DataSourceRegister {
     BlockDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new BlockDataTable(new CaseInsensitiveStringMap(properties))
+    new TypedRangeTable("blocks", BlockDataSource.Schema, "number",
+      BlockDataFetcher.Simulated, BlockDataReaderFactory.apply,
+      new CaseInsensitiveStringMap(properties))
 }
 
 object BlockDataSource {
@@ -121,19 +125,30 @@ object BlockDataFetcher {
     Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockDataFetcher]
 }
 
-final class BlockDataTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
-  override def name(): String = "blocks"
-  override def schema(): StructType = BlockDataSource.Schema
+// ---- generic typed-range plumbing (shared by blocks / receipts) ----------
+
+/** Table over a block-number-keyed typed source. `mkFactory` builds the
+  * per-source reader factory from (fetcher class, chunk, backoff,
+  * pruned schema) — the only piece that differs between sources. */
+final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol: String,
+    defaultFetcher: String,
+    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
-    new BlockDataScanBuilder(merged)
+    new TypedRangeScanBuilder(tableSchema, pushCol, defaultFetcher, mkFactory, merged)
   }
 }
 
-final class BlockDataScanBuilder(options: CaseInsensitiveStringMap)
+final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
+    defaultFetcher: String,
+    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownLimit
@@ -142,7 +157,7 @@ final class BlockDataScanBuilder(options: CaseInsensitiveStringMap)
   private var lo = options.getLong("start", 0L)
   private var hi = options.getLong("maxBlock", 1000L)
   private var pushed: Array[Filter] = Array.empty
-  private var readSchema: StructType = BlockDataSource.Schema
+  private var readSchema: StructType = tableSchema
 
   override def pushLimit(limit: Int): Boolean = {
     hi = math.min(hi, math.max(lo, BlockWindow.satAdd(lo, limit.toLong)))
@@ -150,7 +165,7 @@ final class BlockDataScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val n = BlockWindow.narrow(lo, hi, filters, "number")
+    val n = BlockWindow.narrow(lo, hi, filters, pushCol)
     lo = n.lo; hi = n.hi; pushed = n.supported
     n.residual
   }
@@ -158,51 +173,53 @@ final class BlockDataScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   // Top-level pruning: keep the requested columns at their FULL declared
-  // types (a nested-pruned `transactions` struct is widened back to the
-  // whole object — the fetcher inflates whole blocks anyway, and Spark
-  // re-applies its own projection above the scan). Field order follows
-  // the request so the reader's projection is positional.
+  // types (a nested-pruned struct is widened back to the whole object —
+  // the fetcher inflates whole entities anyway, and Spark re-applies its
+  // own projection above the scan). Field order follows the request so
+  // the reader's projection is positional.
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val full = BlockDataSource.Schema
     val kept = requiredSchema.fields.flatMap(f =>
-      if (full.fieldNames.contains(f.name)) Some(full(f.name)) else None)
-    readSchema = if (kept.isEmpty) StructType(Seq(full.fields.head)) else StructType(kept)
+      if (tableSchema.fieldNames.contains(f.name)) Some(tableSchema(f.name)) else None)
+    readSchema = if (kept.isEmpty) StructType(Seq(tableSchema.fields.head)) else StructType(kept)
   }
 
   override def build(): Scan =
-    new BlockDataScan(options, lo, hi, readSchema)
+    new TypedRangeScan(options, lo, hi, readSchema, defaultFetcher, mkFactory)
 }
 
-final class BlockDataScan(options: CaseInsensitiveStringMap,
-    batchLo: Long, batchHi: Long, prunedSchema: StructType) extends Scan {
+final class TypedRangeScan(options: CaseInsensitiveStringMap,
+    batchLo: Long, batchHi: Long, prunedSchema: StructType, defaultFetcher: String,
+    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory)
+    extends Scan {
   private val blocksPerTrigger = options.getLong("blocksPerTrigger", 100L)
   private val trailBlocks = options.getLong("trailBlocks", 0L)
   private val numPartitions = options.getInt("numPartitions", 4)
-  private val fetcherClass = options.getOrDefault("fetcher", BlockDataFetcher.Simulated)
+  private val fetcherClass = options.getOrDefault("fetcher", defaultFetcher)
   private val fetchChunk = options.getLong("fetchChunk", Long.MaxValue)
   private val backoff = BackoffPolicy(
     options.getLong("throttleBaseMs", 50L),
     options.getLong("throttleCapMs", 5000L),
     options.getInt("throttleMaxRetries", 8))
 
+  private def factory = mkFactory(fetcherClass, fetchChunk, backoff, prunedSchema)
+
   override def readSchema(): StructType = prunedSchema
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       BlockRangePartitioning.split(batchLo, batchHi, numPartitions)
-    override def createReaderFactory(): PartitionReaderFactory =
-      BlockDataReaderFactory(fetcherClass, fetchChunk, backoff, prunedSchema)
+    override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockDataMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
-      numPartitions, BlockDataReaderFactory(fetcherClass, fetchChunk, backoff, prunedSchema))
+    new TypedRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
+      numPartitions, factory)
 }
 
-/** Tail loop over typed blocks: same offset semantics as
+/** Tail loop over typed rows: same offset semantics as
   * [[BlockRangeMicroBatchStream]] (head advances `blocksPerTrigger` per
   * poll, available = head − trail, floored at start). */
-final class BlockDataMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
+final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
     trailBlocks: Long, numPartitions: Int, factory: PartitionReaderFactory)
     extends MicroBatchStream {
   private var head: Long = start
@@ -227,12 +244,17 @@ final class BlockDataMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrig
   override def stop(): Unit = ()
 }
 
-/** Per-partition typed reader: the same adaptive window loop as the
-  * drive source (÷10 shrink on RangeTooLarge, bounded backoff on
-  * Throttled, `maxRetries` consecutive throttles fail the task), but
-  * each fetched block is serialized through the entity's Catalyst
-  * encoder and projected down to the pruned read schema — one codegen'd
-  * UnsafeProjection, built once per partition. */
+/** Builds the codegen'd full-row -> pruned-row projection every typed
+  * factory needs: serialize through the entity's Catalyst encoder, then
+  * project down to the pruned read schema — built once per partition. */
+object TypedRowProjection {
+  def apply(full: StructType, readSchema: StructType): UnsafeProjection =
+    UnsafeProjection.create(readSchema.fields.map { f =>
+      val i = full.fieldIndex(f.name)
+      BoundReference(i, full(i).dataType, full(i).nullable)
+    }.toIndexedSeq)
+}
+
 final case class BlockDataReaderFactory(fetcherClass: String, initialChunk: Long,
     backoff: BackoffPolicy, readSchema: StructType)
     extends PartitionReaderFactory {
@@ -241,34 +263,8 @@ final case class BlockDataReaderFactory(fetcherClass: String, initialChunk: Long
     val fetcher = BlockDataFetcher.forName(fetcherClass)
     val enc = ExpressionEncoder[EvmBlockWithTxs]()
     val toRow = enc.createSerializer()
-    val full = enc.schema
-    val proj = UnsafeProjection.create(readSchema.fields.map { f =>
-      val i = full.fieldIndex(f.name)
-      BoundReference(i, full(i).dataType, full(i).nullable)
-    }.toIndexedSeq)
-    new PartitionReader[InternalRow] {
-      private var chunk = math.max(1L, math.min(initialChunk, p.hi - p.lo))
-      private var cur = p.lo
-      private var it: Iterator[EvmBlockWithTxs] = Iterator.empty
-      private var value: InternalRow = _
-      private var throttles = 0
-      override def next(): Boolean = {
-        while (!it.hasNext && cur < p.hi) {
-          val windowHi = math.min(cur + chunk, p.hi)
-          try { it = fetcher.fetchBlocks(cur, windowHi); cur = windowHi; throttles = 0 }
-          catch {
-            case _: RangeTooLargeException if chunk > 1 =>
-              chunk = math.max(1L, chunk / 10)
-            case t: ThrottledException =>
-              if (throttles >= backoff.maxRetries) throw t
-              Thread.sleep(backoff.delayMs(throttles))
-              throttles += 1
-          }
-        }
-        if (it.hasNext) { value = proj(toRow(it.next())); true } else false
-      }
-      override def get(): InternalRow = value
-      override def close(): Unit = ()
-    }
+    val proj = TypedRowProjection(enc.schema, readSchema)
+    new AdaptiveRangeReader[EvmBlockWithTxs](p, fetcher.fetchBlocks, initialChunk,
+      backoff, b => proj(toRow(b)))
   }
 }

@@ -296,30 +296,45 @@ final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Lon
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
     val fetcher = BlockFetcher.forName(fetcherClass)
-    new PartitionReader[InternalRow] {
-      private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      private var chunk = math.max(1L, math.min(initialChunk, p.hi - p.lo))
-      private var cur = p.lo
-      private var it: Iterator[Long] = Iterator.empty
-      private var value = 0L
-      private var throttles = 0
-      override def next(): Boolean = {
-        while (!it.hasNext && cur < p.hi) {
-          val windowHi = math.min(cur + chunk, p.hi)
-          try { it = fetcher.fetch(cur, windowHi); cur = windowHi; throttles = 0 }
-          catch {
-            case _: RangeTooLargeException if chunk > 1 =>
-              chunk = math.max(1L, chunk / 10)
-            case t: ThrottledException =>
-              if (throttles >= backoff.maxRetries) throw t
-              Thread.sleep(backoff.delayMs(throttles))
-              throttles += 1
-          }
-        }
-        if (it.hasNext) { value = it.next(); true } else false
-      }
-      override def get(): InternalRow = { row.update(0, value); row }
-      override def close(): Unit = ()
-    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    new AdaptiveRangeReader[Long](p, fetcher.fetch, initialChunk, backoff,
+      v => { row.update(0, v); row })
   }
+}
+
+/** The adaptive fetch loop shared by every block-keyed reader: drive a
+  * window-fetch function over [p.lo, p.hi) in `initialChunk`-sized
+  * windows, shrink ÷10 (floor 1) on RangeTooLarge — the shrunk size
+  * sticks for the rest of the partition, since a provider that rejected
+  * a window once will reject its siblings — and replay the SAME window
+  * after bounded exponential backoff on Throttled, failing the task
+  * loudly past `maxRetries` consecutive throttles. `toRow` converts one
+  * fetched item; it may reuse a mutable row (the contract of
+  * PartitionReader.get). */
+final class AdaptiveRangeReader[T](p: BlockRangePartition,
+    fetch: (Long, Long) => Iterator[T], initialChunk: Long,
+    backoff: BackoffPolicy, toRow: T => InternalRow)
+    extends PartitionReader[InternalRow] {
+  private var chunk = math.max(1L, math.min(initialChunk, p.hi - p.lo))
+  private var cur = p.lo
+  private var it: Iterator[T] = Iterator.empty
+  private var value: InternalRow = _
+  private var throttles = 0
+  override def next(): Boolean = {
+    while (!it.hasNext && cur < p.hi) {
+      val windowHi = math.min(cur + chunk, p.hi)
+      try { it = fetch(cur, windowHi); cur = windowHi; throttles = 0 }
+      catch {
+        case _: RangeTooLargeException if chunk > 1 =>
+          chunk = math.max(1L, chunk / 10)
+        case t: ThrottledException =>
+          if (throttles >= backoff.maxRetries) throw t
+          Thread.sleep(backoff.delayMs(throttles))
+          throttles += 1
+      }
+    }
+    if (it.hasNext) { value = toRow(it.next()); true } else false
+  }
+  override def get(): InternalRow = value
+  override def close(): Unit = ()
 }
