@@ -142,6 +142,24 @@ object Abi {
   def encodeCall(signature: String, args: Seq[AbiArg]): String =
     Keccak.functionSelector(signature) + encodeArgs(args)
 
+  // Column forms for PER-ROW calldata (static args only): the selector
+  // is a plan-time literal (keccak runs once on the driver), the arg
+  // words are codegen'd builtins (concat/lpad/hex) — so building an
+  // eth_call request per collection/token row stays inside
+  // whole-stage codegen, no UDF. This is how S6's request half scales:
+  // the request TABLE (to, data) is derived columnar; only the
+  // transport (an RPC foreachPartition sink) leaves the plan.
+
+  /** address column ("0x" + 40 hex) -> 64-hex head word. */
+  def addressWord(c: Column): Column = lpad(lower(substring(c, 3, 40)), 64, "0")
+
+  /** non-negative long column -> 64-hex head word. */
+  def uintWord(c: Column): Column = lpad(lower(hex(c)), 64, "0")
+
+  /** calldata column: selector literal + static arg words. */
+  def encodeCallCol(signature: String, argWords: Column*): Column =
+    concat((lit(Keccak.functionSelector(signature)) +: argWords): _*)
+
   val decodeUintArrayUdf =
     udf((data: String, slot: Int) => decodeUintArray(data, slot))
   val decodeStringUdf =

@@ -44,4 +44,31 @@ object Collections {
         col("symbol"),
         col("total_supply"))
   }
+
+  /** The live-probe REQUEST table behind the interface snapshot — the
+    * encode half of the reference's per-contract eth_calls
+    * (`supportsInterface(0x80ac58cd / 0xd9b67a26)`, `name()`,
+    * `symbol()`; `evm/rpc.py:23-92`, probe flow
+    * `nft/evm/transformers.py:48-197`). One row per (contract, probe)
+    * with calldata built columnar (selector = plan-time keccak literal,
+    * args codegen'd — `Abi.encodeCallCol`), so deriving requests for a
+    * billion contracts is a map-side projection; only the transport
+    * (an RPC `foreachPartition` sink) leaves the plan, and the
+    * responses join back as the `interfaceSnapshot` dim
+    * [[fromReceipts]] consumes. */
+  def callRequests(contracts: DataFrame): DataFrame = {
+    // bytes4 args are left-justified in their word (right-padded)
+    def iface(id4: String) = lit(id4 + "0" * 56)
+    val probes = array(
+      struct(lit("supports_erc721").as("probe"),
+        graft.expr.Abi.encodeCallCol("supportsInterface(bytes4)", iface("80ac58cd")).as("data")),
+      struct(lit("supports_erc1155").as("probe"),
+        graft.expr.Abi.encodeCallCol("supportsInterface(bytes4)", iface("d9b67a26")).as("data")),
+      struct(lit("name").as("probe"),
+        graft.expr.Abi.encodeCallCol("name()").as("data")),
+      struct(lit("symbol").as("probe"),
+        graft.expr.Abi.encodeCallCol("symbol()").as("data")))
+    contracts.select(col("collection_id").as("to"), explode(probes).as("p"))
+      .select(col("to"), col("p.probe").as("probe"), col("p.data").as("data"))
+  }
 }

@@ -77,6 +77,17 @@ object CoreQueries {
       max(col("ts_us")).as("max_ts_us"),
       count(lit(1)).as("n"))
 
+  private val s6CallRequests: QFn = (s, dir) => {
+    // S6 encode half (`evm/rpc.py:23-92`): the eth_call REQUEST table —
+    // one row per (contract, probe) with columnar calldata; selectors
+    // are plan-time keccak literals, arg words codegen'd builtins. The
+    // response half joins back as the interface-snapshot dim (J5/J6).
+    val contracts = Tables.events(s, dir)
+      .select(format_string("0x%040x", col("user_id")).as("collection_id"))
+      .distinct()
+    graft.nft.Collections.callRequests(contracts)
+  }
+
   private val s7TimeDimJoin: QFn = (s, dir) => {
     // BlockTimeService dim lookup (`evm/services.py:64-77`) = broadcast
     // hash join against the small dimension.
@@ -487,6 +498,14 @@ object CoreQueries {
         |AND event_type = 'click'""".stripMargin),
     QueryDef("s5_max_height", s5MaxHeight,
       "SELECT max(event_id) AS max_id, max(epoch_us(ts)) AS max_ts_us, count(*) AS n FROM events"),
+    QueryDef("s6_call_requests", s6CallRequests,
+      """WITH c AS (SELECT DISTINCT printf('0x%040x', user_id) AS t FROM events),
+        |p AS (SELECT * FROM (VALUES
+        |  ('supports_erc721',  '0x01ffc9a7' || '80ac58cd' || repeat('0', 56)),
+        |  ('supports_erc1155', '0x01ffc9a7' || 'd9b67a26' || repeat('0', 56)),
+        |  ('name', '0x06fdde03'),
+        |  ('symbol', '0x95d89b41')) AS v(probe, data))
+        |SELECT c.t AS "to", p.probe, p.data FROM c CROSS JOIN p""".stripMargin),
     QueryDef("s7_time_dim_join", s7TimeDimJoin,
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin),
