@@ -112,30 +112,38 @@ object Similarity {
 
   private def trainCents(embeddings: DataFrame, nlist: Int, iters: Int): Array[Cent] = {
     val vecs = prepared(embeddings).select(col("vec_id"), col("qv"), col("nrm"))
-    // orderBy + limit plans as TakeOrderedAndProject (per-partition
-    // partial top-nlist, merged at the driver) — NOT a single-task
-    // global window sort, which is what an unpartitioned row_number
-    // over the corpus would be.
-    var cents = vecs.withColumn("seed_r", md5(col("vec_id").cast("string")))
-      .orderBy(col("seed_r"), col("vec_id")).limit(nlist)
-      .collect().sortBy(r => (r.getAs[String]("seed_r"), r.getAs[Long]("vec_id")))
-      .zipWithIndex
-      .map { case (r, i) =>
-        val cv = r.getAs[scala.collection.Seq[Long]]("qv").toVector
-        Cent(i + 1L, cv, r.getAs[Long]("nrm"))
+    // Training drives 1 + iters actions over the quantized corpus (seed
+    // scan + one assign/mean pass per Lloyd round). Persist it for the
+    // duration so the parquet read + quantize kernel run ONCE, not per
+    // round — the MLlib iterative pattern; MEMORY_AND_DISK so a corpus
+    // bigger than executor memory spills instead of thrashing.
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // orderBy + limit plans as TakeOrderedAndProject (per-partition
+      // partial top-nlist, merged at the driver) — NOT a single-task
+      // global window sort, which is what an unpartitioned row_number
+      // over the corpus would be.
+      var cents = vecs.withColumn("seed_r", md5(col("vec_id").cast("string")))
+        .orderBy(col("seed_r"), col("vec_id")).limit(nlist)
+        .collect().sortBy(r => (r.getAs[String]("seed_r"), r.getAs[Long]("vec_id")))
+        .zipWithIndex
+        .map { case (r, i) =>
+          val cv = r.getAs[scala.collection.Seq[Long]]("qv").toVector
+          Cent(i + 1L, cv, r.getAs[Long]("nrm"))
+        }
+      var i = 0
+      while (i < iters) {
+        val assigned = vecs.withColumn("cell",
+          assignExpr(cents, col("qv"), col("nrm")))
+        cents = roundedMeans(assigned).collect()
+          .map(r => Cent(r.getAs[Long]("cell"),
+            r.getAs[scala.collection.Seq[Long]]("cv").toVector,
+            r.getAs[Long]("cnrm")))
+          .sortBy(_.cell)
+        i += 1
       }
-    var i = 0
-    while (i < iters) {
-      val assigned = vecs.withColumn("cell",
-        assignExpr(cents, col("qv"), col("nrm")))
-      cents = roundedMeans(assigned).collect()
-        .map(r => Cent(r.getAs[Long]("cell"),
-          r.getAs[scala.collection.Seq[Long]]("cv").toVector,
-          r.getAs[Long]("cnrm")))
-        .sortBy(_.cell)
-      i += 1
-    }
-    cents
+      cents
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Map-side nearest-centroid argmin: one codegen'd integer dot per
