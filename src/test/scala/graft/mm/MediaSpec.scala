@@ -37,4 +37,53 @@ class MediaSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(d0 === Seq(0L, 2L))
   }
+
+  // ---- real JDK raster decode tier ----
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+  private def jpgBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, 0x808080)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  test("real image decode: exact dims + luma from actual PNG/JPEG bytes; garbage -> nulls") {
+    val rows = Seq(
+      Media.MediaRow(1L, pngBytes(8, 5, 0xffffff)),   // white 8x5 png
+      Media.MediaRow(2L, pngBytes(16, 16, 0x000000)), // black 16x16 png
+      Media.MediaRow(3L, jpgBytes(32, 2)),            // grey jpeg
+      Media.MediaRow(4L, Array[Byte](1, 2, 3, 4)))    // not an image
+    val got = Media.featurizeImages(rows.toDS()).collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).width === Some(8L) && got(1L).height === Some(5L))
+    assert(math.abs(got(1L).mean_luma.get - 255.0) < 1e-9) // white
+    assert(got(2L).width === Some(16L) && got(2L).mean_luma.get === 0.0) // black
+    assert(got(3L).width === Some(32L) && got(3L).height === Some(2L))
+    assert(math.abs(got(3L).mean_luma.get - 128.0) < 3.0) // jpeg is lossy
+    assert(got(4L).width === None && got(4L).mean_luma === None)
+    assert(got(4L).content_hash.length === 32) // hash still computed
+  }
+
+  test("real image resize: re-encoded PNG decodes back at target dims, bit-reproducible") {
+    val rows = Seq(Media.MediaRow(1L, pngBytes(64, 40, 0x4080c0)))
+    val out1 = Media.resizeImages(rows.toDS(), 16, 16).collect().head
+    val out2 = Media.resizeImages(rows.toDS(), 16, 16).collect().head
+    assert(out1.width === 16L && out1.height === 16L)
+    assert(out1.media.toSeq === out2.media.toSeq) // lossless PNG, deterministic scaler
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out1.media))
+    assert(back.getWidth === 16 && back.getHeight === 16)
+    // solid-color input stays the same color after area-averaging
+    assert((back.getRGB(8, 8) & 0xffffff) === 0x4080c0)
+    // garbage passes through with sentinel dims, bytes untouched
+    val junk = Media.resizeImages(Seq(Media.MediaRow(9L, Array[Byte](7, 7))).toDS(), 4, 4)
+      .collect().head
+    assert(junk.width === -1L && junk.media.toSeq === Seq[Byte](7, 7))
+  }
 }
