@@ -166,6 +166,67 @@ object Media {
     }
   }
 
+  // ---- REAL audio decode (JDK javax.sound.sampled — WAV/AIFF PCM) ----
+
+  final case class AudioFeatures(media_id: Long, n_bytes: Long,
+      sample_rate: Option[Double], channels: Option[Long], n_frames: Option[Long],
+      duration_sec: Option[Double], rms: Option[Double], content_hash: String)
+
+  /** REAL audio decode: container/format metadata for any JDK-supported
+    * audio file (WAV/AIFF/AU), plus RMS amplitude for 16-bit signed PCM
+    * (the training-corpus norm). Non-PCM payloads keep their metadata
+    * with null RMS; undecodable ones null everything — a poisoned blob
+    * never fails the batch. Partition-batched like the image tier. */
+  def featurizeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        md.reset()
+        val hex = md.digest(row.media).map(b => f"${b & 0xff}%02x").mkString
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.media))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val dur = if (frames >= 0 && fmt.getFrameRate > 0)
+              Some(frames / fmt.getFrameRate.toDouble) else None
+            val rms =
+              if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16) Some(pcm16Rms(in, fmt.isBigEndian))
+              else None
+            AudioFeatures(row.media_id, row.media.length.toLong,
+              Some(fmt.getSampleRate.toDouble), Some(fmt.getChannels.toLong),
+              Some(frames), dur, rms, hex)
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            AudioFeatures(row.media_id, row.media.length.toLong,
+              None, None, None, None, None, hex)
+        }
+      }
+    }
+  }
+
+  private def pcm16Rms(in: java.io.InputStream, bigEndian: Boolean): Double = {
+    val buf = new Array[Byte](8192)
+    var (sumSq, n) = (0.0, 0L)
+    var read = in.read(buf)
+    while (read > 0) {
+      var i = 0
+      while (i + 1 < read) {
+        val s = if (bigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+        sumSq += s.toDouble * s.toDouble
+        n += 1
+        i += 2
+      }
+      read = in.read(buf)
+    }
+    if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+  }
+
   final case class Frame(media_id: Long, frame_index: Long, frame: Array[Byte])
 
   /** STUB frame-sample: a real build would demux a video and decode

@@ -86,4 +86,35 @@ class MediaSpec extends SparkSpec {
       .collect().head
     assert(junk.width === -1L && junk.media.toSeq === Seq[Byte](7, 7))
   }
+
+  test("real audio decode: WAV metadata + RMS from actual PCM bytes; garbage -> nulls") {
+    // 0.5s of a full-scale square wave at 8kHz mono 16-bit: RMS = 1.0
+    def wav(hz: Int, seconds: Double, amp: Short): Array[Byte] = {
+      val n = (hz * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s: Short = if (i % 8 < 4) amp else (-amp).toShort
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(hz.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Media.MediaRow(1L, wav(8000, 0.5, 32767)),
+      Media.MediaRow(2L, wav(16000, 0.25, 16384)),
+      Media.MediaRow(3L, Array[Byte](9, 9, 9)))
+    val got = Media.featurizeAudio(rows.toDS()).collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === Some(8000.0) && got(1L).channels === Some(1L))
+    assert(got(1L).n_frames === Some(4000L))
+    assert(math.abs(got(1L).duration_sec.get - 0.5) < 1e-9)
+    assert(math.abs(got(1L).rms.get - 1.0) < 1e-3)  // full-scale square
+    assert(math.abs(got(2L).rms.get - 0.5) < 1e-3)  // half-scale
+    assert(got(3L).sample_rate === None && got(3L).rms === None)
+    assert(got(3L).content_hash.length === 32)
+  }
 }
