@@ -52,4 +52,40 @@ class TailPipelineSpec extends SparkSpec {
     assert(maxV === 399L)
     assert(total > 0)
   }
+
+  test("typed receipts stream -> NFT derivation -> LWW token sink (full crawl tail)") {
+    // the COMPLETE reference tail over fetched data: the receipts source
+    // streams typed receipts in micro-batches, each epoch explodes logs,
+    // derives transfers, folds per-token state, and LWW-upserts — no
+    // parquet fixture anywhere in the pipeline
+    val ckpt = Files.createTempDirectory("tp2_ckpt").toString
+    val target = Files.createTempDirectory("tp2_tbl").toString + "/tokens"
+    val stream = spark.readStream.format("receipts")
+      .option("start", "0").option("maxBlock", "90")
+      .option("blocksPerTrigger", "30").option("trailBlocks", "0")
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val logs = batch.select(explode(col("logs")).as("l")).select(col("l.*"))
+        val tokenState = graft.nft.Derive.transfers(logs)
+          .groupBy("collection_id", "token_id")
+          .agg(max(col("attribute_version")).as("attribute_version"),
+            max_by(col("to_"), col("attribute_version")).as("current_owner"),
+            count(lit(1)).as("n_events"))
+        Tail.lwwSink(target, Seq("collection_id", "token_id"),
+          Seq("attribute_version"))(tokenState, id)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val result = spark.read.parquet(target)
+    // one unique token per simulated transaction: sum over [0,90) of n%3
+    assert(result.count() === (0L until 90L).map(_ % 3).sum)
+    // exact row: block 7's single transfer -> owner addr(2007)
+    val t7 = result.filter(col("token_id") === f"${70}%064x").head()
+    assert(t7.getAs[String]("current_owner") === f"0x${2007}%040x")
+    assert(t7.getAs[String]("collection_id") === f"0x${4000 + 7 % 5}%040x")
+  }
 }
