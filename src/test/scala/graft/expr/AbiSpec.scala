@@ -77,6 +77,44 @@ class AbiSpec extends SparkSpec {
     }
   }
 
+  test("encode/decode round-trip property: 300 seeded random mixed-arg payloads") {
+    import Abi._
+    val rnd = new scala.util.Random(42) // fixed seed: failures reproduce
+    def randUint() = new java.math.BigInteger(rnd.nextInt(257), rnd.self)
+    def randArg(): AbiArg = rnd.nextInt(5) match {
+      case 0 => AbiUint(randUint())
+      case 1 => AbiAddress("0x" + Seq.fill(40)("0123456789abcdef"(rnd.nextInt(16))).mkString)
+      case 2 => AbiBool(rnd.nextBoolean())
+      // surrogate-safe alphabet (arbitrary UTF-16 can emit unpaired
+      // surrogates, which legitimately don't round-trip UTF-8); BMP
+      // chars only — a supplementary char is two UTF-16 units and
+      // charAt would split it
+      case 3 => AbiString(Seq.fill(rnd.nextInt(120))(
+        "aZ9 é中{}/:#\n".charAt(rnd.nextInt(12))).mkString)
+      case _ => AbiUintArray(Seq.fill(rnd.nextInt(20))(randUint()))
+    }
+    (1 to 300).foreach { _ =>
+      val args = Seq.fill(1 + rnd.nextInt(6))(randArg())
+      val payload = "0x" + encodeArgs(args)
+      args.zipWithIndex.foreach {
+        case (AbiUint(v), slot) =>
+          assert(Abi.dataWord(org.apache.spark.sql.functions.lit(payload), slot + 1) != null)
+          assert(payload.drop(2).slice(slot * 64, slot * 64 + 64) ===
+            HexMath.pad64(v.toString(16)))
+        case (AbiAddress(a), slot) =>
+          assert(payload.drop(2).slice(slot * 64, slot * 64 + 64).takeRight(40) === a.drop(2))
+        case (AbiBool(b), slot) =>
+          assert(payload.drop(2).slice(slot * 64, slot * 64 + 64) ===
+            HexMath.pad64(if (b) "1" else "0"))
+        case (AbiString(s), slot) =>
+          assert(Abi.decodeString(payload, slot) === s)
+        case (AbiUintArray(vs), slot) =>
+          assert(Abi.decodeUintArray(payload, slot).toSeq ===
+            vs.map(v => HexMath.pad64(v.toString(16))))
+      }
+    }
+  }
+
   test("static slices + custom expressions inside a plan") {
     import spark.implicits._
     Exprs.register(spark)
