@@ -54,6 +54,25 @@ class IngestNearDupSpec extends SparkSpec {
     assert(kept3 === Set(1L, 2L, 11L, 12L))
   }
 
+  test("batch replay is idempotent: re-running an epoch adds nothing (at-least-once safety)") {
+    // foreachBatch delivers at-least-once; a replayed epoch must not
+    // duplicate the corpus. The standing band index makes replays
+    // self-healing: the replayed docs' bands collide with their OWN
+    // first-run entries, so every doc drops as a near-dup of itself.
+    val idx = tmp("nd_idx3") + "/bands"
+    val out = tmp("nd_out3") + "/corpus"
+    val batch = Seq(
+      (1L, "first document with enough tokens to band", "s", 42L),
+      (2L, "second totally different text also banded", "s", 42L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    Ingest.processNearDupBatch(batch, idx, out)
+    val afterOnce = spark.read.parquet(out).count()
+    val bandsOnce = spark.read.parquet(idx).count()
+    Ingest.processNearDupBatch(batch, idx, out) // the replay
+    assert(spark.read.parquet(out).count() === afterOnce)
+    assert(spark.read.parquet(idx).count() === bandsOnce)
+  }
+
   test("first batch against a missing index bootstraps it (no corpus yet)") {
     val idx = tmp("nd_idx2") + "/bands"
     val out = tmp("nd_out2") + "/corpus"
