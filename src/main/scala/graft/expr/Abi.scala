@@ -85,6 +85,9 @@ object Abi {
     def isDynamic = false
   }
   final case class AbiAddress(address: String) extends AbiArg {
+    require(strip0x(address) != null && strip0x(address).length == 40 &&
+      strip0x(address).forall(c => Character.digit(c, 16) >= 0),
+      s"address must be 20 bytes of hex: $address")
     def isDynamic = false
   }
   final case class AbiBool(b: Boolean) extends AbiArg {
@@ -94,6 +97,11 @@ object Abi {
     def isDynamic = true
   }
   final case class AbiUintArray(values: Seq[BigInteger]) extends AbiArg {
+    // same range guard as AbiUint: a negative or >256-bit element would
+    // otherwise emit a malformed word ('-' char / >64 hex) that shifts
+    // every later slot — fail fast, not corrupt silently
+    values.foreach(v => require(v.signum() >= 0 && v.bitLength() <= 256,
+      s"uint256 out of range: $v"))
     def isDynamic = true
   }
 

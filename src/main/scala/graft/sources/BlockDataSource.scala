@@ -84,21 +84,40 @@ final class SimulatedBlockDataFetcher extends BlockDataFetcher {
     Iterator.range(lo, hi).map(block)
 }
 
+/** The ONE deterministic simulated chain both typed fetchers draw from:
+  * every hash/address/participant is a pure function of (block, txIdx)
+  * defined HERE, so the blocks and receipts fixtures can never disagree
+  * on the same transaction (a cross-source join on transaction_hash
+  * sees consistent sender/recipient). */
+private[sources] object SimChain {
+  def hex64(n: Long, tag: Long): String = f"0x$tag%02x${n}%062x"
+  def addr(n: Long): String = f"0x$n%040x"
+  def blockHash(n: Long): String = hex64(n, 0xb1)
+  def txHash(n: Long, i: Long): String = hex64(n * 10 + i, 0x7a)
+  def txCount(n: Long): Long = n % 3
+  def txFrom(n: Long, i: Long): String = addr(1000 + (n + i) % 50)
+  def txTo(n: Long, i: Long): Option[String] =
+    if ((n + i) % 7 == 0) None else Some(addr(2000 + (n + i) % 50))
+  def collection(n: Long): String = addr(4000 + n % 5)
+  /** every 5th block's transfer LOGS are mints (zero-address topic);
+    * the transaction-level sender stays [[txFrom]] — a real mint is
+    * sent by a user, only the log's from-topic is zero */
+  def isMintBlock(n: Long): Boolean = n % 5 == 0
+}
+
 object SimulatedBlockDataFetcher {
-  private def hex64(n: Long, tag: Long): String =
-    f"0x$tag%02x${n}%062x"
-  private def addr(n: Long): String = f"0x$n%040x"
+  import SimChain._
 
   def block(n: Long): EvmBlockWithTxs = {
-    val txs = (0L until n % 3).map { i =>
+    val txs = (0L until txCount(n)).map { i =>
       EvmTransaction(
-        block_hash = hex64(n, 0xb1),
+        block_hash = blockHash(n),
         block_number = n,
-        from_ = addr(1000 + (n + i) % 50),
-        to_ = if ((n + i) % 7 == 0) None else Some(addr(2000 + (n + i) % 50)),
+        from_ = txFrom(n, i),
+        to_ = txTo(n, i),
         gas = 21000L + i,
         gas_price = 1000000000L + n % 100,
-        hash = hex64(n * 10 + i, 0x7a),
+        hash = txHash(n, i),
         input = "0x",
         nonce = n + i,
         transaction_index = i,
@@ -106,12 +125,12 @@ object SimulatedBlockDataFetcher {
     }
     EvmBlockWithTxs(
       number = n,
-      hash = hex64(n, 0xb1),
-      parent_hash = hex64(n - 1, 0xb1),
+      hash = blockHash(n),
+      parent_hash = blockHash(n - 1),
       timestamp = 1700000000L + 12L * n,
       miner = addr(3000 + n % 10),
       gas_limit = 30000000L,
-      gas_used = 21000L * (n % 3),
+      gas_used = 21000L * txCount(n),
       size = 500L + n % 1000,
       difficulty = "0x0",
       transactions = txs,
@@ -129,11 +148,16 @@ object BlockDataFetcher {
 
 /** Table over a block-number-keyed typed source. `mkFactory` builds the
   * per-source reader factory from (fetcher class, chunk, backoff,
-  * pruned schema) — the only piece that differs between sources. */
+  * pruned schema) — the only piece that differs between sources.
+  * `oneRowPerBlock`: whether the source emits exactly one row per block
+  * in the window — the precondition for translating LIMIT n into
+  * "plan n blocks". Blocks qualify; receipts (0..k rows per block) must
+  * NOT narrow on limit or `limit(n)` could under-produce. */
 final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol: String,
     defaultFetcher: String,
     mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap,
+    oneRowPerBlock: Boolean = true) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -141,14 +165,16 @@ final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol:
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
-    new TypedRangeScanBuilder(tableSchema, pushCol, defaultFetcher, mkFactory, merged)
+    new TypedRangeScanBuilder(tableSchema, pushCol, defaultFetcher, mkFactory, merged,
+      oneRowPerBlock)
   }
 }
 
 final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     defaultFetcher: String,
     mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    oneRowPerBlock: Boolean)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownLimit
@@ -159,7 +185,11 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
   private var pushed: Array[Filter] = Array.empty
   private var readSchema: StructType = tableSchema
 
+  // LIMIT n == "the first n blocks" ONLY when rows:blocks is 1:1; a
+  // multi-row-per-block source declining the push keeps Spark's own
+  // limit operator, which is merely an early-stop, never wrong.
   override def pushLimit(limit: Int): Boolean = {
+    if (!oneRowPerBlock) return false
     hi = math.min(hi, math.max(lo, BlockWindow.satAdd(lo, limit.toLong)))
     true
   }

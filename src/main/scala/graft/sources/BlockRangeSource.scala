@@ -264,7 +264,11 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
   * delay, the reference's limiter behavior (`core/rpc.py:365-397`). */
 final case class BackoffPolicy(baseMs: Long = 50L, capMs: Long = 5000L, maxRetries: Int = 8) {
   def delayMs(attempt: Int): Long =
-    math.min(capMs, baseMs << math.min(attempt, 62))
+    // the shift overflows Long well before 62 for any real baseMs —
+    // saturate at capMs instead of handing Thread.sleep a negative
+    if (baseMs <= 0) 0L
+    else if (attempt >= 62 || baseMs >= (capMs >> math.min(attempt, 61))) capMs
+    else math.min(capMs, baseMs << attempt)
 }
 
 final case class BlockRangePartition(lo: Long, hi: Long) extends InputPartition

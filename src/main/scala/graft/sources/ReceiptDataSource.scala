@@ -33,7 +33,8 @@ class ReceiptDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new TypedRangeTable("receipts", ReceiptDataSource.Schema, "block_number",
       ReceiptDataFetcher.Simulated, ReceiptDataReaderFactory.apply,
-      new CaseInsensitiveStringMap(properties))
+      new CaseInsensitiveStringMap(properties),
+      oneRowPerBlock = false) // 0..k receipts per block: LIMIT must not narrow the window
 }
 
 object ReceiptDataSource {
@@ -62,37 +63,39 @@ final class SimulatedReceiptFetcher extends ReceiptDataFetcher {
 }
 
 object SimulatedReceiptFetcher {
-  private def hex64(n: Long, tag: Long): String = f"0x$tag%02x${n}%062x"
-  private def addr(n: Long): String = f"0x$n%040x"
+  import SimChain._
   private def addrTopic(a: String): String = "0x" + ("0" * 24) + a.drop(2)
   private def uintTopic(v: Long): String = "0x" + f"$v%064x"
 
   val zero: String = graft.model.Addresses.Zero
 
   def receiptsOf(n: Long): Seq[EvmTransactionReceipt] = {
-    val collection = addr(4000 + n % 5)
-    (0L until n % 3).map { i =>
-      val from = if (n % 5 == 0) zero else addr(1000 + (n + i) % 50)
-      val to = addr(2000 + (n + i) % 50)
+    val coll = collection(n)
+    (0L until txCount(n)).map { i =>
+      // transaction-level participants come from SimChain — identical
+      // to the blocks fixture's transaction with the same hash; only
+      // the LOG topic from-address goes zero on mint blocks
+      val topicFrom = if (isMintBlock(n)) zero else txFrom(n, i)
+      val topicTo = addr(2000 + (n + i) % 50)
       val log = EvmLog(
         removed = false,
         log_index = i,
         transaction_index = i,
-        transaction_hash = hex64(n * 10 + i, 0x7a),
-        block_hash = hex64(n, 0xb1),
+        transaction_hash = txHash(n, i),
+        block_hash = blockHash(n),
         block_number = n,
-        address = collection,
+        address = coll,
         data = "0x",
         topics = Seq(
           graft.nft.Derive.Erc721TransferSig,
-          addrTopic(from), addrTopic(to), uintTopic(n * 10 + i)))
+          addrTopic(topicFrom), addrTopic(topicTo), uintTopic(n * 10 + i)))
       EvmTransactionReceipt(
-        transaction_hash = hex64(n * 10 + i, 0x7a),
+        transaction_hash = txHash(n, i),
         transaction_index = i,
-        block_hash = hex64(n, 0xb1),
+        block_hash = blockHash(n),
         block_number = n,
-        from_ = from,
-        to_ = Some(collection),
+        from_ = txFrom(n, i),
+        to_ = txTo(n, i),
         cumulative_gas_used = 21000L * (i + 1),
         gas_used = 21000L,
         contract_address = None,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.Dedup
-import org.apache.spark.sql.{AnalysisException, DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -38,10 +38,19 @@ object Ingest {
     * middleman, never directly colliding — survive, a deterministic
     * recall trade documented here; full transitive closure is the batch
     * [[Dedup.clusters]] path), and (b) no standing-corpus doc shares a
-    * band with it ([[Dedup.incrementalMinhashPairs]] probe). Survivors
-    * append to the
-    * corpus at `outPath` AND their bands to the index at `indexPath`, so
-    * the NEXT batch's probe sees them.
+    * band with it (the incremental band-index probe). Survivors land in
+    * the corpus at `outPath` AND their bands in the index at
+    * `indexPath`, so the NEXT batch's probe sees them.
+    *
+    * Idempotence under at-least-once: both sinks are partitioned by
+    * `batch_id` and written with dynamic-partition OVERWRITE, and the
+    * standing-index probe EXCLUDES the current batch's own partition —
+    * so a replayed epoch (including one that died between the two
+    * writes) recomputes the identical survivor set and overwrites its
+    * own partitions, never appending duplicates. The batch signature
+    * pass runs ONCE: bands are built and persisted, and the in-batch
+    * pairs, the corpus probe, and the survivor index all derive from
+    * that one relation.
     *
     * Scale: per-batch work is O(batch) — the corpus side is the standing
     * band index, probed by an equi-join on (band, h) (bucketed by that
@@ -50,45 +59,65 @@ object Ingest {
     * the index relation — bounded by corpus size, nothing accumulates in
     * the stream's state store. */
   def processNearDupBatch(batch: DataFrame, indexPath: String, outPath: String,
-      numHashes: Int = 4, maxBucket: Int = 1000): Unit = {
+      batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val inBatchDropped = Dedup.minhashCandidatePairs(batch, numHashes, maxBucket)
-      .select(col("id_b").as("doc_id")).distinct()
-    val batchKept = batch.join(inBatchDropped, Seq("doc_id"), "left_anti")
-    val standing: Option[DataFrame] =
-      try Some(spark.read.parquet(indexPath)) catch { case _: AnalysisException => None }
-    val survivors = standing match {
-      case Some(bands) =>
-        val hits = Dedup.incrementalMinhashPairs(batchKept, bands, numHashes, maxBucket)
-          .select(col("batch_id").as("doc_id")).distinct()
-        batchKept.join(hits, Seq("doc_id"), "left_anti")
-      case None => batchKept
-    }
-    // cache: survivors feed two sinks (corpus + index) — without it the
-    // dedup joins above would run twice
-    survivors.persist()
+    val bands = Dedup.bandIndex(batch, numHashes, maxBucket).persist()
     try {
-      survivors.write.mode("append").parquet(outPath)
-      Dedup.bandIndex(survivors, numHashes, maxBucket)
-        .write.mode("append").parquet(indexPath)
-    } finally survivors.unpersist()
+      val inBatchDropped = Dedup.candidatePairsFromBands(bands)
+        .select(col("id_b").as("doc_id")).distinct()
+      val keptBands = bands.join(inBatchDropped, Seq("doc_id"), "left_anti")
+      val corpusHits = standingBands(spark, indexPath) match {
+        case Some(corpus) =>
+          keptBands.join(corpus.filter(col("batch_id") =!= batchId)
+              .select(col("band"), col("h")),
+            Seq("band", "h"), "left_semi")
+            .select(col("doc_id")).distinct()
+        case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      }
+      // dropped feeds both sink writes (two actions) — persist so the
+      // corpus probe join runs once
+      val dropped = inBatchDropped.unionByName(corpusHits).persist()
+      try {
+        val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+        writeBatchPartition(survivors, outPath, batchId)
+        writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
+          indexPath, batchId)
+      } finally dropped.unpersist(blocking = false)
+    } finally bands.unpersist(blocking = false)
   }
+
+  /** Missing path = empty index (first epoch); any OTHER read problem
+    * (corrupt append, schema conflict) propagates loudly — silently
+    * treating it as "no corpus" would disable dedup and poison the
+    * index with false survivors. */
+  private def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(indexPath)) else None
+  }
+
+  private def writeBatchPartition(df: DataFrame, target: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(target)
 
   /** Continuous near-dup ingestion: the streaming twin of
     * [[Dedup.incrementalMinhashPairs]], wired the way the reference's
     * tail loop feeds its sink (`nft/bin/tail.py:90-204` — poll, derive,
     * idempotent write, advance). Each micro-batch runs
-    * [[processNearDupBatch]]: foreachBatch is the right harness here
-    * because the dedup verdict depends on a standing parquet index that
-    * the batch itself appends to — exactly-once per epoch, replays are
-    * idempotent at the batch boundary via the checkpoint. */
+    * [[processNearDupBatch]] keyed by the epoch id: foreachBatch is the
+    * right harness here because the dedup verdict depends on a standing
+    * parquet index the batch itself extends — and the epoch-partitioned
+    * overwrite makes replays converge instead of duplicating. */
   def startNearDupIngest(newDocs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processNearDupBatch(batch, indexPath, outPath, numHashes, maxBucket)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket)
       }
       .start()
 }

@@ -30,6 +30,29 @@ class ReceiptDataSourceSpec extends SparkSpec {
     assert(pruned.count() === 3)
   }
 
+  test("LIMIT over receipts never under-produces (limit is NOT pushed as blocks)") {
+    // block 0 has zero receipts: if LIMIT n were translated to "plan n
+    // blocks" (valid only for 1-row-per-block sources), limit(5) would
+    // plan blocks [0,5) and return only the 4 receipts they contain
+    assert(receiptsDf(1000).limit(5).count() === 5)
+    assert(receiptsDf(1000).limit(1).count() === 1)
+  }
+
+  test("receipts agree with the blocks fixture on shared transactions") {
+    // the natural fixture-free crawl join: same hash -> same participants
+    val txs = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "40").load()
+      .select(explode(col("transactions")).as("t"))
+      .select(col("t.hash").as("transaction_hash"),
+        col("t.from_").as("tx_from"), col("t.to_").as("tx_to"))
+    val rec = receiptsDf(40).select(col("transaction_hash"),
+      col("from_").as("r_from"), col("to_").as("r_to"))
+    val joined = txs.join(rec, Seq("transaction_hash"))
+    assert(joined.count() === (0L until 40L).map(_ % 3).sum) // 1:1 on hash
+    assert(joined.filter(col("tx_from") =!= col("r_from") ||
+      !(col("tx_to") <=> col("r_to"))).count() === 0)
+  }
+
   test("fixture-free crawl: fetched logs -> Derive.transfers -> tokens end-to-end") {
     val transfers = Derive.transfers(logsOf(50))
     val n = (0L until 50L).map(_ % 3).sum

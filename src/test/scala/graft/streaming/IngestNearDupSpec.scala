@@ -48,7 +48,7 @@ class IngestNearDupSpec extends SparkSpec {
     val replayIdx = idx
     val batch3 = Seq((20L, "the quick brown fox jumps over the lazy dog", "s3", 43L))
       .toDF("doc_id", "text", "source", "n_chars")
-    Ingest.processNearDupBatch(batch3, replayIdx, out)
+    Ingest.processNearDupBatch(batch3, replayIdx, out, batchId = 100L)
     val kept3 = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept3 === Set(1L, 2L, 11L, 12L))
@@ -56,19 +56,20 @@ class IngestNearDupSpec extends SparkSpec {
 
   test("batch replay is idempotent: re-running an epoch adds nothing (at-least-once safety)") {
     // foreachBatch delivers at-least-once; a replayed epoch must not
-    // duplicate the corpus. The standing band index makes replays
-    // self-healing: the replayed docs' bands collide with their OWN
-    // first-run entries, so every doc drops as a near-dup of itself.
+    // duplicate the corpus. Both sinks are partitioned by batch_id and
+    // overwritten, and the probe excludes the epoch's own partition —
+    // the replay recomputes the identical survivor set and rewrites its
+    // own partitions in place.
     val idx = tmp("nd_idx3") + "/bands"
     val out = tmp("nd_out3") + "/corpus"
     val batch = Seq(
       (1L, "first document with enough tokens to band", "s", 42L),
       (2L, "second totally different text also banded", "s", 42L))
       .toDF("doc_id", "text", "source", "n_chars")
-    Ingest.processNearDupBatch(batch, idx, out)
+    Ingest.processNearDupBatch(batch, idx, out, batchId = 7L)
     val afterOnce = spark.read.parquet(out).count()
     val bandsOnce = spark.read.parquet(idx).count()
-    Ingest.processNearDupBatch(batch, idx, out) // the replay
+    Ingest.processNearDupBatch(batch, idx, out, batchId = 7L) // the replay: SAME epoch id
     assert(spark.read.parquet(out).count() === afterOnce)
     assert(spark.read.parquet(idx).count() === bandsOnce)
   }
@@ -80,7 +81,7 @@ class IngestNearDupSpec extends SparkSpec {
       (1L, "some perfectly ordinary first document here", "s", 43L),
       (2L, "some perfectly ordinary first document here", "s", 43L))
       .toDF("doc_id", "text", "source", "n_chars")
-    Ingest.processNearDupBatch(batch, idx, out)
+    Ingest.processNearDupBatch(batch, idx, out, batchId = 0L)
     assert(spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(1L))
     assert(spark.read.parquet(idx).count() === 4L)
