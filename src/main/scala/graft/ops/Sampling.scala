@@ -66,6 +66,26 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** Deterministic global shuffle + shard assignment — the data-ordering
+    * step of a training run. A doc's shard is its md5 bucket mod
+    * `numShards` (map-side, rerun-stable) and its position WITHIN the
+    * shard is the rank of md5(salt || key) — so the within-shard order
+    * is a reproducible pseudo-random permutation, re-dealable with a new
+    * `salt` for each epoch without touching the data. No global sort
+    * anywhere: the only shuffle is the hash exchange on shard, and the
+    * per-shard ordering sorts shard-local rows — at N shards each sort
+    * handles corpus/N rows, the same contract as writing N shard files.
+    * Epoch re-shuffles at 100 TB are therefore one exchange, not a
+    * total-order sort of the corpus. */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int, salt: String = "e0"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(concat(lit(salt), key.cast("string"))).asc, key.asc)
+    df.withColumn("shard", pmod(hashBucket256(key), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
     * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
     * smallest one (which keeps 100%) without the hard cap of a quota.

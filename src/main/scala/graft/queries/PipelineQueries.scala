@@ -218,6 +218,11 @@ object PipelineQueries {
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
       col("doc_id"))
 
+  private val sampleShuffleShards: QFn = (s, dir) =>
+    Sampling.shuffleShards(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), numShards = 8)
+
   // Build-once/search-many: the trained coarse quantizer is an INDEX.
   // The first query that needs it pays the k-means build and caches the
   // centroids (plain longs — session-free, metadata-scale, keyed by sf
@@ -478,6 +483,15 @@ object PipelineQueries {
         |${bandSideSql("c", "doc_id % 10 < 8")}
         |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
         |FROM b2b b JOIN b2c c ON b.band = c.band AND b.h = c.h""".stripMargin),
+    QueryDef("sample_shuffle_shards", sampleShuffleShards,
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
+        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, lang, shard,
+        |CAST(row_number() OVER (PARTITION BY shard
+        |  ORDER BY md5('e0' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin),
     QueryDef("sample_split", sampleSplit,
       """WITH b AS (SELECT doc_id, lang, source,
         |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
