@@ -69,12 +69,15 @@ object Prepare {
     val sampled = Sampling.stratified(masked, col("doc_id"), col("lang"),
       rates, defaultRate)
 
-    // 5. hash-bucketed shard write: every shard dir gets its writers,
-    // no shard depends on global order — retry/backfill stable because
-    // the shard of a doc is a pure function of its id. The write runs
-    // the dedup-join -> mask -> sample chain ONCE; the funnel count
-    // reads the written shards back instead of re-running the chain.
-    sampled.withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
+    // 5. deterministic shuffle-shard write: shard AND within-shard
+    // position are pure functions of (doc_id, salt) — the trainer reads
+    // physically pos-ordered shard files, so the training data ORDER is
+    // reproducible across re-runs (and re-dealable per epoch by salt)
+    // without any global sort. Retry/backfill stable for the same
+    // reason; the funnel count reads the written shards back instead of
+    // re-running the chain.
+    Sampling.shuffleShards(sampled, col("doc_id"), nShards)
+      .repartition(col("shard")).sortWithinPartitions(col("pos"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/corpus")
     val n3 = spark.read.parquet(s"$outDir/corpus").count()

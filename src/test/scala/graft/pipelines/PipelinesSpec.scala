@@ -61,6 +61,18 @@ class PipelinesSpec extends SparkSpec {
     assert(corpus.count() === funnel("sampled_written"))
     // shard is a pure function of doc_id -> at most 4 shard dirs
     assert(corpus.select("shard").distinct().count() <= 4)
+    // the shuffle positions are a dense 1..n permutation within each
+    // shard — the trainer's data order is reproducible, not file-order
+    corpus.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("pos").as("mn"),
+        org.apache.spark.sql.functions.max("pos").as("mx"),
+        org.apache.spark.sql.functions.countDistinct("pos").as("d"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("mn") === 1L)
+        assert(r.getAs[Long]("mx") === r.getAs[Long]("n"))
+        assert(r.getAs[Long]("d") === r.getAs[Long]("n"))
+      }
     // no unmasked emails survive
     assert(corpus.filter(org.apache.spark.sql.functions.col("text").contains("@")).count() === 0)
     // packing stage: every surviving doc appears in the sequence layout,
