@@ -102,4 +102,25 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.sql("SELECT keccak256('') h").head().getString(0) ===
       "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
   }
+
+  test("fromChain: the whole crawl DAG runs fixture-free off the typed sources") {
+    val out = graft.pipelines.Crawl.fromChain(spark, startBlock = 0, maxBlock = 50)
+    val n = (0L until 50L).map(_ % 3).sum
+    assert(out("transfers").count() === n)
+    assert(out("tokens").count() === n) // every simulated token id is unique
+    // minted tokens (every 5th block's transfers) carry mint provenance
+    val minted = out("tokens").filter(org.apache.spark.sql.functions.col("mint_block").isNotNull)
+    assert(minted.count() === (0L until 50L by 5L).map(_ % 3).sum)
+    // each mint's timestamp came through the blocks dim join
+    minted.collect().foreach { r =>
+      assert(r.getAs[Long]("mint_date") === 1700000000L + 12L * r.getAs[Long]("mint_block"))
+    }
+    // owners: every surviving balance is the hex-encoded quantity 1
+    val q1 = graft.expr.HexMath.pad64("1")
+    assert(out("owners").filter(org.apache.spark.sql.functions.col("quantity") === q1).count() > 0)
+    assert(out("uris").count() === 0) // simulated chain emits no URI logs
+    // a narrower window fetches (and derives) only its blocks
+    val windowed = graft.pipelines.Crawl.fromChain(spark, startBlock = 10, maxBlock = 20)
+    assert(windowed("transfers").count() === (10L until 20L).map(_ % 3).sum)
+  }
 }
