@@ -66,23 +66,37 @@ object Sampling {
           .otherwise(lit("train")))
   }
 
+  /** A uniform value in [0, 2^32): the first 8 hex digits of
+    * md5(key-as-string). The shard hash — 256 buckets would leave
+    * shards beyond 256 permanently empty and skew any non-divisor
+    * count; 2^32 keeps mod-`numShards` uniform for any practical shard
+    * count. Mirrored digit-by-digit in the DuckDB oracle like
+    * [[hashBucket256]]. */
+  def hashBucket32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Deterministic global shuffle + shard assignment — the data-ordering
-    * step of a training run. A doc's shard is its md5 bucket mod
+    * step of a training run. A doc's shard is its 32-bit md5 bucket mod
     * `numShards` (map-side, rerun-stable) and its position WITHIN the
     * shard is the rank of md5(salt || key) — so the within-shard order
     * is a reproducible pseudo-random permutation, re-dealable with a new
     * `salt` for each epoch without touching the data. No global sort
     * anywhere: the only shuffle is the hash exchange on shard, and the
-    * per-shard ordering sorts shard-local rows — at N shards each sort
-    * handles corpus/N rows, the same contract as writing N shard files.
-    * Epoch re-shuffles at 100 TB are therefore one exchange, not a
-    * total-order sort of the corpus. */
+    * per-shard ordering sorts shard-local rows.
+    *
+    * Scale contract: the dense per-shard `pos` requires each shard to
+    * pass through ONE window task, so `numShards` IS the
+    * write-parallelism/task-size knob — size it so corpus/numShards fits
+    * a task (the same sizing exercise as choosing shard-file counts).
+    * For corpora where even that is unwanted, drop the dense index and
+    * order by the salted md5 key directly: same permutation, no
+    * row_number, no per-shard funnel. */
   def shuffleShards(df: DataFrame, key: Column, numShards: Int, salt: String = "e0"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(md5(concat(lit(salt), key.cast("string"))).asc, key.asc)
-    df.withColumn("shard", pmod(hashBucket256(key), lit(numShards.toLong)))
+    df.withColumn("shard", pmod(hashBucket32(key), lit(numShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 

@@ -43,20 +43,36 @@ object Crawl {
     * Scale note: `Derive.tokens` broadcasts the block-time dim, which is
     * right for a crawl WINDOW (rows = blocks in range); a whole-chain
     * backfill at full height should stage blockTimes to a bucketed table
-    * and let the join degrade to a co-located SMJ instead. */
+    * and let the join degrade to a co-located SMJ instead.
+    *
+    * `stageDir`: the four returned tables share the logs/transfers
+    * lineage, so materializing all of them against a LIVE fetcher would
+    * re-fetch the receipt window once per table (4x RPC cost, 4x
+    * throttling exposure). Pass a staging directory and the fetched
+    * logs + derived transfers are written to parquet ONCE, with every
+    * table derived from the staged relations — the Load pattern. Leave
+    * it None only when a single table will be consumed (or the fetcher
+    * is local/simulated). */
   def fromChain(spark: SparkSession, startBlock: Long, maxBlock: Long,
       blocksFetcher: String = graft.sources.BlockDataFetcher.Simulated,
       receiptsFetcher: String = graft.sources.ReceiptDataFetcher.Simulated,
-      numPartitions: Int = 4): Map[String, DataFrame] = {
+      numPartitions: Int = 4,
+      stageDir: Option[String] = None): Map[String, DataFrame] = {
     def src(fmt: String, fetcher: String) = spark.read.format(fmt)
       .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
       .option("numPartitions", numPartitions.toString)
       .option("fetcher", fetcher).load()
+    def staged(df: DataFrame, name: String): DataFrame = stageDir match {
+      case Some(d) =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/$name")
+        spark.read.parquet(s"$d/$name")
+      case None => df
+    }
     val blocks = src("blocks", blocksFetcher)
-    val logs = src("receipts", receiptsFetcher)
-      .select(explode(col("logs")).as("l")).select(col("l.*"))
+    val logs = staged(src("receipts", receiptsFetcher)
+      .select(explode(col("logs")).as("l")).select(col("l.*")), "logs")
     val blockTimes = blocks.select(col("number"), col("timestamp"))
-    val transfers = graft.nft.Derive.transfers(logs)
+    val transfers = staged(graft.nft.Derive.transfers(logs), "transfers")
     Map(
       "transfers" -> transfers,
       "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes),

@@ -74,10 +74,12 @@ object Prepare {
     // physically pos-ordered shard files, so the training data ORDER is
     // reproducible across re-runs (and re-dealable per epoch by salt)
     // without any global sort. Retry/backfill stable for the same
-    // reason; the funnel count reads the written shards back instead of
-    // re-running the chain.
+    // reason. The pos ordering in the files comes from shuffleShards'
+    // own window sort (shard, salted-md5, key): the dynamic-partition
+    // writer requires a sort on the partition column, and the window's
+    // existing (shard, ...) sort already satisfies it, so the plan adds
+    // no exchange or sort here — verified in the executed plan.
     Sampling.shuffleShards(sampled, col("doc_id"), nShards)
-      .repartition(col("shard")).sortWithinPartitions(col("pos"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/corpus")
     val n3 = spark.read.parquet(s"$outDir/corpus").count()
@@ -85,8 +87,13 @@ object Prepare {
     // 6. training-sequence layout over the WRITTEN corpus (so the pack
     // reads compact staged parquet, not the transform chain), written
     // beside the shards — the trainer-facing index (doc chunk ->
-    // sequence + offset), recomputable from the corpus alone.
-    Packing.pack(spark.read.parquet(s"$outDir/corpus"), seqLen, nShards)
+    // sequence + offset), recomputable from the corpus alone. The pack
+    // streams each shard in the SAME pos order as the shard files
+    // (packWithOrder), so the index and the physical layout describe
+    // one token stream — two contradictory orders here would hand the
+    // trainer wrong offsets.
+    Packing.packWithOrder(spark.read.parquet(s"$outDir/corpus"), seqLen,
+        Seq(col("pos"), col("chunk_idx")))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packing")
     val n4 = spark.read.parquet(s"$outDir/packing").count()
 

@@ -483,15 +483,20 @@ object PipelineQueries {
         |${bandSideSql("c", "doc_id % 10 < 8")}
         |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
         |FROM b2b b JOIN b2c c ON b.band = c.band AND b.h = c.h""".stripMargin),
-    QueryDef("sample_shuffle_shards", sampleShuffleShards,
-      """WITH b AS (SELECT doc_id, lang,
-        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
-        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) % 8 AS shard
+    QueryDef("sample_shuffle_shards", sampleShuffleShards, {
+      // mirror of Sampling.hashBucket32: 8 md5 hex digits -> [0, 2^32)
+      val digits32 = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(position(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1) IN '0123456789abcdef') - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, lang,
+        |  CAST($digits32 AS BIGINT) % 8 AS shard
         |  FROM documents)
         |SELECT doc_id, lang, shard,
         |CAST(row_number() OVER (PARTITION BY shard
         |  ORDER BY md5('e0' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
-        |FROM b""".stripMargin),
+        |FROM b""".stripMargin
+    }),
     QueryDef("sample_split", sampleSplit,
       """WITH b AS (SELECT doc_id, lang, source,
         |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
