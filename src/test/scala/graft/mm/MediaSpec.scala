@@ -117,4 +117,34 @@ class MediaSpec extends SparkSpec {
     assert(got(3L).sample_rate === None && got(3L).rms === None)
     assert(got(3L).content_hash.length === 32)
   }
+
+  test("real GIF frame sampling: strided frames decode back with their own pixels") {
+    // 5-frame animated GIF, one solid color per frame, written with the
+    // JDK's own sequence writer
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, c)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = out.toByteArray
+
+    val rows = Seq(Media.MediaRow(1L, gif), Media.MediaRow(2L, Array[Byte](1, 2, 3)))
+    val frames = Media.sampleFramesGif(rows.toDS(), stride = 2).collect()
+      .map(f => (f.media_id, f.frame_index) -> f.frame).toMap
+    // stride 2 over 5 frames -> indices 0, 2, 4; garbage blob -> no rows
+    assert(frames.keySet === Set((1L, 0L), (1L, 2L), (1L, 4L)))
+    Seq(0, 2, 4).foreach { i =>
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames((1L, i.toLong))))
+      assert(back.getWidth === 6 && back.getHeight === 4)
+      assert((back.getRGB(3, 2) & 0xffffff) === colors(i))
+    }
+  }
 }

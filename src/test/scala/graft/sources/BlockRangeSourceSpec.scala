@@ -34,7 +34,53 @@ object WindowLogFetcher {
   val windows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
 }
 
+/** Throttles the first N fetches then serves (429 shape) — the numeric
+  * drive source must back off exactly like the typed sources. */
+class ThrottlingDriveFetcher extends BlockFetcher {
+  override def fetch(lo: Long, hi: Long): Iterator[Long] = {
+    if (ThrottlingDriveFetcher.remaining.getAndDecrement() > 0)
+      throw new ThrottledException(s"429 for [$lo, $hi)")
+    Iterator.range(lo, hi)
+  }
+}
+object ThrottlingDriveFetcher {
+  val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class BlockRangeSourceSpec extends SparkSpec {
+
+  test("drive source backs off on throttles and completes (shared reader contract)") {
+    ThrottlingDriveFetcher.remaining.set(5)
+    val df = spark.read.format("blockrange")
+      .option("start", "0").option("maxBlock", "100")
+      .option("fetcher", classOf[ThrottlingDriveFetcher].getName)
+      .option("throttleBaseMs", "1").option("throttleCapMs", "4")
+      .load()
+    assert(df.count() === 100)
+  }
+
+  test("backoff policy: exponential, capped, overflow-safe, zero-base safe") {
+    val p = BackoffPolicy(baseMs = 50, capMs = 5000, maxRetries = 8)
+    assert(p.delayMs(0) === 50)
+    assert(p.delayMs(3) === 400)
+    assert(p.delayMs(7) === 5000)  // 50 << 7 = 6400 caps
+    assert(p.delayMs(100) === 5000) // deep retry counts must not wrap negative
+    assert(p.delayMs(Int.MaxValue) === 5000)
+    assert(BackoffPolicy(baseMs = 0).delayMs(60) === 0) // degenerate base: never sleep
+    assert((0 to 100).forall(a => p.delayMs(a) >= 0)) // Thread.sleep precondition
+  }
+
+  test("block window math: saturation and negative-delta guard") {
+    import org.apache.spark.sql.sources._
+    assert(BlockWindow.satAdd(Long.MaxValue, 1L) === Long.MaxValue)
+    assert(BlockWindow.satAdd(5L, 0L) === 5L)
+    intercept[IllegalArgumentException] { BlockWindow.satAdd(5L, -1L) }
+    val n = BlockWindow.narrow(0L, 1000L,
+      Array(GreaterThanOrEqual("block_number", 100L), LessThan("block_number", 200L),
+        EqualTo("other_col", 5L)), "block_number")
+    assert((n.lo, n.hi) === ((100L, 200L)))
+    assert(n.supported.length === 2 && n.residual.length === 1)
+  }
 
   test("block_number range predicates prune the planned window (filter pushdown)") {
     WindowLogFetcher.windows.clear()
