@@ -23,8 +23,14 @@ object Collections {
       .select(col("contract_address").as("collection_id"),
         col("from_").as("creator"),
         col("block_number").as("block_created"))
+    // `owner` joined in when the snapshot carries it (the reference's
+    // owner() probe, `nft/evm/transformers.py:149-156`); older
+    // snapshot dims without the column still work
+    val snapshot =
+      if (interfaceSnapshot.columns.contains("owner")) interfaceSnapshot
+      else interfaceSnapshot.withColumn("owner", lit(null).cast("string"))
     creations
-      .join(broadcast(interfaceSnapshot), Seq("collection_id"), "inner")
+      .join(broadcast(snapshot), Seq("collection_id"), "inner")
       .filter(col("supports_erc721") || col("supports_erc1155"))
       .join(broadcast(blockTimes.select(col("number"), col("timestamp"))),
         col("block_created") === col("number"), "left")
@@ -32,6 +38,7 @@ object Collections {
         lit("ethereum").as("blockchain"),
         col("collection_id"),
         col("creator"),
+        col("owner"),
         col("block_created"),
         when(col("supports_erc721"), lit("ERC-721"))
           .otherwise(lit("ERC-1155")).as("specification"),
@@ -67,7 +74,14 @@ object Collections {
       struct(lit("name").as("probe"),
         graft.expr.Abi.encodeCallCol("name()").as("data")),
       struct(lit("symbol").as("probe"),
-        graft.expr.Abi.encodeCallCol("symbol()").as("data")))
+        graft.expr.Abi.encodeCallCol("symbol()").as("data")),
+      // the metadata probes the reference issues alongside name/symbol
+      // (`nft/evm/transformers.py:149-185`): totalSupply() for ERC-721
+      // enumerable supply, owner() for the contract owner
+      struct(lit("total_supply").as("probe"),
+        graft.expr.Abi.encodeCallCol("totalSupply()").as("data")),
+      struct(lit("owner").as("probe"),
+        graft.expr.Abi.encodeCallCol("owner()").as("data")))
     contracts.select(col("collection_id").as("to"), explode(probes).as("p"))
       .select(col("to"), col("p.probe").as("probe"), col("p.data").as("data"))
   }

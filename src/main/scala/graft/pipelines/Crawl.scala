@@ -32,48 +32,77 @@ object Crawl {
 
   /** The reference crawl (`nft/bin/crawl.py:151-209`) FIXTURE-FREE: the
     * typed `blocks` source supplies the block-time dimension, the
-    * `receipts` source's exploded logs feed the NFT derivation, and the
-    * four entity tables come out of `Derive` — point the fetcher options
-    * at an RPC-backed [[graft.sources.BlockDataFetcher]] /
-    * [[graft.sources.ReceiptDataFetcher]] and this IS the production
-    * crawl over a block range. Window pushdown applies to both sources,
-    * so crawling blocks [startBlock, maxBlock) of a long chain fetches
-    * exactly that range.
+    * `receipts` source feeds the NFT derivation (exploded logs ->
+    * transfers/tokens/owners/uris; creation receipts + the eth_call
+    * transport -> collections), and the reference's four entity tables
+    * (collections, tokens, transfers, owners) plus the tokenURI update
+    * stream come out as one Map — point the fetcher/executor options at
+    * the RPC-backed implementations ([[graft.rpc.RpcBlockDataFetcher]],
+    * [[graft.rpc.RpcReceiptDataFetcher]], [[graft.rpc.RpcCallExecutor]]
+    * with `options = Map("endpoints" -> "https://node,...")`) and this
+    * IS the production crawl over a block range. Window pushdown applies
+    * to both sources, so crawling blocks [startBlock, maxBlock) of a
+    * long chain fetches exactly that range.
+    *
+    * Collections branch (`nft/evm/transformers.py:48-197`): creation
+    * receipts (contract_address non-null, status 1) produce the DISTINCT
+    * contract set; [[graft.nft.Collections.callRequests]] builds the
+    * probe calldata columnar; the [[graft.rpc.CallExecutor]] seam runs
+    * the probes (simulated by default, JSON-RPC in production); the
+    * pivoted snapshot classifies + enriches via
+    * [[graft.nft.Collections.fromReceipts]]; repeated creations of one
+    * contract LWW-collapse on the latest creation block.
     *
     * Scale note: `Derive.tokens` broadcasts the block-time dim, which is
     * right for a crawl WINDOW (rows = blocks in range); a whole-chain
     * backfill at full height should stage blockTimes to a bucketed table
     * and let the join degrade to a co-located SMJ instead.
     *
-    * `stageDir`: the four returned tables share the logs/transfers
+    * `stageDir`: the returned tables share the receipts/transfers
     * lineage, so materializing all of them against a LIVE fetcher would
-    * re-fetch the receipt window once per table (4x RPC cost, 4x
+    * re-fetch the receipt window once per table (5x RPC cost, 5x
     * throttling exposure). Pass a staging directory and the fetched
-    * logs + derived transfers are written to parquet ONCE, with every
-    * table derived from the staged relations — the Load pattern. Leave
-    * it None only when a single table will be consumed (or the fetcher
-    * is local/simulated). */
+    * receipts + block times + derived transfers are written to parquet
+    * ONCE, with every table derived from the staged relations — the
+    * Load pattern. Leave it None only when a single table will be
+    * consumed (or the fetcher is local/simulated). */
   def fromChain(spark: SparkSession, startBlock: Long, maxBlock: Long,
       blocksFetcher: String = graft.sources.BlockDataFetcher.Simulated,
       receiptsFetcher: String = graft.sources.ReceiptDataFetcher.Simulated,
       numPartitions: Int = 4,
-      stageDir: Option[String] = None): Map[String, DataFrame] = {
-    def src(fmt: String, fetcher: String) = spark.read.format(fmt)
-      .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
-      .option("numPartitions", numPartitions.toString)
-      .option("fetcher", fetcher).load()
+      stageDir: Option[String] = None,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      fetcherOptions: Map[String, String] = Map.empty,
+      dataVersion: Int = 1): Map[String, DataFrame] = {
+    def src(fmt: String, fetcher: String) = {
+      val base = spark.read.format(fmt)
+        .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
+        .option("numPartitions", numPartitions.toString)
+        .option("fetcher", fetcher)
+      fetcherOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
     def staged(df: DataFrame, name: String): DataFrame = stageDir match {
       case Some(d) =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/$name")
         spark.read.parquet(s"$d/$name")
       case None => df
     }
-    val blocks = src("blocks", blocksFetcher)
-    val logs = staged(src("receipts", receiptsFetcher)
-      .select(explode(col("logs")).as("l")).select(col("l.*")), "logs")
-    val blockTimes = blocks.select(col("number"), col("timestamp"))
+    val receipts = staged(src("receipts", receiptsFetcher), "receipts")
+    val logs = receipts.select(explode(col("logs")).as("l")).select(col("l.*"))
+    val blockTimes = staged(
+      src("blocks", blocksFetcher).select(col("number"), col("timestamp")), "block_times")
     val transfers = staged(graft.nft.Derive.transfers(logs), "transfers")
+    val creations = receipts
+      .filter(col("contract_address").isNotNull && col("status") === 1)
+      .select(col("contract_address").as("collection_id")).distinct()
+    val snapshot = graft.rpc.Calls.interfaceSnapshot(
+      graft.rpc.Calls.execute(spark, graft.nft.Collections.callRequests(creations),
+        callExecutor, fetcherOptions))
+    val collections = Lww.merge(
+      graft.nft.Collections.fromReceipts(receipts, snapshot, blockTimes, dataVersion),
+      Seq("collection_id"), Seq("block_created"))
     Map(
+      "collections" -> collections,
       "transfers" -> transfers,
       "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes),
       "owners" -> graft.nft.Derive.owners(transfers),

@@ -504,7 +504,9 @@ object CoreQueries {
         |  ('supports_erc721',  '0x01ffc9a7' || '80ac58cd' || repeat('0', 56)),
         |  ('supports_erc1155', '0x01ffc9a7' || 'd9b67a26' || repeat('0', 56)),
         |  ('name', '0x06fdde03'),
-        |  ('symbol', '0x95d89b41')) AS v(probe, data))
+        |  ('symbol', '0x95d89b41'),
+        |  ('total_supply', '0x18160ddd'),
+        |  ('owner', '0x8da5cb5b')) AS v(probe, data))
         |SELECT c.t AS "to", p.probe, p.data FROM c CROSS JOIN p""".stripMargin),
     QueryDef("s7_time_dim_join", s7TimeDimJoin,
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value

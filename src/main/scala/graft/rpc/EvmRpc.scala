@@ -1,0 +1,236 @@
+package graft.rpc
+
+import graft.model.{EvmBlockWithTxs, EvmLog, EvmTransaction, EvmTransactionReceipt}
+import graft.sources.{BlockDataFetcher, ConfigurableFetcher, RangeTooLargeException,
+  ReceiptDataFetcher}
+import org.json4s._
+
+/** EVM JSON-RPC wire-format conversion — the public protocol shapes
+  * (`eth_getBlockByNumber` / `eth_getTransactionReceipt` responses),
+  * field-by-field per the reference's client (`evm/rpc.py:150-196`
+  * blocks, `:198-236` receipts), mapped onto the engine's typed
+  * entities and scalar conventions (hex quantities → Long where
+  * semantics bound the value; uint256 → zero-padded 64-hex). */
+object EvmWire {
+
+  private def strip0x(s: String): String =
+    if (s != null && (s.startsWith("0x") || s.startsWith("0X"))) s.substring(2) else s
+
+  def qtyHex(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+
+  private def jString(j: JValue, field: String): String = j \ field match {
+    case JString(s) => s
+    case JNull | JNothing => null
+    case other => throw new RpcClientException(s"field $field: expected string, got $other")
+  }
+
+  private def jOptString(j: JValue, field: String): Option[String] = j \ field match {
+    case JString(s) => Some(s)
+    case _ => None
+  }
+
+  private def jBool(j: JValue, field: String): Boolean = j \ field match {
+    case JBool(b) => b
+    case _ => false
+  }
+
+  /** hex quantity ("0x1b4") → Long; for fields semantics bound under
+    * 2^63 (block numbers, gas, timestamps, indexes). */
+  def hexLong(j: JValue, field: String): Long = {
+    val s = jString(j, field)
+    if (s == null) throw new RpcClientException(s"field $field: null hex quantity")
+    java.lang.Long.parseLong(strip0x(s), 16)
+  }
+
+  private def hexLongOpt(j: JValue, field: String): Option[Long] =
+    jOptString(j, field).map(s => java.lang.Long.parseLong(strip0x(s), 16))
+
+  /** hex quantity of arbitrary width → canonical zero-padded lowercase
+    * 64-hex (the model's uint256 convention, FIXTURES.md §A). */
+  def hex64(j: JValue, field: String): String = {
+    val h = strip0x(jString(j, field)).toLowerCase
+    if (h.length >= 64) h.takeRight(64) else ("0" * (64 - h.length)) + h
+  }
+
+  // `evm/rpc.py:150-168`
+  def parseTx(j: JValue): EvmTransaction = EvmTransaction(
+    block_hash = jString(j, "blockHash"),
+    block_number = hexLong(j, "blockNumber"),
+    from_ = jString(j, "from"),
+    to_ = jOptString(j, "to"),
+    gas = hexLong(j, "gas"),
+    gas_price = hexLong(j, "gasPrice"),
+    hash = jString(j, "hash"),
+    input = jString(j, "input"),
+    nonce = hexLong(j, "nonce"),
+    transaction_index = hexLong(j, "transactionIndex"),
+    value = hex64(j, "value"))
+
+  // `evm/rpc.py:173-196`; difficulty kept as the raw hex string (may
+  // exceed 2^63 pre-merge)
+  def parseBlock(j: JValue): EvmBlockWithTxs = EvmBlockWithTxs(
+    number = hexLong(j, "number"),
+    hash = jString(j, "hash"),
+    parent_hash = jString(j, "parentHash"),
+    timestamp = hexLong(j, "timestamp"),
+    miner = jString(j, "miner"),
+    gas_limit = hexLong(j, "gasLimit"),
+    gas_used = hexLong(j, "gasUsed"),
+    size = hexLong(j, "size"),
+    difficulty = jString(j, "difficulty"),
+    transactions = j \ "transactions" match {
+      case JArray(txs) => txs.map(parseTx)
+      // the reference refuses a block with a null transactions attribute
+      // (`core` client guard, `evm/rpc.py:145-147`)
+      case _ => throw new RpcClientException("block transactions attribute was null")
+    },
+    uncles = j \ "uncles" match {
+      case JArray(us) => us.collect { case JString(u) => u }
+      case _ => Nil
+    })
+
+  /** tx-hash list form (full_transactions=False, `evm/rpc.py:170-172`) */
+  def parseTxHashes(j: JValue): Seq[String] = j \ "transactions" match {
+    case JArray(txs) => txs.collect { case JString(h) => h }
+    case _ => throw new RpcClientException("block transactions attribute was null")
+  }
+
+  // `evm/rpc.py:206-220`
+  def parseLog(j: JValue): EvmLog = EvmLog(
+    removed = jBool(j, "removed"),
+    log_index = hexLong(j, "logIndex"),
+    transaction_index = hexLong(j, "transactionIndex"),
+    transaction_hash = jString(j, "transactionHash"),
+    block_hash = jString(j, "blockHash"),
+    block_number = hexLong(j, "blockNumber"),
+    address = jString(j, "address"),
+    data = jString(j, "data"),
+    topics = j \ "topics" match {
+      case JArray(ts) => ts.collect { case JString(t) => t }
+      case _ => Nil
+    })
+
+  // `evm/rpc.py:221-236`
+  def parseReceipt(j: JValue): EvmTransactionReceipt = EvmTransactionReceipt(
+    transaction_hash = jString(j, "transactionHash"),
+    transaction_index = hexLong(j, "transactionIndex"),
+    block_hash = jString(j, "blockHash"),
+    block_number = hexLong(j, "blockNumber"),
+    from_ = jString(j, "from"),
+    to_ = jOptString(j, "to"),
+    cumulative_gas_used = hexLong(j, "cumulativeGasUsed"),
+    gas_used = hexLong(j, "gasUsed"),
+    contract_address = jOptString(j, "contractAddress"),
+    status = hexLongOpt(j, "status"),
+    logs = j \ "logs" match {
+      case JArray(ls) => ls.map(parseLog)
+      case _ => Nil
+    })
+}
+
+/** Shared wiring for the RPC-backed fetchers: endpoint list, timeouts,
+  * and the window→batch call pattern. Configured through reader options
+  * ([[ConfigurableFetcher]]):
+  *  - `endpoints` (required): comma-separated HTTP JSON-RPC URLs;
+  *    >1 endpoint = round-robin pool with dead-endpoint eviction
+  *    ([[PooledJsonRpcClient]], `evm/rpc.py:380-422`)
+  *  - `rpcTimeoutMs` (default 30000)
+  *
+  * A batch-level "limit exceeded" server error becomes
+  * [[RangeTooLargeException]] so the adaptive reader shrinks the window
+  * ÷10 and re-requests — the reference's reaction to providers that cap
+  * response size (`evm/rpc.py:366-377`). Throttles propagate as
+  * [[graft.sources.ThrottledException]] for the reader's bounded
+  * backoff. The JDK HttpClient (and its connection pool) lives for the
+  * fetcher's lifetime — one per task — so chunk windows reuse
+  * connections. */
+trait RpcFetcherBase extends ConfigurableFetcher {
+  protected var client: JsonRpcClient = _
+
+  override def configure(options: Map[String, String]): Unit = {
+    val eps = options.getOrElse("endpoints",
+      throw new IllegalArgumentException(
+        "RPC fetcher requires option 'endpoints' (comma-separated JSON-RPC URLs)"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    client = JsonRpc.client(eps, options.get("rpctimeoutms").map(_.toLong).getOrElse(30000L))
+  }
+
+  protected def requireClient(): JsonRpcClient = {
+    if (client == null) throw new IllegalStateException(
+      "fetcher not configured: instantiate through forName(class, options) with 'endpoints' set")
+    client
+  }
+
+  /** Unwrap one batch entry, mapping range-ish server errors to the
+    * adaptive reader's shrink signal. */
+  protected def unwrap(e: Either[RpcServerException, JValue]): JValue = e match {
+    case Right(v) => v
+    case Left(err) if JsonRpc.isRangeTooLarge(err.code) =>
+      throw new RangeTooLargeException(err.getMessage)
+    case Left(err) => throw err
+  }
+
+  /** Run a whole-batch thunk, mapping a batch-level "too large"
+    * rejection (single error object for the array request) to the
+    * shrink signal as well. */
+  protected def guarded[T](body: => T): T =
+    try body
+    catch {
+      case e: RpcServerException if JsonRpc.isRangeTooLarge(e.code) =>
+        throw new RangeTooLargeException(e.getMessage)
+    }
+}
+
+/** `eth_getBlockByNumber(n, full_transactions=True)` over a block
+  * window — one JSON-RPC batch per window, id-correlated; the
+  * production implementation of the [[BlockDataFetcher]] seam
+  * (`evm/rpc.py:128-196`). */
+final class RpcBlockDataFetcher extends BlockDataFetcher with RpcFetcherBase {
+  override def fetchBlocks(lo: Long, hi: Long): Iterator[EvmBlockWithTxs] = {
+    if (hi <= lo) return Iterator.empty
+    val c = requireClient()
+    guarded {
+      val calls = (lo until hi).map(n =>
+        RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(true))))
+      c.batch(calls).map(unwrap).map {
+        // the node answered null = no such block — refuse, like the
+        // reference (`evm/rpc.py:142-143`); a shorter chain should
+        // surface as an error, not silent missing rows
+        case JNull | JNothing => throw new RpcClientException(
+          "Error retrieving block: no block returned")
+        case j => EvmWire.parseBlock(j)
+      }.iterator
+    }
+  }
+}
+
+/** Receipts of every transaction in the window: batch
+  * `eth_getBlockByNumber(n, false)` for the hash lists, then one batch
+  * of `eth_getTransactionReceipt` per window — the production
+  * implementation of the [[ReceiptDataFetcher]] seam
+  * (`evm/rpc.py:198-236`). */
+final class RpcReceiptDataFetcher extends ReceiptDataFetcher with RpcFetcherBase {
+  override def fetchReceipts(lo: Long, hi: Long): Iterator[EvmTransactionReceipt] = {
+    if (hi <= lo) return Iterator.empty
+    val c = requireClient()
+    guarded {
+      val blockCalls = (lo until hi).map(n =>
+        RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(false))))
+      val hashes = c.batch(blockCalls).map(unwrap).flatMap {
+        case JNull | JNothing => throw new RpcClientException(
+          "Error retrieving block: no block returned")
+        case j => EvmWire.parseTxHashes(j)
+      }
+      if (hashes.isEmpty) Iterator.empty
+      else {
+        val receiptCalls = hashes.map(h =>
+          RpcCall("eth_getTransactionReceipt", List(JString(h))))
+        c.batch(receiptCalls).map(unwrap).map {
+          case JNull | JNothing => throw new RpcClientException(
+            s"Error retrieving receipt: no receipt returned")
+          case j => EvmWire.parseReceipt(j)
+        }.iterator
+      }
+    }
+  }
+}

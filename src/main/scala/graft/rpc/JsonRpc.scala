@@ -1,0 +1,217 @@
+package graft.rpc
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.sources.ThrottledException
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON-RPC 2.0 over HTTP — the engine's chain transport, re-expressing
+  * the reference's asyncio websocket client (`core/rpc.py:155-437`) for
+  * Spark's execution model. The reference multiplexes many in-flight
+  * requests over one socket and correlates responses by request id
+  * (`core/rpc.py:406-437`); the batch-HTTP equivalent is a JSON-RPC
+  * batch array per window — one round trip for a whole block window,
+  * responses matched back to requests BY ID, never by position (the
+  * spec allows servers to reorder batch responses).
+  *
+  * Error taxonomy (each mapped where the reference maps it):
+  *  - throttle — HTTP 429, or JSON-RPC code 429 / -32005 with a "rate"
+  *    message (`core/rpc.py:20-22`): [[ThrottledException]]; the
+  *    adaptive reader replays the same window after bounded backoff.
+  *  - server error — a well-formed JSON-RPC error for one request
+  *    (`RpcServerError`, `core/rpc.py:63-77`): [[RpcServerException]],
+  *    surfaced per-entry so a batch with one failing eth_call still
+  *    yields the other responses.
+  *  - transport error — connect refused, non-200 status, garbage
+  *    response (`RpcClientError`): [[RpcClientException]]; the pooled
+  *    client evicts the endpoint (`evm/rpc.py:408-422`).
+  */
+final case class RpcServerException(code: Int, messageText: String)
+    extends RuntimeException(s"RPC server error $code: $messageText")
+
+final class RpcClientException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+final case class RpcCall(method: String, params: List[JValue])
+
+trait JsonRpcClient {
+  /** Send calls as one JSON-RPC batch; the result at index i is the
+    * id-correlated response to calls(i). Left = per-request server
+    * error; throws [[ThrottledException]] on a batch-level throttle and
+    * [[RpcClientException]] on transport failure. */
+  def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]]
+
+  def call(method: String, params: JValue*): JValue =
+    batch(Seq(RpcCall(method, params.toList))).head match {
+      case Right(v) => v
+      case Left(e) => throw e
+    }
+}
+
+object JsonRpc {
+  /** True when the error means "slow down" — the reference's
+    * TOO_MANY_REQUESTS patterns (`core/rpc.py:20-22`: Alchemy uses
+    * HTTP-style 429, Infura reuses -32005 with a rate-limit message). */
+  def isThrottle(code: Int, message: String): Boolean =
+    code == 429 ||
+      (code == -32005 && message != null && message.toLowerCase.contains("rate"))
+
+  /** True when the error means "narrow the request" — the codes the
+    * reference's get_logs loop reacts to by shrinking its block range
+    * ÷10 (`evm/rpc.py:366-377`: Infura -32005, Alchemy -32602 and the
+    * generic -32000 timeout). Checked AFTER isThrottle so the Infura
+    * rate-limit reuse of -32005 stays a throttle. */
+  def isRangeTooLarge(code: Int): Boolean =
+    code == -32005 || code == -32602 || code == -32000
+
+  /** One client over the endpoint list: single-endpoint direct, else
+    * round-robin pooled with dead-endpoint eviction. */
+  def client(endpoints: Seq[String], timeoutMs: Long = 30000L): JsonRpcClient = {
+    require(endpoints.nonEmpty, "at least one RPC endpoint is required")
+    val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
+    if (singles.size == 1) singles.head else new PooledJsonRpcClient(singles)
+  }
+}
+
+/** Single-endpoint HTTP transport. The JDK HttpClient keeps its own
+  * connection pool per instance, so one client per fetcher instance
+  * (i.e. per task) reuses connections across chunk windows — the
+  * *reconnect + replay* behavior of the reference's websocket client
+  * (`core/rpc.py:327-353`) falls out of HTTP request semantics: each
+  * batch is retried by the caller, never half-applied. */
+final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcClient {
+  private val ids = new AtomicLong(0L)
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs))
+    .build()
+
+  override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+    if (calls.isEmpty) return Nil
+    // ids are unique per client, like the reference's instance-nonce ids
+    // (`core/rpc.py:356-364`)
+    val withIds = calls.map(c => (ids.incrementAndGet(), c))
+    val body = JArray(withIds.map { case (id, c) =>
+      JObject(
+        "jsonrpc" -> JString("2.0"),
+        "method" -> JString(c.method),
+        "params" -> JArray(c.params),
+        "id" -> JLong(id))
+    }.toList)
+    val parsed = post(JsonMethods.compact(JsonMethods.render(body)))
+    parsed match {
+      // A single error OBJECT for a batch REQUEST = the server rejected
+      // the batch as a whole (oversized / malformed): classify once.
+      case obj: JObject =>
+        entryError(obj) match {
+          case Some(e) => throw classify(e)
+          case None => throw new RpcClientException(
+            s"$endpoint returned a non-batch response to a batch request")
+        }
+      case JArray(entries) =>
+        val byId: Map[Long, JObject] = entries.collect {
+          case o: JObject => idOf(o).map(_ -> o)
+        }.flatten.toMap
+        withIds.map { case (id, c) =>
+          byId.get(id) match {
+            case None => throw new RpcClientException(
+              s"$endpoint: no response correlated to request id $id (${c.method})")
+            case Some(o) => entryError(o) match {
+              case Some(err) =>
+                classify(err) match {
+                  case e: RpcServerException => Left(e)
+                  case t => throw t // batch-level throttle: replay the window
+                }
+              case None => Right(o \ "result")
+            }
+          }
+        }
+      case other => throw new RpcClientException(
+        s"$endpoint returned unparseable JSON-RPC payload: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  private def post(body: String): JValue = {
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp =
+      try http.send(req, HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException =>
+          throw new RpcClientException(s"$endpoint transport failure: ${e.getMessage}", e)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new RpcClientException(s"$endpoint interrupted", e)
+      }
+    resp.statusCode() match {
+      case 200 =>
+        try JsonMethods.parse(resp.body())
+        catch {
+          case e: Exception =>
+            throw new RpcClientException(s"$endpoint returned unparseable body", e)
+        }
+      case 429 => throw new ThrottledException(s"$endpoint HTTP 429")
+      case s => throw new RpcClientException(s"$endpoint HTTP $s")
+    }
+  }
+
+  private def idOf(o: JObject): Option[Long] = (o \ "id") match {
+    case JLong(v) => Some(v)
+    case JInt(v) => Some(v.toLong)
+    case JString(s) => s.toLongOption
+    case _ => None
+  }
+
+  private def entryError(o: JObject): Option[(Int, String)] = (o \ "error") match {
+    case e: JObject =>
+      val code = (e \ "code") match {
+        case JLong(v) => v.toInt
+        case JInt(v) => v.toInt
+        case _ => 0
+      }
+      val msg = (e \ "message") match { case JString(s) => s; case _ => "" }
+      Some((code, msg))
+    case _ => None
+  }
+
+  private def classify(err: (Int, String)): RuntimeException = {
+    val (code, msg) = err
+    if (JsonRpc.isThrottle(code, msg)) new ThrottledException(s"$endpoint RPC $code: $msg")
+    else RpcServerException(code, msg)
+  }
+}
+
+/** Round-robin pool with dead-endpoint eviction — the reference's
+  * `ConnectionPoolingEvmRpcClient` (`evm/rpc.py:380-422`): each batch
+  * goes to the next live endpoint; a transport-level failure evicts
+  * that endpoint and the batch retries on the next, so one dead
+  * provider costs one extra round trip, not the crawl. A depleted pool
+  * fails loudly (`evm/rpc.py:422`) — the task error surfaces instead
+  * of silently under-producing rows. Server errors and throttles do
+  * NOT evict: the endpoint answered, the request was the problem. */
+final class PooledJsonRpcClient(initial: Seq[JsonRpcClient]) extends JsonRpcClient {
+  private var pool: Vector[JsonRpcClient] = initial.toVector
+  private var index = 0
+
+  override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] =
+    synchronized {
+      while (pool.nonEmpty) {
+        index = if (index + 1 >= pool.size) 0 else index + 1
+        try {
+          return pool(index).batch(calls)
+        } catch {
+          case _: RpcClientException =>
+            pool = pool.patch(index, Nil, 1)
+            index = if (pool.isEmpty) 0 else index % pool.size
+        }
+      }
+      throw new RpcClientException("Connection pool fully depleted. Unable to send!")
+    }
+}

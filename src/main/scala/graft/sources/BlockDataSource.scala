@@ -140,8 +140,11 @@ object SimulatedBlockDataFetcher {
 
 object BlockDataFetcher {
   val Simulated: String = classOf[SimulatedBlockDataFetcher].getName
-  def forName(className: String): BlockDataFetcher =
-    Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockDataFetcher]
+  def forName(className: String, options: Map[String, String] = Map.empty): BlockDataFetcher = {
+    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockDataFetcher]
+    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
+    f
+  }
 }
 
 // ---- generic typed-range plumbing (shared by blocks / receipts) ----------
@@ -155,7 +158,7 @@ object BlockDataFetcher {
   * NOT narrow on limit or `limit(n)` could under-produce. */
 final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol: String,
     defaultFetcher: String,
-    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
+    mkFactory: (String, Map[String, String], Long, BackoffPolicy, StructType) => PartitionReaderFactory,
     options: CaseInsensitiveStringMap,
     oneRowPerBlock: Boolean = true) extends Table with SupportsRead {
   override def name(): String = tableName
@@ -172,7 +175,7 @@ final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol:
 
 final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     defaultFetcher: String,
-    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory,
+    mkFactory: (String, Map[String, String], Long, BackoffPolicy, StructType) => PartitionReaderFactory,
     options: CaseInsensitiveStringMap,
     oneRowPerBlock: Boolean)
     extends ScanBuilder
@@ -219,19 +222,20 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
 
 final class TypedRangeScan(options: CaseInsensitiveStringMap,
     batchLo: Long, batchHi: Long, prunedSchema: StructType, defaultFetcher: String,
-    mkFactory: (String, Long, BackoffPolicy, StructType) => PartitionReaderFactory)
+    mkFactory: (String, Map[String, String], Long, BackoffPolicy, StructType) => PartitionReaderFactory)
     extends Scan {
   private val blocksPerTrigger = options.getLong("blocksPerTrigger", 100L)
   private val trailBlocks = options.getLong("trailBlocks", 0L)
   private val numPartitions = options.getInt("numPartitions", 4)
   private val fetcherClass = options.getOrDefault("fetcher", defaultFetcher)
   private val fetchChunk = options.getLong("fetchChunk", Long.MaxValue)
+  private val fetcherOptions = options.asScala.toMap
   private val backoff = BackoffPolicy(
     options.getLong("throttleBaseMs", 50L),
     options.getLong("throttleCapMs", 5000L),
     options.getInt("throttleMaxRetries", 8))
 
-  private def factory = mkFactory(fetcherClass, fetchChunk, backoff, prunedSchema)
+  private def factory = mkFactory(fetcherClass, fetcherOptions, fetchChunk, backoff, prunedSchema)
 
   override def readSchema(): StructType = prunedSchema
 
@@ -261,7 +265,14 @@ final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
     BlockOffset(math.max(start, head - trailBlocks))
   }
 
-  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  // Same restart fast-forward as [[BlockRangeMicroBatchStream]]: a fresh
+  // instance restoring a checkpointed offset must not re-advance head
+  // from `start` one trigger at a time before producing data again.
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    head = math.max(head, math.min(maxBlock, BlockWindow.satAdd(o, math.max(0L, trailBlocks))))
+    BlockOffset(o)
+  }
 
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] =
     BlockRangePartitioning.split(
@@ -285,12 +296,12 @@ object TypedRowProjection {
     }.toIndexedSeq)
 }
 
-final case class BlockDataReaderFactory(fetcherClass: String, initialChunk: Long,
-    backoff: BackoffPolicy, readSchema: StructType)
+final case class BlockDataReaderFactory(fetcherClass: String, fetcherOptions: Map[String, String],
+    initialChunk: Long, backoff: BackoffPolicy, readSchema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
-    val fetcher = BlockDataFetcher.forName(fetcherClass)
+    val fetcher = BlockDataFetcher.forName(fetcherClass, fetcherOptions)
     val enc = ExpressionEncoder[EvmBlockWithTxs]()
     val toRow = enc.createSerializer()
     val proj = TypedRowProjection(enc.schema, readSchema)

@@ -63,6 +63,17 @@ trait BlockFetcher {
   def fetch(lo: Long, hi: Long): Iterator[Long]
 }
 
+/** Optional mixin for any fetcher seam: after the no-arg executor-side
+  * instantiation, the reader hands the implementation the source's full
+  * option map (keys lower-cased by Spark's CaseInsensitiveStringMap).
+  * This is how an RPC-backed fetcher learns its endpoints — the
+  * reference passes provider URLs to its client constructors
+  * (`evm/rpc.py:380-398`); a DSv2 fetcher instantiated by class name
+  * gets the same wiring declaratively through reader options. */
+trait ConfigurableFetcher {
+  def configure(options: Map[String, String]): Unit
+}
+
 final class RangeTooLargeException(msg: String) extends RuntimeException(msg)
 
 /** Retryable throttle signal — the provider said "slow down" (HTTP 429
@@ -79,8 +90,11 @@ final class SimulatedFetcher extends BlockFetcher {
 
 object BlockFetcher {
   val Simulated: String = classOf[SimulatedFetcher].getName
-  def forName(className: String): BlockFetcher =
-    Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockFetcher]
+  def forName(className: String, options: Map[String, String] = Map.empty): BlockFetcher = {
+    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockFetcher]
+    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
+    f
+  }
 }
 
 final class BlockRangeTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -196,6 +210,7 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
   private val numPartitions = options.getInt("numPartitions", 4)
   private val fetcherClass = options.getOrDefault("fetcher", BlockFetcher.Simulated)
   private val fetchChunk = options.getLong("fetchChunk", Long.MaxValue)
+  private val fetcherOptions = options.asScala.toMap
   private val backoff = BackoffPolicy(
     options.getLong("throttleBaseMs", 50L),
     options.getLong("throttleCapMs", 5000L),
@@ -209,7 +224,7 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
     override def planInputPartitions(): Array[InputPartition] =
       BlockRangePartitioning.split(batchLo, batchHi, numPartitions)
     override def createReaderFactory(): PartitionReaderFactory =
-      BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff)
+      BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff, fetcherOptions)
   }
 
   // The narrowed window applies to the STREAM too: the builder consumed
@@ -218,7 +233,7 @@ final class BlockRangeScan(options: CaseInsensitiveStringMap,
   // here keeps both paths' semantics identical to the un-pushed plan.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BlockRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
-      numPartitions, fetcherClass, fetchChunk, backoff)
+      numPartitions, fetcherClass, fetchChunk, backoff, fetcherOptions)
 }
 
 final case class BlockOffset(block: Long) extends Offset {
@@ -231,7 +246,8 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
                                        trailBlocks: Long, numPartitions: Int,
                                        fetcherClass: String = BlockFetcher.Simulated,
                                        fetchChunk: Long = Long.MaxValue,
-                                       backoff: BackoffPolicy = BackoffPolicy())
+                                       backoff: BackoffPolicy = BackoffPolicy(),
+                                       fetcherOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream {
   private var head: Long = start
 
@@ -242,7 +258,18 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
     BlockOffset(math.max(start, head - trailBlocks))
   }
 
-  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  // Restart recovery: `head` is in-memory state, so a fresh instance
+  // would reset it to `start` and plan empty batches until it re-advanced
+  // past the committed offset — a stall of committed/blocksPerTrigger
+  // polls. Offsets only reach deserializeOffset from the checkpoint log,
+  // so fast-forward head past the restored position (+trail, since the
+  // available offset lags head by trailBlocks); max() keeps this
+  // monotone during normal processing.
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    head = math.max(head, math.min(maxBlock, BlockWindow.satAdd(o, math.max(0L, trailBlocks))))
+    BlockOffset(o)
+  }
 
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] =
     BlockRangePartitioning.split(
@@ -250,7 +277,7 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
       endOff.asInstanceOf[BlockOffset].block, numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff)
+    BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff, fetcherOptions)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -295,11 +322,12 @@ object BlockRangePartitioning {
   * handling (`core/rpc.py:305-310,327-353`); `maxRetries` consecutive
   * throttles rethrow, failing the task loudly. */
 final case class BlockRangeReaderFactory(fetcherClass: String, initialChunk: Long,
-    backoff: BackoffPolicy = BackoffPolicy())
+    backoff: BackoffPolicy = BackoffPolicy(),
+    fetcherOptions: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
-    val fetcher = BlockFetcher.forName(fetcherClass)
+    val fetcher = BlockFetcher.forName(fetcherClass, fetcherOptions)
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
     new AdaptiveRangeReader[Long](p, fetcher.fetch, initialChunk, backoff,
       v => { row.update(0, v); row })

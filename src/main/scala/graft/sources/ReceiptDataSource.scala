@@ -98,7 +98,13 @@ object SimulatedReceiptFetcher {
         to_ = txTo(n, i),
         cumulative_gas_used = 21000L * (i + 1),
         gas_used = 21000L,
-        contract_address = None,
+        // EVM semantics: a transaction with no `to` is a contract
+        // creation and its receipt carries the created address — the
+        // branch the collection derivation keys on
+        // (`nft/evm/transformers.py:62-64`). The sim "creates" the
+        // block's collection contract so created addresses line up with
+        // the addresses the transfer logs point at.
+        contract_address = if (txTo(n, i).isEmpty) Some(coll) else None,
         status = Some(1L),
         logs = Seq(log))
     }
@@ -107,16 +113,19 @@ object SimulatedReceiptFetcher {
 
 object ReceiptDataFetcher {
   val Simulated: String = classOf[SimulatedReceiptFetcher].getName
-  def forName(className: String): ReceiptDataFetcher =
-    Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[ReceiptDataFetcher]
+  def forName(className: String, options: Map[String, String] = Map.empty): ReceiptDataFetcher = {
+    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[ReceiptDataFetcher]
+    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
+    f
+  }
 }
 
-final case class ReceiptDataReaderFactory(fetcherClass: String, initialChunk: Long,
-    backoff: BackoffPolicy, readSchema: StructType)
+final case class ReceiptDataReaderFactory(fetcherClass: String, fetcherOptions: Map[String, String],
+    initialChunk: Long, backoff: BackoffPolicy, readSchema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
-    val fetcher = ReceiptDataFetcher.forName(fetcherClass)
+    val fetcher = ReceiptDataFetcher.forName(fetcherClass, fetcherOptions)
     val enc = ExpressionEncoder[EvmTransactionReceipt]()
     val toRow = enc.createSerializer()
     val proj = TypedRowProjection(enc.schema, readSchema)

@@ -71,16 +71,19 @@ class CollectionsVerifySpec extends SparkSpec {
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()
-    assert(reqs.length === 2 * 4)
+    assert(reqs.length === 2 * 6)
     val byProbe = reqs.groupBy(_.getAs[String]("probe"))
     // published selectors: supportsInterface=0x01ffc9a7, name=0x06fdde03,
-    // symbol=0x95d89b41; ERC-721/1155 interface ids 80ac58cd / d9b67a26
+    // symbol=0x95d89b41, totalSupply=0x18160ddd, owner=0x8da5cb5b;
+    // ERC-721/1155 interface ids 80ac58cd / d9b67a26
     assert(byProbe("supports_erc721").forall(_.getAs[String]("data") ===
       "0x01ffc9a7" + "80ac58cd" + "0" * 56))
     assert(byProbe("supports_erc1155").forall(_.getAs[String]("data") ===
       "0x01ffc9a7" + "d9b67a26" + "0" * 56))
     assert(byProbe("name").forall(_.getAs[String]("data") === "0x06fdde03"))
     assert(byProbe("symbol").forall(_.getAs[String]("data") === "0x95d89b41"))
+    assert(byProbe("total_supply").forall(_.getAs[String]("data") === "0x18160ddd"))
+    assert(byProbe("owner").forall(_.getAs[String]("data") === "0x8da5cb5b"))
     // column form agrees with the Scala-side encoder on a real arg
     val viaCol = Seq(7L).toDF("token_id")
       .select(graft.expr.Abi.encodeCallCol("ownerOf(uint256)",

@@ -124,6 +124,24 @@ class PipelinesSpec extends SparkSpec {
     assert(balances.subsetOf(Set(q1, "-" + q1)))
     assert(out("owners").filter(org.apache.spark.sql.functions.col("quantity") === q1).count() > 0)
     assert(out("uris").count() === 0) // simulated chain emits no URI logs
+    // collections: creation receipts (to_=None txs in blocks 7,14,20,28,
+    // 35,41,49 of [0,50)) probed through the simulated call transport;
+    // addr(4004) has no ERC-165 -> dropped; repeated creations of
+    // addr(4000) (blocks 20 and 35) LWW-collapse on the later block
+    val colls = out("collections").collect()
+      .map(r => r.getAs[String]("collection_id") ->
+        (r.getAs[String]("specification"), r.getAs[Long]("block_created"))).toMap
+    assert(colls === Map(
+      f"0x${4000L}%040x" -> ("ERC-721", 35L),
+      f"0x${4001L}%040x" -> ("ERC-1155", 41L),
+      f"0x${4002L}%040x" -> ("ERC-721", 7L),
+      f"0x${4003L}%040x" -> ("ERC-1155", 28L)))
+    val c4000 = out("collections")
+      .filter(org.apache.spark.sql.functions.col("collection_id") === f"0x${4000L}%040x").head()
+    assert(c4000.getAs[String]("name_lower") === "collection 4000")
+    assert(c4000.getAs[String]("creator") === f"0x${1035L}%040x") // txFrom(35, 0)
+    assert(c4000.getAs[Long]("date_created") === 1700000000L + 12L * 35)
+    assert(c4000.getAs[String]("owner") === f"0x${9000L}%040x")
     // a narrower window fetches (and derives) only its blocks; staged
     // mode produces identical tables while fetching the window once
     val windowed = graft.pipelines.Crawl.fromChain(spark, startBlock = 10, maxBlock = 20)
@@ -133,6 +151,7 @@ class PipelinesSpec extends SparkSpec {
       stageDir = Some(stage))
     assert(stagedOut("transfers").collect().map(_.toString).sorted.toSeq ===
       windowed("transfers").collect().map(_.toString).sorted.toSeq)
-    assert(new java.io.File(s"$stage/logs").exists())
+    assert(new java.io.File(s"$stage/receipts").exists())
+    assert(new java.io.File(s"$stage/block_times").exists())
   }
 }

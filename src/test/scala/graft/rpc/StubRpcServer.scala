@@ -1,0 +1,178 @@
+package graft.rpc
+
+import java.io.OutputStream
+import java.math.BigInteger
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model.{EvmBlockWithTxs, EvmLog, EvmTransaction, EvmTransactionReceipt}
+import graft.sources.{SimulatedBlockDataFetcher, SimulatedReceiptFetcher}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** In-process JSON-RPC HTTP server serving the simulated chain in the
+  * PUBLIC wire format (`eth_getBlockByNumber` / `eth_getTransactionReceipt`
+  * / `eth_call` / `eth_blockNumber`), so the RPC fetchers can be tested
+  * end-to-end with zero network. Canned data comes from the same
+  * SimChain the in-process fetchers use — a round trip through this
+  * server must reproduce the simulated fetchers' rows EXACTLY.
+  *
+  * Adversarial by default: batch responses are returned in REVERSE
+  * order, so a client correlating by position instead of request id
+  * produces garbage (the JSON-RPC spec allows servers to reorder).
+  *
+  * Failure injection:
+  *  - `throttleNext.set(n)` — next n HTTP requests answer 429
+  *  - `dead.set(true)` — every request answers 500 (dead endpoint)
+  *  - `maxBatch` — batches larger than this are rejected whole with a
+  *    -32602 "batch limit exceeded" error object (the provider
+  *    response-size cap the adaptive reader reacts to)
+  */
+final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int.MaxValue) {
+  val throttleNext = new AtomicInteger(0)
+  val dead = new AtomicBoolean(false)
+  val httpRequests = new AtomicInteger(0)
+  val rpcRequests = new AtomicInteger(0)
+  val largestBatch = new AtomicInteger(0)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+  server.start()
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+  def stop(): Unit = server.stop(0)
+
+  private def handle(exchange: HttpExchange): Unit = {
+    httpRequests.incrementAndGet()
+    val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    if (dead.get()) { respond(exchange, 500, "dead endpoint"); return }
+    if (throttleNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(exchange, 429, """{"error":"too many requests"}"""); return
+    }
+    val json = JsonMethods.parse(body)
+    val out: JValue = json match {
+      case JArray(reqs) =>
+        largestBatch.getAndUpdate(m => math.max(m, reqs.size))
+        if (reqs.size > maxBatch)
+          errorObj(JNull, -32602, s"batch limit exceeded (${reqs.size} > $maxBatch)")
+        else JArray(reqs.map(dispatch).reverse) // reverse: id-correlation must cope
+      case obj: JObject => dispatch(obj)
+      case _ => errorObj(JNull, -32700, "parse error")
+    }
+    respond(exchange, 200, JsonMethods.compact(JsonMethods.render(out)))
+  }
+
+  private def respond(exchange: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(status, bytes.length)
+    val os: OutputStream = exchange.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def errorObj(id: JValue, code: Int, message: String): JObject =
+    JObject("jsonrpc" -> JString("2.0"), "id" -> id,
+      "error" -> JObject("code" -> JInt(code), "message" -> JString(message)))
+
+  private def result(id: JValue, v: JValue): JObject =
+    JObject("jsonrpc" -> JString("2.0"), "id" -> id, "result" -> v)
+
+  private def dispatch(req: JValue): JObject = {
+    rpcRequests.incrementAndGet()
+    val id = req \ "id"
+    val params = req \ "params" match { case JArray(p) => p; case _ => Nil }
+    (req \ "method") match {
+      case JString("eth_blockNumber") =>
+        result(id, JString("0x" + java.lang.Long.toHexString(chainHeight)))
+      case JString("eth_getBlockByNumber") =>
+        val n = java.lang.Long.parseLong(
+          params.head.asInstanceOf[JString].s.stripPrefix("0x"), 16)
+        val full = params(1) match { case JBool(b) => b; case _ => false }
+        if (n >= chainHeight) result(id, JNull)
+        else result(id, StubRpcServer.blockJson(SimulatedBlockDataFetcher.block(n), full))
+      case JString("eth_getTransactionReceipt") =>
+        val hash = params.head.asInstanceOf[JString].s
+        StubRpcServer.receiptForHash(hash) match {
+          case Some(r) => result(id, StubRpcServer.receiptJson(r))
+          case None => result(id, JNull)
+        }
+      case JString("eth_call") =>
+        val callObj = params.head
+        val to = (callObj \ "to").asInstanceOf[JString].s
+        val data = (callObj \ "data").asInstanceOf[JString].s
+        SimulatedCallExecutor.answer(to, data) match {
+          case Some(hex) => result(id, JString(hex))
+          case None => errorObj(id, 3, "execution reverted")
+        }
+      case JString(m) => errorObj(id, -32601, s"method not found: $m")
+      case _ => errorObj(id, -32600, "invalid request")
+    }
+  }
+}
+
+object StubRpcServer {
+  private def qty(n: Long): JString = JString("0x" + java.lang.Long.toHexString(n))
+
+  /** tx hashes are hex64(n*10+i, 0x7a) = "0x7a" + 62 hex digits of
+    * n*10+i — invert to find the simulated receipt */
+  def receiptForHash(hash: String): Option[EvmTransactionReceipt] = {
+    val m = new BigInteger(hash.drop(4), 16).longValueExact()
+    SimulatedReceiptFetcher.receiptsOf(m / 10).find(_.transaction_hash == hash)
+  }
+
+  def txJson(t: EvmTransaction): JObject = JObject(
+    "blockHash" -> JString(t.block_hash),
+    "blockNumber" -> qty(t.block_number),
+    "from" -> JString(t.from_),
+    "to" -> t.to_.map(JString(_): JValue).getOrElse(JNull),
+    "gas" -> qty(t.gas),
+    "gasPrice" -> qty(t.gas_price),
+    "hash" -> JString(t.hash),
+    "input" -> JString(t.input),
+    "nonce" -> qty(t.nonce),
+    "transactionIndex" -> qty(t.transaction_index),
+    "value" -> JString("0x" + t.value))
+
+  def blockJson(b: EvmBlockWithTxs, full: Boolean): JObject = JObject(
+    "number" -> qty(b.number),
+    "hash" -> JString(b.hash),
+    "parentHash" -> JString(b.parent_hash),
+    "timestamp" -> qty(b.timestamp),
+    "miner" -> JString(b.miner),
+    "gasLimit" -> qty(b.gas_limit),
+    "gasUsed" -> qty(b.gas_used),
+    "size" -> qty(b.size),
+    "difficulty" -> JString(b.difficulty),
+    "transactions" ->
+      (if (full) JArray(b.transactions.map(txJson).toList)
+       else JArray(b.transactions.map(t => JString(t.hash): JValue).toList)),
+    "uncles" -> JArray(b.uncles.map(JString(_): JValue).toList))
+
+  def logJson(l: EvmLog): JObject = JObject(
+    "removed" -> JBool(l.removed),
+    "logIndex" -> qty(l.log_index),
+    "transactionIndex" -> qty(l.transaction_index),
+    "transactionHash" -> JString(l.transaction_hash),
+    "blockHash" -> JString(l.block_hash),
+    "blockNumber" -> qty(l.block_number),
+    "address" -> JString(l.address),
+    "data" -> JString(l.data),
+    "topics" -> JArray(l.topics.map(JString(_): JValue).toList))
+
+  def receiptJson(r: EvmTransactionReceipt): JObject = JObject(
+    "transactionHash" -> JString(r.transaction_hash),
+    "transactionIndex" -> qty(r.transaction_index),
+    "blockHash" -> JString(r.block_hash),
+    "blockNumber" -> qty(r.block_number),
+    "from" -> JString(r.from_),
+    "to" -> r.to_.map(JString(_): JValue).getOrElse(JNull),
+    "cumulativeGasUsed" -> qty(r.cumulative_gas_used),
+    "gasUsed" -> qty(r.gas_used),
+    "contractAddress" -> r.contract_address.map(JString(_): JValue).getOrElse(JNull),
+    "status" -> r.status.map(qty(_): JValue).getOrElse(JNull),
+    "logs" -> JArray(r.logs.map(logJson).toList))
+}

@@ -145,6 +145,19 @@ class BlockDataSourceSpec extends SparkSpec {
     ThrottlingBlockFetcher.remaining.set(0)
   }
 
+  test("restart fast-forwards head past the restored offset (no empty-batch stall)") {
+    // a fresh stream instance restoring offset 250 must resume there,
+    // not re-advance head from start one trigger at a time: the first
+    // post-restart poll plans [250, 350), not an empty [250, 50)
+    val s = new TypedRangeMicroBatchStream(0L, 600L, 100L, 50L, 2, null)
+    s.deserializeOffset("250")
+    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 350L)
+    // and the fast-forward is monotone: re-reading an OLD offset during
+    // normal processing never moves head backward
+    s.deserializeOffset("100")
+    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 450L)
+  }
+
   test("micro-batch stream tails typed blocks with trail-blocks lag") {
     val ckpt = java.nio.file.Files.createTempDirectory("bd_ckpt").toString
     val stream = spark.readStream.format("blocks")

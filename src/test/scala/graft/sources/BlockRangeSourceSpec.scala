@@ -168,6 +168,12 @@ class BlockRangeSourceSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((50L, 150L, 199L)))
   }
 
+  test("drive stream restart fast-forwards head past the restored offset") {
+    val s = new BlockRangeMicroBatchStream(0L, 600L, 100L, 50L, 2)
+    s.deserializeOffset("250")
+    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 350L)
+  }
+
   test("micro-batch stream advances per poll and honors trailBlocks") {
     val ckpt = java.nio.file.Files.createTempDirectory("br_ckpt").toString
     val stream = spark.readStream.format("blockrange")
