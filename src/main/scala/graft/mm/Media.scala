@@ -140,10 +140,52 @@ object Media {
     }
   }
 
-  /** REAL resize: decode, scale with area-averaging (the deterministic
-    * scaler — no rendering-hint variance across JVMs), re-encode PNG
-    * (lossless, so resized output is bit-reproducible). Undecodable
-    * rows pass through with null dims and their original bytes. */
+  /** Exact box-filter area average, implemented directly: each output
+    * pixel is the rounded mean of its source rectangle. Synchronous and
+    * toolkit-free — `Image.getScaledInstance` returns an asynchronously
+    * produced ToolkitImage whose drawImage is not spec-guaranteed to
+    * block until scaling completes, and Graphics2D scaling varies with
+    * rendering hints across JVMs; a hand-rolled box filter is the only
+    * scaler with ONE portable answer. Upscale degenerates to pixel
+    * replication (source box of one pixel), the box-filter contract. */
+  private[mm] def areaAverage(src: java.awt.image.BufferedImage, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    var y = 0
+    while (y < h) {
+      val y0 = (y.toLong * sh / h).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt)
+      var x = 0
+      while (x < w) {
+        val x0 = (x.toLong * sw / w).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val p = src.getRGB(xx, yy)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        out.setRGB(x, y,
+          ((((r + n / 2) / n).toInt) << 16) | ((((g + n / 2) / n).toInt) << 8) |
+            (((b + n / 2) / n).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize: decode, scale with the deterministic synchronous
+    * box-filter ([[areaAverage]] — no ToolkitImage asynchrony, no
+    * rendering-hint variance across JVMs), re-encode PNG (lossless, so
+    * resized output is bit-reproducible). Undecodable rows pass through
+    * with sentinel dims and their original bytes. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int)
                   (implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -152,11 +194,7 @@ object Media {
       it.map { row =>
         readImage(row.media) match {
           case Some(img) =>
-            val scaled = img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING)
-            val out = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+            val out = areaAverage(img, w, h)
             val buf = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", buf)
             ResizedMedia(row.media_id, buf.toByteArray, w.toLong, h.toLong)
@@ -229,13 +267,72 @@ object Media {
 
   final case class Frame(media_id: Long, frame_index: Long, frame: Array[Byte])
 
+  /** Per-frame GIF metadata the compositor needs: placement offsets and
+    * the disposal method, from the image's `javax_imageio_gif_image_1.0`
+    * tree. Defaults (0, 0, "none") when the node is absent. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) = {
+    try {
+      val root = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+      var (left, top, disposal) = (0, 0, "none")
+      val kids = root.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        node.getNodeName match {
+          case "ImageDescriptor" =>
+            val a = node.getAttributes
+            left = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+            top = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+          case "GraphicControlExtension" =>
+            disposal = node.getAttributes.getNamedItem("disposalMethod").getNodeValue
+          case _ => ()
+        }
+        k += 1
+      }
+      (left, top, disposal)
+    } catch { case _: Exception => (0, 0, "none") }
+  }
+
+  /** Canvas size = the GIF logical screen descriptor; frame 0's raster
+    * as the fallback when stream metadata is unavailable. */
+  private def gifLogicalScreen(reader: javax.imageio.ImageReader): (Int, Int) = {
+    try {
+      val root = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = root.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        if (node.getNodeName == "LogicalScreenDescriptor") {
+          val a = node.getAttributes
+          return (a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+            a.getNamedItem("logicalScreenHeight").getNodeValue.toInt)
+        }
+        k += 1
+      }
+      (reader.getWidth(0), reader.getHeight(0))
+    } catch { case _: Exception => (reader.getWidth(0), reader.getHeight(0)) }
+  }
+
+  private def deepCopy(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight, img.getType)
+    val g = c.createGraphics()
+    try g.drawImage(img, 0, 0, null) finally g.dispose()
+    c
+  }
+
   /** REAL frame sampling for the multi-frame container the JDK decodes:
-    * animated GIF. Every `stride`-th frame is decoded through ImageIO's
-    * sequence reader and re-encoded as lossless PNG rows — the exact
-    * one-blob-in, N-frame-rows-out contract video demux has, running on
-    * actual pixels. Non-GIF / undecodable payloads yield zero rows
-    * (poisoned blobs never fail the batch); video codecs the JVM lacks
-    * stay on the documented stub below. */
+    * animated GIF, with full disposal-method compositing — real-world
+    * GIFs are delta-encoded (each frame a partial rect placed at its
+    * ImageDescriptor offset), so every frame is composited onto a
+    * persistent logical-screen canvas honoring `none` /
+    * `restoreToBackgroundColor` / `restoreToPrevious` disposal, and
+    * every `stride`-th COMPOSITED frame is emitted as a lossless PNG
+    * row — the one-blob-in, N-frame-rows-out contract of video demux,
+    * running on actual pixels. All frames decode (state), only sampled
+    * ones re-encode (cost). Non-GIF / undecodable payloads yield zero
+    * rows (poisoned blobs never fail the batch; a truncated stream
+    * yields the frames composited before the error); video codecs the
+    * JVM lacks stay on the de-scoped stub below. */
   def sampleFramesGif(media: Dataset[MediaRow], stride: Int = 1)
                      (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
@@ -253,13 +350,38 @@ object Media {
             try {
               reader.setInput(iis)
               val n = reader.getNumImages(true)
+              val (cw, ch) = gifLogicalScreen(reader)
+              val canvas = new java.awt.image.BufferedImage(cw, ch,
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
               var i = 0
               while (i < n) {
                 val img = reader.read(i)
-                val buf = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", buf)
-                frames += Frame(row.media_id, i.toLong, buf.toByteArray)
-                i += stride
+                val (left, top, disposal) = gifFrameMeta(reader, i)
+                val saved = if (disposal == "restoreToPrevious") deepCopy(canvas) else null
+                val g = canvas.createGraphics()
+                try g.drawImage(img, left, top, null) finally g.dispose()
+                if (i % stride == 0) {
+                  val buf = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(canvas, "png", buf)
+                  frames += Frame(row.media_id, i.toLong, buf.toByteArray)
+                }
+                // disposal applies AFTER the frame is shown, before the next
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    val g2 = canvas.createGraphics()
+                    try {
+                      g2.setComposite(java.awt.AlphaComposite.Clear)
+                      g2.fillRect(left, top, img.getWidth, img.getHeight)
+                    } finally g2.dispose()
+                  case "restoreToPrevious" =>
+                    val g2 = canvas.createGraphics()
+                    try {
+                      g2.setComposite(java.awt.AlphaComposite.Src)
+                      g2.drawImage(saved, 0, 0, null)
+                    } finally g2.dispose()
+                  case _ => ()
+                }
+                i += 1
               }
             } finally reader.dispose()
           }
@@ -269,12 +391,16 @@ object Media {
     }
   }
 
-  /** STUB frame-sample: a real build would demux a VIDEO container and
-    * decode every `stride`-th frame — the JVM ships no video codecs, so
-    * this fake slices the byte stream into fixed "frames" (see
-    * [[sampleFramesGif]] for the real tier over the container the JDK
-    * does decode). The Spark-side shape — one row in, N frame rows
-    * out of a partition-batched decoder — is the real contract. */
+  /** Video container demux — formally DE-SCOPED (accepted limitation,
+    * COVERAGE.md): the JVM ships no video codecs and this build's
+    * dependency set is frozen, so no real decoder can exist here. This
+    * deterministic fake slices the byte stream into fixed "frames" to
+    * pin the Spark-side contract — one row in, N strided frame rows out
+    * of a partition-batched decoder — which is the part the engine
+    * owns; [[sampleFramesGif]] is the real-pixel tier for the
+    * multi-frame container the JDK does decode. Swapping in a real
+    * demuxer (e.g. a JavaCV/FFmpeg binding, where deps are allowed)
+    * replaces only this mapPartitions body. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
                   (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._

@@ -147,4 +147,51 @@ class MediaSpec extends SparkSpec {
       assert((back.getRGB(3, 2) & 0xffffff) === colors(i))
     }
   }
+
+  test("delta-encoded GIF: partial-rect frames composite onto the logical-screen canvas") {
+    // frame 0 = full 6x4 red; frame 1 = a 2x2 green patch placed at
+    // (2,1) via its ImageDescriptor offsets — the delta encoding real
+    // GIFs use. The sampled frame 1 must be the full composited screen,
+    // not the raw 2x2 rect.
+    def solid(w: Int, h: Int, c: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, c)))
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def writeFrame(img: java.awt.image.BufferedImage, left: Int, top: Int): Unit = {
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = new javax.imageio.metadata.IIOMetadataNode(fmt)
+      val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      desc.setAttribute("imageWidth", img.getWidth.toString)
+      desc.setAttribute("imageHeight", img.getHeight.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      root.appendChild(desc)
+      meta.mergeTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    writeFrame(solid(6, 4, 0xff0000), 0, 0)
+    writeFrame(solid(2, 2, 0x00ff00), 2, 1)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+
+    val frames = Media.sampleFramesGif(Seq(Media.MediaRow(1L, out.toByteArray)).toDS())
+      .collect().map(f => f.frame_index -> f.frame).toMap
+    assert(frames.keySet === Set(0L, 1L))
+    val f1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(1L)))
+    assert(f1.getWidth === 6 && f1.getHeight === 4) // logical screen, not the 2x2 rect
+    assert((f1.getRGB(0, 0) & 0xffffff) === 0xff0000) // frame-0 base persists
+    assert((f1.getRGB(2, 1) & 0xffffff) === 0x00ff00) // delta lands at its offset
+    assert((f1.getRGB(3, 2) & 0xffffff) === 0x00ff00)
+    assert((f1.getRGB(4, 3) & 0xffffff) === 0xff0000) // outside the patch: untouched
+  }
 }

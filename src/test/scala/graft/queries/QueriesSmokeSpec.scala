@@ -31,4 +31,23 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("fixture invariant: events.event_id is dense and contiguous (s1 contract)") {
+    // s1_range_scan derives the dense id range as event_id - min(event_id),
+    // which matches its row_number()-1 DuckDB oracle ONLY while event_id
+    // has no gaps or duplicates. Pin the fixture invariant here so a
+    // future fixture change turns into a red test instead of a silent
+    // oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val stats = graft.tables.Tables.events(spark, dir)
+      .agg(min(col("event_id")).cast("long").as("mn"),
+        max(col("event_id")).cast("long").as("mx"),
+        count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+      .head()
+    val (mn, mx, n, nd) =
+      (stats.getAs[Long]("mn"), stats.getAs[Long]("mx"),
+        stats.getAs[Long]("n"), stats.getAs[Long]("nd"))
+    assert(nd === n, "event_id has duplicates — s1's density assumption is broken")
+    assert(mx - mn + 1 === n, "event_id has gaps — s1's density assumption is broken")
+  }
 }
