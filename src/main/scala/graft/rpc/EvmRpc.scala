@@ -1,8 +1,8 @@
 package graft.rpc
 
 import graft.model.{EvmBlockWithTxs, EvmLog, EvmTransaction, EvmTransactionReceipt}
-import graft.sources.{BlockDataFetcher, ConfigurableFetcher, RangeTooLargeException,
-  ReceiptDataFetcher}
+import graft.sources.{BlockDataFetcher, ConfigurableFetcher, HeadAwareFetcher, LogsFetcher,
+  RangeTooLargeException, ReceiptDataFetcher}
 import org.json4s._
 
 /** EVM JSON-RPC wire-format conversion — the public protocol shapes
@@ -17,6 +17,12 @@ object EvmWire {
     if (s != null && (s.startsWith("0x") || s.startsWith("0X"))) s.substring(2) else s
 
   def qtyHex(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+
+  /** bare hex quantity result ("0x10") → Long — e.g. eth_blockNumber */
+  def qtyLong(j: JValue): Long = j match {
+    case JString(s) => java.lang.Long.parseLong(strip0x(s), 16)
+    case other => throw new RpcClientException(s"expected hex quantity, got $other")
+  }
 
   private def jString(j: JValue, field: String): String = j \ field match {
     case JString(s) => s
@@ -144,8 +150,14 @@ object EvmWire {
   * backoff. The JDK HttpClient (and its connection pool) lives for the
   * fetcher's lifetime — one per task — so chunk windows reuse
   * connections. */
-trait RpcFetcherBase extends ConfigurableFetcher {
+trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
   protected var client: JsonRpcClient = _
+
+  /** Live chain height via `eth_blockNumber` (`evm/rpc.py:119-126`) —
+    * makes every RPC fetcher head-aware, so streams tail the real node
+    * height instead of the simulated advance. */
+  override def chainHead(): Long =
+    EvmWire.qtyLong(requireClient().call("eth_blockNumber"))
 
   override def configure(options: Map[String, String]): Unit = {
     val eps = options.getOrElse("endpoints",
@@ -209,6 +221,46 @@ final class RpcBlockDataFetcher extends BlockDataFetcher with RpcFetcherBase {
   * of `eth_getTransactionReceipt` per window — the production
   * implementation of the [[ReceiptDataFetcher]] seam
   * (`evm/rpc.py:198-236`). */
+/** Ranged log query over `eth_getLogs` — ONE call per window carrying
+  * the server-side narrowing (fromBlock/toBlock inclusive, address,
+  * topic0 alternatives), the reference's get_logs request shape
+  * (`evm/rpc.py:341-350`). The provider's "more than X results"
+  * rejection surfaces as [[RangeTooLargeException]], so the adaptive
+  * reader reproduces the reference's ÷10 shrink loop
+  * (`evm/rpc.py:366-377`) without hand-rolled iteration. */
+final class RpcLogsFetcher extends LogsFetcher with RpcFetcherBase {
+  private var address: Option[String] = None
+  private var topics: Seq[String] = Nil
+
+  override def configure(options: Map[String, String]): Unit = {
+    super.configure(options)
+    val (a, t) = LogsFetcher.narrowing(options)
+    address = a; topics = t
+  }
+
+  override def fetchLogs(lo: Long, hi: Long): Iterator[EvmLog] = {
+    if (hi <= lo) return Iterator.empty
+    val c = requireClient()
+    guarded {
+      val filter = JObject(List(
+        Some("fromBlock" -> (JString(EvmWire.qtyHex(lo)): JValue)),
+        Some("toBlock" -> (JString(EvmWire.qtyHex(hi - 1)): JValue)), // inclusive on the wire
+        address.map(a => "address" -> (JString(a): JValue)),
+        topics match {
+          case Nil => None
+          case Seq(one) => Some("topics" -> (JArray(List(JString(one))): JValue))
+          case many => // position 0 with OR-alternatives, the wire's nested form
+            Some("topics" -> (JArray(List(JArray(many.map(JString(_): JValue).toList))): JValue))
+        }).flatten)
+      c.call("eth_getLogs", filter) match {
+        case JArray(ls) => ls.map(EvmWire.parseLog).iterator
+        case JNull | JNothing => Iterator.empty
+        case other => throw new RpcClientException(s"eth_getLogs returned non-array: $other")
+      }
+    }
+  }
+}
+
 final class RpcReceiptDataFetcher extends ReceiptDataFetcher with RpcFetcherBase {
   override def fetchReceipts(lo: Long, hi: Long): Iterator[EvmTransactionReceipt] = {
     if (hi <= lo) return Iterator.empty

@@ -160,7 +160,8 @@ final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol:
     defaultFetcher: String,
     mkFactory: (String, Map[String, String], Long, BackoffPolicy, StructType) => PartitionReaderFactory,
     options: CaseInsensitiveStringMap,
-    oneRowPerBlock: Boolean = true) extends Table with SupportsRead {
+    oneRowPerBlock: Boolean = true,
+    stringPushCols: Set[String] = Set.empty) extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -169,7 +170,7 @@ final class TypedRangeTable(tableName: String, tableSchema: StructType, pushCol:
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
     new TypedRangeScanBuilder(tableSchema, pushCol, defaultFetcher, mkFactory, merged,
-      oneRowPerBlock)
+      oneRowPerBlock, stringPushCols)
   }
 }
 
@@ -177,15 +178,17 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     defaultFetcher: String,
     mkFactory: (String, Map[String, String], Long, BackoffPolicy, StructType) => PartitionReaderFactory,
     options: CaseInsensitiveStringMap,
-    oneRowPerBlock: Boolean)
+    oneRowPerBlock: Boolean,
+    stringPushCols: Set[String] = Set.empty)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
-  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
   private var lo = options.getLong("start", 0L)
   private var hi = options.getLong("maxBlock", 1000L)
   private var pushed: Array[Filter] = Array.empty
+  private var stringPushed: Map[String, String] = Map.empty
   private var readSchema: StructType = tableSchema
 
   // LIMIT n == "the first n blocks" ONLY when rows:blocks is 1:1; a
@@ -197,9 +200,20 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     true
   }
 
+  // Besides the block-window math, equality predicates on declared
+  // string columns (e.g. the logs source's `address`) push into the
+  // FETCH itself — eth_getLogs filters server-side, so the narrowed
+  // query fetches only the matching rows instead of scanning the window
+  // and dropping. Consumed exactly (the fetcher applies strict
+  // equality), so Spark does not re-evaluate them post-scan.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val n = BlockWindow.narrow(lo, hi, filters, pushCol)
-    lo = n.lo; hi = n.hi; pushed = n.supported
+    val (strFilters, rest) = filters.partition {
+      case EqualTo(a, _: String) if stringPushCols.contains(a) => true
+      case _ => false
+    }
+    stringPushed = strFilters.collect { case EqualTo(a, v: String) => (a, v) }.toMap
+    val n = BlockWindow.narrow(lo, hi, rest, pushCol)
+    lo = n.lo; hi = n.hi; pushed = n.supported ++ strFilters
     n.residual
   }
 
@@ -216,8 +230,16 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     readSchema = if (kept.isEmpty) StructType(Seq(tableSchema.fields.head)) else StructType(kept)
   }
 
-  override def build(): Scan =
-    new TypedRangeScan(options, lo, hi, readSchema, defaultFetcher, mkFactory)
+  override def build(): Scan = {
+    // pushed string predicates ride to the executor-side fetcher as
+    // `pushed.<col>` options (they beat the user-set option — the plan
+    // is the truth)
+    val merged =
+      if (stringPushed.isEmpty) options
+      else new CaseInsensitiveStringMap(
+        (options.asScala ++ stringPushed.map { case (k, v) => s"pushed.$k" -> v }).asJava)
+    new TypedRangeScan(merged, lo, hi, readSchema, defaultFetcher, mkFactory)
+  }
 }
 
 final class TypedRangeScan(options: CaseInsensitiveStringMap,
@@ -247,21 +269,30 @@ final class TypedRangeScan(options: CaseInsensitiveStringMap,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TypedRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
-      numPartitions, factory)
+      numPartitions, factory, fetcherClass, fetcherOptions)
 }
 
 /** Tail loop over typed rows: same offset semantics as
   * [[BlockRangeMicroBatchStream]] (head advances `blocksPerTrigger` per
-  * poll, available = head − trail, floored at start). */
+  * poll, available = head − trail, floored at start; a head-aware
+  * fetcher caps the advance at the NODE's live height). */
 final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
-    trailBlocks: Long, numPartitions: Int, factory: PartitionReaderFactory)
+    trailBlocks: Long, numPartitions: Int, factory: PartitionReaderFactory,
+    fetcherClass: String = "", fetcherOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream {
   private var head: Long = start
+  private lazy val headFn: Option[() => Long] = ChainHead.provider(fetcherClass, fetcherOptions)
 
   override def initialOffset(): Offset = BlockOffset(start)
 
   override def latestOffset(): Offset = {
-    head = math.min(head + blocksPerTrigger, maxBlock)
+    val target = headFn match {
+      case Some(f) => math.min(maxBlock, f())
+      case None => maxBlock
+    }
+    // monotone even if a node briefly reports a lower height (reorg,
+    // lagging replica): offsets never move backward
+    head = math.max(head, math.min(target, BlockWindow.satAdd(head, math.max(0L, blocksPerTrigger))))
     BlockOffset(math.max(start, head - trailBlocks))
   }
 

@@ -74,6 +74,30 @@ trait ConfigurableFetcher {
   def configure(options: Map[String, String]): Unit
 }
 
+/** Optional mixin: a fetcher that can report the live chain head —
+  * `eth_blockNumber` (`evm/rpc.py:119-126`). When a stream's fetcher
+  * implements this, the micro-batch head is driven by the NODE's height
+  * (rate-limited to `blocksPerTrigger` per poll, lagged by
+  * `trailBlocks`) instead of the simulated fixed advance — the
+  * reference tail's poll loop (`nft/bin/tail.py:90-204`). */
+trait HeadAwareFetcher {
+  def chainHead(): Long
+}
+
+/** Driver-side head probe: instantiate the fetcher class once and keep
+  * a poll thunk if (and only if) it is head-aware. Simulated fetchers
+  * are not — their streams keep the fixed per-poll advance. */
+object ChainHead {
+  def provider(fetcherClass: String, options: Map[String, String]): Option[() => Long] =
+    if (fetcherClass == null || fetcherClass.isEmpty) None
+    else Class.forName(fetcherClass).getDeclaredConstructor().newInstance() match {
+      case h: HeadAwareFetcher =>
+        h match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
+        Some(() => h.chainHead())
+      case _ => None
+    }
+}
+
 final class RangeTooLargeException(msg: String) extends RuntimeException(msg)
 
 /** Retryable throttle signal — the provider said "slow down" (HTTP 429
@@ -250,11 +274,21 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
                                        fetcherOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream {
   private var head: Long = start
+  // live chain-head polling when the fetcher supports it (RPC fetchers
+  // do); the head still advances at most blocksPerTrigger per poll —
+  // maxOffsetsPerTrigger-style admission control over a real node
+  private lazy val headFn: Option[() => Long] = ChainHead.provider(fetcherClass, fetcherOptions)
 
   override def initialOffset(): Offset = BlockOffset(start)
 
   override def latestOffset(): Offset = {
-    head = math.min(head + blocksPerTrigger, maxBlock)
+    val target = headFn match {
+      case Some(f) => math.min(maxBlock, f())
+      case None => maxBlock
+    }
+    // monotone even if a node briefly reports a lower height (reorg,
+    // lagging replica): offsets never move backward
+    head = math.max(head, math.min(target, BlockWindow.satAdd(head, math.max(0L, blocksPerTrigger))))
     BlockOffset(math.max(start, head - trailBlocks))
   }
 

@@ -124,6 +124,58 @@ class RpcFetcherSpec extends SparkSpec with BeforeAndAfterAll {
     assert(none.getAs[Boolean]("supports_erc1155") === false)
   }
 
+  test("eth_getLogs fetcher == simulated logs source, with server-side address narrowing") {
+    val a4000 = f"0x${4000L}%040x"
+    def viaFetcher(fetcher: String, extra: Map[String, String]) = {
+      val base = spark.read.format("logs")
+        .option("start", "0").option("maxBlock", "50").option("numPartitions", "2")
+        .option("fetcher", fetcher)
+      extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+        .filter(org.apache.spark.sql.functions.col("address") === a4000)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val rpc = viaFetcher(classOf[RpcLogsFetcher].getName, Map("endpoints" -> stub.url))
+    val sim = viaFetcher(graft.sources.LogsFetcher.Simulated, Map.empty)
+    assert(rpc.nonEmpty && rpc === sim)
+  }
+
+  test("eth_getLogs 'too many results' rejection shrinks the window ÷10 and completes") {
+    val capped = new StubRpcServer(logsRangeCap = 5)
+    try {
+      val df = spark.read.format("logs")
+        .option("start", "0").option("maxBlock", "40").option("numPartitions", "1")
+        .option("fetcher", classOf[RpcLogsFetcher].getName)
+        .option("endpoints", capped.url)
+        .load()
+      assert(df.count() === (0 until 40).map(_ % 3).sum)
+    } finally capped.stop()
+  }
+
+  test("head-aware tail: the stream follows eth_blockNumber, not the simulated advance") {
+    val short = new StubRpcServer(chainHeight = 120)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("head_ckpt").toString
+      val q = spark.readStream.format("blocks")
+        .option("start", "0").option("maxBlock", "10000") // far beyond the node height
+        .option("blocksPerTrigger", "50")
+        .option("fetcher", classOf[RpcBlockDataFetcher].getName)
+        .option("endpoints", short.url)
+        .load()
+        .select(org.apache.spark.sql.functions.col("number"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("head_aware_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the node reports height 120: had the stream used the simulated
+      // +blocksPerTrigger advance it would have planned blocks >= 120
+      // and the fetch would have failed loudly on null blocks
+      val got = spark.sql("SELECT count(*) n, max(number) mx FROM head_aware_out").head()
+      assert((got.getLong(0), got.getLong(1)) === ((120L, 119L)))
+    } finally short.stop()
+  }
+
   test("fromChain through HTTP fetchers + RPC call transport == simulated seams") {
     val viaRpc = graft.pipelines.Crawl.fromChain(spark, 0, 50,
       blocksFetcher = classOf[RpcBlockDataFetcher].getName,

@@ -31,7 +31,8 @@ import org.json4s.jackson.JsonMethods
   *    -32602 "batch limit exceeded" error object (the provider
   *    response-size cap the adaptive reader reacts to)
   */
-final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int.MaxValue) {
+final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int.MaxValue,
+    logsRangeCap: Long = Long.MaxValue) {
   val throttleNext = new AtomicInteger(0)
   val dead = new AtomicBoolean(false)
   val httpRequests = new AtomicInteger(0)
@@ -99,6 +100,29 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
         StubRpcServer.receiptForHash(hash) match {
           case Some(r) => result(id, StubRpcServer.receiptJson(r))
           case None => result(id, JNull)
+        }
+      case JString("eth_getLogs") =>
+        val f = params.head
+        def hexAt(field: String): Long = java.lang.Long.parseLong(
+          (f \ field).asInstanceOf[JString].s.stripPrefix("0x"), 16)
+        val (from, to) = (hexAt("fromBlock"), hexAt("toBlock"))
+        if (to - from + 1 > logsRangeCap)
+          errorObj(id, -32005, "query returned more than 10000 results")
+        else {
+          val addr = (f \ "address") match { case JString(a) => Some(a); case _ => None }
+          val topic0: Seq[String] = (f \ "topics") match {
+            case JArray(first :: _) => first match {
+              case JString(s) => Seq(s)
+              case JArray(alts) => alts.collect { case JString(s) => s }
+              case _ => Nil
+            }
+            case _ => Nil
+          }
+          val logs = (from to to).flatMap(SimulatedReceiptFetcher.receiptsOf(_: Long))
+            .flatMap(_.logs)
+            .filter(l => addr.forall(_ == l.address) &&
+              (topic0.isEmpty || l.topics.headOption.exists(topic0.contains)))
+          result(id, JArray(logs.map(StubRpcServer.logJson).toList))
         }
       case JString("eth_call") =>
         val callObj = params.head
