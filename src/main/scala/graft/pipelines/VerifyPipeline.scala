@@ -66,4 +66,32 @@ object VerifyPipeline {
     transfersReport(chainTransfers, dbTransfers)
       .unionByName(ownersReport(chainOwners, dbOwners))
       .unionByName(countsReport(dbTokens, supplySnapshot))
+
+  /** The verify command FIXTURE-FREE: chain truth is re-derived through
+    * the ranged-logs source — the reference verify's own access path
+    * (`get_transfer_logs` = `get_logs(transfer topics, address=
+    * collection)`, `nft/bin/verify.py:239-262`) — folded by `Derive`,
+    * then reconciled against the database entity tables. `collectionId`
+    * narrows the audit to one contract and PUSHES that predicate into
+    * the RPC request itself (the logs source's address pushdown), so
+    * verifying one collection against a billion-block chain fetches
+    * only that collection's logs. Point `fetcherOptions` at endpoints
+    * with [[graft.rpc.RpcLogsFetcher]] for a live chain. */
+  def fromChain(spark: SparkSession, startBlock: Long, maxBlock: Long,
+      dbTransfers: DataFrame, dbOwners: DataFrame,
+      dbTokens: DataFrame, supplySnapshot: DataFrame,
+      collectionId: Option[String] = None,
+      logsFetcher: String = graft.sources.LogsFetcher.Simulated,
+      numPartitions: Int = 4,
+      fetcherOptions: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("logs")
+      .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
+      .option("numPartitions", numPartitions.toString)
+      .option("fetcher", logsFetcher)
+    val logs0 = fetcherOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    val logs = collectionId.fold(logs0)(c => logs0.filter(col("address") === c))
+    val chainTransfers = graft.nft.Derive.transfers(logs)
+    val chainOwners = graft.nft.Derive.owners(chainTransfers)
+    run(chainTransfers, dbTransfers, chainOwners, dbOwners, dbTokens, supplySnapshot)
+  }
 }

@@ -70,12 +70,26 @@ object JsonRpc {
     code == -32005 || code == -32602 || code == -32000
 
   /** One client over the endpoint list: single-endpoint direct, else
-    * round-robin pooled with dead-endpoint eviction. */
+    * round-robin pooled with dead-endpoint eviction. Cached PER JVM per
+    * (endpoints, timeout): DSv2 readers instantiate a fetcher per
+    * partition per micro-batch, and a fresh JDK HttpClient each time
+    * would rebuild connection pools thousands of times per executor —
+    * one shared client keeps connections warm across batches, and pool
+    * eviction state persists for the JVM (a dead provider stays dead,
+    * like the reference pool, which never re-adds: `evm/rpc.py:419-420`). */
   def client(endpoints: Seq[String], timeoutMs: Long = 30000L): JsonRpcClient = {
     require(endpoints.nonEmpty, "at least one RPC endpoint is required")
-    val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
-    if (singles.size == 1) singles.head else new PooledJsonRpcClient(singles)
+    cache.computeIfAbsent((endpoints.mkString(","), timeoutMs), { _ =>
+      val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
+      if (singles.size == 1) singles.head else new PooledJsonRpcClient(singles)
+    })
   }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), JsonRpcClient]()
+
+  /** Test hook: drop cached clients (e.g. between stub-server lifetimes). */
+  private[rpc] def resetCache(): Unit = cache.clear()
 }
 
 /** Single-endpoint HTTP transport. The JDK HttpClient keeps its own
@@ -197,21 +211,30 @@ final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpc
   * of silently under-producing rows. Server errors and throttles do
   * NOT evict: the endpoint answered, the request was the problem. */
 final class PooledJsonRpcClient(initial: Seq[JsonRpcClient]) extends JsonRpcClient {
+  // membership/rotation under a short lock; the HTTP round trip itself
+  // runs UNLOCKED — the client is shared JVM-wide and concurrent tasks
+  // must fan out across endpoints, not serialize behind one batch
   private var pool: Vector[JsonRpcClient] = initial.toVector
   private var index = 0
 
-  override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] =
-    synchronized {
-      while (pool.nonEmpty) {
-        index = if (index + 1 >= pool.size) 0 else index + 1
-        try {
-          return pool(index).batch(calls)
-        } catch {
-          case _: RpcClientException =>
-            pool = pool.patch(index, Nil, 1)
-            index = if (pool.isEmpty) 0 else index % pool.size
-        }
-      }
+  private def nextClient(): JsonRpcClient = synchronized {
+    if (pool.isEmpty)
       throw new RpcClientException("Connection pool fully depleted. Unable to send!")
+    index = if (index + 1 >= pool.size) 0 else index + 1
+    pool(index)
+  }
+
+  private def evict(c: JsonRpcClient): Unit = synchronized {
+    pool = pool.filterNot(_ eq c)
+    index = if (pool.isEmpty) 0 else index % pool.size
+  }
+
+  override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+    while (true) {
+      val c = nextClient()
+      try return c.batch(calls)
+      catch { case _: RpcClientException => evict(c) }
     }
+    throw new IllegalStateException("unreachable")
+  }
 }

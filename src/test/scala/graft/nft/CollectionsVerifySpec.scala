@@ -68,6 +68,50 @@ class CollectionsVerifySpec extends SparkSpec {
     assert(details("t4") === "right_only")
   }
 
+  test("fixture-free verify: chain logs vs DB tables, corruption flagged exactly") {
+    // the DB state = what a clean crawl of the same window produced
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 40)
+    val dbTransfers = crawled("transfers").cache()
+    val dbOwners = crawled("owners").cache()
+    val dbTokens = crawled("tokens").select(col("collection_id"), col("token_id")).cache()
+    val supply = dbTokens.groupBy(col("collection_id"))
+      .agg(count(lit(1)).as("total_supply"))
+
+    // a clean database reconciles to an EMPTY report
+    val clean = graft.pipelines.VerifyPipeline.fromChain(spark, 0, 40,
+      dbTransfers, dbOwners, dbTokens, supply)
+    assert(clean.count() === 0)
+
+    // corrupt it: drop one transfer, inflate one owner's balance
+    val dropped = dbTransfers.orderBy(col("attribute_version")).limit(1).collect().head
+    val droppedKey = dropped.getAs[String]("attribute_version")
+    val t2 = dbTransfers.filter(col("attribute_version") =!= droppedKey)
+    val o2 = dbOwners.withColumn("quantity",
+      when(col("account") === dbOwners.orderBy(col("account")).limit(1)
+        .collect().head.getAs[String]("account"),
+        graft.expr.HexMath.pad64("63")).otherwise(col("quantity")))
+    val report = graft.pipelines.VerifyPipeline.fromChain(spark, 0, 40,
+      t2, o2, dbTokens, supply).collect()
+    val byCheck = report.groupBy(_.getAs[String]("check")).view.mapValues(_.length).toMap
+    assert(byCheck("transfers") === 1) // the dropped fact: chain-only
+    assert(report.filter(_.getAs[String]("check") == "transfers")
+      .head.getAs[String]("detail") === "left_only")
+    assert(byCheck("owners") >= 1) // every inflated balance mismatches
+    assert(byCheck.getOrElse("counts", 0) === 0)
+
+    // narrowing to one collection audits only its rows — and pushes the
+    // address predicate into the fetch (db side narrowed to match)
+    val oneColl = dropped.getAs[String]("collection_id")
+    def only(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("collection_id") === oneColl)
+    val narrowed = graft.pipelines.VerifyPipeline.fromChain(spark, 0, 40,
+      only(t2), only(dbOwners), only(dbTokens), only(supply),
+      collectionId = Some(oneColl))
+    val nr = narrowed.collect()
+    assert(nr.length === 1 && nr.head.getAs[String]("check") === "transfers" &&
+      nr.head.getAs[String]("collection_id") === oneColl)
+  }
+
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()
