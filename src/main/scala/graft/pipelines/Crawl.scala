@@ -109,6 +109,53 @@ object Crawl {
       "uris" -> graft.nft.Derive.uriUpdates(logs))
   }
 
+  /** The reference's `force` command (`nft/bin/force.py:52-120`):
+    * targeted single-contract backfill — re-derive one collection's
+    * entity tables from the chain without crawling every block. The
+    * Spark shape: the ranged-logs source with the collection address
+    * PUSHED into the RPC request fetches only that contract's logs
+    * across [creationBlock, maxBlock) (`get_logs(address=…)`, the
+    * reference's collection-based consumer access path); the creation
+    * receipt comes from a ONE-block receipts window; the probe/snapshot
+    * flow classifies; `blockTimes` is the caller's block-time dimension
+    * — the reference's `--block-time-cache` file (S8,
+    * `Load.readBlockTimeCsv`) or a staged blocks read. */
+  def forceLoad(spark: SparkSession, collectionId: String, creationBlock: Long,
+      maxBlock: Long, blockTimes: DataFrame,
+      receiptsFetcher: String = graft.sources.ReceiptDataFetcher.Simulated,
+      logsFetcher: String = graft.sources.LogsFetcher.Simulated,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      numPartitions: Int = 4,
+      fetcherOptions: Map[String, String] = Map.empty,
+      dataVersion: Int = 1): Map[String, DataFrame] = {
+    def src(fmt: String, fetcher: String, start: Long, end: Long) = {
+      val base = spark.read.format(fmt)
+        .option("start", start.toString).option("maxBlock", end.toString)
+        .option("numPartitions", numPartitions.toString)
+        .option("fetcher", fetcher)
+      fetcherOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+    }
+    val creationReceipts = src("receipts", receiptsFetcher, creationBlock, creationBlock + 1)
+      .filter(col("contract_address") === collectionId)
+    val snapshot = graft.rpc.Calls.interfaceSnapshot(
+      graft.rpc.Calls.execute(spark,
+        graft.nft.Collections.callRequests(
+          creationReceipts.select(col("contract_address").as("collection_id")).distinct()),
+        callExecutor, fetcherOptions))
+    val collections = graft.nft.Collections.fromReceipts(
+      creationReceipts, snapshot, blockTimes, dataVersion)
+    // no transfers can precede the creation: start the log scan there
+    val logs = src("logs", logsFetcher, creationBlock, maxBlock)
+      .filter(col("address") === collectionId)
+    val transfers = graft.nft.Derive.transfers(logs)
+    Map(
+      "collections" -> collections,
+      "transfers" -> transfers,
+      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes),
+      "owners" -> graft.nft.Derive.owners(transfers),
+      "uris" -> graft.nft.Derive.uriUpdates(logs))
+  }
+
   /** Replay the same range twice at two data versions, LWW-merge, then
     * roll up per-owner state — the reference's crawl+reprocess semantics
     * as one job. */

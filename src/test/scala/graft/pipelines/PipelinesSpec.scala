@@ -154,4 +154,33 @@ class PipelinesSpec extends SparkSpec {
     assert(new java.io.File(s"$stage/receipts").exists())
     assert(new java.io.File(s"$stage/block_times").exists())
   }
+
+  test("forceLoad: single-contract backfill == the full crawl filtered to that contract") {
+    import org.apache.spark.sql.functions.col
+    val coll = f"0x${4000L}%040x" // created at blocks 20 and 35; LWW winner 35
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "50").load()
+      .select(col("number"), col("timestamp"))
+    val forced = graft.pipelines.Crawl.forceLoad(spark, coll,
+      creationBlock = 35, maxBlock = 50, blockTimes = blockTimes)
+    val full = graft.pipelines.Crawl.fromChain(spark, 0, 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // transfers/tokens/owners from the creation block onward must equal
+    // the whole-chain crawl narrowed to this contract and window
+    def narrowed(name: String) = full(name)
+      .filter(col("collection_id") === coll)
+    assert(rows(forced("transfers")) ===
+      rows(narrowed("transfers").filter(col("block_id") >= 35)))
+    assert(forced("transfers").count() > 0)
+    val fromForcedTransfers = forced("owners")
+    assert(rows(fromForcedTransfers) === rows(
+      graft.nft.Derive.owners(narrowed("transfers").filter(col("block_id") >= 35))))
+    // the collection row classifies through the same probe flow
+    val c = forced("collections").collect()
+    assert(c.length === 1)
+    assert(c.head.getAs[String]("collection_id") === coll)
+    assert(c.head.getAs[String]("specification") === "ERC-721")
+    assert(c.head.getAs[Long]("block_created") === 35L)
+  }
 }
