@@ -152,6 +152,7 @@ object EvmWire {
   * connections. */
 trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
   protected var client: JsonRpcClient = _
+  protected var rpcBatch: Int = 256
 
   /** Live chain height via `eth_blockNumber` (`evm/rpc.py:119-126`) —
     * makes every RPC fetcher head-aware, so streams tail the real node
@@ -165,6 +166,18 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
         "RPC fetcher requires option 'endpoints' (comma-separated JSON-RPC URLs)"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     client = JsonRpc.client(eps, options.get("rpctimeoutms").map(_.toLong).getOrElse(30000L))
+    rpcBatch = options.get("rpcbatch").map(_.toInt).getOrElse(256)
+  }
+
+  /** Send calls in wire batches of at most `rpcBatch` (option
+    * `rpcBatch`, default 256): the chunk WINDOW is the retry/shrink
+    * unit, but providers cap the JSON-RPC array size well below a
+    * partition's width — a 100k-block partition must not become a
+    * 100k-entry batch. Results keep call order across sub-batches. */
+  protected def batched(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+    val c = requireClient()
+    if (calls.lengthCompare(rpcBatch) <= 0) c.batch(calls)
+    else calls.grouped(rpcBatch).flatMap(c.batch).toVector
   }
 
   protected def requireClient(): JsonRpcClient = {
@@ -200,11 +213,10 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
 final class RpcBlockDataFetcher extends BlockDataFetcher with RpcFetcherBase {
   override def fetchBlocks(lo: Long, hi: Long): Iterator[EvmBlockWithTxs] = {
     if (hi <= lo) return Iterator.empty
-    val c = requireClient()
     guarded {
       val calls = (lo until hi).map(n =>
         RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(true))))
-      c.batch(calls).map(unwrap).map {
+      batched(calls).map(unwrap).map {
         // the node answered null = no such block — refuse, like the
         // reference (`evm/rpc.py:142-143`); a shorter chain should
         // surface as an error, not silent missing rows
@@ -264,11 +276,10 @@ final class RpcLogsFetcher extends LogsFetcher with RpcFetcherBase {
 final class RpcReceiptDataFetcher extends ReceiptDataFetcher with RpcFetcherBase {
   override def fetchReceipts(lo: Long, hi: Long): Iterator[EvmTransactionReceipt] = {
     if (hi <= lo) return Iterator.empty
-    val c = requireClient()
     guarded {
       val blockCalls = (lo until hi).map(n =>
         RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(false))))
-      val hashes = c.batch(blockCalls).map(unwrap).flatMap {
+      val hashes = batched(blockCalls).map(unwrap).flatMap {
         case JNull | JNothing => throw new RpcClientException(
           "Error retrieving block: no block returned")
         case j => EvmWire.parseTxHashes(j)
@@ -277,7 +288,7 @@ final class RpcReceiptDataFetcher extends ReceiptDataFetcher with RpcFetcherBase
       else {
         val receiptCalls = hashes.map(h =>
           RpcCall("eth_getTransactionReceipt", List(JString(h))))
-        c.batch(receiptCalls).map(unwrap).map {
+        batched(receiptCalls).map(unwrap).map {
           case JNull | JNothing => throw new RpcClientException(
             s"Error retrieving receipt: no receipt returned")
           case j => EvmWire.parseReceipt(j)

@@ -74,6 +74,22 @@ class RpcFetcherSpec extends SparkSpec with BeforeAndAfterAll {
     } finally capped.stop()
   }
 
+  test("rpcBatch bounds the wire batch size regardless of window width") {
+    val counting = new StubRpcServer()
+    try {
+      val df = spark.read.format("blocks")
+        .option("start", "0").option("maxBlock", "100").option("numPartitions", "1")
+        .option("fetcher", classOf[RpcBlockDataFetcher].getName)
+        .option("endpoints", counting.url)
+        .option("rpcBatch", "20")
+        .load()
+      assert(df.count() === 100)
+      // a 100-block window went over the wire as 20-entry batches
+      assert(counting.largestBatch.get() === 20)
+      assert(counting.rpcRequests.get() === 100)
+    } finally counting.stop()
+  }
+
   test("connection pool: dead endpoint is evicted, read completes on the live one") {
     val dead = new StubRpcServer()
     try {
