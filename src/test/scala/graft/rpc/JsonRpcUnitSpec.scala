@@ -1,0 +1,108 @@
+package graft.rpc
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.model.{EvmBlockWithTxs, EvmTransaction}
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transport-layer units that need no SparkSession: wire-format
+  * round-trip fidelity over adversarial values, and pool behavior under
+  * real concurrency (the shared per-JVM client serves many tasks). */
+class JsonRpcUnitSpec extends AnyFunSuite {
+
+  test("wire round-trip property: 200 seeded random blocks survive encode->parse exactly") {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    def addr() = "0x" + Seq.fill(40)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    def hash() = "0x" + Seq.fill(64)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    def hex64() = Seq.fill(64)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextLong(1L << 40)
+      val txs = (0 until rnd.nextInt(4)).map { i =>
+        EvmTransaction(
+          block_hash = hash(), block_number = n, from_ = addr(),
+          to_ = if (rnd.nextBoolean()) Some(addr()) else None,
+          gas = rnd.nextLong(1L << 30), gas_price = rnd.nextLong(1L << 40),
+          hash = hash(), input = "0x" + "ab" * rnd.nextInt(100),
+          nonce = rnd.nextLong(1L << 30), transaction_index = i.toLong,
+          value = hex64())
+      }
+      val b = EvmBlockWithTxs(
+        number = n, hash = hash(), parent_hash = hash(),
+        timestamp = rnd.nextLong(1L << 34), miner = addr(),
+        gas_limit = rnd.nextLong(1L << 34), gas_used = rnd.nextLong(1L << 34),
+        size = rnd.nextLong(1L << 20),
+        difficulty = "0x" + java.lang.Long.toHexString(rnd.nextLong(1L << 50)),
+        transactions = txs,
+        uncles = Seq.fill(rnd.nextInt(3))(hash()))
+      assert(EvmWire.parseBlock(StubRpcServer.blockJson(b, full = true)) === b)
+    }
+  }
+
+  test("pool under concurrency: membership locks, round trips do not; dead endpoint evicts once") {
+    // live client answers after a tiny delay; dead client fails transport
+    val served = new AtomicInteger(0)
+    val live = new JsonRpcClient {
+      override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+        Thread.sleep(1)
+        served.incrementAndGet()
+        calls.map(_ => Right(JString("ok")))
+      }
+    }
+    val deadHits = new AtomicInteger(0)
+    val dead = new JsonRpcClient {
+      override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+        deadHits.incrementAndGet()
+        throw new RpcClientException("connection refused")
+      }
+    }
+    val pool = new PooledJsonRpcClient(Seq(dead, live, live))
+    val threads = 8
+    val callsPerThread = 50
+    val start = new CountDownLatch(1)
+    val failures = new AtomicInteger(0)
+    val exec = Executors.newFixedThreadPool(threads)
+    (0 until threads).foreach { _ =>
+      exec.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          (0 until callsPerThread).foreach { i =>
+            try {
+              val r = pool.batch(Seq(RpcCall("m", List(JInt(i)))))
+              if (r != Seq(Right(JString("ok")))) failures.incrementAndGet()
+            } catch { case _: Throwable => failures.incrementAndGet() }
+          }
+        }
+      })
+    }
+    start.countDown()
+    exec.shutdown()
+    assert(exec.awaitTermination(30, TimeUnit.SECONDS))
+    assert(failures.get() === 0)
+    assert(served.get() === threads * callsPerThread)
+    // the dead endpoint was tried at most once per concurrent first-wave
+    // caller, then evicted for good
+    assert(deadHits.get() <= threads)
+  }
+
+  test("depleted pool throws the reference's loud error") {
+    val dead = new JsonRpcClient {
+      override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] =
+        throw new RpcClientException("down")
+    }
+    val pool = new PooledJsonRpcClient(Seq(dead, dead))
+    val e = intercept[RpcClientException] { pool.call("m") }
+    assert(e.getMessage.contains("depleted"))
+  }
+
+  test("error taxonomy: throttle vs range-too-large classification") {
+    assert(JsonRpc.isThrottle(429, "anything"))
+    assert(JsonRpc.isThrottle(-32005, "Rate limit exceeded"))
+    assert(!JsonRpc.isThrottle(-32005, "query returned more than 10000 results"))
+    assert(JsonRpc.isRangeTooLarge(-32005))
+    assert(JsonRpc.isRangeTooLarge(-32602))
+    assert(JsonRpc.isRangeTooLarge(-32000))
+    assert(!JsonRpc.isRangeTooLarge(3))
+  }
+}
