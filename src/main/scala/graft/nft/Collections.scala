@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Collections {
 
+  /** `broadcastDims = false` for whole-chain backfills: the snapshot
+    * and block-time dims are sized by the CONTRACTS/BLOCKS in the
+    * window — small for a crawl window, but a full-height run carries
+    * millions of rows and must let Catalyst/AQE pick a shuffled join
+    * (stage both dims bucketed by the join key and it degrades to a
+    * co-located SMJ). */
   def fromReceipts(receipts: DataFrame, interfaceSnapshot: DataFrame,
-                   blockTimes: DataFrame, dataVersion: Int): DataFrame = {
+                   blockTimes: DataFrame, dataVersion: Int,
+                   broadcastDims: Boolean = true): DataFrame = {
+    def dim(df: DataFrame) = if (broadcastDims) broadcast(df) else df
     val creations = receipts
       .filter(col("contract_address").isNotNull && col("status") === 1)
       .select(col("contract_address").as("collection_id"),
@@ -30,9 +38,9 @@ object Collections {
       if (interfaceSnapshot.columns.contains("owner")) interfaceSnapshot
       else interfaceSnapshot.withColumn("owner", lit(null).cast("string"))
     creations
-      .join(broadcast(snapshot), Seq("collection_id"), "inner")
+      .join(dim(snapshot), Seq("collection_id"), "inner")
       .filter(col("supports_erc721") || col("supports_erc1155"))
-      .join(broadcast(blockTimes.select(col("number"), col("timestamp"))),
+      .join(dim(blockTimes.select(col("number"), col("timestamp"))),
         col("block_created") === col("number"), "left")
       .select(
         lit("ethereum").as("blockchain"),

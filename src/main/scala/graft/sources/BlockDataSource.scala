@@ -184,7 +184,7 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
-  import org.apache.spark.sql.sources.{EqualTo, Filter}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
   private var lo = options.getLong("start", 0L)
   private var hi = options.getLong("maxBlock", 1000L)
   private var pushed: Array[Filter] = Array.empty
@@ -207,8 +207,15 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
   // and dropping. Consumed exactly (the fetcher applies strict
   // equality), so Spark does not re-evaluate them post-scan.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // the IsNotNull companion Catalyst derives from an equality is
+    // consumed WITH it (equality on a non-null literal implies it), so
+    // a fully-pushed predicate leaves zero residual Filter in the plan
+    val eqCols = filters.collect {
+      case EqualTo(a, _: String) if stringPushCols.contains(a) => a
+    }.toSet
     val (strFilters, rest) = filters.partition {
       case EqualTo(a, _: String) if stringPushCols.contains(a) => true
+      case IsNotNull(a) if eqCols.contains(a) => true
       case _ => false
     }
     stringPushed = strFilters.collect { case EqualTo(a, v: String) => (a, v) }.toMap

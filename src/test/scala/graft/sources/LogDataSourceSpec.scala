@@ -54,6 +54,18 @@ class LogDataSourceSpec extends SparkSpec {
     assert(RecordingLogsFetcher.last.get().get("pushed.address") === Some(a4000))
   }
 
+  test("pushed address predicate is fully consumed: zero residual Filter in the plan") {
+    val a4000 = f"0x${4000L}%040x"
+    val df = logsDf(40).filter(col("address") === a4000)
+    // equality AND its derived IsNotNull push into the fetch, so the
+    // physical plan is scan-only — no post-scan re-evaluation
+    val residual = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.isEmpty, s"residual filters: ${residual.mkString("; ")}")
+    assert(df.count() === (0 until 40 by 5).map(_ % 3).sum)
+  }
+
   test("topic0 narrowing via option matches the wire API semantics") {
     val sig = graft.nft.Derive.Erc721TransferSig
     assert(logsDf(40, Map("topic0" -> sig)).count() === nLogs(0 until 40))
