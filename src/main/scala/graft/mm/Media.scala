@@ -152,6 +152,10 @@ object Media {
       h: Int): java.awt.image.BufferedImage = {
     val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val (sw, sh) = (src.getWidth, src.getHeight)
+    // ONE bulk raster read + one bulk write: per-pixel getRGB pays a
+    // color-model conversion per call, which dominates at corpus scale
+    val in = src.getRGB(0, 0, sw, sh, null, 0, sw)
+    val res = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val y0 = (y.toLong * sh / h).toInt
@@ -163,21 +167,23 @@ object Media {
         var r = 0L; var g = 0L; var b = 0L; var n = 0L
         var yy = y0
         while (yy < y1) {
+          val row = yy * sw
           var xx = x0
           while (xx < x1) {
-            val p = src.getRGB(xx, yy)
+            val p = in(row + xx)
             r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
             xx += 1
           }
           yy += 1
         }
-        out.setRGB(x, y,
+        res(y * w + x) =
           ((((r + n / 2) / n).toInt) << 16) | ((((g + n / 2) / n).toInt) << 8) |
-            (((b + n / 2) / n).toInt))
+            (((b + n / 2) / n).toInt)
         x += 1
       }
       y += 1
     }
+    out.setRGB(0, 0, w, h, res, 0, w)
     out
   }
 
