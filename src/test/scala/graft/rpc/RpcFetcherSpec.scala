@@ -192,6 +192,33 @@ class RpcFetcherSpec extends SparkSpec with BeforeAndAfterAll {
     } finally short.stop()
   }
 
+  test("streaming crawl over RPC: receipts tail -> Derive transfers, head-paced") {
+    val short = new StubRpcServer(chainHeight = 60)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("rpc_tail_ckpt").toString
+      val logs = spark.readStream.format("receipts")
+        .option("start", "0").option("maxBlock", "100000")
+        .option("blocksPerTrigger", "25")
+        .option("fetcher", classOf[RpcReceiptDataFetcher].getName)
+        .option("endpoints", short.url)
+        .load()
+        .select(explode(col("logs")).as("l")).select(col("l.*"))
+      // the same Derive program the batch crawl runs, applied per epoch
+      val q = graft.nft.Derive.transfers(logs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rpc_tail_transfers")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql(
+        "SELECT count(*) n, max(block_id) mx FROM rpc_tail_transfers").head()
+      // the node's height (60) bounds the tail — one transfer per tx
+      assert(got.getLong(0) === (0L until 60L).map(_ % 3).sum)
+      assert(got.getLong(1) === 59L)
+    } finally short.stop()
+  }
+
   test("fromChain through HTTP fetchers + RPC call transport == simulated seams") {
     val viaRpc = graft.pipelines.Crawl.fromChain(spark, 0, 50,
       blocksFetcher = classOf[RpcBlockDataFetcher].getName,
