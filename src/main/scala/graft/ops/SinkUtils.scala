@@ -77,6 +77,36 @@ object SinkUtils {
     next
   }
 
+  /** The `seed` command (`nft/bin/seed.py:17`): record the crawl
+    * bookmark — the last block id a crawl covered — so a later `tail`
+    * starts where the crawl ended (`tail.py`'s starting-block lookup).
+    * Streams ALSO checkpoint their own offsets; this marker is the
+    * cross-JOB bookmark the reference keeps in its config store.
+    * `configPath` is this marker's own table (one parquet per config
+    * key, like the data_version table); LWW-merged per blockchain. */
+  def writeLastBlock(spark: SparkSession, configPath: String, blockchain: String,
+      lastBlock: Long): Unit = {
+    import spark.implicits._
+    val updated = Seq((blockchain, lastBlock)).toDF("blockchain", "last_block_id")
+    val merged =
+      try Lww.upsert(spark.read.parquet(configPath), updated,
+        Seq("blockchain"), Seq("last_block_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => updated }
+    val tmp = configPath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+  }
+
+  def readLastBlock(spark: SparkSession, configPath: String, blockchain: String): Option[Long] =
+    try {
+      val row = spark.read.parquet(configPath)
+        .filter(col("blockchain") === blockchain)
+        .select(max(col("last_block_id"))).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
   /** A5: named executor-safe counters (the reference's StatsService). */
   final class Stats(spark: SparkSession) extends Serializable {
     private val counters = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]

@@ -32,6 +32,17 @@ class SinkUtilsSpec extends SparkSpec {
     assert(SinkUtils.readDataVersion(spark, cfg, "polygon") === 0)
   }
 
+  test("seed bookmark: last-block marker round-trips and LWW-advances") {
+    val cfg = Files.createTempDirectory("cfg_seed").toString + "/last_block"
+    assert(SinkUtils.readLastBlock(spark, cfg, "ethereum") === None)
+    SinkUtils.writeLastBlock(spark, cfg, "ethereum", 17000000L)
+    assert(SinkUtils.readLastBlock(spark, cfg, "ethereum") === Some(17000000L))
+    SinkUtils.writeLastBlock(spark, cfg, "ethereum", 17000500L)
+    SinkUtils.writeLastBlock(spark, cfg, "polygon", 99L)
+    assert(SinkUtils.readLastBlock(spark, cfg, "ethereum") === Some(17000500L))
+    assert(SinkUtils.readLastBlock(spark, cfg, "polygon") === Some(99L))
+  }
+
   test("stats counters aggregate across executors (A5)") {
     val stats = new SinkUtils.Stats(spark)
     val c = stats.counter("rows")
