@@ -25,6 +25,28 @@ class CatalogSpec extends SparkSpec {
     assert(abi === "hi")
   }
 
+  test("chain sources are plain SQL tables: CREATE TEMPORARY VIEW ... USING <source>") {
+    // the DSv2 providers register by short name, so a SQL-only user can
+    // query the chain (or a live node, via the same OPTIONS) without
+    // touching the DataFrame API; window pushdown still applies
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW chain_blocks
+      USING blocks OPTIONS (start '0', maxBlock '50')""")
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY VIEW chain_logs
+      USING logs OPTIONS (start '0', maxBlock '50')""")
+    val rollup = spark.sql("""
+      SELECT miner, sum(gas_used) AS gas, count(*) AS n
+      FROM chain_blocks GROUP BY miner""").collect()
+    assert(rollup.map(_.getAs[Long]("n")).sum === 50L)
+    val transfers = spark.sql("""
+      SELECT l.address, count(*) AS n
+      FROM chain_logs l
+      WHERE l.block_number >= 10 AND l.block_number < 30
+      GROUP BY l.address""").collect()
+    assert(transfers.map(_.getAs[Long]("n")).sum === (10 until 30).map(_ % 3).sum)
+  }
+
   test("round-3 kernels resolve from SQL") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""
