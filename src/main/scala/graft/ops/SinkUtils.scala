@@ -51,29 +51,46 @@ object SinkUtils {
       }
     }
 
-  /** S9: read the per-blockchain data_version from a config table;
-    * `increment` returns the bumped version after persisting it back. */
-  def readDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int =
-    try {
-      val row = spark.read.parquet(configPath)
-        .filter(col("blockchain") === blockchain)
-        .select(max(col("data_version"))).head()
-      if (row.isNullAt(0)) 0 else row.getInt(0)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => 0 // table not created yet
-    }
-
-  def incrementDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int = {
-    import spark.implicits._
-    val next = readDataVersion(spark, configPath, blockchain) + 1
-    val updated = Seq((blockchain, next)).toDF("blockchain", "data_version")
+  /** Shared config-table primitive: REPLACE the blockchain's row with
+    * the new value, keeping every other blockchain's row — a plain
+    * config put, not an LWW merge (a config write must be able to move
+    * a value DOWN: re-seeding the crawl bookmark to an earlier block is
+    * a legitimate operation, not a stale write). Staged through a .tmp
+    * table because overwrite-in-place would read and clobber the same
+    * path in one job. */
+  private def putConfig(spark: SparkSession, configPath: String, blockchain: String,
+      updated: org.apache.spark.sql.DataFrame): Unit = {
     val merged =
-      try Lww.upsert(spark.read.parquet(configPath), updated,
-        Seq("blockchain"), Seq("data_version"))
+      try spark.read.parquet(configPath)
+        .filter(col("blockchain") =!= blockchain)
+        .unionByName(updated)
       catch { case _: org.apache.spark.sql.AnalysisException => updated }
     val tmp = configPath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+  }
+
+  private def readConfig[T](spark: SparkSession, configPath: String, blockchain: String,
+      column: String)(get: org.apache.spark.sql.Row => T): Option[T] =
+    try {
+      val row = spark.read.parquet(configPath)
+        .filter(col("blockchain") === blockchain)
+        .select(max(col(column))).head()
+      if (row.isNullAt(0)) None else Some(get(row))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None // table not created yet
+    }
+
+  /** S9: read the per-blockchain data_version from a config table;
+    * `increment` returns the bumped version after persisting it back. */
+  def readDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int =
+    readConfig(spark, configPath, blockchain, "data_version")(_.getInt(0)).getOrElse(0)
+
+  def incrementDataVersion(spark: SparkSession, configPath: String, blockchain: String): Int = {
+    import spark.implicits._
+    val next = readDataVersion(spark, configPath, blockchain) + 1
+    putConfig(spark, configPath, blockchain,
+      Seq((blockchain, next)).toDF("blockchain", "data_version"))
     next
   }
 
@@ -83,29 +100,17 @@ object SinkUtils {
     * Streams ALSO checkpoint their own offsets; this marker is the
     * cross-JOB bookmark the reference keeps in its config store.
     * `configPath` is this marker's own table (one parquet per config
-    * key, like the data_version table); LWW-merged per blockchain. */
+    * key, like the data_version table). A PUT, not a merge: re-seeding
+    * to an earlier block (to re-cover a range) must take effect. */
   def writeLastBlock(spark: SparkSession, configPath: String, blockchain: String,
       lastBlock: Long): Unit = {
     import spark.implicits._
-    val updated = Seq((blockchain, lastBlock)).toDF("blockchain", "last_block_id")
-    val merged =
-      try Lww.upsert(spark.read.parquet(configPath), updated,
-        Seq("blockchain"), Seq("last_block_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => updated }
-    val tmp = configPath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+    putConfig(spark, configPath, blockchain,
+      Seq((blockchain, lastBlock)).toDF("blockchain", "last_block_id"))
   }
 
   def readLastBlock(spark: SparkSession, configPath: String, blockchain: String): Option[Long] =
-    try {
-      val row = spark.read.parquet(configPath)
-        .filter(col("blockchain") === blockchain)
-        .select(max(col("last_block_id"))).head()
-      if (row.isNullAt(0)) None else Some(row.getLong(0))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
+    readConfig(spark, configPath, blockchain, "last_block_id")(_.getLong(0))
 
   /** A5: named executor-safe counters (the reference's StatsService). */
   final class Stats(spark: SparkSession) extends Serializable {

@@ -29,12 +29,10 @@ trait CallExecutor {
 object CallExecutor {
   val Simulated: String = classOf[SimulatedCallExecutor].getName
   val Rpc: String = classOf[RpcCallExecutor].getName
-  def forName(className: String, options: Map[String, String] = Map.empty): CallExecutor = {
-    val e = Class.forName(className).getDeclaredConstructor().newInstance()
-      .asInstanceOf[CallExecutor]
-    e match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-    e
-  }
+  def forName(className: String, options: Map[String, String] = Map.empty): CallExecutor =
+    ConfigurableFetcher(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[CallExecutor],
+      options)
 }
 
 /** Deterministic simulated contract surface over the SimChain address

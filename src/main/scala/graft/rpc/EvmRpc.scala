@@ -58,14 +58,17 @@ object EvmWire {
     if (h.length >= 64) h.takeRight(64) else ("0" * (64 - h.length)) + h
   }
 
-  // `evm/rpc.py:150-168`
+  // `evm/rpc.py:150-168`. gasPrice deviates from the reference's strict
+  // read deliberately: the execution-apis schema marks it OPTIONAL for
+  // dynamic-fee (type-2) transactions — a conforming client that omits
+  // it must degrade the one field (0), not fail every post-London block
   def parseTx(j: JValue): EvmTransaction = EvmTransaction(
     block_hash = jString(j, "blockHash"),
     block_number = hexLong(j, "blockNumber"),
     from_ = jString(j, "from"),
     to_ = jOptString(j, "to"),
     gas = hexLong(j, "gas"),
-    gas_price = hexLong(j, "gasPrice"),
+    gas_price = hexLongOpt(j, "gasPrice").getOrElse(0L),
     hash = jString(j, "hash"),
     input = jString(j, "input"),
     nonce = hexLong(j, "nonce"),

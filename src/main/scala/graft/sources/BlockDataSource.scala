@@ -140,11 +140,10 @@ object SimulatedBlockDataFetcher {
 
 object BlockDataFetcher {
   val Simulated: String = classOf[SimulatedBlockDataFetcher].getName
-  def forName(className: String, options: Map[String, String] = Map.empty): BlockDataFetcher = {
-    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockDataFetcher]
-    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-    f
-  }
+  def forName(className: String, options: Map[String, String] = Map.empty): BlockDataFetcher =
+    ConfigurableFetcher(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockDataFetcher],
+      options)
 }
 
 // ---- generic typed-range plumbing (shared by blocks / receipts) ----------
@@ -204,21 +203,33 @@ final class TypedRangeScanBuilder(tableSchema: StructType, pushCol: String,
   // string columns (e.g. the logs source's `address`) push into the
   // FETCH itself — eth_getLogs filters server-side, so the narrowed
   // query fetches only the matching rows instead of scanning the window
-  // and dropping. Consumed exactly (the fetcher applies strict
-  // equality), so Spark does not re-evaluate them post-scan.
+  // and dropping. Consumed exactly, so Spark does not re-evaluate them
+  // post-scan — which is only sound when the fetcher's match and strict
+  // string equality cannot disagree:
+  //  - only LOWERCASE literals are consumed (the engine's address
+  //    convention, FIXTURES.md §A): an eth_getLogs node matches
+  //    addresses case-insensitively and returns lowercase rows, so a
+  //    checksummed literal pushed-and-consumed would return rows the
+  //    literal does not equal — mixed-case stays a residual filter;
+  //  - only ONE distinct value per column is consumed: two conflicting
+  //    equalities (an unsatisfiable conjunction) must stay residual or
+  //    the last-one-wins fetch would return rows for a false predicate.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val byCol = filters.collect {
+      case EqualTo(a, v: String) if stringPushCols.contains(a) && v == v.toLowerCase => (a, v)
+    }.groupBy(_._1)
+    val consumable: Map[String, String] = byCol.collect {
+      case (a, pairs) if pairs.map(_._2).distinct.length == 1 => (a, pairs.head._2)
+    }
     // the IsNotNull companion Catalyst derives from an equality is
     // consumed WITH it (equality on a non-null literal implies it), so
     // a fully-pushed predicate leaves zero residual Filter in the plan
-    val eqCols = filters.collect {
-      case EqualTo(a, _: String) if stringPushCols.contains(a) => a
-    }.toSet
     val (strFilters, rest) = filters.partition {
-      case EqualTo(a, _: String) if stringPushCols.contains(a) => true
-      case IsNotNull(a) if eqCols.contains(a) => true
+      case EqualTo(a, v: String) => consumable.get(a).contains(v)
+      case IsNotNull(a) => consumable.contains(a)
       case _ => false
     }
-    stringPushed = strFilters.collect { case EqualTo(a, v: String) => (a, v) }.toMap
+    stringPushed = consumable
     val n = BlockWindow.narrow(lo, hi, rest, pushCol)
     lo = n.lo; hi = n.hi; pushed = n.supported ++ strFilters
     n.residual
@@ -293,8 +304,11 @@ final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
   override def initialOffset(): Offset = BlockOffset(start)
 
   override def latestOffset(): Offset = {
+    // eth_blockNumber reports the latest block NUMBER (inclusive tip);
+    // offsets here are EXCLUSIVE upper bounds, so the reachable target
+    // is head-number + 1 — without it the tip block is never fetched
     val target = headFn match {
-      case Some(f) => math.min(maxBlock, f())
+      case Some(f) => math.min(maxBlock, BlockWindow.satAdd(f(), 1L))
       case None => maxBlock
     }
     // monotone even if a node briefly reports a lower height (reorg,

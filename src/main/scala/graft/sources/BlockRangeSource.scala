@@ -74,6 +74,22 @@ trait ConfigurableFetcher {
   def configure(options: Map[String, String]): Unit
 }
 
+object ConfigurableFetcher {
+  /** Configure `f` if it is configurable, with keys lower-cased first:
+    * the reader path lower-cases through CaseInsensitiveStringMap, but
+    * forName is also called with raw user maps (Calls.execute,
+    * Crawl.fromChain fetcherOptions) where a documented camelCase key
+    * like `callBatch` must not silently miss its lowercase lookup. */
+  def apply[T](f: T, options: Map[String, String]): T = {
+    f match {
+      case c: ConfigurableFetcher =>
+        c.configure(options.map { case (k, v) => k.toLowerCase -> v })
+      case _ => ()
+    }
+    f
+  }
+}
+
 /** Optional mixin: a fetcher that can report the live chain head —
   * `eth_blockNumber` (`evm/rpc.py:119-126`). When a stream's fetcher
   * implements this, the micro-batch head is driven by the NODE's height
@@ -91,9 +107,7 @@ object ChainHead {
   def provider(fetcherClass: String, options: Map[String, String]): Option[() => Long] =
     if (fetcherClass == null || fetcherClass.isEmpty) None
     else Class.forName(fetcherClass).getDeclaredConstructor().newInstance() match {
-      case h: HeadAwareFetcher =>
-        h match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-        Some(() => h.chainHead())
+      case h: HeadAwareFetcher => Some(() => ConfigurableFetcher(h, options).chainHead())
       case _ => None
     }
 }
@@ -114,11 +128,10 @@ final class SimulatedFetcher extends BlockFetcher {
 
 object BlockFetcher {
   val Simulated: String = classOf[SimulatedFetcher].getName
-  def forName(className: String, options: Map[String, String] = Map.empty): BlockFetcher = {
-    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockFetcher]
-    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-    f
-  }
+  def forName(className: String, options: Map[String, String] = Map.empty): BlockFetcher =
+    ConfigurableFetcher(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[BlockFetcher],
+      options)
 }
 
 final class BlockRangeTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -282,8 +295,11 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
   override def initialOffset(): Offset = BlockOffset(start)
 
   override def latestOffset(): Offset = {
+    // eth_blockNumber reports the latest block NUMBER (inclusive tip);
+    // offsets here are EXCLUSIVE upper bounds, so the reachable target
+    // is head-number + 1 — without it the tip block is never fetched
     val target = headFn match {
-      case Some(f) => math.min(maxBlock, f())
+      case Some(f) => math.min(maxBlock, BlockWindow.satAdd(f(), 1L))
       case None => maxBlock
     }
     // monotone even if a node briefly reports a lower height (reorg,

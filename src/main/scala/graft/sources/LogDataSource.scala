@@ -63,11 +63,10 @@ trait LogsFetcher {
 
 object LogsFetcher {
   val Simulated: String = classOf[SimulatedLogsFetcher].getName
-  def forName(className: String, options: Map[String, String] = Map.empty): LogsFetcher = {
-    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[LogsFetcher]
-    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-    f
-  }
+  def forName(className: String, options: Map[String, String] = Map.empty): LogsFetcher =
+    ConfigurableFetcher(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[LogsFetcher],
+      options)
 
   /** The effective narrowing from an options map: pushed filter beats
     * user option for address; topic0 splits on commas (the wire API's

@@ -113,11 +113,10 @@ object SimulatedReceiptFetcher {
 
 object ReceiptDataFetcher {
   val Simulated: String = classOf[SimulatedReceiptFetcher].getName
-  def forName(className: String, options: Map[String, String] = Map.empty): ReceiptDataFetcher = {
-    val f = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[ReceiptDataFetcher]
-    f match { case c: ConfigurableFetcher => c.configure(options); case _ => () }
-    f
-  }
+  def forName(className: String, options: Map[String, String] = Map.empty): ReceiptDataFetcher =
+    ConfigurableFetcher(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[ReceiptDataFetcher],
+      options)
 }
 
 final case class ReceiptDataReaderFactory(fetcherClass: String, fetcherOptions: Map[String, String],

@@ -41,6 +41,11 @@ class SinkUtilsSpec extends SparkSpec {
     SinkUtils.writeLastBlock(spark, cfg, "polygon", 99L)
     assert(SinkUtils.readLastBlock(spark, cfg, "ethereum") === Some(17000500L))
     assert(SinkUtils.readLastBlock(spark, cfg, "polygon") === Some(99L))
+    // a seed is a PUT: re-seeding to an EARLIER block (to re-cover a
+    // range) must take effect, and must not disturb other blockchains
+    SinkUtils.writeLastBlock(spark, cfg, "ethereum", 16999000L)
+    assert(SinkUtils.readLastBlock(spark, cfg, "ethereum") === Some(16999000L))
+    assert(SinkUtils.readLastBlock(spark, cfg, "polygon") === Some(99L))
   }
 
   test("stats counters aggregate across executors (A5)") {

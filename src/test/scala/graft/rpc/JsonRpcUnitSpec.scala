@@ -96,6 +96,28 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("depleted"))
   }
 
+  test("parseTx tolerates a missing gasPrice (EIP-1559 type-2 transactions)") {
+    val base = StubRpcServer.txJson(EvmTransaction(
+      block_hash = "0xb1", block_number = 1L, from_ = "0xf", to_ = Some("0xt"),
+      gas = 21000L, gas_price = 7L, hash = "0xh", input = "0x",
+      nonce = 0L, transaction_index = 0L, value = "0" * 64))
+    val without = JObject(base.obj.filterNot(_._1 == "gasPrice"))
+    val tx = EvmWire.parseTx(without)
+    assert(tx.gas_price === 0L) // degraded, not a failed crawl
+    assert(tx.gas === 21000L)
+  }
+
+  test("configure keys are case-normalized on the raw-map path") {
+    val e = CallExecutor.forName(CallExecutor.Rpc,
+      Map("endpoints" -> "http://localhost:1/", "callBatch" -> "10",
+        "rpcTimeoutMs" -> "5000", "throttleMaxRetries" -> "1"))
+    // documented camelCase keys must land (no silent defaults): probe
+    // via reflection on the private batchSize field
+    val f = e.getClass.getDeclaredField("batchSize")
+    f.setAccessible(true)
+    assert(f.getInt(e) === 10)
+  }
+
   test("error taxonomy: throttle vs range-too-large classification") {
     assert(JsonRpc.isThrottle(429, "anything"))
     assert(JsonRpc.isThrottle(-32005, "Rate limit exceeded"))

@@ -88,7 +88,9 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
     val params = req \ "params" match { case JArray(p) => p; case _ => Nil }
     (req \ "method") match {
       case JString("eth_blockNumber") =>
-        result(id, JString("0x" + java.lang.Long.toHexString(chainHeight)))
+        // real-node semantics: the latest block NUMBER (blocks are
+        // 0..chainHeight-1 here), not the block count
+        result(id, JString("0x" + java.lang.Long.toHexString(chainHeight - 1)))
       case JString("eth_getBlockByNumber") =>
         val n = java.lang.Long.parseLong(
           params.head.asInstanceOf[JString].s.stripPrefix("0x"), 16)

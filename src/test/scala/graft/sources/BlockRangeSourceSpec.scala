@@ -3,6 +3,15 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Head-aware simulated chain pinned at a fixed tip NUMBER. */
+class FixedHeadFetcher extends BlockFetcher with HeadAwareFetcher {
+  override def fetch(lo: Long, hi: Long): Iterator[Long] = Iterator.range(lo, hi)
+  override def chainHead(): Long = FixedHeadFetcher.head.get()
+}
+object FixedHeadFetcher {
+  val head = new java.util.concurrent.atomic.AtomicLong(119L)
+}
+
 /** Mock provider with a response-size cap: any window wider than 10
   * blocks is rejected the way a rate-limited RPC endpoint rejects a
   * too-wide eth_getLogs query. Windows served/rejected are recorded in
@@ -172,6 +181,18 @@ class BlockRangeSourceSpec extends SparkSpec {
     val s = new BlockRangeMicroBatchStream(0L, 600L, 100L, 50L, 2)
     s.deserializeOffset("250")
     assert(s.latestOffset().asInstanceOf[BlockOffset].block === 350L)
+  }
+
+  test("head-aware target is INCLUSIVE of the reported tip block") {
+    // eth_blockNumber reports the latest block NUMBER; the exclusive
+    // stream offset must reach number+1 or the tip is never fetched
+    val s = new BlockRangeMicroBatchStream(0L, 10000L, 1000L, 0L, 2,
+      classOf[FixedHeadFetcher].getName)
+    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
+    // a lagging replica reporting a LOWER height never moves offsets back
+    FixedHeadFetcher.head.set(80L)
+    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
+    FixedHeadFetcher.head.set(119L)
   }
 
   test("micro-batch stream advances per poll and honors trailBlocks") {

@@ -66,6 +66,26 @@ class LogDataSourceSpec extends SparkSpec {
     assert(df.count() === (0 until 40 by 5).map(_ % 3).sum)
   }
 
+  test("mixed-case address literal is NOT consumed: residual filter keeps strict equality") {
+    // eth_getLogs nodes match addresses case-insensitively and return
+    // lowercase rows; consuming a checksummed literal would return rows
+    // the literal does not equal. It stays a residual filter instead.
+    val checksummed = "0x" + "0" * 36 + "0FA0" // mixed case
+    val df = logsDf(40).filter(col("address") === checksummed)
+    val residual = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residual.nonEmpty, "mixed-case equality must stay a residual filter")
+    assert(df.count() === 0) // chain addresses are lowercase: strict equality finds none
+  }
+
+  test("conflicting address equalities (unsatisfiable conjunction) return empty, not last-wins") {
+    val a = f"0x${4000L}%040x"
+    val b = f"0x${4001L}%040x"
+    val df = logsDf(40).filter(col("address") === a).filter(col("address") === b)
+    assert(df.count() === 0)
+  }
+
   test("topic0 narrowing via option matches the wire API semantics") {
     val sig = graft.nft.Derive.Erc721TransferSig
     assert(logsDf(40, Map("topic0" -> sig)).count() === nLogs(0 until 40))
