@@ -58,13 +58,23 @@ object SinkUtils {
     * a legitimate operation, not a stale write). Staged through a .tmp
     * table because overwrite-in-place would read and clobber the same
     * path in one job. */
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def putConfig(spark: SparkSession, configPath: String, blockchain: String,
       updated: org.apache.spark.sql.DataFrame): Unit = {
+    // existence is checked explicitly, NOT via a blanket
+    // AnalysisException catch: a schema mismatch (wrong configPath —
+    // e.g. the bookmark write pointed at the data_version table) must
+    // fail loudly, not silently replace the whole table with one row
     val merged =
-      try spark.read.parquet(configPath)
-        .filter(col("blockchain") =!= blockchain)
-        .unionByName(updated)
-      catch { case _: org.apache.spark.sql.AnalysisException => updated }
+      if (tableExists(spark, configPath))
+        spark.read.parquet(configPath)
+          .filter(col("blockchain") =!= blockchain)
+          .unionByName(updated)
+      else updated
     val tmp = configPath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)

@@ -83,7 +83,10 @@ object ConfigurableFetcher {
   def apply[T](f: T, options: Map[String, String]): T = {
     f match {
       case c: ConfigurableFetcher =>
-        c.configure(options.map { case (k, v) => k.toLowerCase -> v })
+        // Locale.ROOT like CaseInsensitiveStringMap — a tr_TR default
+        // locale would dotless-i a key like maxInFlight and silently
+        // miss the lookup this helper exists to make reliable
+        c.configure(options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
       case _ => ()
     }
     f
@@ -107,7 +110,11 @@ object ChainHead {
   def provider(fetcherClass: String, options: Map[String, String]): Option[() => Long] =
     if (fetcherClass == null || fetcherClass.isEmpty) None
     else Class.forName(fetcherClass).getDeclaredConstructor().newInstance() match {
-      case h: HeadAwareFetcher => Some(() => ConfigurableFetcher(h, options).chainHead())
+      // configure ONCE at provider creation (the seam's contract);
+      // the poll thunk only reads the head
+      case h: HeadAwareFetcher =>
+        val configured = ConfigurableFetcher(h, options)
+        Some(() => configured.chainHead())
       case _ => None
     }
 }

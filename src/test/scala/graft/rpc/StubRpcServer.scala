@@ -89,8 +89,9 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
     (req \ "method") match {
       case JString("eth_blockNumber") =>
         // real-node semantics: the latest block NUMBER (blocks are
-        // 0..chainHeight-1 here), not the block count
-        result(id, JString("0x" + java.lang.Long.toHexString(chainHeight - 1)))
+        // 0..chainHeight-1 here), not the block count; floored at 0 so
+        // an empty-chain stub does not underflow into 0xffff… garbage
+        result(id, JString("0x" + java.lang.Long.toHexString(math.max(0L, chainHeight - 1))))
       case JString("eth_getBlockByNumber") =>
         val n = java.lang.Long.parseLong(
           params.head.asInstanceOf[JString].s.stripPrefix("0x"), 16)

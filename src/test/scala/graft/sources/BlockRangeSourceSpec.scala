@@ -188,11 +188,12 @@ class BlockRangeSourceSpec extends SparkSpec {
     // stream offset must reach number+1 or the tip is never fetched
     val s = new BlockRangeMicroBatchStream(0L, 10000L, 1000L, 0L, 2,
       classOf[FixedHeadFetcher].getName)
-    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
-    // a lagging replica reporting a LOWER height never moves offsets back
-    FixedHeadFetcher.head.set(80L)
-    assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
-    FixedHeadFetcher.head.set(119L)
+    try {
+      assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
+      // a lagging replica reporting a LOWER height never moves offsets back
+      FixedHeadFetcher.head.set(80L)
+      assert(s.latestOffset().asInstanceOf[BlockOffset].block === 120L)
+    } finally FixedHeadFetcher.head.set(119L)
   }
 
   test("micro-batch stream advances per poll and honors trailBlocks") {
