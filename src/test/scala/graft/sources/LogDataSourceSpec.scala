@@ -91,4 +91,25 @@ class LogDataSourceSpec extends SparkSpec {
     assert(logsDf(40, Map("topic0" -> sig)).count() === nLogs(0 until 40))
     assert(logsDf(40, Map("topic0" -> ("0x" + "ee" * 32))).count() === 0)
   }
+
+  test("logs source streams: micro-batch tail of a contract's logs") {
+    val a4000 = f"0x${4000L}%040x"
+    val ckpt = java.nio.file.Files.createTempDirectory("logs_ckpt").toString
+    val q = spark.readStream.format("logs")
+      .option("start", "0").option("maxBlock", "60")
+      .option("blocksPerTrigger", "20")
+      .option("address", a4000)
+      .load()
+      .select(col("block_number"), col("address"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("logs_tail_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT count(*) n, count(DISTINCT address) a FROM logs_tail_out").head()
+    assert(got.getLong(0) === (0 until 60 by 5).map(_ % 3).sum)
+    assert(got.getLong(1) === 1L)
+  }
 }
