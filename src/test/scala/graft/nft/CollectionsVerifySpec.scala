@@ -68,6 +68,30 @@ class CollectionsVerifySpec extends SparkSpec {
     assert(details("t4") === "right_only")
   }
 
+  test("fromChain emits the collections entity table, fully enriched") {
+    // every reference entity table comes out of the fixture-free crawl;
+    // collections carry the full probe enrichment (name/symbol/supply/
+    // owner) for ERC-721s and the null-metadata shape for ERC-1155s
+    val out = graft.pipelines.Crawl.fromChain(spark, 0, 50, dataVersion = 7)
+    assert(out.keySet === Set("collections", "transfers", "tokens", "owners", "uris"))
+    val colls = out("collections").collect()
+      .map(r => r.getAs[String]("collection_id") -> r).toMap
+    val c721 = colls(f"0x${4002L}%040x")
+    assert(c721.getAs[String]("specification") === "ERC-721")
+    assert(c721.getAs[String]("name") === "Collection 4002")
+    assert(c721.getAs[String]("name_lower") === "collection 4002")
+    assert(c721.getAs[String]("symbol") === "C4002")
+    assert(c721.getAs[String]("total_supply") === f"${40020L}%064x")
+    assert(c721.getAs[String]("owner") === f"0x${9002L}%040x")
+    assert(c721.getAs[Int]("data_version") === 7)
+    val c1155 = colls(f"0x${4003L}%040x")
+    assert(c1155.getAs[String]("specification") === "ERC-1155")
+    assert(c1155.isNullAt(c1155.fieldIndex("name")))
+    assert(c1155.isNullAt(c1155.fieldIndex("total_supply")))
+    // the no-ERC-165 contract never becomes a collection
+    assert(!colls.contains(f"0x${4004L}%040x"))
+  }
+
   test("fixture-free verify: chain logs vs DB tables, corruption flagged exactly") {
     // the DB state = what a clean crawl of the same window produced
     val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 40)
