@@ -155,6 +155,11 @@ object Media {
     // ONE bulk raster read + one bulk write: per-pixel getRGB pays a
     // color-model conversion per call, which dominates at corpus scale
     val in = src.getRGB(0, 0, sw, sh, null, 0, sw)
+    // Alpha-weighted accumulation when the source carries alpha: a fully
+    // transparent pixel's RGB channels are undefined payload and must not
+    // tint the average — weighting by alpha composites over black, the
+    // same answer the old drawImage-onto-TYPE_INT_RGB path produced.
+    val hasAlpha = src.getColorModel.hasAlpha
     val res = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -171,14 +176,21 @@ object Media {
           var xx = x0
           while (xx < x1) {
             val p = in(row + xx)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
+            if (hasAlpha) {
+              val a = (p >>> 24) & 0xff
+              r += ((p >> 16) & 0xff) * a; g += ((p >> 8) & 0xff) * a; b += (p & 0xff) * a
+            } else {
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            }
+            n += 1
             xx += 1
           }
           yy += 1
         }
+        val d = if (hasAlpha) n * 255L else n // alpha path sums 255-scaled channels
         res(y * w + x) =
-          ((((r + n / 2) / n).toInt) << 16) | ((((g + n / 2) / n).toInt) << 8) |
-            (((b + n / 2) / n).toInt)
+          ((((r + d / 2) / d).toInt) << 16) | ((((g + d / 2) / d).toInt) << 8) |
+            (((b + d / 2) / d).toInt)
         x += 1
       }
       y += 1

@@ -75,9 +75,20 @@ object SinkUtils {
           .filter(col("blockchain") =!= blockchain)
           .unionByName(updated)
       else updated
-    val tmp = configPath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+    // Unique staging suffix per write: a fixed ".tmp" path would let two
+    // concurrent puts (seed bookmark + data_version bump, or two jobs)
+    // clobber each other's staged output mid-copy. The config table
+    // itself still assumes a single writer per put (last overwrite wins,
+    // same as the reference's conditional-write granularity) — the
+    // unique suffix only removes the staging-path collision.
+    val tmp = configPath + ".tmp-" + java.util.UUID.randomUUID().toString
+    try {
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(configPath)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   private def readConfig[T](spark: SparkSession, configPath: String, blockchain: String,

@@ -52,10 +52,16 @@ object EvmWire {
     jOptString(j, field).map(s => java.lang.Long.parseLong(strip0x(s), 16))
 
   /** hex quantity of arbitrary width → canonical zero-padded lowercase
-    * 64-hex (the model's uint256 convention, FIXTURES.md §A). */
+    * 64-hex (the model's uint256 convention, FIXTURES.md §A). A value
+    * wider than uint256 is a wire-protocol violation and fails loudly
+    * like every other parse path — silent high-digit truncation would
+    * corrupt balances. */
   def hex64(j: JValue, field: String): String = {
     val h = strip0x(jString(j, field)).toLowerCase
-    if (h.length >= 64) h.takeRight(64) else ("0" * (64 - h.length)) + h
+    if (h.length > 64) throw new RpcClientException(
+      s"field $field: hex quantity exceeds uint256 width (${h.length} hex digits)")
+    else if (h.length == 64) h
+    else ("0" * (64 - h.length)) + h
   }
 
   // `evm/rpc.py:150-168`. gasPrice deviates from the reference's strict
@@ -176,11 +182,23 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
     * `rpcBatch`, default 256): the chunk WINDOW is the retry/shrink
     * unit, but providers cap the JSON-RPC array size well below a
     * partition's width — a 100k-block partition must not become a
-    * 100k-entry batch. Results keep call order across sub-batches. */
+    * 100k-entry batch. Results keep call order across sub-batches.
+    *
+    * A batch-LEVEL rejection (the single error OBJECT a server returns
+    * for an oversized/malformed batch array) maps to
+    * [[RangeTooLargeException]] here — it is a statement about the
+    * REQUEST's size, which the adaptive reader's ÷10 window shrink
+    * fixes. Per-ENTRY errors pass through untouched for [[unwrap]]. */
   protected def batched(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
     val c = requireClient()
-    if (calls.lengthCompare(rpcBatch) <= 0) c.batch(calls)
-    else calls.grouped(rpcBatch).flatMap(c.batch).toVector
+    def send(group: Seq[RpcCall]) =
+      try c.batch(group)
+      catch {
+        case e: RpcServerException if JsonRpc.isRangeTooLarge(e.code) =>
+          throw new RangeTooLargeException(e.getMessage)
+      }
+    if (calls.lengthCompare(rpcBatch) <= 0) send(calls)
+    else calls.grouped(rpcBatch).flatMap(send).toVector
   }
 
   protected def requireClient(): JsonRpcClient = {
@@ -189,18 +207,23 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
     client
   }
 
-  /** Unwrap one batch entry, mapping range-ish server errors to the
-    * adaptive reader's shrink signal. */
+  /** Unwrap one batch entry. A PER-ENTRY server error surfaces with its
+    * original code and message — the reference applies the ÷10-shrink
+    * reaction only to get_logs (`evm/rpc.py:366-377`); a generic -32000
+    * on eth_getBlockByNumber (e.g. "header not found") is a real server
+    * error, and misclassifying it as range-too-large would burn
+    * shrink-retry round trips and hide the cause. */
   protected def unwrap(e: Either[RpcServerException, JValue]): JValue = e match {
     case Right(v) => v
-    case Left(err) if JsonRpc.isRangeTooLarge(err.code) =>
-      throw new RangeTooLargeException(err.getMessage)
     case Left(err) => throw err
   }
 
-  /** Run a whole-batch thunk, mapping a batch-level "too large"
-    * rejection (single error object for the array request) to the
-    * shrink signal as well. */
+  /** Map a range-ish server error on a SINGLE ranged call to the shrink
+    * signal — the logs fetcher's "more than X results" rejection
+    * (`evm/rpc.py:366-377`). Only the get_logs path wraps itself in
+    * this (matching the reference, which shrink-reacts ONLY there): a
+    * -32000 from a per-block or per-receipt call is a genuine server
+    * error and must surface with its own code and message. */
   protected def guarded[T](body: => T): T =
     try body
     catch {
@@ -216,18 +239,16 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
 final class RpcBlockDataFetcher extends BlockDataFetcher with RpcFetcherBase {
   override def fetchBlocks(lo: Long, hi: Long): Iterator[EvmBlockWithTxs] = {
     if (hi <= lo) return Iterator.empty
-    guarded {
-      val calls = (lo until hi).map(n =>
-        RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(true))))
-      batched(calls).map(unwrap).map {
-        // the node answered null = no such block — refuse, like the
-        // reference (`evm/rpc.py:142-143`); a shorter chain should
-        // surface as an error, not silent missing rows
-        case JNull | JNothing => throw new RpcClientException(
-          "Error retrieving block: no block returned")
-        case j => EvmWire.parseBlock(j)
-      }.iterator
-    }
+    val calls = (lo until hi).map(n =>
+      RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(true))))
+    batched(calls).map(unwrap).map {
+      // the node answered null = no such block — refuse, like the
+      // reference (`evm/rpc.py:142-143`); a shorter chain should
+      // surface as an error, not silent missing rows
+      case JNull | JNothing => throw new RpcClientException(
+        "Error retrieving block: no block returned")
+      case j => EvmWire.parseBlock(j)
+    }.iterator
   }
 }
 
@@ -279,24 +300,22 @@ final class RpcLogsFetcher extends LogsFetcher with RpcFetcherBase {
 final class RpcReceiptDataFetcher extends ReceiptDataFetcher with RpcFetcherBase {
   override def fetchReceipts(lo: Long, hi: Long): Iterator[EvmTransactionReceipt] = {
     if (hi <= lo) return Iterator.empty
-    guarded {
-      val blockCalls = (lo until hi).map(n =>
-        RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(false))))
-      val hashes = batched(blockCalls).map(unwrap).flatMap {
+    val blockCalls = (lo until hi).map(n =>
+      RpcCall("eth_getBlockByNumber", List(JString(EvmWire.qtyHex(n)), JBool(false))))
+    val hashes = batched(blockCalls).map(unwrap).flatMap {
+      case JNull | JNothing => throw new RpcClientException(
+        "Error retrieving block: no block returned")
+      case j => EvmWire.parseTxHashes(j)
+    }
+    if (hashes.isEmpty) Iterator.empty
+    else {
+      val receiptCalls = hashes.map(h =>
+        RpcCall("eth_getTransactionReceipt", List(JString(h))))
+      batched(receiptCalls).map(unwrap).map {
         case JNull | JNothing => throw new RpcClientException(
-          "Error retrieving block: no block returned")
-        case j => EvmWire.parseTxHashes(j)
-      }
-      if (hashes.isEmpty) Iterator.empty
-      else {
-        val receiptCalls = hashes.map(h =>
-          RpcCall("eth_getTransactionReceipt", List(JString(h))))
-        batched(receiptCalls).map(unwrap).map {
-          case JNull | JNothing => throw new RpcClientException(
-            s"Error retrieving receipt: no receipt returned")
-          case j => EvmWire.parseReceipt(j)
-        }.iterator
-      }
+          s"Error retrieving receipt: no receipt returned")
+        case j => EvmWire.parseReceipt(j)
+      }.iterator
     }
   }
 }

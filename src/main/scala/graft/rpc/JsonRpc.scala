@@ -70,23 +70,29 @@ object JsonRpc {
     code == -32005 || code == -32602 || code == -32000
 
   /** One client over the endpoint list: single-endpoint direct, else
-    * round-robin pooled with dead-endpoint eviction. Cached PER JVM per
-    * (endpoints, timeout): DSv2 readers instantiate a fetcher per
-    * partition per micro-batch, and a fresh JDK HttpClient each time
-    * would rebuild connection pools thousands of times per executor —
-    * one shared client keeps connections warm across batches, and pool
-    * eviction state persists for the JVM (a dead provider stays dead,
-    * like the reference pool, which never re-adds: `evm/rpc.py:419-420`). */
-  def client(endpoints: Seq[String], timeoutMs: Long = 30000L): JsonRpcClient = {
+    * round-robin pooled with cooldown-based dead-endpoint eviction.
+    * Cached PER JVM per (endpoints, timeout, cooldown): DSv2 readers
+    * instantiate a fetcher per partition per micro-batch, and a fresh
+    * JDK HttpClient each time would rebuild connection pools thousands
+    * of times per executor — one shared client keeps connections warm
+    * across batches. Eviction is a COOLDOWN, not removal (deliberate
+    * deviation from the reference pool, which never re-adds,
+    * `evm/rpc.py:419-420`): the reference pool lives for one crawl
+    * process, but this client is cached for the executor JVM's
+    * lifetime, and a permanent eviction would turn one network blip
+    * into a permanently dead streaming job. */
+  def client(endpoints: Seq[String], timeoutMs: Long = 30000L,
+      cooldownMs: Long = 30000L): JsonRpcClient = {
     require(endpoints.nonEmpty, "at least one RPC endpoint is required")
-    cache.computeIfAbsent((endpoints.mkString(","), timeoutMs), { _ =>
+    cache.computeIfAbsent((endpoints.mkString(","), timeoutMs, cooldownMs), { _ =>
       val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
-      if (singles.size == 1) singles.head else new PooledJsonRpcClient(singles)
+      if (singles.size == 1) singles.head
+      else new PooledJsonRpcClient(singles, cooldownMs)
     })
   }
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), JsonRpcClient]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), JsonRpcClient]()
 
   /** Test hook: drop cached clients (e.g. between stub-server lifetimes). */
   private[rpc] def resetCache(): Unit = cache.clear()
@@ -202,39 +208,73 @@ final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpc
   }
 }
 
-/** Round-robin pool with dead-endpoint eviction — the reference's
-  * `ConnectionPoolingEvmRpcClient` (`evm/rpc.py:380-422`): each batch
-  * goes to the next live endpoint; a transport-level failure evicts
-  * that endpoint and the batch retries on the next, so one dead
-  * provider costs one extra round trip, not the crawl. A depleted pool
-  * fails loudly (`evm/rpc.py:422`) — the task error surfaces instead
-  * of silently under-producing rows. Server errors and throttles do
-  * NOT evict: the endpoint answered, the request was the problem. */
-final class PooledJsonRpcClient(initial: Seq[JsonRpcClient]) extends JsonRpcClient {
+/** Round-robin pool with cooldown-based dead-endpoint eviction — the
+  * reference's `ConnectionPoolingEvmRpcClient` (`evm/rpc.py:380-422`):
+  * each batch goes to the next live endpoint; a transport-level failure
+  * evicts that endpoint and the SAME window is re-issued against the
+  * next pool member inside the same call — the HTTP analog of the
+  * websocket client's reconnect-with-in-flight-replay
+  * (`core/rpc.py:327-353`). A transport failure yields no usable
+  * response entries, so replaying the whole window loses nothing and
+  * duplicates nothing. The replay is bounded by ONE full pool rotation:
+  * when every endpoint has failed for this window the call fails
+  * loudly (`evm/rpc.py:422`) — the task error surfaces instead of
+  * silently under-producing rows.
+  *
+  * Eviction is a cooldown mark, not removal: an evicted endpoint is
+  * skipped while cooling down and re-probed after `cooldownMs`, and a
+  * successful batch clears its mark. When EVERY endpoint is cooling
+  * down, the one whose cooldown expires soonest is probed anyway —
+  * a cached pool must never reach a permanently-unsendable state (the
+  * reference pool is per-crawl-process; this one outlives micro-batches,
+  * see [[JsonRpc.client]]). Server errors and throttles do NOT evict:
+  * the endpoint answered, the request was the problem. */
+final class PooledJsonRpcClient(initial: Seq[JsonRpcClient], cooldownMs: Long = 30000L)
+    extends JsonRpcClient {
   // membership/rotation under a short lock; the HTTP round trip itself
   // runs UNLOCKED — the client is shared JVM-wide and concurrent tasks
   // must fan out across endpoints, not serialize behind one batch
-  private var pool: Vector[JsonRpcClient] = initial.toVector
+  private val pool: Vector[JsonRpcClient] = initial.toVector
+  private val deadUntil = new Array[Long](pool.size) // 0 = live; else nanoTime deadline
   private var index = 0
 
-  private def nextClient(): JsonRpcClient = synchronized {
-    if (pool.isEmpty)
-      throw new RpcClientException("Connection pool fully depleted. Unable to send!")
-    index = if (index + 1 >= pool.size) 0 else index + 1
-    pool(index)
+  /** Visible-for-test: indexes currently inside their cooldown. */
+  private[rpc] def coolingDown: Set[Int] = synchronized {
+    val now = System.nanoTime()
+    (0 until pool.size).filter(deadUntil(_) > now).toSet
   }
 
-  private def evict(c: JsonRpcClient): Unit = synchronized {
-    pool = pool.filterNot(_ eq c)
-    index = if (pool.isEmpty) 0 else index % pool.size
+  private def nextClient(tried: Set[Int]): Option[Int] = synchronized {
+    val now = System.nanoTime()
+    val order = (1 to pool.size).map(i => (index + i) % pool.size).filterNot(tried)
+    val chosen = order.find(deadUntil(_) <= now) // first live in rotation order
+      .orElse(order.minByOption(deadUntil(_)))   // all cooling: probe soonest-to-expire
+    chosen.foreach(c => index = c)
+    chosen
   }
+
+  private def evict(i: Int): Unit = synchronized {
+    deadUntil(i) = System.nanoTime() + cooldownMs * 1000000L
+  }
+
+  private def revive(i: Int): Unit = synchronized { deadUntil(i) = 0L }
 
   override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
-    while (true) {
-      val c = nextClient()
-      try return c.batch(calls)
-      catch { case _: RpcClientException => evict(c) }
+    var tried = Set.empty[Int]
+    var lastFailure: RpcClientException = null
+    while (tried.size < pool.size) {
+      val i = nextClient(tried).get // tried ⊂ indexes, so some index remains
+      tried += i
+      try {
+        val result = pool(i).batch(calls)
+        revive(i)
+        return result
+      } catch {
+        case e: RpcClientException => lastFailure = e; evict(i)
+      }
     }
-    throw new IllegalStateException("unreachable")
+    throw new RpcClientException(
+      s"Connection pool fully depleted after trying all ${pool.size} endpoints. Unable to send!",
+      lastFailure)
   }
 }

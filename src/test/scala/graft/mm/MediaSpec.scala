@@ -87,6 +87,23 @@ class MediaSpec extends SparkSpec {
     assert(junk.width === -1L && junk.media.toSeq === Seq[Byte](7, 7))
   }
 
+  test("resize alpha handling: transparent pixels do not tint the average (ADVICE r6)") {
+    // 2x1 ARGB: opaque red + FULLY TRANSPARENT pixel carrying garbage
+    // green in its (undefined) RGB payload
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0xffff0000) // opaque red
+    img.setRGB(1, 0, 0x0000ff00) // alpha=0, garbage green channel
+    val avg = Media.areaAverage(img, 1, 1).getRGB(0, 0)
+    // alpha-weighted composite over black: half-intensity red, ZERO green
+    assert(((avg >> 16) & 0xff) === 128)
+    assert(((avg >> 8) & 0xff) === 0, "transparent pixel's garbage RGB leaked into the average")
+    assert((avg & 0xff) === 0)
+    // opaque sources are unaffected: solid color stays exact
+    val solid = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x => solid.setRGB(x, y, 0xff4080c0)))
+    assert((Media.areaAverage(solid, 2, 2).getRGB(1, 1) & 0xffffff) === 0x4080c0)
+  }
+
   test("real audio decode: WAV metadata + RMS from actual PCM bytes; garbage -> nulls") {
     // 0.5s of a full-scale square wave at 8kHz mono 16-bit: RMS = 1.0
     def wav(hz: Int, seconds: Double, amp: Short): Array[Byte] = {

@@ -96,6 +96,91 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("depleted"))
   }
 
+  /** A client whose availability is flipped externally — models a
+    * provider outage that later recovers. */
+  private final class ScriptedClient(answer: String) extends JsonRpcClient {
+    val up = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val hits = new AtomicInteger(0)
+    override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+      hits.incrementAndGet()
+      if (!up.get()) throw new RpcClientException(s"$answer down")
+      calls.map(_ => Right(JString(answer)))
+    }
+  }
+
+  test("eviction is a cooldown, not removal: endpoint is skipped while cooling, not re-probed") {
+    val flaky = new ScriptedClient("flaky"); flaky.up.set(false)
+    val live = new ScriptedClient("live")
+    // rotation probes (index+1) first, so flaky at slot 1 is tried first
+    val pool = new PooledJsonRpcClient(Seq(live, flaky), cooldownMs = 60000L)
+    (0 until 10).foreach(_ => assert(pool.call("m") === JString("live")))
+    // flaky was probed exactly once (first rotation), then cooled down —
+    // NOT retried on every round-robin pass
+    assert(flaky.hits.get() === 1)
+    assert(pool.coolingDown === Set(1))
+  }
+
+  test("cooled-down endpoint is re-probed after the cooldown and revived on success") {
+    val flaky = new ScriptedClient("flaky"); flaky.up.set(false)
+    val live = new ScriptedClient("live")
+    val pool = new PooledJsonRpcClient(Seq(live, flaky), cooldownMs = 20L)
+    pool.call("m") // evicts flaky for 20ms
+    assert(pool.coolingDown === Set(1))
+    flaky.up.set(true)
+    Thread.sleep(40)
+    // rotation reaches the recovered endpoint again and its mark clears
+    val answers = (0 until 4).map(_ => pool.call("m"))
+    assert(answers.contains(JString("flaky")))
+    assert(pool.coolingDown === Set.empty)
+  }
+
+  test("ADVICE r6: a fully depleted pool recovers after the outage instead of staying dead") {
+    val a = new ScriptedClient("a"); val b = new ScriptedClient("b")
+    a.up.set(false); b.up.set(false)
+    val pool = new PooledJsonRpcClient(Seq(a, b), cooldownMs = 20L)
+    // total outage: the call fails loudly (task retry handles it)…
+    val e = intercept[RpcClientException] { pool.call("m") }
+    assert(e.getMessage.contains("depleted"))
+    // …but the pool is NOT permanently dead: after the endpoints recover
+    // and the cooldown lapses, the same cached pool serves again
+    a.up.set(true); b.up.set(true)
+    Thread.sleep(40)
+    assert(Set[JValue](JString("a"), JString("b")).contains(pool.call("m")))
+  }
+
+  test("mid-window failover is bounded by one pool rotation per batch call") {
+    val a = new ScriptedClient("a"); val b = new ScriptedClient("b"); val c = new ScriptedClient("c")
+    Seq(a, b, c).foreach(_.up.set(false))
+    val pool = new PooledJsonRpcClient(Seq(a, b, c), cooldownMs = 0L)
+    intercept[RpcClientException] { pool.call("m") }
+    // cooldown 0 means every endpoint was eligible the whole time — the
+    // rotation bound (not eviction) is what stopped the loop: one try each
+    assert(Seq(a, b, c).map(_.hits.get()) === Seq(1, 1, 1))
+  }
+
+  test("hex64 refuses a quantity wider than uint256 instead of truncating high digits") {
+    val ok = JObject("v" -> JString("0x" + "ff" * 32))
+    assert(EvmWire.hex64(ok, "v") === "f" * 64)
+    val wide = JObject("v" -> JString("0x1" + "0" * 64)) // 65 hex digits
+    val e = intercept[RpcClientException] { EvmWire.hex64(wide, "v") }
+    assert(e.getMessage.contains("uint256"))
+  }
+
+  test("range-too-large mapping is scoped: logs shrink, block/receipt errors surface as-is") {
+    // a generic -32000 ("header not found") answered per-entry
+    val stub = new StubRpcServer()
+    try {
+      stub.entryError = Some((-32000, "header not found"))
+      val opts = Map("endpoints" -> stub.url)
+      val blocks = new RpcBlockDataFetcher(); blocks.configure(opts)
+      val surfaced = intercept[RpcServerException] { blocks.fetchBlocks(0, 5).toList }
+      assert(surfaced.code === -32000 && surfaced.messageText.contains("header not found"))
+      // the same code on the single ranged eth_getLogs call IS the shrink signal
+      val logs = new RpcLogsFetcher(); logs.configure(opts)
+      intercept[graft.sources.RangeTooLargeException] { logs.fetchLogs(0, 5).toList }
+    } finally stub.stop()
+  }
+
   test("parseTx tolerates a missing gasPrice (EIP-1559 type-2 transactions)") {
     val base = StubRpcServer.txJson(EvmTransaction(
       block_hash = "0xb1", block_number = 1L, from_ = "0xf", to_ = Some("0xt"),

@@ -101,6 +101,26 @@ class RpcFetcherSpec extends SparkSpec with BeforeAndAfterAll {
     } finally dead.stop()
   }
 
+  test("endpoint death MID-WINDOW: unanswered sub-batches replay on the next endpoint — no lost, no duplicated rows") {
+    import spark.implicits._
+    val dying = new StubRpcServer()
+    try {
+      // serve two wire batches, then 500 forever: the endpoint dies with
+      // most of the window still unanswered — the HTTP analog of the
+      // reference's reconnect-with-in-flight-replay (`core/rpc.py:327-353`)
+      dying.dieAfterRequests.set(2)
+      val df = rpcBlocks(100, s"${dying.url},${stub.url}",
+        Map("rpcBatch" -> "10", "numPartitions" -> "1"))
+      val nums = df.select("number").as[Long].collect()
+      // every block exactly once: the failed sub-batch was re-issued on
+      // the live endpoint (nothing lost), and only the unanswered window
+      // was replayed (nothing duplicated)
+      assert(nums.length === 100)
+      assert(nums.sorted.toSeq === (0L until 100L))
+      assert(dying.rpcRequests.get() > 0) // it really served part of the window first
+    } finally dying.stop()
+  }
+
   test("fully depleted pool fails loudly, not with missing rows") {
     val d1 = new StubRpcServer(); val d2 = new StubRpcServer()
     try {

@@ -27,6 +27,8 @@ import org.json4s.jackson.JsonMethods
   * Failure injection:
   *  - `throttleNext.set(n)` — next n HTTP requests answer 429
   *  - `dead.set(true)` — every request answers 500 (dead endpoint)
+  *  - `dieAfterRequests.set(n)` — serve n HTTP requests normally, then
+  *    answer 500 forever (an endpoint dying MID-window)
   *  - `maxBatch` — batches larger than this are rejected whole with a
   *    -32602 "batch limit exceeded" error object (the provider
   *    response-size cap the adaptive reader reacts to)
@@ -35,6 +37,10 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
     logsRangeCap: Long = Long.MaxValue) {
   val throttleNext = new AtomicInteger(0)
   val dead = new AtomicBoolean(false)
+  val dieAfterRequests = new AtomicInteger(Int.MaxValue)
+  /** When set, every dispatched entry answers this JSON-RPC error —
+    * models a provider answering per-request server errors. */
+  @volatile var entryError: Option[(Int, String)] = None
   val httpRequests = new AtomicInteger(0)
   val rpcRequests = new AtomicInteger(0)
   val largestBatch = new AtomicInteger(0)
@@ -48,9 +54,11 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   def stop(): Unit = server.stop(0)
 
   private def handle(exchange: HttpExchange): Unit = {
-    httpRequests.incrementAndGet()
+    val requestNo = httpRequests.incrementAndGet()
     val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    if (dead.get()) { respond(exchange, 500, "dead endpoint"); return }
+    if (dead.get() || requestNo > dieAfterRequests.get()) {
+      respond(exchange, 500, "dead endpoint"); return
+    }
     if (throttleNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       respond(exchange, 429, """{"error":"too many requests"}"""); return
     }
@@ -85,6 +93,10 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   private def dispatch(req: JValue): JObject = {
     rpcRequests.incrementAndGet()
     val id = req \ "id"
+    entryError match {
+      case Some((code, msg)) => return errorObj(id, code, msg)
+      case None =>
+    }
     val params = req \ "params" match { case JArray(p) => p; case _ => Nil }
     (req \ "method") match {
       case JString("eth_blockNumber") =>
