@@ -1,0 +1,324 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.SinkUtils
+import graft.pipelines.{Crawl, Load, VerifyPipeline}
+import graft.rpc.CallExecutor
+import graft.sources.{BlockDataFetcher, LogsFetcher, ReceiptDataFetcher}
+
+/** Operator-facing command suite — the reference's `nft` click group
+  * (`nft/bin/nft.py:89-133`) mapped onto the engine's pipeline objects,
+  * so running the production crawl does not require writing Scala:
+  *
+  * {{{
+  * graft.cli.Main crawl 0 1000 --out /data/nft --evm-rpc-nodes https://node1,https://node2
+  * graft.cli.Main tail --out /data/nft --config /data/cfg --checkpoint /ckpt --trail-blocks 8
+  * graft.cli.Main seed 999 --config /data/cfg
+  * graft.cli.Main force 0x<addr> 120 1000 --out /data/nft
+  * graft.cli.Main verify 0 1000 --db /data/nft --collection 0x<addr>
+  * graft.cli.Main load /data/events --out /data/rollups
+  * }}}
+  *
+  * Option validation follows the reference's param types
+  * (`core/click.py:30-104`): block arguments accept decimal or 0x-hex
+  * (`HexIntParamType`), addresses must be 0x + 40 hex
+  * (`AddressParamType`), ranges must be non-empty. Omitting
+  * `--evm-rpc-nodes` selects the simulated fetchers (fixture chain) so
+  * every command is runnable locally; supplying it swaps in the
+  * JSON-RPC transports without changing anything else — the same seam
+  * the library exposes.
+  */
+object Main {
+
+  final case class CliError(msg: String) extends RuntimeException(msg)
+
+  val usage: String =
+    """usage: graft <command> [arguments] [options]
+      |
+      |commands:
+      |  crawl START END    crawl a block range into the five entity tables (--out)
+      |  tail               follow the chain head from the seeded bookmark (--out, --checkpoint)
+      |  seed LAST_BLOCK    record the crawl bookmark for a later tail (--config)
+      |  force COLLECTION CREATION_BLOCK END
+      |                     single-contract whole-chain backfill (--out)
+      |  verify START END   reconcile chain truth against the DB tables (--db)
+      |  load DATA_DIR      bulk backfill rollups from the events table (--out)
+      |
+      |common options:
+      |  --blockchain NAME         config-table key (default ethereum-mainnet)
+      |  --evm-rpc-nodes URLS      comma-separated JSON-RPC endpoints; omit = simulated chain
+      |  --rpc-batch N             max JSON-RPC calls per wire batch (default 256)
+      |  --rpc-timeout-ms N        transport timeout (default 30000)
+      |  --num-partitions N        fetch parallelism (default 4)
+      |  --out DIR                 output directory (crawl/tail/force/load)
+      |  --config DIR              config-table directory (seed/tail/crawl bookkeeping)
+      |  --data-version N          stamp rows with this data version (default 1)
+      |  --increment-data-version  bump the config store's data version and use it (crawl)
+      |  --stage-dir DIR           stage fetched windows once instead of re-fetching (crawl)
+      |  --block-time-cache PATH   block-time CSV cache for force (S8); default: blocks source
+      |  --db DIR                  database table directory (verify)
+      |  --collection ADDR         narrow verify to one collection (address pushdown)
+      |  --trail-blocks N          reorg lag for tail (default 0)
+      |  --blocks-per-trigger N    tail micro-batch width (default 64)
+      |  --checkpoint DIR          streaming checkpoint location (tail)
+      |  --max-block N             stop bound for tail (default unbounded)
+      |  --buckets N               sink/fact bucket count (default 16)
+      |  --once                    tail: process available blocks, then stop
+      |""".stripMargin
+
+  /** Parse argv into (command, positional args, options). Options are
+    * `--key value` except boolean flags. Unknown options fail loudly —
+    * a typo'd option silently ignored is the worst CLI failure mode. */
+  private val boolFlags = Set("--increment-data-version", "--once")
+
+  private val knownOptions = Set(
+    "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
+    "out", "config", "data-version", "increment-data-version", "stage-dir",
+    "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
+    "checkpoint", "max-block", "buckets", "once", "start")
+
+  private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
+    if (args.isEmpty) throw CliError("no command given")
+    val cmd = args.head
+    var pos = Vector.empty[String]
+    var opts = Map.empty[String, String]
+    var rest = args.tail.toList
+    while (rest.nonEmpty) rest match {
+      case flag :: tl if boolFlags(flag) =>
+        opts += (flag.drop(2) -> "true"); rest = tl
+      case key :: value :: tl if key.startsWith("--") =>
+        opts += (key.drop(2) -> value); rest = tl
+      case key :: Nil if key.startsWith("--") =>
+        throw CliError(s"option $key requires a value")
+      case p :: tl => pos :+= p; rest = tl
+      case Nil => // unreachable: loop guard
+    }
+    opts.keys.find(!knownOptions(_)).foreach(k => throw CliError(s"unknown option: --$k"))
+    (cmd, pos, opts)
+  }
+
+  /** `HexIntParamType` (`core/click.py:30-47`): decimal or 0x-hex. */
+  private[cli] def blockArg(name: String, s: String): Long = {
+    val v =
+      try {
+        if (s.startsWith("0x") || s.startsWith("0X")) java.lang.Long.parseLong(s.drop(2), 16)
+        else s.toLong
+      } catch {
+        case _: NumberFormatException =>
+          throw CliError(s"$name: '$s' is not a valid integer (decimal or 0x-hex)")
+      }
+    if (v < 0) throw CliError(s"$name: block numbers must be non-negative, got $v")
+    v
+  }
+
+  /** `AddressParamType`: 0x + 40 hex, normalized lowercase. */
+  private[cli] def addressArg(name: String, s: String): String = {
+    if (!s.matches("0[xX][0-9a-fA-F]{40}"))
+      throw CliError(s"$name: '$s' is not a valid address (0x + 40 hex digits)")
+    "0x" + s.drop(2).toLowerCase
+  }
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw CliError(s"option --$key is required for this command"))
+
+  private def intOpt(opts: Map[String, String], key: String, default: Int): Int =
+    opts.get(key).map(v => try v.toInt catch {
+      case _: NumberFormatException => throw CliError(s"--$key: '$v' is not an integer")
+    }).getOrElse(default)
+
+  private def longOpt(opts: Map[String, String], key: String, default: Long): Long =
+    opts.get(key).map(v => blockArg(s"--$key", v)).getOrElse(default)
+
+  /** Fetcher wiring: with --evm-rpc-nodes the RPC implementations ride
+    * the same seams the simulated ones do. */
+  private final case class Wiring(blocks: String, receipts: String, logs: String,
+      calls: String, options: Map[String, String])
+
+  private def wiring(opts: Map[String, String]): Wiring = opts.get("evm-rpc-nodes") match {
+    case Some(nodes) =>
+      val fetcherOpts = Map("endpoints" -> nodes) ++
+        opts.get("rpc-batch").map("rpcBatch" -> _) ++
+        opts.get("rpc-timeout-ms").map("rpcTimeoutMs" -> _)
+      Wiring(classOf[graft.rpc.RpcBlockDataFetcher].getName,
+        classOf[graft.rpc.RpcReceiptDataFetcher].getName,
+        classOf[graft.rpc.RpcLogsFetcher].getName,
+        CallExecutor.Rpc, fetcherOpts)
+    case None =>
+      Wiring(BlockDataFetcher.Simulated, ReceiptDataFetcher.Simulated,
+        LogsFetcher.Simulated, CallExecutor.Simulated, Map.empty)
+  }
+
+  private def writeTables(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+    }
+
+  def run(spark: SparkSession, args: Seq[String]): Int =
+    try {
+      val (cmd, pos, opts) = parse(args)
+      val blockchain = opts.getOrElse("blockchain", "ethereum-mainnet")
+      val w = wiring(opts)
+      val numPartitions = intOpt(opts, "num-partitions", 4)
+
+      cmd match {
+        case "crawl" =>
+          val Seq(start, end) = positional(pos, "crawl", "STARTING_BLOCK", "ENDING_BLOCK")
+            .map { case (n, v) => blockArg(n, v) }
+          if (end <= start) throw CliError(
+            s"ENDING_BLOCK ($end) must be greater than STARTING_BLOCK ($start)")
+          val out = required(opts, "out")
+          // --increment-data-version (`crawl.py`): bump-and-use ensures
+          // a re-crawl is distinguishable from the data it replaces
+          val dataVersion =
+            if (opts.contains("increment-data-version"))
+              SinkUtils.incrementDataVersion(spark, s"${required(opts, "config")}/data_version",
+                blockchain)
+            else intOpt(opts, "data-version", 1)
+          val tables = Crawl.fromChain(spark, start, end,
+            blocksFetcher = w.blocks, receiptsFetcher = w.receipts,
+            numPartitions = numPartitions, stageDir = opts.get("stage-dir"),
+            callExecutor = w.calls, fetcherOptions = w.options, dataVersion = dataVersion)
+          writeTables(tables, out)
+          println(s"crawled [$start, $end) into $out (data_version=$dataVersion)")
+          0
+
+        case "seed" =>
+          val Seq(last) = positional(pos, "seed", "LAST_BLOCK_ID")
+            .map { case (n, v) => blockArg(n, v) }
+          SinkUtils.writeLastBlock(spark, s"${required(opts, "config")}/last_block",
+            blockchain, last)
+          println(s"seeded last_block_id=$last for $blockchain")
+          0
+
+        case "tail" =>
+          val out = required(opts, "out")
+          val config = required(opts, "config")
+          val checkpoint = required(opts, "checkpoint")
+          // the reference tail starts where the seeded bookmark points
+          // (`tail.py`'s starting-block lookup); --start overrides
+          val start = longOpt(opts, "start",
+            SinkUtils.readLastBlock(spark, s"$config/last_block", blockchain)
+              .map(_ + 1)
+              .getOrElse(throw CliError(
+                "tail requires a seeded bookmark (run `seed`) or an explicit --start")))
+          val base = spark.readStream.format("receipts")
+            .option("start", start.toString)
+            .option("maxBlock", longOpt(opts, "max-block", Long.MaxValue).toString)
+            .option("blocksPerTrigger", intOpt(opts, "blocks-per-trigger", 64).toString)
+            .option("trailBlocks", longOpt(opts, "trail-blocks", 0L).toString)
+            .option("numPartitions", numPartitions.toString)
+            .option("fetcher", w.receipts)
+          val receipts = w.options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+          val logs = receipts.select(explode(col("logs")).as("l")).select(col("l.*"))
+          val transfers = graft.nft.Derive.transfers(logs)
+          val buckets = intOpt(opts, "buckets", 16)
+          val q = transfers.writeStream
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(graft.streaming.Tail.lwwSink(s"$out/transfers",
+              Seq("collection_id", "token_id", "attribute_version"),
+              Seq("attribute_version"), buckets) _)
+            .start()
+          if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
+          else q.awaitTermination()
+          println(s"tail from block $start into $out/transfers")
+          0
+
+        case "force" =>
+          val Vector((_, collRaw), (cbName, cbRaw), (ebName, ebRaw)) =
+            positional(pos, "force", "COLLECTION_ID", "CREATION_BLOCK", "ENDING_BLOCK")
+          val collection = addressArg("COLLECTION_ID", collRaw)
+          val creation = blockArg(cbName, cbRaw)
+          val end = blockArg(ebName, ebRaw)
+          if (end <= creation) throw CliError(
+            s"ENDING_BLOCK ($end) must be greater than CREATION_BLOCK ($creation)")
+          val out = required(opts, "out")
+          // --block-time-cache (`force.py`): the S8 CSV dim; default =
+          // a blocks-source read over the same range
+          val blockTimes = opts.get("block-time-cache") match {
+            case Some(csv) => Load.readBlockTimeCsv(spark, csv)
+            case None =>
+              val b = spark.read.format("blocks")
+                .option("start", creation.toString).option("maxBlock", end.toString)
+                .option("numPartitions", numPartitions.toString)
+                .option("fetcher", w.blocks)
+              w.options.foldLeft(b) { case (r, (k, v)) => r.option(k, v) }.load()
+                .select(col("number"), col("timestamp"))
+          }
+          val tables = Crawl.forceLoad(spark, collection, creation, end, blockTimes,
+            receiptsFetcher = w.receipts, logsFetcher = w.logs, callExecutor = w.calls,
+            numPartitions = numPartitions, fetcherOptions = w.options,
+            dataVersion = intOpt(opts, "data-version", 1))
+          writeTables(tables, out)
+          println(s"force-loaded $collection from block $creation into $out")
+          0
+
+        case "verify" =>
+          val Seq(start, end) = positional(pos, "verify", "STARTING_BLOCK", "ENDING_BLOCK")
+            .map { case (n, v) => blockArg(n, v) }
+          if (end <= start) throw CliError(
+            s"ENDING_BLOCK ($end) must be greater than STARTING_BLOCK ($start)")
+          val db = required(opts, "db")
+          val collection = opts.get("collection").map(addressArg("--collection", _))
+          def table(name: String) = spark.read.parquet(s"$db/$name")
+          def narrowed(df: DataFrame) =
+            collection.fold(df)(c => df.filter(col("collection_id") === c))
+          val dbTokens = narrowed(table("tokens").select(col("collection_id"), col("token_id")))
+          // chain-truth supply snapshot from the crawled collections
+          // table's totalSupply probe result (hex64 -> decimal)
+          val supply = narrowed(table("collections"))
+            .filter(col("total_supply").isNotNull)
+            .select(col("collection_id"),
+              expr("cast(conv(total_supply, 16, 10) as long)").as("total_supply"))
+          val report = VerifyPipeline.fromChain(spark, start, end,
+            narrowed(table("transfers")), narrowed(table("owners")), dbTokens, supply,
+            collectionId = collection, logsFetcher = w.logs,
+            numPartitions = numPartitions, fetcherOptions = w.options)
+          opts.get("out") match {
+            case Some(o) => report.write.mode(SaveMode.Overwrite).parquet(o)
+            case None =>
+          }
+          val n = report.count()
+          println(if (n == 0) "verify: clean" else s"verify: $n discrepancies")
+          if (n == 0) 0 else 1
+
+        case "load" =>
+          val Vector((_, dataDir)) = positional(pos, "load", "DATA_DIR")
+          Load.run(spark, dataDir, required(opts, "out"), intOpt(opts, "buckets", 16))
+          println(s"loaded $dataDir into ${opts("out")}")
+          0
+
+        case other => throw CliError(s"unknown command: $other")
+      }
+    } catch {
+      case CliError(msg) =>
+        System.err.println(s"error: $msg")
+        System.err.println(usage)
+        2
+    }
+
+  /** Positional-arity check with the reference's click-style error. */
+  private def positional(pos: Vector[String], cmd: String,
+      names: String*): Vector[(String, String)] = {
+    if (pos.length != names.length) throw CliError(
+      s"$cmd expects ${names.length} argument(s) ${names.mkString("<", "> <", ">")}, " +
+        s"got ${pos.length}")
+    names.toVector.zip(pos).map { case (n, v) => (n, v) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, args.toIndexedSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.cli
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Every operator subcommand driven end-to-end on the fixture chain —
+  * the CLI is a thin veneer over the pipeline objects, so each test
+  * pins (a) the argument/option mapping and (b) equality with the
+  * library call it wraps. */
+class MainCliSpec extends SparkSpec {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("crawl: writes the five entity tables; --increment-data-version bumps through the config store") {
+    val out = tmp("cli_crawl"); val cfg = tmp("cli_cfg")
+    assert(Main.run(spark, Seq("crawl", "0", "40", "--out", out,
+      "--increment-data-version", "--config", cfg)) === 0)
+    Seq("collections", "transfers", "tokens", "owners", "uris").foreach { t =>
+      assert(new java.io.File(s"$out/$t").exists(), s"missing table $t")
+    }
+    assert(spark.read.parquet(s"$out/collections")
+      .select("data_version").head().getInt(0) === 1)
+    // the CLI wraps Crawl.fromChain exactly
+    val lib = graft.pipelines.Crawl.fromChain(spark, 0, 40, dataVersion = 1)
+    assert(rows(spark.read.parquet(s"$out/transfers")) === rows(lib("transfers")))
+    // a re-crawl with the flag lands the bumped version
+    assert(Main.run(spark, Seq("crawl", "0", "40", "--out", out,
+      "--increment-data-version", "--config", cfg)) === 0)
+    assert(spark.read.parquet(s"$out/collections")
+      .select("data_version").head().getInt(0) === 2)
+  }
+
+  test("seed then tail --once: the stream starts at the bookmark and lands in the LWW sink") {
+    val out = tmp("cli_tail"); val cfg = tmp("cli_cfg2"); val ckpt = tmp("cli_ckpt")
+    // hex accepted like the reference's HexIntParamType
+    assert(Main.run(spark, Seq("seed", "0x13", "--config", cfg)) === 0)
+    assert(graft.ops.SinkUtils.readLastBlock(spark, s"$cfg/last_block", "ethereum-mainnet")
+      === Some(19L))
+    assert(Main.run(spark, Seq("tail", "--once", "--out", out, "--config", cfg,
+      "--checkpoint", ckpt, "--max-block", "60", "--blocks-per-trigger", "25")) === 0)
+    // bookmark 19 -> stream starts at 20; bounded at 60
+    val got = spark.read.parquet(s"$out/transfers")
+    val expect = graft.pipelines.Crawl.fromChain(spark, 20, 60)("transfers")
+    assert(got.count() === expect.count())
+    assert(got.agg(min(col("block_id")), max(col("block_id"))).head() ===
+      org.apache.spark.sql.Row(20L, 59L))
+    // tail without a bookmark or --start refuses loudly
+    val emptyCfg = tmp("cli_cfg3")
+    assert(Main.run(spark, Seq("tail", "--once", "--out", out, "--config", emptyCfg,
+      "--checkpoint", tmp("cli_ckpt2"), "--max-block", "30")) === 2)
+  }
+
+  test("force: single-contract backfill equals the library forceLoad") {
+    val out = tmp("cli_force")
+    val coll = f"0x${4000L}%040x" // fixture contract created at block 35
+    assert(Main.run(spark, Seq("force", coll, "35", "50", "--out", out)) === 0)
+    val collections = spark.read.parquet(s"$out/collections").collect()
+    assert(collections.length === 1)
+    assert(collections.head.getAs[String]("collection_id") === coll)
+    assert(collections.head.getAs[String]("specification") === "ERC-721")
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "35").option("maxBlock", "50").load()
+      .select(col("number"), col("timestamp"))
+    val lib = graft.pipelines.Crawl.forceLoad(spark, coll, 35, 50, blockTimes)
+    assert(rows(spark.read.parquet(s"$out/transfers")) === rows(lib("transfers")))
+  }
+
+  test("verify: clean db reconciles transfers/owners; a dropped fact is flagged") {
+    val db = tmp("cli_db")
+    assert(Main.run(spark, Seq("crawl", "0", "40", "--out", db)) === 0)
+    val rpt1 = tmp("cli_rpt") + "/clean"
+    Main.run(spark, Seq("verify", "0", "40", "--db", db, "--out", rpt1))
+    val clean = spark.read.parquet(rpt1)
+    // transfers and owners reconcile exactly; the counts section audits
+    // db token counts against the chain's totalSupply PROBE (the
+    // reference's check) — fixture supplies intentionally disagree
+    assert(clean.filter(col("check").isin("transfers", "owners")).count() === 0)
+    // corrupt: drop one transfer fact
+    val all = spark.read.parquet(s"$db/transfers")
+    val dropped = all.orderBy(col("attribute_version")).limit(1)
+      .collect().head.getAs[String]("attribute_version")
+    all.filter(col("attribute_version") =!= dropped).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$db/transfers")
+    val rpt2 = tmp("cli_rpt2") + "/corrupt"
+    val code = Main.run(spark, Seq("verify", "0", "40", "--db", db, "--out", rpt2))
+    assert(code === 1) // discrepancies -> non-zero, scriptable
+    val flagged = spark.read.parquet(rpt2).filter(col("check") === "transfers").collect()
+    assert(flagged.length === 1 && flagged.head.getAs[String]("detail") === "left_only")
+  }
+
+  test("load: bulk backfill writes the three rollup tables") {
+    val out = tmp("cli_load")
+    assert(Main.run(spark, Seq("load", "/root/testdata/sf0.001", "--out", out)) === 0)
+    Seq("transfers", "tokens", "owners").foreach { t =>
+      assert(spark.read.parquet(s"$out/$t").count() > 0, s"empty table $t")
+    }
+  }
+
+  test("validation: the reference's param-type errors map to exit 2") {
+    val out = tmp("cli_bad")
+    // not an integer
+    assert(Main.run(spark, Seq("crawl", "ten", "20", "--out", out)) === 2)
+    // negative block
+    assert(Main.run(spark, Seq("seed", "-5", "--config", out)) === 2)
+    // empty range
+    assert(Main.run(spark, Seq("crawl", "20", "20", "--out", out)) === 2)
+    // malformed address
+    assert(Main.run(spark, Seq("force", "0x1234", "35", "50", "--out", out)) === 2)
+    // missing required option
+    assert(Main.run(spark, Seq("crawl", "0", "10")) === 2)
+    // wrong arity
+    assert(Main.run(spark, Seq("crawl", "0")) === 2)
+    // unknown option is loud, not ignored
+    assert(Main.run(spark, Seq("crawl", "0", "10", "--out", out, "--chunk", "5")) === 2)
+    // unknown command
+    assert(Main.run(spark, Seq("reseed")) === 2)
+    // option without value
+    assert(Main.run(spark, Seq("crawl", "0", "10", "--out")) === 2)
+  }
+}
