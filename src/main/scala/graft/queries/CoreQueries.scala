@@ -215,6 +215,22 @@ object CoreQueries {
         Exprs.hexCmp(col("a"), col("b")).as("cmp"))
   }
 
+  private val p8Uint256Oracled: QFn = (s, dir) => {
+    // Oracled twin of p8 (VERDICT r6 #3): the same hex_add / hex_cmp
+    // kernels, with operands placed beyond 2^63 (a = event_id << 64,
+    // so Long arithmetic CANNOT express it) but inside DuckDB's 128-bit
+    // HUGEINT range — add/compare get a hash-green differential row
+    // while the full-uint256-range query stays rows-only.
+    import graft.expr.Exprs
+    Tables.events(s, dir).withColumn("k", kCol)
+      .select(col("event_id"),
+        concat(lpad(lower(hex(col("event_id"))), 48, "0"), lit("0" * 16)).as("a"),
+        lpad(lower(hex(col("k"))), 64, "0").as("b"))
+      .select(col("event_id"),
+        Exprs.hexToDec(Exprs.hexAdd(col("a"), col("b"))).as("sum_dec"),
+        Exprs.hexCmp(col("a"), col("b")).as("cmp"))
+  }
+
   private val p9Keccak: QFn = (s, dir) => {
     // function_digest (`evm/bin.py:18-35`): keccak-256 topic + 4-byte
     // selector of a text signature. No DuckDB keccak -> rows-only check.
@@ -568,6 +584,13 @@ object CoreQueries {
         |replace(concat('ipfs://collection/{id}/meta?u=', CAST(user_id AS VARCHAR)),
         |  '{id}', CAST(event_id AS VARCHAR)) AS url FROM events""".stripMargin),
     QueryDef("p8_uint256_math", p8Uint256Math, ""),
+    QueryDef("p8_uint256_oracled", p8Uint256Oracled,
+      s"""WITH w AS (SELECT event_id,
+        |  CAST(event_id AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT) AS a,
+        |  CAST(($kSql) AS HUGEINT) AS b FROM events)
+        |SELECT event_id, CAST(a + b AS VARCHAR) AS sum_dec,
+        |CASE WHEN a > b THEN 1 WHEN a < b THEN -1 ELSE 0 END AS cmp
+        |FROM w""".stripMargin),
     QueryDef("p9_keccak", p9Keccak, ""),
     QueryDef("g1_explode", g1Explode,
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
