@@ -44,9 +44,16 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   val httpRequests = new AtomicInteger(0)
   val rpcRequests = new AtomicInteger(0)
   val largestBatch = new AtomicInteger(0)
+  /** High-water mark of simultaneously in-flight HTTP requests — the
+    * crawl's actual wire parallelism (must stay bounded by the reader's
+    * partition count; an unbounded value means batches pile up). */
+  val maxConcurrentRequests = new AtomicInteger(0)
+  private val inFlight = new AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  // generously sized so the in-flight gauge measures CLIENT behavior,
+  // not a server-side queue
+  server.setExecutor(Executors.newFixedThreadPool(64))
   server.createContext("/", (exchange: HttpExchange) => handle(exchange))
   server.start()
 
@@ -54,6 +61,13 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   def stop(): Unit = server.stop(0)
 
   private def handle(exchange: HttpExchange): Unit = {
+    val now = inFlight.incrementAndGet()
+    maxConcurrentRequests.getAndUpdate(m => math.max(m, now))
+    try handleInner(exchange)
+    finally inFlight.decrementAndGet()
+  }
+
+  private def handleInner(exchange: HttpExchange): Unit = {
     val requestNo = httpRequests.incrementAndGet()
     val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     if (dead.get() || requestNo > dieAfterRequests.get()) {
