@@ -51,9 +51,20 @@ object Tail {
               numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bucket = bucketExpr(keys, numBuckets)
+    // Collapse the batch to ONE winner per key FIRST, so stored state is
+    // O(distinct keys) from the very first epoch (previously an epoch-1
+    // batch with repeated keys was stored uncollapsed until the next
+    // upsert healed it). Algebraic argmax on purpose: partial (map-side)
+    // aggregation absorbs a hot key's epoch before the shuffle, where a
+    // Window over the key would funnel it into one reducer.
+    val allCols = struct(batch.columns.map(col).toIndexedSeq: _*)
+    val version = struct(versionCols.map(col).toIndexedSeq: _*)
+    val collapsed = batch.groupBy(keys.map(col): _*)
+      .agg(max_by(allCols, version).as("__row"))
+      .select(col("__row.*"))
     // The touched-bucket list is at most numBuckets ints — a metadata-
     // scale collect, not a data collect.
-    val touched = batch.select(bucket.as("__bucket")).distinct()
+    val touched = collapsed.select(bucket.as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val existing =
       try Some(spark.read.parquet(target)
@@ -61,8 +72,8 @@ object Tail {
         .drop("__bucket"))
       catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
     val merged = existing match {
-      case Some(e) => Lww.upsert(e, batch, keys, versionCols)
-      case None    => batch
+      case Some(e) => Lww.upsert(e, collapsed, keys, versionCols)
+      case None    => collapsed
     }
     // localCheckpoint materializes the merged buckets (bounded by the
     // touched set) and cuts the plan's lineage back to `target`, so the

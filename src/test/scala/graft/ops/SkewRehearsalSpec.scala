@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.{EvmLog, EvmTransactionReceipt}
+import graft.sources.ReceiptDataFetcher
+import org.apache.spark.sql.functions._
+
+/** Pathological-skew fixture (VERDICT r6 #5): ONE block carries 100k
+  * transfer logs, and ONE (contract, token) owns 90% of all transfers.
+  * Instantiated by class name through the receipts-source fetcher seam,
+  * so the skewed chain flows through the production crawl path. */
+class SkewedReceiptFetcher extends ReceiptDataFetcher {
+  import SkewedReceiptFetcher._
+  override def fetchReceipts(lo: Long, hi: Long): Iterator[EvmTransactionReceipt] =
+    Iterator.range(lo, hi).flatMap(receiptsOf)
+}
+
+object SkewedReceiptFetcher {
+  val HotBlock = 100L
+  val HotContract: String = "0x" + "ab" * 20
+  val HotToken = 7L
+  private def addr40(k: Long): String = f"0x$k%040x"
+  private def topicAddr(a: String): String = "0x" + ("0" * 24) + a.drop(2)
+  private def topicUint(v: Long): String = "0x" + f"$v%064x"
+
+  private def receipt(n: Long, tx: Long, logs: Seq[EvmLog],
+      creates: Option[String] = None): EvmTransactionReceipt =
+    EvmTransactionReceipt(
+      transaction_hash = f"0x7b${n * 10000 + tx}%062x",
+      transaction_index = tx,
+      block_hash = f"0xb1${n}%062x",
+      block_number = n,
+      from_ = addr40(1000 + tx),
+      to_ = if (creates.isDefined) None else Some(addr40(2000 + tx)),
+      cumulative_gas_used = 21000L * (tx + 1),
+      gas_used = 21000L,
+      contract_address = creates,
+      status = Some(1L),
+      logs = logs)
+
+  private def transferLog(n: Long, tx: Long, logIdx: Long, contract: String,
+      token: Long): EvmLog =
+    EvmLog(
+      removed = false,
+      log_index = logIdx,
+      transaction_index = tx,
+      transaction_hash = f"0x7b${n * 10000 + tx}%062x",
+      block_hash = f"0xb1${n}%062x",
+      block_number = n,
+      address = contract,
+      data = "0x",
+      topics = Seq(graft.nft.Derive.Erc721TransferSig,
+        topicAddr(addr40(3000 + (n + tx + logIdx) % 97)),
+        topicAddr(addr40(5000 + (n + tx * 7 + logIdx) % 89)),
+        topicUint(token)))
+
+  def receiptsOf(n: Long): Seq[EvmTransactionReceipt] =
+    if (n == HotBlock) {
+      // 1000 transactions x 100 logs = 100k transfers in ONE block;
+      // 90% of them on the hot (contract, token) pair. log_index stays
+      // per-receipt (< 10^4) so attribute_version keys remain unique.
+      (0L until 1000L).map { tx =>
+        receipt(n, tx, (0L until 100L).map { j =>
+          val global = tx * 100 + j
+          if (global % 10 != 0) transferLog(n, tx, j, HotContract, HotToken)
+          else transferLog(n, tx, j, addr40(7000 + global % 13), global % 29)
+        })
+      }
+    } else {
+      // background traffic: 2 single-log receipts per block, plus an
+      // occasional creation so the collections branch stays non-trivial
+      val base = (0L until 2L).map(tx =>
+        receipt(n, tx, Seq(transferLog(n, tx, 0L, addr40(7000 + n % 13), n % 29))))
+      if (n % 50 == 0) base :+ receipt(n, 2L, Nil, creates = Some(addr40(4000 + n / 50)))
+      else base
+    }
+}
+
+/** Hot-block/hot-contract rehearsal: the fixture above through
+  * fromChain → Derive → the LWW sink, asserting WHICH mechanism absorbs
+  * each skew (PLANS.md round-7 notes):
+  *  - the hot BLOCK (one scan task) redistributes at the first shuffle
+  *    because the dedup/agg keys are fine-grained;
+  *  - the hot KEY in algebraic rollups is absorbed by partial (map-side)
+  *    aggregation — plan-asserted;
+  *  - beyond-algebraic hot keys go through Skew.saltedAggregate, whose
+  *    phase-1 provably spreads the hot key over many reducers;
+  *  - the LWW sink's stored state stays O(distinct keys) and an epoch
+  *    rewrites only its touched buckets, hot key or not. */
+class SkewRehearsalSpec extends SparkSpec {
+  import SkewedReceiptFetcher._
+
+  private lazy val tables = graft.pipelines.Crawl.fromChain(spark, 0L, 200L,
+    receiptsFetcher = classOf[SkewedReceiptFetcher].getName, numPartitions = 4)
+  private lazy val transfers = tables("transfers").cache()
+
+  private val expectedTotal = 100000L + 199L * 2L // hot block + background
+  private val expectedHot = 90000L
+
+  test("hot block redistributes at the first shuffle: no single-task blowup downstream") {
+    assert(transfers.count() === expectedTotal)
+    assert(transfers.filter(col("collection_id") === HotContract).count() === expectedHot)
+    // the 100k-log block enters through ONE scan task (99.6% input skew);
+    // after the dedup shuffle the work is spread — no reducer holds half
+    val perPartition = transfers.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect().map(_.getAs[Long]("count"))
+    assert(perPartition.length > 1, "everything collapsed into one partition")
+    assert(perPartition.max.toDouble / expectedTotal < 0.5,
+      s"one task holds ${perPartition.max} of $expectedTotal rows post-shuffle")
+  }
+
+  test("algebraic rollups absorb the hot key via partial aggregation (plan-asserted)") {
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "200").load()
+      .select(col("number"), col("timestamp"))
+    val tokens = graft.nft.Derive.tokens(transfers, blockTimes)
+    val plan = tokens.queryExecution.executedPlan.toString
+    // map-side combine: each of the hot key's 90k rows folds into a
+    // per-task partial BEFORE the exchange — the reducer receives
+    // O(tasks) rows for the hot key, not O(rows)
+    assert(plan.contains("partial_"), s"no partial aggregate in plan:\n$plan")
+    val hot = tokens.filter(col("collection_id") === HotContract &&
+      col("token_id") === f"$HotToken%064x")
+    assert(hot.count() === 1)
+  }
+
+  test("salted two-phase aggregation spreads the hot key across reducers") {
+    val in = transfers.select(col("collection_id"), col("token_id"),
+      col("attribute_version"), lit(1L).as("one"))
+    val salted = Skew.saltedAggregate(in, Seq("collection_id", "token_id"),
+      Skew.sumCount("one"), buckets = 32)
+    val hot = salted.filter(col("collection_id") === HotContract &&
+      col("token_id") === f"$HotToken%064x").head()
+    assert(hot.getAs[Long]("n") === expectedHot) // equality with the plain agg
+    // phase-1 engagement: the hot key's rows content-hash into MANY salt
+    // buckets (they differ by attribute_version), so no single reducer
+    // sees all 90k rows
+    val saltSpread = in.filter(col("collection_id") === HotContract &&
+        col("token_id") === f"$HotToken%064x")
+      .select(pmod(hash(in.columns.map(col).toIndexedSeq: _*), lit(32)).as("salt"))
+      .distinct().count()
+    assert(saltSpread > 16, s"hot key spread over only $saltSpread of 32 salt buckets")
+  }
+
+  test("LWW sink under a hot key: state stays O(keys), epochs rewrite only touched buckets") {
+    val target = java.nio.file.Files.createTempDirectory("skew_lww").toString + "/owners"
+    val numBuckets = 8
+    graft.streaming.Tail.lwwSink(target, Seq("collection_id", "token_id"),
+      Seq("attribute_version"), numBuckets)(transfers, 0L)
+    val stored = spark.read.parquet(target)
+    val distinctKeys = transfers.select("collection_id", "token_id").distinct().count()
+    // 90k hot-key events collapsed to ONE stored row: sink state is
+    // O(distinct keys), so the hot bucket cannot grow with event volume
+    assert(stored.count() === distinctKeys)
+    val bucketDirs = new java.io.File(target).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map(_.getName).sorted
+    assert(bucketDirs.length <= numBuckets)
+
+    def fileSets(): Map[String, Set[String]] = bucketDirs.map { d =>
+      d -> new java.io.File(s"$target/$d").listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }.toMap
+    val before = fileSets()
+    // epoch 2: a small batch updating 3 existing keys at a later version
+    val batch2 = transfers.limit(3)
+      .withColumn("attribute_version", lit("f" * 40))
+    val touched = batch2
+      .select(pmod(hash(col("collection_id"), col("token_id")), lit(numBuckets)))
+      .distinct().collect().map(r => s"__bucket=${r.getInt(0)}").toSet
+    graft.streaming.Tail.lwwSink(target, Seq("collection_id", "token_id"),
+      Seq("attribute_version"), numBuckets)(batch2, 1L)
+    val after = fileSets()
+    // only the touched buckets' files changed — per-epoch I/O is
+    // O(touched buckets), independent of table size or key heat
+    bucketDirs.filterNot(touched).foreach { d =>
+      assert(after(d) === before(d), s"untouched bucket $d was rewritten")
+    }
+    assert(spark.read.parquet(target).count() === distinctKeys) // upsert, no dup
+    assert(spark.read.parquet(target)
+      .filter(col("attribute_version") === "f" * 40).count() === 3)
+  }
+}
