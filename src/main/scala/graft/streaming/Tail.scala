@@ -35,54 +35,83 @@ object Tail {
     pmod(hash(keys.map(col): _*), lit(numBuckets))
 
   /** foreachBatch LWW sink: each micro-batch upserts into `target`
-    * parquet with the A4 argmax semantics — replay-idempotent, so task
-    * retries / batch replays converge (the reference's idempotence
-    * invariant).
-    *
-    * The target is partitioned by `__bucket = pmod(hash(keys), N)` and
-    * each micro-batch rewrites ONLY the buckets its keys land in
-    * (dynamic partition overwrite): per-epoch I/O is O(touched buckets
-    * x bucket size), not O(table) — the property that lets a continuous
-    * tail run against a 100 TB target. An earlier version rewrote the
-    * whole table through a tmp dir every epoch. Size `numBuckets` so a
-    * bucket is a few GB at the target's scale; a format with row-level
-    * MERGE (Delta/Iceberg) replaces this sink wholesale where available. */
+    * with the A4 argmax semantics — replay-idempotent, so task retries
+    * / batch replays converge (the reference's idempotence invariant).
+    * The physical upsert goes through the [[LwwMergeFormat]] seam;
+    * the default is [[BucketOverwriteFormat]]. */
   def lwwSink(target: String, keys: Seq[String], versionCols: Seq[String],
-              numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val bucket = bucketExpr(keys, numBuckets)
-    // Collapse the batch to ONE winner per key FIRST, so stored state is
-    // O(distinct keys) from the very first epoch (previously an epoch-1
-    // batch with repeated keys was stored uncollapsed until the next
-    // upsert healed it). Algebraic argmax on purpose: partial (map-side)
-    // aggregation absorbs a hot key's epoch before the shuffle, where a
-    // Window over the key would funnel it into one reducer.
+              numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit =
+    mergeSink(target, keys, versionCols,
+      new BucketOverwriteFormat(numBuckets))(batch, batchId)
+
+  /** [[lwwSink]] with an explicit storage format. The sink owns the
+    * LOGICAL step every format needs — collapsing the epoch to one
+    * winner per key — and delegates the PHYSICAL upsert. Collapse is an
+    * algebraic argmax on purpose: partial (map-side) aggregation
+    * absorbs a hot key's epoch before the shuffle, where a Window over
+    * the key would funnel it into one reducer (SkewRehearsalSpec). */
+  def mergeSink(target: String, keys: Seq[String], versionCols: Seq[String],
+                format: LwwMergeFormat)(batch: DataFrame, batchId: Long): Unit = {
     val allCols = struct(batch.columns.map(col).toIndexedSeq: _*)
     val version = struct(versionCols.map(col).toIndexedSeq: _*)
     val collapsed = batch.groupBy(keys.map(col): _*)
       .agg(max_by(allCols, version).as("__row"))
       .select(col("__row.*"))
-    // The touched-bucket list is at most numBuckets ints — a metadata-
-    // scale collect, not a data collect.
-    val touched = collapsed.select(bucket.as("__bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val existing =
-      try Some(spark.read.parquet(target)
-        .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
-        .drop("__bucket"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
-    val merged = existing match {
-      case Some(e) => Lww.upsert(e, collapsed, keys, versionCols)
-      case None    => collapsed
+    format.upsert(target, collapsed, keys, versionCols)
+  }
+
+  /** Physical upsert seam for the LWW sink — the boundary at which a
+    * row-level MERGE format (Delta/Iceberg `MERGE INTO`, a JDBC upsert)
+    * replaces bucket-granular overwrite WITHOUT touching any caller:
+    * `winners` is one already-collapsed row per key, and after the call
+    * `target` must hold the argmax-by-version row per key across every
+    * epoch so far. Implementations must be replay-idempotent (re-
+    * upserting the same winners is a no-op) — foreachBatch is
+    * at-least-once. */
+  trait LwwMergeFormat {
+    def upsert(target: String, winners: DataFrame, keys: Seq[String],
+               versionCols: Seq[String]): Unit
+  }
+
+  /** Default format: parquet partitioned by `__bucket = pmod(hash(keys),
+    * N)`; each epoch rewrites ONLY the buckets its keys land in (dynamic
+    * partition overwrite), so per-epoch I/O is O(touched buckets x
+    * bucket size), not O(table) — the property that lets a continuous
+    * tail run against a 100 TB target. An earlier version rewrote the
+    * whole table through a tmp dir every epoch.
+    *
+    * Bucket-sizing contract: stored state is one row per key, so a
+    * bucket holds ~distinctKeys/N rows REGARDLESS of event-volume skew
+    * (a hot key collapses before storage; hash spreads keys uniformly —
+    * spec-asserted under a 90%-hot-key distribution). Size N so a
+    * bucket is a few GB at the target's key cardinality. */
+  final class BucketOverwriteFormat(numBuckets: Int = 32) extends LwwMergeFormat {
+    override def upsert(target: String, winners: DataFrame, keys: Seq[String],
+                        versionCols: Seq[String]): Unit = {
+      val spark = winners.sparkSession
+      val bucket = bucketExpr(keys, numBuckets)
+      // The touched-bucket list is at most numBuckets ints — a metadata-
+      // scale collect, not a data collect.
+      val touched = winners.select(bucket.as("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing =
+        try Some(spark.read.parquet(target)
+          .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
+          .drop("__bucket"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
+      val merged = existing match {
+        case Some(e) => Lww.upsert(e, winners, keys, versionCols)
+        case None    => winners
+      }
+      // localCheckpoint materializes the merged buckets (bounded by the
+      // touched set) and cuts the plan's lineage back to `target`, so the
+      // overwrite below is not "a path that is also being read from".
+      merged.withColumn("__bucket", bucket).localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(target)
     }
-    // localCheckpoint materializes the merged buckets (bounded by the
-    // touched set) and cuts the plan's lineage back to `target`, so the
-    // overwrite below is not "a path that is also being read from".
-    merged.withColumn("__bucket", bucket).localCheckpoint(true)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(target)
   }
 
   /** File-source tail: treats new parquet files in `dir` as arriving
