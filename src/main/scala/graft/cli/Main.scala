@@ -62,6 +62,8 @@ object Main {
       |  --collection ADDR         narrow verify to one collection (address pushdown)
       |  --trail-blocks N          reorg lag for tail (default 0)
       |  --blocks-per-trigger N    tail micro-batch width (default 64)
+      |  --head-wait-ms N          tail: long-poll the head up to N ms per cycle
+      |  --head-probe-ms N         tail: head re-probe interval (default 200)
       |  --checkpoint DIR          streaming checkpoint location (tail)
       |  --max-block N             stop bound for tail (default unbounded)
       |  --buckets N               sink/fact bucket count (default 16)
@@ -77,7 +79,8 @@ object Main {
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
     "out", "config", "data-version", "increment-data-version", "stage-dir",
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
-    "checkpoint", "max-block", "buckets", "once", "start")
+    "checkpoint", "max-block", "buckets", "once", "start",
+    "head-wait-ms", "head-probe-ms")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -203,13 +206,17 @@ object Main {
               .map(_ + 1)
               .getOrElse(throw CliError(
                 "tail requires a seeded bookmark (run `seed`) or an explicit --start")))
-          val base = spark.readStream.format("receipts")
+          val base0 = spark.readStream.format("receipts")
             .option("start", start.toString)
             .option("maxBlock", longOpt(opts, "max-block", Long.MaxValue).toString)
             .option("blocksPerTrigger", intOpt(opts, "blocks-per-trigger", 64).toString)
             .option("trailBlocks", longOpt(opts, "trail-blocks", 0L).toString)
             .option("numPartitions", numPartitions.toString)
             .option("fetcher", w.receipts)
+          // --head-wait-ms: opt-in long-poll head (sub-interval latency)
+          val base = Seq("head-wait-ms" -> "headWaitMs", "head-probe-ms" -> "headProbeMs")
+            .foldLeft(base0) { case (r, (cli, opt)) =>
+              opts.get(cli).fold(r)(v => r.option(opt, longOpt(opts, cli, 0L).toString)) }
           val receipts = w.options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
           val logs = receipts.select(explode(col("logs")).as("l")).select(col("l.*"))
           val transfers = graft.nft.Derive.transfers(logs)

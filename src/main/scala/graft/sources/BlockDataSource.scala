@@ -300,6 +300,9 @@ final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
     extends MicroBatchStream {
   private var head: Long = start
   private lazy val headFn: Option[() => Long] = ChainHead.provider(fetcherClass, fetcherOptions)
+  // long-poll opt-in (`headWaitMs`): see [[ChainHead.await]]
+  private val headWaitMs = fetcherOptions.get("headwaitms").map(_.toLong).getOrElse(0L)
+  private val headProbeMs = fetcherOptions.get("headprobems").map(_.toLong).getOrElse(200L)
 
   override def initialOffset(): Offset = BlockOffset(start)
 
@@ -308,7 +311,12 @@ final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
     // offsets here are EXCLUSIVE upper bounds, so the reachable target
     // is head-number + 1 — without it the tip block is never fetched
     val target = headFn match {
-      case Some(f) => math.min(maxBlock, BlockWindow.satAdd(f(), 1L))
+      case Some(f) =>
+        // long-poll only while the stream is caught up AND unbounded
+        // ahead: a new block exists once tip-number >= head (exclusive)
+        val wait = if (head >= maxBlock) 0L else headWaitMs
+        math.min(maxBlock, BlockWindow.satAdd(
+          ChainHead.await(f, atLeast = head, wait, headProbeMs), 1L))
       case None => maxBlock
     }
     // monotone even if a node briefly reports a lower height (reorg,

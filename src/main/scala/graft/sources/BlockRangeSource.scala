@@ -117,6 +117,32 @@ object ChainHead {
         Some(() => configured.chainHead())
       case _ => None
     }
+
+  /** Long-poll head probe (option `headWaitMs` > 0): re-probe the node
+    * every `probeMs` until its tip reaches `atLeast` (= a new block
+    * exists past the current offset) or the wait budget is spent,
+    * returning the freshest height. `waitMs` <= 0 degenerates to one
+    * probe — the polling default.
+    *
+    * This is what lets tail latency drop BELOW the stream's trigger
+    * interval: with the default (back-to-back) trigger, the micro-batch
+    * planner blocks briefly inside offset discovery and fires the
+    * moment a block appears — instead of either spinning empty no-data
+    * batches at full speed or waiting out a reference-style 10 s poll
+    * interval (`tail.py --process-interval`). An interrupt (query
+    * stop) ends the wait immediately. */
+  def await(probe: () => Long, atLeast: Long, waitMs: Long, probeMs: Long): Long = {
+    var h = probe()
+    if (waitMs <= 0L || h >= atLeast) return h
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var interrupted = false
+    while (h < atLeast && System.nanoTime() < deadline && !interrupted) {
+      try Thread.sleep(math.max(1L, probeMs))
+      catch { case _: InterruptedException => Thread.currentThread().interrupt(); interrupted = true }
+      if (!interrupted) h = probe()
+    }
+    h
+  }
 }
 
 final class RangeTooLargeException(msg: String) extends RuntimeException(msg)
@@ -298,6 +324,9 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
   // do); the head still advances at most blocksPerTrigger per poll —
   // maxOffsetsPerTrigger-style admission control over a real node
   private lazy val headFn: Option[() => Long] = ChainHead.provider(fetcherClass, fetcherOptions)
+  // long-poll opt-in (`headWaitMs`): see [[ChainHead.await]]
+  private val headWaitMs = fetcherOptions.get("headwaitms").map(_.toLong).getOrElse(0L)
+  private val headProbeMs = fetcherOptions.get("headprobems").map(_.toLong).getOrElse(200L)
 
   override def initialOffset(): Offset = BlockOffset(start)
 
@@ -306,7 +335,12 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
     // offsets here are EXCLUSIVE upper bounds, so the reachable target
     // is head-number + 1 — without it the tip block is never fetched
     val target = headFn match {
-      case Some(f) => math.min(maxBlock, BlockWindow.satAdd(f(), 1L))
+      case Some(f) =>
+        // long-poll only while the stream is caught up AND unbounded
+        // ahead: a new block exists once tip-number >= head (exclusive)
+        val wait = if (head >= maxBlock) 0L else headWaitMs
+        math.min(maxBlock, BlockWindow.satAdd(
+          ChainHead.await(f, atLeast = head, wait, headProbeMs), 1L))
       case None => maxBlock
     }
     // monotone even if a node briefly reports a lower height (reorg,

@@ -41,6 +41,9 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   /** When set, every dispatched entry answers this JSON-RPC error —
     * models a provider answering per-request server errors. */
   @volatile var entryError: Option[(Int, String)] = None
+  /** Live chain height (blocks are 0..height-1); mutable so specs can
+    * advance the chain while a stream is tailing it. */
+  val height = new java.util.concurrent.atomic.AtomicLong(chainHeight)
   val httpRequests = new AtomicInteger(0)
   val rpcRequests = new AtomicInteger(0)
   val largestBatch = new AtomicInteger(0)
@@ -115,14 +118,14 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
     (req \ "method") match {
       case JString("eth_blockNumber") =>
         // real-node semantics: the latest block NUMBER (blocks are
-        // 0..chainHeight-1 here), not the block count; floored at 0 so
+        // 0..height-1 here), not the block count; floored at 0 so
         // an empty-chain stub does not underflow into 0xffff… garbage
-        result(id, JString("0x" + java.lang.Long.toHexString(math.max(0L, chainHeight - 1))))
+        result(id, JString("0x" + java.lang.Long.toHexString(math.max(0L, height.get() - 1))))
       case JString("eth_getBlockByNumber") =>
         val n = java.lang.Long.parseLong(
           params.head.asInstanceOf[JString].s.stripPrefix("0x"), 16)
         val full = params(1) match { case JBool(b) => b; case _ => false }
-        if (n >= chainHeight) result(id, JNull)
+        if (n >= height.get()) result(id, JNull)
         else result(id, StubRpcServer.blockJson(SimulatedBlockDataFetcher.block(n), full))
       case JString("eth_getTransactionReceipt") =>
         val hash = params.head.asInstanceOf[JString].s
