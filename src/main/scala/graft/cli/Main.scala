@@ -179,9 +179,14 @@ object Main {
               SinkUtils.incrementDataVersion(spark, s"${required(opts, "config")}/data_version",
                 blockchain)
             else intOpt(opts, "data-version", 1)
+          // against live endpoints, materializing five tables off one
+          // lazy lineage would re-fetch the window per table (5x RPC
+          // cost) — default the stage under --out unless given
+          val stageDir = opts.get("stage-dir")
+            .orElse(if (opts.contains("evm-rpc-nodes")) Some(s"$out/.stage") else None)
           val tables = Crawl.fromChain(spark, start, end,
             blocksFetcher = w.blocks, receiptsFetcher = w.receipts,
-            numPartitions = numPartitions, stageDir = opts.get("stage-dir"),
+            numPartitions = numPartitions, stageDir = stageDir,
             callExecutor = w.calls, fetcherOptions = w.options, dataVersion = dataVersion)
           writeTables(tables, out)
           println(s"crawled [$start, $end) into $out (data_version=$dataVersion)")

@@ -33,6 +33,24 @@ class MainCliSpec extends SparkSpec {
       .select("data_version").head().getInt(0) === 2)
   }
 
+  test("crawl over RPC endpoints stages the fetched window once (no per-table re-fetch)") {
+    val out = tmp("cli_rpc_crawl")
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      assert(Main.run(spark, Seq("crawl", "0", "30", "--out", out,
+        "--evm-rpc-nodes", stub.url)) === 0)
+      // the stage defaulted under --out because endpoints are live
+      assert(new java.io.File(s"$out/.stage/receipts").exists())
+      // wire cost stayed linear (blocks + hash lists + receipts +
+      // probes); materializing five tables off one live lineage would
+      // have multiplied it several-fold
+      val totalTx = (0L until 30L).map(graft.sources.SimulatedReceiptFetcher.receiptsOf(_).size).sum
+      assert(stub.rpcRequests.get() <= 30 + 30 + totalTx + 6 * 30 + 10,
+        s"${stub.rpcRequests.get()} wire entries — the crawl re-fetched its window")
+      assert(spark.read.parquet(s"$out/transfers").count() === (0L until 30L).map(_ % 3).sum)
+    } finally stub.stop()
+  }
+
   test("seed then tail --once: the stream starts at the bookmark and lands in the LWW sink") {
     val out = tmp("cli_tail"); val cfg = tmp("cli_cfg2"); val ckpt = tmp("cli_ckpt")
     // hex accepted like the reference's HexIntParamType
