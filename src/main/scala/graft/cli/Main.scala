@@ -51,6 +51,7 @@ object Main {
       |  --evm-rpc-nodes URLS      comma-separated JSON-RPC endpoints; omit = simulated chain
       |  --rpc-batch N             max JSON-RPC calls per wire batch (default 256)
       |  --rpc-timeout-ms N        transport timeout (default 30000)
+      |  --rpc-requests-per-second N  proactive per-JVM request cap (default off)
       |  --num-partitions N        fetch parallelism (default 4)
       |  --out DIR                 output directory (crawl/tail/force/load)
       |  --config DIR              config-table directory (seed/tail/crawl bookkeeping)
@@ -80,7 +81,7 @@ object Main {
     "out", "config", "data-version", "increment-data-version", "stage-dir",
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
-    "head-wait-ms", "head-probe-ms")
+    "head-wait-ms", "head-probe-ms", "rpc-requests-per-second")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -143,7 +144,8 @@ object Main {
     case Some(nodes) =>
       val fetcherOpts = Map("endpoints" -> nodes) ++
         opts.get("rpc-batch").map("rpcBatch" -> _) ++
-        opts.get("rpc-timeout-ms").map("rpcTimeoutMs" -> _)
+        opts.get("rpc-timeout-ms").map("rpcTimeoutMs" -> _) ++
+        opts.get("rpc-requests-per-second").map("rpcRequestsPerSecond" -> _)
       Wiring(classOf[graft.rpc.RpcBlockDataFetcher].getName,
         classOf[graft.rpc.RpcReceiptDataFetcher].getName,
         classOf[graft.rpc.RpcLogsFetcher].getName,

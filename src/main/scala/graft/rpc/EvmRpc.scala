@@ -174,7 +174,12 @@ trait RpcFetcherBase extends ConfigurableFetcher with HeadAwareFetcher {
       throw new IllegalArgumentException(
         "RPC fetcher requires option 'endpoints' (comma-separated JSON-RPC URLs)"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    client = JsonRpc.client(eps, options.get("rpctimeoutms").map(_.toLong).getOrElse(30000L))
+    client = JsonRpc.client(eps,
+      options.get("rpctimeoutms").map(_.toLong).getOrElse(30000L),
+      options.get("rpccooldownms").map(_.toLong).getOrElse(30000L),
+      // `rpcRequestsPerSecond`: proactive per-JVM request cap
+      // (reference `--rpc-requests-per-second`, `nft/bin/nft.py:48-54`)
+      options.get("rpcrequestspersecond").map(_.toInt).getOrElse(0))
     rpcBatch = options.get("rpcbatch").map(_.toInt).getOrElse(256)
   }
 

@@ -82,20 +82,62 @@ object JsonRpc {
     * lifetime, and a permanent eviction would turn one network blip
     * into a permanently dead streaming job. */
   def client(endpoints: Seq[String], timeoutMs: Long = 30000L,
-      cooldownMs: Long = 30000L): JsonRpcClient = {
+      cooldownMs: Long = 30000L, requestsPerSecond: Int = 0): JsonRpcClient = {
     require(endpoints.nonEmpty, "at least one RPC endpoint is required")
-    cache.computeIfAbsent((endpoints.mkString(","), timeoutMs, cooldownMs), { _ =>
+    cache.computeIfAbsent((endpoints.mkString(","), timeoutMs, cooldownMs, requestsPerSecond), { _ =>
       val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
-      if (singles.size == 1) singles.head
-      else new PooledJsonRpcClient(singles, cooldownMs)
+      val base =
+        if (singles.size == 1) singles.head
+        else new PooledJsonRpcClient(singles, cooldownMs)
+      if (requestsPerSecond > 0) new RateLimitedJsonRpcClient(base, requestsPerSecond)
+      else base
     })
   }
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), JsonRpcClient]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), JsonRpcClient]()
 
   /** Test hook: drop cached clients (e.g. between stub-server lifetimes). */
   private[rpc] def resetCache(): Unit = cache.clear()
+}
+
+/** Proactive client-side request-rate cap — the reference's
+  * `rpc_requests_per_second` (`core/rpc.py:365-383`: fixed per-second
+  * window, per client instance; each JSON-RPC request consumes one
+  * slot, excess waits for the window to roll). Complements the REACTIVE
+  * 429 backoff: a capped client never provokes the throttle in the
+  * first place. Batch accounting matches provider practice — an N-entry
+  * batch array costs N request slots, acquired (possibly across window
+  * boundaries) before the round trip. The client is cached per JVM, so
+  * on a cluster the aggregate rate is perSecond x executor JVMs — the
+  * same multiplication the reference's per-connection limit x pool
+  * size implies (`nft/bin/nft.py:48-54`); size the option accordingly. */
+final class RateLimitedJsonRpcClient(inner: JsonRpcClient, perSecond: Int)
+    extends JsonRpcClient {
+  private var windowSecond = 0L
+  private var usedThisSecond = 0
+
+  private def acquire(n: Int): Unit = {
+    var remaining = n
+    while (remaining > 0) {
+      val sleepMs = synchronized {
+        val nowSec = System.nanoTime() / 1000000000L
+        if (nowSec != windowSecond) { windowSecond = nowSec; usedThisSecond = 0 }
+        if (usedThisSecond < perSecond) {
+          val take = math.min(remaining, perSecond - usedThisSecond)
+          usedThisSecond += take
+          remaining -= take
+          0L
+        } else 1000L - (System.nanoTime() / 1000000L) % 1000L // to next window
+      }
+      if (sleepMs > 0L) Thread.sleep(math.max(1L, sleepMs))
+    }
+  }
+
+  override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+    acquire(math.max(1, calls.size))
+    inner.batch(calls)
+  }
 }
 
 /** Single-endpoint HTTP transport. The JDK HttpClient keeps its own

@@ -158,6 +158,30 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     assert(Seq(a, b, c).map(_.hits.get()) === Seq(1, 1, 1))
   }
 
+  test("requests-per-second cap: wire entries are paced into per-second windows") {
+    val served = new AtomicInteger(0)
+    val instant = new JsonRpcClient {
+      override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
+        served.addAndGet(calls.size)
+        calls.map(_ => Right(JString("ok")))
+      }
+    }
+    // 150 request slots at 50/s need at least three windows -> the
+    // second and third 50-entry batches must cross window boundaries
+    val limited = new RateLimitedJsonRpcClient(instant, perSecond = 50)
+    val t0 = System.nanoTime()
+    val results = (0 until 3).flatMap { _ =>
+      limited.batch(Seq.fill(50)(RpcCall("m", Nil)))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(results.size === 150 && served.get() === 150) // nothing dropped
+    assert(elapsedMs >= 900, s"150 entries at 50/s finished in ${elapsedMs}ms — cap not enforced")
+    // control: uncapped client (perSecond=0 path is not even wrapped)
+    val t1 = System.nanoTime()
+    instant.batch(Seq.fill(150)(RpcCall("m", Nil)))
+    assert((System.nanoTime() - t1) / 1000000L < 500)
+  }
+
   test("hex64 refuses a quantity wider than uint256 instead of truncating high digits") {
     val ok = JObject("v" -> JString("0x" + "ff" * 32))
     assert(EvmWire.hex64(ok, "v") === "f" * 64)
