@@ -164,9 +164,18 @@ object Derive {
     * long-typed sum. Mint and burn totals now fold through the exact
     * `Uint256Sum` aggregator (partial+final merge like any algebraic
     * agg) and the net supply is their `hex_sub`: pad64 hex when
-    * non-negative, `-` + pad64 when the data is inconsistent. */
-  def tokens(transfers: DataFrame, blockTimes: DataFrame): DataFrame = {
-    val enriched = transfers.join(broadcast(blockTimes),
+    * non-negative, `-` + pad64 when the data is inconsistent.
+    *
+    * `broadcastTimes`: the block-time dim is broadcast for a crawl
+    * WINDOW (rows = blocks in range, a few MB); a whole-chain backfill
+    * at full height (tens of millions of rows) must NOT ship the dim to
+    * every task — pass false and the enrich degrades to a shuffled
+    * join Catalyst plans as SMJ/SHJ. `Crawl.fromChain`/`forceLoad`
+    * choose automatically by window width. */
+  def tokens(transfers: DataFrame, blockTimes: DataFrame,
+             broadcastTimes: Boolean = true): DataFrame = {
+    val dim = if (broadcastTimes) broadcast(blockTimes) else blockTimes
+    val enriched = transfers.join(dim,
       transfers("block_id") === blockTimes("number"), "left")
     enriched
       .groupBy(col("blockchain"), col("collection_id"), col("token_id"))

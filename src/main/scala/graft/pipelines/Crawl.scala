@@ -15,6 +15,11 @@ import graft.ops.Lww
   */
 object Crawl {
 
+  /** Widest block window whose (number, timestamp) dim is still worth
+    * broadcasting: 4M rows x 16 bytes ≈ 64 MB plan-side — beyond it the
+    * token enrich uses a shuffled join instead. */
+  val BroadcastWindowLimit: Long = 4000000L
+
   def transfers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.filter(col("event_type").isin("purchase", "click", "error"))
@@ -53,10 +58,11 @@ object Crawl {
     * [[graft.nft.Collections.fromReceipts]]; repeated creations of one
     * contract LWW-collapse on the latest creation block.
     *
-    * Scale note: `Derive.tokens` broadcasts the block-time dim, which is
-    * right for a crawl WINDOW (rows = blocks in range); a whole-chain
-    * backfill at full height should stage blockTimes to a bucketed table
-    * and let the join degrade to a co-located SMJ instead.
+    * Scale note: `Derive.tokens` broadcasts the block-time dim for a
+    * crawl WINDOW (rows = blocks in range); past
+    * [[Crawl.BroadcastWindowLimit]] blocks the enrich automatically
+    * degrades to a shuffled join — a whole-chain backfill must not ship
+    * a tens-of-millions-row dim to every task.
     *
     * `stageDir`: the returned tables share the receipts/transfers
     * lineage, so materializing all of them against a LIVE fetcher would
@@ -104,7 +110,8 @@ object Crawl {
     Map(
       "collections" -> collections,
       "transfers" -> transfers,
-      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes),
+      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes,
+        broadcastTimes = maxBlock - startBlock <= BroadcastWindowLimit),
       "owners" -> graft.nft.Derive.owners(transfers),
       "uris" -> graft.nft.Derive.uriUpdates(logs))
   }
@@ -151,7 +158,8 @@ object Crawl {
     Map(
       "collections" -> collections,
       "transfers" -> transfers,
-      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes),
+      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes,
+        broadcastTimes = maxBlock - creationBlock <= BroadcastWindowLimit),
       "owners" -> graft.nft.Derive.owners(transfers),
       "uris" -> graft.nft.Derive.uriUpdates(logs))
   }

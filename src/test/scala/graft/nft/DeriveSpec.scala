@@ -109,6 +109,33 @@ class DeriveSpec extends SparkSpec {
     assert(t9.isNullAt(t9.fieldIndex("current_owner"))) // ERC-1155 forces null
   }
 
+  test("tokens enrich join degrades from broadcast to shuffled past the window limit") {
+    val blockTimes = Seq((100L, 1000L), (101L, 1010L), (102L, 1020L),
+      (104L, 1040L), (105L, 1050L)).toDF("number", "timestamp")
+    val transfers = Derive.transfers(fixtureLogs)
+    // a 5-row dim auto-broadcasts under the 10MB threshold, masking the
+    // hint difference; disable auto-broadcast so the plan shows only
+    // what the API chose (at real whole-chain size the estimate exceeds
+    // the threshold and Catalyst lands here anyway)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaBroadcast = Derive.tokens(transfers, blockTimes)
+      val viaShuffle = Derive.tokens(transfers, blockTimes, broadcastTimes = false)
+      // plan shapes: window path broadcasts by hint, whole-chain path
+      // must NOT ship the dim to every task
+      assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      val shufflePlan = viaShuffle.queryExecution.executedPlan.toString
+      assert(!shufflePlan.contains("BroadcastHashJoin"), s"dim still broadcast:\n$shufflePlan")
+      assert(shufflePlan.contains("SortMergeJoin") || shufflePlan.contains("ShuffledHashJoin"))
+      // identical results either way
+      assert(viaShuffle.collect().map(_.toString).sorted.toSeq ===
+        viaBroadcast.collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // and the pipelines pick the join by window width
+    assert(graft.pipelines.Crawl.BroadcastWindowLimit === 4000000L)
+  }
+
   test("owners balances: deltas sum, zeros dropped") {
     val owners = Derive.owners(Derive.transfers(fixtureLogs))
       .collect().map(r => (r.getAs[String]("token_id"), r.getAs[String]("account")) -> r.getAs[String]("quantity")).toMap
