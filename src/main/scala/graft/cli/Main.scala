@@ -289,6 +289,13 @@ object Main {
             narrowed(table("transfers")), narrowed(table("owners")), dbTokens, supply,
             collectionId = collection, logsFetcher = w.logs,
             numPartitions = numPartitions, fetcherOptions = w.options)
+            // per-token ownerOf probes (reference verify_token flow),
+            // gated on the db's ERC-721 classification like the
+            // reference's contract_supports_erc721 check
+            .unionByName(VerifyPipeline.tokenOwnersReport(spark,
+              narrowed(table("tokens")),
+              narrowed(table("collections")).filter(col("specification") === "ERC-721"),
+              w.calls, w.options))
           opts.get("out") match {
             case Some(o) => report.write.mode(SaveMode.Overwrite).parquet(o)
             case None =>

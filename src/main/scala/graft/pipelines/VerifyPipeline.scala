@@ -67,6 +67,51 @@ object VerifyPipeline {
       .unionByName(ownersReport(chainOwners, dbOwners))
       .unionByName(countsReport(dbTokens, supplySnapshot))
 
+  /** Per-token CURRENT-OWNER probe — the reference verify's
+    * `get_current_owner` flow (`nft/bin/verify.py`: eth_call
+    * `ownerOf(token_id)` per ERC-721 token, compared against the stored
+    * owner). Requests build columnar off the db tokens table (ERC-1155
+    * rows carry null current_owner and are skipped — 1155 has no
+    * ownerOf), the [[graft.rpc.CallExecutor]] seam runs them (simulated
+    * or JSON-RPC), and only disagreeing rows come back, in the shared
+    * report shape:
+    *  - `mismatch:db=…,chain=…` — the chain answers a different address
+    *  - `unanswered` — the call reverted (token gone, or the contract
+    *    is not the 721 the db claims)
+    * Distribution: probes execute per partition through `mapPartitions`
+    * (the one non-declarative hop, same as the S6 snapshot flow); the
+    * compare is a key-join — a billion-token audit shuffles once.
+    *
+    * `erc721Collections` gates which tokens are probed — the reference
+    * checks `contract_supports_erc721` BEFORE per-token ownerOf (a
+    * non-721 contract legitimately reverts ownerOf, which must not read
+    * as corruption). Pass the collections dim filtered to ERC-721. */
+  def tokenOwnersReport(spark: SparkSession, dbTokens: DataFrame,
+      erc721Collections: DataFrame,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val sel = graft.expr.Keccak.functionSelector("ownerOf(uint256)")
+    val owned = dbTokens.filter(col("current_owner").isNotNull)
+      .join(broadcast(erc721Collections.select(col("collection_id")).distinct()),
+        Seq("collection_id"), "left_semi")
+      .select(col("collection_id"), col("token_id"), lower(col("current_owner")).as("db_owner"))
+    val requests = owned.select(
+      col("collection_id").as("to"),
+      col("token_id").as("probe"), // the token id IS the correlation key
+      concat(lit(sel), col("token_id")).as("data"))
+    val answers = graft.rpc.Calls.execute(spark, requests, callExecutor, options)
+      .select(col("to").as("collection_id"), col("probe").as("token_id"),
+        // return payload is one 32-byte word; the address is its low 20
+        when(col("result").isNotNull,
+          lower(concat(lit("0x"), substring(col("result"), -40, 40)))).as("chain_owner"))
+    owned.join(answers, Seq("collection_id", "token_id"), "left")
+      .filter(col("chain_owner").isNull || col("chain_owner") =!= col("db_owner"))
+      .select(lit("token_owner").as("check"), col("collection_id"), col("token_id"),
+        when(col("chain_owner").isNull, lit("unanswered"))
+          .otherwise(concat(lit("mismatch:db="), col("db_owner"),
+            lit(",chain="), col("chain_owner"))).as("detail"))
+  }
+
   /** The verify command FIXTURE-FREE: chain truth is re-derived through
     * the ranged-logs source — the reference verify's own access path
     * (`get_transfer_logs` = `get_logs(transfer topics, address=

@@ -57,6 +57,7 @@ object SimulatedCallExecutor {
   private val Symbol = selector("symbol()")
   private val TotalSupply = selector("totalSupply()")
   private val Owner = selector("owner()")
+  private val OwnerOf = selector("ownerOf(uint256)")
   private val Erc721Id = "80ac58cd"
   private val Erc1155Id = "d9b67a26"
 
@@ -78,6 +79,18 @@ object SimulatedCallExecutor {
       case Name if is721 => enc(Abi.AbiString(s"Collection $k"))
       case Symbol if is721 => enc(Abi.AbiString(s"C$k"))
       case TotalSupply if is721 => enc(Abi.AbiUint(BigInteger.valueOf(k * 10)))
+      case OwnerOf if is721 =>
+        // per-token current owner, CONSISTENT with the simulated chain's
+        // transfer logs: token t = n*10+i was transferred once, in block
+        // n, to addr(2000 + (n+i) % 50) — so the probe answer equals what
+        // Derive.tokens folds from the logs (the verify probe's clean
+        // case). A token whose block does not map to this contract
+        // reverts, like a real 721 for an unknown id.
+        val t = new BigInteger(data.slice(10, 74), 16).longValue()
+        val n = t / 10
+        if (graft.sources.SimChain.collection(n) == to)
+          enc(Abi.AbiAddress(graft.sources.SimChain.addr(2000 + (n + t % 10) % 50)))
+        else None
       case Owner if erc165 && k % 7 != 0 =>
         enc(Abi.AbiAddress(f"0x${9000 + k % 50}%040x"))
       case _ => None // unknown function / no ERC-165: the call reverts

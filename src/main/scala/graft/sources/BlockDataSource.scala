@@ -89,7 +89,7 @@ final class SimulatedBlockDataFetcher extends BlockDataFetcher {
   * defined HERE, so the blocks and receipts fixtures can never disagree
   * on the same transaction (a cross-source join on transaction_hash
   * sees consistent sender/recipient). */
-private[sources] object SimChain {
+private[graft] object SimChain {
   def hex64(n: Long, tag: Long): String = f"0x$tag%02x${n}%062x"
   def addr(n: Long): String = f"0x$n%040x"
   def blockHash(n: Long): String = hex64(n, 0xb1)

@@ -136,6 +136,38 @@ class CollectionsVerifySpec extends SparkSpec {
       nr.head.getAs[String]("collection_id") === oneColl)
   }
 
+  test("per-token ownerOf probes: clean db verifies, a corrupted owner is flagged") {
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 40)
+    val tokens = crawled("tokens").cache()
+    // the reference gates ownerOf probes on contract_supports_erc721
+    val erc721 = crawled("collections")
+      .filter(col("specification") === "ERC-721").cache()
+    val probed = tokens.filter(col("current_owner").isNotNull)
+      .join(erc721.select("collection_id"), Seq("collection_id"), "left_semi")
+    assert(probed.count() > 0)
+    // a clean crawl's current_owner agrees with the chain probe per token
+    val clean = VerifyPipeline.tokenOwnersReport(spark, tokens, erc721)
+    assert(clean.count() === 0)
+    // … and identically through the live RPC call transport
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      val viaRpc = VerifyPipeline.tokenOwnersReport(spark, tokens, erc721,
+        graft.rpc.CallExecutor.Rpc, Map("endpoints" -> stub.url))
+      assert(viaRpc.count() === 0)
+    } finally stub.stop()
+    // corrupt ONE stored owner: exactly that token is flagged, with the
+    // per-field detail the reference verify reports
+    val victim = probed.orderBy(col("token_id")).limit(1).collect().head
+    val corrupted = tokens.withColumn("current_owner",
+      when(col("token_id") === victim.getAs[String]("token_id"),
+        lit("0x" + "dead" * 10)).otherwise(col("current_owner")))
+    val flagged = VerifyPipeline.tokenOwnersReport(spark, corrupted, erc721).collect()
+    assert(flagged.length === 1)
+    assert(flagged.head.getAs[String]("token_id") === victim.getAs[String]("token_id"))
+    assert(flagged.head.getAs[String]("check") === "token_owner")
+    assert(flagged.head.getAs[String]("detail").startsWith("mismatch:db=0xdead"))
+  }
+
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()
