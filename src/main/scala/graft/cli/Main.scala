@@ -317,6 +317,12 @@ object Main {
         System.err.println(s"error: $msg")
         System.err.println(usage)
         2
+      // environment errors an operator can act on (missing table dir,
+      // wrong schema at --db/--config) get the click-style message, not
+      // a stack trace
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"error: ${e.getMessage}")
+        2
     }
 
   /** Positional-arity check with the reference's click-style error. */

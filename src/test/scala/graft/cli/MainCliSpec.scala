@@ -137,5 +137,7 @@ class MainCliSpec extends SparkSpec {
     assert(Main.run(spark, Seq("reseed")) === 2)
     // option without value
     assert(Main.run(spark, Seq("crawl", "0", "10", "--out")) === 2)
+    // missing db tables -> clean exit, not a stack trace
+    assert(Main.run(spark, Seq("verify", "0", "10", "--db", tmp("cli_nodb"))) === 2)
   }
 }
