@@ -184,13 +184,21 @@ object Main {
           // against live endpoints, materializing five tables off one
           // lazy lineage would re-fetch the window per table (5x RPC
           // cost) — default the stage under --out unless given
+          val defaultedStage = !opts.contains("stage-dir") && opts.contains("evm-rpc-nodes")
           val stageDir = opts.get("stage-dir")
-            .orElse(if (opts.contains("evm-rpc-nodes")) Some(s"$out/.stage") else None)
+            .orElse(if (defaultedStage) Some(s"$out/.stage") else None)
           val tables = Crawl.fromChain(spark, start, end,
             blocksFetcher = w.blocks, receiptsFetcher = w.receipts,
             numPartitions = numPartitions, stageDir = stageDir,
             callExecutor = w.calls, fetcherOptions = w.options, dataVersion = dataVersion)
           writeTables(tables, out)
+          // an auto-chosen stage is an implementation detail of the
+          // crawl, not part of its output contract — drop it once the
+          // real tables have landed (a user-supplied --stage-dir is kept)
+          if (defaultedStage) stageDir.foreach { s =>
+            val p = new org.apache.hadoop.fs.Path(s)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
           println(s"crawled [$start, $end) into $out (data_version=$dataVersion)")
           0
 
@@ -207,8 +215,10 @@ object Main {
           val config = required(opts, "config")
           val checkpoint = required(opts, "checkpoint")
           // the reference tail starts where the seeded bookmark points
-          // (`tail.py`'s starting-block lookup); --start overrides
-          val start = longOpt(opts, "start",
+          // (`tail.py`'s starting-block lookup); --start overrides — and
+          // must short-circuit the lookup entirely, so a fresh
+          // environment with no bookmark still honors the override
+          val start = opts.get("start").map(v => blockArg("--start", v)).getOrElse(
             SinkUtils.readLastBlock(spark, s"$config/last_block", blockchain)
               .map(_ + 1)
               .getOrElse(throw CliError(
@@ -296,11 +306,16 @@ object Main {
               narrowed(table("tokens")),
               narrowed(table("collections")).filter(col("specification") === "ERC-721"),
               w.calls, w.options))
-          opts.get("out") match {
-            case Some(o) => report.write.mode(SaveMode.Overwrite).parquet(o)
-            case None =>
+          // with --out, count the WRITTEN parquet rather than re-running
+          // the report lineage: the lineage holds live ranged-getLogs
+          // sweeps and latest-state ownerOf probes, so a second
+          // execution doubles wire cost and can disagree with the file
+          val n = opts.get("out") match {
+            case Some(o) =>
+              report.write.mode(SaveMode.Overwrite).parquet(o)
+              spark.read.parquet(o).count()
+            case None => report.count()
           }
-          val n = report.count()
           println(if (n == 0) "verify: clean" else s"verify: $n discrepancies")
           if (n == 0) 0 else 1
 

@@ -142,6 +142,14 @@ object Crawl {
         .option("fetcher", fetcher)
       fetcherOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
     }
+    // the caller's block-time dim may span the WHOLE chain (the S8 CSV
+    // cache) — every consumer here only needs [creationBlock, maxBlock),
+    // so prune it up front: the predicate pushes into the CSV/blocks
+    // scan, and the window width becomes a sound proxy for the dim's
+    // broadcast size (unpruned, a 1000-block force over a 20M-row cache
+    // would broadcast the full cache)
+    val windowTimes = blockTimes.filter(
+      col("number") >= creationBlock && col("number") < maxBlock)
     val creationReceipts = src("receipts", receiptsFetcher, creationBlock, creationBlock + 1)
       .filter(col("contract_address") === collectionId)
     val snapshot = graft.rpc.Calls.interfaceSnapshot(
@@ -150,7 +158,7 @@ object Crawl {
           creationReceipts.select(col("contract_address").as("collection_id")).distinct()),
         callExecutor, fetcherOptions))
     val collections = graft.nft.Collections.fromReceipts(
-      creationReceipts, snapshot, blockTimes, dataVersion)
+      creationReceipts, snapshot, windowTimes, dataVersion)
     // no transfers can precede the creation: start the log scan there
     val logs = src("logs", logsFetcher, creationBlock, maxBlock)
       .filter(col("address") === collectionId)
@@ -158,7 +166,7 @@ object Crawl {
     Map(
       "collections" -> collections,
       "transfers" -> transfers,
-      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes,
+      "tokens" -> graft.nft.Derive.tokens(transfers, windowTimes,
         broadcastTimes = maxBlock - creationBlock <= BroadcastWindowLimit),
       "owners" -> graft.nft.Derive.owners(transfers),
       "uris" -> graft.nft.Derive.uriUpdates(logs))

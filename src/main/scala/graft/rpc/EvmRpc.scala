@@ -57,9 +57,13 @@ object EvmWire {
     * like every other parse path — silent high-digit truncation would
     * corrupt balances. */
   def hex64(j: JValue, field: String): String = {
-    val h = strip0x(jString(j, field)).toLowerCase
+    val raw = strip0x(jString(j, field)).toLowerCase
+    // leading zeros are lossless padding, not width — canonicalize them
+    // away before judging, so "0x00…0ff" (66 hex chars, value < 2^256)
+    // parses while a genuinely over-wide VALUE still fails loudly
+    val h = { val t = raw.dropWhile(_ == '0'); if (t.isEmpty && raw.nonEmpty) "0" else t }
     if (h.length > 64) throw new RpcClientException(
-      s"field $field: hex quantity exceeds uint256 width (${h.length} hex digits)")
+      s"field $field: hex quantity exceeds uint256 width (${h.length} significant hex digits)")
     else if (h.length == 64) h
     else ("0" * (64 - h.length)) + h
   }

@@ -277,7 +277,11 @@ final class PooledJsonRpcClient(initial: Seq[JsonRpcClient], cooldownMs: Long = 
   // runs UNLOCKED — the client is shared JVM-wide and concurrent tasks
   // must fan out across endpoints, not serialize behind one batch
   private val pool: Vector[JsonRpcClient] = initial.toVector
-  private val deadUntil = new Array[Long](pool.size) // 0 = live; else nanoTime deadline
+  // Long.MinValue = live; else nanoTime cooldown deadline. The live
+  // sentinel must sort below every possible deadline: nanoTime has an
+  // arbitrary origin and MAY be negative, so 0 would misclassify live
+  // endpoints as cooling (and sort them above just-evicted ones)
+  private val deadUntil = Array.fill(pool.size)(Long.MinValue)
   private var index = 0
 
   /** Visible-for-test: indexes currently inside their cooldown. */
@@ -299,7 +303,7 @@ final class PooledJsonRpcClient(initial: Seq[JsonRpcClient], cooldownMs: Long = 
     deadUntil(i) = System.nanoTime() + cooldownMs * 1000000L
   }
 
-  private def revive(i: Int): Unit = synchronized { deadUntil(i) = 0L }
+  private def revive(i: Int): Unit = synchronized { deadUntil(i) = Long.MinValue }
 
   override def batch(calls: Seq[RpcCall]): Seq[Either[RpcServerException, JValue]] = {
     var tried = Set.empty[Int]

@@ -39,8 +39,12 @@ class MainCliSpec extends SparkSpec {
     try {
       assert(Main.run(spark, Seq("crawl", "0", "30", "--out", out,
         "--evm-rpc-nodes", stub.url)) === 0)
-      // the stage defaulted under --out because endpoints are live
-      assert(new java.io.File(s"$out/.stage/receipts").exists())
+      // the auto-chosen stage under --out is an implementation detail:
+      // it must be gone once the real tables land (a user-supplied
+      // --stage-dir is kept; covered by the assertion below that the
+      // staged lineage really fed the tables before cleanup)
+      assert(!new java.io.File(s"$out/.stage").exists(),
+        "defaulted stage directory survived the crawl")
       // wire cost stayed linear (blocks + hash lists + receipts +
       // probes); materializing five tables off one live lineage would
       // have multiplied it several-fold
@@ -69,6 +73,14 @@ class MainCliSpec extends SparkSpec {
     val emptyCfg = tmp("cli_cfg3")
     assert(Main.run(spark, Seq("tail", "--once", "--out", out, "--config", emptyCfg,
       "--checkpoint", tmp("cli_ckpt2"), "--max-block", "30")) === 2)
+    // --start must short-circuit the bookmark lookup: the same
+    // bookmarkless config with an explicit start runs fine
+    val out2 = tmp("cli_tail_start")
+    assert(Main.run(spark, Seq("tail", "--once", "--out", out2, "--config", emptyCfg,
+      "--checkpoint", tmp("cli_ckpt3"), "--start", "20", "--max-block", "30")) === 0)
+    assert(spark.read.parquet(s"$out2/transfers")
+      .agg(min(col("block_id")), max(col("block_id"))).head() ===
+      org.apache.spark.sql.Row(20L, 29L))
   }
 
   test("force: single-contract backfill equals the library forceLoad") {

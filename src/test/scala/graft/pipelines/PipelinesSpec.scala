@@ -176,6 +176,12 @@ class PipelinesSpec extends SparkSpec {
     val fromForcedTransfers = forced("owners")
     assert(rows(fromForcedTransfers) === rows(
       graft.nft.Derive.owners(narrowed("transfers").filter(col("block_id") >= 35))))
+    // tokens join against the WINDOW-pruned dim (the whole-chain cache
+    // is cut to [creation, max) before broadcast) still enriches every
+    // mint timestamp correctly
+    assert(rows(forced("tokens")) === rows(graft.nft.Derive.tokens(
+      narrowed("transfers").filter(col("block_id") >= 35),
+      blockTimes.filter(col("number") >= 35 && col("number") < 50))))
     // the collection row classifies through the same probe flow
     val c = forced("collections").collect()
     assert(c.length === 1)

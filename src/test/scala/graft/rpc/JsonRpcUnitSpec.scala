@@ -188,6 +188,12 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     val wide = JObject("v" -> JString("0x1" + "0" * 64)) // 65 hex digits
     val e = intercept[RpcClientException] { EvmWire.hex64(wide, "v") }
     assert(e.getMessage.contains("uint256"))
+    // over-WIDE but not over-VALUE: leading-zero padding is lossless
+    // canonicalization, not a protocol violation — some proxies emit it
+    val padded = JObject("v" -> JString("0x" + "00" * 3 + "ff" * 31)) // 68 hex chars
+    assert(EvmWire.hex64(padded, "v") === "00" + "ff" * 31)
+    val zero = JObject("v" -> JString("0x" + "0" * 70))
+    assert(EvmWire.hex64(zero, "v") === "0" * 64)
   }
 
   test("range-too-large mapping is scoped: logs shrink, block/receipt errors surface as-is") {
