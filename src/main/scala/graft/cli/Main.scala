@@ -45,6 +45,7 @@ object Main {
       |                     single-contract whole-chain backfill (--out)
       |  verify START END   reconcile chain truth against the DB tables (--db)
       |  load DATA_DIR      bulk backfill rollups from the events table (--out)
+      |  compact            fold a log-format tail sink to one row per key (--out)
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -61,6 +62,9 @@ object Main {
       |  --block-time-cache PATH   block-time CSV cache for force (S8); default: blocks source
       |  --db DIR                  database table directory (verify)
       |  --collection ADDR         narrow verify to one collection (address pushdown)
+      |  --merge-format NAME       tail sink storage: bucket (overwrite touched
+      |                            buckets, default) or log (append + read-time
+      |                            LWW resolve; fold with `compact`)
       |  --trail-blocks N          reorg lag for tail (default 0)
       |  --blocks-per-trigger N    tail micro-batch width (default 64)
       |  --head-wait-ms N          tail: long-poll the head up to N ms per cycle
@@ -81,7 +85,7 @@ object Main {
     "out", "config", "data-version", "increment-data-version", "stage-dir",
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
-    "head-wait-ms", "head-probe-ms", "rpc-requests-per-second")
+    "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -154,6 +158,18 @@ object Main {
       Wiring(BlockDataFetcher.Simulated, ReceiptDataFetcher.Simulated,
         LogsFetcher.Simulated, CallExecutor.Simulated, Map.empty)
   }
+
+  // the tail sink's table identity: append-only facts keyed by their
+  // synthetic version (K8 idempotent-append semantics)
+  private val TransferSinkKeys = Seq("collection_id", "token_id", "attribute_version")
+  private val TransferSinkVersion = Seq("attribute_version")
+
+  private def mergeFormat(opts: Map[String, String], buckets: Int): graft.streaming.Tail.LwwMergeFormat =
+    opts.getOrElse("merge-format", "bucket") match {
+      case "bucket" => new graft.streaming.Tail.BucketOverwriteFormat(buckets)
+      case "log"    => new graft.streaming.Tail.LogAppendFormat(buckets)
+      case other    => throw CliError(s"--merge-format: unknown format '$other' (bucket|log)")
+    }
 
   private def writeTables(tables: Map[String, DataFrame], outDir: String): Unit =
     tables.foreach { case (name, df) =>
@@ -240,9 +256,9 @@ object Main {
           val buckets = intOpt(opts, "buckets", 16)
           val q = transfers.writeStream
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(graft.streaming.Tail.lwwSink(s"$out/transfers",
-              Seq("collection_id", "token_id", "attribute_version"),
-              Seq("attribute_version"), buckets) _)
+            .foreachBatch(graft.streaming.Tail.mergeSink(s"$out/transfers",
+              TransferSinkKeys, TransferSinkVersion,
+              mergeFormat(opts, buckets)) _)
             .start()
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()
@@ -323,6 +339,16 @@ object Main {
           val Vector((_, dataDir)) = positional(pos, "load", "DATA_DIR")
           Load.run(spark, dataDir, required(opts, "out"), intOpt(opts, "buckets", 16))
           println(s"loaded $dataDir into ${opts("out")}")
+          0
+
+        case "compact" =>
+          positional(pos, "compact") // no positional args
+          val out = required(opts, "out")
+          // --buckets must match the tail that wrote the log, same as it
+          // must between tail restarts
+          new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
+            .compact(spark, s"$out/transfers", TransferSinkKeys, TransferSinkVersion)
+          println(s"compacted $out/transfers")
           0
 
         case other => throw CliError(s"unknown command: $other")

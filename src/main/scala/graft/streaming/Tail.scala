@@ -51,13 +51,21 @@ object Tail {
     * absorbs a hot key's epoch before the shuffle, where a Window over
     * the key would funnel it into one reducer (SkewRehearsalSpec). */
   def mergeSink(target: String, keys: Seq[String], versionCols: Seq[String],
-                format: LwwMergeFormat)(batch: DataFrame, batchId: Long): Unit = {
-    val allCols = struct(batch.columns.map(col).toIndexedSeq: _*)
+                format: LwwMergeFormat)(batch: DataFrame, batchId: Long): Unit =
+    format.upsert(target, collapse(batch, keys, versionCols), keys, versionCols)
+
+  /** One argmax-by-version row per key — algebraic (partial-agg
+    * friendly), shared by the sink's epoch collapse and the log
+    * format's read-time resolution. Assumes distinct writes of a key
+    * carry distinct versions (equal-version duplicates are byte-
+    * identical replays), which is what makes argmax = LWW. */
+  private[streaming] def collapse(df: DataFrame, keys: Seq[String],
+                                  versionCols: Seq[String]): DataFrame = {
+    val allCols = struct(df.columns.map(col).toIndexedSeq: _*)
     val version = struct(versionCols.map(col).toIndexedSeq: _*)
-    val collapsed = batch.groupBy(keys.map(col): _*)
+    df.groupBy(keys.map(col): _*)
       .agg(max_by(allCols, version).as("__row"))
       .select(col("__row.*"))
-    format.upsert(target, collapsed, keys, versionCols)
   }
 
   /** Physical upsert seam for the LWW sink — the boundary at which a
@@ -71,6 +79,15 @@ object Tail {
   trait LwwMergeFormat {
     def upsert(target: String, winners: DataFrame, keys: Seq[String],
                versionCols: Seq[String]): Unit
+
+    /** Current key→winner state as this format stores it. Formats whose
+      * physical layout IS one row per key return the table as-is; a
+      * merge-on-read format resolves here. Consumers must read through
+      * this seam, not `spark.read.parquet(target)` directly, or a
+      * format swap breaks them. */
+    def read(spark: SparkSession, target: String, keys: Seq[String],
+             versionCols: Seq[String]): DataFrame =
+      spark.read.parquet(target)
   }
 
   /** Default format: parquet partitioned by `__bucket = pmod(hash(keys),
@@ -112,6 +129,49 @@ object Tail {
         .partitionBy("__bucket")
         .parquet(target)
     }
+  }
+
+  /** Merge-on-read format: each epoch APPENDS its collapsed winners as
+    * new files under the same `__bucket` partitioning and defers
+    * conflict resolution to read time — the Delta/Iceberg merge-on-read
+    * tradeoff expressed without a table format. Epoch write cost is
+    * O(epoch winners) regardless of stored-key cardinality, where
+    * [[BucketOverwriteFormat]] pays O(touched-bucket size) re-written
+    * per epoch: right for a steady small-epoch tail against a table
+    * whose buckets dwarf an epoch (the 100 TB continuous-crawl shape),
+    * wrong when reads vastly outnumber writes. The price is read-side
+    * [[collapse]] work and log growth linear in epochs; [[compact]]
+    * folds the log back to one stored row per key (same bucket layout,
+    * so reads stay partition-prunable on `__bucket` either way).
+    *
+    * Replay idempotence is semantic, not physical: a replayed epoch
+    * appends byte-identical rows and resolution's argmax yields the
+    * same winner, so the READ state is unchanged — exactly the
+    * at-least-once contract foreachBatch requires. */
+  final class LogAppendFormat(numBuckets: Int = 32) extends LwwMergeFormat {
+    override def upsert(target: String, winners: DataFrame, keys: Seq[String],
+                        versionCols: Seq[String]): Unit =
+      winners.withColumn("__bucket", bucketExpr(keys, numBuckets))
+        .write.mode("append")
+        .partitionBy("__bucket")
+        .parquet(target)
+
+    override def read(spark: SparkSession, target: String, keys: Seq[String],
+                      versionCols: Seq[String]): DataFrame =
+      collapse(spark.read.parquet(target).drop("__bucket"), keys, versionCols)
+
+    /** Fold the log to one stored row per key. Safe to run any time the
+      * sink is quiescent (between micro-batches); the rewrite keeps the
+      * bucket layout so per-key reads stay pruned afterwards. */
+    def compact(spark: SparkSession, target: String, keys: Seq[String],
+                versionCols: Seq[String]): Unit =
+      read(spark, target, keys, versionCols)
+        .withColumn("__bucket", bucketExpr(keys, numBuckets))
+        // materialize + cut lineage back to `target` before overwriting it
+        .localCheckpoint(true)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(target)
   }
 
   /** File-source tail: treats new parquet files in `dir` as arriving

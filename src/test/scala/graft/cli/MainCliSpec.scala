@@ -83,6 +83,25 @@ class MainCliSpec extends SparkSpec {
       org.apache.spark.sql.Row(20L, 29L))
   }
 
+  test("tail --merge-format log + compact: converges with the bucket sink") {
+    val outB = tmp("cli_mf_b"); val outL = tmp("cli_mf_l"); val cfg = tmp("cli_mf_cfg")
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    def tailInto(out: String, extra: String*) =
+      Main.run(spark, Seq("tail", "--once", "--out", out, "--config", cfg,
+        "--checkpoint", tmp("cli_mf_ck"), "--max-block", "50") ++ extra)
+    assert(tailInto(outB) === 0)
+    assert(tailInto(outL, "--merge-format", "log") === 0)
+    // invalid format refuses loudly
+    assert(tailInto(tmp("cli_mf_x"), "--merge-format", "delta") === 2)
+    assert(Main.run(spark, Seq("compact", "--out", outL)) === 0)
+    // after compaction the log table holds one stored row per fact and
+    // reads equal the bucket sink's state, column for column
+    def state(out: String) = spark.read.parquet(s"$out/transfers")
+      .drop("__bucket").collect().map(_.toString).sorted.toSeq
+    assert(state(outL) === state(outB))
+    assert(state(outL).nonEmpty)
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35

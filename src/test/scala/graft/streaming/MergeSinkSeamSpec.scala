@@ -54,6 +54,38 @@ class MergeSinkSeamSpec extends SparkSpec {
       "[k1,a2,03]", "[k2,c,02]", "[k3,d,01]", "[k4,e,01]"))
   }
 
+  test("log-append format: read-time resolution converges with overwrite; compact folds the log") {
+    val epochs = Seq(
+      epoch(Seq(("k1", "a", "01"), ("k2", "b", "01"), ("k1", "a2", "03"))),
+      epoch(Seq(("k2", "c", "02"), ("k3", "d", "01"))),
+      epoch(Seq(("k2", "c", "02"), ("k3", "d", "01"))), // replayed epoch
+      epoch(Seq(("k1", "STALE", "02"), ("k4", "e", "01"))))
+    val fmt = new Tail.LogAppendFormat(4)
+    val target = java.nio.file.Files.createTempDirectory("seam_log").toString + "/t"
+    epochs.zipWithIndex.foreach { case (b, i) =>
+      Tail.mergeSink(target, Seq("key"), Seq("version"), fmt)(b, i.toLong)
+    }
+    def resolved = fmt.read(spark, target, Seq("key"), Seq("version"))
+      .select("key", "payload", "version").collect().map(_.toString).sorted.toSeq
+    val expect = Seq("[k1,a2,03]", "[k2,c,02]", "[k3,d,01]", "[k4,e,01]")
+    assert(resolved === expect)
+    // the STORED table is the log: every collapsed epoch appended,
+    // including the byte-identical replay (2 + 2 + 2 + 2 rows) — the
+    // write path never read or rewrote existing state
+    assert(spark.read.parquet(target).count() === 8L)
+    // compaction folds to one stored row per key without changing reads
+    fmt.compact(spark, target, Seq("key"), Seq("version"))
+    assert(spark.read.parquet(target).count() === 4L)
+    assert(resolved === expect)
+    // the bucket layout survives compaction (reads stay prunable)
+    assert(spark.read.parquet(target).columns.contains("__bucket"))
+    // and the sink keeps accepting epochs afterwards
+    Tail.mergeSink(target, Seq("key"), Seq("version"), fmt)(
+      epoch(Seq(("k1", "a3", "04"))), 4L)
+    assert(fmt.read(spark, target, Seq("key"), Seq("version"))
+      .filter($"key" === "k1").select("payload").head().getString(0) === "a3")
+  }
+
   test("bucket-sizing contract under skew: bucket sizes follow key cardinality, not event heat") {
     // 50k events, 80% on ONE key, the rest over 5000 distinct keys
     val hot = Seq.tabulate(40000)(i => ("hotkey", s"p$i", f"$i%08d"))
