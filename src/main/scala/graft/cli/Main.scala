@@ -301,7 +301,20 @@ object Main {
             s"ENDING_BLOCK ($end) must be greater than STARTING_BLOCK ($start)")
           val db = required(opts, "db")
           val collection = opts.get("collection").map(addressArg("--collection", _))
-          def table(name: String) = spark.read.parquet(s"$db/$name")
+          // a table written by the log-format tail sink is an epoch log
+          // (replays appended verbatim, `__bucket` partition column) —
+          // resolve it to facts before reconciling, or every replayed
+          // epoch would surface as a duplicate-fact discrepancy
+          def table(name: String) = {
+            val raw = spark.read.parquet(s"$db/$name")
+            if (!raw.columns.contains("__bucket")) raw
+            else {
+              val t = raw.drop("__bucket")
+              if (TransferSinkKeys.forall(t.columns.contains))
+                t.dropDuplicates(TransferSinkKeys)
+              else t
+            }
+          }
           def narrowed(df: DataFrame) =
             collection.fold(df)(c => df.filter(col("collection_id") === c))
           val dbTokens = narrowed(table("tokens").select(col("collection_id"), col("token_id")))

@@ -140,6 +140,28 @@ class MainCliSpec extends SparkSpec {
     assert(flagged.length === 1 && flagged.head.getAs[String]("detail") === "left_only")
   }
 
+  test("verify resolves a log-format transfers table: replayed epochs are not discrepancies") {
+    val db = tmp("cli_db_log")
+    assert(Main.run(spark, Seq("crawl", "0", "40", "--out", db)) === 0)
+    val facts = spark.read.parquet(s"$db/transfers").localCheckpoint(true)
+    // rewrite the same facts as an epoch LOG with a replayed epoch
+    val p = new org.apache.hadoop.fs.Path(s"$db/transfers")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val keys = Seq("collection_id", "token_id", "attribute_version")
+    val fmt = new graft.streaming.Tail.LogAppendFormat(4)
+    val e1 = facts.filter(col("block_id") < 20)
+    val e2 = facts.filter(col("block_id") >= 20)
+    Seq(e1, e2, e2).zipWithIndex.foreach { case (e, i) =>
+      graft.streaming.Tail.mergeSink(s"$db/transfers", keys,
+        Seq("attribute_version"), fmt)(e, i.toLong)
+    }
+    assert(spark.read.parquet(s"$db/transfers").count() > facts.count()) // really a log
+    val rpt = tmp("cli_rpt_log") + "/r"
+    Main.run(spark, Seq("verify", "0", "40", "--db", db, "--out", rpt))
+    assert(spark.read.parquet(rpt)
+      .filter(col("check").isin("transfers", "owners")).count() === 0)
+  }
+
   test("load: bulk backfill writes the three rollup tables") {
     val out = tmp("cli_load")
     assert(Main.run(spark, Seq("load", "/root/testdata/sf0.001", "--out", out)) === 0)
