@@ -62,6 +62,9 @@ object Main {
       |  --block-time-cache PATH   block-time CSV cache for force (S8); default: blocks source
       |  --db DIR                  database table directory (verify)
       |  --collection ADDR         narrow verify to one collection (address pushdown)
+      |  --owners-view             tail: also maintain the owner-balance view at
+      |                            $out/owners (additive merge, read via
+      |                            Tail.readOwners)
       |  --merge-format NAME       tail sink storage: bucket (overwrite touched
       |                            buckets, default) or log (append + read-time
       |                            LWW resolve; fold with `compact`)
@@ -78,14 +81,15 @@ object Main {
   /** Parse argv into (command, positional args, options). Options are
     * `--key value` except boolean flags. Unknown options fail loudly —
     * a typo'd option silently ignored is the worst CLI failure mode. */
-  private val boolFlags = Set("--increment-data-version", "--once")
+  private val boolFlags = Set("--increment-data-version", "--once", "--owners-view")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
     "out", "config", "data-version", "increment-data-version", "stage-dir",
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
-    "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format")
+    "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
+    "owners-view")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -254,11 +258,21 @@ object Main {
           val logs = receipts.select(explode(col("logs")).as("l")).select(col("l.*"))
           val transfers = graft.nft.Derive.transfers(logs)
           val buckets = intOpt(opts, "buckets", 16)
+          val factSink = graft.streaming.Tail.mergeSink(s"$out/transfers",
+            TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets)) _
+          val sinkFn: (DataFrame, Long) => Unit =
+            if (!opts.contains("owners-view")) factSink
+            else { (b, id) =>
+              // two sinks off one epoch: materialize it once
+              val cached = b.persist()
+              try {
+                factSink(cached, id)
+                graft.streaming.Tail.ownersSink(s"$out/owners", buckets)(cached, id)
+              } finally cached.unpersist(false)
+            }
           val q = transfers.writeStream
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(graft.streaming.Tail.mergeSink(s"$out/transfers",
-              TransferSinkKeys, TransferSinkVersion,
-              mergeFormat(opts, buckets)) _)
+            .foreachBatch(sinkFn)
             .start()
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()

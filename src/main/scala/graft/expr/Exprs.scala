@@ -28,8 +28,14 @@ object HexMath {
     if (h.length >= 64) h else ("0" * (64 - h.length)) + h
   }
 
-  def add(a: String, b: String): String =
-    pad64(new BigInteger(normalize(a), 16).add(new BigInteger(normalize(b), 16)).toString(16))
+  def add(a: String, b: String): String = {
+    val d = new BigInteger(normalize(a), 16).add(new BigInteger(normalize(b), 16))
+    // same canonical signed form as [[sub]]: pad64 of a negative
+    // rendering would embed the sign mid-string ("000…0-5"), unparseable
+    // by every consumer — signed inputs arise once subtraction results
+    // (e.g. net balances) feed back into addition
+    if (d.signum() < 0) "-" + pad64(d.negate().toString(16)) else pad64(d.toString(16))
+  }
 
   /** Difference with a canonical signed form: non-negative results are
     * plain pad64 hex (lexicographic == numeric); negative results are

@@ -203,6 +203,19 @@ object Derive {
     * hex, or `-` + pad64 for accounts net-negative mid-replay (matches
     * the reference keeping balances as arbitrary-precision ints). */
   def owners(transfers: DataFrame): DataFrame =
+    ownerDeltas(transfers)
+      .select(col("blockchain"), col("collection_id"), col("token_id"), col("account"),
+        graft.expr.Exprs.hexSub(col("in_total"), col("out_total")).as("quantity"))
+      .filter(col("quantity") =!= lit(hexZero))
+
+  /** The additive half of [[owners]]: per-key uint256 in/out totals over
+    * exactly the rows given — a batch covering the whole chain nets to
+    * final balances ([[owners]]); a micro-batch yields the EPOCH DELTAS
+    * the streaming owners sink merges into standing balances
+    * ([[graft.streaming.Tail.ownersSink]], K6 additive semantics).
+    * Algebraic on purpose: partial aggregation absorbs a hot key's
+    * epoch before the shuffle. */
+  def ownerDeltas(transfers: DataFrame): DataFrame =
     transfers
       .withColumn("d", explode(array(
         struct(col("to_").as("account"), lit("in").as("side")),
@@ -212,7 +225,4 @@ object Derive {
       .groupBy(col("blockchain"), col("collection_id"), col("token_id"), col("d.account"))
       .agg(u256(when(col("d.side") === "in", col("quantity"))).as("in_total"),
         u256(when(col("d.side") === "out", col("quantity"))).as("out_total"))
-      .select(col("blockchain"), col("collection_id"), col("token_id"), col("account"),
-        graft.expr.Exprs.hexSub(col("in_total"), col("out_total")).as("quantity"))
-      .filter(col("quantity") =!= lit(hexZero))
 }

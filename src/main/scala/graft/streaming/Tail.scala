@@ -174,6 +174,86 @@ object Tail {
         .parquet(target)
   }
 
+  /** Owner-balance materialized view key. */
+  val OwnerKeys: Seq[String] = Seq("blockchain", "collection_id", "token_id", "account")
+
+  /** foreachBatch ADDITIVE sink: a continuously-maintained owner-balance
+    * view (the reference tail's per-transfer token-owner updates, K6)
+    * fed by raw transfer micro-batches. Per epoch: collapse the batch to
+    * per-key uint256 in/out deltas (`Derive.ownerDeltas`, algebraic —
+    * a hot key's epoch partial-aggregates before the shuffle), then
+    * merge `balance' = balance + in − out` into the touched buckets
+    * only, like [[BucketOverwriteFormat]].
+    *
+    * Additive merges are NOT naturally replay-idempotent (re-adding a
+    * delta double-counts), so each rewritten bucket is stamped with the
+    * epoch that produced it (`__epoch`): a replayed batch skips buckets
+    * already at-or-past its id — the foreachBatch at-least-once contract
+    * handled with batch-id conditioning rather than version argmax.
+    * Batch ids strictly increase, so stale stamps never block progress.
+    *
+    * Stored state is the cumulative (in_total, out_total) COMPONENT
+    * pair per key, not the net balance: components are non-negative
+    * uint256, so the merge is pure addition — closed, commutative, no
+    * signed arithmetic — and the read derives `quantity = in − out`
+    * with exactly the formula the batch rollup uses, so inconsistent
+    * input surfaces as the same canonical negative balance in both.
+    * Zero NET balances are stored (their components are) and filtered
+    * at read time ([[readOwners]], K7 semantics): dynamic partition
+    * overwrite only rewrites partitions that receive rows, so a
+    * touched bucket must never write an empty frame or its stale state
+    * would survive. State is bounded by key cardinality either way. */
+  def ownersSink(target: String, numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.expr.Exprs.hexAdd
+    val spark = batch.sparkSession
+    val hexZero = graft.expr.HexMath.pad64("0")
+    val bucket = bucketExpr(OwnerKeys, numBuckets)
+    val deltas = graft.nft.Derive.ownerDeltas(batch).withColumn("__bucket", bucket)
+    // touched buckets: a metadata-scale collect (≤ numBuckets ints)
+    val touched = deltas.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val existing =
+      try Some(spark.read.parquet(target).filter(col("__bucket").isin(touched: _*)))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // first epoch
+    // buckets already stamped at-or-past this epoch = a replay; skip them
+    val applied: Set[Int] = existing.fold(Set.empty[Int]) {
+      _.groupBy(col("__bucket")).agg(max(col("__epoch")).as("e"))
+        .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
+    }
+    val freshTouched = touched.filterNot(applied)
+    if (freshTouched.isEmpty) return
+    val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
+    val merged = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
+      .select((OwnerKeys.map(col) :+ col("in_total").as("s_in") :+
+        col("out_total").as("s_out")).toIndexedSeq: _*)) match {
+      case Some(s) =>
+        s.join(fresh, OwnerKeys, "full_outer")
+          .select((OwnerKeys.map(col) :+
+            hexAdd(coalesce(col("s_in"), lit(hexZero)),
+              coalesce(col("in_total"), lit(hexZero))).as("in_total") :+
+            hexAdd(coalesce(col("s_out"), lit(hexZero)),
+              coalesce(col("out_total"), lit(hexZero))).as("out_total")).toIndexedSeq: _*)
+      case None => fresh
+    }
+    merged
+      .withColumn("__bucket", bucket)
+      .withColumn("__epoch", lit(batchId))
+      // materialize + cut lineage back to `target` before overwriting it
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(target)
+  }
+
+  /** Read the owners view: net the components with the batch rollup's
+    * exact formula, zero balances out (K7), storage columns dropped. */
+  def readOwners(spark: SparkSession, target: String): DataFrame =
+    spark.read.parquet(target)
+      .select((OwnerKeys.map(col) :+
+        graft.expr.Exprs.hexSub(col("in_total"), col("out_total")).as("quantity")).toIndexedSeq: _*)
+      .filter(col("quantity") =!= lit(graft.expr.HexMath.pad64("0")))
+
   /** File-source tail: treats new parquet files in `dir` as arriving
     * micro-batches (one file per trigger = one poll cycle). */
   def fileTail(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =

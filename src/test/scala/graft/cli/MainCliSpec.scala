@@ -102,6 +102,25 @@ class MainCliSpec extends SparkSpec {
     assert(state(outL).nonEmpty)
   }
 
+  test("tail --owners-view: the owner-balance view converges with the batch rollup") {
+    val out = tmp("cli_ov"); val cfg = tmp("cli_ov_cfg")
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    // 10-block triggers -> four epochs of additive merge
+    assert(Main.run(spark, Seq("tail", "--once", "--owners-view", "--out", out,
+      "--config", cfg, "--checkpoint", tmp("cli_ov_ck"), "--max-block", "60",
+      "--blocks-per-trigger", "10")) === 0)
+    def s(df: org.apache.spark.sql.DataFrame) = df
+      .select("blockchain", "collection_id", "token_id", "account", "quantity")
+      .collect().map(_.toString).sorted.toSeq
+    val view = s(graft.streaming.Tail.readOwners(spark, s"$out/owners"))
+    val batch = s(graft.nft.Derive.owners(
+      graft.pipelines.Crawl.fromChain(spark, 20, 60)("transfers")))
+    assert(view === batch)
+    assert(view.nonEmpty)
+    // the facts sink ran too
+    assert(spark.read.parquet(s"$out/transfers").count() > 0)
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35

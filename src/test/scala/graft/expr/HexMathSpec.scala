@@ -70,4 +70,16 @@ class HexMathSpec extends AnyFunSuite {
     assert(HexMath.compare("0x0", "0") === 0)
     assert(HexMath.add("0", "0") === "0" * 64)
   }
+
+  test("add is closed over the canonical signed form (sub results feed back in)") {
+    // sub can yield "-" + pad64; add must parse that AND render its own
+    // negative results the same way — the old pad64-of-"-5" rendering
+    // embedded the sign mid-string, which no consumer could parse
+    val neg3 = HexMath.sub("2", "5")
+    assert(neg3 === "-" + HexMath.pad64("3"))
+    assert(HexMath.add(neg3, "5") === HexMath.pad64("2"))   // -3 + 5
+    assert(HexMath.add(neg3, "1") === "-" + HexMath.pad64("2")) // -3 + 1
+    assert(HexMath.add(neg3, "3") === HexMath.pad64("0"))
+    assert(HexMath.sub(HexMath.add(neg3, neg3), neg3) === neg3) // -6 - -3
+  }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.expr.HexMath
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming owner-balance view (K6 additive merge + K7 zero
+  * tombstones): epoch-by-epoch additive sinking must converge to the
+  * batch [[graft.nft.Derive.owners]] over the same transfers, survive
+  * replays without double-counting, and keep zero balances out of
+  * reads but in storage (the dynamic-overwrite constraint). */
+class OwnersSinkSpec extends SparkSpec {
+
+  private def hex(n: Long) = HexMath.fromLong(n)
+
+  private def transfers(rows: Seq[(Long, String, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("block_id", "collection_id", "from_", "to_", "transaction_type", "q")
+      .withColumn("blockchain", lit("ethereum-mainnet"))
+      .withColumn("token_id", lit("0x01"))
+      .withColumn("quantity", udf((l: Long) => hex(l)).apply(col("q"))).drop("q")
+  }
+
+  private def state(target: String) =
+    Tail.readOwners(spark, target)
+      .select("collection_id", "account", "quantity")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("epoch-wise additive merge converges to the batch owners rollup; replays don't double-count") {
+    val all = graft.pipelines.Crawl.fromChain(spark, 0, 60)("transfers")
+      .localCheckpoint(true)
+    val target = java.nio.file.Files.createTempDirectory("owners_sink").toString + "/t"
+    val epochs = Seq((0L, 20L), (20L, 40L), (40L, 60L))
+    epochs.zipWithIndex.foreach { case ((lo, hi), i) =>
+      Tail.ownersSink(target, numBuckets = 4)(
+        all.filter(col("block_id") >= lo && col("block_id") < hi), i.toLong)
+    }
+    def viewState = Tail.readOwners(spark, target)
+      .select("blockchain", "collection_id", "token_id", "account", "quantity")
+      .collect().map(_.toString).sorted.toSeq
+    val batchState = graft.nft.Derive.owners(all)
+      .select("blockchain", "collection_id", "token_id", "account", "quantity")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viewState === batchState)
+    assert(viewState.nonEmpty)
+    // at-least-once: replay the LAST epoch verbatim — every touched
+    // bucket is already stamped at epoch 2, so the merge is a no-op
+    Tail.ownersSink(target, numBuckets = 4)(
+      all.filter(col("block_id") >= 40 && col("block_id") < 60), 2L)
+    assert(viewState === batchState)
+  }
+
+  test("zero balances tombstone in storage, disappear from reads, and stay additive-identity") {
+    val target = java.nio.file.Files.createTempDirectory("owners_zero").toString + "/t"
+    val c = "0xc"
+    // epoch 0: mint 5 to A; epoch 1: A sends all 5 to B
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((1L, c, "0x0", "0xa", "mint", 5L))), 0L)
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
+    // read: only B holds a balance (K7 delete semantics)
+    assert(state(target) === Seq(s"[$c,0xb,${hex(5)}]"))
+    // storage: A's zero-NET row remains (components in == out) — dynamic
+    // partition overwrite must always write rows into a touched bucket
+    val stored = spark.read.parquet(target)
+    assert(stored.filter(col("account") === "0xa")
+      .select("in_total", "out_total").head() ===
+      org.apache.spark.sql.Row(hex(5), hex(5)))
+    // the tombstone is additive-identity: A re-acquires in epoch 2
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((3L, c, "0xb", "0xa", "transfer", 2L))), 2L)
+    assert(state(target).toSet ===
+      Set(s"[$c,0xa,${hex(2)}]", s"[$c,0xb,${hex(3)}]"))
+  }
+}
