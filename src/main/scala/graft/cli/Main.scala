@@ -65,6 +65,9 @@ object Main {
       |  --owners-view             tail: also maintain the owner-balance view at
       |                            $out/owners (additive merge, read via
       |                            Tail.readOwners)
+      |  --tokens-view             tail: also maintain the token-state view at
+      |                            $out/tokens (needs --block-time-cache; read
+      |                            via Tail.readTokens)
       |  --merge-format NAME       tail sink storage: bucket (overwrite touched
       |                            buckets, default) or log (append + read-time
       |                            LWW resolve; fold with `compact`)
@@ -81,7 +84,8 @@ object Main {
   /** Parse argv into (command, positional args, options). Options are
     * `--key value` except boolean flags. Unknown options fail loudly —
     * a typo'd option silently ignored is the worst CLI failure mode. */
-  private val boolFlags = Set("--increment-data-version", "--once", "--owners-view")
+  private val boolFlags =
+    Set("--increment-data-version", "--once", "--owners-view", "--tokens-view")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -89,7 +93,7 @@ object Main {
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
-    "owners-view")
+    "owners-view", "tokens-view")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -260,14 +264,24 @@ object Main {
           val buckets = intOpt(opts, "buckets", 16)
           val factSink = graft.streaming.Tail.mergeSink(s"$out/transfers",
             TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets)) _
+          val viewSinks = Seq.newBuilder[(DataFrame, Long) => Unit]
+          if (opts.contains("owners-view"))
+            viewSinks += graft.streaming.Tail.ownersSink(s"$out/owners", buckets) _
+          if (opts.contains("tokens-view")) {
+            val bt = opts.get("block-time-cache").map(Load.readBlockTimeCsv(spark, _))
+              .getOrElse(throw CliError(
+                "--tokens-view requires --block-time-cache (the S8 block-time dim)"))
+            viewSinks += graft.streaming.Tail.tokensSink(s"$out/tokens", bt, buckets) _
+          }
+          val views = viewSinks.result()
           val sinkFn: (DataFrame, Long) => Unit =
-            if (!opts.contains("owners-view")) factSink
+            if (views.isEmpty) factSink
             else { (b, id) =>
-              // two sinks off one epoch: materialize it once
+              // several sinks off one epoch: materialize it once
               val cached = b.persist()
               try {
                 factSink(cached, id)
-                graft.streaming.Tail.ownersSink(s"$out/owners", buckets)(cached, id)
+                views.foreach(_(cached, id))
               } finally cached.unpersist(false)
             }
           val q = transfers.writeStream

@@ -173,7 +173,16 @@ object Derive {
     * join Catalyst plans as SMJ/SHJ. `Crawl.fromChain`/`forceLoad`
     * choose automatically by window width. */
   def tokens(transfers: DataFrame, blockTimes: DataFrame,
-             broadcastTimes: Boolean = true): DataFrame = {
+             broadcastTimes: Boolean = true): DataFrame =
+    finalizeTokens(tokenDeltas(transfers, blockTimes, broadcastTimes))
+
+  /** The component half of [[tokens]] — per-key state every column of
+    * which merges as a commutative semigroup (argmin over mint version,
+    * additive uint256 totals, argmax over attribute version, max), so a
+    * batch over the whole chain and an epoch-wise streaming fold
+    * ([[graft.streaming.Tail.tokensSink]]) reach the same state. */
+  def tokenDeltas(transfers: DataFrame, blockTimes: DataFrame,
+                  broadcastTimes: Boolean = true): DataFrame = {
     val dim = if (broadcastTimes) broadcast(blockTimes) else blockTimes
     val enriched = transfers.join(dim,
       transfers("block_id") === blockTimes("number"), "left")
@@ -181,12 +190,19 @@ object Derive {
       .groupBy(col("blockchain"), col("collection_id"), col("token_id"))
       .agg(
         first(col("collection_type")).as("collection_type"),
+        min(when(col("transaction_type") === "mint", col("attribute_version")))
+          .as("mint_version"),
         min_by(struct(col("block_id"), col("timestamp"), col("to_")),
           when(col("transaction_type") === "mint", col("attribute_version"))).as("mint_info"),
         u256(when(col("transaction_type") === "mint", col("quantity"))).as("mint_total"),
         u256(when(col("transaction_type") === "burn", col("quantity"))).as("burn_total"),
         max_by(col("to_"), col("attribute_version")).as("last_to"),
         max(col("attribute_version")).as("attribute_version"))
+  }
+
+  /** Net the [[tokenDeltas]] components into the tokens table shape. */
+  def finalizeTokens(components: DataFrame): DataFrame =
+    components
       .select(col("blockchain"), col("collection_id"), col("token_id"),
         col("mint_info.block_id").as("mint_block"),
         col("mint_info.timestamp").as("mint_date"),
@@ -195,7 +211,6 @@ object Derive {
         when(col("collection_type") === "ERC-1155", lit(null))
           .otherwise(col("last_to")).as("current_owner"),
         col("attribute_version"))
-  }
 
   /** A3/G5/K7: per-(token, account) balances — delta explode, exact
     * in/out uint256 fold, drop zeros (`nft/evm/consumers.py:652-701`,

@@ -203,12 +203,41 @@ object Tail {
     * overwrite only rewrites partitions that receive rows, so a
     * touched bucket must never write an empty frame or its stale state
     * would survive. State is bounded by key cardinality either way. */
-  def ownersSink(target: String, numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
-    import graft.expr.Exprs.hexAdd
+  def ownersSink(target: String, numBuckets: Int = 32)(batch: DataFrame, batchId: Long): Unit =
+    viewSink(target, OwnerKeys, numBuckets,
+      graft.nft.Derive.ownerDeltas, mergeOwnerComponents)(batch, batchId)
+
+  private def mergeOwnerComponents(state: Option[DataFrame], fresh: DataFrame): DataFrame =
+    state match {
+      case None => fresh
+      case Some(s) =>
+        import graft.expr.Exprs.hexAdd
+        val hexZero = graft.expr.HexMath.pad64("0")
+        s.select((OwnerKeys.map(col) :+ col("in_total").as("s_in") :+
+            col("out_total").as("s_out")).toIndexedSeq: _*)
+          .join(fresh, OwnerKeys, "full_outer")
+          .select((OwnerKeys.map(col) :+
+            hexAdd(coalesce(col("s_in"), lit(hexZero)),
+              coalesce(col("in_total"), lit(hexZero))).as("in_total") :+
+            hexAdd(coalesce(col("s_out"), lit(hexZero)),
+              coalesce(col("out_total"), lit(hexZero))).as("out_total")).toIndexedSeq: _*)
+    }
+
+  /** Shared plumbing for epoch-stamped bucketed view sinks: collapse
+    * the micro-batch to per-key component deltas (`deltasOf`, which
+    * must be algebraic so hot keys partial-aggregate), drop buckets
+    * already stamped at-or-past this epoch (replay conditioning),
+    * `merge` the fresh deltas into the touched buckets' prior state,
+    * and dynamically overwrite ONLY those partitions. `merge` receives
+    * `None` before the view exists and must return full component rows
+    * keyed by `keys`. */
+  def viewSink(target: String, keys: Seq[String], numBuckets: Int,
+               deltasOf: DataFrame => DataFrame,
+               merge: (Option[DataFrame], DataFrame) => DataFrame)
+              (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val hexZero = graft.expr.HexMath.pad64("0")
-    val bucket = bucketExpr(OwnerKeys, numBuckets)
-    val deltas = graft.nft.Derive.ownerDeltas(batch).withColumn("__bucket", bucket)
+    val bucket = bucketExpr(keys, numBuckets)
+    val deltas = deltasOf(batch).withColumn("__bucket", bucket)
     // touched buckets: a metadata-scale collect (≤ numBuckets ints)
     val touched = deltas.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
@@ -223,19 +252,9 @@ object Tail {
     val freshTouched = touched.filterNot(applied)
     if (freshTouched.isEmpty) return
     val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
-    val merged = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
-      .select((OwnerKeys.map(col) :+ col("in_total").as("s_in") :+
-        col("out_total").as("s_out")).toIndexedSeq: _*)) match {
-      case Some(s) =>
-        s.join(fresh, OwnerKeys, "full_outer")
-          .select((OwnerKeys.map(col) :+
-            hexAdd(coalesce(col("s_in"), lit(hexZero)),
-              coalesce(col("in_total"), lit(hexZero))).as("in_total") :+
-            hexAdd(coalesce(col("s_out"), lit(hexZero)),
-              coalesce(col("out_total"), lit(hexZero))).as("out_total")).toIndexedSeq: _*)
-      case None => fresh
-    }
-    merged
+    val state = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
+      .drop("__bucket", "__epoch"))
+    merge(state, fresh)
       .withColumn("__bucket", bucket)
       .withColumn("__epoch", lit(batchId))
       // materialize + cut lineage back to `target` before overwriting it
@@ -253,6 +272,58 @@ object Tail {
       .select((OwnerKeys.map(col) :+
         graft.expr.Exprs.hexSub(col("in_total"), col("out_total")).as("quantity")).toIndexedSeq: _*)
       .filter(col("quantity") =!= lit(graft.expr.HexMath.pad64("0")))
+
+  /** Token-state view key. */
+  val TokenKeys: Seq[String] = Seq("blockchain", "collection_id", "token_id")
+
+  /** foreachBatch sink for the TOKENS table (the reference tail's
+    * per-transfer token updates: first-mint provenance, supply fold,
+    * current owner) — every component of `Derive.tokenDeltas` merges as
+    * a commutative semigroup, so the same [[viewSink]] plumbing carries
+    * a MIXED algebra: argmin by mint version (provenance), additive
+    * uint256 mint/burn totals (supply), argmax by attribute version
+    * (current owner), max (version high-water). `blockTimes` is the
+    * block-time dim the epoch enrich joins against (the S8 cache or a
+    * blocks read covering the tailed range). */
+  def tokensSink(target: String, blockTimes: DataFrame, numBuckets: Int = 32,
+                 broadcastTimes: Boolean = true)(batch: DataFrame, batchId: Long): Unit =
+    viewSink(target, TokenKeys, numBuckets,
+      graft.nft.Derive.tokenDeltas(_, blockTimes, broadcastTimes),
+      mergeTokenComponents)(batch, batchId)
+
+  private def mergeTokenComponents(state: Option[DataFrame], fresh: DataFrame): DataFrame =
+    state match {
+      case None => fresh
+      case Some(st) =>
+        import graft.expr.Exprs.hexAdd
+        val hexZero = graft.expr.HexMath.pad64("0")
+        val s = st.select((TokenKeys.map(col) ++ st.columns.filterNot(c =>
+          TokenKeys.contains(c)).map(c => col(c).as(s"s_$c")).toSeq).toIndexedSeq: _*)
+        // delta's mint is earlier iff it exists and beats the stored one
+        val mintWins = col("mint_version").isNotNull &&
+          (col("s_mint_version").isNull || col("mint_version") < col("s_mint_version"))
+        // delta's last transfer is newer iff it exists and beats stored
+        val lastWins = col("attribute_version").isNotNull &&
+          (col("s_attribute_version").isNull ||
+            col("attribute_version") > col("s_attribute_version"))
+        s.join(fresh, TokenKeys, "full_outer")
+          .select((TokenKeys.map(col) :+
+            coalesce(col("s_collection_type"), col("collection_type")).as("collection_type") :+
+            least(col("s_mint_version"), col("mint_version")).as("mint_version") :+
+            when(mintWins, col("mint_info")).otherwise(col("s_mint_info")).as("mint_info") :+
+            hexAdd(coalesce(col("s_mint_total"), lit(hexZero)),
+              coalesce(col("mint_total"), lit(hexZero))).as("mint_total") :+
+            hexAdd(coalesce(col("s_burn_total"), lit(hexZero)),
+              coalesce(col("burn_total"), lit(hexZero))).as("burn_total") :+
+            when(lastWins, col("last_to")).otherwise(col("s_last_to")).as("last_to") :+
+            greatest(col("s_attribute_version"), col("attribute_version"))
+              .as("attribute_version")).toIndexedSeq: _*)
+    }
+
+  /** Read the tokens view through the batch rollup's finalize step. */
+  def readTokens(spark: SparkSession, target: String): DataFrame =
+    graft.nft.Derive.finalizeTokens(
+      spark.read.parquet(target).drop("__bucket", "__epoch"))
 
   /** File-source tail: treats new parquet files in `dir` as arriving
     * micro-batches (one file per trigger = one poll cycle). */

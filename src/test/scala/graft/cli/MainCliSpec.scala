@@ -121,6 +121,28 @@ class MainCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/transfers").count() > 0)
   }
 
+  test("tail --tokens-view: the token-state view converges with the batch rollup") {
+    val out = tmp("cli_tv"); val cfg = tmp("cli_tv_cfg")
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "60").load()
+      .select(col("number"), col("timestamp"))
+    val csv = tmp("cli_tv_csv") + "/cache"
+    blockTimes.coalesce(1).write.option("header", "true").csv(csv)
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    // without the dim the flag refuses loudly
+    assert(Main.run(spark, Seq("tail", "--once", "--tokens-view", "--out", out,
+      "--config", cfg, "--checkpoint", tmp("cli_tv_ck0"), "--max-block", "60")) === 2)
+    assert(Main.run(spark, Seq("tail", "--once", "--tokens-view", "--out", out,
+      "--config", cfg, "--checkpoint", tmp("cli_tv_ck"), "--max-block", "60",
+      "--blocks-per-trigger", "10", "--block-time-cache", csv)) === 0)
+    def s(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val view = s(graft.streaming.Tail.readTokens(spark, s"$out/tokens"))
+    val batch = s(graft.nft.Derive.tokens(
+      graft.pipelines.Crawl.fromChain(spark, 20, 60)("transfers"), blockTimes))
+    assert(view === batch)
+    assert(view.nonEmpty)
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35

@@ -51,6 +51,28 @@ class OwnersSinkSpec extends SparkSpec {
     assert(viewState === batchState)
   }
 
+  test("tokens view: mixed-algebra merge (argmin mint, additive supply, argmax owner) converges") {
+    val all = graft.pipelines.Crawl.fromChain(spark, 0, 60)("transfers")
+      .localCheckpoint(true)
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "60").load()
+      .select(col("number"), col("timestamp")).localCheckpoint(true)
+    val target = java.nio.file.Files.createTempDirectory("tokens_sink").toString + "/t"
+    Seq((0L, 20L), (20L, 40L), (40L, 60L)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      Tail.tokensSink(target, blockTimes, numBuckets = 4)(
+        all.filter(col("block_id") >= lo && col("block_id") < hi), i.toLong)
+    }
+    def s(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val batch = s(graft.nft.Derive.tokens(all, blockTimes))
+    assert(s(Tail.readTokens(spark, target)) === batch)
+    assert(batch.nonEmpty)
+    // replay the middle epoch (at-least-once): state must not move —
+    // neither the additive supply components nor the argmin/argmax picks
+    Tail.tokensSink(target, blockTimes, numBuckets = 4)(
+      all.filter(col("block_id") >= 20 && col("block_id") < 40), 1L)
+    assert(s(Tail.readTokens(spark, target)) === batch)
+  }
+
   test("zero balances tombstone in storage, disappear from reads, and stay additive-identity") {
     val target = java.nio.file.Files.createTempDirectory("owners_zero").toString + "/t"
     val c = "0xc"
