@@ -68,6 +68,8 @@ object Main {
       |  --tokens-view             tail: also maintain the token-state view at
       |                            $out/tokens (needs --block-time-cache; read
       |                            via Tail.readTokens)
+      |  --uris-view               tail: also maintain the latest-metadata-URL
+      |                            view at $out/uris (two-key LWW)
       |  --merge-format NAME       tail sink storage: bucket (overwrite touched
       |                            buckets, default) or log (append + read-time
       |                            LWW resolve; fold with `compact`)
@@ -84,8 +86,8 @@ object Main {
   /** Parse argv into (command, positional args, options). Options are
     * `--key value` except boolean flags. Unknown options fail loudly —
     * a typo'd option silently ignored is the worst CLI failure mode. */
-  private val boolFlags =
-    Set("--increment-data-version", "--once", "--owners-view", "--tokens-view")
+  private val boolFlags = Set("--increment-data-version", "--once",
+    "--owners-view", "--tokens-view", "--uris-view")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -93,7 +95,7 @@ object Main {
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
-    "owners-view", "tokens-view")
+    "owners-view", "tokens-view", "uris-view")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -259,8 +261,6 @@ object Main {
             .foldLeft(base0) { case (r, (cli, opt)) =>
               opts.get(cli).fold(r)(v => r.option(opt, longOpt(opts, cli, 0L).toString)) }
           val receipts = w.options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
-          val logs = receipts.select(explode(col("logs")).as("l")).select(col("l.*"))
-          val transfers = graft.nft.Derive.transfers(logs)
           val buckets = intOpt(opts, "buckets", 16)
           val factSink = graft.streaming.Tail.mergeSink(s"$out/transfers",
             TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets)) _
@@ -274,19 +274,24 @@ object Main {
             viewSinks += graft.streaming.Tail.tokensSink(s"$out/tokens", bt, buckets) _
           }
           val views = viewSinks.result()
-          val sinkFn: (DataFrame, Long) => Unit =
-            if (views.isEmpty) factSink
-            else { (b, id) =>
-              // several sinks off one epoch: materialize it once
-              val cached = b.persist()
-              try {
-                factSink(cached, id)
-                views.foreach(_(cached, id))
-              } finally cached.unpersist(false)
-            }
-          val q = transfers.writeStream
+          // the stream carries RECEIPTS; each epoch derives logs once and
+          // fans out to the fact sink + any enabled views (all idempotent
+          // per epoch, so at-least-once replays converge)
+          val q = receipts.writeStream
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(sinkFn)
+            .foreachBatch { (rb: DataFrame, id: Long) =>
+              val logs = rb.select(explode(col("logs")).as("l")).select(col("l.*"))
+              val transfers = graft.nft.Derive.transfers(logs).persist()
+              try {
+                factSink(transfers, id)
+                views.foreach(_(transfers, id))
+                if (opts.contains("uris-view"))
+                  // K3 two-key LWW: latest metadata URL per token
+                  graft.streaming.Tail.mergeSink(s"$out/uris",
+                    Seq("collection_id", "token_id"), Seq("metadata_url_version"),
+                    mergeFormat(opts, buckets))(graft.nft.Derive.uriUpdates(logs), id)
+              } finally transfers.unpersist(false)
+            }
             .start()
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()

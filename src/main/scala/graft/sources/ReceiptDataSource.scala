@@ -89,6 +89,23 @@ object SimulatedReceiptFetcher {
         topics = Seq(
           graft.nft.Derive.Erc721TransferSig,
           addrTopic(topicFrom), addrTopic(topicTo), uintTopic(n * 10 + i)))
+      // every 7th block (n % 7 == 3) also emits an ERC-1155 URI event on
+      // its first transaction — the metadata-update path (P6/K3) is
+      // otherwise invisible to the simulated chain, leaving the uris
+      // table and the streaming uris view untestable end-to-end
+      val uriLogs =
+        if (i == 0 && n % 7 == 3) Seq(EvmLog(
+          removed = false,
+          log_index = txCount(n), // distinct from the transfer logs' 0..txCount-1
+          transaction_index = i,
+          transaction_hash = txHash(n, i),
+          block_hash = blockHash(n),
+          block_number = n,
+          address = coll,
+          data = "0x" + graft.expr.Abi.encodeArgs(
+            Seq(graft.expr.Abi.AbiString("ipfs://sim/{id}.json"))),
+          topics = Seq(graft.nft.Derive.Erc1155UriSig, uintTopic(n * 10 + i))))
+        else Nil
       EvmTransactionReceipt(
         transaction_hash = txHash(n, i),
         transaction_index = i,
@@ -106,7 +123,7 @@ object SimulatedReceiptFetcher {
         // the addresses the transfer logs point at.
         contract_address = if (txTo(n, i).isEmpty) Some(coll) else None,
         status = Some(1L),
-        logs = Seq(log))
+        logs = log +: uriLogs)
     }
   }
 }

@@ -143,6 +143,25 @@ class MainCliSpec extends SparkSpec {
     assert(view.nonEmpty)
   }
 
+  test("tail --uris-view: latest-metadata-URL view is the LWW collapse of the uri updates") {
+    val out = tmp("cli_uv"); val cfg = tmp("cli_uv_cfg")
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    assert(Main.run(spark, Seq("tail", "--once", "--uris-view", "--out", out,
+      "--config", cfg, "--checkpoint", tmp("cli_uv_ck"), "--max-block", "60",
+      "--blocks-per-trigger", "10")) === 0)
+    val view = spark.read.parquet(s"$out/uris").drop("__bucket")
+      .collect().map(_.toString).sorted.toSeq
+    // expected: the crawl's uri-update FACTS collapsed to the latest per
+    // (collection, token) — K3 semantics
+    val facts = graft.pipelines.Crawl.fromChain(spark, 20, 60)("uris")
+    val expect = facts.groupBy(col("collection_id"), col("token_id"))
+      .agg(max_by(struct(facts.columns.map(col).toIndexedSeq: _*),
+        col("metadata_url_version")).as("r"))
+      .select(col("r.*")).collect().map(_.toString).sorted.toSeq
+    assert(view === expect)
+    assert(view.nonEmpty)
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35

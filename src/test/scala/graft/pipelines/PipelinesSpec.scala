@@ -123,7 +123,15 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(balances.subsetOf(Set(q1, "-" + q1)))
     assert(out("owners").filter(org.apache.spark.sql.functions.col("quantity") === q1).count() > 0)
-    assert(out("uris").count() === 0) // simulated chain emits no URI logs
+    // URI events on every 7th block with transactions: decoded, {id}
+    // substituted with the decimal-free token topic (P6 through the
+    // whole crawl DAG)
+    val uris = out("uris").collect()
+    assert(uris.length === (0 until 50).count(n => n % 7 == 3 && n % 3 != 0))
+    uris.foreach { r =>
+      val u = r.getAs[String]("metadata_url")
+      assert(u.startsWith("ipfs://sim/") && u.endsWith(".json") && !u.contains("{id}"), u)
+    }
     // collections: creation receipts (to_=None txs in blocks 7,14,20,28,
     // 35,41,49 of [0,50)) probed through the simulated call transport;
     // addr(4004) has no ERC-165 -> dropped; repeated creations of

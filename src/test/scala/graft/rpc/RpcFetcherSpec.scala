@@ -183,7 +183,8 @@ class RpcFetcherSpec extends SparkSpec with BeforeAndAfterAll {
         .option("fetcher", classOf[RpcLogsFetcher].getName)
         .option("endpoints", capped.url)
         .load()
-      assert(df.count() === (0 until 40).map(_ % 3).sum)
+      assert(df.count() ===
+        (0 until 40).map(_ % 3).sum + (0 until 40).count(n => n % 7 == 3 && n % 3 != 0))
     } finally capped.stop()
   }
 

@@ -29,8 +29,10 @@ class LogDataSourceSpec extends SparkSpec {
     opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
-  // one transfer log per simulated transaction
-  private def nLogs(r: Range) = r.map(_ % 3).sum
+  // one transfer log per simulated transaction, plus one URI event on
+  // the first tx of every 7th block (n % 7 == 3, needs a tx to exist)
+  private def nLogs(r: Range) = r.map(_ % 3).sum + nUriLogs(r)
+  private def nUriLogs(r: Iterable[Int]) = r.count(n => n % 7 == 3 && n % 3 != 0)
 
   test("ranged logs read: the window's logs with the EvmLog schema") {
     val df = logsDf(60)
@@ -48,8 +50,9 @@ class LogDataSourceSpec extends SparkSpec {
     val a4000 = f"0x${4000L}%040x" // collection(n) for n % 5 == 0
     val df = logsDf(60, Map("fetcher" -> classOf[RecordingLogsFetcher].getName))
       .filter(col("address") === a4000)
-    // blocks 0,5,10,...,55 carry that collection: txCounts 0,2,1 repeating
-    assert(df.count() === (0 until 60 by 5).map(_ % 3).sum)
+    // blocks 0,5,10,...,55 carry that collection: txCounts 0,2,1
+    // repeating, plus that collection's URI events
+    assert(df.count() === (0 until 60 by 5).map(_ % 3).sum + nUriLogs(0 until 60 by 5))
     // the fetcher received the predicate — the node filters, not Spark
     assert(RecordingLogsFetcher.last.get().get("pushed.address") === Some(a4000))
   }
@@ -63,7 +66,7 @@ class LogDataSourceSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FilterExec => f
     }
     assert(residual.isEmpty, s"residual filters: ${residual.mkString("; ")}")
-    assert(df.count() === (0 until 40 by 5).map(_ % 3).sum)
+    assert(df.count() === (0 until 40 by 5).map(_ % 3).sum + nUriLogs(0 until 40 by 5))
   }
 
   test("mixed-case address literal is NOT consumed: residual filter keeps strict equality") {
@@ -88,7 +91,8 @@ class LogDataSourceSpec extends SparkSpec {
 
   test("topic0 narrowing via option matches the wire API semantics") {
     val sig = graft.nft.Derive.Erc721TransferSig
-    assert(logsDf(40, Map("topic0" -> sig)).count() === nLogs(0 until 40))
+    // the topic filter keeps only the transfer logs — URI events drop
+    assert(logsDf(40, Map("topic0" -> sig)).count() === (0 until 40).map(_ % 3).sum)
     assert(logsDf(40, Map("topic0" -> ("0x" + "ee" * 32))).count() === 0)
   }
 
@@ -109,7 +113,7 @@ class LogDataSourceSpec extends SparkSpec {
     q.stop()
     val got = spark.sql(
       "SELECT count(*) n, count(DISTINCT address) a FROM logs_tail_out").head()
-    assert(got.getLong(0) === (0 until 60 by 5).map(_ % 3).sum)
+    assert(got.getLong(0) === (0 until 60 by 5).map(_ % 3).sum + nUriLogs(0 until 60 by 5))
     assert(got.getLong(1) === 1L)
   }
 }
