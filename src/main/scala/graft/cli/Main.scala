@@ -70,6 +70,9 @@ object Main {
       |                            via Tail.readTokens)
       |  --uris-view               tail: also maintain the latest-metadata-URL
       |                            view at $out/uris (two-key LWW)
+      |  --collections-view        tail: also maintain the collections view at
+      |                            $out/collections (probes new contracts through
+      |                            the call executor; needs --block-time-cache)
       |  --merge-format NAME       tail sink storage: bucket (overwrite touched
       |                            buckets, default) or log (append + read-time
       |                            LWW resolve; fold with `compact`)
@@ -87,7 +90,7 @@ object Main {
     * `--key value` except boolean flags. Unknown options fail loudly —
     * a typo'd option silently ignored is the worst CLI failure mode. */
   private val boolFlags = Set("--increment-data-version", "--once",
-    "--owners-view", "--tokens-view", "--uris-view")
+    "--owners-view", "--tokens-view", "--uris-view", "--collections-view")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -95,7 +98,7 @@ object Main {
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
-    "owners-view", "tokens-view", "uris-view")
+    "owners-view", "tokens-view", "uris-view", "collections-view")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -264,15 +267,20 @@ object Main {
           val buckets = intOpt(opts, "buckets", 16)
           val factSink = graft.streaming.Tail.mergeSink(s"$out/transfers",
             TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets)) _
+          def blockTimeDim(flag: String) =
+            opts.get("block-time-cache").map(Load.readBlockTimeCsv(spark, _))
+              .getOrElse(throw CliError(
+                s"$flag requires --block-time-cache (the S8 block-time dim)"))
           val viewSinks = Seq.newBuilder[(DataFrame, Long) => Unit]
           if (opts.contains("owners-view"))
             viewSinks += graft.streaming.Tail.ownersSink(s"$out/owners", buckets) _
           if (opts.contains("tokens-view")) {
-            val bt = opts.get("block-time-cache").map(Load.readBlockTimeCsv(spark, _))
-              .getOrElse(throw CliError(
-                "--tokens-view requires --block-time-cache (the S8 block-time dim)"))
+            val bt = blockTimeDim("--tokens-view")
             viewSinks += graft.streaming.Tail.tokensSink(s"$out/tokens", bt, buckets) _
           }
+          val collectionsDim =
+            if (opts.contains("collections-view")) Some(blockTimeDim("--collections-view"))
+            else None
           val views = viewSinks.result()
           // the stream carries RECEIPTS; each epoch derives logs once and
           // fans out to the fact sink + any enabled views (all idempotent
@@ -285,11 +293,32 @@ object Main {
               try {
                 factSink(transfers, id)
                 views.foreach(_(transfers, id))
-                if (opts.contains("uris-view"))
+                if (opts.contains("uris-view")) {
                   // K3 two-key LWW: latest metadata URL per token
-                  graft.streaming.Tail.mergeSink(s"$out/uris",
+                  val updates = graft.nft.Derive.uriUpdates(logs)
+                  if (!updates.isEmpty) graft.streaming.Tail.mergeSink(s"$out/uris",
                     Seq("collection_id", "token_id"), Seq("metadata_url_version"),
-                    mergeFormat(opts, buckets))(graft.nft.Derive.uriUpdates(logs), id)
+                    mergeFormat(opts, buckets))(updates, id)
+                }
+                collectionsDim.foreach { bt =>
+                  // new contracts this epoch: probe ERC-165/metadata
+                  // through the call executor, then LWW on creation
+                  // block (a re-created collection takes the later row)
+                  val created = rb.filter(
+                    col("contract_address").isNotNull && col("status") === 1)
+                  if (!created.isEmpty) {
+                    val snapshot = graft.rpc.Calls.interfaceSnapshot(
+                      graft.rpc.Calls.execute(spark,
+                        graft.nft.Collections.callRequests(created
+                          .select(col("contract_address").as("collection_id")).distinct()),
+                        w.calls, w.options))
+                    val colls = graft.nft.Collections.fromReceipts(
+                      rb, snapshot, bt, intOpt(opts, "data-version", 1))
+                    graft.streaming.Tail.mergeSink(s"$out/collections",
+                      Seq("collection_id"), Seq("block_created"),
+                      mergeFormat(opts, buckets))(colls, id)
+                  }
+                }
               } finally transfers.unpersist(false)
             }
             .start()

@@ -162,6 +162,24 @@ class MainCliSpec extends SparkSpec {
     assert(view.nonEmpty)
   }
 
+  test("tail --collections-view: probed collections converge with the batch crawl") {
+    val out = tmp("cli_cv"); val cfg = tmp("cli_cv_cfg")
+    val csv = tmp("cli_cv_csv") + "/cache"
+    spark.read.format("blocks").option("start", "0").option("maxBlock", "60").load()
+      .select(col("number"), col("timestamp"))
+      .coalesce(1).write.option("header", "true").csv(csv)
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    assert(Main.run(spark, Seq("tail", "--once", "--collections-view", "--out", out,
+      "--config", cfg, "--checkpoint", tmp("cli_cv_ck"), "--max-block", "60",
+      "--blocks-per-trigger", "10", "--block-time-cache", csv)) === 0)
+    def s(df: org.apache.spark.sql.DataFrame) = df.drop("__bucket")
+      .collect().map(_.toString).sorted.toSeq
+    val view = s(spark.read.parquet(s"$out/collections"))
+    val batch = s(graft.pipelines.Crawl.fromChain(spark, 20, 60)("collections"))
+    assert(view === batch)
+    assert(view.nonEmpty)
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35
