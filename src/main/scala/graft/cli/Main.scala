@@ -288,7 +288,13 @@ object Main {
           val q = receipts.writeStream
             .option("checkpointLocation", checkpoint)
             .foreachBatch { (rb: DataFrame, id: Long) =>
-              val logs = rb.select(explode(col("logs")).as("l")).select(col("l.*"))
+              // the micro-batch DF re-executes its SOURCE SCAN on every
+              // action, and each sink below is at least one action —
+              // persist the fetched receipts ONCE so the epoch's wire
+              // cost stays one fetch per window regardless of how many
+              // views are enabled (spec-pinned by method counts)
+              val epoch = rb.persist()
+              val logs = epoch.select(explode(col("logs")).as("l")).select(col("l.*"))
               val transfers = graft.nft.Derive.transfers(logs).persist()
               try {
                 factSink(transfers, id)
@@ -304,22 +310,25 @@ object Main {
                   // new contracts this epoch: probe ERC-165/metadata
                   // through the call executor, then LWW on creation
                   // block (a re-created collection takes the later row)
-                  val created = rb.filter(
+                  val created = epoch.filter(
                     col("contract_address").isNotNull && col("status") === 1)
                   if (!created.isEmpty) {
+                    // metadata-scale (rows = created contracts); eager
+                    // checkpoint so the downstream sink's several
+                    // actions don't re-issue the probe calls
                     val snapshot = graft.rpc.Calls.interfaceSnapshot(
                       graft.rpc.Calls.execute(spark,
                         graft.nft.Collections.callRequests(created
                           .select(col("contract_address").as("collection_id")).distinct()),
-                        w.calls, w.options))
+                        w.calls, w.options)).localCheckpoint(true)
                     val colls = graft.nft.Collections.fromReceipts(
-                      rb, snapshot, bt, intOpt(opts, "data-version", 1))
+                      epoch, snapshot, bt, intOpt(opts, "data-version", 1))
                     graft.streaming.Tail.mergeSink(s"$out/collections",
                       Seq("collection_id"), Seq("block_created"),
                       mergeFormat(opts, buckets))(colls, id)
                   }
                 }
-              } finally transfers.unpersist(false)
+              } finally { transfers.unpersist(false); epoch.unpersist(false) }
             }
             .start()
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }

@@ -180,6 +180,37 @@ class MainCliSpec extends SparkSpec {
     assert(view.nonEmpty)
   }
 
+  test("tail with ALL views over RPC: wire cost is the plain tail plus probe calls only") {
+    val out = tmp("cli_av"); val cfg = tmp("cli_av_cfg")
+    val csv = tmp("cli_av_csv") + "/cache"
+    spark.read.format("blocks").option("start", "0").option("maxBlock", "50").load()
+      .select(col("number"), col("timestamp"))
+      .coalesce(1).write.option("header", "true").csv(csv)
+    assert(Main.run(spark, Seq("seed", "19", "--config", cfg)) === 0)
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      assert(Main.run(spark, Seq("tail", "--once", "--owners-view", "--tokens-view",
+        "--uris-view", "--collections-view", "--out", out, "--config", cfg,
+        "--checkpoint", tmp("cli_av_ck"), "--max-block", "50", "--blocks-per-trigger", "10",
+        "--block-time-cache", csv, "--evm-rpc-nodes", stub.url)) === 0)
+      // every view derives from the ONE receipts fetch per window: the
+      // views must add ZERO extra block/receipt wire calls...
+      val totalTx = (20L until 50L).map(graft.sources.SimulatedReceiptFetcher.receiptsOf(_).size).sum
+      assert(stub.countOf("eth_getTransactionReceipt") === totalTx,
+        s"receipts re-fetched: ${stub.countOf("eth_getTransactionReceipt")} vs $totalTx tx")
+      assert(stub.countOf("eth_getBlockByNumber") <= 30 + 10,
+        "hash-list fetches exceed the window (a view re-scanned blocks)")
+      // ...except the collection probes (6 calls per created contract)
+      val creations = (20L until 50L).flatMap(graft.sources.SimulatedReceiptFetcher.receiptsOf)
+        .count(_.contract_address.isDefined)
+      assert(stub.countOf("eth_call") === 6 * creations)
+      // and all five tables materialized
+      Seq("transfers", "owners", "tokens", "uris", "collections").foreach { t =>
+        assert(spark.read.parquet(s"$out/$t").count() > 0, s"empty view $t")
+      }
+    } finally stub.stop()
+  }
+
   test("force: single-contract backfill equals the library forceLoad") {
     val out = tmp("cli_force")
     val coll = f"0x${4000L}%040x" // fixture contract created at block 35

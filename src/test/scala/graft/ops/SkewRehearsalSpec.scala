@@ -179,4 +179,26 @@ class SkewRehearsalSpec extends SparkSpec {
     assert(spark.read.parquet(target)
       .filter(col("attribute_version") === "f" * 40).count() === 3)
   }
+
+  test("owners view under the hot key: deltas partial-aggregate, state is O(owner keys)") {
+    // the epoch collapse is algebraic: the hot key's 90k rows fold into
+    // per-task partials BEFORE the shuffle, same mechanism as the
+    // tokens rollup — plan-asserted on the real skewed epoch
+    val deltas = graft.nft.Derive.ownerDeltas(transfers)
+    assert(deltas.queryExecution.executedPlan.toString.contains("partial_"),
+      "owner deltas lost map-side partial aggregation")
+    val target = java.nio.file.Files.createTempDirectory("skew_ov").toString + "/owners"
+    graft.streaming.Tail.ownersSink(target, numBuckets = 8)(transfers, 0L)
+    val ownerKeys = deltas.count() // one stored row per (chain, coll, token, account)
+    assert(spark.read.parquet(target).count() === ownerKeys)
+    // replay of the hot epoch: stamped buckets skip, state unmoved
+    graft.streaming.Tail.ownersSink(target, numBuckets = 8)(transfers, 0L)
+    assert(spark.read.parquet(target).count() === ownerKeys)
+    // the hot (contract, token)'s 90k transfers live on ≤ 97+89 accounts:
+    // stored state follows key cardinality, not event heat
+    val hotRows = spark.read.parquet(target)
+      .filter(col("collection_id") === HotContract &&
+        col("token_id") === f"$HotToken%064x").count()
+    assert(hotRows <= 97 + 89, s"hot key stored $hotRows rows")
+  }
 }

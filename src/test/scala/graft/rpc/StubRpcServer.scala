@@ -46,6 +46,11 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   val height = new java.util.concurrent.atomic.AtomicLong(chainHeight)
   val httpRequests = new AtomicInteger(0)
   val rpcRequests = new AtomicInteger(0)
+  /** Wire entries per JSON-RPC method — lets a spec pin WHICH calls a
+    * pipeline makes, not just how many. */
+  val methodCounts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  def countOf(method: String): Int =
+    Option(methodCounts.get(method)).fold(0)(_.get())
   val largestBatch = new AtomicInteger(0)
   /** High-water mark of simultaneously in-flight HTTP requests — the
     * crawl's actual wire parallelism (must stay bounded by the reader's
@@ -109,6 +114,11 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
 
   private def dispatch(req: JValue): JObject = {
     rpcRequests.incrementAndGet()
+    req \ "method" match {
+      case JString(m) =>
+        methodCounts.computeIfAbsent(m, _ => new AtomicInteger()).incrementAndGet()
+      case _ =>
+    }
     val id = req \ "id"
     entryError match {
       case Some((code, msg)) => return errorObj(id, code, msg)
