@@ -38,4 +38,38 @@ object Decontaminate {
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
+
+  /** [[overlap]] with a bloom pre-filter on the train side — the tier
+    * for a bench suite whose shingle RELATION outgrows broadcast (every
+    * eval suite at once: hundreds of millions of distinct shingles,
+    * GBs as rows) while its BLOOM stays tens of MBs at `fpp`.
+    *
+    * Shape: build the bloom over bench shingles (distributed aggregate,
+    * driver-merged bits — metadata-scale, like Spark's runtime join
+    * filters), map-side `bloom_might_contain` on the corpus scan, exact
+    * join ONLY on survivors. The bloom's one-sided error means the
+    * exact join removes every false positive and false negatives
+    * cannot exist — the result is bit-identical to [[overlap]]
+    * (spec-pinned, and the query twin shares overlap's DuckDB oracle).
+    * The exchange then carries ~contamination + fpp·corpus rows
+    * instead of every corpus shingle: at 100 TB this is the difference
+    * between shuffling the corpus and shuffling the answer. */
+  def overlapBloom(train: DataFrame, bench: DataFrame, minOverlap: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    val bs = shingles(bench)
+    // expectedNumItems from the (small) bench side, so the bloom is
+    // sized to the data instead of a guess — over-sizing wastes
+    // executor memory fleet-wide, under-sizing collapses the prune
+    // rate. Costs one extra scan of the bench side (small by contract);
+    // deliberately no persist: the op stays stateless, nothing lingers
+    // in executor storage after the query.
+    val n = math.max(bs.count(), 1L)
+    val bf = bs.stat.bloomFilter("sh", n, fpp)
+    shingles(train).withColumnRenamed("doc_id", "train_id")
+      .filter(graft.expr.Bloom.mightContain(col("sh"), bf))
+      .join(broadcast(bs.withColumnRenamed("doc_id", "bench_id")), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

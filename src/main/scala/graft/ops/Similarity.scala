@@ -159,18 +159,22 @@ object Similarity {
     least(ds.toIndexedSeq: _*).getField("cell")
   }
 
-  /** Element-wise rounded-integer mean per cell: (cell, dim)-keyed sum
-    * shuffle, one exact double division + round per dimension, array
-    * rebuilt in dim order. Cells that lose all members simply vanish
+  /** Element-wise rounded-integer mean per cell via the native
+    * vector_sum_long aggregate: ONE partial+final HashAggregate whose
+    * buffer is a d-long primitive array, then one exact double division
+    * + round per dimension. The previous posexplode formulation
+    * shuffled N×d (cell, dim, v) rows and needed a second aggregate to
+    * reassemble arrays — at corpus scale that is d× the shuffle volume
+    * and two exchanges instead of one (a differential spec pins the two
+    * formulations equal). Cells that lose all members simply vanish
     * (standard k-means collapse). */
   private def roundedMeans(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
-      .groupBy(col("cell"), col("dim"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-      .withColumn("m", round(col("s").cast("double") / col("c").cast("double")).cast("long"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cell"), expr("transform(dm, x -> x.m)").as("cv"))
+    assigned.groupBy(col("cell"))
+      .agg(graft.expr.VectorSum.vectorSumLong(col("qv")).as("sv"),
+        count(lit(1)).as("c"))
+      .select(col("cell"),
+        transform(col("sv"),
+          v => round(v.cast("double") / col("c").cast("double")).cast("long")).as("cv"))
       .withColumn("cnrm", sqNorm(col("cv")))
 
   /** One-shot convenience: train the quantizer, then search — the

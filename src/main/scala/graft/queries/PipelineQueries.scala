@@ -172,6 +172,25 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 20 === 0))
   }
 
+  private val textDecontaminateBloom: QFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.overlapBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  private val decontaminateSql =
+    """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0),
+      |be AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
+      |trs AS (SELECT doc_id AS train_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM tr WHERE len(toks) >= 3),
+      |bes AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM be WHERE len(toks) >= 3)
+      |SELECT t.train_id, b.bench_id, count(*) AS n_overlap
+      |FROM trs t JOIN bes b ON t.sh = b.sh
+      |GROUP BY t.train_id, b.bench_id
+      |HAVING count(*) >= 3""".stripMargin
+
   private val dedupNgramJaccard: QFn = (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))
 
   private val dedupEmbedCosine: QFn = (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir))
@@ -205,6 +224,20 @@ object PipelineQueries {
     TextOps.boilerplate(Tables.documents(s, dir))
 
   private val annBruteforce: QFn = (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))
+
+  private val a12VectorSum: QFn = (s, dir) =>
+    // Per-label element-wise embedding sum through the native
+    // vector_sum_long aggregate (one HashAggregate with a d-long
+    // buffer; the k-means mean step runs on the same kernel). The tiny
+    // result explodes to scalar (label, dim, s) rows so the hash
+    // compare stays on scalars; dim is 1-based to mirror DuckDB's
+    // generate_series subscripts.
+    Tables.embeddings(s, dir)
+      .select(col("label"), Similarity.quantize(col("embedding")).as("qv"))
+      .groupBy(col("label"))
+      .agg(graft.expr.VectorSum.vectorSumLong(col("qv")).as("sv"))
+      .select(col("label"), posexplode(col("sv")).as(Seq("dim0", "s")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"), col("s"))
 
   private val dedupIncrementalMinhash: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -390,17 +423,12 @@ object PipelineQueries {
         |CAST(len(regexp_extract_all(regexp_replace(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]{4,}')) AS BIGINT) AS n_nums
         |FROM s""".stripMargin),
-    QueryDef("text_decontaminate", textDecontaminate,
-      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0),
-        |be AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0),
-        |trs AS (SELECT doc_id AS train_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM tr WHERE len(toks) >= 3),
-        |bes AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |  i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))) AS sh FROM be WHERE len(toks) >= 3)
-        |SELECT t.train_id, b.bench_id, count(*) AS n_overlap
-        |FROM trs t JOIN bes b ON t.sh = b.sh
-        |GROUP BY t.train_id, b.bench_id
-        |HAVING count(*) >= 3""".stripMargin),
+    QueryDef("text_decontaminate", textDecontaminate, decontaminateSql),
+    // Bloom-prefiltered twin: the exact join removes every bloom false
+    // positive, so the result — and therefore the oracle — is identical
+    // to the unfiltered plan. What changes is the PLAN: the corpus side
+    // is pruned map-side before the shuffle (see Decontaminate.overlapBloom).
+    QueryDef("text_decontaminate_bloom", textDecontaminateBloom, decontaminateSql),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard,
       s"""WITH $minhashBandsSql,
         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset FROM documents)
@@ -506,6 +534,12 @@ object PipelineQueries {
         |CASE WHEN bucket < 13 THEN 'val'
         |     WHEN bucket < 26 THEN 'test'
         |     ELSE 'train' END AS split FROM b""".stripMargin),
+    QueryDef("a12_vector_sum", a12VectorSum,
+      s"""WITH q AS (SELECT label, $qvSql AS qv FROM embeddings),
+        |u AS (SELECT label, u.i AS dim, qv[u.i] AS v
+        |  FROM q, unnest(generate_series(1, len(qv))) AS u(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS s
+        |FROM u GROUP BY label, dim""".stripMargin),
     QueryDef("ann_ivf_trained", annIvfTrained, ivfTrainedSql(100)),
     // search-only twin: same trained quantizer (the oracle retrains —
     // DuckDB has no index to reuse; the Spark side searches the cached

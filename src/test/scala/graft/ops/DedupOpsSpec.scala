@@ -424,6 +424,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(loose === Set(1L, 2L))
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the exact path") {
+    // Larger randomized corpus: the bloom must neither drop a true
+    // overlap (impossible by construction — asserted anyway) nor let a
+    // false positive through the exact join.
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 50).map(i => s"w$i")
+    def sentence() = Seq.fill(8)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = (1L to 200L).map(i => (i, sentence(), "s", 40L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_overlap"))).toSet
+    val exact = key(Decontaminate.overlap(train, bench, minOverlap = 1))
+    val bloom = key(Decontaminate.overlapBloom(train, bench, minOverlap = 1))
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
+
+  test("bloom expression: no false negatives, prunes non-members") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.001)
+    (1 to 500).foreach(i => bf.putString(s"member-$i"))
+    val probe = ((1 to 500).map(i => s"member-$i") ++
+      (1 to 500).map(i => s"absent-$i")).toDF("s")
+    val kept = probe.filter(graft.expr.Bloom.mightContain(col("s"), bf))
+      .collect().map(_.getString(0)).toSet
+    // one-sided error: every member survives...
+    assert((1 to 500).forall(i => kept.contains(s"member-$i")))
+    // ...and at fpp=0.1% essentially no absentee does
+    assert(kept.count(_.startsWith("absent-")) <= 5)
+  }
+
   test("similarity: identical vectors rank first with score 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
