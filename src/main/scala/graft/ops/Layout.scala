@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering for stats-based
+  * file pruning.
+  *
+  * At 100 TB the scan is won or lost before execution: a parquet lake
+  * prunes files (and row groups) by min/max footer stats, and stats
+  * only help when the layout CLUSTERS the predicate columns. A table
+  * sorted by `x` answers `x BETWEEN ...` from a handful of files but
+  * reads everything for `y BETWEEN ...`; interleaving the bits of both
+  * columns (a Z-order / Morton curve) gives every file a small bounding
+  * BOX in (x, y) space, so ANY conjunction of range predicates prunes —
+  * the trade is a modestly weaker single-column prune for a usable
+  * prune on every clustered dimension (`LayoutSpec` pins both sides of
+  * that trade with real footer stats).
+  *
+  * The z-value is plain integer bit arithmetic (shift/and/or), so it
+  * whole-stage-codegens and the identical formula runs in any SQL
+  * engine — the oracle twin (`e2_zorder_locality`) is generated from
+  * the same (column, bit) enumeration.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of each column
+    * (col j's bit i lands at position i·n + j). Inputs are masked to
+    * `bits` (two's-complement semantics for negatives, identical in
+    * Java and ANSI SQL); callers range-normalize first when the
+    * domain's spread exceeds 2^bits. `n·bits` must fit a signed long. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, "z-ordering needs at least two dimensions")
+    require(n * bits <= 63, s"$n cols x $bits bits exceeds a signed long")
+    val mask = (1L << bits) - 1
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The DuckDB/ANSI mirror of [[zValue]] — generated from the same
+    * (bit, column) enumeration so the two can never drift. `xs` are SQL
+    * expressions for the dimension columns. */
+  def zValueSql(xs: Seq[String], bits: Int = 16): String = {
+    val n = xs.size
+    val mask = (1L << bits) - 1
+    val masked = xs.map(x => s"(($x) & $mask)")
+    (for {
+      i <- 0 until bits
+      (x, j) <- masked.zipWithIndex
+    } yield s"((($x >> $i) & 1) << ${i * n + j})").mkString(" | ")
+  }
+
+  /** Rewrite `df` into `numFiles` z-clustered output partitions: range
+    * partition on the z-value (files own contiguous z ranges = small
+    * (x, y) boxes), sort within each so row groups inherit the same
+    * locality. Write the result with the caller's sink of choice —
+    * min/max stats then prune on every clustered column. One shuffle,
+    * same as any repartition-for-layout write. */
+  def zorderBy(df: DataFrame, cols: Seq[Column], numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val z = zValue(cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -318,6 +318,16 @@ object ExtendedQueries {
       Seq("event_type"), agg)
   }
 
+  private val e2ZorderLocality: QFn = (s, dir) =>
+    // Morton z-value over (user_id, floor(value)) — the clustering key
+    // a 100 TB lake lays files out by so that BOTH range predicates
+    // prune via footer stats (LayoutSpec measures the actual file-level
+    // prune). The bit-interleave is plain integer arithmetic, generated
+    // from the same enumeration as the SQL mirror below.
+    Tables.events(s, dir).select(col("event_id"),
+      graft.ops.Layout.zValue(
+        Seq(col("user_id"), floor(col("value")).cast("long"))).as("zv"))
+
   // ---- X: sketch aggregates (approximate -> rows-only check) ---------------
 
   private val x1ApproxSketch: QFn = (s, dir) =>
@@ -477,6 +487,10 @@ object ExtendedQueries {
       """SELECT event_type,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |count(*) AS n FROM events GROUP BY event_type""".stripMargin),
+    QueryDef("e2_zorder_locality", e2ZorderLocality,
+      s"""SELECT event_id,
+        |${graft.ops.Layout.zValueSql(Seq("user_id", "CAST(floor(value) AS BIGINT)"))} AS zv
+        |FROM events""".stripMargin),
     QueryDef("x1_approx_sketch", x1ApproxSketch, "")
   )
 }
