@@ -76,6 +76,8 @@ object Main {
       |  --merge-format NAME       tail sink storage: bucket (overwrite touched
       |                            buckets, default) or log (append + read-time
       |                            LWW resolve; fold with `compact`)
+      |  --compact-every N         tail: with --merge-format log, auto-fold the
+      |                            append log every N epochs (default: never)
       |  --trail-blocks N          reorg lag for tail (default 0)
       |  --blocks-per-trigger N    tail micro-batch width (default 64)
       |  --head-wait-ms N          tail: long-poll the head up to N ms per cycle
@@ -98,6 +100,7 @@ object Main {
     "block-time-cache", "db", "collection", "trail-blocks", "blocks-per-trigger",
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
+    "compact-every",
     "owners-view", "tokens-view", "uris-view", "collections-view")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
@@ -265,8 +268,14 @@ object Main {
               opts.get(cli).fold(r)(v => r.option(opt, longOpt(opts, cli, 0L).toString)) }
           val receipts = w.options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
           val buckets = intOpt(opts, "buckets", 16)
+          val compactEvery = intOpt(opts, "compact-every", 0)
+          if (compactEvery < 0) throw CliError("--compact-every: must be positive")
+          if (compactEvery > 0 && opts.getOrElse("merge-format", "bucket") != "log")
+            throw CliError("--compact-every requires --merge-format log " +
+              "(the bucket format already stores one row per key)")
           val factSink = graft.streaming.Tail.mergeSink(s"$out/transfers",
-            TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets)) _
+            TransferSinkKeys, TransferSinkVersion, mergeFormat(opts, buckets),
+            compactEvery) _
           def blockTimeDim(flag: String) =
             opts.get("block-time-cache").map(Load.readBlockTimeCsv(spark, _))
               .getOrElse(throw CliError(
@@ -304,7 +313,7 @@ object Main {
                   val updates = graft.nft.Derive.uriUpdates(logs)
                   if (!updates.isEmpty) graft.streaming.Tail.mergeSink(s"$out/uris",
                     Seq("collection_id", "token_id"), Seq("metadata_url_version"),
-                    mergeFormat(opts, buckets))(updates, id)
+                    mergeFormat(opts, buckets), compactEvery)(updates, id)
                 }
                 collectionsDim.foreach { bt =>
                   // new contracts this epoch: probe ERC-165/metadata
@@ -325,7 +334,7 @@ object Main {
                       epoch, snapshot, bt, intOpt(opts, "data-version", 1))
                     graft.streaming.Tail.mergeSink(s"$out/collections",
                       Seq("collection_id"), Seq("block_created"),
-                      mergeFormat(opts, buckets))(colls, id)
+                      mergeFormat(opts, buckets), compactEvery)(colls, id)
                   }
                 }
               } finally { transfers.unpersist(false); epoch.unpersist(false) }

@@ -52,7 +52,27 @@ object Tail {
     * the key would funnel it into one reducer (SkewRehearsalSpec). */
   def mergeSink(target: String, keys: Seq[String], versionCols: Seq[String],
                 format: LwwMergeFormat)(batch: DataFrame, batchId: Long): Unit =
+    mergeSink(target, keys, versionCols, format, compactEvery = 0)(batch, batchId)
+
+  /** [[mergeSink]] with log-format auto-compaction: every `compactEvery`
+    * epochs the append log folds back to one stored row per key, INSIDE
+    * foreachBatch — the engine serializes triggers, so "between
+    * micro-batches" quiescence holds by construction and read cost
+    * stays bounded (~compactEvery epochs of log, not the stream's
+    * lifetime). A replayed compaction epoch just compacts again —
+    * idempotent, the folded state is a fixpoint of compact. Ignored for
+    * formats without a log (bucket overwrite is always one row/key). */
+  def mergeSink(target: String, keys: Seq[String], versionCols: Seq[String],
+                format: LwwMergeFormat, compactEvery: Int)
+               (batch: DataFrame, batchId: Long): Unit = {
     format.upsert(target, collapse(batch, keys, versionCols), keys, versionCols)
+    format match {
+      case log: LogAppendFormat
+        if compactEvery > 0 && batchId % compactEvery == (compactEvery - 1) =>
+        log.compact(batch.sparkSession, target, keys, versionCols)
+      case _ => ()
+    }
+  }
 
   /** One argmax-by-version row per key — algebraic (partial-agg
     * friendly), shared by the sink's epoch collapse and the log

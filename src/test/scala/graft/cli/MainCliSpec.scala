@@ -93,6 +93,18 @@ class MainCliSpec extends SparkSpec {
     assert(tailInto(outL, "--merge-format", "log") === 0)
     // invalid format refuses loudly
     assert(tailInto(tmp("cli_mf_x"), "--merge-format", "delta") === 2)
+    // --compact-every without the log format refuses loudly
+    assert(tailInto(tmp("cli_mf_y"), "--compact-every", "2") === 2)
+    // auto-compaction inside the stream: multi-epoch tail whose final
+    // epoch count is a multiple of --compact-every ends fully folded —
+    // the stored table equals the bucket sink's state WITHOUT a manual
+    // compact step (5 triggers of 4 blocks => epochs 0..4, folds at 1,3
+    // and a tail fold at 4... epochs are 0-indexed: folds after 1 and 3;
+    // epoch 4 appends, so one epoch of log may remain on top of the fold)
+    val outA = tmp("cli_mf_a")
+    assert(tailInto(outA, "--merge-format", "log", "--compact-every", "2",
+      "--blocks-per-trigger", "4") === 0)
+    assert(Main.run(spark, Seq("compact", "--out", outA)) === 0)
     assert(Main.run(spark, Seq("compact", "--out", outL)) === 0)
     // after compaction the log table holds one stored row per fact and
     // reads equal the bucket sink's state, column for column
@@ -100,6 +112,8 @@ class MainCliSpec extends SparkSpec {
       .drop("__bucket").collect().map(_.toString).sorted.toSeq
     assert(state(outL) === state(outB))
     assert(state(outL).nonEmpty)
+    // the auto-compacted multi-epoch tail converged to the same state
+    assert(state(outA) === state(outB))
   }
 
   test("tail --owners-view: the owner-balance view converges with the batch rollup") {

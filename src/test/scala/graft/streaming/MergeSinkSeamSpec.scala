@@ -86,6 +86,26 @@ class MergeSinkSeamSpec extends SparkSpec {
       .filter($"key" === "k1").select("payload").head().getString(0) === "a3")
   }
 
+  test("auto-compaction folds the log every N epochs without changing reads") {
+    val fmt = new Tail.LogAppendFormat(4)
+    val target = java.nio.file.Files.createTempDirectory("seam_ac").toString + "/t"
+    val sink = Tail.mergeSink(target, Seq("key"), Seq("version"), fmt, compactEvery = 3) _
+    // 6 epochs of 2 rows each touching the same 2 keys: uncompacted the
+    // log would hold 12 rows; compaction fires after epochs 2 and 5.
+    (0 until 6).foreach { i =>
+      sink(epoch(Seq(("k1", s"a$i", f"$i%02d"), ("k2", s"b$i", f"$i%02d"))), i.toLong)
+    }
+    // post-epoch-5 compaction: exactly one stored row per key
+    assert(spark.read.parquet(target).count() === 2L)
+    val resolved = fmt.read(spark, target, Seq("key"), Seq("version"))
+      .select("key", "payload").collect().map(_.toString).sorted.toSeq
+    assert(resolved === Seq("[k1,a5]", "[k2,b5]"))
+    // a replay of the compaction epoch itself converges (append + refold)
+    sink(epoch(Seq(("k1", "a5", "05"), ("k2", "b5", "05"))), 5L)
+    assert(fmt.read(spark, target, Seq("key"), Seq("version"))
+      .select("key", "payload").collect().map(_.toString).sorted.toSeq === resolved)
+  }
+
   test("bucket-sizing contract under skew: bucket sizes follow key cardinality, not event heat") {
     // 50k events, 80% on ONE key, the rest over 5000 distinct keys
     val hot = Seq.tabulate(40000)(i => ("hotkey", s"p$i", f"$i%08d"))
