@@ -232,6 +232,10 @@ object Exprs {
     reg.createOrReplaceTempFunction("hex_to_dec", es => HexToDecExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs", es => MinHashSigsExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
+    // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+    reg.createOrReplaceTempFunction("vector_sum_long", es => VectorSumLongAgg(es.head), "built-in")
     Uint256Sum.register(spark)
   }
 }

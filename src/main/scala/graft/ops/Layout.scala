@@ -69,4 +69,39 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Per-file integer min/max footer stats for `columns` of a local
+    * parquet directory: (file, column, min, max) — the prune
+    * inspection a layout decision is made against (LayoutSpec grades
+    * [[zorderBy]] with exactly this view). File-level stats are the
+    * union over row groups, the granularity a scan planner skips at.
+    * Driver-side by design: footers are metadata (KBs/file) and the
+    * tool targets a layout sample, not a lake walk. */
+  def fileStats(dir: String, columns: Seq[String]): Seq[(String, String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        columns.flatMap { name =>
+          val perGroup = for {
+            b <- 0 until blocks.size()
+            cols = blocks.get(b).getColumns
+            c <- 0 until cols.size()
+            cc = cols.get(c) if cc.getPath.toDotString == name
+            st = cc.getStatistics if st != null && !st.isEmpty
+          } yield (st.genericGetMin.asInstanceOf[Number].longValue(),
+            st.genericGetMax.asInstanceOf[Number].longValue())
+          if (perGroup.isEmpty) None
+          else Some((f.getName, name, perGroup.map(_._1).min, perGroup.map(_._2).max))
+        }
+      } finally reader.close()
+    }.toSeq
+  }
 }

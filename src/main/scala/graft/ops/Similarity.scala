@@ -146,17 +146,28 @@ object Similarity {
     } finally vecs.unpersist(blocking = false)
   }
 
-  /** Map-side nearest-centroid argmin: one codegen'd integer dot per
-    * centroid per row against DRIVER-HELD centroid literals — zero
-    * shuffle, no N x nlist row blow-up. Ties break on the smaller cell
-    * id (lexicographic struct least). */
+  /** Map-side nearest-centroid argmin via the native CellKernels
+    * expression: zero shuffle, no N x nlist row blow-up, and the
+    * centroids ride as a driver-held REFERENCE rather than array
+    * literals — the generated call site's text is one stable line, so
+    * Janino compiles it once instead of recompiling an O(nlist·dims)
+    * `least(struct(...))` tree every Lloyd round (each round's new
+    * centroid literals forced a fresh compile of the former
+    * formulation). Ranking: (||x||²−2·x·cv+||cv||², cell) ascending —
+    * the ||x||² term is row-constant, so the kernel ranks without it;
+    * ties break to the smaller cell id (`cents` arrive cell-sorted). */
   private def assignExpr(cents: Array[Cent], qv: Column, nrm: Column): Column = {
     require(cents.nonEmpty, "k-means requires a non-empty corpus to seed from")
-    val ds = cents.map { c =>
-      struct((nrm - lit(2L) * dot(qv, typedlit(c.cv)) + lit(c.cnrm)).as("d"),
-        lit(c.cell).as("cell"))
-    }
-    least(ds.toIndexedSeq: _*).getField("cell")
+    val (cvs, cnrms, cells) = centArrays(cents)
+    graft.expr.CellExprs.nearestCell(qv, cvs, cnrms, cells)
+  }
+
+  private def centArrays(cents: Array[Cent]): (Array[Array[Long]], Array[Long], Array[Long]) = {
+    // ascending cell ids are the kernel's tie-break contract (first
+    // minimum wins = smallest cell); every producer sorts, this guards it
+    require((1 until cents.length).forall(i => cents(i - 1).cell < cents(i).cell),
+      "centroids must be cell-sorted")
+    (cents.map(_.cv.toArray), cents.map(_.cnrm), cents.map(_.cell))
   }
 
   /** Element-wise rounded-integer mean per cell via the native
@@ -213,17 +224,15 @@ object Similarity {
     val cand = prepared(embeddings)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
       .withColumn("cell", assignExpr(cents, col("c_qv"), col("c_nrm")))
-    // probe expansion is map-side too: per query, sort the nlist
-    // (distance, cell) structs and explode the first nprobe — no
-    // window, no per-centroid row blow-up before the slice
-    val probeArr = array_sort(array(cents.toIndexedSeq.map { c =>
-      struct((col("q_nrm") - lit(2L) * dot(col("q_qv"), typedlit(c.cv)) + lit(c.cnrm)).as("d"),
-        lit(c.cell).as("cell"))
-    }: _*))
+    // probe expansion is map-side too: per query, the kernel returns
+    // the nprobe nearest cells by (distance, cell) — no window, no
+    // per-centroid row blow-up, same stable-codegen property as assign
+    val (cvs, cnrms, cells) = centArrays(cents)
     val probes = prepared(queries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-      .withColumn("p", explode(slice(probeArr, 1, nprobe)))
-      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("p").getField("cell").as("cell"))
+      .withColumn("cell",
+        explode(graft.expr.CellExprs.nearestCells(col("q_qv"), cvs, cnrms, cells, nprobe)))
+      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("cell"))
     val scored = cand.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))

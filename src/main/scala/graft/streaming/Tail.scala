@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Lww
 
@@ -179,6 +179,19 @@ object Tail {
     override def read(spark: SparkSession, target: String, keys: Seq[String],
                       versionCols: Seq[String]): DataFrame =
       collapse(spark.read.parquet(target).drop("__bucket"), keys, versionCols)
+
+    /** Historical read: resolve the log over only the rows whose version
+      * satisfies `upTo` — the state "as of" a point on the DOMAIN
+      * timeline (versions here encode block/log position, so this is
+      * "the table as of block N": the read the bucket-overwrite tier
+      * cannot serve, because overwrite discards losing rows). Retention
+      * is bounded by compaction — a fold keeps only current winners, so
+      * history reaches back to the last [[compact]]; `compactEvery`
+      * is therefore also the time-travel window in epochs. */
+    def readAsOf(spark: SparkSession, target: String, keys: Seq[String],
+                 versionCols: Seq[String], upTo: Column): DataFrame =
+      collapse(spark.read.parquet(target).drop("__bucket").filter(upTo),
+        keys, versionCols)
 
     /** Fold the log to one stored row per key. Safe to run any time the
       * sink is quiescent (between micro-batches); the rewrite keeps the

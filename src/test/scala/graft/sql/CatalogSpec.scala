@@ -61,6 +61,21 @@ class CatalogSpec extends SparkSpec {
     assert(r.getAs[String]("mh0").length === 8)
   }
 
+  test("round-7 vector kernels resolve from SQL") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT vector_sum_long(v) AS s,
+             max(dot_long(v, v)) AS d
+      FROM VALUES (array(1L, 2L)), (array(10L, 20L)) AS t(v)
+    """).head()
+    assert(r.getSeq[Long](0) === Seq(11L, 22L))
+    assert(r.getLong(1) === 500L)
+    val q = spark.sql(
+      "SELECT dot_long(quantize_embedding(array(CAST(0.5 AS FLOAT))), array(2L)) AS p"
+    ).head().getLong(0)
+    assert(q === 1000L)
+  }
+
   test("round-2 scalar functions resolve from SQL") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""

@@ -86,6 +86,27 @@ class MergeSinkSeamSpec extends SparkSpec {
       .filter($"key" === "k1").select("payload").head().getString(0) === "a3")
   }
 
+  test("log format time-travel: readAsOf resolves historical state; compaction bounds retention") {
+    val fmt = new Tail.LogAppendFormat(4)
+    val target = java.nio.file.Files.createTempDirectory("seam_tt").toString + "/t"
+    val sink = Tail.mergeSink(target, Seq("key"), Seq("version"), fmt) _
+    sink(epoch(Seq(("k1", "v1", "01"), ("k2", "w1", "01"))), 0L)
+    sink(epoch(Seq(("k1", "v2", "03"))), 1L)
+    sink(epoch(Seq(("k1", "v3", "05"), ("k2", "w2", "04"))), 2L)
+    def asOf(bound: String) =
+      fmt.readAsOf(spark, target, Seq("key"), Seq("version"), $"version" <= bound)
+        .select("key", "payload").collect().map(_.toString).sorted.toSeq
+    // as of version 03: k1 at its second write, k2 still at its first
+    assert(asOf("03") === Seq("[k1,v2]", "[k2,w1]"))
+    assert(asOf("01") === Seq("[k1,v1]", "[k2,w1]"))
+    assert(asOf("99") === Seq("[k1,v3]", "[k2,w2]"))
+    // compaction keeps only current winners: history before the fold is
+    // gone (the documented retention trade), the present is unchanged
+    fmt.compact(spark, target, Seq("key"), Seq("version"))
+    assert(asOf("99") === Seq("[k1,v3]", "[k2,w2]"))
+    assert(asOf("03") === Seq.empty)
+  }
+
   test("auto-compaction folds the log every N epochs without changing reads") {
     val fmt = new Tail.LogAppendFormat(4)
     val target = java.nio.file.Files.createTempDirectory("seam_ac").toString + "/t"
