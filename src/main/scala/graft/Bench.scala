@@ -8,7 +8,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,7 +26,11 @@ object Bench {
       .selectExpr("*", "row_number() OVER (PARTITION BY p ORDER BY id DESC) AS rn")
       .filter("rn = 1").collect()                                              // window exec
     spark.range(1000).selectExpr("id", "explode(array(id, id + 1)) AS e").collect() // generator
-    graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
+    // Warm-up must never abort the bench: a broken table here would zero
+    // the whole round's signal; the per-query loop below already records
+    // the failure for every query that touches it.
+    try graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
+    catch { case t: Throwable => System.err.println(s"[bench] warm-up failed: $t") }
     val errors = Seq.newBuilder[String]
     // A failed query reports sentinel -1 and is excluded from `total`:
     // its wall time (however long it spent failing) would otherwise

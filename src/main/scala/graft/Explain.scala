@@ -17,7 +17,6 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", if (noBroadcast) "-1" else "10MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

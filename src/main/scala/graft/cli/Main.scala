@@ -49,7 +49,8 @@ object Main {
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
-      |  --evm-rpc-nodes URLS      comma-separated JSON-RPC endpoints; omit = simulated chain
+      |  --evm-rpc-nodes URLS      comma-separated JSON-RPC endpoints (http(s):// or
+      |                            ws(s)://, mixable); omit = simulated chain
       |  --rpc-batch N             max JSON-RPC calls per wire batch (default 256)
       |  --rpc-timeout-ms N        transport timeout (default 30000)
       |  --rpc-requests-per-second N  proactive per-JVM request cap (default off)
@@ -476,7 +477,6 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = try run(spark, args.toIndexedSeq) finally spark.stop()

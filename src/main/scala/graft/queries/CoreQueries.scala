@@ -63,11 +63,10 @@ object CoreQueries {
     // predicate, pushed down into the parquet scan.
     val lo = 1704412800000000L // 2024-01-05T00:00:00Z in epoch micros
     val hi = 1705017600000000L // 2024-01-12T00:00:00Z
-    // range filter on the raw nanos column -> pushed to the parquet scan
-    // (whole-second bounds make us- and ns-space filters equivalent)
-    Tables.events(s, dir)
-      .filter(col("ts_ns") >= lo * 1000 && col("ts_ns") < hi * 1000 &&
-        col("event_type") === "click")
+    // range filter on the raw stored ts column -> pushed to the parquet
+    // scan for row-group pruning, whatever physical type the file uses
+    Tables.eventsRange(s, dir, lo, hi)
+      .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
   }
 

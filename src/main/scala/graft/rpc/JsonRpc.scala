@@ -85,7 +85,15 @@ object JsonRpc {
       cooldownMs: Long = 30000L, requestsPerSecond: Int = 0): JsonRpcClient = {
     require(endpoints.nonEmpty, "at least one RPC endpoint is required")
     cache.computeIfAbsent((endpoints.mkString(","), timeoutMs, cooldownMs, requestsPerSecond), { _ =>
-      val singles = endpoints.map(e => new HttpJsonRpcClient(e, timeoutMs))
+      // scheme dispatch: ws/wss endpoints (the reference's documented
+      // deployment form, `core/rpc.py:108,186`) get the websocket
+      // transport; everything else speaks batch HTTP. Mixed pools work —
+      // both satisfy the same JsonRpcClient contract.
+      val singles = endpoints.map { e =>
+        val scheme = Option(URI.create(e).getScheme).map(_.toLowerCase).getOrElse("")
+        if (scheme == "ws" || scheme == "wss") new WsJsonRpcClient(e, timeoutMs)
+        else new HttpJsonRpcClient(e, timeoutMs)
+      }
       val base =
         if (singles.size == 1) singles.head
         else new PooledJsonRpcClient(singles, cooldownMs)
@@ -224,30 +232,12 @@ final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpc
     }
   }
 
-  private def idOf(o: JObject): Option[Long] = (o \ "id") match {
-    case JLong(v) => Some(v)
-    case JInt(v) => Some(v.toLong)
-    case JString(s) => s.toLongOption
-    case _ => None
-  }
+  private def idOf(o: JObject): Option[Long] = JsonRpcWire.idOf(o)
 
-  private def entryError(o: JObject): Option[(Int, String)] = (o \ "error") match {
-    case e: JObject =>
-      val code = (e \ "code") match {
-        case JLong(v) => v.toInt
-        case JInt(v) => v.toInt
-        case _ => 0
-      }
-      val msg = (e \ "message") match { case JString(s) => s; case _ => "" }
-      Some((code, msg))
-    case _ => None
-  }
+  private def entryError(o: JObject): Option[(Int, String)] = JsonRpcWire.entryError(o)
 
-  private def classify(err: (Int, String)): RuntimeException = {
-    val (code, msg) = err
-    if (JsonRpc.isThrottle(code, msg)) new ThrottledException(s"$endpoint RPC $code: $msg")
-    else RpcServerException(code, msg)
-  }
+  private def classify(err: (Int, String)): RuntimeException =
+    JsonRpcWire.classify(endpoint, err)
 }
 
 /** Round-robin pool with cooldown-based dead-endpoint eviction — the

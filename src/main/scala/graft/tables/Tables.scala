@@ -2,18 +2,23 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver parquet testdata (`TESTDATA.md`).
   *
   * All loaders are plain parquet scans so Catalyst can push filters and
-  * prune columns into the scan. The only normalization is `events.ts`:
-  * the file stores TIMESTAMP(NANOS) which Spark's parquet reader rejects
-  * by default; we read it as a nanos long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and expose
-  *   - `ts_us`: epoch microseconds (long, truncated like DuckDB's ns->us
-  *     cast, so oracle comparisons agree bit-for-bit), and
+  * prune columns into the scan. The only normalization is `events.ts`,
+  * whose physical type has drifted across driver rounds (int64 nanos,
+  * TIMESTAMP(NANOS), TIMESTAMP(MICROS) isAdjustedToUTC=false). We
+  * normalize every variant to the same three columns:
+  *   - `ts_ns`: epoch nanoseconds (long),
+  *   - `ts_us`: epoch microseconds (long, truncated like DuckDB's
+  *     ns->us cast, so oracle comparisons agree bit-for-bit), and
   *   - `ts`: a proper TimestampType built from `ts_us`.
+  * The NTZ branch must stay timezone-independent: a cast to TIMESTAMP
+  * reinterprets the wall clock in the *session* timezone, which silently
+  * shifts epochs for any caller that hasn't pinned UTC. `timestampdiff`
+  * against an NTZ epoch literal never consults the session timezone.
   */
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
@@ -36,16 +41,49 @@ object Tables {
       { case (s, p) => s.read.parquet(p) })
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable, so this works even on a session we didn't build.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(table(spark, dir, "events"))
+
+  /** events with a `[loUs, hiUs)` epoch-micros range predicate applied
+    * to the RAW stored `ts` column — so it reaches the parquet scan as
+    * a pushed filter (row-group pruning) — before the normalized
+    * columns are derived. Filtering the derived `ts_ns`/`ts_us`/`ts`
+    * after [[events]] would evaluate above a full-table scan instead.
+    */
+  def eventsRange(spark: SparkSession, dir: String, loUs: Long, hiUs: Long): DataFrame = {
     val raw = table(spark, dir, "events")
-    // `ts_ns` stays the raw scan column: range predicates against it are
-    // pushed into the parquet scan (row-group pruning); the derived
-    // `ts_us`/`ts` would block pushdown if filtered on instead.
+    val pred = raw.schema("ts").dataType match {
+      case LongType            =>
+        col("ts") >= loUs * 1000L && col("ts") < hiUs * 1000L
+      case _: TimestampNTZType =>
+        // LocalDateTime literals are TIMESTAMP_NTZ; building them at
+        // UTC offset matches the wall-clock-as-UTC storage contract and
+        // never consults the session timezone.
+        col("ts") >= lit(ntzOfEpochUs(loUs)) && col("ts") < lit(ntzOfEpochUs(hiUs))
+      case _                   =>
+        // Instant literals are TIMESTAMP (LTZ): an instant compare.
+        col("ts") >= lit(java.time.Instant.EPOCH.plus(loUs, java.time.temporal.ChronoUnit.MICROS)) &&
+          col("ts") < lit(java.time.Instant.EPOCH.plus(hiUs, java.time.temporal.ChronoUnit.MICROS))
+    }
+    normalizeEvents(raw.filter(pred))
+  }
+
+  private def ntzOfEpochUs(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  private def normalizeEvents(raw: DataFrame): DataFrame = {
     val withNs = raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts_ns", col("ts"))
-      case _        => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case LongType            => raw.withColumn("ts_ns", col("ts"))
+      case _: TimestampNTZType =>
+        // Wall-clock delta from the NTZ epoch: independent of
+        // spark.sql.session.timeZone, unlike cast-to-TIMESTAMP.
+        raw.withColumn("ts_ns",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+      case _                   =>
+        // TIMESTAMP (LTZ) stores an instant; unix_micros is tz-free.
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
     withNs.withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -84,17 +84,20 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
     if (throttleNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       respond(exchange, 429, """{"error":"too many requests"}"""); return
     }
-    val json = JsonMethods.parse(body)
-    val out: JValue = json match {
-      case JArray(reqs) =>
-        largestBatch.getAndUpdate(m => math.max(m, reqs.size))
-        if (reqs.size > maxBatch)
-          errorObj(JNull, -32602, s"batch limit exceeded (${reqs.size} > $maxBatch)")
-        else JArray(reqs.map(dispatch).reverse) // reverse: id-correlation must cope
-      case obj: JObject => dispatch(obj)
-      case _ => errorObj(JNull, -32700, "parse error")
-    }
+    val out = rpcPayload(JsonMethods.parse(body))
     respond(exchange, 200, JsonMethods.compact(JsonMethods.render(out)))
+  }
+
+  /** Payload-level dispatch, shared with [[StubWsRpcServer]] so the ws
+    * stub serves byte-identical JSON-RPC semantics over frames. */
+  private[rpc] def rpcPayload(json: JValue): JValue = json match {
+    case JArray(reqs) =>
+      largestBatch.getAndUpdate(m => math.max(m, reqs.size))
+      if (reqs.size > maxBatch)
+        errorObj(JNull, -32602, s"batch limit exceeded (${reqs.size} > $maxBatch)")
+      else JArray(reqs.map(dispatch).reverse) // reverse: id-correlation must cope
+    case obj: JObject => dispatch(obj)
+    case _ => errorObj(JNull, -32700, "parse error")
   }
 
   private def respond(exchange: HttpExchange, status: Int, body: String): Unit = {
