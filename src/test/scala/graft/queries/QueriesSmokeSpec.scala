@@ -32,6 +32,23 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("s4_ranged_scan pushes ts range AND event_type into the parquet scan") {
+    // The whole point of eventsRange is that the time predicate prunes
+    // row groups at the scan, not above a full-table read — on the REAL
+    // driver testdata (whatever ts physical type it ships this round),
+    // not just the committed fixtures (EventsTypeMatrixSpec covers those).
+    val df = SparkEntry.queries("s4_ranged_scan")(spark, dir)
+    val meta = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata
+    }.getOrElse(fail("no FileSourceScanExec in s4 plan"))
+    val pushed = meta("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"ts range not pushed: $pushed")
+    assert(pushed.contains("EqualTo(event_type,click)"), s"type filter not pushed: $pushed")
+    assert(!meta("ReadSchema").contains("props"),
+      s"props not pruned from scan: ${meta("ReadSchema")}")
+  }
+
   test("fixture invariant: events.event_id is dense and contiguous (s1 contract)") {
     // s1_range_scan derives the dense id range as event_id - min(event_id),
     // which matches its row_number()-1 DuckDB oracle ONLY while event_id
