@@ -98,6 +98,22 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** double-element variant of [[quantize]] — an `array<double>`-backed
+    * ArrayData read with getFloat would return 4 bytes of each 8-byte
+    * slot (silent garbage), so the element width MUST be dispatched at
+    * plan time, never assumed. */
+  def quantizeDouble(e: ArrayData): ArrayData = {
+    val n = e.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.math.BigDecimal.valueOf(e.getDouble(i) * 1000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact integer dot product of two long arrays (quantized
     * embeddings); order-independent, overflow-checked by construction
     * (|q| <= ~1000 per element, dim <= 4096). */
@@ -150,13 +166,36 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** quantize_embedding(array<float>) -> array<long> milli-units. */
+/** quantize_embedding(array<float|double>) -> array<long> milli-units.
+  * Element width is dispatched at PLAN time from the child's type: the
+  * driver testdata's `embedding` column is float today, but a drift to
+  * double must select the getDouble kernel — reading a double-backed
+  * ArrayData with getFloat yields silent garbage, not an error. Any
+  * other element type is rejected at analysis. */
 case class QuantizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_embedding expects array<float> or array<double>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(v: Any): Any =
-    ArrayKernels.quantize(v.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ArrayKernels.quantize($c)")
+    if (isDouble) ArrayKernels.quantizeDouble(v.asInstanceOf[ArrayData])
+    else ArrayKernels.quantize(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isDouble) "quantizeDouble" else "quantize"
+    defineCodeGen(ctx, ev, c => s"graft.expr.ArrayKernels.$m($c)")
+  }
   override protected def withNewChildInternal(c: Expression): QuantizeExpr = copy(c)
 }
 

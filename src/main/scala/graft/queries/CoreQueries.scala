@@ -55,7 +55,7 @@ object CoreQueries {
     o.join(broadcast(minKey), col("o_orderkey") === col("__mk"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"),
-        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+        Tables.epochMs(o, "o_orderdate").as("o_date_ms"))
   }
 
   private val s4RangedScan: QFn = (s, dir) => {
@@ -492,7 +492,7 @@ object CoreQueries {
     oq.join(o, oq("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        Tables.epochMs(o, "o_orderdate").as("o_date_ms"),
         col("o_totalprice"), col("q").cast("double").as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100)

@@ -136,9 +136,10 @@ object ExtendedQueries {
     // At scale this shuffles both sides once on the user key; the
     // inequality never leaves the probe side.
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
-    val o = Tables.orders(s, dir).select(
+    val ord = Tables.orders(s, dir)
+    val o = ord.select(
       col("o_custkey"),
-      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"),
+      Tables.epochDay(ord, "o_orderdate").as("o_day"),
       col("o_orderkey"))
     // packed = day * 1e10 + orderkey: day ~2e4, orderkey < 1e10 -> no overflow,
     // max() picks latest day then highest orderkey (deterministic tiebreak).
@@ -161,9 +162,10 @@ object ExtendedQueries {
     // two strategies agree bit-for-bit.
     import graft.ops.AsofJoin
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
-    val o = Tables.orders(s, dir).select(
+    val ord = Tables.orders(s, dir)
+    val o = ord.select(
       col("o_custkey"),
-      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"),
+      Tables.epochDay(ord, "o_orderdate").as("o_day"),
       col("o_orderkey"))
       .withColumn("o_us", col("o_day") * lit(86400000000L))
     AsofJoin.asofJoin(ev, o, "user_id", "o_custkey", "ts_us", "o_us",
@@ -178,8 +180,9 @@ object ExtendedQueries {
     // hash-partitioned; the band predicate filters inside the bucket,
     // so matched volume stays O(orders-per-user), never a cross product.
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
-    val o = Tables.orders(s, dir).select(col("o_custkey"),
-      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_us"),
+    val ord = Tables.orders(s, dir)
+    val o = ord.select(col("o_custkey"),
+      Tables.epochUs(ord, "o_orderdate").as("o_us"),
       col("o_orderkey"))
     ev.join(o,
         ev("user_id") === o("o_custkey") &&

@@ -2,7 +2,8 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver parquet testdata (`TESTDATA.md`).
   *
@@ -66,6 +67,46 @@ object Tables {
           col("ts") < lit(java.time.Instant.EPOCH.plus(hiUs, java.time.temporal.ChronoUnit.MICROS))
     }
     normalizeEvents(raw.filter(pred))
+  }
+
+  /** Session-timezone-independent epoch extraction for a stored
+    * temporal column — the drift armor [[events]] applies to `ts`,
+    * generalized: `o_orderdate`/`l_shipdate` have themselves drifted
+    * DATE -> TIMESTAMP_NTZ across driver rounds, and a
+    * `cast("timestamp")` on an NTZ/DATE column silently shifts epochs
+    * in any session not pinned to UTC. Matched on the column's CURRENT
+    * type; DATE and NTZ paths never consult the session timezone. */
+  def epochUs(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+    case DateType            =>
+      datediff(col(name), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000000L
+    case _: TimestampNTZType =>
+      timestamp_diff("MICROSECOND", lit(ntzOfEpochUs(0L)), col(name))
+    case _: TimestampType    => unix_micros(col(name))
+    case other               => throw new IllegalArgumentException(
+      s"$name: cannot derive an epoch from ${other.simpleString}")
+  }
+
+  /** Epoch milliseconds; see [[epochUs]]. */
+  def epochMs(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+    case DateType            =>
+      datediff(col(name), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000L
+    case _: TimestampNTZType =>
+      timestamp_diff("MILLISECOND", lit(ntzOfEpochUs(0L)), col(name))
+    case _: TimestampType    => unix_millis(col(name))
+    case other               => throw new IllegalArgumentException(
+      s"$name: cannot derive an epoch from ${other.simpleString}")
+  }
+
+  /** Complete days since the epoch (UTC day for instants); see [[epochUs]]. */
+  def epochDay(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+    case DateType            =>
+      datediff(col(name), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    case _: TimestampNTZType =>
+      timestamp_diff("DAY", lit(ntzOfEpochUs(0L)), col(name))
+    case _: TimestampType    =>
+      floor(unix_millis(col(name)) / 86400000L).cast("long")
+    case other               => throw new IllegalArgumentException(
+      s"$name: cannot derive an epoch from ${other.simpleString}")
   }
 
   private def ntzOfEpochUs(us: Long): java.time.LocalDateTime =

@@ -89,4 +89,21 @@ class ArrayKernelsSpec extends AnyFunSuite {
       assert(ArrayKernels.dotLong(qa, qb) === want)
     }
   }
+
+  test("quantizeDouble on unsafe 8-byte-slot arrays == quantize on the float values") {
+    // UnsafeArrayData packs doubles in 8-byte slots; reading them with
+    // getFloat would return garbage halves. This pins that the double
+    // kernel + plan-time dispatch produce the same milli-units as the
+    // float path for representable values (a driver drift of the
+    // embedding column float->double must not corrupt signatures).
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    (1 to N).foreach { _ =>
+      val dim = 1 + rnd.nextInt(8)
+      val f = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val qf = ArrayKernels.quantize(UnsafeArrayData.fromPrimitiveArray(f))
+      val qd = ArrayKernels.quantizeDouble(
+        UnsafeArrayData.fromPrimitiveArray(f.map(_.toDouble)))
+      assert(qd.toLongArray().toSeq === qf.toLongArray().toSeq)
+    }
+  }
 }

@@ -23,6 +23,25 @@ class SimilarityTrainedSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("array<double> embeddings quantize identically to array<float> (drift armor)") {
+    // If the driver testdata ever ships embeddings as array<double>,
+    // the quantize kernel must dispatch on the 8-byte element width —
+    // reading unsafe double slots with getFloat is silent garbage, so
+    // the two plans agreeing end-to-end is the proof the dispatch works.
+    val asDouble = blobs.withColumn("embedding",
+      transform(col("embedding"), v => v.cast("double")))
+    val qf = blobs.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .orderBy("vec_id").collect().map(r => r.getAs[Seq[Long]]("qv").toList).toSeq
+    val qd = asDouble.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .orderBy("vec_id").collect().map(r => r.getAs[Seq[Long]]("qv").toList).toSeq
+    assert(qd === qf)
+    // and a non-numeric element type fails analysis loudly, not silently
+    val bad = blobs.withColumn("embedding", transform(col("embedding"), v => v.cast("string")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.quantize(col("embedding"))).collect()
+    }
+  }
+
   test("kmeans centroids: deterministic across runs, one centroid per blob") {
     val a = Similarity.kmeansCentroids(blobs, nlist = 3, iters = 2).collect()
       .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Long]]("cv").toList).toMap
