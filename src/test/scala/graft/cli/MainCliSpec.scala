@@ -55,6 +55,27 @@ class MainCliSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("crawl over a ws:// endpoint == crawl over http (the reference's native form)") {
+    // the reference documents websocket endpoints as THE deployment mode
+    // (`core/rpc.py:108`); a user pasting a wss URL into --evm-rpc-nodes
+    // must get the identical crawl, transport swapped under the seam
+    val outWs = tmp("cli_ws_crawl"); val outHttp = tmp("cli_http_crawl")
+    val inner = new graft.rpc.StubRpcServer()
+    val ws = new graft.rpc.StubWsRpcServer(inner)
+    try {
+      // no cache reset needed: each stub binds a fresh port, so the
+      // per-JVM client cache key (endpoint list) is unique per run
+      assert(Main.run(spark, Seq("crawl", "0", "30", "--out", outWs,
+        "--evm-rpc-nodes", ws.url)) === 0)
+      assert(Main.run(spark, Seq("crawl", "0", "30", "--out", outHttp,
+        "--evm-rpc-nodes", inner.url)) === 0)
+      for (table <- Seq("transfers", "tokens", "owners"))
+        assert(rows(spark.read.parquet(s"$outWs/$table")) ===
+          rows(spark.read.parquet(s"$outHttp/$table")), s"$table differs across transports")
+      assert(ws.handshakes.get() >= 1, "the ws transport was never used")
+    } finally { ws.stop(); inner.stop() }
+  }
+
   test("seed then tail --once: the stream starts at the bookmark and lands in the LWW sink") {
     val out = tmp("cli_tail"); val cfg = tmp("cli_cfg2"); val ckpt = tmp("cli_ckpt")
     // hex accepted like the reference's HexIntParamType
