@@ -83,6 +83,25 @@ class WsRpcSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("mixed http+ws pool: dead ws endpoint fails over to the http member") {
+    // the CLI advertises mixable schemes in --evm-rpc-nodes; the pool
+    // must rotate across TRANSPORTS exactly as it does within one
+    val deadWs = "ws://127.0.0.1:9" // discard port: connect always fails
+    val pool = new PooledJsonRpcClient(Seq(
+      new WsJsonRpcClient(deadWs, 500),
+      new HttpJsonRpcClient(inner.url, 10000)))
+    val got = pool.batch(Seq(RpcCall("eth_blockNumber", Nil)))
+    assert(got.head.isRight)
+    // and a healthy ws member actually serves once the http one dies
+    val frames0 = ws.framesServed.get()
+    val dead = new StubRpcServer(); dead.stop() // bound then closed: refused
+    val pool2 = new PooledJsonRpcClient(Seq(
+      new HttpJsonRpcClient(dead.url, 500),
+      new WsJsonRpcClient(ws.url, 10000)))
+    assert(pool2.batch(Seq(RpcCall("eth_blockNumber", Nil))).head.isRight)
+    assert(ws.framesServed.get() > frames0, "the ws member never served")
+  }
+
   test("block fetcher through wss seam reproduces the simulated chain exactly") {
     import spark.implicits._
     JsonRpc.resetCache()
