@@ -76,6 +76,41 @@ class EventsTypeMatrixSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("property: random epochs normalize identically across all physical types") {
+    // The committed fixtures pin the exact driver layouts; this variant
+    // generates fresh parquet from random epochs (seeded) so the
+    // normalization is exercised over the value space, including
+    // sub-microsecond truncation on the int64-nanos path.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // epochs in [1970, ~2100), micro precision
+    val us = Seq.fill(64)((rnd.nextLong() % 4102444800000000L).abs).sorted
+    val rows = us.zipWithIndex.map { case (u, i) => (i.toLong + 1, u) }
+    def writeEvents(ts: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory("tsprop-").toString
+      rows.toDF("event_id", "us")
+        .select(col("event_id"), ts.as("ts"), (col("event_id") * 10).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC") // fixture GENERATION pinned
+      val dirs = Map(
+        // int64 nanos with sub-micro residue: ts_us must truncate like DuckDB
+        "long" -> writeEvents(col("us") * 1000L + (col("event_id") % 1000)),
+        "ltz"  -> writeEvents(timestamp_micros(col("us"))),
+        "ntz"  -> writeEvents(timestamp_micros(col("us")).cast("timestamp_ntz")))
+      for (tz <- Seq("UTC", "Australia/Eucla")) { // +8:45, the nastiest offset
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        for ((kind, d) <- dirs)
+          assert(tsUs(Tables.events(spark, d)) === us, s"$kind under $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("eventsRange pushes the ts range into the parquet scan") {
     for (f <- formats) {
       val df = Tables.eventsRange(spark, dirs(f), 1704240000000000L, 1704758400000000L)
