@@ -52,12 +52,20 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     * server-answered error, which must never be retried. */
   private final class Disconnected(msg: String) extends RuntimeException(msg)
 
+  /** True only for the socket this client currently sends on. Events
+    * from a replaced (dropped/aborted) socket must be ignored: a late
+    * onText would garble the shared reassembly buffer, and a late
+    * onClose would failAll() the REPLAY's fresh futures and burn the
+    * replay budget for a socket that is already gone. */
+  private def isCurrent(ws: WebSocket): Boolean = lock.synchronized(socket eq ws)
+
   private object listener extends WebSocket.Listener {
     private val buf = new StringBuilder
     /** A connection that died mid-message must not leak its partial
       * text into the first message of the replacement socket. */
     def resetBuf(): Unit = buf.synchronized(buf.setLength(0))
     override def onText(ws: WebSocket, data: CharSequence, last: Boolean): CompletionStage[_] = {
+      if (!isCurrent(ws)) { ws.request(1); return null }
       val complete = buf.synchronized {
         buf.append(data)
         if (last) { val t = buf.toString(); buf.setLength(0); t } else null
@@ -69,24 +77,28 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
       null
     }
     override def onClose(ws: WebSocket, status: Int, reason: String): CompletionStage[_] = {
-      dropped(s"$endpoint websocket closed ($status $reason)"); null
+      if (isCurrent(ws)) dropped(s"$endpoint websocket closed ($status $reason)")
+      null
     }
     override def onError(ws: WebSocket, error: Throwable): Unit =
-      dropped(s"$endpoint websocket error: ${error.getMessage}")
+      if (isCurrent(ws)) dropped(s"$endpoint websocket error: ${error.getMessage}")
   }
 
   private def deliver(payload: JValue): Unit = payload match {
-    case JArray(entries) => entries.foreach(deliver)
+    // An id-less error INSIDE a response array is one uncorrelatable
+    // entry of one window (JSON-RPC allows id:null for entries whose
+    // request id could not be determined) — it must stay confined to
+    // that window (which times out alone), matching the HTTP client.
+    case JArray(entries) => entries.foreach(deliverEntry)
     case o: JObject =>
       JsonRpcWire.idOf(o) match {
-        case Some(id) =>
-          val fut = pending.remove(id)
-          if (fut != null) fut.complete(o)
+        case Some(_) => deliverEntry(o)
         case None =>
-          // An id-less entry is either a subscription notification
-          // (ignored: this client polls) or a batch-level rejection
-          // (id:null error): fail every in-flight call so the windows
-          // replay or surface the error instead of timing out.
+          // A TOP-LEVEL id-less object is either a subscription
+          // notification (ignored: this client polls) or a socket-wide
+          // condition — batch rejection / throttle — answered outside
+          // any frame correlation: fail every in-flight call so the
+          // windows replay or surface the error instead of timing out.
           JsonRpcWire.entryError(o) match {
             case Some(err) => failAll(JsonRpcWire.classify(endpoint, err))
             case None =>
@@ -95,8 +107,22 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     case _ =>
   }
 
+  private def deliverEntry(v: JValue): Unit = v match {
+    case o: JObject =>
+      JsonRpcWire.idOf(o).foreach { id =>
+        val fut = pending.remove(id)
+        if (fut != null) fut.complete(o)
+      }
+    case _ =>
+  }
+
   private def dropped(msg: String): Unit = {
-    lock.synchronized { socket = null }
+    // Abort the replaced socket: without this a timeout-triggered drop
+    // leaves the old connection alive, leaking a file descriptor per
+    // drop on a JVM-cached client and letting its late callbacks race
+    // the replacement (see isCurrent).
+    val old = lock.synchronized { val s = socket; socket = null; s }
+    if (old != null) { try old.abort() catch { case _: Exception => } }
     listener.resetBuf()
     failAll(new Disconnected(msg))
   }

@@ -43,7 +43,20 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEvents(table(spark, dir, "events"))
+    normalizeEvents(eventsRaw(spark, dir))
+
+  /** TIMESTAMP(NANOS) parquet is unreadable on Spark 4.1 without the
+    * legacy conf (PARQUET_TYPE_ILLEGAL at analysis); WITH it the column
+    * reads as long nanos — hitting [[normalizeEvents]]'s LongType
+    * branch — while MICROS files are entirely unaffected (verified
+    * empirically on this Spark: the conf only changes nanos-unit
+    * columns). The conf is runtime-settable, so setting it here covers
+    * sessions the library didn't build. Past driver rounds HAVE shipped
+    * nanos; dropping this line would re-open that drift hole. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
 
   /** events with a `[loUs, hiUs)` epoch-micros range predicate applied
     * to the RAW stored `ts` column — so it reaches the parquet scan as
@@ -52,7 +65,7 @@ object Tables {
     * after [[events]] would evaluate above a full-table scan instead.
     */
   def eventsRange(spark: SparkSession, dir: String, loUs: Long, hiUs: Long): DataFrame = {
-    val raw = table(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     val pred = raw.schema("ts").dataType match {
       case LongType            =>
         col("ts") >= loUs * 1000L && col("ts") < hiUs * 1000L
@@ -86,28 +99,21 @@ object Tables {
       s"$name: cannot derive an epoch from ${other.simpleString}")
   }
 
-  /** Epoch milliseconds; see [[epochUs]]. */
-  def epochMs(df: DataFrame, name: String): Column = df.schema(name).dataType match {
-    case DateType            =>
-      datediff(col(name), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000L
-    case _: TimestampNTZType =>
-      timestamp_diff("MILLISECOND", lit(ntzOfEpochUs(0L)), col(name))
-    case _: TimestampType    => unix_millis(col(name))
-    case other               => throw new IllegalArgumentException(
-      s"$name: cannot derive an epoch from ${other.simpleString}")
-  }
+  /** FLOOR epoch milliseconds, derived from [[epochUs]] so every
+    * physical type agrees by construction — per-type ms primitives
+    * disagree on pre-epoch sub-ms values (`unix_millis` floors,
+    * `timestamp_diff("MILLISECOND", ...)` truncates toward zero), and
+    * that divergence is exactly the cross-type inconsistency these
+    * helpers exist to eliminate. The double division is exact for any
+    * epoch within ±2^52 us (~year 144683). */
+  def epochMs(df: DataFrame, name: String): Column =
+    floor(epochUs(df, name) / 1000L).cast("long")
 
-  /** Complete days since the epoch (UTC day for instants); see [[epochUs]]. */
-  def epochDay(df: DataFrame, name: String): Column = df.schema(name).dataType match {
-    case DateType            =>
-      datediff(col(name), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
-    case _: TimestampNTZType =>
-      timestamp_diff("DAY", lit(ntzOfEpochUs(0L)), col(name))
-    case _: TimestampType    =>
-      floor(unix_millis(col(name)) / 86400000L).cast("long")
-    case other               => throw new IllegalArgumentException(
-      s"$name: cannot derive an epoch from ${other.simpleString}")
-  }
+  /** FLOOR days since the epoch (UTC day for instants); see [[epochMs]]
+    * for why this derives from [[epochUs]] instead of per-type DAY
+    * primitives (`timestamp_diff("DAY", ...)` truncates toward zero). */
+  def epochDay(df: DataFrame, name: String): Column =
+    floor(epochUs(df, name) / 86400000000L).cast("long")
 
   private def ntzOfEpochUs(us: Long): java.time.LocalDateTime =
     java.time.LocalDateTime.ofEpochSecond(

@@ -8,17 +8,19 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 /** The driver testdata's `events.ts` physical type has drifted across
   * rounds (int64 nanos -> TIMESTAMP(NANOS) -> TIMESTAMP(MICROS) NTZ), and
   * round 7 died because the non-long branch of `Tables.events` was never
-  * exercised. This matrix pins every variant Spark 4 can actually read —
-  * int64-long, micros NTZ, micros LTZ (TIMESTAMP(NANOS) now throws
-  * PARQUET_TYPE_ILLEGAL outright, so it cannot reach the loader) — to
-  * identical `ts_ns`/`ts_us`/`ts`, in ANY session timezone.
+  * exercised. This matrix pins every layout the loader can face —
+  * int64-long, micros NTZ, micros LTZ, and both TIMESTAMP(NANOS)
+  * flavors (readable only under the legacy nanosAsLong conf the loader
+  * sets at runtime, where they surface as long nanos) — to identical
+  * `ts_ns`/`ts_us`/`ts`, in ANY session timezone.
   *
   * Fixtures committed under test resources; regenerate with
   * `tools/gen_ts_fixtures.py` (pyarrow, not a library dependency).
   */
 class EventsTypeMatrixSpec extends SparkSpec {
 
-  private val formats = Seq("events_int64_ns", "events_us_ntz", "events_us_ltz")
+  private val formats = Seq("events_int64_ns", "events_us_ntz", "events_us_ltz",
+    "events_ns_ntz", "events_ns_ltz")
 
   // 8 rows, micro-precision, days 0,2,..,14 of 2024-01 (see generator)
   private val expectedUs: Seq[Long] =
@@ -37,7 +39,7 @@ class EventsTypeMatrixSpec extends SparkSpec {
   private def tsUs(df: DataFrame): Seq[Long] =
     df.orderBy("event_id").select("ts_us").collect().map(_.getLong(0)).toSeq
 
-  test("all three physical ts types normalize to the same epoch micros") {
+  test("all five physical ts layouts normalize to the same epoch micros") {
     for (f <- formats) {
       val ev = Tables.events(spark, dirs(f))
       assert(ev.schema("ts_ns").dataType === LongType, f)

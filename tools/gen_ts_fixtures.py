@@ -7,8 +7,12 @@ driver's `events` schema differing only in the physical type of `ts`:
   - events_int64_ns : plain int64 epoch nanoseconds (round<=6 layout)
   - events_us_ntz   : TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 7+)
   - events_us_ltz   : TIMESTAMP(MICROS, isAdjustedToUTC=true)
-TIMESTAMP(NANOS) is intentionally absent: Spark 4.1 rejects it at read
-time (PARQUET_TYPE_ILLEGAL), so it can never reach Tables.events.
+  - events_ns_ntz   : TIMESTAMP(NANOS, isAdjustedToUTC=false)
+  - events_ns_ltz   : TIMESTAMP(NANOS, isAdjustedToUTC=true)
+The NANOS variants are readable ONLY under
+spark.sql.legacy.parquet.nanosAsLong=true (set at runtime by
+Tables.events), where they surface as int64 nanos; without the conf
+Spark 4.1 rejects them with PARQUET_TYPE_ILLEGAL.
 """
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -32,3 +36,5 @@ def tbl(ts_arr):
 pq.write_table(tbl(pa.array([u * 1000 for u in us], pa.int64())), f"{OUT}/events_int64_ns.parquet")
 pq.write_table(tbl(pa.array(us, pa.timestamp("us"))), f"{OUT}/events_us_ntz.parquet")
 pq.write_table(tbl(pa.array(us, pa.timestamp("us", tz="UTC"))), f"{OUT}/events_us_ltz.parquet")
+pq.write_table(tbl(pa.array([u * 1000 for u in us], pa.timestamp("ns"))), f"{OUT}/events_ns_ntz.parquet")
+pq.write_table(tbl(pa.array([u * 1000 for u in us], pa.timestamp("ns", tz="UTC"))), f"{OUT}/events_ns_ltz.parquet")
