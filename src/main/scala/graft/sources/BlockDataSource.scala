@@ -96,8 +96,12 @@ private[graft] object SimChain {
   def txHash(n: Long, i: Long): String = hex64(n * 10 + i, 0x7a)
   def txCount(n: Long): Long = n % 3
   def txFrom(n: Long, i: Long): String = addr(1000 + (n + i) % 50)
+  /** Recipient identity shared by the transaction's `to_` and the
+    * transfer log's to-topic — single-sourced so the blocks and
+    * receipts fixtures can never disagree on the same transaction. */
+  def logTo(n: Long, i: Long): String = addr(2000 + (n + i) % 50)
   def txTo(n: Long, i: Long): Option[String] =
-    if ((n + i) % 7 == 0) None else Some(addr(2000 + (n + i) % 50))
+    if ((n + i) % 7 == 0) None else Some(logTo(n, i))
   def collection(n: Long): String = addr(4000 + n % 5)
   /** every 5th block's transfer LOGS are mints (zero-address topic);
     * the transaction-level sender stays [[txFrom]] — a real mint is
@@ -286,63 +290,9 @@ final class TypedRangeScan(options: CaseInsensitiveStringMap,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TypedRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
-      numPartitions, factory, fetcherClass, fetcherOptions)
-}
-
-/** Tail loop over typed rows: same offset semantics as
-  * [[BlockRangeMicroBatchStream]] (head advances `blocksPerTrigger` per
-  * poll, available = head − trail, floored at start; a head-aware
-  * fetcher caps the advance at the NODE's live height). */
-final class TypedRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
-    trailBlocks: Long, numPartitions: Int, factory: PartitionReaderFactory,
-    fetcherClass: String = "", fetcherOptions: Map[String, String] = Map.empty)
-    extends MicroBatchStream {
-  private var head: Long = start
-  private lazy val headFn: Option[() => Long] = ChainHead.provider(fetcherClass, fetcherOptions)
-  // long-poll opt-in (`headWaitMs`): see [[ChainHead.await]]
-  private val headWaitMs = fetcherOptions.get("headwaitms").map(_.toLong).getOrElse(0L)
-  private val headProbeMs = fetcherOptions.get("headprobems").map(_.toLong).getOrElse(200L)
-
-  override def initialOffset(): Offset = BlockOffset(start)
-
-  override def latestOffset(): Offset = {
-    // eth_blockNumber reports the latest block NUMBER (inclusive tip);
-    // offsets here are EXCLUSIVE upper bounds, so the reachable target
-    // is head-number + 1 — without it the tip block is never fetched
-    val target = headFn match {
-      case Some(f) =>
-        // long-poll only while the stream is caught up AND unbounded
-        // ahead: a new block exists once tip-number >= head (exclusive)
-        val wait = if (head >= maxBlock) 0L else headWaitMs
-        math.min(maxBlock, BlockWindow.satAdd(
-          ChainHead.await(f, atLeast = head, wait, headProbeMs), 1L))
-      case None => maxBlock
-    }
-    // monotone even if a node briefly reports a lower height (reorg,
-    // lagging replica): offsets never move backward
-    head = math.max(head, math.min(target, BlockWindow.satAdd(head, math.max(0L, blocksPerTrigger))))
-    BlockOffset(math.max(start, head - trailBlocks))
-  }
-
-  // Same restart fast-forward as [[BlockRangeMicroBatchStream]]: a fresh
-  // instance restoring a checkpointed offset must not re-advance head
-  // from `start` one trigger at a time before producing data again.
-  override def deserializeOffset(json: String): Offset = {
-    val o = json.toLong
-    head = math.max(head, math.min(maxBlock, BlockWindow.satAdd(o, math.max(0L, trailBlocks))))
-    BlockOffset(o)
-  }
-
-  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] =
-    BlockRangePartitioning.split(
-      startOff.asInstanceOf[BlockOffset].block,
-      endOff.asInstanceOf[BlockOffset].block, numPartitions)
-
-  override def createReaderFactory(): PartitionReaderFactory = factory
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+    new BlockRangeMicroBatchStream(batchLo, batchHi, blocksPerTrigger, trailBlocks,
+      numPartitions, fetcherClass, fetcherOptions = fetcherOptions,
+      readerFactory = Some(factory))
 }
 
 /** Builds the codegen'd full-row -> pruned-row projection every typed

@@ -310,14 +310,20 @@ final case class BlockOffset(block: Long) extends Offset {
   override def json(): String = block.toString
 }
 
-/** Simulated chain: head height advances by `blocksPerTrigger` per poll;
-  * the available offset is head − trail (never below start). */
+/** Micro-batch tail over a block range: head height advances by
+  * `blocksPerTrigger` per poll (a head-aware fetcher caps the advance at
+  * the NODE's live height); the available offset is head − trail (never
+  * below start). The offset arithmetic here (exclusive tip+1 bound,
+  * trail floor, checkpoint fast-forward) is subtle and exists ONCE:
+  * typed sources reuse this class with their own `readerFactory`
+  * instead of copying the state machine. */
 final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTrigger: Long,
                                        trailBlocks: Long, numPartitions: Int,
                                        fetcherClass: String = BlockFetcher.Simulated,
                                        fetchChunk: Long = Long.MaxValue,
                                        backoff: BackoffPolicy = BackoffPolicy(),
-                                       fetcherOptions: Map[String, String] = Map.empty)
+                                       fetcherOptions: Map[String, String] = Map.empty,
+                                       readerFactory: Option[PartitionReaderFactory] = None)
     extends MicroBatchStream {
   private var head: Long = start
   // live chain-head polling when the fetcher supports it (RPC fetchers
@@ -368,7 +374,8 @@ final class BlockRangeMicroBatchStream(start: Long, maxBlock: Long, blocksPerTri
       endOff.asInstanceOf[BlockOffset].block, numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff, fetcherOptions)
+    readerFactory.getOrElse(
+      BlockRangeReaderFactory(fetcherClass, fetchChunk, backoff, fetcherOptions))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -392,12 +399,19 @@ final case class BackoffPolicy(baseMs: Long = 50L, capMs: Long = 5000L, maxRetri
 final case class BlockRangePartition(lo: Long, hi: Long) extends InputPartition
 
 object BlockRangePartitioning {
-  /** split [lo, hi) into at most n contiguous ranges */
+  /** split [lo, hi) into at most n contiguous ranges. Ceiling-division
+    * without the `(total + n - 1)` addition: a window near
+    * Long.MaxValue (the natural "unbounded" sentinel) would overflow it
+    * negative, collapse `per` to 1, and try to plan one partition per
+    * block — the same saturation discipline as satAdd elsewhere here. */
   def split(lo: Long, hi: Long, n: Int): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
     val total = hi - lo
-    val per = math.max(1L, (total + n - 1) / n)
-    (lo until hi by per).map(a => BlockRangePartition(a, math.min(a + per, hi)): InputPartition).toArray
+    val per = math.max(1L, total / n + (if (total % n == 0) 0L else 1L))
+    // hi - a never overflows (0 <= a < hi); a + per can, near MaxValue
+    (lo until hi by per)
+      .map(a => BlockRangePartition(a, if (hi - a <= per) hi else a + per): InputPartition)
+      .toArray
   }
 }
 

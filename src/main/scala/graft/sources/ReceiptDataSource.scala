@@ -76,7 +76,7 @@ object SimulatedReceiptFetcher {
       // to the blocks fixture's transaction with the same hash; only
       // the LOG topic from-address goes zero on mint blocks
       val topicFrom = if (isMintBlock(n)) zero else txFrom(n, i)
-      val topicTo = addr(2000 + (n + i) % 50)
+      val topicTo = logTo(n, i) // single-sourced with the blocks fixture
       val log = EvmLog(
         removed = false,
         log_index = i,

@@ -30,9 +30,18 @@ object Sessionize {
   case class ClosedSession(user_id: Long, session_start_us: Long,
                            session_end_us: Long, n: Long, total: Double)
 
-  /** Gap-based sessions per user. Events inside one micro-batch are
-    * folded in event-time order; sessions close when a later event
-    * arrives past the gap or when the watermark passes last + gap. */
+  /** Gap-based sessions per user — the streaming twin of the batch
+    * `session_window` query. State is the user's OPEN sessions (plural:
+    * a late-but-in-watermark event can land a full gap before every
+    * open session and must start its own, which a later event may then
+    * bridge); each invocation sweep-merges state + events as
+    * gap-expanded intervals, and a session closes only when the
+    * WATERMARK passes `last + gap` — the only proof no more events can
+    * extend it. An earlier single-open-session fold merged any
+    * out-of-order event into the open session unconditionally (the
+    * `us - last < gap` test is vacuously true for negative deltas),
+    * diverging from the batch twin whenever the allowed lateness
+    * exceeds the gap. */
   def sessions(events: Dataset[Ev], gapMinutes: Int = 30,
                watermark: String = "30 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -40,37 +49,49 @@ object Sessionize {
     val gapUs = gapMinutes * 60L * 1000000L
 
     def fold(userId: Long, it: Iterator[Ev],
-             state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(ClosedSession(userId, s.startUs, s.lastUs, s.n, s.total))
+             state: GroupState[List[OpenSession]]): Iterator[ClosedSession] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // a session is final once the watermark proves no event can land
+      // within its gap; everything else stays open
+      def finalize(all: List[OpenSession]): (List[ClosedSession], List[OpenSession]) = {
+        val (done, live) = all.partition(s => s.lastUs + gapUs <= wmUs)
+        (done.map(s => ClosedSession(userId, s.startUs, s.lastUs, s.n, s.total)), live)
       }
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
-      var open = state.getOption
-      val closed = Seq.newBuilder[ClosedSession]
-      sorted.foreach { e =>
-        val us = e.ts.getTime * 1000L
-        open match {
-          case Some(s) if us - s.lastUs < gapUs =>
-            // min() on the start: a cross-batch out-of-order event still
-            // inside the watermark can land before the open session's
-            // start, and must extend it — keeps session_start_us in
-            // lockstep with the batch session_window twin.
-            open = Some(OpenSession(math.min(s.startUs, us),
-              math.max(s.lastUs, us), s.n + 1, s.total + e.value))
-          case Some(s) =>
-            closed += ClosedSession(userId, s.startUs, s.lastUs, s.n, s.total)
-            open = Some(OpenSession(us, us, 1, e.value))
-          case None =>
-            open = Some(OpenSession(us, us, 1, e.value))
+      def park(live: List[OpenSession]): Unit =
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(live)
+          // strictly past the watermark by construction (live sessions
+          // have lastUs + gap > wmUs); +1ms guards the division edge
+          state.setTimeoutTimestamp((live.map(_.lastUs).min + gapUs) / 1000L + 1L)
         }
+      if (state.hasTimedOut) {
+        val (done, live) = finalize(state.getOption.getOrElse(Nil))
+        park(live)
+        return done.iterator
       }
-      open.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
-      }
-      closed.result().iterator
+      // sweep-merge: events are unit intervals; sort by start and merge
+      // anything within the gap. min/max/sum are order-independent, so
+      // the result does not depend on arrival order — same property the
+      // batch session_window relies on.
+      val evs = it.map { e =>
+        // full microsecond precision: getTime truncates to ms, the
+        // sub-ms fraction lives in getNanos
+        val us = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+        OpenSession(us, us, 1, e.value)
+      }.toList
+      val all = (state.getOption.getOrElse(Nil) ++ evs).sortBy(s => (s.startUs, s.lastUs))
+      val merged = all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case h :: t if s.startUs < h.lastUs + gapUs =>
+            OpenSession(h.startUs, math.max(h.lastUs, s.lastUs),
+              h.n + s.n, h.total + s.total) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+      val (done, live) = finalize(merged)
+      park(live)
+      done.iterator
     }
 
     events.withWatermark("ts", watermark)

@@ -127,27 +127,39 @@ object Tail {
                         versionCols: Seq[String]): Unit = {
       val spark = winners.sparkSession
       val bucket = bucketExpr(keys, numBuckets)
-      // The touched-bucket list is at most numBuckets ints — a metadata-
-      // scale collect, not a data collect.
-      val touched = winners.select(bucket.as("__bucket")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val existing =
-        try Some(spark.read.parquet(target)
-          .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
-          .drop("__bucket"))
-        catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch
-      val merged = existing match {
-        case Some(e) => Lww.upsert(e, winners, keys, versionCols)
-        case None    => winners
-      }
-      // localCheckpoint materializes the merged buckets (bounded by the
-      // touched set) and cuts the plan's lineage back to `target`, so the
-      // overwrite below is not "a path that is also being read from".
-      merged.withColumn("__bucket", bucket).localCheckpoint(true)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(target)
+      // winners is the epoch's collapse aggregation and feeds two
+      // actions (the touched collect and the merge write): persist so
+      // it runs once per epoch on the hot tail path.
+      val w = winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // The touched-bucket list is at most numBuckets ints — a metadata-
+        // scale collect, not a data collect.
+        val touched = w.select(bucket.as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // Probe absence explicitly: an AnalysisException from an EXISTING
+        // but transiently unreadable table must fail the batch, not be
+        // treated as "first batch" and overwrite prior state winners-only.
+        val targetPath = new org.apache.hadoop.fs.Path(target)
+        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(targetPath))
+            Some(spark.read.parquet(target)
+              .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
+              .drop("__bucket"))
+          else None // first batch
+        val merged = existing match {
+          case Some(e) => Lww.upsert(e, w, keys, versionCols)
+          case None    => w
+        }
+        // localCheckpoint materializes the merged buckets (bounded by the
+        // touched set) and cuts the plan's lineage back to `target`, so the
+        // overwrite below is not "a path that is also being read from".
+        merged.withColumn("__bucket", bucket).localCheckpoint(true)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(target)
+      } finally w.unpersist(blocking = false)
     }
   }
 
@@ -220,10 +232,12 @@ object Tail {
     *
     * Additive merges are NOT naturally replay-idempotent (re-adding a
     * delta double-counts), so each rewritten bucket is stamped with the
-    * epoch that produced it (`__epoch`): a replayed batch skips buckets
-    * already at-or-past its id — the foreachBatch at-least-once contract
-    * handled with batch-id conditioning rather than version argmax.
-    * Batch ids strictly increase, so stale stamps never block progress.
+    * batch's block high-water (`__epoch`): a replayed batch — of any
+    * age — carries the same blocks and skips buckets already at-or-past
+    * its watermark, and the conditioning survives a checkpoint RESET
+    * (re-read blocks skip, new blocks apply), which a foreachBatch
+    * batch-id stamp cannot (ids restart at 0 and the standing stamps
+    * would block the stream forever).
     *
     * Stored state is the cumulative (in_total, out_total) COMPONENT
     * pair per key, not the net balance: components are non-negative
@@ -259,7 +273,8 @@ object Tail {
   /** Shared plumbing for epoch-stamped bucketed view sinks: collapse
     * the micro-batch to per-key component deltas (`deltasOf`, which
     * must be algebraic so hot keys partial-aggregate), drop buckets
-    * already stamped at-or-past this epoch (replay conditioning),
+    * already stamped at-or-past this batch's block high-water (replay
+    * conditioning on the DATA watermark, reset-safe),
     * `merge` the fresh deltas into the touched buckets' prior state,
     * and dynamically overwrite ONLY those partitions. `merge` receives
     * `None` before the view exists and must return full component rows
@@ -270,32 +285,62 @@ object Tail {
               (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bucket = bucketExpr(keys, numBuckets)
+    require(batch.columns.contains("block_id"),
+      "viewSink batches must carry block_id: the replay stamp is the data's block watermark")
+    // The deltas aggregation is a full shuffle of the micro-batch and
+    // feeds TWO actions (the touched-bucket collect and the merge
+    // write); persist so the hot tail path computes it once per epoch.
     val deltas = deltasOf(batch).withColumn("__bucket", bucket)
-    // touched buckets: a metadata-scale collect (≤ numBuckets ints)
-    val touched = deltas.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val existing =
-      try Some(spark.read.parquet(target).filter(col("__bucket").isin(touched: _*)))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // first epoch
-    // buckets already stamped at-or-past this epoch = a replay; skip them
-    val applied: Set[Int] = existing.fold(Set.empty[Int]) {
-      _.groupBy(col("__bucket")).agg(max(col("__epoch")).as("e"))
-        .collect().filter(_.getLong(1) >= batchId).map(_.getInt(0)).toSet
-    }
-    val freshTouched = touched.filterNot(applied)
-    if (freshTouched.isEmpty) return
-    val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
-    val state = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
-      .drop("__bucket", "__epoch"))
-    merge(state, fresh)
-      .withColumn("__bucket", bucket)
-      .withColumn("__epoch", lit(batchId))
-      // materialize + cut lineage back to `target` before overwriting it
-      .localCheckpoint(true)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched buckets: a metadata-scale collect (≤ numBuckets ints)
+      val touched = deltas.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      // The replay stamp is the DATA's block high-water, not the
+      // foreachBatch counter: a replayed batch of ANY age carries the
+      // same blocks, so its watermark compares <= the standing stamp
+      // and skips, while after a checkpoint RESET (batch ids restart at
+      // 0 against a fully-stamped table) re-read blocks skip and
+      // genuinely new blocks apply. A batch-id stamp gets the reset
+      // case catastrophically wrong in one of two ways: an at-or-past
+      // guard classifies every future batch as applied and silently
+      // discards the rest of the stream; an exact-match guard
+      // double-counts old-age replays. Contract (the block sources
+      // guarantee it): one block's rows never split across batches.
+      val wmRow = batch.agg(max(col("block_id"))).head()
+      if (wmRow.isNullAt(0)) return
+      val batchWm = wmRow.getLong(0)
+      // Table-absence must be PROBED, not inferred from AnalysisException:
+      // a transiently unreadable EXISTING table (crashed writer, schema
+      // conflict) classified as "first epoch" would merge(None, fresh)
+      // winners-only over the touched buckets and silently destroy their
+      // prior component state. Only a genuinely absent path is first-epoch;
+      // any other read failure must propagate and fail the batch.
+      val targetPath = new org.apache.hadoop.fs.Path(target)
+      val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (fs.exists(targetPath))
+          Some(spark.read.parquet(target).filter(col("__bucket").isin(touched: _*)))
+        else None // first epoch
+      val applied: Set[Int] = existing.fold(Set.empty[Int]) {
+        _.groupBy(col("__bucket")).agg(max(col("__epoch")).as("e"))
+          .collect().filter(_.getLong(1) >= batchWm).map(_.getInt(0)).toSet
+      }
+      val freshTouched = touched.filterNot(applied)
+      if (freshTouched.isEmpty) return
+      val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
+      val state = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
+        .drop("__bucket", "__epoch"))
+      merge(state, fresh)
+        .withColumn("__bucket", bucket)
+        .withColumn("__epoch", lit(batchWm))
+        // materialize + cut lineage back to `target` before overwriting it
+        .localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(target)
+    } finally deltas.unpersist(blocking = false)
   }
 
   /** Read the owners view: net the components with the batch rollup's

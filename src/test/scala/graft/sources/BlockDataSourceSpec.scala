@@ -149,7 +149,7 @@ class BlockDataSourceSpec extends SparkSpec {
     // a fresh stream instance restoring offset 250 must resume there,
     // not re-advance head from start one trigger at a time: the first
     // post-restart poll plans [250, 350), not an empty [250, 50)
-    val s = new TypedRangeMicroBatchStream(0L, 600L, 100L, 50L, 2, null)
+    val s = new BlockRangeMicroBatchStream(0L, 600L, 100L, 50L, 2)
     s.deserializeOffset("250")
     assert(s.latestOffset().asInstanceOf[BlockOffset].block === 350L)
     // and the fast-forward is monotone: re-reading an OLD offset during

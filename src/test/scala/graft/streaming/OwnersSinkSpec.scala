@@ -49,6 +49,22 @@ class OwnersSinkSpec extends SparkSpec {
     Tail.ownersSink(target, numBuckets = 4)(
       all.filter(col("block_id") >= 40 && col("block_id") < 60), 2L)
     assert(viewState === batchState)
+    // checkpoint RESET: a new lineage restarts batch ids at 0 while the
+    // table keeps its stamps. Re-read blocks must SKIP (the data
+    // watermark, not the batch id, conditions the replay)...
+    Tail.ownersSink(target, numBuckets = 4)(
+      all.filter(col("block_id") >= 40 && col("block_id") < 60), 0L)
+    assert(viewState === batchState)
+    // ...and genuinely NEW blocks under the reset lineage must APPLY —
+    // a batch-id-stamped sink would discard them forever
+    val extended = graft.pipelines.Crawl.fromChain(spark, 0, 80)("transfers")
+      .localCheckpoint(true)
+    Tail.ownersSink(target, numBuckets = 4)(
+      extended.filter(col("block_id") >= 60 && col("block_id") < 80), 1L)
+    val batchState80 = graft.nft.Derive.owners(extended)
+      .select("blockchain", "collection_id", "token_id", "account", "quantity")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viewState === batchState80)
   }
 
   test("tokens view: mixed-algebra merge (argmin mint, additive supply, argmax owner) converges") {
