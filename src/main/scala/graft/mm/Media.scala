@@ -79,9 +79,14 @@ object Media {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val target = math.max(1, (w.toLong * h / 64).toInt) // fake: bytes ~ pixels/64
-        val out = Array.tabulate(target)(i => row.media(((i.toLong * row.media.length) / target).toInt))
-        ResizedMedia(row.media_id, out, w.toLong, h.toLong)
+        // an empty blob resizes to an empty blob — indexing media(0)
+        // would kill the task, violating the poisoned-blob contract
+        if (row.media.isEmpty) ResizedMedia(row.media_id, Array.emptyByteArray, w.toLong, h.toLong)
+        else {
+          val target = math.max(1, (w.toLong * h / 64).toInt) // fake: bytes ~ pixels/64
+          val out = Array.tabulate(target)(i => row.media(((i.toLong * row.media.length) / target).toInt))
+          ResizedMedia(row.media_id, out, w.toLong, h.toLong)
+        }
       }
     }
   }
@@ -254,7 +259,9 @@ object Media {
               else None
             AudioFeatures(row.media_id, row.media.length.toLong,
               Some(fmt.getSampleRate.toDouble), Some(fmt.getChannels.toLong),
-              Some(frames), dur, rms, hex)
+              // getFrameLength uses -1 (NOT_SPECIFIED) as its unknown
+              // sentinel; leaking it as Some(-1) would poison sums/avgs
+              Some(frames).filter(_ >= 0), dur, rms, hex)
           } finally in.close()
         } catch {
           case _: Exception =>
@@ -367,6 +374,10 @@ object Media {
             val reader = readers.next()
             try {
               reader.setInput(iis)
+              // honor the documented contract: non-GIF payloads yield
+              // ZERO rows — without this check any JDK-decodable image
+              // (PNG/JPEG/BMP) would emit one frame
+              if (reader.getFormatName.equalsIgnoreCase("gif")) {
               val n = reader.getNumImages(true)
               val (cw, ch) = gifLogicalScreen(reader)
               val canvas = new java.awt.image.BufferedImage(cw, ch,
@@ -401,6 +412,7 @@ object Media {
                 }
                 i += 1
               }
+              }
             } finally reader.dispose()
           }
         } catch { case _: Exception => () }
@@ -422,6 +434,11 @@ object Media {
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
                   (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
+    // plan-build-time validation, like sampleFramesGif: stride = 0 would
+    // throw "step cannot be 0" and frameBytes = 0 an ArithmeticException
+    // deep inside executor tasks instead of here
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     media.mapPartitions { it =>
       it.flatMap { row =>
         val nFrames = math.max(1, row.media.length / frameBytes)

@@ -336,11 +336,11 @@ object Dedup {
     * where pair *scoring* (which genuinely needs each pair) is not. */
   private[ops] def bucketStarEdges(docs: DataFrame, numHashes: Int,
       maxBucket: Int): DataFrame = {
-    val sigs = minhashSignatures(docs, numHashes)
-    val banded = sigs.select(col("doc_id"), explode(array(
-      (0 until numHashes).map(s => struct(lit(s).as("band"), col(s"mh$s").as("h"))): _*
-    )).as("b")).select(col("doc_id"), col("b.band").as("band"), col("b.h").as("h"))
-    capBuckets(banded, Seq(col("band"), col("h")), col("doc_id"), maxBucket)
+    // the SAME capped band relation the pair-scoring path probes
+    // ([[bandIndex]]): any change to the banding shape reaches both
+    // paths, keeping star-component connectivity equal to pair
+    // connectivity by construction
+    bandIndex(docs, numHashes, maxBucket)
       .groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -29,14 +29,17 @@ object Packing {
     *
     * Output: (doc_id, chunk_idx, shard, chunk_tokens, start_tok,
     * seq_id, seq_off). Whitespace tokenization matches
-    * [[TextOps.tokenStats]]; `shard` uses [[Sampling.hashBucket256]]
-    * mod `shards` so membership is auditable from any engine.
+    * [[TextOps.tokenStats]]; `shard` uses [[Sampling.hashBucket32]]
+    * mod `shards` so membership is auditable from any engine — the
+    * 32-bit hash, not the 256-bucket one: 256 buckets would leave
+    * shards beyond 256 permanently empty and skew any non-divisor
+    * count (the exact failure `hashBucket32`'s doc warns about).
     */
   def pack(docs: DataFrame, seqLen: Long = 256L, shards: Int = 8): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     packStream(
       docs.withColumn("shard",
-        pmod(Sampling.hashBucket256(col("doc_id")), lit(shards)).cast("long")),
+        pmod(Sampling.hashBucket32(col("doc_id")), lit(shards)).cast("long")),
       seqLen, Seq(col("doc_id"), col("chunk_idx")))
   }
 

@@ -28,9 +28,16 @@ object Reconcile {
     */
   def fullOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
                 compareCols: Seq[String]): DataFrame = {
-    val l = compareCols.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"${c}_l"))
+    // Prune each side to keys + compared columns: a stray column present
+    // on BOTH sides but listed in neither would otherwise survive the
+    // join under its original name twice, making every downstream
+    // reference to it AMBIGUOUS (and parquet writes fail outright). The
+    // pruning also feeds the scans exactly the columns the report needs.
+    val lp = left.select((keys ++ compareCols).map(col).toIndexedSeq: _*)
+    val rp = right.select((keys ++ compareCols).map(col).toIndexedSeq: _*)
+    val l = compareCols.foldLeft(lp)((d, c) => d.withColumnRenamed(c, s"${c}_l"))
       .withColumn("__l", lit(1))
-    val r = compareCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    val r = compareCols.foldLeft(rp)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
       .withColumn("__r", lit(1))
     val joined = l.join(r, keys, "full_outer")
     val allEqual = compareCols.map(c => col(s"${c}_l") <=> col(s"${c}_r"))

@@ -92,15 +92,20 @@ object SinkUtils {
   }
 
   private def readConfig[T](spark: SparkSession, configPath: String, blockchain: String,
-      column: String)(get: org.apache.spark.sql.Row => T): Option[T] =
-    try {
+      column: String)(get: org.apache.spark.sql.Row => T): Option[T] = {
+    // Probe absence explicitly — a blanket AnalysisException catch would
+    // also swallow a schema mismatch (wrong configPath, missing column)
+    // and report "not created yet" where putConfig fails loudly.
+    val p = new org.apache.hadoop.fs.Path(configPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
       val row = spark.read.parquet(configPath)
         .filter(col("blockchain") === blockchain)
         .select(max(col(column))).head()
       if (row.isNullAt(0)) None else Some(get(row))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None // table not created yet
     }
+  }
 
   /** S9: read the per-blockchain data_version from a config table;
     * `increment` returns the bumped version after persisting it back. */
@@ -133,11 +138,24 @@ object SinkUtils {
   def readLastBlock(spark: SparkSession, configPath: String, blockchain: String): Option[Long] =
     readConfig(spark, configPath, blockchain, "last_block_id")(_.getLong(0))
 
-  /** A5: named executor-safe counters (the reference's StatsService). */
+  /** A5: named executor-safe counters (the reference's StatsService).
+    * Accumulators MUST be registered on the driver: on a deserialized
+    * copy inside an executor closure, `spark.sparkContext` is
+    * `@transient`-null, and even a locally-created accumulator would
+    * never report back. Registering lazily from a task would therefore
+    * lose counts silently or NPE — so first-use off-driver fails loudly
+    * with the fix spelled out. Pattern: `val c = stats.counter("rows")`
+    * on the driver, capture `c` in the closure, `c.add(1)` in tasks. */
   final class Stats(spark: SparkSession) extends Serializable {
     private val counters = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
     def counter(name: String): LongAccumulator =
-      counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(s"graft.$name"))
+      counters.getOrElse(name, {
+        if (org.apache.spark.TaskContext.get() != null)
+          throw new IllegalStateException(
+            s"Stats.counter($name) first used inside a task: register it on the driver " +
+              "and capture the LongAccumulator in the closure")
+        counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(s"graft.$name"))
+      })
     def snapshot(): Map[String, Long] =
       counters.map { case (k, a) => k -> a.value.longValue }.toMap
   }

@@ -139,7 +139,9 @@ object TextOps {
         .as("rep_ratio"))
   }
 
-  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+  // local part includes + and - (user+tag@, john-doe@): omitting them
+  // would mask only the suffix and leak the identifying prefix
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   val LongNumRe = "[0-9]{4,}"
 
   /** PII redaction: mask email addresses and long digit runs (account /

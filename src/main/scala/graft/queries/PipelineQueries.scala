@@ -417,10 +417,10 @@ object PipelineQueries {
         |         '@mail.example order ', CAST(n_chars * 1000 + doc_id AS VARCHAR)) AS synth
         |  FROM documents)
         |SELECT doc_id,
-        |regexp_replace(regexp_replace(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |regexp_replace(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]{4,}', '<NUM>', 'g') AS masked,
-        |CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
-        |CAST(len(regexp_extract_all(regexp_replace(synth, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]{4,}')) AS BIGINT) AS n_nums
         |FROM s""".stripMargin),
     QueryDef("text_decontaminate", textDecontaminate, decontaminateSql),
@@ -593,11 +593,16 @@ object PipelineQueries {
         |CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |CAST((octet_length(encode(text)) // 640) % 480 AS BIGINT) AS height,
         |md5(text) AS content_hash FROM documents""".stripMargin),
-    QueryDef("pack_sequences", packSequences,
-      """WITH t AS (SELECT doc_id,
+    QueryDef("pack_sequences", packSequences, {
+      // mirror of Sampling.hashBucket32 (see sample_shuffle_shards):
+      // pack shards by the 32-bit hash, not the 256-bucket one
+      val digits32 = (1 to 8).map { i =>
+        val w = 1L << (4 * (8 - i))
+        s"(position(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1) IN '0123456789abcdef') - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
-        |     + (position(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) AS BIGINT) % 8 AS shard
+        |  CAST($digits32 AS BIGINT) % 8 AS shard
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |  CAST(unnest(generate_series(0, greatest(0, (n_tokens - 1) // 256))) AS BIGINT) AS chunk_idx
@@ -608,7 +613,8 @@ object PipelineQueries {
         |  CAST(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS BIGINT)
         |    - chunk_tokens AS start_tok FROM k)
         |SELECT doc_id, chunk_idx, shard, chunk_tokens, start_tok,
-        |start_tok // 256 AS seq_id, start_tok % 256 AS seq_off FROM w""".stripMargin),
+        |start_tok // 256 AS seq_id, start_tok % 256 AS seq_off FROM w""".stripMargin
+    }),
     QueryDef("text_unigram_score", textUnigramScore,
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),

@@ -165,6 +165,21 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("non-GIF images yield ZERO frame rows; empty blobs resize without crashing") {
+    // the documented sampleFramesGif contract: a decodable PNG is still
+    // not a GIF and must not emit a frame (a consumer counting GIFs by
+    // output presence would be wrong otherwise)
+    val rows = Seq(Media.MediaRow(1L, pngBytes(6, 4, 0xff0000)))
+    assert(Media.sampleFramesGif(rows.toDS(), stride = 1).collect().isEmpty)
+    // empty media blob: resize emits an empty blob, never indexes media(0)
+    val empty = Seq(Media.MediaRow(2L, Array.emptyByteArray)).toDS()
+    val resized = Media.resize(empty, 8, 8).collect()
+    assert(resized.length === 1 && resized.head.media.isEmpty)
+    // stride/frameBytes validated at plan build, not inside tasks
+    intercept[IllegalArgumentException] { Media.sampleFrames(empty, frameBytes = 4, stride = 0) }
+    intercept[IllegalArgumentException] { Media.sampleFrames(empty, frameBytes = 0, stride = 1) }
+  }
+
   test("delta-encoded GIF: partial-rect frames composite onto the logical-screen canvas") {
     // frame 0 = full 6x4 red; frame 1 = a 2x2 green patch placed at
     // (2,1) via its ImageDescriptor offsets — the delta encoding real

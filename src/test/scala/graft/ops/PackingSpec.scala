@@ -59,9 +59,11 @@ class PackingSpec extends SparkSpec {
       val shards = 1 + rnd.nextInt(4)
       val rows = (1L to 50L).map(i =>
         (i, Seq.fill(rnd.nextInt(25))("w" + rnd.nextInt(3)).mkString(" ")))
-      // reference: same md5 bucket, chunks laid out sequentially per shard
+      // reference: same 32-bit md5 bucket (hashBucket32 — the 256-bucket
+      // hash would skew/empty non-divisor shard counts), chunks laid out
+      // sequentially per shard
       val expected = rows.map { case (id, text) =>
-        val bucket = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 2), 16)
+        val bucket = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
         (id, bucket % shards, text.split(" ", -1).length.toLong)
       }.groupBy(_._2).flatMap { case (shard, docs) =>
         var off = 0L
