@@ -45,28 +45,45 @@ object Abi {
     new BigInteger(wordAt(hex, byteOffset), 16)
 
   /** Decode `uint256[]` in head/tail form: `slot` is the 0-based head
-    * position holding the tail offset. Returns 64-hex elements. */
+    * position holding the tail offset. Returns 64-hex elements; a
+    * MALFORMED payload returns null (see [[decodeString]] — on a public
+    * chain any contract can emit a well-known signature with garbage
+    * data, and a decode crash would fail the whole crawl). */
   def decodeUintArray(data: String, slot: Int): Array[String] = {
     val hex = strip0x(data)
     if (hex == null || hex.isEmpty) return Array.empty
-    val offset = uintAt(hex, slot * 32).intValueExact()
-    val len = uintAt(hex, offset).intValueExact()
-    Array.tabulate(len)(i => wordAt(hex, offset + 32 + i * 32).toLowerCase)
+    try {
+      val offset = uintAt(hex, slot * 32).intValueExact()
+      val len = uintAt(hex, offset).intValueExact()
+      // bound check BEFORE allocating: a hostile length word must not
+      // drive Array.tabulate into OOM or out-of-bounds substring
+      if (offset < 0 || len < 0 || (offset + 32L + len * 32L) * 2L > hex.length) null
+      else Array.tabulate(len)(i => wordAt(hex, offset + 32 + i * 32).toLowerCase)
+    } catch { case _: ArithmeticException | _: IndexOutOfBoundsException |
+                   _: NumberFormatException => null }
   }
 
-  /** Decode a dynamic `string` at head `slot` (UTF-8). */
+  /** Decode a dynamic `string` at head `slot` (UTF-8). Malformed
+    * payloads — truncated tail, hostile offset/length words, non-hex —
+    * return null rather than throwing: the caller is classifying logs
+    * by signature on an open chain, where the payload shape is
+    * attacker-controlled and one bad log must not kill the batch. */
   def decodeString(data: String, slot: Int): String = {
     val hex = strip0x(data)
     if (hex == null || hex.isEmpty) return null
-    val offset = uintAt(hex, slot * 32).intValueExact()
-    val len = uintAt(hex, offset).intValueExact()
-    val bytes = new Array[Byte](len)
-    var i = 0
-    while (i < len) {
-      bytes(i) = Integer.parseInt(hex.substring((offset + 32 + i) * 2, (offset + 32 + i) * 2 + 2), 16).toByte
-      i += 1
-    }
-    new String(bytes, StandardCharsets.UTF_8)
+    try {
+      val offset = uintAt(hex, slot * 32).intValueExact()
+      val len = uintAt(hex, offset).intValueExact()
+      if (offset < 0 || len < 0 || (offset + 32L + len) * 2L > hex.length) return null
+      val bytes = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        bytes(i) = Integer.parseInt(hex.substring((offset + 32 + i) * 2, (offset + 32 + i) * 2 + 2), 16).toByte
+        i += 1
+      }
+      new String(bytes, StandardCharsets.UTF_8)
+    } catch { case _: ArithmeticException | _: IndexOutOfBoundsException |
+                   _: NumberFormatException => null }
   }
 
   // ---- encoding: the request half of eth_call ----

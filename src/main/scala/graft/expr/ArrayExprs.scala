@@ -133,6 +133,11 @@ object ArrayKernels {
   * null when the doc has fewer than 3 tokens (mirrors the `len >= 3`
   * guard in the SQL oracle). */
 case class MinHashSigsExpr(child: Expression, numHashes: Int = 4) extends UnaryExpression {
+  // md5 yields 32 hex chars = 4 disjoint 8-char slices; bound enforced
+  // at PLAN build here in the expression (once), not per-row in the
+  // kernel and not in just one of the callers
+  require(numHashes >= 1 && numHashes <= 4,
+    s"numHashes must be in [1,4] (md5 has 4 disjoint 8-hex slices), got $numHashes")
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =

@@ -22,9 +22,14 @@ object Uint256Sum extends Aggregator[String, Array[Byte], String] {
     (BigInt(a) + BigInt(b)).toByteArray
 
   override def finish(buf: Array[Byte]): String = {
-    val hex = BigInt(buf).toString(16)
-    // sums can exceed 64 hex chars; pad64 keeps >=64 intact
-    HexMath.pad64(hex)
+    val v = BigInt(buf)
+    // canonical sign placement like HexMath.sub: signed inputs (hex_sub
+    // results feeding back in) can drive the sum negative, and padding
+    // the raw "-5f" rendering would bury the sign mid-string ("00…0-5f"),
+    // unparseable by every hex consumer. Sums can exceed 64 hex chars;
+    // pad64 keeps >=64 intact.
+    if (v.signum < 0) "-" + HexMath.pad64((-v).toString(16))
+    else HexMath.pad64(v.toString(16))
   }
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -133,9 +133,18 @@ object Derive {
     val ctype = when(is721, lit("ERC-721")).otherwise(lit("ERC-1155"))
     logs.withColumn("kind", kind)
       .filter(col("kind").isNotNull)
-      .withColumn("item", explode(items))
-      .select(transferColsC(col("item.token_id"), col("item.qty"), fromCol, toCol, ctype): _*)
-      .dropDuplicates("collection_id", "attribute_version", "token_id")
+      // posexplode: the item's POSITION in the batch is part of the
+      // replay-idempotency key. A TransferBatch may legitimately repeat
+      // one token id with different quantities (ids=[5,5]); keyed
+      // without the position, dropDuplicates would collapse them and
+      // silently diverge from the union-of-three formulation, which
+      // keeps both. A replayed LOG reproduces identical positions, so
+      // K8 dedup still holds.
+      .select(col("*"), posexplode(items).as(Seq("__pos", "item")))
+      .select((transferColsC(col("item.token_id"), col("item.qty"), fromCol, toCol, ctype) :+
+        col("__pos")): _*)
+      .dropDuplicates("collection_id", "attribute_version", "token_id", "__pos")
+      .drop("__pos")
   }
 
   /** ERC-1155 URI events: dynamic string + indexed token id, with the

@@ -32,7 +32,13 @@ object Crawl {
           .otherwise(lit("transfer")))
       .withColumn("attribute_version",
         col("event_id") * lit(1000000000L) + col("user_id") * lit(10000L) + col("k"))
-      .dropDuplicates("attribute_version")
+      // replay-dedup on the EVENT identity, which is unique by the
+      // fixture contract (QueriesSmokeSpec pins density) — the packed
+      // attribute_version is a SORT key, not an identity: large user_id
+      // or k values overflow their digit slots and collide, and a null
+      // k (digit-less props) would null the key, making dropDuplicates
+      // collapse every such event into one row
+      .dropDuplicates("event_id")
   }
 
   /** The reference crawl (`nft/bin/crawl.py:151-209`) FIXTURE-FREE: the
@@ -101,11 +107,17 @@ object Crawl {
     val creations = receipts
       .filter(col("contract_address").isNotNull && col("status") === 1)
       .select(col("contract_address").as("collection_id")).distinct()
-    val snapshot = graft.rpc.Calls.interfaceSnapshot(
+    // the snapshot is RPC-probe lineage: stage it like the receipts so
+    // repeated actions on `collections` (count + write + merge-shuffle
+    // recomputation) never re-run the eth_call sweep
+    val snapshot = staged(graft.rpc.Calls.interfaceSnapshot(
       graft.rpc.Calls.execute(spark, graft.nft.Collections.callRequests(creations),
-        callExecutor, fetcherOptions))
+        callExecutor, fetcherOptions)), "call_snapshot")
     val collections = Lww.merge(
-      graft.nft.Collections.fromReceipts(receipts, snapshot, blockTimes, dataVersion),
+      graft.nft.Collections.fromReceipts(receipts, snapshot, blockTimes, dataVersion,
+        // same window cutoff as the token enrich below: a whole-chain
+        // backfill must not force-broadcast a chain-length time dim
+        broadcastDims = maxBlock - startBlock <= BroadcastWindowLimit),
       Seq("collection_id"), Seq("block_created"))
     Map(
       "collections" -> collections,

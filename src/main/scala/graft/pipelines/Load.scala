@@ -75,8 +75,11 @@ object Load {
     // The owner's bucket, minus its old rows, plus the re-derived ones.
     // localCheckpoint bounds the materialization to one bucket and cuts
     // the lineage so the dynamic overwrite doesn't read its own output.
+    // null-SAFE exclusion: rows with null to_u (digit-less props) share
+    // bucket pmod(hash(null)); a plain =!= evaluates null for them and
+    // the rewrite would silently drop them from the bucket forever
     val keptInBucket = spark.read.parquet(s"$outDir/transfers")
-      .filter(col("owner_bucket") === bucket && col("to_u") =!= owner)
+      .filter(col("owner_bucket") === bucket && !(col("to_u") <=> owner))
     keptInBucket.unionByName(fresh).localCheckpoint(true)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -51,14 +51,28 @@ object VerifyPipeline {
         col("status").as("detail"))
   }
 
-  def countsReport(dbTokens: DataFrame, supplySnapshot: DataFrame): DataFrame =
+  def countsReport(dbTokens: DataFrame, supplySnapshot: DataFrame): DataFrame = {
+    // The natural snapshot source (Calls.interfaceSnapshot) keeps
+    // total_supply as canonical 64-hex; comparing that against a bigint
+    // via implicit coercion parses the hex DIGITS as decimal (16 reads
+    // as 10) and nulls anything containing a-f — a silently wrong
+    // audit. Convert by the column's actual type instead of trusting
+    // the caller to pre-convert.
+    val supplyDec = supplySnapshot.schema("total_supply").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        supplySnapshot.withColumn("total_supply",
+          conv(col("total_supply"), 16, 10).cast("decimal(38,0)"))
+      case _ => supplySnapshot
+    }
     dbTokens.groupBy(col("collection_id")).agg(count(lit(1)).as("n_tokens"))
-      .join(broadcast(supplySnapshot), Seq("collection_id"), "full_outer")
-      .filter(!(col("n_tokens") <=> col("total_supply")))
+      .join(broadcast(supplyDec), Seq("collection_id"), "full_outer")
+      .filter(!(col("n_tokens").cast("decimal(38,0)") <=>
+        col("total_supply").cast("decimal(38,0)")))
       .select(lit("counts").as("check"), col("collection_id"),
         lit(null).cast("string").as("token_id"),
         concat_ws("!=", col("n_tokens").cast("string"),
           col("total_supply").cast("string")).as("detail"))
+  }
 
   def run(chainTransfers: DataFrame, dbTransfers: DataFrame,
           chainOwners: DataFrame, dbOwners: DataFrame,
@@ -135,7 +149,12 @@ object VerifyPipeline {
       .option("fetcher", logsFetcher)
     val logs0 = fetcherOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
     val logs = collectionId.fold(logs0)(c => logs0.filter(col("address") === c))
-    val chainTransfers = graft.nft.Derive.transfers(logs)
+    // Materialize the derived transfers ONCE: the transfers report and
+    // the owners rollup both consume them, and without the checkpoint
+    // each branch of the unioned report re-runs the live ranged-getLogs
+    // sweep over the wire — double RPC cost and throttle exposure
+    // (Crawl.fromChain stages its receipts for exactly this reason).
+    val chainTransfers = graft.nft.Derive.transfers(logs).localCheckpoint(true)
     val chainOwners = graft.nft.Derive.owners(chainTransfers)
     run(chainTransfers, dbTransfers, chainOwners, dbOwners, dbTokens, supplySnapshot)
   }

@@ -29,4 +29,14 @@ class Uint256SumSpec extends SparkSpec {
     ).head().getString(0)
     assert(new BigInteger(sub, 16) === tail)
   }
+
+  test("negative sums render the canonical '-' + pad64 form, like hex_sub") {
+    // signed inputs legitimately arise when hex_sub results feed back
+    // into arithmetic; the sign must lead the string, never sit inside
+    // the zero padding where every hex consumer chokes on it
+    val df = Seq("-" + HexMath.pad64("a"), HexMath.pad64("3")).toDF("q")
+    val got = df.agg(udaf(Uint256Sum).apply(col("q"))).head().getString(0)
+    assert(got === "-" + HexMath.pad64("7"))
+    assert(HexMath.compare(got, HexMath.pad64("0")) < 0) // parseable downstream
+  }
 }

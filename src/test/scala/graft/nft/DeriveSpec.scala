@@ -174,11 +174,29 @@ class DeriveSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
 
   test("single-pass transfers equals the union of the per-standard derivations") {
+    // full-row distinct, not the 3-key dedup: a repeated token id within
+    // one TransferBatch is two legitimate rows in both formulations
     val unioned = Derive.erc721Transfers(fixtureLogs)
       .unionByName(Derive.erc1155SingleTransfers(fixtureLogs))
       .unionByName(Derive.erc1155BatchTransfers(fixtureLogs))
-      .dropDuplicates("collection_id", "attribute_version", "token_id")
+      .distinct()
     assert(rowsOf(Derive.transfers(fixtureLogs)) === rowsOf(unioned))
+  }
+
+  test("TransferBatch repeating one token id keeps BOTH items; replay still dedups") {
+    // ids=[13,13], values=[1,2]: same (collection, attribute_version,
+    // token_id) — only the batch POSITION distinguishes them, and both
+    // quantities must survive into the folds
+    val dup = Seq(log(107, 0, 0, Seq(Derive.Erc1155TransferBatchSig, pad32Addr(alice),
+        pad32Addr(alice), pad32Addr(bob)),
+      data = "0x" + word(0x40) + word(0xa0) + word(2) + word(13) + word(13) +
+        word(2) + word(1) + word(2))).toDF()
+    val once = Derive.transfers(dup)
+    val qtys = once.collect().map(r => new java.math.BigInteger(
+      r.getAs[String]("quantity"), 16).longValue()).sorted.toSeq
+    assert(qtys === Seq(1L, 2L))
+    // replayed log: identical positions -> K8 idempotence unchanged
+    assert(rowsOf(Derive.transfers(dup.unionByName(dup))) === rowsOf(once))
   }
 
   test("replay idempotence: deriving from duplicated logs equals single run") {

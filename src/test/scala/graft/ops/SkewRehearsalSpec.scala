@@ -161,9 +161,13 @@ class SkewRehearsalSpec extends SparkSpec {
         .filter(_.endsWith(".parquet")).toSet
     }.toMap
     val before = fileSets()
-    // epoch 2: a small batch updating 3 existing keys at a later version
-    val batch2 = transfers.limit(3)
+    // epoch 2: a small batch updating 3 existing DISTINCT keys at a
+    // later version (a bare limit(3) picks arbitrary rows and may
+    // repeat a key, making the updated-row count nondeterministic)
+    val batch2 = transfers.dropDuplicates("collection_id", "token_id").limit(3)
       .withColumn("attribute_version", lit("f" * 40))
+      .localCheckpoint(true) // pin the arbitrary pick: the test's touched
+                             // set and the sink must see the SAME rows
     val touched = batch2
       .select(pmod(hash(col("collection_id"), col("token_id")), lit(numBuckets)))
       .distinct().collect().map(r => s"__bucket=${r.getInt(0)}").toSet
