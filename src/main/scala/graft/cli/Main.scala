@@ -79,6 +79,8 @@ object Main {
       |                            LWW resolve; fold with `compact`)
       |  --compact-every N         tail: with --merge-format log, auto-fold the
       |                            append log every N epochs (default: never)
+      |  --start N                 tail: explicit starting block, overriding the
+      |                            seeded bookmark (required when nothing is seeded)
       |  --trail-blocks N          reorg lag for tail (default 0)
       |  --blocks-per-trigger N    tail micro-batch width (default 64)
       |  --head-wait-ms N          tail: long-poll the head up to N ms per cycle
@@ -180,6 +182,13 @@ object Main {
   // synthetic version (K8 idempotent-append semantics)
   private val TransferSinkKeys = Seq("collection_id", "token_id", "attribute_version")
   private val TransferSinkVersion = Seq("attribute_version")
+  // every log-format-capable tail table's (keys, versionCols) — the ONE
+  // place verify's log resolution and `compact` take identities from,
+  // so a table the tail can write is never left unresolvable/unfoldable
+  private val SinkIdentity: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("transfers", TransferSinkKeys, TransferSinkVersion),
+    ("uris", Seq("collection_id", "token_id"), Seq("metadata_url_version")),
+    ("collections", Seq("collection_id"), Seq("block_created")))
 
   private def mergeFormat(opts: Map[String, String], buckets: Int): graft.streaming.Tail.LwwMergeFormat =
     opts.getOrElse("merge-format", "bucket") match {
@@ -389,11 +398,15 @@ object Main {
           def table(name: String) = {
             val raw = spark.read.parquet(s"$db/$name")
             if (!raw.columns.contains("__bucket")) raw
-            else {
-              val t = raw.drop("__bucket")
-              if (TransferSinkKeys.forall(t.columns.contains))
-                t.dropDuplicates(TransferSinkKeys)
-              else t
+            else SinkIdentity.find(_._1 == name) match {
+              // resolve through the log format's own read seam with the
+              // TABLE'S key/version identity — a bare drop("__bucket")
+              // would hand replayed epochs and superseded versions to
+              // the reconcile as duplicate facts
+              case Some((_, keys, versionCols)) =>
+                new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
+                  .read(spark, s"$db/$name", keys, versionCols)
+              case None => raw.drop("__bucket")
             }
           }
           def narrowed(df: DataFrame) =
@@ -401,10 +414,13 @@ object Main {
           val dbTokens = narrowed(table("tokens").select(col("collection_id"), col("token_id")))
           // chain-truth supply snapshot from the crawled collections
           // table's totalSupply probe result (hex64 -> decimal)
+          // keep the snapshot's canonical 64-hex form: countsReport
+          // converts by declared type with the EXACT hex kernel — the
+          // old cast(conv(hex,16,10) as long) silently wrapped supplies
+          // at 2^63 into negative/null, reporting false discrepancies
           val supply = narrowed(table("collections"))
             .filter(col("total_supply").isNotNull)
-            .select(col("collection_id"),
-              expr("cast(conv(total_supply, 16, 10) as long)").as("total_supply"))
+            .select(col("collection_id"), col("total_supply"))
           val report = VerifyPipeline.fromChain(spark, start, end,
             narrowed(table("transfers")), narrowed(table("owners")), dbTokens, supply,
             collectionId = collection, logsFetcher = w.logs,
@@ -439,10 +455,20 @@ object Main {
           positional(pos, "compact") // no positional args
           val out = required(opts, "out")
           // --buckets must match the tail that wrote the log, same as it
-          // must between tail restarts
-          new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
-            .compact(spark, s"$out/transfers", TransferSinkKeys, TransferSinkVersion)
-          println(s"compacted $out/transfers")
+          // must between tail restarts. Fold EVERY log-format table the
+          // tail can write (each with its own identity) — compacting
+          // only transfers would leave uris/collections logs growing
+          // unbounded, the exact problem compact exists to solve.
+          val fmt = new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
+          val folded = SinkIdentity.flatMap { case (name, keys, versionCols) =>
+            val dir = new java.io.File(s"$out/$name")
+            if (dir.isDirectory) {
+              fmt.compact(spark, s"$out/$name", keys, versionCols)
+              Some(name)
+            } else None
+          }
+          if (folded.isEmpty) throw CliError(s"compact: no log-format tables under $out")
+          println(s"compacted ${folded.map(n => s"$out/$n").mkString(", ")}")
           0
 
         case other => throw CliError(s"unknown command: $other")

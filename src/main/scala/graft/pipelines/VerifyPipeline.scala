@@ -56,22 +56,23 @@ object VerifyPipeline {
     // total_supply as canonical 64-hex; comparing that against a bigint
     // via implicit coercion parses the hex DIGITS as decimal (16 reads
     // as 10) and nulls anything containing a-f — a silently wrong
-    // audit. Convert by the column's actual type instead of trusting
-    // the caller to pre-convert.
+    // audit. Convert by the column's actual type with the EXACT hex
+    // kernel (builtin conv wraps at 2^64) and compare canonical decimal
+    // renderings, which is overflow-free at any uint256 magnitude.
     val supplyDec = supplySnapshot.schema("total_supply").dataType match {
       case org.apache.spark.sql.types.StringType =>
         supplySnapshot.withColumn("total_supply",
-          conv(col("total_supply"), 16, 10).cast("decimal(38,0)"))
-      case _ => supplySnapshot
+          graft.expr.Exprs.hexToDec(col("total_supply")))
+      case _ =>
+        supplySnapshot.withColumn("total_supply", col("total_supply").cast("string"))
     }
     dbTokens.groupBy(col("collection_id")).agg(count(lit(1)).as("n_tokens"))
       .join(broadcast(supplyDec), Seq("collection_id"), "full_outer")
-      .filter(!(col("n_tokens").cast("decimal(38,0)") <=>
-        col("total_supply").cast("decimal(38,0)")))
+      .filter(!(col("n_tokens").cast("string") <=> col("total_supply")))
       .select(lit("counts").as("check"), col("collection_id"),
         lit(null).cast("string").as("token_id"),
         concat_ws("!=", col("n_tokens").cast("string"),
-          col("total_supply").cast("string")).as("detail"))
+          col("total_supply")).as("detail"))
   }
 
   def run(chainTransfers: DataFrame, dbTransfers: DataFrame,

@@ -57,7 +57,12 @@ object EvmWire {
     * like every other parse path — silent high-digit truncation would
     * corrupt balances. */
   def hex64(j: JValue, field: String): String = {
-    val raw = strip0x(jString(j, field)).toLowerCase
+    val s = jString(j, field)
+    // classified like hexLong: a null/absent field is a wire violation
+    // that must surface as RpcClientException (pool eviction keys on
+    // it), not an unclassified NPE from toLowerCase
+    if (s == null) throw new RpcClientException(s"field $field: null hex quantity")
+    val raw = strip0x(s).toLowerCase
     // leading zeros are lossless padding, not width — canonicalize them
     // away before judging, so "0x00…0ff" (66 hex chars, value < 2^256)
     // parses while a genuinely over-wide VALUE still fails loudly

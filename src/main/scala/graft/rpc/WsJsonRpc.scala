@@ -207,6 +207,12 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
               // replay only the unanswered calls on a fresh socket
               remaining = remaining.filterNot { case (id, _) => answers.containsKey(id) }
             case t: ThrottledException => throw t
+            // a batch-level SERVER rejection (id:null error object, e.g.
+            // an oversized-batch -32005/-32602) must keep its type: the
+            // adaptive reader's window shrink catches RpcServerException,
+            // and re-wrapping it as a transport failure would make the
+            // pool evict a healthy endpoint instead — HTTP parity
+            case s: RpcServerException => throw s
             case _: TimeoutException =>
               throw new RpcClientException(s"$endpoint websocket response timeout (${timeoutMs}ms)")
             case other =>

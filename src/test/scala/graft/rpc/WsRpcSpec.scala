@@ -83,6 +83,23 @@ class WsRpcSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("oversized batch over ws keeps its server-error type: window shrinks ÷10 and completes") {
+    // the id:null batch rejection must surface as RpcServerException
+    // (HTTP parity) so the adaptive reader shrinks instead of the pool
+    // evicting a healthy endpoint as a transport failure
+    val capped = new StubRpcServer(maxBatch = 10)
+    val ws2 = new StubWsRpcServer(capped)
+    try {
+      val df = spark.read.format("blocks")
+        .option("start", "0").option("maxBlock", "100").option("numPartitions", "1")
+        .option("fetcher", classOf[RpcBlockDataFetcher].getName)
+        .option("endpoints", ws2.url)
+        .load()
+      assert(df.count() === 100)
+      assert(capped.largestBatch.get() === 100) // the probe that got rejected
+    } finally { ws2.stop(); capped.stop() }
+  }
+
   test("mixed http+ws pool: dead ws endpoint fails over to the http member") {
     // the CLI advertises mixable schemes in --evm-rpc-nodes; the pool
     // must rotate across TRANSPORTS exactly as it does within one
