@@ -395,20 +395,34 @@ object Main {
           // (replays appended verbatim, `__bucket` partition column) —
           // resolve it to facts before reconciling, or every replayed
           // epoch would surface as a duplicate-fact discrepancy
-          def table(name: String) = {
+          val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
+          def table(name: String) = tableCache.getOrElseUpdate(name, {
             val raw = spark.read.parquet(s"$db/$name")
             if (!raw.columns.contains("__bucket")) raw
+            else if (raw.columns.contains("__epoch"))
+              // an epoch-stamped VIEW table (tail --owners-view /
+              // --tokens-view): read through the view's own seam, which
+              // nets/finalizes the stored components into the row shape
+              // verify compares (a raw passthrough has no quantity/
+              // owner columns and the whole command would die)
+              name match {
+                case "owners" => graft.streaming.Tail.readOwners(spark, s"$db/$name")
+                case "tokens" => graft.streaming.Tail.readTokens(spark, s"$db/$name")
+                case _ => raw.drop("__bucket", "__epoch")
+              }
             else SinkIdentity.find(_._1 == name) match {
               // resolve through the log format's own read seam with the
               // TABLE'S key/version identity — a bare drop("__bucket")
               // would hand replayed epochs and superseded versions to
-              // the reconcile as duplicate facts
+              // the reconcile as duplicate facts. localCheckpoint: the
+              // resolution is a full log scan + collapse shuffle, and
+              // verify consumes collections/tokens twice each.
               case Some((_, keys, versionCols)) =>
                 new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
-                  .read(spark, s"$db/$name", keys, versionCols)
+                  .read(spark, s"$db/$name", keys, versionCols).localCheckpoint(true)
               case None => raw.drop("__bucket")
             }
-          }
+          })
           def narrowed(df: DataFrame) =
             collection.fold(df)(c => df.filter(col("collection_id") === c))
           val dbTokens = narrowed(table("tokens").select(col("collection_id"), col("token_id")))
@@ -461,8 +475,9 @@ object Main {
           // unbounded, the exact problem compact exists to solve.
           val fmt = new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
           val folded = SinkIdentity.flatMap { case (name, keys, versionCols) =>
-            val dir = new java.io.File(s"$out/$name")
-            if (dir.isDirectory) {
+            // Hadoop-path probe, not java.io.File: --out may be any
+            // filesystem Spark writes to (s3a://, hdfs://, file: URIs)
+            if (graft.ops.SinkUtils.tableExists(spark, s"$out/$name")) {
               fmt.compact(spark, s"$out/$name", keys, versionCols)
               Some(name)
             } else None

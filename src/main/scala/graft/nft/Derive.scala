@@ -82,18 +82,38 @@ object Derive {
         Abi.topicAddress(element_at(col("topics"), 4)),
         "ERC-1155"): _*)
 
+  /** Merge same-token entries WITHIN one log's item array, summing
+    * quantities with the exact uint256 kernel — map-side array work on
+    * tiny batch lists, no shuffle. A TransferBatch may repeat a token
+    * id (ids=[5,5], values=[1,2]); its items share one
+    * attribute_version, and that triple is the storage identity every
+    * sink/verify/compact consumer keys on, so the repeat must collapse
+    * HERE with its total value preserved. (Deliberate deviation from
+    * the reference, whose keyed put would keep only ONE item's value,
+    * `dynamodb.py:334-363` — a silent quantity loss our balance folds
+    * cannot afford.) */
+  private def mergeItems(items: Column): Column =
+    transform(array_distinct(transform(items, i => i("token_id"))), t =>
+      struct(t.as("token_id"),
+        aggregate(filter(items, i => i("token_id") === t),
+          lit(graft.expr.HexMath.pad64("0")),
+          (acc, i) => graft.expr.Exprs.hexAdd(acc, i("qty"))).as("qty")))
+
   /** ERC-1155 TransferBatch: dynamic (uint256[] ids, uint256[] values)
     * unzipped positionally (`nft/evm/transformers.py:322-336`) =
-    * explode(arrays_zip(ids, values)). */
+    * explode(arrays_zip(ids, values)); repeated ids merge
+    * ([[mergeItems]]). */
   def erc1155BatchTransfers(logs: DataFrame): DataFrame =
     logs.filter(element_at(col("topics"), 1) === lit(Erc1155TransferBatchSig) &&
         size(col("topics")) === 4)
       .withColumn("ids", Abi.decodeUintArrayUdf(col("data"), lit(0)))
       .withColumn("vals", Abi.decodeUintArrayUdf(col("data"), lit(1)))
-      .withColumn("z", explode(arrays_zip(col("ids"), col("vals"))))
+      .withColumn("z", explode(mergeItems(
+        zip_with(col("ids"), col("vals"),
+          (i, v) => struct(i.as("token_id"), v.as("qty"))))))
       .select(transferCols(
-        col("z.ids"),
-        col("z.vals"),
+        col("z.token_id"),
+        col("z.qty"),
         Abi.topicAddress(element_at(col("topics"), 3)),
         Abi.topicAddress(element_at(col("topics"), 4)),
         "ERC-1155"): _*)
@@ -119,8 +139,10 @@ object Derive {
     def pair(id: Column, q: Column) = struct(id.as("token_id"), q.as("qty"))
     val items =
       when(col("kind") === "1155b",
-        zip_with(Abi.decodeUintArrayUdf(col("data"), lit(0)),
-          Abi.decodeUintArrayUdf(col("data"), lit(1)), (i, q) => pair(i, q)))
+        // mergeItems: repeated ids within one batch collapse with their
+        // quantities summed, keeping (collection, version, token) unique
+        mergeItems(zip_with(Abi.decodeUintArrayUdf(col("data"), lit(0)),
+          Abi.decodeUintArrayUdf(col("data"), lit(1)), (i, q) => pair(i, q))))
       .when(col("kind") === "1155s",
         array(pair(Abi.dataWord(col("data"), 1), Abi.dataWord(col("data"), 2))))
       .otherwise(array(pair(Abi.topicUint(element_at(col("topics"), 4)),
@@ -133,18 +155,11 @@ object Derive {
     val ctype = when(is721, lit("ERC-721")).otherwise(lit("ERC-1155"))
     logs.withColumn("kind", kind)
       .filter(col("kind").isNotNull)
-      // posexplode: the item's POSITION in the batch is part of the
-      // replay-idempotency key. A TransferBatch may legitimately repeat
-      // one token id with different quantities (ids=[5,5]); keyed
-      // without the position, dropDuplicates would collapse them and
-      // silently diverge from the union-of-three formulation, which
-      // keeps both. A replayed LOG reproduces identical positions, so
-      // K8 dedup still holds.
-      .select(col("*"), posexplode(items).as(Seq("__pos", "item")))
-      .select((transferColsC(col("item.token_id"), col("item.qty"), fromCol, toCol, ctype) :+
-        col("__pos")): _*)
-      .dropDuplicates("collection_id", "attribute_version", "token_id", "__pos")
-      .drop("__pos")
+      .withColumn("item", explode(items))
+      .select(transferColsC(col("item.token_id"), col("item.qty"), fromCol, toCol, ctype): _*)
+      // mergeItems guarantees the triple is unique per LOG, so this
+      // dedup removes exactly the replayed-log duplicates (K8)
+      .dropDuplicates("collection_id", "attribute_version", "token_id")
   }
 
   /** ERC-1155 URI events: dynamic string + indexed token id, with the

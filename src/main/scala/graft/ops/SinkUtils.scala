@@ -58,11 +58,6 @@ object SinkUtils {
     * a legitimate operation, not a stale write). Staged through a .tmp
     * table because overwrite-in-place would read and clobber the same
     * path in one job. */
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   private def putConfig(spark: SparkSession, configPath: String, blockchain: String,
       updated: org.apache.spark.sql.DataFrame): Unit = {
     // existence is checked explicitly, NOT via a blanket
@@ -96,14 +91,32 @@ object SinkUtils {
     // Probe absence explicitly — a blanket AnalysisException catch would
     // also swallow a schema mismatch (wrong configPath, missing column)
     // and report "not created yet" where putConfig fails loudly.
-    val p = new org.apache.hadoop.fs.Path(configPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!SinkUtils.tableExists(spark, configPath)) None
     else {
       val row = spark.read.parquet(configPath)
         .filter(col("blockchain") === blockchain)
         .select(max(col(column))).head()
       if (row.isNullAt(0)) None else Some(get(row))
+    }
+  }
+
+  /** True iff `path` exists AND holds at least one non-hidden entry.
+    * The distinction matters for every "first write or existing
+    * table?" decision: a bare directory left by a CRASHED first write
+    * (only `_temporary`/`_SUCCESS` inside) must classify as "not
+    * created yet" so the replay self-heals, while an unreadable REAL
+    * table still fails loudly (never a blanket AnalysisException catch,
+    * which would also swallow schema errors as absence). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Spark's own data-file rule: "_"-prefixed names are metadata
+    // UNLESS they contain "=" — partition directories like __bucket=7
+    // are data. A plain underscore filter would classify every
+    // bucket-partitioned table as absent.
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith(".") && !(n.startsWith("_") && !n.contains("="))
     }
   }
 

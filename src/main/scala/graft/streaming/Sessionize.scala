@@ -41,7 +41,13 @@ object Sessionize {
     * out-of-order event into the open session unconditionally (the
     * `us - last < gap` test is vacuously true for negative deltas),
     * diverging from the batch twin whenever the allowed lateness
-    * exceeds the gap. */
+    * exceeds the gap.
+    *
+    * NOTE — state schema change: this fold keeps `List[OpenSession]`
+    * where the previous version kept a single `OpenSession`. A
+    * checkpoint written by the old fold cannot restore into this one
+    * (Spark's state-schema check rejects it); resuming an in-flight
+    * query across this upgrade requires a fresh checkpoint. */
   def sessions(events: Dataset[Ev], gapMinutes: Int = 30,
                watermark: String = "30 minutes"): Dataset[ClosedSession] = {
     val spark = events.sparkSession

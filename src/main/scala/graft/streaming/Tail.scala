@@ -139,10 +139,10 @@ object Tail {
         // Probe absence explicitly: an AnalysisException from an EXISTING
         // but transiently unreadable table must fail the batch, not be
         // treated as "first batch" and overwrite prior state winners-only.
-        val targetPath = new org.apache.hadoop.fs.Path(target)
-        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // (tableExists also classifies a crashed first write's bare
+        // directory as absent, so the first epoch self-heals.)
         val existing =
-          if (fs.exists(targetPath))
+          if (graft.ops.SinkUtils.tableExists(spark, target))
             Some(spark.read.parquet(target)
               .filter(col("__bucket").isin(touched: _*)) // partition-pruned scan
               .drop("__bucket"))
@@ -307,25 +307,38 @@ object Tail {
       // discards the rest of the stream; an exact-match guard
       // double-counts old-age replays. Contract (the block sources
       // guarantee it): one block's rows never split across batches.
-      val wmRow = batch.agg(max(col("block_id"))).head()
+      val wmRow = batch.agg(max(col("block_id")), min(col("block_id"))).head()
       if (wmRow.isNullAt(0)) return
       val batchWm = wmRow.getLong(0)
+      val batchMin = wmRow.getLong(1)
       // Table-absence must be PROBED, not inferred from AnalysisException:
       // a transiently unreadable EXISTING table (crashed writer, schema
       // conflict) classified as "first epoch" would merge(None, fresh)
       // winners-only over the touched buckets and silently destroy their
-      // prior component state. Only a genuinely absent path is first-epoch;
-      // any other read failure must propagate and fail the batch.
-      val targetPath = new org.apache.hadoop.fs.Path(target)
-      val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // prior component state. Only a genuinely absent/bare path is
+      // first-epoch; any other read failure must propagate and fail.
       val existing =
-        if (fs.exists(targetPath))
+        if (graft.ops.SinkUtils.tableExists(spark, target))
           Some(spark.read.parquet(target).filter(col("__bucket").isin(touched: _*)))
         else None // first epoch
-      val applied: Set[Int] = existing.fold(Set.empty[Int]) {
+      val stamps: Map[Int, Long] = existing.fold(Map.empty[Int, Long]) {
         _.groupBy(col("__bucket")).agg(max(col("__epoch")).as("e"))
-          .collect().filter(_.getLong(1) >= batchWm).map(_.getInt(0)).toSet
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       }
+      val applied = stamps.filter(_._2 >= batchWm).keySet
+      // A stamp strictly INSIDE the batch's block range means the
+      // stream was restarted with batch boundaries that straddle
+      // already-applied blocks (checkpoint reset + different
+      // blocksPerTrigger/start). Applying would double-count the
+      // overlap; skipping would drop the new blocks. Neither is safe
+      // silently — fail with the recovery instruction instead.
+      val straddled = stamps.filter { case (_, s) => s >= batchMin && s < batchWm }
+      require(straddled.isEmpty,
+        s"viewSink($target): buckets ${straddled.keys.toSeq.sorted.mkString(",")} are stamped " +
+          s"mid-batch (stamps ${straddled.values.toSeq.sorted.mkString(",")} inside " +
+          s"[$batchMin,$batchWm]). The stream was restarted with batch boundaries that " +
+          "straddle applied blocks; restart it from the stamped high-water + 1 " +
+          "(e.g. --start) so batches align, or rebuild the view.")
       val freshTouched = touched.filterNot(applied)
       if (freshTouched.isEmpty) return
       val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")

@@ -183,19 +183,24 @@ class DeriveSpec extends SparkSpec {
     assert(rowsOf(Derive.transfers(fixtureLogs)) === rowsOf(unioned))
   }
 
-  test("TransferBatch repeating one token id keeps BOTH items; replay still dedups") {
-    // ids=[13,13], values=[1,2]: same (collection, attribute_version,
-    // token_id) — only the batch POSITION distinguishes them, and both
-    // quantities must survive into the folds
+  test("TransferBatch repeating one token id merges to ONE row with the summed quantity") {
+    // ids=[13,13], values=[1,2]: the items share one attribute_version
+    // and that triple is the storage identity every sink keys on, so
+    // the repeat must collapse with its TOTAL value (3) preserved —
+    // dropping either quantity would corrupt the balance folds, and
+    // emitting two rows would make the LWW sinks nondeterministically
+    // discard one downstream
     val dup = Seq(log(107, 0, 0, Seq(Derive.Erc1155TransferBatchSig, pad32Addr(alice),
         pad32Addr(alice), pad32Addr(bob)),
       data = "0x" + word(0x40) + word(0xa0) + word(2) + word(13) + word(13) +
         word(2) + word(1) + word(2))).toDF()
     val once = Derive.transfers(dup)
-    val qtys = once.collect().map(r => new java.math.BigInteger(
-      r.getAs[String]("quantity"), 16).longValue()).sorted.toSeq
-    assert(qtys === Seq(1L, 2L))
-    // replayed log: identical positions -> K8 idempotence unchanged
+    assert(once.count() === 1)
+    assert(new java.math.BigInteger(
+      once.head.getAs[String]("quantity"), 16).longValue() === 3L)
+    // both formulations agree on the merge
+    assert(rowsOf(Derive.erc1155BatchTransfers(dup)) === rowsOf(once))
+    // replayed log: K8 idempotence unchanged
     assert(rowsOf(Derive.transfers(dup.unionByName(dup))) === rowsOf(once))
   }
 
