@@ -189,6 +189,12 @@ object Main {
     ("transfers", TransferSinkKeys, TransferSinkVersion),
     ("uris", Seq("collection_id", "token_id"), Seq("metadata_url_version")),
     ("collections", Seq("collection_id"), Seq("block_created")))
+  // the epoch-stamped VIEW tables' read seams, kept NEXT to SinkIdentity
+  // so every table shape the tail can write has its resolution declared
+  // in one place
+  private val ViewReaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("owners", graft.streaming.Tail.readOwners _),
+    ("tokens", graft.streaming.Tail.readTokens _))
 
   private def mergeFormat(opts: Map[String, String], buckets: Int): graft.streaming.Tail.LwwMergeFormat =
     opts.getOrElse("merge-format", "bucket") match {
@@ -405,21 +411,21 @@ object Main {
               // nets/finalizes the stored components into the row shape
               // verify compares (a raw passthrough has no quantity/
               // owner columns and the whole command would die)
-              name match {
-                case "owners" => graft.streaming.Tail.readOwners(spark, s"$db/$name")
-                case "tokens" => graft.streaming.Tail.readTokens(spark, s"$db/$name")
-                case _ => raw.drop("__bucket", "__epoch")
+              ViewReaders.find(_._1 == name) match {
+                case Some((_, read)) => read(spark, s"$db/$name")
+                case None => raw.drop("__bucket", "__epoch")
               }
             else SinkIdentity.find(_._1 == name) match {
               // resolve through the log format's own read seam with the
               // TABLE'S key/version identity — a bare drop("__bucket")
               // would hand replayed epochs and superseded versions to
-              // the reconcile as duplicate facts. localCheckpoint: the
-              // resolution is a full log scan + collapse shuffle, and
-              // verify consumes collections/tokens twice each.
+              // the reconcile as duplicate facts. The resolution stays
+              // LAZY (no checkpoint): --collection pushes its filter
+              // through the collapse grouping key into the scan, which
+              // an eager materialization would forfeit for the whole log.
               case Some((_, keys, versionCols)) =>
                 new graft.streaming.Tail.LogAppendFormat(intOpt(opts, "buckets", 16))
-                  .read(spark, s"$db/$name", keys, versionCols).localCheckpoint(true)
+                  .read(spark, s"$db/$name", keys, versionCols)
               case None => raw.drop("__bucket")
             }
           })

@@ -65,7 +65,7 @@ object SinkUtils {
     // e.g. the bookmark write pointed at the data_version table) must
     // fail loudly, not silently replace the whole table with one row
     val merged =
-      if (tableExists(spark, configPath))
+      if (pathExists(spark, configPath)) // plain-overwrite target: see tableExists safety bound
         spark.read.parquet(configPath)
           .filter(col("blockchain") =!= blockchain)
           .unionByName(updated)
@@ -90,8 +90,11 @@ object SinkUtils {
       column: String)(get: org.apache.spark.sql.Row => T): Option[T] = {
     // Probe absence explicitly — a blanket AnalysisException catch would
     // also swallow a schema mismatch (wrong configPath, missing column)
-    // and report "not created yet" where putConfig fails loudly.
-    if (!SinkUtils.tableExists(spark, configPath)) None
+    // and report "not created yet" where putConfig fails loudly. PLAIN
+    // existence, not tableExists: config tables are plain-overwrite, so
+    // a bare directory may be a crash-gutted real table — reading it
+    // must fail loudly, never silently reset version/bookmark to zero.
+    if (!SinkUtils.pathExists(spark, configPath)) None
     else {
       val row = spark.read.parquet(configPath)
         .filter(col("blockchain") === blockchain)
@@ -106,7 +109,15 @@ object SinkUtils {
     * (only `_temporary`/`_SUCCESS` inside) must classify as "not
     * created yet" so the replay self-heals, while an unreadable REAL
     * table still fails loudly (never a blanket AnalysisException catch,
-    * which would also swallow schema errors as absence). */
+    * which would also swallow schema errors as absence).
+    *
+    * SAFETY BOUND: bare-equals-absent is only sound for targets written
+    * with DYNAMIC partition overwrite (the view/LWW sinks) — that mode
+    * never deletes the directory, so bare really does mean first write.
+    * A plain `mode("overwrite")` target (config tables, compact) is
+    * deleted before its job commits, so a bare directory there could be
+    * a crash-GUTTED real table; those callers must use a plain
+    * existence probe and let the read fail loudly instead. */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,6 +129,13 @@ object SinkUtils {
       val n = s.getPath.getName
       !n.startsWith(".") && !(n.startsWith("_") && !n.contains("="))
     }
+  }
+
+  /** Plain existence probe for PLAIN-overwrite targets; see the safety
+    * bound on [[tableExists]]. */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** S9: read the per-blockchain data_version from a config table;

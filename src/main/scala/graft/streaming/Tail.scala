@@ -334,11 +334,11 @@ object Tail {
       // silently — fail with the recovery instruction instead.
       val straddled = stamps.filter { case (_, s) => s >= batchMin && s < batchWm }
       require(straddled.isEmpty,
-        s"viewSink($target): buckets ${straddled.keys.toSeq.sorted.mkString(",")} are stamped " +
-          s"mid-batch (stamps ${straddled.values.toSeq.sorted.mkString(",")} inside " +
-          s"[$batchMin,$batchWm]). The stream was restarted with batch boundaries that " +
-          "straddle applied blocks; restart it from the stamped high-water + 1 " +
-          "(e.g. --start) so batches align, or rebuild the view.")
+        s"viewSink($target): bucket->stamp ${straddled.toSeq.sorted
+          .map { case (b, s) => s"$b->$s" }.mkString(", ")} stamped mid-batch " +
+          s"(inside [$batchMin,$batchWm]). The stream was restarted with batch " +
+          "boundaries that straddle applied blocks; restart it from the stamped " +
+          "high-water + 1 (e.g. --start) so batches align, or rebuild the view.")
       val freshTouched = touched.filterNot(applied)
       if (freshTouched.isEmpty) return
       val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
