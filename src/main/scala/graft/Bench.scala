@@ -29,8 +29,11 @@ object Bench {
     // Warm-up must never abort the bench: a broken table here would zero
     // the whole round's signal; the per-query loop below already records
     // the failure for every query that touches it.
+    // NonFatal, not Throwable: an OutOfMemoryError/LinkageError here
+    // means a corrupted JVM whose timings would be garbage — let it
+    // crash the round visibly rather than skew every number.
     try graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
-    catch { case t: Throwable => System.err.println(s"[bench] warm-up failed: $t") }
+    catch { case scala.util.control.NonFatal(t) => System.err.println(s"[bench] warm-up failed: $t") }
     val errors = Seq.newBuilder[String]
     // A failed query reports sentinel -1 and is excluded from `total`:
     // its wall time (however long it spent failing) would otherwise
@@ -42,7 +45,7 @@ object Bench {
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           errors += name; System.err.println(s"[bench] $name failed: $t")
           name -> -1.0
       }
@@ -51,7 +54,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Key order is deliberate: the large per-query map FIRST, the
+    // headline metric/value LAST. A log capture that keeps only the
+    // tail of this (long) line then still ends with the headline
+    // number; JSON parsers don't care about member order.
+    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

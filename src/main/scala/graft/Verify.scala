@@ -40,6 +40,15 @@ object Verify {
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg.take(500)
+        // A failure must also REMOVE any stale result dir from a prior
+        // dump: mode("overwrite") never executed, and a driver that
+        // reads result dirs before consulting errors.json would compare
+        // a previous round's green output as if it were current.
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => }
         System.err.println(s"[verify] $name failed: $msg")
       }
     }

@@ -77,11 +77,11 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
       null
     }
     override def onClose(ws: WebSocket, status: Int, reason: String): CompletionStage[_] = {
-      if (isCurrent(ws)) dropped(s"$endpoint websocket closed ($status $reason)")
+      dropped(ws, s"$endpoint websocket closed ($status $reason)")
       null
     }
     override def onError(ws: WebSocket, error: Throwable): Unit =
-      if (isCurrent(ws)) dropped(s"$endpoint websocket error: ${error.getMessage}")
+      dropped(ws, s"$endpoint websocket error: ${error.getMessage}")
   }
 
   private def deliver(payload: JValue): Unit = payload match {
@@ -116,13 +116,24 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     case _ =>
   }
 
-  private def dropped(msg: String): Unit = {
+  /** Retire `ws` as the current socket. The failing socket is a
+    * PARAMETER, not read from the field: a send() that lost the race
+    * with a concurrent drop+reconnect holds a stale reference, and
+    * retiring "whatever socket is current" on its behalf would abort
+    * the healthy replacement, fail unrelated windows' in-flight
+    * futures, and burn the shared replay budget. If `ws` is no longer
+    * current the drop already happened (or a reconnect superseded it)
+    * and this call is a no-op. */
+  private def dropped(ws: WebSocket, msg: String): Unit = {
+    val retired = lock.synchronized {
+      if (socket eq ws) { socket = null; true } else false
+    }
+    if (!retired) return
     // Abort the replaced socket: without this a timeout-triggered drop
     // leaves the old connection alive, leaking a file descriptor per
     // drop on a JVM-cached client and letting its late callbacks race
     // the replacement (see isCurrent).
-    val old = lock.synchronized { val s = socket; socket = null; s }
-    if (old != null) { try old.abort() catch { case _: Exception => } }
+    if (ws != null) { try ws.abort() catch { case _: Exception => } }
     listener.resetBuf()
     failAll(new Disconnected(msg))
   }
@@ -157,7 +168,10 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     try lock.synchronized { ws.sendText(text, true).get(timeoutMs, TimeUnit.MILLISECONDS) }
     catch {
       case e: Exception =>
-        dropped(s"$endpoint send failed: ${e.getMessage}")
+        // Retire only THIS socket (no-op if a concurrent drop already
+        // replaced it); either way this window's calls were never
+        // delivered, so the thrown Disconnected drives their replay.
+        dropped(ws, s"$endpoint send failed: ${e.getMessage}")
         throw new Disconnected(s"$endpoint send failed: ${e.getMessage}")
     }
   }

@@ -285,6 +285,10 @@ object Tail {
               (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bucket = bucketExpr(keys, numBuckets)
+    // Refuse tables whose __epoch stamps use a DIFFERENT scheme (see
+    // requireStampScheme) before reading any state from them.
+    if (graft.ops.SinkUtils.tableExists(spark, target))
+      requireStampScheme(spark, target)
     require(batch.columns.contains("block_id"),
       "viewSink batches must carry block_id: the replay stamp is the data's block watermark")
     // The deltas aggregation is a full shuffle of the micro-batch and
@@ -353,7 +357,56 @@ object Tail {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(target)
+      writeStampScheme(spark, target)
     } finally deltas.unpersist(blocking = false)
+  }
+
+  /** `__epoch` stamp-scheme marker. Stamps are the batch's BLOCK
+    * high-water; an earlier revision stamped the foreachBatch batch id
+    * instead. The two are not comparable: against a table carrying old
+    * batch-id stamps (small integers), an at-least-once replay that
+    * straddles the upgrade compares the old stamp below `batchMin`, so
+    * already-applied ADDITIVE deltas re-apply and double-count —
+    * silently. Magnitude heuristics can't tell the cases apart (a
+    * young chain's block ids are small too), so the scheme is recorded
+    * explicitly: a `_stamp_scheme` marker file (underscore-prefixed —
+    * invisible to parquet reads) written with every epoch, and
+    * REQUIRED before any state is read. */
+  private[streaming] val StampSchemeFile = "_stamp_scheme"
+  private[streaming] val StampScheme = "block-high-water"
+
+  private def schemePath(target: String) =
+    new org.apache.hadoop.fs.Path(target, StampSchemeFile)
+
+  private def writeStampScheme(spark: SparkSession, target: String): Unit = {
+    val p = schemePath(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(StampScheme.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def requireStampScheme(spark: SparkSession, target: String): Unit = {
+    val p = schemePath(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found =
+      if (!fs.exists(p)) None
+      else {
+        val len = math.min(fs.getFileStatus(p).getLen, 256L).toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try { in.readFully(0L, buf); Some(new String(buf, "UTF-8").trim) }
+        finally in.close()
+      }
+    require(found.contains(StampScheme),
+      s"viewSink($target): existing view carries ${found.fold("no stamp-scheme marker")(s => s"stamp scheme '$s'")} " +
+        s"but this sink stamps '$StampScheme' (the batch's block high-water). " +
+        "Replaying against a view stamped under a different scheme (e.g. the " +
+        "old foreachBatch batch-id stamps) double-counts additive deltas. " +
+        "Rebuild the view from a re-crawl, or — only if the table is KNOWN to " +
+        s"already carry $StampScheme stamps — create $target/$StampSchemeFile " +
+        s"containing '$StampScheme' and restart the stream.")
   }
 
   /** Read the owners view: net the components with the batch rollup's

@@ -33,6 +33,22 @@ class VerifyDumpSpec extends SparkSpec {
     assert(oracle.get("good_query").asText().startsWith("SELECT"))
   }
 
+  test("a query that regresses to failing deletes its stale output from a prior dump") {
+    val out = Files.createTempDirectory("verifydump-").toString
+    // round N: the query is green and writes output
+    Verify.dump(spark, "/unused", out,
+      Map("q" -> ((s, _) => { import s.implicits._; Seq(1L).toDF("id") })), Map.empty)
+    assert(Files.exists(Paths.get(out, "q")))
+    // round N+1 into the SAME outDir: the query now fails at analysis.
+    // The stale green parquet must go — a driver that reads result dirs
+    // before errors.json would otherwise compare last round's output.
+    val errors = Verify.dump(spark, "/unused", out,
+      Map("q" -> ((s, _) => { import s.implicits._
+        Seq(1L).toDF("id").select(col("nope")) })), Map.empty)
+    assert(errors.contains("q"))
+    assert(!Files.exists(Paths.get(out, "q")), "stale output must be deleted on failure")
+  }
+
   test("error messages are truncated, control chars escaped") {
     val longMsg = "x" * 1000 + "\t\r"
     val qs: Map[String, (SparkSession, String) => DataFrame] = Map(

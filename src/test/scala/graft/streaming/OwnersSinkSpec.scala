@@ -111,4 +111,35 @@ class OwnersSinkSpec extends SparkSpec {
     assert(state(target).toSet ===
       Set(s"[$c,0xa,${hex(2)}]", s"[$c,0xb,${hex(3)}]"))
   }
+
+  test("a view without the block-high-water stamp-scheme marker is refused, not double-counted") {
+    val target = java.nio.file.Files.createTempDirectory("owners_scheme").toString + "/t"
+    val c = "0xc"
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((1L, c, "0x0", "0xa", "mint", 5L))), 0L)
+    // the sink records its stamp scheme alongside the data
+    val marker = new org.apache.hadoop.fs.Path(target, Tail.StampSchemeFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+    // simulate a table written by the pre-upgrade sink (batch-id
+    // stamps): same layout, no marker. The sink must refuse — an
+    // at-least-once replay straddling the upgrade would re-apply
+    // additive deltas against the incomparable old stamps.
+    fs.delete(marker, false)
+    val e = intercept[IllegalArgumentException] {
+      Tail.ownersSink(target, numBuckets = 2)(
+        transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
+    }
+    assert(e.getMessage.contains(Tail.StampSchemeFile))
+    assert(e.getMessage.contains("Rebuild"))
+    // state untouched by the refused batch
+    assert(state(target) === Seq(s"[$c,0xa,${hex(5)}]"))
+    // an operator who KNOWS the stamps are block high-waters re-blesses
+    // the table by recreating the marker; the stream then resumes
+    val out = fs.create(marker, true)
+    out.write(Tail.StampScheme.getBytes("UTF-8")); out.close()
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
+    assert(state(target) === Seq(s"[$c,0xb,${hex(5)}]"))
+  }
 }
