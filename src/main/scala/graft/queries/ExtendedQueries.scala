@@ -345,6 +345,31 @@ object ExtendedQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
 
+  private val x2SketchBounds: QFn = (s, dir) =>
+    // Cross-engine sketch-accuracy CONTRACT, hash-oracled: each engine
+    // runs its own HLL / quantile sketch and asserts it against its own
+    // exact aggregate, so the compared columns are deterministic
+    // booleans + exact counts even though the sketches themselves are
+    // approximate. This pins what x1 (rows-only by necessity) cannot:
+    // that the estimate the 1000-executor rollup would ship is inside
+    // its advertised error envelope on this data. Tolerances are wide
+    // vs the configured accuracy (rsd 0.02 vs 10% bound; rank error
+    // n/10000 vs the 45th-55th percentile band) so the booleans are
+    // stable, not flaky.
+    Tables.events(s, dir)
+      .withColumn("v", floor(col("value")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id"), 0.02).cast("double") -
+          countDistinct(col("user_id")).cast("double")) <=
+          greatest(countDistinct(col("user_id")).cast("double") * lit(0.10),
+            lit(10.0))).as("users_ok"),
+        percentile_approx(col("v"), lit(0.5), lit(10000)).cast("double")
+          .between(expr("percentile(v, 0.45)"), expr("percentile(v, 0.55)"))
+          .as("median_ok"))
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -494,6 +519,16 @@ object ExtendedQueries {
       s"""SELECT event_id,
         |${graft.ops.Layout.zValueSql(Seq("user_id", "CAST(floor(value) AS BIGINT)"))} AS zv
         |FROM events""".stripMargin),
-    QueryDef("x1_approx_sketch", x1ApproxSketch, "")
+    QueryDef("x1_approx_sketch", x1ApproxSketch, ""),
+    QueryDef("x2_sketch_bounds", x2SketchBounds,
+      """SELECT event_type, count(*) AS n,
+        |count(DISTINCT user_id) AS exact_users,
+        |(abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |   - CAST(count(DISTINCT user_id) AS DOUBLE))
+        |  <= greatest(CAST(count(DISTINCT user_id) AS DOUBLE) * 0.10, 10.0)) AS users_ok,
+        |(CAST(approx_quantile(floor(value), 0.5) AS DOUBLE)
+        |  BETWEEN quantile_cont(floor(value), 0.45)
+        |      AND quantile_cont(floor(value), 0.55)) AS median_ok
+        |FROM events GROUP BY event_type""".stripMargin)
   )
 }
