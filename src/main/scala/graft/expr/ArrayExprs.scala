@@ -138,6 +138,8 @@ case class MinHashSigsExpr(child: Expression, numHashes: Int = 4) extends UnaryE
   // kernel and not in just one of the callers
   require(numHashes >= 1 && numHashes <= 4,
     s"numHashes must be in [1,4] (md5 has 4 disjoint 8-hex slices), got $numHashes")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("minhash_sigs", child.dataType)
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -156,6 +158,8 @@ case class MinHashSigsExpr(child: Expression, numHashes: Int = 4) extends UnaryE
 /** shingle_hashes(text) -> array<string> of distinct word-3-gram md5s;
   * null when the doc has fewer than 3 tokens. */
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("shingle_hashes", child.dataType)
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -204,9 +208,38 @@ case class QuantizeExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): QuantizeExpr = copy(c)
 }
 
+/** Shared analysis-time input checks for the fixed-width kernels.
+  * Every kernel that reads ArrayData with `getLong` (or casts to
+  * UTF8String) MUST reject other input types at analysis: a drifted
+  * column (array<int>, array<double>) read through the wrong accessor
+  * returns silent garbage, not an error — the QuantizeExpr lesson,
+  * enforced for the whole kernel family. */
+private[expr] object ExprTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def longArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<bigint> (quantize_embedding output), got ${other.simpleString}")
+  }
+  def string(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects string, got ${other.simpleString}")
+  }
+  def strings(fn: String, l: DataType, r: DataType): TypeCheckResult = {
+    val first = string(fn, l)
+    if (first != TypeCheckResult.TypeCheckSuccess) first else string(fn, r)
+  }
+}
+
 /** dot_long(array<long>, array<long>) -> long. */
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = ExprTypeChecks.longArray("dot_long", left.dataType)
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
+    else ExprTypeChecks.longArray("dot_long", right.dataType)
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(ArrayKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -32,6 +32,9 @@ case class BloomMightContainExpr(child: Expression, bloom: BloomFilter)
 
   override def dataType: DataType = BooleanType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("bloom_might_contain", child.dataType)
+
   override def nullSafeEval(v: Any): Any =
     bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 

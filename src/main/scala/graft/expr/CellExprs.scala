@@ -89,6 +89,8 @@ object CellKernels {
 case class NearestCellExpr(child: Expression, cvs: Array[Array[Long]],
     cnrms: Array[Long], cells: Array[Long]) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArray("nearest_cell", child.dataType)
   override def nullSafeEval(v: Any): Any =
     CellKernels.nearestCell(v.asInstanceOf[ArrayData], cvs, cnrms, cells)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -107,6 +109,8 @@ case class NearestCellExpr(child: Expression, cvs: Array[Array[Long]],
 case class NearestCellsExpr(child: Expression, cvs: Array[Array[Long]],
     cnrms: Array[Long], cells: Array[Long], k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArray("nearest_cells", child.dataType)
   override def nullSafeEval(v: Any): Any =
     CellKernels.nearestCells(v.asInstanceOf[ArrayData], cvs, cnrms, cells, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

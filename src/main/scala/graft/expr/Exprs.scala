@@ -86,6 +86,8 @@ object DigitKernels {
 /** digits_int(string) -> int: digit-subsequence parse (P3 ABI payload
   * extraction without a regex per row). */
 case class DigitsIntExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("digits_int", child.dataType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any = {
@@ -132,6 +134,8 @@ object TokenKernels {
   * quality gates) pays one byte scan instead of building and
   * discarding a token array per row. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("token_count", child.dataType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     Integer.valueOf(TokenKernels.tokenCount(v.asInstanceOf[UTF8String]))
@@ -142,6 +146,8 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
 
 /** keccak256(string) -> 64-char lowercase hex string. */
 case class Keccak256Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("keccak256", child.dataType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(Keccak.hashHexOfUtf8(v.toString))
@@ -154,6 +160,8 @@ case class Keccak256Expr(child: Expression) extends UnaryExpression {
 
 /** hex_add(hexstr, hexstr) -> padded 64-char hex of the uint256 sum. */
 case class HexAddExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.strings("hex_add", left.dataType, right.dataType)
   override def dataType: DataType = StringType
   override def nullSafeEval(a: Any, b: Any): Any =
     UTF8String.fromString(HexMath.add(a.toString, b.toString))
@@ -167,6 +175,8 @@ case class HexAddExpr(left: Expression, right: Expression) extends BinaryExpress
 
 /** hex_sub(hexstr, hexstr) -> padded 64-char hex of the difference. */
 case class HexSubExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.strings("hex_sub", left.dataType, right.dataType)
   override def dataType: DataType = StringType
   override def nullSafeEval(a: Any, b: Any): Any =
     UTF8String.fromString(HexMath.sub(a.toString, b.toString))
@@ -184,6 +194,8 @@ case class HexSubExpr(left: Expression, right: Expression) extends BinaryExpress
   * Malformed input yields NULL — this function is registered on the
   * SQL surface, so a bad string must not fail the whole query. */
 case class HexToDecExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("hex_to_dec", child.dataType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -200,6 +212,8 @@ case class HexToDecExpr(child: Expression) extends UnaryExpression {
 
 /** hex_cmp(hexstr, hexstr) -> -1/0/1 uint256 comparison. */
 case class HexCmpExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.strings("hex_cmp", left.dataType, right.dataType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     Integer.valueOf(HexMath.compare(a.toString, b.toString))

@@ -35,6 +35,12 @@ case class VectorSumLongAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  // update() reads the child ArrayData with getLong; any other element
+  // width (a drifted array<int>/array<double> input) must fail at
+  // analysis, not sum reinterpreted bytes.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArray("vector_sum_long", child.dataType)
+
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

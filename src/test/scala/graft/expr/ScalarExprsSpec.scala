@@ -90,4 +90,36 @@ class ScalarExprsSpec extends SparkSpec {
     val got = df.select(Exprs.hexToDec(col("h"))).collect().map(_.getString(0))
     got.zip(vals).foreach { case (g, v) => assert(g === v.toString) }
   }
+
+  test("fixed-width kernels reject drifted input types at ANALYSIS, never run on them") {
+    // The failure mode under test: a column drifts (int, array<int>,
+    // array<double>) and a kernel that assumes string/array<long> reads
+    // it through the wrong accessor — getLong garbage, or toString on
+    // an int silently parsed as hex digits. Every kernel must fail
+    // analysis instead.
+    val df = Seq((Array(1, 2), Array(1.5, 2.5), 7L, "0a"))
+      .toDF("ai", "ad", "n", "h")
+    def rejected(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception] { df.select(c).collect() }
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"expected analysis failure, got $e")
+    }
+    rejected(ArrayExprs.dotLong(col("ai"), col("ai")))      // array<int>
+    rejected(ArrayExprs.dotLong(quantize(col("ad")), col("ai"))) // right side too
+    rejected(VectorSum.vectorSumLong(col("ad")))            // array<double>
+    rejected(ArrayExprs.minhashSigs(col("n")))              // bigint
+    rejected(ArrayExprs.shingleHashes(col("n")))
+    rejected(Exprs.hexAdd(col("n"), col("h")))              // int-as-hex trap
+    rejected(Exprs.hexSub(col("h"), col("n")))
+    rejected(Exprs.hexCmp(col("n"), col("n")))
+    rejected(Exprs.hexToDec(col("n")))
+    rejected(Exprs.keccak256(col("n")))
+    rejected(Exprs.digitsInt(col("n")))
+    // quantize on array<float|double> stays accepted; array<int> rejected
+    rejected(quantize(col("ai")))
+    assert(df.select(ArrayExprs.dotLong(quantize(col("ad")), quantize(col("ad"))))
+      .head().getLong(0) === (1500L * 1500 + 2500L * 2500))
+  }
+
+  private def quantize(c: org.apache.spark.sql.Column) = ArrayExprs.quantize(c)
 }
