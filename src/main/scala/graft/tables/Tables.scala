@@ -3,7 +3,7 @@ package graft.tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver parquet testdata (`TESTDATA.md`).
   *
@@ -43,7 +43,8 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEvents(eventsRaw(spark, dir))
+    widen(normalizeEvents(eventsRaw(spark, dir)),
+      longs = Seq("event_id", "user_id"), doubles = Seq("value"))
 
   /** TIMESTAMP(NANOS) parquet is unreadable on Spark 4.1 without the
     * legacy conf (PARQUET_TYPE_ILLEGAL at analysis); WITH it the column
@@ -79,7 +80,8 @@ object Tables {
         col("ts") >= lit(java.time.Instant.EPOCH.plus(loUs, java.time.temporal.ChronoUnit.MICROS)) &&
           col("ts") < lit(java.time.Instant.EPOCH.plus(hiUs, java.time.temporal.ChronoUnit.MICROS))
     }
-    normalizeEvents(raw.filter(pred))
+    widen(normalizeEvents(raw.filter(pred)),
+      longs = Seq("event_id", "user_id"), doubles = Seq("value"))
   }
 
   /** Session-timezone-independent epoch extraction for a stored
@@ -120,6 +122,27 @@ object Tables {
       Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
       java.time.ZoneOffset.UTC)
 
+  /** Width normalization for the drift classes beyond temporal: an id
+    * column shipped as INT32 makes Spark's int arithmetic WRAP where
+    * DuckDB promotes (`event_id * 1000000000` silently diverges), and a
+    * measure shipped as FLOAT changes downstream agg types. Casts are
+    * inserted ONLY when the stored type differs from the canonical one,
+    * so today's data takes the identity path (no cast node, pushdown
+    * untouched); under drift the exact widening (int->long,
+    * float->double) restores the arithmetic both engines agree on. */
+  private def widen(df: DataFrame, longs: Seq[String], doubles: Seq[String] = Nil): DataFrame = {
+    var out = df
+    longs.foreach { c =>
+      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType != LongType)
+        out = out.withColumn(c, col(c).cast("long"))
+    }
+    doubles.foreach { c =>
+      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType != DoubleType)
+        out = out.withColumn(c, col(c).cast("double"))
+    }
+    out
+  }
+
   private def normalizeEvents(raw: DataFrame): DataFrame = {
     val withNs = raw.schema("ts").dataType match {
       case LongType            => raw.withColumn("ts_ns", col("ts"))
@@ -143,6 +166,8 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    widen(table(spark, dir, "documents"), longs = Seq("doc_id", "n_chars"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    widen(table(spark, dir, "embeddings"), longs = Seq("vec_id"))
 }
