@@ -44,11 +44,21 @@ object Verify {
         // dump: mode("overwrite") never executed, and a driver that
         // reads result dirs before consulting errors.json would compare
         // a previous round's green output as if it were current.
+        // The delete must be VERIFIED: a false return or a throw means
+        // the stale green output is still there, and silence here would
+        // recreate exactly the false-green hazard this block removes.
         try {
           val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
-        } catch { case scala.util.control.NonFatal(_) => }
+          if (fs.exists(p) && !(fs.delete(p, true) && !fs.exists(p)))
+            System.err.println(
+              s"[verify] WARNING: stale output $p survived delete; " +
+                "its parquet is from a PRIOR run — trust errors.json, not the dir")
+        } catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(
+            s"[verify] WARNING: could not remove stale output $outDir/$name ($t); " +
+              "its parquet is from a PRIOR run — trust errors.json, not the dir")
+        }
         System.err.println(s"[verify] $name failed: $msg")
       }
     }

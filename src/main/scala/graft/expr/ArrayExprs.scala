@@ -230,16 +230,17 @@ private[expr] object ExprTypeChecks {
     val first = string(fn, l)
     if (first != TypeCheckResult.TypeCheckSuccess) first else string(fn, r)
   }
+  def longArrays(fn: String, l: DataType, r: DataType): TypeCheckResult = {
+    val first = longArray(fn, l)
+    if (first != TypeCheckResult.TypeCheckSuccess) first else longArray(fn, r)
+  }
 }
 
 /** dot_long(array<long>, array<long>) -> long. */
 case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val l = ExprTypeChecks.longArray("dot_long", left.dataType)
-    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) l
-    else ExprTypeChecks.longArray("dot_long", right.dataType)
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArrays("dot_long", left.dataType, right.dataType)
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(ArrayKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -285,10 +285,13 @@ object Tail {
               (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bucket = bucketExpr(keys, numBuckets)
+    // ONE existence probe serves both the stamp-scheme gate here and
+    // the first-epoch decision below — this sink is the table's single
+    // writer, so the answer cannot change between the two uses.
+    val tableIsPresent = graft.ops.SinkUtils.tableExists(spark, target)
     // Refuse tables whose __epoch stamps use a DIFFERENT scheme (see
     // requireStampScheme) before reading any state from them.
-    if (graft.ops.SinkUtils.tableExists(spark, target))
-      requireStampScheme(spark, target)
+    if (tableIsPresent) requireStampScheme(spark, target)
     require(batch.columns.contains("block_id"),
       "viewSink batches must carry block_id: the replay stamp is the data's block watermark")
     // The deltas aggregation is a full shuffle of the micro-batch and
@@ -322,7 +325,7 @@ object Tail {
       // prior component state. Only a genuinely absent/bare path is
       // first-epoch; any other read failure must propagate and fail.
       val existing =
-        if (graft.ops.SinkUtils.tableExists(spark, target))
+        if (tableIsPresent)
           Some(spark.read.parquet(target).filter(col("__bucket").isin(touched: _*)))
         else None // first epoch
       val stamps: Map[Int, Long] = existing.fold(Map.empty[Int, Long]) {
@@ -345,6 +348,13 @@ object Tail {
           "high-water + 1 (e.g. --start) so batches align, or rebuild the view.")
       val freshTouched = touched.filterNot(applied)
       if (freshTouched.isEmpty) return
+      // Marker BEFORE the first state write: if the process dies in the
+      // window between them, the restart sees either a marker-only dir
+      // (still "absent" under tableExists' underscore rule -> clean
+      // first epoch) or marker+data (normal). The opposite order left a
+      // crash window where a data-only table tripped the scheme gate
+      // with a misleading old-stamps refusal.
+      writeStampScheme(spark, target)
       val fresh = deltas.filter(col("__bucket").isin(freshTouched: _*)).drop("__bucket")
       val state = existing.map(_.filter(col("__bucket").isin(freshTouched: _*))
         .drop("__bucket", "__epoch"))
@@ -357,7 +367,6 @@ object Tail {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(target)
-      writeStampScheme(spark, target)
     } finally deltas.unpersist(blocking = false)
   }
 
@@ -378,16 +387,28 @@ object Tail {
   private def schemePath(target: String) =
     new org.apache.hadoop.fs.Path(target, StampSchemeFile)
 
+  /** Targets whose marker this process has written or validated. The
+    * marker is immutable once written, so one filesystem round-trip per
+    * target per process is enough — without this, every micro-batch of
+    * a long-running stream re-reads it (metadata calls that never
+    * amortize on an object store). */
+  private val schemeOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Test hook: simulate a fresh process (the cache is per-JVM). */
+  private[streaming] def resetStampSchemeCache(): Unit = schemeOk.clear()
+
   private def writeStampScheme(spark: SparkSession, target: String): Unit = {
+    if (schemeOk.contains(target)) return
     val p = schemePath(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
       val out = fs.create(p, true)
       try out.write(StampScheme.getBytes("UTF-8")) finally out.close()
     }
+    schemeOk.add(target)
   }
 
   private def requireStampScheme(spark: SparkSession, target: String): Unit = {
+    if (schemeOk.contains(target)) return
     val p = schemePath(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val found =
@@ -407,6 +428,7 @@ object Tail {
         "Rebuild the view from a re-crawl, or — only if the table is KNOWN to " +
         s"already carry $StampScheme stamps — create $target/$StampSchemeFile " +
         s"containing '$StampScheme' and restart the stream.")
+    schemeOk.add(target)
   }
 
   /** Read the owners view: net the components with the batch rollup's

@@ -124,8 +124,11 @@ class OwnersSinkSpec extends SparkSpec {
     // simulate a table written by the pre-upgrade sink (batch-id
     // stamps): same layout, no marker. The sink must refuse — an
     // at-least-once replay straddling the upgrade would re-apply
-    // additive deltas against the incomparable old stamps.
+    // additive deltas against the incomparable old stamps. The cache
+    // reset simulates the fresh process such an upgrade implies (a
+    // validated marker is otherwise trusted per-JVM, by design).
     fs.delete(marker, false)
+    Tail.resetStampSchemeCache()
     val e = intercept[IllegalArgumentException] {
       Tail.ownersSink(target, numBuckets = 2)(
         transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
