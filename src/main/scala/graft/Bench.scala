@@ -1,6 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Render the two bench output lines.
+    *
+    * Line 1 (full): every query at full precision, headline fields last —
+    * a complete log capture gets everything from this one line.
+    *
+    * Line 2 (compact): a self-contained JSON line guaranteed short enough
+    * to survive a tail-only log capture. The scoring harness retains only
+    * the last ~2000 chars of stdout (observed: BENCH_r08 tail=2000,
+    * parsed=null when the full line ran ~2400 chars — a front-truncated
+    * JSON line parses as nothing), and sbt appends its own ~90-char
+    * "[success] …" line after us. The compact line carries the headline
+    * metric, the error list (capped), and as many of the SLOWEST queries
+    * as fit a fixed character budget, so the perf-relevant subset is
+    * always visible even when the full map is not.
+    */
+  def renderLines(results: Map[String, Double], errors: Seq[String], sfDir: String): (String, String) = {
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errsFull = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val full =
+      s"""{"queries":$qs,"errors":$errsFull,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}"""
+
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val errsCompact = errors.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val queryBudget = 1200 // chars for the compact per-query map content
+    val sb = new StringBuilder
+    var taken = 0
+    var stop = false
+    results.toSeq.sortBy { case (k, v) => (-v, k) }.foreach { case (k, v) =>
+      if (!stop) {
+        val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+        if (sb.length + entry.length <= queryBudget) { sb.append(entry); taken += 1 }
+        else stop = true // keep the slowest prefix contiguous, not a length-biased subset
+      }
+    }
+    val compact =
+      s"""{"queries":{$sb},"queries_omitted":${results.size - taken},"errors":$errsCompact,"errors_total":${errors.size},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    (full, compact)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,15 +94,9 @@ object Bench {
           name -> -1.0
       }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    // Key order is deliberate: the large per-query map FIRST, the
-    // headline metric/value LAST. A log capture that keeps only the
-    // tail of this (long) line then still ends with the headline
-    // number; JSON parsers don't care about member order.
-    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}""")
+    val (full, compact) = renderLines(results, errors.result(), sfDir)
+    println(full)
+    println(compact)
     spark.stop()
   }
 }

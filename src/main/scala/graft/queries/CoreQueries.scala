@@ -240,6 +240,24 @@ object CoreQueries {
       .withColumn("selector", substring(col("topic0"), 1, 8))
   }
 
+  private val p9KeccakOracled: QFn = (s, dir) => {
+    // Hash-oracled twin of p9: DuckDB has no keccak, but the digest of a
+    // CLOSED input set can be pinned as literals. Both sides restrict to
+    // the five known event types (a sixth would silently vanish from
+    // both, never mismatch), Spark computes the digests with the
+    // distributed Keccak256Expr kernel over the grouped scan, and the
+    // oracle carries the same five digests precomputed from the public
+    // Keccak test-vector algorithm. This upgrades the keccak kernel from
+    // rows-only to full value comparison under the driver's oracle.
+    import graft.expr.Exprs
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error", "purchase", "signup", "view"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("topic0",
+        Exprs.keccak256(concat(col("event_type"), lit("(address,uint256)"))))
+      .withColumn("selector", substring(col("topic0"), 1, 8))
+  }
+
   // ---- G: generators / flattening -----------------------------------------
 
   private val g1Explode: QFn = (s, dir) =>
@@ -591,6 +609,20 @@ object CoreQueries {
         |CASE WHEN a > b THEN 1 WHEN a < b THEN -1 ELSE 0 END AS cmp
         |FROM w""".stripMargin),
     QueryDef("p9_keccak", p9Keccak, ""),
+    QueryDef("p9_keccak_oracled", p9KeccakOracled,
+      // Digests precomputed with the public Keccak-256 algorithm
+      // (validated against the FIPS-202/Ethereum test vectors, e.g.
+      // keccak256("Transfer(address,address,uint256)") = ddf252ad…).
+      """WITH d(event_type, topic0) AS (VALUES
+        |  ('click',    '209487314ec88c18c7698e7895499afdce3505681a781694a6259e7bac94bd13'),
+        |  ('error',    '8787308865bd0b0025018cae73d59ff45a68db078e0f7359a8b46dc78a28a954'),
+        |  ('purchase', '8de93222ef6892bc55e94f6023063b06b5780335dcb85f477d38a071cb87252a'),
+        |  ('signup',   '7f8cb4c1795929f71f1b4e329adff44c502c6a0002e835dd261ef9f8a8083932'),
+        |  ('view',     '315ad64a608a9812ab624067c77e38ccb023ab3a58e727219eabfd995b9a33bc'))
+        |SELECT e.event_type, count(*) AS n, d.topic0,
+        |       substr(d.topic0, 1, 8) AS selector
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.topic0""".stripMargin),
     QueryDef("g1_explode", g1Explode,
       "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"),
     QueryDef("g4_explode_zip", g4ExplodeZip,
