@@ -6,8 +6,15 @@ import graft.queries.{CoreQueries, ExtendedQueries, PipelineQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §B. */
 object SparkEntry {
 
-  private val allDefs: Seq[CoreQueries.QueryDef] =
-    CoreQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs
+  private val allDefs: Seq[CoreQueries.QueryDef] = {
+    val defs = CoreQueries.defs ++ PipelineQueries.defs ++ ExtendedQueries.defs
+    // A name collision across the three registries would silently drop a
+    // query in the .toMap below — never run, never dumped, invisible in
+    // both errors.json and the output dirs. Fail loudly instead.
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names across registries: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -37,7 +37,11 @@ object Verify {
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal: an OutOfMemoryError/LinkageError means a corrupted JVM
+      // whose remaining queries would fail or produce garbage while the
+      // run still exits 0 with complete-looking manifests — crash the
+      // round visibly instead of recording a fatal error as one red row.
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg.take(500)
         // A failure must also REMOVE any stale result dir from a prior

@@ -29,30 +29,34 @@ object Layout {
     * `bits` (two's-complement semantics for negatives, identical in
     * Java and ANSI SQL); callers range-normalize first when the
     * domain's spread exceeds 2^bits. `n·bits` must fit a signed long. */
-  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
-    val n = cols.size
+  /** The one (bit, column, target-position) enumeration both [[zValue]]
+    * and [[zValueSql]] map over — a SINGLE source of truth (including
+    * the validity requires), so the Spark and oracle mirrors cannot
+    * drift: same positions, same rejection of un-interleavable shapes. */
+  private def interleavePositions(n: Int, bits: Int): Seq[(Int, Int, Int)] = {
     require(n >= 2, "z-ordering needs at least two dimensions")
     require(n * bits <= 63, s"$n cols x $bits bits exceeds a signed long")
+    for { i <- 0 until bits; j <- 0 until n } yield (i, j, i * n + j)
+  }
+
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
     val mask = (1L << bits) - 1
     val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
-    val terms = for {
-      i <- 0 until bits
-      (c, j) <- masked.zipWithIndex
-    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
-    terms.reduce(_.bitwiseOR(_))
+    interleavePositions(cols.size, bits).map { case (i, j, pos) =>
+      shiftleft(shiftright(masked(j), i).bitwiseAND(lit(1L)), pos)
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** The DuckDB/ANSI mirror of [[zValue]] — generated from the same
-    * (bit, column) enumeration so the two can never drift. `xs` are SQL
-    * expressions for the dimension columns. */
+    * [[interleavePositions]] enumeration (and the same requires) so the
+    * two cannot drift. `xs` are SQL expressions for the dimension
+    * columns. */
   def zValueSql(xs: Seq[String], bits: Int = 16): String = {
-    val n = xs.size
     val mask = (1L << bits) - 1
     val masked = xs.map(x => s"(($x) & $mask)")
-    (for {
-      i <- 0 until bits
-      (x, j) <- masked.zipWithIndex
-    } yield s"((($x >> $i) & 1) << ${i * n + j})").mkString(" | ")
+    interleavePositions(xs.size, bits).map { case (i, j, pos) =>
+      s"(((${masked(j)} >> $i) & 1) << $pos)"
+    }.mkString(" | ")
   }
 
   /** Rewrite `df` into `numFiles` z-clustered output partitions: range
@@ -95,7 +99,12 @@ object Layout {
             cols = blocks.get(b).getColumns
             c <- 0 until cols.size()
             cc = cols.get(c) if cc.getPath.toDotString == name
-            st = cc.getStatistics if st != null && !st.isEmpty
+            // hasNonNullValue, not !isEmpty: a chunk whose column is
+            // entirely null has numNulls set (so !isEmpty) but NO
+            // min/max — genericGetMin would return the uninitialized
+            // default (0 for longs, null/NPE for binary) and corrupt
+            // the prune bounds with a phantom 0.
+            st = cc.getStatistics if st != null && st.hasNonNullValue
           } yield (st.genericGetMin.asInstanceOf[Number].longValue(),
             st.genericGetMax.asInstanceOf[Number].longValue())
           if (perGroup.isEmpty) None

@@ -56,7 +56,6 @@ object Packing {
   private def packStream(docs: DataFrame, seqLen: Long, order: Seq[Column]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val chunks = docs
-      .select(col("*"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       // greatest(0, ...) guards n_tokens = 0: sequence(0, -1) would
       // count DOWN ([0, -1]) rather than produce an empty chunk list.

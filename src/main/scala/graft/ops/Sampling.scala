@@ -119,8 +119,15 @@ object Sampling {
   def temperature(df: DataFrame, key: Column, stratum: Column): DataFrame = {
     val counts = df.filter(stratum.isNotNull)
       .groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
-    val withMin = counts.crossJoin(
-      broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+    // n_min via an unpartitioned window over the (tiny, stratum-
+    // cardinality) counts relation: ONE reference to the aggregate, so
+    // the corpus is provably aggregated once — the previous
+    // crossJoin(counts.agg(min)) shape referenced `counts` in two plan
+    // subtrees and relied on exchange reuse to avoid a second full
+    // corpus aggregation.
+    val withMin = counts
+      .withColumn("n_min",
+        min(col("n_s")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("s"), (sqrt(col("n_min").cast("double") / col("n_s").cast("double")) * 256.0)
         .as("rate256"))
     df.join(broadcast(withMin), stratum === col("s"))

@@ -81,6 +81,31 @@ class WidthDriftSpec extends SparkSpec {
     }
   }
 
+  test("SQL temp views inherit the widened schema (Catalog uses the loaders)") {
+    // The SQL surface must see the same drift armor as the programmatic
+    // one: a view registered over the raw scan would wrap int32
+    // arithmetic where the oracle promotes. registerAll reads every
+    // table, so link the non-drifted ones into the drift dir.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {
+      val link = java.nio.file.Paths.get(driftDir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(sf, s"$t.parquet"))
+    }
+    graft.sql.Catalog.registerAll(spark, driftDir)
+    assert(spark.table("documents").schema("doc_id").dataType === LongType)
+    assert(spark.table("documents").schema("n_chars").dataType === LongType)
+    assert(spark.table("embeddings").schema("vec_id").dataType === LongType)
+    assert(spark.table("events").schema("event_id").dataType === LongType)
+    // and the arithmetic actually agrees with the canonical data
+    val drifted = spark.sql("SELECT doc_id * 1000000000 + n_chars AS k FROM documents")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    graft.sql.Catalog.registerAll(spark, sf)
+    val canonical = spark.sql("SELECT doc_id * 1000000000 + n_chars AS k FROM documents")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(drifted === canonical)
+  }
+
   test("embedding queries are identical under array<double> + int32 vec_id drift") {
     // float -> double is exact, so quantization and every distance
     // computed from it agree bit-for-bit with the canonical float read

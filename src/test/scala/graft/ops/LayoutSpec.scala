@@ -40,6 +40,37 @@ class LayoutSpec extends SparkSpec {
       viaSql.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("zValue and zValueSql reject un-interleavable shapes identically") {
+    // Shared enumeration = shared requires: the SQL mirror must refuse
+    // exactly where the Column twin throws, or the oracle silently
+    // emits a >63-bit shift whose semantics diverge per engine.
+    intercept[IllegalArgumentException](Layout.zValue(Seq($"a", $"b", $"c", $"d", $"e")))
+    intercept[IllegalArgumentException](Layout.zValueSql(Seq("a", "b", "c", "d", "e")))
+    intercept[IllegalArgumentException](Layout.zValue(Seq($"a")))
+    intercept[IllegalArgumentException](Layout.zValueSql(Seq("a")))
+  }
+
+  test("fileStats skips all-null column chunks instead of reporting phantom zeros") {
+    // A chunk whose column is entirely null has numNulls set but no
+    // min/max; parquet's Statistics.genericGetMin then returns the
+    // uninitialized default (0 for longs) — which would corrupt the
+    // prune bounds with a phantom [0, 0] file.
+    val dir = java.nio.file.Files.createTempDirectory("stats_nulls").toString
+    val df = (0L until 100L).map { i =>
+      val bucket = if (i < 50) 0L else 1L
+      val x: java.lang.Long = if (bucket == 0L) null else 100L + i
+      (bucket, x)
+    }.toDF("bucket", "x")
+    df.repartitionByRange(2, $"bucket").write.parquet(s"$dir/t")
+    val stats = Layout.fileStats(s"$dir/t", Seq("x"))
+    assert(stats.nonEmpty)
+    // every reported range comes from REAL values (>= 150); the
+    // all-null file contributes no row at all
+    stats.foreach { case (f, _, mn, mx) =>
+      assert(mn >= 150L && mx <= 199L, s"phantom stats from $f: [$mn, $mx]")
+    }
+  }
+
   /** Files whose [min, max] stats intersect every predicate range, via
     * the library's own footer-stats tool. */
   private def overlappingFiles(dir: String, preds: Map[String, (Long, Long)]): (Int, Int) = {

@@ -85,6 +85,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("temperature aggregates the corpus exactly once (n_min via window, not a second agg)") {
+    val out = Sampling.temperature(docs, col("doc_id"), col("source"))
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size === 1,
+      s"expected ONE corpus aggregation, found ${aggs.size}:\n${out.queryExecution.optimizedPlan}")
+  }
+
   test("keepBest giant cluster: two-phase argmax, no Window on cluster_id") {
     // one pathological transitive cluster (1000 members after the bucket
     // cap) plus a singleton tail — exactly the shape that made the old
