@@ -81,6 +81,34 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Positioned (non-distinct) md5 hashes of word k-gram shingles: one
+    * hash per start position, in order — the seed relation for exact
+    * duplicated-span detection (element i anchors the k words starting
+    * at token i). Null when the doc has fewer than k tokens. Same
+    * tokenization (`split(' ', -1)`) and hash string (words joined by a
+    * single space) as the other shingle kernels so the DuckDB oracle
+    * mirrors it verbatim. */
+  def shinglePosHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) return null
+    val n = toks.length - k + 1
+    val out = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(md5hex(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** float embedding -> exact integer milli-units: round(x * 1000)
     * computed in double space (float->double is exact, double mult +
     * half-away-from-zero round match the DuckDB oracle bit-for-bit). */
@@ -175,6 +203,29 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** shingle_pos_hashes(text, k) -> array<string> of positioned word
+  * k-gram md5s (element i = hash of words [i, i+k)); null when the doc
+  * has fewer than k tokens. k is a plan-time literal — bounds enforced
+  * once at expression build, not per row. */
+case class ShinglePosHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 2 && k <= 64, s"shingle width k must be in [2,64], got $k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("shingle_pos_hashes", child.dataType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.shinglePosHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.ArrayKernels.shinglePosHashes($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ShinglePosHashesExpr =
+    copy(child = c)
+}
+
 /** quantize_embedding(array<float|double>) -> array<long> milli-units.
   * Element width is dispatched at PLAN time from the child's type: the
   * driver testdata's `embedding` column is float today, but a drift to
@@ -254,6 +305,8 @@ object ArrayExprs {
     GraftColumnShim.column(MinHashSigsExpr(GraftColumnShim.expression(c), numHashes))
   def shingleHashes(c: Column): Column =
     GraftColumnShim.column(ShingleHashesExpr(GraftColumnShim.expression(c)))
+  def shinglePosHashes(c: Column, k: Int): Column =
+    GraftColumnShim.column(ShinglePosHashesExpr(GraftColumnShim.expression(c), k))
   def quantize(c: Column): Column =
     GraftColumnShim.column(QuantizeExpr(GraftColumnShim.expression(c)))
   def dotLong(a: Column, b: Column): Column =

@@ -246,6 +246,15 @@ object Exprs {
     reg.createOrReplaceTempFunction("hex_to_dec", es => HexToDecExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs", es => MinHashSigsExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "built-in")
+    // k must be a foldable literal — evaluated once at resolution, so the
+    // kernel's width is a plan-time constant like the Scala-side API's.
+    reg.createOrReplaceTempFunction("shingle_pos_hashes", es =>
+      ShinglePosHashesExpr(es(0), es(1).eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(
+          s"shingle_pos_hashes k must be an integer literal, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression

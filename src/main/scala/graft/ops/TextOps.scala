@@ -218,6 +218,58 @@ object TextOps {
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Exact duplicated-span detection: per document, the merged spans of
+    * text whose k-word shingles also occur elsewhere in the corpus (or
+    * again in the same document). This is the span-level dedup result of
+    * the suffix-array approach (find every duplicated substring of >= k
+    * tokens) re-expressed in relational form: a k-gram hash occurring
+    * more than once anchors a duplicated span; overlapping/adjacent
+    * anchors merge into islands. Resolution is k words — a duplicated
+    * run of length L >= k is recovered exactly (its L-k+1 anchors chain
+    * into one island); runs shorter than k are invisible by design.
+    *
+    * Scale: positioned shingles are map-side (native kernel, one row per
+    * token); the seed relation is ONE hash-keyed shuffle (group on the
+    * 128-bit hash, keep count > 1) semi-joined back — unshared shingles,
+    * the vast majority of a healthy corpus, never reach the join. Island
+    * merge + both roll-ups run under a single doc_id partitioning (the
+    * window's), so the whole tail is one doc-keyed exchange: groupBy
+    * (doc_id, island) and groupBy(doc_id) both cluster by a superset of
+    * doc_id and reuse it. No all-pairs anywhere; survives 100 TB.
+    *
+    * Output: doc_id, n_spans, dup_words (tokens covered by merged
+    * spans), dup_frac = dup_words / n_words. Docs with no duplicated
+    * span emit no row. */
+  def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+      graft.expr.ArrayExprs.shinglePosHashes(col("text"), k).as("hs"))
+      .filter(col("hs").isNotNull)
+    val sh = toks.select(col("doc_id"), col("n_words"),
+      posexplode(col("hs")).as(Seq("p0", "h")))
+      .withColumn("pos", col("p0") + 1).drop("p0")
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dpos = sh.join(dup, Seq("h"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // new island when the previous anchor can't reach this one
+    // (gap > k); lag=null (first anchor) falls to the otherwise branch
+    val marked = dpos.withColumn("b",
+      when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
+    val isl = marked.withColumn("island",
+      sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        first(col("n_words")).as("n_words"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + k).cast("long").as("dup_words"),
+        first(col("n_words")).as("n_words"))
+      .select(col("doc_id"), col("n_spans"), col("dup_words"),
+        (col("dup_words").cast("double") / col("n_words").cast("double")).as("dup_frac"))
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -313,6 +313,11 @@ object PipelineQueries {
 
   private val textRepetition: QFn = (s, dir) => TextOps.repetition(Tables.documents(s, dir))
 
+  private val textDupSpans: QFn = (s, dir) => TextOps.dupSpans(Tables.documents(s, dir))
+
+  private val profileColumns: QFn = (s, dir) =>
+    graft.ops.Profile.columns(Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+
   private val mmFeatures: QFn = (s, dir) => Media.features(s, Tables.documents(s, dir))
 
   private val mmFrames: QFn = (s, dir) => {
@@ -661,6 +666,56 @@ object PipelineQueries {
         |CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |CAST(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |  / CAST(count(*) AS DOUBLE) AS shared_frac
-        |FROM j GROUP BY doc_id""".stripMargin)
+        |FROM j GROUP BY doc_id""".stripMargin),
+    // Exact duplicated-span detection (the suffix-array span-dedup result
+    // at k-word resolution) — anchors = repeated 8-gram hashes, merged
+    // into islands per doc. Oracle mirrors tokenization, hash string,
+    // island rule (gap <= k merges) and the double division verbatim.
+    QueryDef("text_dup_spans", textDupSpans,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+7], ' ')) AS h
+        |  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 7)) AS i) g
+        |  WHERE len(t.w) >= 8),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+        |dpos AS (SELECT s.doc_id, s.pos FROM sh s WHERE s.h IN (SELECT h FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM dpos),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+        |          FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |        CAST(sum(e - s + 8) AS BIGINT) AS dup_words FROM spans GROUP BY doc_id),
+        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks)
+        |SELECT a.doc_id, a.n_spans, a.dup_words,
+        |  CAST(a.dup_words AS DOUBLE) / CAST(n.n_words AS DOUBLE) AS dup_frac
+        |FROM agg a JOIN nw n ON a.doc_id = n.doc_id""".stripMargin),
+    // One-scan column profiler; the oracle's UNION ALL re-reads the table
+    // per column — the RESULT contract is identical, the Spark plan is
+    // the one-pass Expand form (see ops/Profile).
+    QueryDef("profile_columns", profileColumns,
+      """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT),
+        |  CAST(count(DISTINCT lang) AS BIGINT), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(*) - count(n_chars) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin)
   )
 }

@@ -56,6 +56,28 @@ class ArrayKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("shinglePosHashes matches a naive positioned (non-distinct) reference") {
+    (1 to N).foreach { _ =>
+      val text = randomText()
+      (2 to 5).foreach { k =>
+        val t = text.split(" ", -1)
+        val got = ArrayKernels.shinglePosHashes(UTF8String.fromString(text), k)
+        if (t.length < k) assert(got === null, s"k=$k text=$text")
+        else {
+          val want = (0 to t.length - k).map(i => md5hex(t.slice(i, i + k).mkString(" ")))
+          assert(got.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq === want, s"k=$k text=$text")
+        }
+      }
+    }
+    // repeats are KEPT (positioned, not distinct) — the property the
+    // span detector depends on
+    val rep = ArrayKernels.shinglePosHashes(UTF8String.fromString("a b a b"), 2)
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(rep.length === 3)
+    assert(rep(0) === rep(2)) // "a b" at pos 0 and pos 2
+  }
+
   test("minhashSigs matches per-slice minima of the full shingle set") {
     (1 to N).foreach { _ =>
       val text = randomText()

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DupSpansProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  // k=3 keeps the hand-checked arithmetic small; the query uses k=8.
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    TextOps.dupSpans(df, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_words"), r.getAs[Double]("dup_frac"))))
+      .toMap
+
+  test("dupSpans: cross-doc shared 3-gram anchors one span per side") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // "a b c" at pos 1
+      (2L, "x1 x2 a b c y1 z1 w1") // "a b c" at pos 3
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    assert(got(1L) === ((1L, 3L, 3.0 / 6.0)))
+    assert(got(2L) === ((1L, 3L, 3.0 / 8.0)))
+  }
+
+  test("dupSpans: identical docs chain every anchor into one whole-doc span") {
+    val docs = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    // 5 anchors at positions 1..5, all gaps = 1 <= k: one island covering
+    // words 1..7 => dup_words = 5 - 1 + 3 = 7 = the whole doc
+    assert(got(1L) === ((1L, 7L, 1.0)))
+    assert(got(2L) === ((1L, 7L, 1.0)))
+  }
+
+  test("dupSpans: within-doc repeat with gap > k splits into two islands") {
+    val docs = Seq(
+      (1L, "a b c g1 g2 g3 g4 g5 g6 g7 a b c")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    // "a b c" anchors at pos 1 and pos 11; gap 10 > 3 => two spans of 3
+    assert(got(1L) === ((2L, 6L, 6.0 / 13.0)))
+  }
+
+  test("dupSpans: docs below k tokens or with no repeated shingle emit no row") {
+    val docs = Seq(
+      (1L, "a b"),                                   // < k tokens
+      (2L, "unique words only in this one document"),
+      (3L, "a b c d e f"),
+      (4L, "q w a b c r t y")                        // pairs with 3
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    assert(got.keySet === Set(3L, 4L))
+  }
+
+  test("dupSpans: overlapping distinct anchors merge (shared run longer than k)") {
+    // the 4-word run "a b c d" is shared: anchors "a b c"(+1) and
+    // "b c d"(+2 on one side, +5 on the other) chain into one island
+    val docs = Seq(
+      (1L, "a b c d x1 x2 x3"),
+      (2L, "y1 y2 y3 y4 a b c d z1")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    assert(got(1L) === ((1L, 4L, 4.0 / 7.0)))
+    assert(got(2L) === ((1L, 4L, 4.0 / 9.0)))
+  }
+
+  private val profiled = Seq[(java.lang.Long, String)](
+    (1L, "b"), (null, "a"), (3L, null), (3L, "a")
+  ).toDF("x", "s")
+
+  test("profile: exact tier — counts, nulls, distinct, native-type min/max") {
+    val rows = Profile.columns(profiled, Seq("x", "s")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_str"), r.getAs[String]("max_str")))).toMap
+    assert(rows("x") === ((4L, 1L, 2L, "1", "3")))
+    assert(rows("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile: numeric min/max order numerically, not lexically") {
+    val df = Seq(2L, 10L, 9L).toDF("v")
+    val r = Profile.columns(df, Seq("v")).collect().head
+    // lexical ordering would say min="10", max="9"
+    assert(r.getAs[String]("min_str") === "2")
+    assert(r.getAs[String]("max_str") === "10")
+  }
+
+  test("profile: approx tier matches exact on small cardinalities and drops Expand") {
+    val exact = Profile.columns(profiled, Seq("x", "s"))
+    val approx = Profile.columns(profiled, Seq("x", "s"), approxDistinct = true)
+    assert(approx.collect().map(_.toSeq).toSet === exact.collect().map(_.toSeq).toSet)
+    // plan shape: multi-column exact distinct goes through Expand; the
+    // HLL++ tier must plan as a plain partial+final aggregate
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
+  test("profile: single scan — one table read feeds every column's stats") {
+    val plan = Profile.columns(profiled, Seq("x", "s")).queryExecution.optimizedPlan
+    val scans = plan.collect { case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.size === 1)
+  }
+}
