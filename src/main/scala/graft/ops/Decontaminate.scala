@@ -39,6 +39,31 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
 
+  /** Span-level contamination localization: for each training document,
+    * the merged word spans whose k-gram shingles appear anywhere in the
+    * benchmark set — the surgical-removal complement to [[overlap]]'s
+    * doc-level verdict (drop the leaked span, keep the document).
+    *
+    * Shape: bench contributes only its DISTINCT k-gram hash set
+    * (broadcast, eval-suite-sized); the corpus's positioned anchors are
+    * map-side (native kernel) and the semi-join against the bench set
+    * never shuffles raw text. Only contaminated anchors — bounded by
+    * actual leakage — reach the doc-keyed island merge.
+    *
+    * Output: train_id, span_start / span_end (1-based word positions,
+    * inclusive), span_words. */
+  def contaminatedSpans(train: DataFrame, bench: DataFrame, k: Int = 8): DataFrame = {
+    val benchSet = TextOps.posShingles(bench, k).select(col("h")).distinct()
+    val hits = TextOps.posShingles(train, k).join(broadcast(benchSet), Seq("h"), "left_semi")
+    TextOps.mergeAnchors(hits, k)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id").as("train_id"),
+        col("s").cast("long").as("span_start"),
+        (col("e") + (k - 1)).cast("long").as("span_end"),
+        (col("e") + k - col("s")).cast("long").as("span_words"))
+  }
+
   /** [[overlap]] with a bloom pre-filter on the train side — the tier
     * for a bench suite whose shingle RELATION outgrows broadcast (every
     * eval suite at once: hundreds of millions of distinct shingles,

@@ -241,24 +241,10 @@ object TextOps {
     * spans), dup_frac = dup_words / n_words. Docs with no duplicated
     * span emit no row. */
   def dupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).cast("long").as("n_words"),
-      graft.expr.ArrayExprs.shinglePosHashes(col("text"), k).as("hs"))
-      .filter(col("hs").isNotNull)
-    val sh = toks.select(col("doc_id"), col("n_words"),
-      posexplode(col("hs")).as(Seq("p0", "h")))
-      .withColumn("pos", col("p0") + 1).drop("p0")
+    val sh = posShingles(docs, k)
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
-    val dpos = sh.join(dup, Seq("h"), "left_semi")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // new island when the previous anchor can't reach this one
-    // (gap > k); lag=null (first anchor) falls to the otherwise branch
-    val marked = dpos.withColumn("b",
-      when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
-    val isl = marked.withColumn("island",
-      sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val isl = mergeAnchors(sh.join(dup, Seq("h"), "left_semi"), k)
     val spans = isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
         first(col("n_words")).as("n_words"))
@@ -268,6 +254,54 @@ object TextOps {
         first(col("n_words")).as("n_words"))
       .select(col("doc_id"), col("n_spans"), col("dup_words"),
         (col("dup_words").cast("double") / col("n_words").cast("double")).as("dup_frac"))
+  }
+
+  /** Positioned k-gram anchor relation: (doc_id, n_words, pos, h) — one
+    * row per shingle start position (1-based), via the native
+    * positioned-shingle kernel. Map-side; docs under k tokens drop. */
+  private[ops] def posShingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+      graft.expr.ArrayExprs.shinglePosHashes(col("text"), k).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("n_words"), posexplode(col("hs")).as(Seq("p0", "h")))
+      .withColumn("pos", col("p0") + 1).drop("p0")
+
+  /** Island merge over anchor positions: adds `island` such that two
+    * anchors share an island iff every gap in between is <= k (their
+    * k-word windows overlap or touch). One doc-keyed window; the
+    * (doc_id, island) and doc_id aggregations downstream cluster by a
+    * superset of doc_id and reuse the window's partitioning — no second
+    * doc-side exchange. */
+  private[ops] def mergeAnchors(anchors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // new island when the previous anchor can't reach this one
+    // (gap > k); lag=null (first anchor) falls to the otherwise branch
+    anchors.withColumn("b",
+      when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island",
+        sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Fixed-size overlapping word chunking (the RAG / training-sequence
+    * splitter): windows of `chunkSize` words starting every `stride`
+    * words (overlap = chunkSize - stride), last window clamped at the
+    * document end; every start position <= n_words emits a chunk. Pure
+    * map-side generation — sequence + slice + hash are all codegen'd
+    * builtins, zero shuffle, scales linearly with input splits. The
+    * chunk is reported as (start, length, md5) rather than raw text so
+    * the output stays metadata-sized; a trainer materializes the text
+    * by slicing the source doc. */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, s"chunkSize/stride must be >= 1")
+    val w = split(col("text"), " ", -1)
+    docs.select(col("doc_id"), w.as("w"), size(w).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkSize), col("n") - col("chunk_start") + 1).cast("long").as("n_chunk_words"),
+        md5(concat_ws(" ", slice(col("w"), col("chunk_start"), lit(chunkSize)))).as("chunk_hash"))
   }
 
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash

@@ -315,6 +315,15 @@ object PipelineQueries {
 
   private val textDupSpans: QFn = (s, dir) => TextOps.dupSpans(Tables.documents(s, dir))
 
+  private val textDecontaminateSpans: QFn = (s, dir) => {
+    // same train/bench split as text_decontaminate (doc_id % 20)
+    val docs = Tables.documents(s, dir)
+    Decontaminate.contaminatedSpans(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  private val textChunks: QFn = (s, dir) => TextOps.chunk(Tables.documents(s, dir))
+
   private val profileColumns: QFn = (s, dir) =>
     graft.ops.Profile.columns(Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
 
@@ -696,6 +705,39 @@ object PipelineQueries {
         |SELECT a.doc_id, a.n_spans, a.dup_words,
         |  CAST(a.dup_words AS DOUBLE) / CAST(n.n_words AS DOUBLE) AS dup_frac
         |FROM agg a JOIN nw n ON a.doc_id = n.doc_id""".stripMargin),
+    // Span-level contamination: merged islands of bench-matching 8-gram
+    // anchors per train doc — span_end/span_words extend the last anchor
+    // by k-1 words. Same %20 split as text_decontaminate.
+    QueryDef("text_decontaminate_spans", textDecontaminateSpans,
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 <> 0),
+        |be AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+        |trs AS (SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+7], ' ')) AS h
+        |  FROM tr t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 7)) AS i) g
+        |  WHERE len(t.w) >= 8),
+        |bes AS (SELECT DISTINCT md5(array_to_string(b.w[g.i:g.i+7], ' ')) AS h
+        |  FROM be b, LATERAL (SELECT unnest(generate_series(1, len(b.w) - 7)) AS i) g
+        |  WHERE len(b.w) >= 8),
+        |hit AS (SELECT doc_id, pos FROM trs WHERE h IN (SELECT h FROM bes)),
+        |brk AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS b FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk)
+        |SELECT doc_id AS train_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_words
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+    // Overlapping word chunking: starts at 1, 1+48, ... while <= n_words;
+    // window clamps at the doc end. Chunk content compared by md5 of the
+    // space-joined slice (identical string in both engines).
+    QueryDef("text_chunks", textChunks,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+        |           FROM documents)
+        |SELECT t.doc_id, CAST(g.s AS BIGINT) AS chunk_start,
+        |  CAST(least(64, t.n - g.s + 1) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(t.w[g.s:g.s+63], ' ')) AS chunk_hash
+        |FROM t, LATERAL (SELECT unnest(generate_series(1, t.n, 48)) AS s) g""".stripMargin),
     // One-scan column profiler; the oracle's UNION ALL re-reads the table
     // per column — the RESULT contract is identical, the Spark plan is
     // the one-pass Expand form (see ops/Profile).

@@ -67,6 +67,49 @@ class DupSpansProfileSpec extends SparkSpec {
     assert(got(2L) === ((1L, 4L, 4.0 / 9.0)))
   }
 
+  test("contaminatedSpans: bench-matching anchors localize to exact word spans") {
+    val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((100L, "x c d e y")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminatedSpans(train, bench, k = 3).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_words")))
+    // only "c d e" (train pos 3) appears in bench: span covers words 3..5
+    assert(got.toSeq === Seq((1L, 3L, 5L, 3L)))
+  }
+
+  test("contaminatedSpans: consecutive anchors merge into one leaked run") {
+    val train = Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+    val bench = Seq((100L, "z p q r s w")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminatedSpans(train, bench, k = 3).collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_words")))
+    // "p q r"@1 and "q r s"@2 chain: the shared 4-word run p..s
+    assert(got.toSeq === Seq((1L, 4L, 4L)))
+  }
+
+  test("contaminatedSpans: clean corpus emits nothing") {
+    val train = Seq((1L, "entirely novel words in this training document")).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark text that shares no run of three")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminatedSpans(train, bench, k = 3).count() === 0L)
+  }
+
+  test("chunk: overlapping windows clamp at the document end") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, chunkSize = 3, stride = 2).collect()
+      .map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_words"),
+        r.getAs[String]("chunk_hash"))).sortBy(_._1)
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq === Seq(
+      (1L, 3L, h("w1 w2 w3")), (3L, 3L, h("w3 w4 w5")), (5L, 1L, h("w5"))))
+  }
+
+  test("chunk: map-side only — the plan has no exchange") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.chunk(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   private val profiled = Seq[(java.lang.Long, String)](
     (1L, "b"), (null, "a"), (3L, null), (3L, "a")
   ).toDF("x", "s")
