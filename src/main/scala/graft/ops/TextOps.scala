@@ -304,6 +304,25 @@ object TextOps {
         md5(concat_ws(" ", slice(col("w"), col("chunk_start"), lit(chunkSize)))).as("chunk_hash"))
   }
 
+  /** Corpus mixture report: per (source, lang) cell, document/token
+    * counts and their global shares — the table a mixture designer
+    * weights against a token budget. One partial+final aggregation for
+    * the cells; the global totals come from a 1-row aggregate joined
+    * back by broadcast cross join, NOT an unpartitioned window (a
+    * global window funnels every cell through one task — fine at 60k
+    * rows, a straggler at a billion-cell cardinality). Shares are one
+    * exact-long double division each. */
+  def mixtureReport(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = cells.agg(sum(col("n_docs")).as("t_docs"), sum(col("n_tokens")).as("t_tokens"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("t_tokens").cast("double")).as("token_share"))
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -324,6 +324,8 @@ object PipelineQueries {
 
   private val textChunks: QFn = (s, dir) => TextOps.chunk(Tables.documents(s, dir))
 
+  private val mixtureReport: QFn = (s, dir) => TextOps.mixtureReport(Tables.documents(s, dir))
+
   private val profileColumns: QFn = (s, dir) =>
     graft.ops.Profile.columns(Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
 
@@ -738,6 +740,16 @@ object PipelineQueries {
         |  CAST(least(64, t.n - g.s + 1) AS BIGINT) AS n_chunk_words,
         |  md5(array_to_string(t.w[g.s:g.s+63], ' ')) AS chunk_hash
         |FROM t, LATERAL (SELECT unnest(generate_series(1, t.n, 48)) AS s) g""".stripMargin),
+    QueryDef("mixture_report", mixtureReport,
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM c)
+        |SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+        |  CAST(c.n_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE) AS doc_share,
+        |  CAST(c.n_tokens AS DOUBLE) / CAST(t.t_tokens AS DOUBLE) AS token_share
+        |FROM c, t""".stripMargin),
     // One-scan column profiler; the oracle's UNION ALL re-reads the table
     // per column — the RESULT contract is identical, the Spark plan is
     // the one-pass Expand form (see ops/Profile).

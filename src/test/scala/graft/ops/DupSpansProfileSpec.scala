@@ -110,6 +110,23 @@ class DupSpansProfileSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("mixtureReport: shares sum to 1 and totals join by broadcast, not a global window") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s1"),
+      (3L, "f g h i", "de", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rep = TextOps.mixtureReport(docs)
+    val rows = rep.collect().map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+      r.getAs[Double]("doc_share"), r.getAs[Double]("token_share"))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      ("s1", "en", 2L, 5L, 2.0 / 3.0, 5.0 / 9.0),
+      ("s2", "de", 1L, 4L, 1.0 / 3.0, 4.0 / 9.0)))
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
   private val profiled = Seq[(java.lang.Long, String)](
     (1L, "b"), (null, "a"), (3L, null), (3L, "a")
   ).toDF("x", "s")
