@@ -248,13 +248,18 @@ object Exprs {
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "built-in")
     // k must be a foldable literal — evaluated once at resolution, so the
     // kernel's width is a plan-time constant like the Scala-side API's.
-    reg.createOrReplaceTempFunction("shingle_pos_hashes", es =>
+    reg.createOrReplaceTempFunction("shingle_pos_hashes", es => {
+      // foldability first: eval() on a column reference throws an
+      // obscure internal error, not the contract message
+      if (!es(1).foldable) throw new IllegalArgumentException(
+        s"shingle_pos_hashes k must be an integer literal, got non-literal ${es(1).sql}")
       ShinglePosHashesExpr(es(0), es(1).eval() match {
         case i: Int  => i
         case l: Long => l.toInt
         case other   => throw new IllegalArgumentException(
           s"shingle_pos_hashes k must be an integer literal, got $other")
-      }), "built-in")
+      })
+    }, "built-in")
     reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression

@@ -39,11 +39,17 @@ import org.json4s.jackson.JsonMethods
   */
 final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcClient {
   private val ids = new AtomicLong(0L)
-  /** id -> response-object future; registered BEFORE the frame is sent
-    * so a fast server can never answer an unregistered id. */
-  private val pending = new ConcurrentHashMap[Long, CompletableFuture[JObject]]()
+  /** id -> (socket era, response future); registered BEFORE the frame
+    * is sent so a fast server can never answer an unregistered id. The
+    * era tags which socket generation the caller registered under, so
+    * a drop's cleanup can fail exactly the futures that were at risk
+    * on the retired socket and never a replay's fresh registrations. */
+  private final case class Pend(era: Long, f: CompletableFuture[JObject])
+  private val pending = new ConcurrentHashMap[Long, Pend]()
   private val lock = new Object
   private var socket: WebSocket = null // guarded by lock
+  private var socketEra = 0L // guarded by lock; bumps when a socket retires
+  private def currentEra: Long = lock.synchronized(socketEra)
   private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs))
     .build()
@@ -110,8 +116,8 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
   private def deliverEntry(v: JValue): Unit = v match {
     case o: JObject =>
       JsonRpcWire.idOf(o).foreach { id =>
-        val fut = pending.remove(id)
-        if (fut != null) fut.complete(o)
+        val p = pending.remove(id)
+        if (p != null) p.f.complete(o)
       }
     case _ =>
   }
@@ -125,24 +131,46 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     * current the drop already happened (or a reconnect superseded it)
     * and this call is a no-op. */
   private def dropped(ws: WebSocket, msg: String): Unit = {
-    val retired = lock.synchronized {
-      if (socket eq ws) { socket = null; true } else false
+    // The retire, the era bump, AND the buffer wipe share one critical
+    // section: resetting the buffer after releasing the lock races a
+    // concurrent reconnect whose replacement socket may already be
+    // streaming a response into it — the wipe would mangle the HEALTHY
+    // socket's message mid-reassembly. Inside the lock no replacement
+    // can exist yet (connected() needs the same lock).
+    val retiredEra = lock.synchronized {
+      if (socket eq ws) {
+        socket = null
+        socketEra += 1
+        listener.resetBuf()
+        socketEra - 1
+      } else -1L
     }
-    if (!retired) return
+    if (retiredEra < 0) return
     // Abort the replaced socket: without this a timeout-triggered drop
     // leaves the old connection alive, leaking a file descriptor per
     // drop on a JVM-cached client and letting its late callbacks race
     // the replacement (see isCurrent).
     if (ws != null) { try ws.abort() catch { case _: Exception => } }
-    listener.resetBuf()
-    failAll(new Disconnected(msg))
+    // Fail only the futures registered under the retired socket's era
+    // (or earlier): a replay that re-registered under the NEW era while
+    // this drop was mid-flight must keep its futures — failing them
+    // here would burn the shared replay budget for a socket that was
+    // already gone when they registered.
+    failEraAtMost(retiredEra, new Disconnected(msg))
   }
 
-  private def failAll(t: Throwable): Unit = {
+  /** Socket-wide answered condition (top-level id-less error): every
+    * in-flight call regardless of era — the server addressed them all. */
+  private def failAll(t: Throwable): Unit = failEraAtMost(Long.MaxValue, t)
+
+  private def failEraAtMost(era: Long, t: Throwable): Unit = {
     val it = pending.entrySet().iterator()
     while (it.hasNext) {
-      val e = it.next(); it.remove()
-      e.getValue.completeExceptionally(t)
+      val e = it.next()
+      if (e.getValue.era <= era) {
+        it.remove()
+        e.getValue.f.completeExceptionally(t)
+      }
     }
   }
 
@@ -184,9 +212,14 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     var replays = 0
     val maxReplays = 2
     while (remaining.nonEmpty) {
+      // Era read BEFORE registration: if a drop retires the socket
+      // between this read and the send, these futures carry the old era
+      // and the drop fails them — correct, their frame was at risk. A
+      // registration after the retire reads the new era and is immune.
+      val era = currentEra
       val futures = remaining.map { case (id, _) =>
         val f = new CompletableFuture[JObject]()
-        pending.put(id, f)
+        pending.put(id, Pend(era, f))
         (id, f)
       }
       val frame = JArray(remaining.map { case (id, c) =>

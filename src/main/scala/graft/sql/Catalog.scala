@@ -16,22 +16,15 @@ object Catalog {
     "part", "orders", "lineitem", "documents", "embeddings")
 
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    // Register through the canonical loaders, not raw scans: the SQL
-    // views must inherit the same drift normalization (documents/
-    // embeddings width widening, events ts) as the programmatic
-    // surface, or `spark.sql` arithmetic silently wraps where the
-    // oracle promotes. widen() is the identity when types match, so
-    // today's plans are unchanged.
-    val widened: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "documents" -> (Tables.documents _),
-      "embeddings" -> (Tables.embeddings _))
-    TableNames.foreach { n =>
-      widened.get(n) match {
-        case Some(load) => load(spark, dir).createOrReplaceTempView(n)
-        case None       => Tables.table(spark, dir, n).createOrReplaceTempView(n)
-      }
+    // Register through Tables.load — THE canonical by-name loader — so
+    // the SQL views inherit exactly the same drift normalization
+    // (documents/embeddings width widening, events ts) as the
+    // programmatic surface. No second registry of "which tables are
+    // special" to keep in sync: a loader armored in Tables is armored
+    // here by construction.
+    (TableNames :+ "events").foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
-    Tables.events(spark, dir).createOrReplaceTempView("events")
     graft.expr.Exprs.register(spark)
     graft.expr.Abi.register(spark)
   }

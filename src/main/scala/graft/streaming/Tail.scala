@@ -396,11 +396,30 @@ object Tail {
   /** Test hook: simulate a fresh process (the cache is per-JVM). */
   private[streaming] def resetStampSchemeCache(): Unit = schemeOk.clear()
 
+  private def readStampScheme(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val len = math.min(fs.getFileStatus(p).getLen, 256L).toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try { in.readFully(0L, buf); Some(new String(buf, "UTF-8").trim) }
+      finally in.close()
+    }
+
   private def writeStampScheme(spark: SparkSession, target: String): Unit = {
     if (schemeOk.contains(target)) return
     val p = schemePath(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // The marker's CONTENT must be validated, not just its existence: a
+    // crash between create() and write/close leaves an empty (or torn)
+    // file that existence alone would silently accept — the next
+    // restart's requireStampScheme then refuses a perfectly healthy
+    // view. Rewriting on mismatch is safe here: if the view's DATA
+    // existed, requireStampScheme already validated the marker before
+    // any epoch ran; a mismatched marker can only be leftover from a
+    // crashed first write whose data never landed.
+    if (!readStampScheme(fs, p).contains(StampScheme)) {
       val out = fs.create(p, true)
       try out.write(StampScheme.getBytes("UTF-8")) finally out.close()
     }
@@ -411,15 +430,7 @@ object Tail {
     if (schemeOk.contains(target)) return
     val p = schemePath(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val found =
-      if (!fs.exists(p)) None
-      else {
-        val len = math.min(fs.getFileStatus(p).getLen, 256L).toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(p)
-        try { in.readFully(0L, buf); Some(new String(buf, "UTF-8").trim) }
-        finally in.close()
-      }
+    val found = readStampScheme(fs, p)
     require(found.contains(StampScheme),
       s"viewSink($target): existing view carries ${found.fold("no stamp-scheme marker")(s => s"stamp scheme '$s'")} " +
         s"but this sink stamps '$StampScheme' (the batch's block high-water). " +

@@ -43,7 +43,13 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    widen(normalizeEvents(eventsRaw(spark, dir)),
+    normalizedWidenedEvents(eventsRaw(spark, dir))
+
+  /** The one place the events widen spec lives: [[events]] and
+    * [[eventsRange]] both funnel through it, so a column added to the
+    * armor can never cover one surface and miss the other. */
+  private def normalizedWidenedEvents(raw: DataFrame): DataFrame =
+    widen(normalizeEvents(raw),
       longs = Seq("event_id", "user_id"), doubles = Seq("value"))
 
   /** TIMESTAMP(NANOS) parquet is unreadable on Spark 4.1 without the
@@ -80,8 +86,7 @@ object Tables {
         col("ts") >= lit(java.time.Instant.EPOCH.plus(loUs, java.time.temporal.ChronoUnit.MICROS)) &&
           col("ts") < lit(java.time.Instant.EPOCH.plus(hiUs, java.time.temporal.ChronoUnit.MICROS))
     }
-    widen(normalizeEvents(raw.filter(pred)),
-      longs = Seq("event_id", "user_id"), doubles = Seq("value"))
+    normalizedWidenedEvents(raw.filter(pred))
   }
 
   /** Session-timezone-independent epoch extraction for a stored
@@ -170,4 +175,17 @@ object Tables {
     widen(table(spark, dir, "documents"), longs = Seq("doc_id", "n_chars"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     widen(table(spark, dir, "embeddings"), longs = Seq("vec_id"))
+
+  /** THE canonical by-name loader: every table that has (or gains)
+    * drift normalization dispatches to its armored loader here; plain
+    * tables fall through to the raw scan. The SQL catalog iterates this
+    * single registry instead of re-encoding which tables are special —
+    * a loader added above but forgotten in a second list would leave
+    * one surface silently unarmored. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events"     => events(spark, dir)
+    case "documents"  => documents(spark, dir)
+    case "embeddings" => embeddings(spark, dir)
+    case other        => table(spark, dir, other)
+  }
 }

@@ -76,6 +76,25 @@ class CatalogSpec extends SparkSpec {
     assert(q === 1000L)
   }
 
+  test("round-9 positioned-shingle kernel resolves from SQL; non-literal k is the contract error") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT size(shingle_pos_hashes('a b a b', 2)) AS n,
+             element_at(shingle_pos_hashes('a b a b', 2), 1) ==
+             element_at(shingle_pos_hashes('a b a b', 2), 3) AS rep
+      FROM (SELECT 1)
+    """).head()
+    assert(r.getAs[Int]("n") === 3)
+    assert(r.getAs[Boolean]("rep"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_pos_hashes('a b', n) FROM VALUES (2) AS t(n)").collect()
+    }
+    // the contract message, not an internal Cannot-evaluate error
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("integer literal")), msgs(e).mkString(" | "))
+  }
+
   test("round-2 scalar functions resolve from SQL") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""

@@ -145,4 +145,31 @@ class OwnersSinkSpec extends SparkSpec {
       transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
     assert(state(target) === Seq(s"[$c,0xb,${hex(5)}]"))
   }
+
+  test("a torn (empty) marker from a crashed first write heals instead of bricking") {
+    // crash window: fs.create() succeeded, write/close never ran — the
+    // dir holds an EMPTY _stamp_scheme and no data. The next process's
+    // first epoch must validate CONTENT (not existence), rewrite the
+    // marker, and the restart after that must accept the healthy view.
+    val target = java.nio.file.Files.createTempDirectory("owners_torn").toString + "/t"
+    val c = "0xd"
+    val marker = new org.apache.hadoop.fs.Path(target, Tail.StampSchemeFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target))
+    fs.create(marker, true).close() // torn: empty content
+    Tail.resetStampSchemeCache()
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((1L, c, "0x0", "0xa", "mint", 5L))), 0L)
+    // marker healed to the real scheme string
+    val len = fs.getFileStatus(marker).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(marker)
+    try in.readFully(0L, buf) finally in.close()
+    assert(new String(buf, "UTF-8").trim === Tail.StampScheme)
+    // fresh process over the now-populated view: accepted, applies cleanly
+    Tail.resetStampSchemeCache()
+    Tail.ownersSink(target, numBuckets = 2)(
+      transfers(Seq((2L, c, "0xa", "0xb", "transfer", 5L))), 1L)
+    assert(state(target) === Seq(s"[$c,0xb,${hex(5)}]"))
+  }
 }
