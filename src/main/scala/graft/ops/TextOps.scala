@@ -304,6 +304,53 @@ object TextOps {
         md5(concat_ws(" ", slice(col("w"), col("chunk_start"), lit(chunkSize)))).as("chunk_hash"))
   }
 
+  /** Actionable span dedup: rewrite each document with every duplicated
+    * k-gram window REMOVED except the corpus-first occurrence of its
+    * hash (first = lexicographic min (doc_id, pos)) — identical docs
+    * keep one full copy and strip the others to empty; a within-doc
+    * repeat keeps its first occurrence. The covered word set is the
+    * union of foreign anchors' k-windows, which equals the union of
+    * their merged islands' extents (gap <= k leaves no holes), so no
+    * interval join is needed anywhere.
+    *
+    * Scale: the ownership relation is ONE hash-keyed AGGREGATE
+    * (count + min(struct(doc_id, pos))) — an aggregate, not a per-hash
+    * window, so a boilerplate 8-gram shared by a billion docs partial-
+    * aggregates map-side instead of sorting one hot partition. Covered
+    * positions collapse to one per-doc array (doc-keyed shuffle of
+    * anchor-grain data only); the rewrite itself is a single map pass
+    * over the corpus — raw text never shuffles. The per-word
+    * filter/transform lambdas evaluate interpreted (~us/word): the
+    * documented cost of the rewrite pass, linear and map-side.
+    *
+    * Output: doc_id, clean_text, n_kept, n_removed. */
+  def stripDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sh = posShingles(docs, k)
+    val owners = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("first"))
+    val foreign = sh.join(owners, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+    val covered = foreign
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("wp"))
+      .groupBy(col("doc_id")).agg(collect_set(col("wp")).as("cov"))
+    val w = split(col("text"), " ", -1)
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        w.as("w"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        filter(transform(col("w"), (x, i) => struct((i + 1).as("p"), x.as("word"))),
+          s => !array_contains(col("cov"), s("p"))).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept"), s => s("word"))).as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Corpus mixture report: per (source, lang) cell, document/token
     * counts and their global shares — the table a mixture designer
     * weights against a token budget. One partial+final aggregation for

@@ -326,6 +326,8 @@ object PipelineQueries {
 
   private val mixtureReport: QFn = (s, dir) => TextOps.mixtureReport(Tables.documents(s, dir))
 
+  private val textStripDupSpans: QFn = (s, dir) => TextOps.stripDupSpans(Tables.documents(s, dir))
+
   private val profileColumns: QFn = (s, dir) =>
     graft.ops.Profile.columns(Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
 
@@ -740,6 +742,31 @@ object PipelineQueries {
         |  CAST(least(64, t.n - g.s + 1) AS BIGINT) AS n_chunk_words,
         |  md5(array_to_string(t.w[g.s:g.s+63], ' ')) AS chunk_hash
         |FROM t, LATERAL (SELECT unnest(generate_series(1, t.n, 48)) AS s) g""".stripMargin),
+    // Actionable span dedup: every duplicated 8-gram window removed
+    // except the corpus-first occurrence of its hash. The oracle's
+    // row_number-over-h is the window formulation of the Spark side's
+    // min(struct(doc_id,pos)) aggregate — same foreign set.
+    QueryDef("text_strip_dup_spans", textStripDupSpans,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+7], ' ')) AS h
+        |       FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 7)) AS i) g
+        |       WHERE len(t.w) >= 8),
+        |foreign_a AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM sh) WHERE rn >= 2),
+        |cov AS (SELECT DISTINCT f.doc_id, f.pos + u.i AS wp
+        |        FROM foreign_a f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u),
+        |wpos AS (SELECT t.doc_id, g.i AS p, t.w[g.i] AS word
+        |         FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS i) g),
+        |kept AS (SELECT a.doc_id, a.p, a.word FROM wpos a
+        |         LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.wp WHERE c.wp IS NULL),
+        |ag AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks)
+        |SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  n.n_words - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_removed
+        |FROM nw n LEFT JOIN ag a ON n.doc_id = a.doc_id""".stripMargin),
     QueryDef("mixture_report", mixtureReport,
       """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -67,6 +67,56 @@ class DupSpansProfileSpec extends SparkSpec {
     assert(got(2L) === ((1L, 4L, 4.0 / 9.0)))
   }
 
+  test("dupSpans ≅ naive reference over random corpora (differential property)") {
+    // Naive reference: materialize every k-gram STRING, find repeated
+    // ones, mark covered word positions, count maximal covered runs.
+    // Anchors whose gap is <= k merge even when the words between them
+    // are NOT duplicated — both sides implement that same island rule,
+    // so coverage counts islands' extents, not the union of anchors.
+    def ref(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Double)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 to w.length - k).map(i => (id, i + 1, w.slice(i, i + k).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      docs.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        val anchors = (0 to w.length - k).map(_ + 1)
+          .filter(p => dup.contains(w.slice(p - 1, p - 1 + k).mkString(" ")))
+        if (anchors.isEmpty) None
+        else {
+          // islands: split where gap > k
+          val islands = anchors.tail.foldLeft(List(List(anchors.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p - cur.head <= k) (p :: cur) :: rest else List(p) :: acc
+            case (Nil, p) => List(List(p))
+          }
+          val nSpans = islands.size.toLong
+          val dupWords = islands.map(i => i.head - i.last + k).sum.toLong
+          Some(id -> ((nSpans, dupWords, dupWords.toDouble / w.length)))
+        }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(77)
+    (1 to 8).foreach { trial =>
+      val k = 2 + rnd.nextInt(3) // 2..4
+      // small vocab forces organic repeats; occasional shared phrase
+      val phrase = Seq.fill(k + rnd.nextInt(3))("p" + rnd.nextInt(3)).mkString(" ")
+      val docs = (1L to 8L).map { id =>
+        val base = Seq.fill(3 + rnd.nextInt(10))("w" + rnd.nextInt(5))
+        val text = if (rnd.nextBoolean()) (base.take(2) ++ Seq(phrase) ++ base.drop(2)).mkString(" ")
+                   else base.mkString(" ")
+        (id, text)
+      }
+      val want = ref(docs, k)
+      val got = TextOps.dupSpans(docs.toDF("doc_id", "text"), k).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_words"), r.getAs[Double]("dup_frac"))))
+        .toMap
+      assert(got === want, s"trial=$trial k=$k docs=$docs")
+    }
+  }
+
   test("contaminatedSpans: bench-matching anchors localize to exact word spans") {
     val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val bench = Seq((100L, "x c d e y")).toDF("doc_id", "text")
@@ -108,6 +158,35 @@ class DupSpansProfileSpec extends SparkSpec {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = TextOps.chunk(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
+  }
+
+  test("stripDupSpans: keeps the corpus-first occurrence, strips the rest") {
+    val docs = Seq(
+      (1L, "p q r s t"),           // first occurrence: untouched
+      (2L, "p q r s t"),           // exact dup: fully stripped
+      (3L, "x1 x2 p q r s2 y1")    // shares 3-gram "p q r" (foreign at pos 3)
+    ).toDF("doc_id", "text")
+    val got = TextOps.stripDupSpans(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(got(1L) === (("p q r s t", 5L, 0L)))
+    assert(got(2L) === (("", 0L, 5L)))
+    assert(got(3L) === (("x1 x2 s2 y1", 4L, 3L)))
+  }
+
+  test("stripDupSpans: within-doc repeat keeps only the first occurrence") {
+    val docs = Seq((1L, "a b c z1 z2 z3 z4 a b c")).toDF("doc_id", "text")
+    val got = TextOps.stripDupSpans(docs, k = 3).collect().head
+    assert(got.getAs[String]("clean_text") === "a b c z1 z2 z3 z4")
+    assert(got.getAs[Long]("n_removed") === 3L)
+  }
+
+  test("stripDupSpans: clean docs pass through byte-identical") {
+    val docs = Seq((1L, "all unique words here"), (2L, "another clean document")).toDF("doc_id", "text")
+    val got = TextOps.stripDupSpans(docs, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got === Map(1L -> "all unique words here", 2L -> "another clean document"))
   }
 
   test("mixtureReport: shares sum to 1 and totals join by broadcast, not a global window") {
