@@ -189,6 +189,28 @@ class DupSpansProfileSpec extends SparkSpec {
     assert(got === Map(1L -> "all unique words here", 2L -> "another clean document"))
   }
 
+  test("stripDupSpans skew rehearsal: one boilerplate shingle in 200 docs — agg ownership, no per-hash window") {
+    // the hot-key shape a real corpus guarantees (shared header/footer):
+    // ownership must come from a partial-aggregable min, never a
+    // row_number over the hash partition (one hot sort task at scale)
+    val docs = (1L to 200L).map(i => (i, s"u${i}a u${i}b common boiler plate u${i}c"))
+      .toDF("doc_id", "text")
+    val res = TextOps.stripDupSpans(docs, k = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), "ownership must be an aggregate, not a window")
+    val rows = res.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    // doc 1 owns the shared "common boiler plate" 3-gram; all others lose it
+    assert(rows(1L) === ((s"u1a u1b common boiler plate u1c", 0L)))
+    (2L to 200L).foreach { i =>
+      assert(rows(i) === ((s"u${i}a u${i}b u${i}c", 3L)), s"doc $i")
+    }
+    // dupSpans over the same corpus: every doc reports the one span
+    val spans200 = TextOps.dupSpans(docs, k = 3).collect()
+    assert(spans200.length === 200)
+    assert(spans200.forall(r => r.getAs[Long]("n_spans") == 1L && r.getAs[Long]("dup_words") == 3L))
+  }
+
   test("mixtureReport: shares sum to 1 and totals join by broadcast, not a global window") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s1"),
