@@ -109,6 +109,35 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Rebuild a document with the words at the given 1-based positions
+    * removed: one linear two-pointer merge over (words, sorted distinct
+    * positions). The HOF formulation (`filter` + `array_contains` per
+    * word) is O(words x positions) interpreted — a 500k-word mostly-
+    * duplicated doc would spend ~1e11 comparisons in one task; this
+    * walk is O(words + positions) in a tight JVM loop. Positions out of
+    * range are ignored; the input MUST be sorted ascending (the caller
+    * sorts once per doc). */
+  def stripPositions(text: UTF8String, positions: ArrayData): UTF8String = {
+    val toks = text.toString.split(" ", -1)
+    val m = positions.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var j = 0
+    var first = true
+    while (i < toks.length) {
+      val p = i + 1
+      while (j < m && positions.getInt(j) < p) j += 1
+      val drop = j < m && positions.getInt(j) == p
+      if (!drop) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** float embedding -> exact integer milli-units: round(x * 1000)
     * computed in double space (float->double is exact, double mult +
     * half-away-from-zero round match the DuckDB oracle bit-for-bit). */
@@ -226,6 +255,26 @@ case class ShinglePosHashesExpr(child: Expression, k: Int) extends UnaryExpressi
     copy(child = c)
 }
 
+/** strip_positions(text, sorted_positions) -> text with those 1-based
+  * word positions removed (linear merge; see ArrayKernels). */
+case class StripPositionsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"strip_positions expects (string, array<int>), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def nullSafeEval(t: Any, p: Any): Any =
+    ArrayKernels.stripPositions(t.asInstanceOf[UTF8String], p.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.expr.ArrayKernels.stripPositions($t, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StripPositionsExpr =
+    copy(l, r)
+}
+
 /** quantize_embedding(array<float|double>) -> array<long> milli-units.
   * Element width is dispatched at PLAN time from the child's type: the
   * driver testdata's `embedding` column is float today, but a drift to
@@ -307,6 +356,9 @@ object ArrayExprs {
     GraftColumnShim.column(ShingleHashesExpr(GraftColumnShim.expression(c)))
   def shinglePosHashes(c: Column, k: Int): Column =
     GraftColumnShim.column(ShinglePosHashesExpr(GraftColumnShim.expression(c), k))
+  def stripPositions(text: Column, positions: Column): Column =
+    GraftColumnShim.column(StripPositionsExpr(
+      GraftColumnShim.expression(text), GraftColumnShim.expression(positions)))
   def quantize(c: Column): Column =
     GraftColumnShim.column(QuantizeExpr(GraftColumnShim.expression(c)))
   def dotLong(a: Column, b: Column): Column =

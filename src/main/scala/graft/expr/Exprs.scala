@@ -249,8 +249,11 @@ object Exprs {
     // k must be a foldable literal — evaluated once at resolution, so the
     // kernel's width is a plan-time constant like the Scala-side API's.
     reg.createOrReplaceTempFunction("shingle_pos_hashes", es => {
-      // foldability first: eval() on a column reference throws an
-      // obscure internal error, not the contract message
+      // arity and foldability first: es(1) on a 1-arg call or eval() on
+      // a column reference throws an obscure internal error, not the
+      // contract message
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"shingle_pos_hashes expects (text, k literal), got ${es.length} argument(s)")
       if (!es(1).foldable) throw new IllegalArgumentException(
         s"shingle_pos_hashes k must be an integer literal, got non-literal ${es(1).sql}")
       ShinglePosHashesExpr(es(0), es(1).eval() match {

@@ -308,20 +308,27 @@ object TextOps {
     * k-gram window REMOVED except the corpus-first occurrence of its
     * hash (first = lexicographic min (doc_id, pos)) — identical docs
     * keep one full copy and strip the others to empty; a within-doc
-    * repeat keeps its first occurrence. The covered word set is the
-    * union of foreign anchors' k-windows, which equals the union of
-    * their merged islands' extents (gap <= k leaves no holes), so no
-    * interval join is needed anywhere.
+    * repeat keeps its first occurrence's window. Foreign windows are
+    * removed WHOLESALE: when duplicated grams overlap, a first
+    * occurrence can still lose words it shares with a removed foreign
+    * window (e.g. "a b a b a b", k=2 keeps only "a b" — position 3
+    * belongs both to kept "b a"@2 and to foreign "a b"@3). The covered
+    * word set is the union of foreign anchors' k-windows, which equals
+    * the union of their merged islands' extents (gap <= k leaves no
+    * holes), so no interval join is needed anywhere.
     *
     * Scale: the ownership relation is ONE hash-keyed AGGREGATE
     * (count + min(struct(doc_id, pos))) — an aggregate, not a per-hash
     * window, so a boilerplate 8-gram shared by a billion docs partial-
     * aggregates map-side instead of sorting one hot partition. Covered
-    * positions collapse to one per-doc array (doc-keyed shuffle of
-    * anchor-grain data only); the rewrite itself is a single map pass
-    * over the corpus — raw text never shuffles. The per-word
-    * filter/transform lambdas evaluate interpreted (~us/word): the
-    * documented cost of the rewrite pass, linear and map-side.
+    * positions collapse to one per-doc sorted array (doc-keyed shuffle
+    * of anchor-grain data only; the buffer is doc-bounded — a document
+    * must fit an executor, the contract every text rewrite shares);
+    * the rewrite itself is a single map pass through the native
+    * strip_positions kernel — a linear two-pointer merge, because the
+    * `filter`+`array_contains` HOF formulation is O(words x covered)
+    * interpreted and dies on a long mostly-duplicated doc. Raw text
+    * never shuffles.
     *
     * Output: doc_id, clean_text, n_kept, n_removed. */
   def stripDupSpans(docs: DataFrame, k: Int = 8): DataFrame = {
@@ -335,20 +342,16 @@ object TextOps {
       .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
     val covered = foreign
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("wp"))
-      .groupBy(col("doc_id")).agg(collect_set(col("wp")).as("cov"))
-    val w = split(col("text"), " ", -1)
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("wp"))).as("cov"))
     docs.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        w.as("w"),
-        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+        size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"),
+        col("text"))
       .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        filter(transform(col("w"), (x, i) => struct((i + 1).as("p"), x.as("word"))),
-          s => !array_contains(col("cov"), s("p"))).as("kept"))
-      .select(col("doc_id"),
-        concat_ws(" ", transform(col("kept"), s => s("word"))).as("clean_text"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"))
+        graft.expr.ArrayExprs.stripPositions(col("text"), col("cov")).as("clean_text"),
+        (col("n_words") - size(col("cov"))).cast("long").as("n_kept"),
+        size(col("cov")).cast("long").as("n_removed"))
   }
 
   /** Corpus mixture report: per (source, lang) cell, document/token

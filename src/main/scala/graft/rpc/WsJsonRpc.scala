@@ -167,10 +167,14 @@ final class WsJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcCl
     val it = pending.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getValue.era <= era) {
-        it.remove()
+      // Conditional remove, not it.remove(): the iterator's entry is a
+      // weakly-consistent snapshot. If a concurrent failAll already
+      // failed this id and a replay re-registered it under a NEWER era,
+      // it.remove() would delete the replay's fresh Pend (whose
+      // response then times out); remove(key, value) only deletes the
+      // exact Pend this guard examined.
+      if (e.getValue.era <= era && pending.remove(e.getKey, e.getValue))
         e.getValue.f.completeExceptionally(t)
-      }
     }
   }
 

@@ -78,6 +78,26 @@ class ArrayKernelsSpec extends AnyFunSuite {
     assert(rep(0) === rep(2)) // "a b" at pos 0 and pos 2
   }
 
+  test("stripPositions == filter-by-set reference on random inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (1 to N).foreach { _ =>
+      val toks = Seq.fill(rnd.nextInt(15))("w" + rnd.nextInt(9))
+      val text = toks.mkString(" ")
+      val all = text.split(" ", -1)
+      val cov = (1 to all.length).filter(_ => rnd.nextBoolean()).toArray
+      val got = ArrayKernels.stripPositions(
+        UTF8String.fromString(text), new GenericArrayData(cov)).toString
+      val want = all.zipWithIndex.collect {
+        case (w, i) if !cov.contains(i + 1) => w
+      }.mkString(" ")
+      assert(got === want, s"text=$text cov=${cov.mkString(",")}")
+    }
+    // out-of-range positions are ignored
+    val g = ArrayKernels.stripPositions(
+      UTF8String.fromString("a b c"), new GenericArrayData(Array(2, 7))).toString
+    assert(g === "a c")
+  }
+
   test("minhashSigs matches per-slice minima of the full shingle set") {
     (1 to N).foreach { _ =>
       val text = randomText()

@@ -182,6 +182,17 @@ class DupSpansProfileSpec extends SparkSpec {
     assert(got.getAs[Long]("n_removed") === 3L)
   }
 
+  test("stripDupSpans: overlapping duplicated grams erode a kept occurrence's shared words (documented semantics)") {
+    // "a b a b a b", k=2: owners are "a b"@1 and "b a"@2; foreign
+    // anchors 3,4,5 cover {3,4,5,6} wholesale — the kept "b a"@2 loses
+    // position 3. Windows are removed whole; this pins that contract.
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextOps.stripDupSpans(docs, k = 2).collect().head
+    assert(got.getAs[String]("clean_text") === "a b")
+    assert(got.getAs[Long]("n_kept") === 2L)
+    assert(got.getAs[Long]("n_removed") === 4L)
+  }
+
   test("stripDupSpans: clean docs pass through byte-identical") {
     val docs = Seq((1L, "all unique words here"), (2L, "another clean document")).toDF("doc_id", "text")
     val got = TextOps.stripDupSpans(docs, k = 3).collect()
