@@ -263,6 +263,7 @@ object Exprs {
           s"shingle_pos_hashes k must be an integer literal, got $other")
       })
     }, "built-in")
+    reg.createOrReplaceTempFunction("strip_positions", es => StripPositionsExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression

@@ -86,6 +86,8 @@ class CatalogSpec extends SparkSpec {
     """).head()
     assert(r.getAs[Int]("n") === 3)
     assert(r.getAs[Boolean]("rep"))
+    assert(spark.sql("SELECT strip_positions('a b c d', array(2, 3)) AS s")
+      .head().getString(0) === "a d")
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_pos_hashes('a b', n) FROM VALUES (2) AS t(n)").collect()
     }
