@@ -376,9 +376,37 @@ object ExtendedQueries {
           .between(expr("percentile(v, 0.45)"), expr("percentile(v, 0.55)"))
           || count(lit(1)) < 1000).as("median_ok"))
 
+  // ---- R: retrieval / corpus scoring / snapshot diff -----------------------
+
+  /** Fixed BM25 query-term set — small (3 terms) so the map-side
+    * per-term-column plan applies; see ops/Retrieval scaladoc for the
+    * large-query-set alternative. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  private val textBm25TopK: QFn = (s, dir) =>
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Terms, k = 10)
+
+  private val textKeywords: QFn = (s, dir) =>
+    graft.ops.Retrieval.tfidfKeywords(Tables.documents(s, dir), topN = 3)
+
+  private val textLmBigram: QFn = (s, dir) =>
+    graft.ops.Retrieval.bigramKnownRatio(Tables.documents(s, dir))
+
+  private val corpusDiff: QFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Snapshot.corpusDiff(
+      graft.ops.Snapshot.simulatedOld(docs), graft.ops.Snapshot.simulatedNew(docs))
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_bm25_topk", textBm25TopK,
+      graft.ops.Retrieval.bm25Sql(Bm25Terms, k = 10)),
+    QueryDef("text_keywords", textKeywords,
+      graft.ops.Retrieval.keywordsSql(topN = 3)),
+    QueryDef("text_lm_bigram", textLmBigram, graft.ops.Retrieval.bigramSql),
+    QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,
         |rank() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS rnk,
