@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level embedding moment statistics: the (n, Σx_i, Σx_i·x_j)
+  * sufficient-statistic table every covariance / correlation / PCA /
+  * whitening step derives from, computed in ONE pass over the corpus
+  * with a single d²-bounded aggregate buffer
+  * (`expr/CovarSums.covarSumsLong`) — never a d²× row-multiplying
+  * explode, never a second scan. Embeddings are quantized to integer
+  * milli-units first (the engine-wide ANN convention,
+  * `Similarity.quantize`) so every emitted sum is exact integer
+  * arithmetic and the DuckDB oracle compares bit-for-bit.
+  *
+  * Deriving the real statistics is driver-side d x d arithmetic on the
+  * emitted rows (the MLlib pattern — mean = s_i/n, cov_ij =
+  * (n·s_ij - s_i·s_j) / (n·(n-1)·10^6), eigen via any dense solver);
+  * none of it touches the corpus again.
+  */
+object Moments {
+
+  /** Upper-triangle second-moment table of the quantized embedding
+    * column: one row per (i, j), i <= j, 1-based dims, with the group
+    * count and the exact integer sums. */
+  def covarianceStats(embeddings: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 4096, "covarianceStats: 1..4096 dims")
+    val one = embeddings
+      .select(graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+      .agg(graft.expr.CovarSums.covarSumsLong(col("qv")).as("buf"))
+    // (i, j) pairs unfold from the single buffer row — dims² work on ONE
+    // row, not a per-input-row generator.
+    val pairs = explode(flatten(transform(sequence(lit(1), lit(dims)), i =>
+      transform(sequence(i, lit(dims)), j => struct(i.as("i"), j.as("j"))))))
+    val iC = col("p.i")
+    val jC = col("p.j")
+    // Triangular flat index (1-based within the triangle block):
+    // rows above i contribute (i-1)(d+1) - i(i-1)/2 entries; within the
+    // row, j sits at (j - i + 1). i(i-1) is even, so the /2 is exact.
+    val triIdx = (iC - 1) * lit(dims + 1) - ((iC * (iC - 1)) / lit(2)).cast("int") +
+      (jC - iC + 1)
+    one.select(col("buf"), pairs.as("p"))
+      .select(
+        iC.as("i"), jC.as("j"),
+        element_at(col("buf"), 1).as("n"),
+        element_at(col("buf"), iC + 1).as("s_i"),
+        element_at(col("buf"), jC + 1).as("s_j"),
+        element_at(col("buf"), lit(1 + dims) + triIdx).as("s_ij"))
+  }
+
+  /** Top principal component via power iteration on the d x d
+    * population covariance assembled DRIVER-SIDE from the
+    * [[covarianceStats]] rows — d² doubles on the driver (the MLlib
+    * pattern: distributed one-pass moments, tiny dense eigen locally;
+    * the corpus is never touched again). Deterministic: the start
+    * vector is fixed (uniform), iteration count is fixed, and the sign
+    * convention makes the first non-zero component positive.
+    *
+    * Returns (eigenvalue, eigenvector) in quantized milli-unit space;
+    * callers projecting raw float embeddings divide the eigenvalue by
+    * 10^6 and keep the (unit) eigenvector as-is.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dims: Int, iters: Int = 100): (Double, Array[Double]) = {
+    val rows = covarianceStats(embeddings, dims).collect()
+    val n = rows.head.getLong(2).toDouble
+    require(n >= 2, "pcaTopComponent: need at least 2 vectors")
+    val cov = Array.ofDim[Double](dims, dims)
+    rows.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val c = (r.getLong(5).toDouble - r.getLong(3).toDouble * r.getLong(4).toDouble / n) / n
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var k = 0
+    while (k < iters) {
+      val w = Array.tabulate(dims)(i => {
+        var s = 0.0; var j = 0
+        while (j < dims) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "pcaTopComponent: zero covariance matrix")
+      v = w.map(_ / nrm)
+      k += 1
+    }
+    val lambda = {
+      var s = 0.0
+      for (i <- 0 until dims; j <- 0 until dims) s += v(i) * cov(i)(j) * v(j)
+      s
+    }
+    val firstNz = v.indexWhere(math.abs(_) > 1e-12)
+    val signed = if (firstNz >= 0 && v(firstNz) < 0) v.map(-_) else v
+    (lambda, signed)
+  }
+
+  /** DuckDB oracle for [[covarianceStats]] — the naive i<=j cross-join
+    * formulation; the RESULT contract is identical, the Spark plan is
+    * the one-buffer aggregate. */
+  def covarianceSql(dims: Int): String =
+    s"""WITH q AS (SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
+       |  FROM generate_series(1, $dims) a(i), generate_series(1, $dims) b(j)
+       |  WHERE a.i <= b.j)
+       |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(qv[i]) AS BIGINT) AS s_i,
+       |  CAST(sum(qv[j]) AS BIGINT) AS s_j,
+       |  CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s_ij
+       |FROM q, p GROUP BY i, j""".stripMargin
+}

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   * same output schema. */
 object Profile {
 
+  /** Fixed-width histogram of an integer measure — the corpus
+    * length-distribution sweep (token/char counts per bucket) that
+    * sizes packing, chunking, and truncation decisions. One partial+
+    * final aggregation on the bucket id (bucket cardinality, not row
+    * cardinality, crosses the exchange); empty buckets are absent by
+    * construction — the report joins against a bucket spine if it
+    * needs dense axes. */
+  def histogram(df: DataFrame, measure: org.apache.spark.sql.Column,
+      width: Long): DataFrame = {
+    require(width > 0, "histogram width must be positive")
+    val m = measure.cast("long")
+    df.select(m.as("v"))
+      .groupBy((floor(col("v") / width) * width).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .withColumn("bucket_hi", col("bucket_lo") + width)
+      .select(col("bucket_lo"), col("bucket_hi"), col("n"), col("min_v"), col("max_v"))
+  }
+
   def columns(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>

@@ -100,6 +100,34 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Token-budget selection: walk each stratum's documents in
+    * deterministic md5(key) order (a uniform, rerun-stable permutation)
+    * and keep rows while the running token total stays within `budget`
+    * — the "fill each mixture cell up to its token quota" step of a
+    * training-data mixture, stable under retries and backfills because
+    * nothing depends on arrival order.
+    *
+    * The rule is strict (`cum <= budget`): the document that would
+    * overshoot is dropped, as are all after it in hash order.
+    *
+    * Scale: one shuffle on the stratum key for the window cumsum; each
+    * cell is a single window partition, so a corpus whose cells are
+    * huge wants a coarse pre-filter (budget / min-doc-tokens rank cap
+    * via the same hash order) before the exact cumsum — documented
+    * knob, not needed below ~10^8 docs per cell. */
+  def tokenBudget(df: DataFrame, key: Column, stratum: Seq[Column],
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum: _*)
+      .orderBy(md5(key.cast("string")).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
     * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
     * smallest one (which keeps 100%) without the hard cap of a quota.

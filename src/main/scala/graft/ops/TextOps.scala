@@ -354,6 +354,30 @@ object TextOps {
         size(col("cov")).cast("long").as("n_removed"))
   }
 
+  /** Top-k corpus n-grams — the vocabulary-induction / phrase-mining
+    * sweep. Word n-grams build map-side (guarded: docs shorter than n
+    * contribute nothing; `sequence` is never called with a descending
+    * range), counts partial-aggregate before the one hash shuffle on
+    * the gram, and the top-k is TakeOrderedAndProject (per-partition
+    * heads merged on the driver — never a global sort). Ties break
+    * lexicographically for a deterministic oracle. */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "ngramTopK: n and k must be positive")
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val counted = docs.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+    counted.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("gram").asc)))
+      .select(col("rank"), col("gram"), col("n"))
+  }
+
   /** Corpus mixture report: per (source, lang) cell, document/token
     * counts and their global shares — the table a mixture designer
     * weights against a token budget. One partial+final aggregation for

@@ -392,6 +392,9 @@ object ExtendedQueries {
   private val textLmBigram: QFn = (s, dir) =>
     graft.ops.Retrieval.bigramKnownRatio(Tables.documents(s, dir))
 
+  private val embedCovariance: QFn = (s, dir) =>
+    graft.ops.Moments.covarianceStats(Tables.embeddings(s, dir), dims = 64)
+
   private val corpusDiff: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Snapshot.corpusDiff(
@@ -406,6 +409,8 @@ object ExtendedQueries {
     QueryDef("text_keywords", textKeywords,
       graft.ops.Retrieval.keywordsSql(topN = 3)),
     QueryDef("text_lm_bigram", textLmBigram, graft.ops.Retrieval.bigramSql),
+    QueryDef("embed_covariance", embedCovariance,
+      graft.ops.Moments.covarianceSql(dims = 64)),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,

@@ -143,6 +143,14 @@ object PipelineQueries {
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
       col("doc_id"), col("source"), quota = 15)
 
+  private val sampleTokenBudget: QFn = (s, dir) =>
+    Sampling.tokenBudget(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        col("text")),
+      col("doc_id"), Seq(col("source"), col("lang")),
+      size(split(col("text"), " ")), budget = 150L)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("cum_tokens"))
+
   private val sampleStratified: QFn = (s, dir) =>
     Sampling.stratified(
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
@@ -328,6 +336,13 @@ object PipelineQueries {
 
   private val textStripDupSpans: QFn = (s, dir) => TextOps.stripDupSpans(Tables.documents(s, dir))
 
+  private val textNgramTopK: QFn = (s, dir) =>
+    TextOps.ngramTopK(Tables.documents(s, dir), n = 3, k = 20)
+
+  private val profileHistogram: QFn = (s, dir) =>
+    graft.ops.Profile.histogram(
+      Tables.documents(s, dir), size(split(col("text"), " ")), width = 10L)
+
   private val profileColumns: QFn = (s, dir) =>
     graft.ops.Profile.columns(Tables.documents(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
 
@@ -387,6 +402,16 @@ object PipelineQueries {
         |SELECT text_hash, min(doc_id) AS doc_id, count(*) AS n_in_batch
         |FROM batch WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
         |GROUP BY text_hash""".stripMargin),
+    QueryDef("sample_token_budget", sampleTokenBudget,
+      """WITH t AS (SELECT doc_id, source, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id, source, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |WHERE cum_tokens <= 150""".stripMargin),
     QueryDef("sample_stratified", sampleStratified,
       """WITH b AS (SELECT doc_id, lang, source, n_chars,
         |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
@@ -780,6 +805,19 @@ object PipelineQueries {
     // One-scan column profiler; the oracle's UNION ALL re-reads the table
     // per column — the RESULT contract is identical, the Spark plan is
     // the one-pass Expand form (see ops/Profile).
+    QueryDef("text_ngram_topk", textNgramTopK,
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram FROM t),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, gram) AS INTEGER) AS rank, gram, n
+        |FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin),
+    QueryDef("profile_histogram", profileHistogram,
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents)
+        |SELECT CAST(floor(CAST(v AS DOUBLE) / 10) AS BIGINT) * 10 AS bucket_lo,
+        |  CAST(floor(CAST(v AS DOUBLE) / 10) AS BIGINT) * 10 + 10 AS bucket_hi,
+        |  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
+        |FROM t GROUP BY 1, 2""".stripMargin),
     QueryDef("profile_columns", profileColumns,
       """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,

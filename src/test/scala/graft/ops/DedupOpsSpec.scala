@@ -281,6 +281,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.forall(_.getAs[String]("source") == "a")) // null row dropped
   }
 
+  test("tokenBudget: strict running-total rule in md5 hash order, per stratum") {
+    // md5 order of "1".."4": a87..("4") < c4c..("1") < c81..("2") < ecc..("3")
+    val df = Seq(
+      (1L, "s", 10L), (2L, "s", 10L), (3L, "s", 10L), (4L, "s", 10L)
+    ).toDF("doc_id", "src", "nt")
+    def kept(budget: Long) =
+      Sampling.tokenBudget(df, col("doc_id"), Seq(col("src")), col("nt"), budget)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    // budget 25: 4 (cum 10), 1 (cum 20); 2 would reach 30 -> dropped with 3
+    assert(kept(25L) === Map(4L -> 10L, 1L -> 20L))
+    // strict: the overshooting doc itself is dropped
+    assert(kept(15L) === Map(4L -> 10L))
+    // a budget below the first doc keeps nothing
+    assert(kept(5L) === Map.empty[Long, Long])
+  }
+
+  test("tokenBudget: strata fill independently and reruns are stable") {
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", 7L))
+      .toDF("doc_id", "src", "nt")
+    val out = Sampling.tokenBudget(df, col("doc_id"), Seq(col("src")), col("nt"), 35L)
+    val bySrc = out.collect().groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(bySrc === Map("a" -> 5, "b" -> 5)) // 5 * 7 = 35 <= 35, 6th would be 42
+    val again = Sampling.tokenBudget(df, col("doc_id"), Seq(col("src")), col("nt"), 35L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === out.collect().map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("connectedComponents: output schema is long on both paths, int ids accepted") {
     import org.apache.spark.sql.types.LongType
     val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType ids

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MomentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(vecs: Seq[Seq[Float]], dims: Int) =
+    Moments.covarianceStats(
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding"),
+      dims)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+  test("covarianceStats: hand-computed 2-dim sufficient statistics") {
+    // q = (1000, 2000), (3000, -1000)
+    val got = stats(Seq(Seq(1.0f, 2.0f), Seq(3.0f, -1.0f)), dims = 2)
+    assert(got((1, 1)) === ((2L, 4000L, 4000L, 10000000L))) // 1e6 + 9e6
+    assert(got((1, 2)) === ((2L, 4000L, 1000L, -1000000L))) // 2e6 - 3e6
+    assert(got((2, 2)) === ((2L, 1000L, 1000L, 5000000L)))  // 4e6 + 1e6
+    assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
+  }
+
+  test("covarianceStats: triangular flat-index unpack is right at d=4 corners") {
+    // one vector q = (1000, 2000, 3000, 4000): s_ij = q_i * q_j exactly,
+    // so every triangle cell independently witnesses its flat index.
+    val got = stats(Seq(Seq(1.0f, 2.0f, 3.0f, 4.0f)), dims = 4)
+    for (i <- 1 to 4; j <- i to 4)
+      assert(got((i, j))._4 === i * j * 1000000L, s"cell ($i,$j)")
+    assert(got.size === 10)
+  }
+
+  test("covarianceStats: plan is one buffer aggregate, pairs unfold after it") {
+    val df = (1L to 100L).map(i => (i, Seq(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qe = Moments.covarianceStats(df, dims = 2).queryExecution
+    assert(qe.executedPlan.toString.contains("covar_sums_long"))
+    // The d^2 generator must sit ABOVE the aggregate (1 row), never on
+    // the scan side: no Generate may appear under any Aggregate node.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val underAgg = qe.optimizedPlan.collect { case a: Aggregate =>
+      a.child.collect { case g: Generate => g }.size
+    }.sum
+    assert(underAgg === 0, "pair generator leaked below the aggregate")
+  }
+
+  test("covarianceStats: mixed vector lengths fail loudly") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Moments.covarianceStats(df, dims = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // Either guard may fire depending on partitioning: the update-path
+    // check (same task) or the merge-path check (different tasks).
+    assert(messages(e).exists(m =>
+      m.contains("drifted vector length") ||
+        m.contains("merging buffers of different vector lengths")),
+      s"unexpected error: $e")
+  }
+
+  test("pcaTopComponent: recovers a planted principal direction") {
+    // Points spread along (0.6, 0.8) with a small orthogonal wiggle:
+    // t in [-50, 50] step 1, wiggle +/- 0.01 alternating.
+    val pts = (-50 to 50).map { t =>
+      val w = if (t % 2 == 0) 0.01 else -0.01
+      (t.toLong, Seq((0.6 * t + 0.8 * w).toFloat, (0.8 * t - 0.6 * w).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (lambda, v) = Moments.pcaTopComponent(df, dims = 2)
+    assert(lambda > 0)
+    assert(math.abs(v(0) - 0.6) < 0.01 && math.abs(v(1) - 0.8) < 0.01,
+      s"got ${v.toSeq}")
+    // determinism: same corpus, same component bit-for-bit
+    val (l2, v2) = Moments.pcaTopComponent(df, dims = 2)
+    assert(l2 === lambda && v2.toSeq === v.toSeq)
+  }
+
+  test("histogram: fixed-width buckets with per-bucket extremes, empties absent") {
+    val df = Seq(3L, 7L, 12L, 19L, 41L).toDF("m")
+    val got = Profile.histogram(df, col("m"), width = 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      0L -> ((10L, 2L, 3L, 7L)),
+      10L -> ((20L, 2L, 12L, 19L)),
+      40L -> ((50L, 1L, 41L, 41L)))) // 20-40 absent: no rows, no bucket
+  }
+
+  test("ngramTopK: counts, lexicographic ties, and short-doc guard") {
+    val docs = Seq(
+      (1L, "a b c a b"), // bigrams: "a b" x2, "b c", "c a"
+      (2L, "a b"),       // "a b"
+      (3L, "x")          // shorter than n: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramTopK(docs, n = 2, k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "a b", 3L), (2, "b c", 1L), (3, "c a", 1L)))
+  }
+
+  test("ngramTopK: plan takes the per-partition top-k path") {
+    val docs = (1L to 50L).map(i => (i, s"w$i w${i + 1} w${i + 2}")).toDF("doc_id", "text")
+    val plan = TextOps.ngramTopK(docs, n = 2, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("covarianceStats: null embedding rows are ignored like builtin sum") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    val got = Moments.covarianceStats(df, dims = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.values.toSet === Set(1L)) // n counts only the non-null row
+  }
+}
