@@ -268,6 +268,7 @@ object Exprs {
     reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
     reg.createOrReplaceTempFunction("vector_sum_long", es => VectorSumLongAgg(es.head), "built-in")
+    reg.createOrReplaceTempFunction("covar_sums_long", es => CovarSumsLongAgg(es.head), "built-in")
     Uint256Sum.register(spark)
   }
 }

@@ -25,9 +25,23 @@ object Moments {
     * count and the exact integer sums. */
   def covarianceStats(embeddings: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1 && dims <= 4096, "covarianceStats: 1..4096 dims")
+    val expectedLen = 1 + dims + dims * (dims + 1) / 2
     val one = embeddings
       .select(graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
       .agg(graft.expr.CovarSums.covarSumsLong(col("qv")).as("buf"))
+      // An empty / all-null corpus aggregates to a null buffer: emit ZERO
+      // rows (matching the oracle's cross join over an empty relation),
+      // never a triangle of nulls.
+      .filter(col("buf").isNotNull)
+      // The buffer stride is DATA-derived (the actual vector length seen
+      // by the aggregate) while the unpack indices below are CALLER-
+      // derived: a dims mismatch would silently read first-moment cells
+      // as cross-products. Tie them together loudly.
+      .select(when(size(col("buf")) === expectedLen, col("buf"))
+        .otherwise(raise_error(concat(
+          lit(s"covarianceStats: dims=$dims expects a buffer of $expectedLen, got "),
+          size(col("buf")).cast("string"),
+          lit(" — the corpus vectors have a different length")))).as("buf"))
     // (i, j) pairs unfold from the single buffer row — dims² work on ONE
     // row, not a per-input-row generator.
     val pairs = explode(flatten(transform(sequence(lit(1), lit(dims)), i =>
@@ -62,6 +76,7 @@ object Moments {
     */
   def pcaTopComponent(embeddings: DataFrame, dims: Int, iters: Int = 100): (Double, Array[Double]) = {
     val rows = covarianceStats(embeddings, dims).collect()
+    require(rows.nonEmpty, "pcaTopComponent: empty corpus (no non-null vectors)")
     val n = rows.head.getLong(2).toDouble
     require(n >= 2, "pcaTopComponent: need at least 2 vectors")
     val cov = Array.ofDim[Double](dims, dims)
@@ -99,7 +114,7 @@ object Moments {
   def covarianceSql(dims: Int): String =
     s"""WITH q AS (SELECT list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL),
        |p AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
        |  FROM generate_series(1, $dims) a(i), generate_series(1, $dims) b(j)
        |  WHERE a.i <= b.j)

@@ -38,7 +38,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 32, "bm25TopK: 1..32 fixed query terms")
-    val toks = split(col("text"), " ")
+    val toks = TextOps.tokens(col("text"))
     val base = docs.select(
       col("doc_id") +: size(toks).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
@@ -81,8 +81,9 @@ object Retrieval {
   def bm25Sql(terms: Seq[String], k: Int = 10,
               k1: Double = 1.2, b: Double = 0.75): String = {
     def d(x: Double): String = java.lang.Double.toString(x)
+    def q(t: String): String = t.replace("'", "''") // SQL literal escape
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+      s"len(list_filter(string_split(text, ' '), w -> w = '${q(t)}')) AS tf$i"
     }.mkString(",\n  ")
     val dfCols = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
@@ -120,7 +121,7 @@ object Retrieval {
     */
   def tfidfKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -171,7 +172,7 @@ object Retrieval {
     * emit no row (documented contract).
     */
   def bigramKnownRatio(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = TextOps.tokens(col("text"))
     val bigrams = zip_with(
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
@@ -183,11 +184,17 @@ object Retrieval {
     val model = occ.groupBy(col("bg")).agg(sum(col("c")).as("total"))
     val stats = model.agg(sum(col("total")).as("grand_total"),
       count(lit(1)).as("n_distinct"))
+    // "total is at or above the corpus mean" as overflow-safe integer
+    // arithmetic: total * n_distinct >= grand_total would wrap long at
+    // web scale (n_distinct ~1e9 x hot total ~1e10 > 2^63), silently
+    // flipping exactly the hottest bigrams to "unknown". The equivalent
+    // ceil-division form keeps every intermediate <= grand_total + n.
+    val meanCeil = expr("(grand_total + n_distinct - 1) DIV n_distinct")
     occ.join(model, "bg").crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_bigrams"),
-        sum(when(col("total") * col("n_distinct") >= col("grand_total"), col("c"))
+        sum(when(col("total") >= meanCeil, col("c"))
           .otherwise(lit(0L))).as("n_known"))
       .select(col("doc_id"), col("n_bigrams"), col("n_known"),
         (col("n_known").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
@@ -204,8 +211,8 @@ object Retrieval {
       |stats AS (SELECT CAST(sum(total) AS BIGINT) AS grand_total,
       |  CAST(count(*) AS BIGINT) AS n_distinct FROM model)
       |SELECT occ.doc_id AS doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-      |  CAST(sum(CASE WHEN total * n_distinct >= grand_total THEN c ELSE 0 END) AS BIGINT) AS n_known,
-      |  CAST(sum(CASE WHEN total * n_distinct >= grand_total THEN c ELSE 0 END) AS DOUBLE) /
+      |  CAST(sum(CASE WHEN total >= (grand_total + n_distinct - 1) // n_distinct THEN c ELSE 0 END) AS BIGINT) AS n_known,
+      |  CAST(sum(CASE WHEN total >= (grand_total + n_distinct - 1) // n_distinct THEN c ELSE 0 END) AS DOUBLE) /
       |    CAST(sum(c) AS DOUBLE) AS known_ratio
       |FROM occ JOIN model ON occ.bg = model.bg, stats
       |GROUP BY occ.doc_id""".stripMargin

@@ -802,9 +802,6 @@ object PipelineQueries {
         |  CAST(c.n_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE) AS doc_share,
         |  CAST(c.n_tokens AS DOUBLE) / CAST(t.t_tokens AS DOUBLE) AS token_share
         |FROM c, t""".stripMargin),
-    // One-scan column profiler; the oracle's UNION ALL re-reads the table
-    // per column — the RESULT contract is identical, the Spark plan is
-    // the one-pass Expand form (see ops/Profile).
     QueryDef("text_ngram_topk", textNgramTopK,
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
@@ -818,6 +815,9 @@ object PipelineQueries {
         |  CAST(floor(CAST(v AS DOUBLE) / 10) AS BIGINT) * 10 + 10 AS bucket_hi,
         |  CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
         |FROM t GROUP BY 1, 2""".stripMargin),
+    // One-scan column profiler; the oracle's UNION ALL re-reads the table
+    // per column — the RESULT contract is identical, the Spark plan is
+    // the one-pass Expand form (see ops/Profile).
     QueryDef("profile_columns", profileColumns,
       """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,

@@ -108,6 +108,27 @@ class MomentsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("covarianceStats: caller dims that disagree with the data fail loudly") {
+    // 4-dim vectors unpacked as dims=2 would silently read first-moment
+    // cells as cross-products — the stride check must refuse.
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Moments.covarianceStats(df, dims = 2).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("different length")), s"unexpected: $e")
+  }
+
+  test("covarianceStats: empty / all-null corpus emits zero rows (oracle contract)") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Moments.covarianceStats(empty, dims = 2).count() === 0L)
+    val allNull = Seq((1L, null: Seq[Float])).toDF("vec_id", "embedding")
+    assert(Moments.covarianceStats(allNull, dims = 2).count() === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Moments.pcaTopComponent(empty, dims = 2)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("covarianceStats: null embedding rows are ignored like builtin sum") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, null: Seq[Float]))
       .toDF("vec_id", "embedding")

@@ -76,6 +76,16 @@ class CatalogSpec extends SparkSpec {
     assert(q === 1000L)
   }
 
+  test("covar_sums_long resolves from SQL with the documented buffer layout") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    // two 2-dim vectors: buf = [n, s1, s2, s11, s12, s22]
+    val r = spark.sql("""
+      SELECT covar_sums_long(v) AS buf
+      FROM VALUES (array(1L, 2L)), (array(3L, -1L)) AS t(v)
+    """).head()
+    assert(r.getSeq[Long](0) === Seq(2L, 4L, 1L, 10L, -1L, 5L))
+  }
+
   test("round-9 positioned-shingle kernel resolves from SQL; non-literal k is the contract error") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""
