@@ -200,6 +200,64 @@ object Retrieval {
         (col("n_known").cast("double") / col("n_bigrams").cast("double")).as("known_ratio"))
   }
 
+  // ---- PMI collocations ----------------------------------------------------
+
+  /** Pointwise-mutual-information collocation mining over word bigrams,
+    * as the log-free RATIO p(xy) / (p(x)·p(y)) =
+    * (c_xy · N_uni · N_uni) / (N_bi · c_x · c_y) — the phrase-induction
+    * score, rank-equivalent to PMI (log is monotone) and exactly
+    * portable across engines (no libm).
+    *
+    * Scale shape: bigram pairs are built map-side as (w1, w2) columns
+    * (never re-split from a concatenated string), partial-aggregated
+    * before their one shuffle; unigram counts derive from the token
+    * explode the same way; the two unigram joins are equi-joins on the
+    * word (AQE-broadcast for small vocabularies, co-partitioned at
+    * scale); both grand totals are 1-row broadcast aggregates. The
+    * numerator/denominator trees are fixed-parenthesized doubles from
+    * exact longs — identical bits in both engines.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val pairs = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, c) => struct(a.as("w1"), c.as("w2")))
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // Grand totals BEFORE the min-count filter: probabilities are over
+    // the whole corpus, not the surviving collocations.
+    val totals = bi.agg(sum(col("c_xy")).as("n_bi"))
+      .crossJoin(uni.agg(sum(col("c_w")).as("n_uni")))
+    val nUniD = col("n_uni").cast("double")
+    val ratio = (col("c_xy").cast("double") * (nUniD * nUniD)) /
+      ((col("n_bi").cast("double") * col("c_x").cast("double")) * col("c_y").cast("double"))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        ratio.as("pmi_ratio"))
+  }
+
+  def pmiSql(minCount: Long = 5L): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY w1, w2),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |tot AS (SELECT CAST((SELECT sum(c_xy) FROM bi) AS BIGINT) AS n_bi,
+       |  CAST((SELECT sum(c_w) FROM uni) AS BIGINT) AS n_uni)
+       |SELECT b.w1 AS w1, b.w2 AS w2, b.c_xy AS c_xy, x.c_w AS c_x, y.c_w AS c_y,
+       |  (CAST(b.c_xy AS DOUBLE) * (CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))) /
+       |  ((CAST(n_bi AS DOUBLE) * CAST(x.c_w AS DOUBLE)) * CAST(y.c_w AS DOUBLE)) AS pmi_ratio
+       |FROM bi b JOIN uni x ON b.w1 = x.w JOIN uni y ON b.w2 = y.w, tot
+       |WHERE b.c_xy >= $minCount""".stripMargin
+
   def bigramSql: String =
     """WITH occ AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM (
       |  SELECT doc_id, unnest(list_transform(

@@ -364,6 +364,9 @@ object TextOps {
   def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "ngramTopK: n and k must be positive")
     val toks = tokens(col("text"))
+    // slice+concat_ws per position measured FASTER than n element_at
+    // reads per gram (1.8s vs 3.8s at sf0.1): the one arraycopy beats n
+    // ordinal-checked lookups through the HOF lambda.
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -392,6 +392,9 @@ object ExtendedQueries {
   private val textLmBigram: QFn = (s, dir) =>
     graft.ops.Retrieval.bigramKnownRatio(Tables.documents(s, dir))
 
+  private val textPmi: QFn = (s, dir) =>
+    graft.ops.Retrieval.pmiBigrams(Tables.documents(s, dir), minCount = 5L)
+
   private val embedCovariance: QFn = (s, dir) =>
     graft.ops.Moments.covarianceStats(Tables.embeddings(s, dir), dims = 64)
 
@@ -409,6 +412,7 @@ object ExtendedQueries {
     QueryDef("text_keywords", textKeywords,
       graft.ops.Retrieval.keywordsSql(topN = 3)),
     QueryDef("text_lm_bigram", textLmBigram, graft.ops.Retrieval.bigramSql),
+    QueryDef("text_pmi", textPmi, graft.ops.Retrieval.pmiSql(minCount = 5L)),
     QueryDef("embed_covariance", embedCovariance,
       graft.ops.Moments.covarianceSql(dims = 64)),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),

@@ -308,6 +308,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(again === out.collect().map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("tokenBudget: differential against a naive reference over random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val rows = (1L to (20 + rnd.nextInt(60))).map { id =>
+        (id, s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(30)) }
+      val budget = 20L + rnd.nextInt(80)
+      val expected = rows.groupBy(_._2).flatMap { case (_, cell) =>
+        val ordered = cell.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget).map { case ((id, _, nt), c) => id -> c }
+      }
+      val df = rows.toDF("doc_id", "src", "nt")
+      val got = Sampling.tokenBudget(df, col("doc_id"), Seq(col("src")), col("nt"), budget)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+      assert(got === expected.toMap, s"trial $trial budget $budget")
+    }
+  }
+
   test("connectedComponents: output schema is long on both paths, int ids accepted") {
     import org.apache.spark.sql.types.LongType
     val pairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType ids

@@ -92,6 +92,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Set(2L))
   }
 
+  // ---- pmiBigrams ----------------------------------------------------------
+
+  test("pmiBigrams: hand-computed ratio, totals taken before the count filter") {
+    // corpus: "a b a b c" -> bigrams: (a,b) x2, (b,a), (b,c); unigrams a=2 b=2 c=1
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val got = Retrieval.pmiBigrams(docs, minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (a,b) survives minCount=2; N_bi=4 (pre-filter!), N_uni=5
+    // ratio = (2 * 5 * 5) / (4 * 2 * 2) = 50/16 = 3.125
+    assert(got.keySet === Set(("a", "b")))
+    assert(got(("a", "b")) === ((2L, 2L, 2L, (2.0 * (5.0 * 5.0)) / ((4.0 * 2.0) * 2.0))))
+  }
+
+  test("pmiBigrams: single-token docs contribute unigrams but no pairs") {
+    val docs = Seq((1L, "x"), (2L, "x y x y")).toDF("doc_id", "text")
+    val got = Retrieval.pmiBigrams(docs, minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // bigrams: (x,y) x2, (y,x) x1 -> only (x,y); c_x counts BOTH docs' x (3)
+    assert(got.toSeq === Seq(("x", "y", 2L, 3L)))
+  }
+
   // ---- corpusDiff ----------------------------------------------------------
 
   test("corpusDiff: added / removed / changed / unchanged classification") {
