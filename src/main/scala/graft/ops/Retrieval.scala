@@ -159,8 +159,9 @@ object Retrieval {
     * count. This is the shape of n-gram-LM quality filtering (CCNet's
     * KenLM score) with the model trained on the corpus itself; the
     * mean threshold keeps it scale-free across SFs, and the comparison
-    * `total * n_distinct >= grand_total` is an integer cross-multiply —
-    * no double enters until the final ratio.
+    * `total >= ceil(grand_total / n_distinct)` is overflow-safe integer
+    * arithmetic (see the inline note — the equivalent cross-multiply
+    * wraps long at web scale) — no double enters until the final ratio.
     *
     * Scale shape: bigrams are built map-side with zip_with (no
     * sequence-descending edge case for 1-token docs: both slices are

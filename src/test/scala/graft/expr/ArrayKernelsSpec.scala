@@ -16,6 +16,8 @@ class ArrayKernelsSpec extends AnyFunSuite {
   private val rnd = new Random(1234)
   private val N = 200
 
+  // Local copy of SparkSpec.md5hex: this suite is deliberately
+  // session-free (plain AnyFunSuite) and cannot mix in the Spark base.
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -309,9 +309,6 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("tokenBudget: differential against a naive reference over random corpora") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 6) {
       val rows = (1L to (20 + rnd.nextInt(60))).map { id =>

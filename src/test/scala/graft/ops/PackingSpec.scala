@@ -52,8 +52,6 @@ class PackingSpec extends SparkSpec {
 
   test("pack matches an independent sequential reference on random corpora") {
     val rnd = new scala.util.Random(99)
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     for (trial <- 1 to 3) {
       val seqLen = 1L + rnd.nextInt(9)
       val shards = 1 + rnd.nextInt(4)
