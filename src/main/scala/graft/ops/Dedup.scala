@@ -144,6 +144,41 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS within Hamming distance `maxDist`, found
+    * EXACTLY (no recall loss) via the pigeonhole banding: split the
+    * `bits`-bit signature into `maxDist + 1` bands — any pair within
+    * distance maxDist differs in at most maxDist bands, so at least one
+    * band matches exactly. Candidates are the band-bucket join (capped
+    * like every other dedup bucket, so a degenerate signature costs
+    * O(cap²), never O(m²)); the exact Hamming check
+    * (bit_count(a XOR b) <= maxDist) then removes banding false
+    * positives. Shuffle volume is O(rows x bands) narrow band rows —
+    * signatures never re-derive from text on the pair side.
+    */
+  def simhashPairs(docs: DataFrame, bits: Int = 16, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val nBands = maxDist + 1
+    require(bits % nBands == 0,
+      s"simhashPairs: bits=$bits must divide into ${nBands} bands (maxDist + 1)")
+    val w = bits / nBands
+    val sigs = simhash(docs, bits)
+    val banded = sigs.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*
+      )).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val capped = capBuckets(banded, Seq(col("band"), col("bv")), col("doc_id"), maxBucket)
+    val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("ha"),
+      col("band"), col("bv"))
+    val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("hb"),
+      col("band"), col("bv"))
+    val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .filter(hamming <= maxDist)
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+  }
+
   /** Connected components over an undirected candidate-pair edge list:
     * turns pairwise duplicate evidence into duplicate CLUSTERS, each
     * labeled by its minimum member id — the canonical representative a

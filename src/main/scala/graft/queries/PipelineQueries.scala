@@ -126,6 +126,9 @@ object PipelineQueries {
 
   private val dedupSimhash: QFn = (s, dir) => Dedup.simhash(Tables.documents(s, dir))
 
+  private val dedupSimhashPairs: QFn = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), bits = 16, maxDist = 1)
+
   private val dedupClusters: QFn = (s, dir) => Dedup.clusters(Tables.documents(s, dir))
 
   private val dedupIncremental: QFn = (s, dir) => {
@@ -383,6 +386,23 @@ object PipelineQueries {
         |${simhashSumsSql(16)}
         |FROM hh GROUP BY doc_id)
         |SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s""".stripMargin),
+    QueryDef("dedup_simhash_pairs", dedupSimhashPairs,
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |hh AS (SELECT doc_id, md5(token) AS h FROM tok),
+        |s AS (SELECT doc_id,
+        |${simhashSumsSql(16)}
+        |FROM hh GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s),
+        |b AS (SELECT doc_id, simhash, u.band AS band,
+        |  (simhash >> (u.band * 8)) & 255 AS bv
+        |  FROM sig, unnest([0, 1]) AS u(band)),
+        |b2 AS (SELECT doc_id, simhash, band, bv FROM b
+        |  QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  a.simhash AS ha, c.simhash AS hb
+        |  FROM b2 a JOIN b2 c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin),
     QueryDef("dedup_clusters", dedupClusters,
       s"""WITH RECURSIVE $minhashBandsSql,
         |e AS (SELECT id_a AS src, id_b AS dst FROM cand

@@ -281,6 +281,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.forall(_.getAs[String]("source") == "a")) // null row dropped
   }
 
+  test("simhashPairs: banding finds EXACTLY the brute-force Hamming pairs") {
+    // Random short docs over a tiny vocab force signature collisions and
+    // near-misses; the pigeonhole guarantee says banding + exact filter
+    // == all-pairs brute force (cap high enough to never bind here).
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 40L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Dedup.simhashPairs(corpus, maxBucket = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must actually produce near pairs")
+  }
+
+  test("simhashPairs: hot buckets are capped and bits must divide the bands") {
+    val hot = (1L to 30L).map(i => (i, "same words every time")).toDF("doc_id", "text")
+    // identical signatures -> one bucket per band; cap 5 bounds pairs to C(5,2)
+    val got = Dedup.simhashPairs(hot, maxBucket = 5).collect()
+    assert(got.length === 10)
+    assert(got.forall(r => r.getLong(0) <= 5 && r.getLong(1) <= 5 && r.getInt(2) === 0))
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(hot, bits = 16, maxDist = 4) }
+  }
+
   test("tokenBudget: strict running-total rule in md5 hash order, per stratum") {
     // md5 order of "1".."4": a87..("4") < c4c..("1") < c81..("2") < ecc..("3")
     val df = Seq(
