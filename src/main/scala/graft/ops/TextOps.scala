@@ -381,6 +381,32 @@ object TextOps {
       .select(col("rank"), col("gram"), col("n"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al., the MOSS
+    * algorithm): per document, the DISTINCT set of window-min k-gram
+    * hashes over a sliding window of `w` shingle positions. The
+    * guarantee: any shared run of at least k + w - 1 words leaves at
+    * least one common fingerprint, while storage is ~2/(w+1) of the
+    * full shingle set — the standard density/recall dial for corpus-
+    * scale fingerprint indexes (`fingerprint` keeps only the global
+    * min; this is the tunable tier between that and full shingles).
+    *
+    * Pure map-side (the positioned-shingle native kernel + array HOFs,
+    * zero shuffle before the explode); docs with fewer than k tokens
+    * emit nothing, docs with fewer than w shingles emit their single
+    * overall min (one clamped window).
+    */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow: k and w must be positive")
+    val h = graft.expr.ArrayExprs.shinglePosHashes(col("text"), k)
+    // The isNotNull gate is load-bearing: greatest(size(null) - 3, 1)
+    // is 1 (greatest skips nulls), so without it a sub-k doc would emit
+    // one NULL fingerprint row instead of nothing.
+    val fps = when(h.isNotNull, array_distinct(transform(
+      sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
+      j => array_min(slice(h, j, lit(w))))))
+    docs.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
   /** Corpus mixture report: per (source, lang) cell, document/token
     * counts and their global shares — the table a mixture designer
     * weights against a token budget. One partial+final aggregation for

@@ -129,6 +129,9 @@ object PipelineQueries {
   private val dedupSimhashPairs: QFn = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), bits = 16, maxDist = 1)
 
+  private val textWinnow: QFn = (s, dir) =>
+    TextOps.winnow(Tables.documents(s, dir), k = 3, w = 4)
+
   private val dedupClusters: QFn = (s, dir) => Dedup.clusters(Tables.documents(s, dir))
 
   private val dedupIncremental: QFn = (s, dir) => {
@@ -386,6 +389,15 @@ object PipelineQueries {
         |${simhashSumsSql(16)}
         |FROM hh GROUP BY doc_id)
         |SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM s""".stripMargin),
+    QueryDef("text_winnow", textWinnow,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT DISTINCT doc_id, unnest(list_transform(
+        |  generate_series(1, greatest(len(sh) - 3, 1)),
+        |  j -> list_min(list_slice(sh, j, j + 3)))) AS fp
+        |FROM h""".stripMargin),
     QueryDef("dedup_simhash_pairs", dedupSimhashPairs,
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |hh AS (SELECT doc_id, md5(token) AS h FROM tok),

@@ -281,6 +281,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.forall(_.getAs[String]("source") == "a")) // null row dropped
   }
 
+  test("winnow: window-min fingerprints match the hand-rolled reference") {
+    // 8 tokens, k=3 -> shingles s1..s6; w=4 -> windows [1..4],[2..5],[3..6]
+    val words = "w1 w2 w3 w4 w5 w6 w7 w8".split(" ")
+    val sh = (0 to 5).map(i => md5hex(words.slice(i, i + 3).mkString(" ")))
+    val expected = Seq(sh.slice(0, 4).min, sh.slice(1, 5).min, sh.slice(2, 6).min).distinct.toSet
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.winnow(docs, k = 3, w = 4).collect().map(_.getString(1)).toSet
+    assert(got === expected)
+  }
+
+  test("winnow: short docs clamp to one window; sub-k docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b c d"),  // 2 shingles < w: one clamped window = overall min
+      (2L, "a b")       // < k tokens: no shingles, no rows
+    ).toDF("doc_id", "text")
+    val byDoc = TextOps.winnow(docs, k = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val s = Seq(md5hex("a b c"), md5hex("b c d"))
+    assert(byDoc === Map(1L -> Set(s.min)))
+  }
+
+  test("winnow: guarantee — docs sharing a k+w-1 word run share a fingerprint") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val run = Seq.fill(6)(s"shared${rnd.nextInt(1000)}t$trial").mkString(" ") // k+w-1 = 6
+      val a = (1 to 8).map(i => s"a$i").mkString(" ") + " " + run
+      val b = run + " " + (1 to 8).map(i => s"b$i").mkString(" ")
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val fps = TextOps.winnow(docs, k = 3, w = 4).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      assert((fps(1L) & fps(2L)).nonEmpty, s"trial $trial: no shared fingerprint")
+    }
+  }
+
   test("simhashPairs: banding finds EXACTLY the brute-force Hamming pairs") {
     // Random short docs over a tiny vocab force signature collisions and
     // near-misses; the pigeonhole guarantee says banding + exact filter
