@@ -62,6 +62,43 @@ object Moments {
         element_at(col("buf"), lit(1 + dims) + triIdx).as("s_ij"))
   }
 
+  /** Mean-centered embeddings — the first step of whitening/PCA
+    * projection. The per-dim sums come from ONE `vector_sum_long` pass
+    * (the O(d) first-moment kernel — the full d² covariance buffer is
+    * not needed for centering), broadcast as a single row, and the
+    * subtraction is map-side. Output is the exploded
+    * (vec_id, dim, q, centered) verification surface (array outputs
+    * don't compare portably); the mean is the only division, a fixed
+    * two-cast double tree mirrored in [[centeredSql]]. Quantized
+    * milli-unit space throughout. */
+  def centered(embeddings: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 4096, "centered: 1..4096 dims")
+    val q = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+    val stats = q.agg(count(lit(1)).as("n"),
+        graft.expr.VectorSum.vectorSumLong(col("qv")).as("sums"))
+      .filter(col("sums").isNotNull)
+    q.crossJoin(broadcast(stats))
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "q")), col("n"), col("sums"))
+      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("q"),
+        (col("q").cast("double") -
+          element_at(col("sums"), col("d0") + 1).cast("double") / col("n").cast("double"))
+          .as("centered"))
+  }
+
+  def centeredSql(dims: Int): String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id, CAST(u.i AS INTEGER) AS dim, qv[u.i] AS q
+       |  FROM q, unnest(generate_series(1, $dims)) AS u(i)),
+       |m AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s_i FROM e GROUP BY dim),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+       |SELECT e.vec_id AS vec_id, e.dim AS dim, e.q AS q,
+       |  CAST(e.q AS DOUBLE) - CAST(m.s_i AS DOUBLE) / CAST(n.n AS DOUBLE) AS centered
+       |FROM e JOIN m ON e.dim = m.dim, n""".stripMargin
+
   /** Top principal component via power iteration on the d x d
     * population covariance assembled DRIVER-SIDE from the
     * [[covarianceStats]] rows — d² doubles on the driver (the MLlib

@@ -398,6 +398,9 @@ object ExtendedQueries {
   private val embedCovariance: QFn = (s, dir) =>
     graft.ops.Moments.covarianceStats(Tables.embeddings(s, dir), dims = 64)
 
+  private val embedCenter: QFn = (s, dir) =>
+    graft.ops.Moments.centered(Tables.embeddings(s, dir), dims = 64)
+
   private val corpusDiff: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Snapshot.corpusDiff(
@@ -415,6 +418,8 @@ object ExtendedQueries {
     QueryDef("text_pmi", textPmi, graft.ops.Retrieval.pmiSql(minCount = 5L)),
     QueryDef("embed_covariance", embedCovariance,
       graft.ops.Moments.covarianceSql(dims = 64)),
+    QueryDef("embed_center", embedCenter,
+      graft.ops.Moments.centeredSql(dims = 64)),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,

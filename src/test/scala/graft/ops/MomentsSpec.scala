@@ -63,6 +63,28 @@ class MomentsSpec extends SparkSpec {
       s"unexpected error: $e")
   }
 
+  test("centered: map-side mean subtraction, null rows excluded from the mean") {
+    // q = (1000, 2000), (3000, -1000); means = (2000, 500)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -1.0f)), (3L, null: Seq[Float])
+    ).toDF("vec_id", "embedding")
+    val got = Moments.centered(df, dims = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((1L, 1)) === ((1000L, -1000.0)))
+    assert(got((1L, 2)) === ((2000L, 1500.0)))
+    assert(got((2L, 1)) === ((3000L, 1000.0)))
+    assert(got((2L, 2)) === ((-1000L, -1500.0)))
+    assert(got.size === 4) // the null row emits nothing and is not in the mean
+  }
+
+  test("centered: the stats side is broadcast, the subtraction never shuffles rows") {
+    val df = (1L to 50L).map(i => (i, Seq(i.toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Moments.centered(df, dims = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$plan")
+  }
+
   test("pcaTopComponent: recovers a planted principal direction") {
     // Points spread along (0.6, 0.8) with a small orthogonal wiggle:
     // t in [-50, 50] step 1, wiggle +/- 0.01 alternating.
