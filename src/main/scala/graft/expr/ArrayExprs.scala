@@ -184,6 +184,42 @@ object ArrayKernels {
     }
     acc
   }
+
+  /** Winnowing fingerprints (Schleimer et al.): the DISTINCT sliding-
+    * window (width w) minima over the positioned k-gram hashes, in ONE
+    * linear pass with a monotonic deque — the composable formulation
+    * (transform + slice + array_min per window) pays O(shingles x w)
+    * interpreted string compares through the HOF lambda (measured
+    * 5.0 s at sf0.1 where this kernel runs in well under 1 s). Null
+    * when the doc has fewer than k tokens; fewer than w shingles clamp
+    * to one overall-min window. First-occurrence order (the consumer
+    * explodes to rows, so order is not part of the contract). */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = shinglePosHashes(text, k)
+    if (hs == null) return null
+    val n = hs.numElements()
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = hs.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[AnyRef]
+    if (n <= w) {
+      var m = arr(0)
+      i = 1
+      while (i < n) { if (arr(i).compareTo(m) < 0) m = arr(i); i += 1 }
+      out.add(m)
+    } else {
+      val deque = new java.util.ArrayDeque[Int]
+      i = 0
+      while (i < n) {
+        while (!deque.isEmpty && arr(deque.peekLast).compareTo(arr(i)) >= 0) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst <= i - w) deque.pollFirst()
+        if (i >= w - 1) out.add(arr(deque.peekFirst))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** minhash_sigs(text) -> array<string> of numHashes signature slices;
@@ -252,6 +288,29 @@ case class ShinglePosHashesExpr(child: Expression, k: Int) extends UnaryExpressi
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): ShinglePosHashesExpr =
+    copy(child = c)
+}
+
+/** winnow_fps(text, k, w) -> array<string> of distinct window-min
+  * k-gram hashes (see ArrayKernels.winnowFingerprints); null when the
+  * doc has fewer than k tokens. k and w are plan-time literals. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 2 && k <= 64, s"shingle width k must be in [2,64], got $k")
+  require(w >= 1 && w <= 4096, s"winnow window w must be in [1,4096], got $w")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("winnow_fps", child.dataType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.winnowFingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.ArrayKernels.winnowFingerprints($c, $k, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WinnowFpsExpr =
     copy(child = c)
 }
 
@@ -356,6 +415,8 @@ object ArrayExprs {
     GraftColumnShim.column(ShingleHashesExpr(GraftColumnShim.expression(c)))
   def shinglePosHashes(c: Column, k: Int): Column =
     GraftColumnShim.column(ShinglePosHashesExpr(GraftColumnShim.expression(c), k))
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    GraftColumnShim.column(WinnowFpsExpr(GraftColumnShim.expression(c), k, w))
   def stripPositions(text: Column, positions: Column): Column =
     GraftColumnShim.column(StripPositionsExpr(
       GraftColumnShim.expression(text), GraftColumnShim.expression(positions)))

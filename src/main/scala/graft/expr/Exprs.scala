@@ -264,6 +264,23 @@ object Exprs {
       })
     }, "built-in")
     reg.createOrReplaceTempFunction("strip_positions", es => StripPositionsExpr(es(0), es(1)), "built-in")
+    // winnow_fps(text, k, w): k and w must be integer literals, same
+    // contract (and same guard order) as shingle_pos_hashes above.
+    reg.createOrReplaceTempFunction("winnow_fps", es => {
+      if (es.length != 3) throw new IllegalArgumentException(
+        s"winnow_fps expects (text, k literal, w literal), got ${es.length} argument(s)")
+      def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int = {
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"winnow_fps $name must be an integer literal, got non-literal ${e.sql}")
+        e.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(
+            s"winnow_fps $name must be an integer literal, got $other")
+        }
+      }
+      WinnowFpsExpr(es(0), litInt(es(1), "k"), litInt(es(2), "w"))
+    }, "built-in")
     reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression

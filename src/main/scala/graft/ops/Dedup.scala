@@ -144,16 +144,21 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup PAIRS within Hamming distance `maxDist`, found
-    * EXACTLY (no recall loss) via the pigeonhole banding: split the
-    * `bits`-bit signature into `maxDist + 1` bands — any pair within
-    * distance maxDist differs in at most maxDist bands, so at least one
-    * band matches exactly. Candidates are the band-bucket join (capped
-    * like every other dedup bucket, so a degenerate signature costs
-    * O(cap²), never O(m²)); the exact Hamming check
-    * (bit_count(a XOR b) <= maxDist) then removes banding false
-    * positives. Shuffle volume is O(rows x bands) narrow band rows —
-    * signatures never re-derive from text on the pair side.
+  /** SimHash near-dup PAIRS within Hamming distance `maxDist` via the
+    * pigeonhole banding: split the `bits`-bit signature into
+    * `maxDist + 1` bands — any pair within distance maxDist differs in
+    * at most maxDist bands, so at least one band matches exactly, which
+    * makes the banding itself lossless (unlike MinHash banding's
+    * probabilistic recall). The ONE deliberate recall bound is the
+    * bucket cap shared by every dedup operator: band buckets larger
+    * than `maxBucket` keep only their `maxBucket` smallest doc_ids
+    * (deterministically, mirrored in the oracle), so a degenerate
+    * signature costs O(cap²), never O(m²) — pairs entirely outside the
+    * kept prefix are dropped, the documented trade for a bounded
+    * worst case. The exact Hamming check (bit_count(a XOR b) <=
+    * maxDist) then removes banding false positives. Shuffle volume is
+    * O(rows x bands) narrow band rows — signatures never re-derive
+    * from text on the pair side.
     */
   def simhashPairs(docs: DataFrame, bits: Int = 16, maxDist: Int = 3,
       maxBucket: Int = 1000): DataFrame = {

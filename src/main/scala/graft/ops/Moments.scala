@@ -76,6 +76,16 @@ object Moments {
     val q = embeddings
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+      // Tie every row's length to the caller's dims, loudly (the
+      // covarianceStats contract): vector_sum_long pads ragged rows
+      // with zeros while n counts them fully, so a drifted row would
+      // silently deflate the mean AND desync from the oracle's
+      // generate_series(1, dims) row count.
+      .select(col("vec_id"),
+        when(size(col("qv")) === dims, col("qv"))
+          .otherwise(raise_error(concat(
+            lit(s"centered: dims=$dims but corpus vector has "),
+            size(col("qv")).cast("string"), lit(" elements")))).as("qv"))
     val stats = q.agg(count(lit(1)).as("n"),
         graft.expr.VectorSum.vectorSumLong(col("qv")).as("sums"))
       .filter(col("sums").isNotNull)

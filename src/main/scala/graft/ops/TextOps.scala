@@ -390,22 +390,16 @@ object TextOps {
     * scale fingerprint indexes (`fingerprint` keeps only the global
     * min; this is the tunable tier between that and full shingles).
     *
-    * Pure map-side (the positioned-shingle native kernel + array HOFs,
-    * zero shuffle before the explode); docs with fewer than k tokens
-    * emit nothing, docs with fewer than w shingles emit their single
-    * overall min (one clamped window).
+    * Pure map-side through the native `winnow_fps` kernel (one linear
+    * monotonic-deque pass; the transform+slice+array_min HOF
+    * formulation measured 5.0 s at sf0.1 — O(shingles x w) interpreted
+    * string compares); docs with fewer than k tokens emit nothing,
+    * docs with fewer than w shingles emit their single overall min
+    * (one clamped window).
     */
-  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, "winnow: k and w must be positive")
-    val h = graft.expr.ArrayExprs.shinglePosHashes(col("text"), k)
-    // The isNotNull gate is load-bearing: greatest(size(null) - 3, 1)
-    // is 1 (greatest skips nulls), so without it a sub-k doc would emit
-    // one NULL fingerprint row instead of nothing.
-    val fps = when(h.isNotNull, array_distinct(transform(
-      sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
-      j => array_min(slice(h, j, lit(w))))))
-    docs.select(col("doc_id"), explode(fps).as("fp"))
-  }
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.expr.ArrayExprs.winnowFps(col("text"), k, w)).as("fp"))
 
   /** Corpus mixture report: per (source, lang) cell, document/token
     * counts and their global shares — the table a mixture designer

@@ -80,6 +80,25 @@ class ArrayKernelsSpec extends AnyFunSuite {
     assert(rep(0) === rep(2)) // "a b" at pos 0 and pos 2
   }
 
+  test("winnowFingerprints == naive window-min reference on random inputs") {
+    (1 to N).foreach { _ =>
+      val text = randomText()
+      for (k <- 2 to 4; w <- 1 to 5) {
+        val t = text.split(" ", -1)
+        val got = ArrayKernels.winnowFingerprints(UTF8String.fromString(text), k, w)
+        if (t.length < k) assert(got === null, s"k=$k w=$w text=$text")
+        else {
+          val sh = (0 to t.length - k).map(i => md5hex(t.slice(i, i + k).mkString(" ")))
+          val want =
+            if (sh.length <= w) Set(sh.min)
+            else (0 to sh.length - w).map(j => sh.slice(j, j + w).min).toSet
+          assert(got.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSet === want, s"k=$k w=$w text=$text")
+        }
+      }
+    }
+  }
+
   test("stripPositions == filter-by-set reference on random inputs") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     (1 to N).foreach { _ =>

@@ -77,6 +77,15 @@ class MomentsSpec extends SparkSpec {
     assert(got.size === 4) // the null row emits nothing and is not in the mean
   }
 
+  test("centered: drifted vector lengths fail loudly instead of deflating the mean") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Moments.centered(df, dims = 2).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("centered: dims=2")), s"unexpected: $e")
+  }
+
   test("centered: the stats side is broadcast, the subtraction never shuffles rows") {
     val df = (1L to 50L).map(i => (i, Seq(i.toFloat, (i % 3).toFloat)))
       .toDF("vec_id", "embedding")

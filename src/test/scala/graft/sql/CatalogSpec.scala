@@ -76,6 +76,22 @@ class CatalogSpec extends SparkSpec {
     assert(q === 1000L)
   }
 
+  test("winnow_fps resolves from SQL; non-literal w is the contract error") {
+    Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    // "a b c d": shingles md5("a b c"), md5("b c d"); w=4 clamps to one
+    // window -> exactly 1 fingerprint
+    val r = spark.sql(
+      "SELECT size(winnow_fps('a b c d', 3, 4)) AS n FROM (SELECT 1)").head()
+    assert(r.getInt(0) === 1)
+    // a column reference is not foldable -> the contract error, not an
+    // obscure internal eval failure
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_fps(text, 3, CAST(doc_id AS INT)) FROM documents LIMIT 1").head()
+    }
+    assert(e.getMessage.contains("winnow_fps w must be an integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("winnow_fps w must be an integer literal")))
+  }
+
   test("covar_sums_long resolves from SQL with the documented buffer layout") {
     Catalog.registerAll(spark, "/root/testdata/sf0.001")
     // two 2-dim vectors: buf = [n, s1, s2, s11, s12, s22]
