@@ -184,6 +184,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs — the MOSS pairing step:
+    * documents sharing winnow fingerprints become candidates, scored by
+    * how many DISTINCT fingerprints they share (each shared fingerprint
+    * witnesses a shared k-gram, and any shared run >= k + w - 1 words
+    * is guaranteed to produce one). Fingerprint buckets are capped like
+    * every other dedup bucket (same recall-for-boundedness trade as
+    * [[simhashPairs]]); the pair aggregation is a plain count on
+    * (id_a, id_b) — partial map-side, one shuffle of pair rows.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxBucket: Int = 1000): DataFrame = {
+    val fps = TextOps.winnow(docs, k, w)
+    val capped = capBuckets(fps, Seq(col("fp")), col("doc_id"), maxBucket)
+    val a = capped.select(col("fp"), col("doc_id").as("id_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected candidate-pair edge list:
     * turns pairwise duplicate evidence into duplicate CLUSTERS, each
     * labeled by its minimum member id — the canonical representative a

@@ -132,6 +132,9 @@ object PipelineQueries {
   private val textWinnow: QFn = (s, dir) =>
     TextOps.winnow(Tables.documents(s, dir), k = 3, w = 4)
 
+  private val dedupWinnowPairs: QFn = (s, dir) =>
+    Dedup.winnowPairs(Tables.documents(s, dir), k = 3, w = 4, minShared = 3L)
+
   private val dedupClusters: QFn = (s, dir) => Dedup.clusters(Tables.documents(s, dir))
 
   private val dedupIncremental: QFn = (s, dir) => {
@@ -398,6 +401,20 @@ object PipelineQueries {
         |  generate_series(1, greatest(len(sh) - 3, 1)),
         |  j -> list_min(list_slice(sh, j, j + 3)))) AS fp
         |FROM h""".stripMargin),
+    QueryDef("dedup_winnow_pairs", dedupWinnowPairs,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |f AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |  generate_series(1, greatest(len(sh) - 3, 1)),
+        |  j -> list_min(list_slice(sh, j, j + 3)))) AS fp
+        |FROM h),
+        |f2 AS (SELECT doc_id, fp FROM f
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3""".stripMargin),
     QueryDef("dedup_simhash_pairs", dedupSimhashPairs,
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |hh AS (SELECT doc_id, md5(token) AS h FROM tok),

@@ -315,6 +315,38 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: shared-run docs pair with the hand-counted overlap") {
+    // Doc 1 and 2 share the 6-word run (k+w-1 guarantee); doc 3 is alien.
+    val run = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $run"),
+      (2L, s"$run b1 b2 b3 b4"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    // reference: intersect the two docs' winnow fingerprint sets
+    val fps = TextOps.winnow(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(got((1L, 2L)) === (fps(1L) & fps(2L)).size.toLong)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+  }
+
+  test("winnowPairs: minShared filters weak pairs; hot fp buckets are capped") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 q1 q2 q3"), // shares only the q1 q2 q3 shingle region with 2
+      (2L, "y1 y2 y3 q1 q2 q3")
+    ).toDF("doc_id", "text")
+    val weak = Dedup.winnowPairs(docs, minShared = 5L).collect()
+    assert(weak.isEmpty)
+    // 20 identical docs, cap 4: pairs bounded to C(4,2) among smallest ids
+    val hot = (1L to 20L).map(i => (i, "same words over and over again")).toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(hot, minShared = 1L, maxBucket = 4).collect()
+    assert(capped.forall(r => r.getLong(0) <= 4 && r.getLong(1) <= 4))
+    assert(capped.length === 6)
+  }
+
   test("simhashPairs: banding finds EXACTLY the brute-force Hamming pairs") {
     // Random short docs over a tiny vocab force signature collisions and
     // near-misses; the pigeonhole guarantee says banding + exact filter
