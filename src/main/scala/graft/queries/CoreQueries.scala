@@ -457,6 +457,20 @@ object CoreQueries {
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  private val q6ForecastRevenue: QFn = (s, dir) =>
+    // the pure filter-then-aggregate shape: three pushable predicates
+    // over the fact table collapse to ONE row — the canonical "how much
+    // does pushdown save" probe. Decimal-exact product sum (q1 rules).
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+        dec(col("l_discount")).between(lit(0.05).cast("decimal(18,2)"),
+          lit(0.07).cast("decimal(18,2)")) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   private val q3JoinAgg: QFn = (s, dir) => {
     // dim-filtered fact join: customer (broadcast) |x| orders |x| lineitem,
     // aggregated by order — the shuffle-join shape that dominates at scale.
@@ -715,6 +729,14 @@ object CoreQueries {
         |count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("q6_forecast_revenue", q6ForecastRevenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |AND l_quantity < 24""".stripMargin),
     QueryDef("q1_pricing_summary", q1PricingSummary,
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
