@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev loop —
+    // `runMain graft.Verify <sf> <out> text_classify` + tools/check.py)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,9 @@ object Verify {
     // engine optimizer rules (sessions built withExtensions get these
     // from GraftExtensions; a plain session installs them at runtime)
     spark.experimental.extraOptimizations ++= Seq(graft.plans.TokenCountRule)
-    dump(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    val qs = only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
+    val os = only.fold(SparkEntry.oracleSql)(f => SparkEntry.oracleSql.view.filterKeys(f).toMap)
+    dump(spark, sfDir, outDir, qs, os)
     spark.stop()
   }
 

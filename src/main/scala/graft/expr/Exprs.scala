@@ -258,7 +258,11 @@ object Exprs {
         s"shingle_pos_hashes k must be an integer literal, got non-literal ${es(1).sql}")
       ShinglePosHashesExpr(es(0), es(1).eval() match {
         case i: Int  => i
-        case l: Long => l.toInt
+        case l: Long =>
+          try Math.toIntExact(l) catch {
+            case _: ArithmeticException => throw new IllegalArgumentException(
+              s"shingle_pos_hashes k must be an integer literal in Int range, got $l")
+          }
         case other   => throw new IllegalArgumentException(
           s"shingle_pos_hashes k must be an integer literal, got $other")
       })
@@ -274,7 +278,13 @@ object Exprs {
           s"winnow_fps $name must be an integer literal, got non-literal ${e.sql}")
         e.eval() match {
           case i: Int  => i
-          case l: Long => l.toInt
+          case l: Long =>
+            // Math.toIntExact, not l.toInt: silent truncation would let
+            // 4294967300 alias to 4 and sail through the bounds check
+            try Math.toIntExact(l) catch {
+              case _: ArithmeticException => throw new IllegalArgumentException(
+                s"winnow_fps $name must be an integer literal in Int range, got $l")
+            }
           case other   => throw new IllegalArgumentException(
             s"winnow_fps $name must be an integer literal, got $other")
         }

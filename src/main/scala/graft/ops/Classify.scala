@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quality-classifier inference: fastText-style linear scoring of
+  * documents against a model weight relation — the standard learned
+  * quality / toxicity gate of an LLM training-data pipeline (score every
+  * document, keep those above a margin threshold).
+  *
+  * Model shape: a bag-of-words linear model. The margin is the
+  * length-normalized weighted token sum
+  * `(bias + Σ_token w(token)) / (dl · 1000)` with integer milli-unit
+  * weights, so everything up to ONE final double division is exact
+  * integer arithmetic — the same log-free determinism contract as
+  * [[Retrieval]] (the DuckDB oracle compares doubles bit-for-bit, and
+  * identical IEEE expression trees give identical bits; `exp`/sigmoid
+  * would not, so the gate thresholds the raw margin, which is monotone
+  * in the sigmoid probability anyway).
+  *
+  * Scale shape: the weight table of a fastText-quality-style model is
+  * MODEL-scale (vocab entries), not corpus-scale — it rides to every
+  * executor as a constant-folded map literal, exactly like the
+  * driver-held k-means centroids in [[Similarity]]. Scoring is then a
+  * PROJECTION-ONLY pass: one linear scan of the corpus, zero shuffles,
+  * zero joins (spec-enforced — no Exchange in the plan). For a vocab too
+  * big for a literal (say >10^6 entries), the same score is an
+  * explode → broadcast-join → doc_id re-agg (one shuffle, the
+  * [[Retrieval.tfidfKeywords]] shape); this map-side form is the right
+  * one for every real quality model we know of.
+  */
+object Classify {
+
+  /** Max literal vocab entries: far above any hand-held gate model, far
+    * below anything that should be a join (the constant-folded map is
+    * O(vocab) bytes serialized into every task binary). */
+  val MaxLiteralVocab = 65536
+
+  /** Margin + keep flag per document.
+    *
+    * @param weights  (token → milli-unit weight) model relation,
+    *                 driver-held (metadata-scale, like centroids)
+    * @param biasMilli intercept in milli-units
+    * @param threshold keep documents with margin >= threshold
+    */
+  def scoreLinear(docs: DataFrame, weights: Seq[(String, Long)], biasMilli: Long,
+      threshold: Double): DataFrame = {
+    require(weights.nonEmpty && weights.size <= MaxLiteralVocab,
+      s"scoreLinear: 1..$MaxLiteralVocab weight entries, got ${weights.size}")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "scoreLinear: duplicate token in weight relation")
+    val wmap: Column = map(weights.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val toks = TextOps.tokens(col("text"))
+    // Integer fold over the token array: order-independent (integer +),
+    // unknown tokens contribute 0 — the out-of-vocabulary convention.
+    val acc = aggregate(toks, lit(biasMilli),
+      (a, t) => a + coalesce(element_at(wmap, t), lit(0L)))
+    val margin = acc.cast("double") / (size(toks).cast("double") * lit(1000.0))
+    docs.select(col("doc_id"), margin.as("margin"))
+      .withColumn("keep", col("margin") >= lit(threshold))
+  }
+
+  /** DuckDB oracle for [[scoreLinear]] — generated from the SAME
+    * constants (single source of truth). The oracle uses the explode →
+    * join → group form (result-identical; integer sums are
+    * order-independent) with the final double tree mirrored verbatim. */
+  def scoreLinearSql(weights: Seq[(String, Long)], biasMilli: Long,
+      threshold: Double): String = {
+    def q(t: String): String = t.replace("'", "''")
+    val values = weights
+      .map { case (t, w) => s"('${q(t)}', CAST($w AS BIGINT))" }.mkString(", ")
+    val marginSql =
+      s"""CAST($biasMilli + coalesce(s.acc, 0) AS DOUBLE) /
+         |  (CAST(len(string_split(d.text, ' ')) AS DOUBLE) * 1000.0)""".stripMargin
+    s"""WITH w(token, wt) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |s AS (SELECT tok.doc_id, CAST(sum(w.wt) AS BIGINT) AS acc
+       |  FROM tok JOIN w USING (token) GROUP BY tok.doc_id)
+       |SELECT d.doc_id, $marginSql AS margin,
+       |  ($marginSql) >= ${java.lang.Double.toString(threshold)} AS keep
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+  }
+}

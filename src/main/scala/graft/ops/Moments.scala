@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * arithmetic and the DuckDB oracle compares bit-for-bit.
   *
   * Deriving the real statistics is driver-side d x d arithmetic on the
-  * emitted rows (the MLlib pattern — mean = s_i/n, cov_ij =
-  * (n·s_ij - s_i·s_j) / (n·(n-1)·10^6), eigen via any dense solver);
-  * none of it touches the corpus again.
+  * emitted rows (the MLlib pattern — mean = s_i/n; POPULATION
+  * covariance cov_ij = (s_ij - s_i·s_j/n) / (n·10^6), the convention
+  * [[Moments.pcaTopComponent]] uses — callers wanting the unbiased
+  * SAMPLE estimate scale by n/(n-1); eigen via any dense solver); none
+  * of it touches the corpus again. The 10^6 divisor undoes the
+  * milli-unit quantization (10^3 per factor); eigenVECTORS are
+  * identical under either convention, eigenvalues differ by n/(n-1).
   */
 object Moments {
 

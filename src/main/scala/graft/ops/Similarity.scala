@@ -243,12 +243,17 @@ object Similarity {
   def ivfTrainedTopK(embeddings: DataFrame, k: Int, queryStride: Int): DataFrame =
     ivfTrainedTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
 
-  /** 16-bit sign-pattern LSH bucket (coordinate signs of the first 16
+  /** Sign-pattern LSH bucket (coordinate signs of the first `bits`
     * dims as the hyperplane set — deterministic and engine-agnostic).
-    * try_element_at: a vector shorter than `bits` dims contributes 0
-    * for the missing positions (ANSI element_at would throw), the same
-    * NULL-case semantics as the DuckDB mirror's `qv[i]`. */
-  def signBucket(qv: Column, bits: Int = 16): Column =
+    * Default 8 bits = 256 buckets: dense enough that near-neighbors
+    * collide at the test SFs (16 bits left both LSH gate queries
+    * vacuously empty at sf0.01/sf0.1); at corpus scale widen `bits`
+    * (or band multiple 8-bit tables) to re-balance bucket occupancy
+    * against recall. try_element_at: a vector shorter than `bits` dims
+    * contributes 0 for the missing positions (ANSI element_at would
+    * throw), the same NULL-case semantics as the DuckDB mirror's
+    * `qv[i]`. */
+  def signBucket(qv: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>
       when(try_element_at(qv, lit(i + 1)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -260,9 +265,10 @@ object Similarity {
     ivfTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
 
   /** Embedding near-dup pairs sub-bucketed by sign-bit LSH inside the
-    * label block: candidates must agree on (label, 16-bit sign
-    * pattern). This is the scale path for a hot label — its members
-    * spread over up to 2^16 sub-buckets, so the per-block self-join
+    * label block: candidates must agree on (label, sign pattern —
+    * [[signBucket]], 8 bits here). This is the scale path for a hot
+    * label — its members spread over up to 2^bits sub-buckets, so the
+    * per-block self-join
     * drops from O(m^2) to the sum of squared sub-bucket sizes — at a
     * recall cost only for near-dups whose leading-dim signs differ
     * (cosine >= threshold pairs almost always agree). Use

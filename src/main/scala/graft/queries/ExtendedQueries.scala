@@ -210,18 +210,17 @@ object ExtendedQueries {
 
   private val annLsh: QFn = (s, dir) => {
     // Random-hyperplane-style LSH with the coordinate signs of the
-    // first 16 dims as the hyperplane set (deterministic, engine-
-    // agnostic). Bucket equality prunes candidates before any scoring;
+    // first 8 dims as the hyperplane set (deterministic, engine-
+    // agnostic; 8 bits, not 16 — 2^16 buckets left every query alone
+    // in its bucket at the gate SFs, a vacuously-empty result).
+    // Bucket equality prunes candidates before any scoring;
     // the bucket id is a shuffle key, so at scale this is one hash
     // shuffle + tiny per-bucket scoring, same shape as dedup_minhash.
     import graft.ops.Similarity
     val p = Tables.embeddings(s, dir).select(col("vec_id"),
         Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", Similarity.sqNorm(col("qv")))
-    val bucket = (0 until 16).map { i =>
-      when(element_at(col("qv"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withB = p.withColumn("bucket", bucket)
+    val withB = p.withColumn("bucket", Similarity.signBucket(col("qv"), 8))
     val q = withB.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
         col("qv").as("q_qv"), col("nrm").as("q_nrm"))
@@ -521,7 +520,7 @@ object ExtendedQueries {
         |  FROM embeddings),
         |n0 AS (SELECT vec_id, qv,
         |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
-        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
         |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM q0),
         |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, qv AS q_qv, nrm AS q_nrm

@@ -317,6 +317,22 @@ object PipelineQueries {
         col("n_stop").cast("long").as("n_stop"),
         col("stop_ratio"), col("mean_tok_len"))
 
+  // Fixture gate model for text_classify: milli-unit weights over the
+  // corpus vocabulary, picked so the keep gate splits the fixture
+  // corpus ~60/40 at every SF (a degenerate all-keep / all-drop gate
+  // would prove nothing). Single source of truth for BOTH the Spark
+  // query and its oracle SQL (Classify.scoreLinearSql).
+  private val classifyWeights: Seq[(String, Long)] = Seq(
+    "fast" -> 1500L, "spark" -> 1200L, "vector" -> 900L, "query" -> 800L,
+    "data" -> 600L, "the" -> -400L, "a" -> -600L, "small" -> -700L,
+    "slow" -> -2000L, "dup" -> -3000L)
+  private val classifyBias = 100L
+  private val classifyThreshold = 0.02
+
+  private val textClassify: QFn = (s, dir) =>
+    graft.ops.Classify.scoreLinear(Tables.documents(s, dir),
+      classifyWeights, classifyBias, classifyThreshold)
+
   private val textLangid: QFn = (s, dir) =>
     TextOps.langId(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
@@ -542,7 +558,7 @@ object PipelineQueries {
     QueryDef("dedup_embed_lsh", dedupEmbedLsh,
       s"""WITH $preparedSql,
         |nb AS (SELECT vec_id, label, qv, nrm,
-        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
         |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM n0)
         |SELECT * FROM (
@@ -654,6 +670,9 @@ object PipelineQueries {
         |CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
         |CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
         |FROM f""".stripMargin),
+    QueryDef("text_classify", textClassify,
+      graft.ops.Classify.scoreLinearSql(classifyWeights, classifyBias,
+        classifyThreshold)),
     QueryDef("text_langid", textLangid,
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, lang,

@@ -110,4 +110,16 @@ class ExtendedQueriesSpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(grand === leaves)
   }
+
+  test("LSH gate queries are non-vacuous at the gate SF (sf0.01)") {
+    // Round-9 finding: at 16 sign bits both queries hash-matched the
+    // oracle on ZERO rows — a green light that proved nothing. The
+    // 8-bit bucket is tuned to collide at the gate SF; this spec turns
+    // a future re-vacuation into a red test instead of a silent no-op.
+    val gate = "/root/testdata/sf0.01"
+    assert(SparkEntry.queries("ann_lsh")(spark, gate).count() > 0,
+      "ann_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
+    assert(SparkEntry.queries("dedup_embed_lsh")(spark, gate).count() > 0,
+      "dedup_embed_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
+  }
 }

@@ -8,10 +8,12 @@ import graft.{SparkEntry, SparkSpec}
 class QueriesSmokeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  // pair-producing queries may legitimately return 0 rows at tiny SF
+  // pair-producing queries may legitimately return 0 rows at tiny SF.
+  // ann_lsh / dedup_embed_lsh are deliberately NOT here: their 8-bit
+  // sign buckets are tuned to collide even at sf0.001, so an empty
+  // result means the LSH gate went vacuous again (round-9 finding).
   private val mayBeEmpty =
-    Set("dedup_embed_cosine", "dedup_embed_lsh", "dedup_minhash",
-      "dedup_ngram_jaccard", "ann_lsh")
+    Set("dedup_embed_cosine", "dedup_minhash", "dedup_ngram_jaccard")
 
   test("oracleSql covers every query except declared rows-only ops") {
     // no 256-bit ints / keccak in DuckDB; sketches are approximate by definition
