@@ -174,4 +174,142 @@ object Moments {
        |  CAST(sum(qv[j]) AS BIGINT) AS s_j,
        |  CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s_ij
        |FROM q, p GROUP BY i, j""".stripMargin
+
+  // ---- PCA projection apply ------------------------------------------------
+
+  /** Integer-lattice power iteration: the top-component direction as a
+    * milli-unit INTEGER vector, derived from the [[covarianceStats]]
+    * sufficient statistics with a renormalize-to-integer step each
+    * round — v' = round(w·1000 / |w|) where w = M·v and
+    * M_ij = n·s_ij − s_i·s_j (the n²-scaled population covariance;
+    * positive scaling never changes eigenvectors). Why integers: every
+    * engine reproduces the EXACT same lattice vector after any number of
+    * rounds (the mat-vec is exact 64-bit arithmetic; the one double
+    * renormalize is a fixed IEEE tree), so a DuckDB recursive CTE
+    * replays the identical trajectory and the downstream projection
+    * hash-matches bit-for-bit — convergence quality affects PCA quality,
+    * never cross-engine equality. Convergence: ~1e-3 direction
+    * resolution (milli-units), plenty for a projection/whitening gate;
+    * callers needing research-grade eigenvectors use
+    * [[pcaTopComponent]]'s double path.
+    *
+    * Arithmetic is `multiplyExact`/`addExact` throughout: n²-scaled
+    * moments overflow Long near n ≈ 2M docs at milli-unit scale, and
+    * the failure must be LOUD (the oracle's HUGEINT would keep going —
+    * a silent wrap here would desync the engines). At that corpus scale
+    * the right move is sub-sampling the stats pass, not wider integers.
+    *
+    * Sign convention: first non-zero component positive. */
+  def pcaDirectionInt(embeddings: DataFrame, dims: Int, iters: Int = 30): Array[Long] =
+    pcaDirFromStats(covarianceStats(embeddings, dims).collect(), dims, iters)
+
+  private def pcaDirFromStats(rows: Array[org.apache.spark.sql.Row], dims: Int,
+      iters: Int): Array[Long] = {
+    require(rows.nonEmpty, "pcaDirectionInt: empty corpus (no non-null vectors)")
+    val n = rows.head.getLong(2)
+    require(n >= 2, "pcaDirectionInt: need at least 2 vectors")
+    val m = Array.ofDim[Long](dims, dims)
+    rows.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val v = Math.subtractExact(Math.multiplyExact(n, r.getLong(5)),
+        Math.multiplyExact(r.getLong(3), r.getLong(4)))
+      m(i)(j) = v; m(j)(i) = v
+    }
+    var v = Array.fill(dims)(1000L)
+    var k = 0
+    while (k < iters) {
+      val w = Array.tabulate(dims) { i =>
+        var s = 0L; var j = 0
+        while (j < dims) { s = Math.addExact(s, Math.multiplyExact(m(i)(j), v(j))); j += 1 }
+        s
+      }
+      // norm in doubles, LEFT-TO-RIGHT — the order DuckDB's list_sum
+      // walks the list; both engines see the same exact Long inputs
+      var nw = 0.0
+      var i = 0
+      while (i < dims) { nw += w(i).toDouble * w(i).toDouble; i += 1 }
+      require(nw > 0, "pcaDirectionInt: zero covariance matrix")
+      val nrm = math.sqrt(nw)
+      // HALF_UP on the double's exact value = away-from-zero at ties,
+      // matching DuckDB round(DOUBLE); Math.round would differ at
+      // negative .5 boundaries
+      v = w.map(x => new java.math.BigDecimal(x.toDouble * 1000.0 / nrm)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      k += 1
+    }
+    val fnz = v.find(_ != 0L).getOrElse(0L)
+    if (fnz < 0L) v.map(x => -x) else v
+  }
+
+  /** Projection of every embedding onto the integer top component —
+    * closes the loop [[covarianceStats]] opened: `proj` is the raw
+    * dot with the direction, `proj_centered` subtracts the corpus-mean
+    * projection (the centered coordinate whitening/feature pipelines
+    * feed downstream). Two linear corpus scans total: the stats pass
+    * (one d²-bounded aggregate) and a MAP-SIDE projection pass (the
+    * direction and the mean ride as literals — no join, no shuffle);
+    * the corpus is never rescanned per-dimension or per-iteration
+    * (iteration happens on the driver-held d² matrix, the MLlib
+    * pattern). Everything is exact integer arithmetic up to ONE double
+    * division per output column, mirrored verbatim in
+    * [[pcaProjectSql]]. */
+  def pcaProject(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
+    // ONE stats pass: the collected d² triangle (driver-held, metadata-
+    // scale) feeds the direction, n, AND the per-dim sums
+    val rows = covarianceStats(embeddings, dims).collect()
+    val dir = pcaDirFromStats(rows, dims, iters)
+    val n = rows.head.getLong(2)
+    val sRows = rows.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val sv = (1 to dims).foldLeft(0L) { (acc, i) =>
+      Math.addExact(acc, Math.multiplyExact(sRows(i), dir(i - 1)))
+    }
+    val q = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+    val dot = graft.expr.ArrayExprs.dotLong(col("qv"), typedLit(dir.toSeq))
+    q.select(col("vec_id"),
+      (dot.cast("double") / lit(1000000.0)).as("proj"),
+      ((lit(n) * dot - lit(sv)).cast("double") /
+        (lit(n.toDouble) * lit(1000000.0))).as("proj_centered"))
+  }
+
+  /** DuckDB oracle for [[pcaProject]]: replays the IDENTICAL integer
+    * power-iteration trajectory in a recursive CTE (exact BIGINT
+    * mat-vec, the same fixed IEEE renormalize tree), then the same
+    * projection arithmetic — bit-for-bit equal by construction, proven
+    * empirically at sf0.001/0.01/0.1. */
+  def pcaProjectSql(dims: Int, iters: Int = 30): String =
+    s"""WITH RECURSIVE
+       |q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |e AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i, qv[u.i] AS x
+       |  FROM q, unnest(generate_series(1, $dims)) u(i)),
+       |s1 AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM e GROUP BY i),
+       |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x*b.x) AS BIGINT) AS sij
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |mrow AS (SELECT s2.i AS i, list(nn.n*s2.sij - sa.s*sb.s ORDER BY s2.j) AS row
+       |  FROM s2, nn, s1 sa, s1 sb WHERE sa.i = s2.i AND sb.i = s2.j GROUP BY s2.i),
+       |mat AS (SELECT list(row ORDER BY i) AS m FROM mrow),
+       |it(k, v) AS (
+       |  SELECT 0, list_transform(generate_series(1,$dims), i -> CAST(1000 AS BIGINT))
+       |  UNION ALL
+       |  SELECT k+1, list_transform(w, x -> CAST(round(CAST(x AS DOUBLE)*1000.0/sqrt(nw)) AS BIGINT))
+       |  FROM (
+       |    SELECT k, w, list_sum(list_transform(w, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nw
+       |    FROM (
+       |      SELECT it.k AS k, list_transform(generate_series(1,$dims), i ->
+       |        CAST(list_sum(list_transform(generate_series(1,$dims), j -> m[i][j]*v[j])) AS BIGINT)) AS w
+       |      FROM it, mat WHERE it.k < $iters))
+       |),
+       |vf0 AS (SELECT v FROM it WHERE k = $iters),
+       |vf AS (SELECT CASE WHEN list_filter(v, x -> x <> 0)[1] < 0
+       |  THEN list_transform(v, x -> -x) ELSE v END AS v FROM vf0),
+       |sv AS (SELECT CAST(sum(s1.s * v[s1.i]) AS BIGINT) AS sv FROM s1, vf)
+       |SELECT q.vec_id AS vec_id,
+       |  CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE)/1000000.0 AS proj,
+       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |    / (CAST(nn.n AS DOUBLE)*1000000.0) AS proj_centered
+       |FROM q, vf, nn, sv""".stripMargin
 }

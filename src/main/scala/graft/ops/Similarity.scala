@@ -253,10 +253,78 @@ object Similarity {
     * contributes 0 for the missing positions (ANSI element_at would
     * throw), the same NULL-case semantics as the DuckDB mirror's
     * `qv[i]`. */
-  def signBucket(qv: Column, bits: Int = 8): Column =
+  def signBucket(qv: Column, bits: Int = 8, offset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(try_element_at(qv, lit(i + 1)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(try_element_at(qv, lit(offset + i + 1)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Sign-bucket LSH top-k: candidates pruned to the query's sign-
+    * pattern bucket ([[signBucket]]) before any scoring. The bucket id
+    * is a shuffle key, so at scale this is one hash shuffle + per-bucket
+    * scoring — the recall/cost trade the `ann_recall` harness
+    * quantifies against brute force. Queries share the broadcast-sized
+    * contract of [[bruteForceTopK]]. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", sqNorm(col("qv")))
+        .withColumn("bucket", signBucket(col("qv"), bits))
+    val q = prep(queries).select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+      col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = prep(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q),
+        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    topK(scored, k)
+  }
+
+  def lshTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100,
+      bits: Int = 8): DataFrame =
+    lshTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k, bits)
+
+  /** Multi-table sign-LSH top-k — OR-amplification, the production
+    * recall knob: table t buckets on the signs of dims
+    * [t·bits, t·bits+bits); a pair is a candidate if it collides in ANY
+    * table (measured on the fixture corpus: 1 table × 8 bits ≈ 0.0
+    * recall@3, 12 tables × 5 bits ≈ 0.6–0.7 while scoring ~30% of the
+    * corpus per query — `ann_recall` reports the dial).
+    *
+    * Scale shape: the band relation is `tables`× the corpus in skinny
+    * (tab, bucket, id) rows — one hash shuffle on (tab, bucket), same
+    * as dedup_minhash's band join; candidate dedup is one (q, c)
+    * shuffle of the COLLIDED pairs only; scoring + top-k as
+    * [[lshTopK]]. Tables × bits ≤ dims. */
+  def lshTopKMulti(embeddings: DataFrame, queries: DataFrame, k: Int,
+      bits: Int, tables: Int): DataFrame = {
+    require(bits >= 1 && tables >= 1, "lshTopKMulti: bits and tables must be >= 1")
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", sqNorm(col("qv")))
+    def bands(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("qv"), col("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tab"),
+            signBucket(col("qv"), bits, t * bits).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
+    val q = bands(prep(queries)).select(col("vec_id").as("q_id"), col("tab"),
+      col("bucket"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = bands(prep(embeddings)).select(col("vec_id").as("c_id"), col("tab"),
+      col("bucket"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    // a pair colliding in several tables must be scored ONCE
+    val cand = c.join(broadcast(q), Seq("tab", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("score",
+      cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    topK(scored, k)
+  }
+
+  def lshTopKMulti(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100,
+      bits: Int = 5, tables: Int = 12): DataFrame =
+    lshTopKMulti(embeddings, embeddings.filter(col("vec_id") % queryStride === 0),
+      k, bits, tables)
 
   /** Fixture wrappers: every `queryStride`-th vector as the query set. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100): DataFrame =

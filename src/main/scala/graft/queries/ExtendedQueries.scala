@@ -208,33 +208,16 @@ object ExtendedQueries {
 
   // ---- ANN: sign-bit LSH ---------------------------------------------------
 
-  private val annLsh: QFn = (s, dir) => {
+  private val annLsh: QFn = (s, dir) =>
     // Random-hyperplane-style LSH with the coordinate signs of the
     // first 8 dims as the hyperplane set (deterministic, engine-
     // agnostic; 8 bits, not 16 — 2^16 buckets left every query alone
     // in its bucket at the gate SFs, a vacuously-empty result).
-    // Bucket equality prunes candidates before any scoring;
-    // the bucket id is a shuffle key, so at scale this is one hash
-    // shuffle + tiny per-bucket scoring, same shape as dedup_minhash.
-    import graft.ops.Similarity
-    val p = Tables.embeddings(s, dir).select(col("vec_id"),
-        Similarity.quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", Similarity.sqNorm(col("qv")))
-    val withB = p.withColumn("bucket", Similarity.signBucket(col("qv"), 8))
-    val q = withB.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
-        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val c = withB.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
-      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-    val scored = c.join(broadcast(q),
-        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
-      .withColumn("score",
-        Similarity.cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("c_id"), col("rank"), col("score"))
-  }
+    // Bucket equality prunes candidates before any scoring; the bucket
+    // id is a shuffle key, so at scale this is one hash shuffle + tiny
+    // per-bucket scoring, same shape as dedup_minhash.
+    graft.ops.Similarity.lshTopK(Tables.embeddings(s, dir),
+      k = 3, queryStride = 100, bits = 8)
 
   // ---- P/K/A/text: JSON, exact uint256 agg, percentiles, doc frequency ----
 
@@ -400,6 +383,9 @@ object ExtendedQueries {
   private val embedCenter: QFn = (s, dir) =>
     graft.ops.Moments.centered(Tables.embeddings(s, dir), dims = 64)
 
+  private val embedProject: QFn = (s, dir) =>
+    graft.ops.Moments.pcaProject(Tables.embeddings(s, dir), dims = 64)
+
   private val corpusDiff: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Snapshot.corpusDiff(
@@ -419,6 +405,8 @@ object ExtendedQueries {
       graft.ops.Moments.covarianceSql(dims = 64)),
     QueryDef("embed_center", embedCenter,
       graft.ops.Moments.centeredSql(dims = 64)),
+    QueryDef("embed_project", embedProject,
+      graft.ops.Moments.pcaProjectSql(dims = 64)),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,

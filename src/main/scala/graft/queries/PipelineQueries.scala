@@ -92,12 +92,12 @@ object PipelineQueries {
        |${prefix}n AS (SELECT cell, cv,
        |  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm FROM ${prefix}m)""".stripMargin
 
-  // Full trained-IVF oracle (seed → 2 Lloyd rounds → assign → probe →
-  // score), parameterized by the query stride so the build+search query
-  // and its search-only twin share one SQL body.
-  private def ivfTrainedSql(stride: Int) =
-    s"""WITH $preparedSql,
-      |seed AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell,
+  // Full trained-IVF oracle CTE chain (seed → 2 Lloyd rounds → assign →
+  // probe → score), ending in `ivfres` — parameterized by the query
+  // stride so the build+search query, its search-only twin, AND the
+  // recall harness share one SQL body.
+  private def ivfTrainedCtes(stride: Int) =
+    s"""seed AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cell,
       |  qv AS cv, nrm AS cnrm FROM n0
       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
       |${kmAssignSql("a1", "seed")},
@@ -110,15 +110,86 @@ object PipelineQueries {
       |  SELECT q.q_id, q.q_qv, q.q_nrm, c.cell,
       |    row_number() OVER (PARTITION BY q.q_id
       |      ORDER BY q.q_nrm - 2 * ${idotSql("q.q_qv", "c.cv")} + c.cnrm, c.cell) AS rn
-      |  FROM qs q CROSS JOIN m2n c) WHERE rn <= 2)
-      |SELECT q_id, c_id, rank, score FROM (
+      |  FROM qs q CROSS JOIN m2n c) WHERE rn <= 2),
+      |ivfres AS (SELECT q_id, c_id, rank, score FROM (
       |  SELECT q_id, c_id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
       |  FROM (SELECT p.q_id, a.vec_id AS c_id,
       |    ${dotSql("p.q_qv", "a.qv")} /
       |    (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS score
       |    FROM pr p JOIN af a ON p.cell = a.cell AND p.q_id <> a.vec_id))
-      |WHERE rank <= 3""".stripMargin
+      |WHERE rank <= 3)""".stripMargin
+
+  private def ivfTrainedSql(stride: Int) =
+    s"""WITH $preparedSql,
+      |${ivfTrainedCtes(stride)}
+      |SELECT q_id, c_id, rank, score FROM ivfres""".stripMargin
+
+  // Multi-table sign-LSH band relation: table t buckets on the signs of
+  // dims [t·bits+1, t·bits+bits] — mirrors Similarity.lshTopKMulti.
+  private def lshMultiBandsSql(bits: Int, tables: Int) =
+    (0 until tables).map { t =>
+      s"""SELECT vec_id, $t AS tab, CAST(list_sum(list_transform(generate_series(${t * bits + 1}, ${t * bits + bits}),
+         |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1 - ${t * bits})) ELSE 0 END)) AS BIGINT) AS bucket,
+         |  qv, nrm FROM n0""".stripMargin
+    }.mkString("\n  UNION ALL ")
+
+  // Multi-table LSH top-3 CTE chain ending in `mlshres` (bits=5,
+  // tables=12 — the ann_recall production configuration).
+  private def lshMultiCtes(stride: Int) =
+    s"""mb AS (${lshMultiBandsSql(5, 12)}),
+      |mcand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    q.qv AS q_qv, c.qv AS c_qv, q.nrm AS q_nrm, c.nrm AS c_nrm
+      |  FROM mb q JOIN mb c ON q.tab = c.tab AND q.bucket = c.bucket
+      |    AND q.vec_id <> c.vec_id AND q.vec_id % $stride = 0),
+      |mlshres AS (SELECT q_id, c_id, rank, score FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+      |  FROM (SELECT q_id, c_id,
+      |    ${dotSql("q_qv", "c_qv")} /
+      |    (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(c_nrm AS DOUBLE))) AS score
+      |    FROM mcand))
+      |  WHERE rank <= 3)""".stripMargin
+
+  // Recall@3 oracle: exact brute-force truth, the trained-IVF chain,
+  // the 8-bit single-table sign-LSH chain, and the 12×5 multi-table
+  // chain, all on the same stride-100 query set.
+  private val annRecallSql =
+    s"""WITH $preparedSql,
+      |${ivfTrainedCtes(100)},
+      |${lshMultiCtes(100)},
+      |lshb AS (SELECT vec_id, qv, nrm,
+      |  CAST(list_sum(list_transform(generate_series(1, 8),
+      |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM n0),
+      |lshres AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    ${dotSql("q.qv", "c.qv")} /
+      |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS score
+      |    FROM lshb q JOIN lshb c
+      |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id AND q.vec_id % 100 = 0))
+      |  WHERE rank <= 3),
+      |truth AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    ${dotSql("q.qv", "c.qv")} /
+      |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS score
+      |    FROM n0 q JOIN n0 c ON q.vec_id <> c.vec_id AND q.vec_id % 100 = 0))
+      |  WHERE rank <= 3),
+      |m AS (SELECT 'ivf' AS method, q_id, c_id FROM ivfres
+      |      UNION ALL SELECT 'lsh' AS method, q_id, c_id FROM lshres
+      |      UNION ALL SELECT 'lsh_multi' AS method, q_id, c_id FROM mlshres),
+      |h AS (SELECT m.method, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM m JOIN truth USING (q_id, c_id) GROUP BY m.method),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi']) AS method)
+      |SELECT ml.method AS method, t.n_truth AS n_truth,
+      |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
+      |FROM ml LEFT JOIN h ON ml.method = h.method, t""".stripMargin
 
   private val dedupExact: QFn = (s, dir) => Dedup.exact(Tables.documents(s, dir))
 
@@ -302,6 +373,41 @@ object PipelineQueries {
   private val annIvfTrainedSearch: QFn = (s, dir) => ivfSearchAtStride(s, dir, stride = 50)
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
+
+  private val annLshMulti: QFn = (s, dir) =>
+    Similarity.lshTopKMulti(Tables.embeddings(s, dir),
+      k = 3, queryStride = 100, bits = 5, tables = 12)
+
+  // Recall@3 of the two approximate indexes against exact brute force —
+  // the harness that quantifies the recall/cost dial the IVF and LSH
+  // docs promise. Truth, IVF and LSH all use the SAME query set
+  // (stride 100) and k=3, so recall = |approx ∩ truth| / |truth| is the
+  // standard definition. recall is the one double division; everything
+  // upstream is the already-oracled integer scoring.
+  private val annRecall: QFn = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteForceTopK(emb, k = 3, queryStride = 100)
+      .select(col("q_id"), col("c_id"))
+    val ivf = ivfSearchAtStride(s, dir, stride = 100)
+      .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
+    val lsh = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
+      .select(lit("lsh").as("method"), col("q_id"), col("c_id"))
+    val lshMulti = Similarity.lshTopKMulti(emb, k = 3, queryStride = 100,
+        bits = 5, tables = 12)
+      .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
+    val hits = ivf.union(lsh).union(lshMulti)
+      .join(truth, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // literal method spine: a method with zero hits must still report
+    Seq("ivf", "lsh", "lsh_multi").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("method"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
 
   private val textTokens: QFn = (s, dir) =>
     TextOps.tokenStats(Tables.documents(s, dir))
@@ -649,6 +755,11 @@ object PipelineQueries {
         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS s
         |FROM u GROUP BY label, dim""".stripMargin),
     QueryDef("ann_ivf_trained", annIvfTrained, ivfTrainedSql(100)),
+    QueryDef("ann_recall", annRecall, annRecallSql),
+    QueryDef("ann_lsh_multi", annLshMulti,
+      s"""WITH $preparedSql,
+        |${lshMultiCtes(100)}
+        |SELECT q_id, c_id, rank, score FROM mlshres""".stripMargin),
     // search-only twin: same trained quantizer (the oracle retrains —
     // DuckDB has no index to reuse; the Spark side searches the cached
     // one), different query set so the two results are distinct.

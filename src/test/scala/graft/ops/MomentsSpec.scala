@@ -111,6 +111,52 @@ class MomentsSpec extends SparkSpec {
     assert(l2 === lambda && v2.toSeq === v.toSeq)
   }
 
+  test("pcaDirectionInt: integer direction aligns with the planted component") {
+    val pts = (-50 to 50).map { t =>
+      val w = if (t % 2 == 0) 0.01 else -0.01
+      (t.toLong, Seq((0.6 * t + 0.8 * w).toFloat, (0.8 * t - 0.6 * w).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val v = Moments.pcaDirectionInt(df, dims = 2)
+    // milli-unit lattice vector ~ 1000·(0.6, 0.8), first-nz-positive sign
+    val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(v(0) / nrm - 0.6) < 0.01 && math.abs(v(1) / nrm - 0.8) < 0.01,
+      s"got ${v.toSeq}")
+    assert(v.find(_ != 0L).exists(_ > 0L), "sign convention: first non-zero positive")
+    // determinism: bit-identical on rerun
+    assert(Moments.pcaDirectionInt(df, dims = 2).toSeq === v.toSeq)
+  }
+
+  test("pcaProject: centered projections sum to ~zero, ordering follows the component") {
+    val pts = (-50 to 50).map { t =>
+      val w = if (t % 2 == 0) 0.01 else -0.01
+      (t.toLong, Seq((0.6 * t + 0.8 * w).toFloat, (0.8 * t - 0.6 * w).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val rows = Moments.pcaProject(df, dims = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === pts.size)
+    // centered coordinates of a full corpus sum to ~0 (exact up to the
+    // one double division per row)
+    assert(math.abs(rows.map(_._3).sum) < 1e-6)
+    // points were planted along t: projection order must follow vec_id
+    // (= t) order, up to overall sign
+    val sorted = rows.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a < b } ||
+      sorted.zip(sorted.tail).forall { case (a, b) => a > b },
+      "projection must be monotone along the planted direction")
+    // map-side claim: no shuffle in the projection pass
+    val proj = Moments.pcaProject(df, dims = 2)
+    proj.collect()
+    val plan = proj.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"projection pass must not shuffle:\n$plan")
+  }
+
   test("histogram: fixed-width buckets with per-bucket extremes, empties absent") {
     val df = Seq(3L, 7L, 12L, 19L, 41L).toDF("m")
     val got = Profile.histogram(df, col("m"), width = 10L).collect()

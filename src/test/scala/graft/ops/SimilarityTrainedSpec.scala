@@ -97,4 +97,35 @@ class SimilarityTrainedSpec extends SparkSpec {
     assert(got.length === 3)
     assert(got.forall(id => id >= 1L && id < 100L)) // all neighbors from blob 0
   }
+
+  test("lshTopKMulti: identical vectors always collide; pairs scored once") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f, 0.75f)),
+      (100L, Array(1.0f, 0.5f, -0.25f, 0.75f)), // identical to 0
+      (2L, Array(-1.0f, -0.5f, 0.25f, -0.75f))  // opposite signs everywhere
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopKMulti(emb, emb.filter(col("vec_id") === 0L),
+        k = 3, bits = 2, tables = 2).collect()
+    val ids = res.map(_.getAs[Long]("c_id"))
+    assert(ids.contains(100L), "identical vector must collide in every table")
+    assert(!ids.contains(2L), "all-opposite-sign vector cannot collide in any table")
+    // colliding in BOTH tables must not duplicate the pair
+    assert(ids.count(_ == 100L) === 1)
+  }
+
+  test("recall@3 floors hold at the gate SFs (the recall/cost dial is real)") {
+    // ann_recall is oracle-checked for VALUES; this pins the QUALITY
+    // floor so a param change that silently craters recall turns red.
+    // Measured: ivf 0.67/0.52, lsh_multi 0.73/0.62 at sf0.01/sf0.1 —
+    // floors leave drift margin.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rec = graft.SparkEntry.queries("ann_recall")(spark, dir).collect()
+        .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+      assert(rec("ivf") >= 0.4, s"$dir: ivf recall ${rec("ivf")} < 0.4")
+      assert(rec("lsh_multi") >= 0.5, s"$dir: lsh_multi recall ${rec("lsh_multi")} < 0.5")
+      assert(rec("lsh_multi") >= rec("lsh"),
+        s"$dir: OR-amplification must not lose recall vs one table")
+    }
+  }
 }
