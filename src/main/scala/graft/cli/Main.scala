@@ -46,6 +46,13 @@ object Main {
       |  verify START END   reconcile chain truth against the DB tables (--db)
       |  load DATA_DIR      bulk backfill rollups from the events table (--out)
       |  compact            fold a log-format tail sink to one row per key (--out)
+      |  digest FUNCTION_ABI
+      |                     keccak selector for an eth_call signature, e.g.
+      |                     digest "supportsInterface(bytes4)" -> 0x01ffc9a7;
+      |                     --log-topic prints the full 32-byte topic hash
+      |  reset              delete the five entity tables under --out (and the
+      |                     bookmark/data_version store under --config if given)
+      |                     so the next crawl/tail starts from nothing
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -95,7 +102,8 @@ object Main {
     * `--key value` except boolean flags. Unknown options fail loudly —
     * a typo'd option silently ignored is the worst CLI failure mode. */
   private val boolFlags = Set("--increment-data-version", "--once",
-    "--owners-view", "--tokens-view", "--uris-view", "--collections-view")
+    "--owners-view", "--tokens-view", "--uris-view", "--collections-view",
+    "--log-topic")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -104,7 +112,7 @@ object Main {
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
     "compact-every",
-    "owners-view", "tokens-view", "uris-view", "collections-view")
+    "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -490,6 +498,37 @@ object Main {
           }
           if (folded.isEmpty) throw CliError(s"compact: no log-format tables under $out")
           println(s"compacted ${folded.map(n => s"$out/$n").mkString(", ")}")
+          0
+
+        case "digest" =>
+          // reference `function_digest` (evm/bin.py:18-35): the 4-byte
+          // selector of an eth_call signature; --log-topic prints the
+          // full keccak (the docstring's documented contract — selector
+          // 0x + 8 hex — not the reference's sig[:8] slice, which
+          // truncates to 6 hex digits and contradicts its own example)
+          val Vector((_, sig)) = positional(pos, "digest", "FUNCTION_ABI")
+          println(if (opts.contains("log-topic")) graft.expr.Keccak.eventTopic(sig)
+            else graft.expr.Keccak.functionSelector(sig))
+          0
+
+        case "reset" =>
+          // reference `reset` (nft/bin/reset.py): delete + recreate the
+          // entity tables and the config store. Parquet-world twin:
+          // delete the table DIRS (the next write recreates them);
+          // deletes are scoped to the known table names, never the whole
+          // --out tree (an operator pointing --out at a shared dir must
+          // not lose unrelated data)
+          positional(pos, "reset") // no positional args
+          val out = required(opts, "out")
+          val entityTables = Seq("collections", "transfers", "tokens", "owners", "uris")
+          val targets = entityTables.map(t => s"$out/$t") ++
+            opts.get("config").toSeq.flatMap(c => Seq(s"$c/last_block", s"$c/data_version"))
+          val deleted = targets.filter { t =>
+            val p = new org.apache.hadoop.fs.Path(t)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.exists(p) && fs.delete(p, true)
+          }
+          println(s"DB has been reset (${deleted.size} table(s) removed)")
           0
 
         case other => throw CliError(s"unknown command: $other")

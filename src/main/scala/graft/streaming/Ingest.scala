@@ -59,7 +59,8 @@ object Ingest {
     * the index relation — bounded by corpus size, nothing accumulates in
     * the stream's state store. */
   def processNearDupBatch(batch: DataFrame, indexPath: String, outPath: String,
-      batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000): Unit = {
+      batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000,
+      bench: Option[graft.ops.Decontaminate.BenchGate] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val bands = Dedup.bandIndex(batch, numHashes, maxBucket).persist()
@@ -75,9 +76,19 @@ object Ingest {
             .select(col("doc_id")).distinct()
         case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       }
+      // benchmark decontamination: probe the STANDING gate (bloom +
+      // cached bench shingles, built once at stream start) — O(batch)
+      // per epoch, and contaminated docs neither land in the corpus nor
+      // extend the band index (a leaked doc must not become the
+      // dedup representative that shadows clean arrivals)
+      val contaminated = bench match {
+        case Some(g) => graft.ops.Decontaminate.contaminatedIds(batch, g)
+        case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      }
       // dropped feeds both sink writes (two actions) — persist so the
       // corpus probe join runs once
-      val dropped = inBatchDropped.unionByName(corpusHits).persist()
+      val dropped = inBatchDropped.unionByName(corpusHits)
+        .unionByName(contaminated).persist()
       try {
         val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
         writeBatchPartition(survivors, outPath, batchId)
@@ -113,11 +124,12 @@ object Ingest {
     * parquet index the batch itself extends — and the epoch-partitioned
     * overwrite makes replays converge instead of duplicating. */
   def startNearDupIngest(newDocs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000): StreamingQuery =
+      checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000,
+      bench: Option[graft.ops.Decontaminate.BenchGate] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket)
+        processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket, bench)
       }
       .start()
 }

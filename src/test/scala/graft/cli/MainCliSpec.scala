@@ -337,4 +337,42 @@ class MainCliSpec extends SparkSpec {
     // missing db tables -> clean exit, not a stack trace
     assert(Main.run(spark, Seq("verify", "0", "10", "--db", tmp("cli_nodb"))) === 2)
   }
+
+  test("digest: eth_call selector, --log-topic full hash (reference function_digest)") {
+    def captured(args: Seq[String]): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        assert(Main.run(spark, args) === 0)
+      }
+      bos.toString.trim
+    }
+    // the reference docstring's own example (evm/bin.py:25-31)
+    assert(captured(Seq("digest", "supportsInterface(bytes4)")) === "0x01ffc9a7")
+    // the canonical ERC-20/721 Transfer topic
+    assert(captured(Seq("digest", "Transfer(address,address,uint256)", "--log-topic")) ===
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    // wrong arity is loud
+    assert(Main.run(spark, Seq("digest")) === 2)
+  }
+
+  test("reset: removes the entity tables and config store, leaves unrelated data") {
+    import spark.implicits._
+    val out = tmp("cli_reset_out")
+    val cfg = tmp("cli_reset_cfg")
+    for (t <- Seq("collections", "transfers", "tokens", "owners", "uris"))
+      Seq((1L, "x")).toDF("id", "v").write.parquet(s"$out/$t")
+    Seq((1L, "keep")).toDF("id", "v").write.parquet(s"$out/unrelated")
+    assert(Main.run(spark, Seq("seed", "42", "--config", cfg)) === 0)
+    assert(Main.run(spark, Seq("reset", "--out", out, "--config", cfg)) === 0)
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    for (t <- Seq("collections", "transfers", "tokens", "owners", "uris"))
+      assert(!exists(s"$out/$t"), s"$t must be deleted")
+    assert(!exists(s"$cfg/last_block"), "config bookmark must be deleted")
+    // reset is scoped to the known table names — never the whole tree
+    assert(exists(s"$out/unrelated"))
+    // a fresh seed works after reset (the store recreates cleanly)
+    assert(Main.run(spark, Seq("seed", "7", "--config", cfg)) === 0)
+    // reset of an already-empty dir is a no-op success, not an error
+    assert(Main.run(spark, Seq("reset", "--out", tmp("cli_reset_empty"))) === 0)
+  }
 }

@@ -86,4 +86,53 @@ class IngestNearDupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(1L))
     assert(spark.read.parquet(idx).count() === 4L)
   }
+
+  test("two batches through the STANDING bench gate: contaminated docs dropped, O(batch) per epoch") {
+    // The streaming corpus gate must match the batch decontamination
+    // gate: the benchmark bloom + shingle relation are built ONCE at
+    // stream start (benchGate) and probed per micro-batch — never
+    // rebuilt, never rescanned.
+    import graft.ops.Decontaminate
+    val idx = tmp("nd_idxg") + "/bands"
+    val out = tmp("nd_outg") + "/corpus"
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val gate = Decontaminate.benchGate(bench, minOverlap = 3)
+    try {
+      // the bench relation is CACHED: each epoch probes memory, not a
+      // re-derivation — the O(batch)-per-epoch claim
+      assert(gate.benchShingles.storageLevel.useMemory,
+        "bench shingles must be persisted for the per-batch probe")
+      // batch 1: doc 1 embeds a 6-word bench span (4 shared 3-gram
+      // shingles >= minOverlap 3) -> contaminated; doc 2 is clean
+      Ingest.processNearDupBatch(Seq(
+        (1L, "noise words alpha beta gamma delta epsilon zeta more stuff", "s", 58L),
+        (2L, "perfectly original training content with no leaks", "s", 49L))
+        .toDF("doc_id", "text", "source", "n_chars"),
+        idx, out, batchId = 0L, bench = Some(gate))
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // the leaked doc must NOT have extended the band index either
+      assert(spark.read.parquet(idx).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // batch 2 through the SAME gate object: a new contaminated doc is
+      // still dropped, a clean one still kept
+      Ingest.processNearDupBatch(Seq(
+        (10L, "prefix gamma delta epsilon zeta eta theta suffix words", "s", 54L),
+        (11L, "another clean and unrelated document entirely here", "s", 50L))
+        .toDF("doc_id", "text", "source", "n_chars"),
+        idx, out, batchId = 1L, bench = Some(gate))
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 11L))
+      // a sub-threshold overlap (2 shared shingles < minOverlap 3)
+      // survives — the gate thresholds, it doesn't keyword-match
+      Ingest.processNearDupBatch(Seq(
+        (20L, "mentions alpha beta gamma delta only briefly today", "s", 50L))
+        .toDF("doc_id", "text", "source", "n_chars"),
+        idx, out, batchId = 2L, bench = Some(gate))
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 11L, 20L))
+    } finally gate.release()
+  }
 }
