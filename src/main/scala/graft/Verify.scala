@@ -22,6 +22,13 @@ object Verify {
     // engine optimizer rules (sessions built withExtensions get these
     // from GraftExtensions; a plain session installs them at runtime)
     spark.experimental.extraOptimizations ++= Seq(graft.plans.TokenCountRule)
+    // unknown names fail LOUDLY: a typo'd filter would otherwise dump
+    // nothing and present an empty, clean-looking run
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val qs = only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
     val os = only.fold(SparkEntry.oracleSql)(f => SparkEntry.oracleSql.view.filterKeys(f).toMap)
     dump(spark, sfDir, outDir, qs, os)

@@ -20,20 +20,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the weight table of a fastText-quality-style model is
   * MODEL-scale (vocab entries), not corpus-scale — it rides to every
-  * executor as a constant-folded map literal, exactly like the
-  * driver-held k-means centroids in [[Similarity]]. Scoring is then a
+  * executor as a driver-held HashMap reference inside the native
+  * `linear_score` kernel (the CellExprs centroid pattern: O(1) lookup
+  * per token; a constant-folded map literal would linear-scan its keys
+  * per `element_at`, O(tokens·vocab) per row). Scoring is a
   * PROJECTION-ONLY pass: one linear scan of the corpus, zero shuffles,
   * zero joins (spec-enforced — no Exchange in the plan). For a vocab too
-  * big for a literal (say >10^6 entries), the same score is an
-  * explode → broadcast-join → doc_id re-agg (one shuffle, the
+  * big for a task-shipped reference (say >10^6 entries), the same score
+  * is an explode → broadcast-join → doc_id re-agg (one shuffle, the
   * [[Retrieval.tfidfKeywords]] shape); this map-side form is the right
   * one for every real quality model we know of.
   */
 object Classify {
 
-  /** Max literal vocab entries: far above any hand-held gate model, far
-    * below anything that should be a join (the constant-folded map is
-    * O(vocab) bytes serialized into every task binary). */
+  /** Max reference-shipped vocab entries: far above any hand-held gate
+    * model, far below anything that should be a join (the HashMap is
+    * O(vocab) bytes serialized into every task binary; lookups stay
+    * O(1) at any size within it). */
   val MaxLiteralVocab = 65536
 
   /** Margin + keep flag per document.
@@ -49,14 +52,14 @@ object Classify {
       s"scoreLinear: 1..$MaxLiteralVocab weight entries, got ${weights.size}")
     require(weights.map(_._1).distinct.size == weights.size,
       "scoreLinear: duplicate token in weight relation")
-    val wmap: Column = map(weights.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
-    val toks = TextOps.tokens(col("text"))
-    // Integer fold over the token array: order-independent (integer +),
-    // unknown tokens contribute 0 — the out-of-vocabulary convention.
-    val acc = aggregate(toks, lit(biasMilli),
-      (a, t) => a + coalesce(element_at(wmap, t), lit(0L)))
-    val margin = acc.cast("double") / (size(toks).cast("double") * lit(1000.0))
-    docs.select(col("doc_id"), margin.as("margin"))
+    // ONE tokenize pass via the native kernel: [bias + Σ w(token),
+    // n_tokens]. Integer sum is order-independent; unknown tokens
+    // contribute 0 — the out-of-vocabulary convention.
+    val sc = graft.expr.LinearScore(col("text"), weights, biasMilli)
+    val margin = element_at(col("sc"), 1).cast("double") /
+      (element_at(col("sc"), 2).cast("double") * lit(1000.0))
+    docs.select(col("doc_id"), sc.as("sc"))
+      .select(col("doc_id"), margin.as("margin"))
       .withColumn("keep", col("margin") >= lit(threshold))
   }
 

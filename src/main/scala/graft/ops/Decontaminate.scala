@@ -79,6 +79,25 @@ object Decontaminate {
     * The exchange then carries ~contamination + fpp·corpus rows
     * instead of every corpus shingle: at 100 TB this is the difference
     * between shuffling the corpus and shuffling the answer. */
+  def overlapBloom(train: DataFrame, bench: DataFrame, minOverlap: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    val bs = shingles(bench)
+    // expectedNumItems from the (small) bench side, so the bloom is
+    // sized to the data instead of a guess — over-sizing wastes
+    // executor memory fleet-wide, under-sizing collapses the prune
+    // rate. Costs one extra scan of the bench side (small by contract);
+    // deliberately no persist: the op stays stateless, nothing lingers
+    // in executor storage after the query.
+    val n = math.max(bs.count(), 1L)
+    val bf = bs.stat.bloomFilter("sh", n, fpp)
+    shingles(train).withColumnRenamed("doc_id", "train_id")
+      .filter(graft.expr.Bloom.mightContain(col("sh"), bf))
+      .join(broadcast(bs.withColumnRenamed("doc_id", "bench_id")), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Standing benchmark gate for STREAMING ingestion: the bloom and the
     * bench shingle relation built ONCE at stream start and probed by
     * every micro-batch — the streaming corpus gate must match the batch
@@ -112,23 +131,4 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= gate.minOverlap)
       .select(col("train_id").as("doc_id")).distinct()
-
-  def overlapBloom(train: DataFrame, bench: DataFrame, minOverlap: Int = 3,
-      fpp: Double = 0.001): DataFrame = {
-    val bs = shingles(bench)
-    // expectedNumItems from the (small) bench side, so the bloom is
-    // sized to the data instead of a guess — over-sizing wastes
-    // executor memory fleet-wide, under-sizing collapses the prune
-    // rate. Costs one extra scan of the bench side (small by contract);
-    // deliberately no persist: the op stays stateless, nothing lingers
-    // in executor storage after the query.
-    val n = math.max(bs.count(), 1L)
-    val bf = bs.stat.bloomFilter("sh", n, fpp)
-    shingles(train).withColumnRenamed("doc_id", "train_id")
-      .filter(graft.expr.Bloom.mightContain(col("sh"), bf))
-      .join(broadcast(bs.withColumnRenamed("doc_id", "bench_id")), "sh")
-      .groupBy(col("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= minOverlap)
-  }
 }

@@ -300,6 +300,15 @@ object Similarity {
     require(bits >= 1 && tables >= 1, "lshTopKMulti: bits and tables must be >= 1")
     def prep(df: DataFrame): DataFrame =
       df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        // tables × bits ≤ dims is enforced PER ROW, loudly: a table
+        // past the vector's end sees only nulls, hashes every vector
+        // to bucket 0, and silently degenerates the index into a
+        // full cross join — the worst quiet failure an index can have
+        .select(col("vec_id"),
+          when(size(col("qv")) >= tables * bits, col("qv"))
+            .otherwise(raise_error(concat(
+              lit(s"lshTopKMulti: tables*bits = ${tables * bits} exceeds vector length "),
+              size(col("qv")).cast("string")))).as("qv"))
         .withColumn("nrm", sqNorm(col("qv")))
     def bands(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("qv"), col("nrm"),

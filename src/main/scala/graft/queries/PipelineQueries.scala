@@ -387,26 +387,34 @@ object PipelineQueries {
   private val annRecall: QFn = (s, dir) => {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
+    // truth feeds TWO consumers (the hits semi-join and n_truth) — an
+    // unpersisted lineage would recompute the O(Q·N) brute-force
+    // scoring join twice. persist + count materializes it once; the
+    // report itself is 3 rows, so the hit counts collect driver-side
+    // like any other metadata-scale result (the kmeansCentroids
+    // pattern), letting the cache release deterministically before
+    // the QFn returns instead of leaking across bench runs.
     val truth = Similarity.bruteForceTopK(emb, k = 3, queryStride = 100)
-      .select(col("q_id"), col("c_id"))
-    val ivf = ivfSearchAtStride(s, dir, stride = 100)
-      .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
-    val lsh = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
-      .select(lit("lsh").as("method"), col("q_id"), col("c_id"))
-    val lshMulti = Similarity.lshTopKMulti(emb, k = 3, queryStride = 100,
-        bits = 5, tables = 12)
-      .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
-    val hits = ivf.union(lsh).union(lshMulti)
-      .join(truth, Seq("q_id", "c_id"), "left_semi")
-      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    // literal method spine: a method with zero hits must still report
-    Seq("ivf", "lsh", "lsh_multi").toDF("method")
-      .join(hits, Seq("method"), "left")
-      .na.fill(0L, Seq("n_hits"))
-      .crossJoin(broadcast(nTruth))
-      .select(col("method"), col("n_truth"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+      .select(col("q_id"), col("c_id")).persist()
+    try {
+      val nTruth = truth.count()
+      val ivf = ivfSearchAtStride(s, dir, stride = 100)
+        .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
+      val lsh = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
+        .select(lit("lsh").as("method"), col("q_id"), col("c_id"))
+      val lshMulti = Similarity.lshTopKMulti(emb, k = 3, queryStride = 100,
+          bits = 5, tables = 12)
+        .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
+      val hits = ivf.union(lsh).union(lshMulti)
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // literal method spine: a method with zero hits must still report
+      Seq("ivf", "lsh", "lsh_multi").map { m =>
+        val h = hits.getOrElse(m, 0L)
+        (m, nTruth, h, h.toDouble / nTruth.toDouble)
+      }.toDF("method", "n_truth", "n_hits", "recall")
+    } finally truth.unpersist(blocking = false)
   }
 
   private val textTokens: QFn = (s, dir) =>

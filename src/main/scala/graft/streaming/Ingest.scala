@@ -65,36 +65,42 @@ object Ingest {
     if (batch.isEmpty) return
     val bands = Dedup.bandIndex(batch, numHashes, maxBucket).persist()
     try {
-      val inBatchDropped = Dedup.candidatePairsFromBands(bands)
-        .select(col("id_b").as("doc_id")).distinct()
-      val keptBands = bands.join(inBatchDropped, Seq("doc_id"), "left_anti")
-      val corpusHits = standingBands(spark, indexPath) match {
-        case Some(corpus) =>
-          keptBands.join(corpus.filter(col("batch_id") =!= batchId)
-              .select(col("band"), col("h")),
-            Seq("band", "h"), "left_semi")
-            .select(col("doc_id")).distinct()
-        case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      }
-      // benchmark decontamination: probe the STANDING gate (bloom +
-      // cached bench shingles, built once at stream start) — O(batch)
-      // per epoch, and contaminated docs neither land in the corpus nor
-      // extend the band index (a leaked doc must not become the
-      // dedup representative that shadows clean arrivals)
-      val contaminated = bench match {
+      // benchmark decontamination FIRST: probe the STANDING gate
+      // (bloom + cached bench shingles, built once at stream start) —
+      // O(batch) per epoch. Contaminated docs are excluded from the
+      // in-batch pair generation BEFORE it runs: a leaked doc must not
+      // become the dedup representative that shadows a clean near-dup
+      // (the clean twin would otherwise be dropped alongside it and
+      // its content lost entirely). persist: feeds the band filter AND
+      // the dropped union.
+      val contaminated = (bench match {
         case Some(g) => graft.ops.Decontaminate.contaminatedIds(batch, g)
         case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      }
-      // dropped feeds both sink writes (two actions) — persist so the
-      // corpus probe join runs once
-      val dropped = inBatchDropped.unionByName(corpusHits)
-        .unionByName(contaminated).persist()
+      }).persist()
       try {
-        val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
-        writeBatchPartition(survivors, outPath, batchId)
-        writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
-          indexPath, batchId)
-      } finally dropped.unpersist(blocking = false)
+        val cleanBands = bands.join(contaminated, Seq("doc_id"), "left_anti")
+        val inBatchDropped = Dedup.candidatePairsFromBands(cleanBands)
+          .select(col("id_b").as("doc_id")).distinct()
+        val keptBands = cleanBands.join(inBatchDropped, Seq("doc_id"), "left_anti")
+        val corpusHits = standingBands(spark, indexPath) match {
+          case Some(corpus) =>
+            keptBands.join(corpus.filter(col("batch_id") =!= batchId)
+                .select(col("band"), col("h")),
+              Seq("band", "h"), "left_semi")
+              .select(col("doc_id")).distinct()
+          case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        }
+        // dropped feeds both sink writes (two actions) — persist so the
+        // corpus probe join runs once
+        val dropped = inBatchDropped.unionByName(corpusHits)
+          .unionByName(contaminated).persist()
+        try {
+          val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+          writeBatchPartition(survivors, outPath, batchId)
+          writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
+            indexPath, batchId)
+        } finally dropped.unpersist(blocking = false)
+      } finally contaminated.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
   }
 

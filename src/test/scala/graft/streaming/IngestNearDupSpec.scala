@@ -135,4 +135,40 @@ class IngestNearDupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet === Set(2L, 11L, 20L))
     } finally gate.release()
   }
+
+  test("a contaminated doc is NOT the dedup representative: its clean near-dup survives") {
+    // Counter-review finding: in-batch pair generation once ran over
+    // the FULL batch, so a clean doc whose only band collision was a
+    // contaminated doc got dropped with it — content lost entirely.
+    // Contaminated ids must leave the band relation BEFORE pairing.
+    import graft.ops.{Decontaminate, Dedup}
+    val idx = tmp("nd_idxr") + "/bands"
+    val out = tmp("nd_outr") + "/corpus"
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val gate = Decontaminate.benchGate(bench, minOverlap = 3)
+    try {
+      // doc 1 embeds a 5-word bench span (3 shared shingles -> leaked);
+      // doc 2 is doc 1 with one span word changed (2 shared -> clean)
+      val contaminatedDoc = "x1 x2 alpha beta gamma delta epsilon x3 x4 x5"
+      val cleanTwin = "x1 x2 alpha beta gamma delta epsilonX x3 x4 x5"
+      val batch = Seq(
+        (1L, contaminatedDoc, "s", 46L),
+        (2L, cleanTwin, "s", 47L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      // precondition: the twins genuinely share a MinHash band —
+      // without a collision this test would pass vacuously
+      val bands = Dedup.bandIndex(batch, numHashes = 4, maxBucket = 1000)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("h")))
+      val shared = bands.filter(_._1 == 1L).map(b => (b._2, b._3)).toSet
+        .intersect(bands.filter(_._1 == 2L).map(b => (b._2, b._3)).toSet)
+      assert(shared.nonEmpty, "fixture must band-collide the twins")
+      Ingest.processNearDupBatch(batch, idx, out, batchId = 0L, bench = Some(gate))
+      assert(spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(2L),
+        "the clean twin must survive its contaminated representative")
+      assert(spark.read.parquet(idx).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+    } finally gate.release()
+  }
 }
