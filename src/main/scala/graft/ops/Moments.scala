@@ -273,14 +273,12 @@ object Moments {
         (lit(n.toDouble) * lit(1000000.0))).as("proj_centered"))
   }
 
-  /** DuckDB oracle for [[pcaProject]]: replays the IDENTICAL integer
-    * power-iteration trajectory in a recursive CTE (exact BIGINT
-    * mat-vec, the same fixed IEEE renormalize tree), then the same
-    * projection arithmetic — bit-for-bit equal by construction, proven
-    * empirically at sf0.001/0.01/0.1. */
-  def pcaProjectSql(dims: Int, iters: Int = 30): String =
-    s"""WITH RECURSIVE
-       |q AS (SELECT vec_id, list_transform(embedding,
+  /** Shared recursive-CTE chain (quantize → moments → matrix → integer
+    * power iteration → sign fix → mean projection) ending in
+    * `q`/`nn`/`s1`/`s2`/`vf`/`sv` — the prefix [[pcaProjectSql]] and
+    * [[pcaWhitenSql]] both build on. */
+  private def pcaCtes(dims: Int, iters: Int): String =
+    s"""q AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
@@ -306,10 +304,74 @@ object Moments {
        |vf0 AS (SELECT v FROM it WHERE k = $iters),
        |vf AS (SELECT CASE WHEN list_filter(v, x -> x <> 0)[1] < 0
        |  THEN list_transform(v, x -> -x) ELSE v END AS v FROM vf0),
-       |sv AS (SELECT CAST(sum(s1.s * v[s1.i]) AS BIGINT) AS sv FROM s1, vf)
+       |sv AS (SELECT CAST(sum(s1.s * v[s1.i]) AS BIGINT) AS sv FROM s1, vf)""".stripMargin
+
+  /** DuckDB oracle for [[pcaProject]]: replays the IDENTICAL integer
+    * power-iteration trajectory in a recursive CTE (exact BIGINT
+    * mat-vec, the same fixed IEEE renormalize tree), then the same
+    * projection arithmetic — bit-for-bit equal by construction, proven
+    * empirically at sf0.001/0.01/0.1. */
+  def pcaProjectSql(dims: Int, iters: Int = 30): String =
+    s"""WITH RECURSIVE
+       |${pcaCtes(dims, iters)}
        |SELECT q.vec_id AS vec_id,
        |  CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE)/1000000.0 AS proj,
        |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
        |    / (CAST(nn.n AS DOUBLE)*1000000.0) AS proj_centered
        |FROM q, vf, nn, sv""".stripMargin
+
+  /** Whitened coordinate on the top component: the centered projection
+    * scaled to unit variance. With p = q·v (exact int per row) and
+    * D = n·Σp² − (Σp)², the whitened coordinate simplifies to
+    * `(n·p − Σp) / sqrt(D)` — every input exact integer, the whole
+    * scale factor one fixed IEEE tree (D assembled in doubles because
+    * n·Σp² exceeds 64 bits; deterministic in both engines since the
+    * operand ints are identical). Σp = sv and Σp² = vᵀ·(Σqqᵀ)·v both
+    * derive from the SAME collected stats triangle — whitening adds
+    * ZERO corpus passes on top of [[pcaProject]]'s two.
+    *
+    * Bounds: Σp² caps at ~8·10^18 on the fixture corpus — addExact
+    * throws loudly on overflow (the oracle's CAST(HUGEINT AS BIGINT)
+    * errors the same way); at a corpus where that triggers, sub-sample
+    * the stats pass (the [[pcaDirectionInt]] note). */
+  def pcaWhiten(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
+    val rows = covarianceStats(embeddings, dims).collect()
+    val dir = pcaDirFromStats(rows, dims, iters)
+    val n = rows.head.getLong(2)
+    val sRows = rows.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val sv = (1 to dims).foldLeft(0L) { (acc, i) =>
+      Math.addExact(acc, Math.multiplyExact(sRows(i), dir(i - 1)))
+    }
+    // Σp² = Σ_{i,j} v_i·v_j·s_ij over the full symmetric matrix (the
+    // triangle contributes off-diagonal cells twice)
+    val sump2 = rows.foldLeft(0L) { (acc, r) =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val term = Math.multiplyExact(Math.multiplyExact(dir(i - 1), dir(j - 1)),
+        r.getLong(5))
+      Math.addExact(acc, if (i == j) term else Math.multiplyExact(2L, term))
+    }
+    val d = n.toDouble * sump2.toDouble - sv.toDouble * sv.toDouble
+    require(d > 0, "pcaWhiten: zero projection variance (degenerate corpus)")
+    val q = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+    val dot = graft.expr.ArrayExprs.dotLong(col("qv"), typedLit(dir.toSeq))
+    q.select(col("vec_id"),
+      ((lit(n) * dot - lit(sv)).cast("double") /
+        (lit(n.toDouble) * lit(1000000.0))).as("proj_centered"),
+      ((lit(n) * dot - lit(sv)).cast("double") / lit(math.sqrt(d))).as("proj_white"))
+  }
+
+  /** DuckDB oracle for [[pcaWhiten]] — the shared CTE chain plus Σp²
+    * from the full s2 matrix and the identical whitening tree. */
+  def pcaWhitenSql(dims: Int, iters: Int = 30): String =
+    s"""WITH RECURSIVE
+       |${pcaCtes(dims, iters)},
+       |p2 AS (SELECT CAST(sum(s2.sij * v[s2.i] * v[s2.j]) AS BIGINT) AS sump2 FROM s2, vf)
+       |SELECT q.vec_id AS vec_id,
+       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |    / (CAST(nn.n AS DOUBLE)*1000000.0) AS proj_centered,
+       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |    / sqrt(CAST(nn.n AS DOUBLE)*CAST(p2.sump2 AS DOUBLE) - CAST(sv.sv AS DOUBLE)*CAST(sv.sv AS DOUBLE)) AS proj_white
+       |FROM q, vf, nn, sv, p2""".stripMargin
 }

@@ -461,15 +461,38 @@ object CoreQueries {
     // the pure filter-then-aggregate shape: three pushable predicates
     // over the fact table collapse to ONE row — the canonical "how much
     // does pushdown save" probe. Decimal-exact product sum (q1 rules).
+    // 1996, not TPC-H's 1994: the fixture's shipdates start 1995-01-02,
+    // so the classic range aggregated an EMPTY set (null revenue — a
+    // vacuously-green oracle row, the round-9 LSH lesson).
     Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
         dec(col("l_discount")).between(lit(0.05).cast("decimal(18,2)"),
           lit(0.07).cast("decimal(18,2)")) &&
         col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
+
+  private val q14PromoShare: QFn = (s, dir) => {
+    // TPC-H q14 shape: one month of the fact table joined to the part
+    // dim (broadcast — parts are dim-scale), share metric =
+    // 100 · conditional revenue / total revenue. Exact decimal sums,
+    // ONE double division; the conditional sum skips non-matching rows
+    // via CASE-without-ELSE (sum ignores nulls — identical in DuckDB).
+    // ECONOMY stands in for TPC-H's PROMO% (the fixture's p_type domain).
+    val p = Tables.part(s, dir)
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "ECONOMY", rev)).cast("double") /
+          sum(rev).cast("double")).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
 
   private val q3JoinAgg: QFn = (s, dir) => {
     // dim-filtered fact join: customer (broadcast) |x| orders |x| lineitem,
@@ -734,9 +757,18 @@ object CoreQueries {
         |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |count(*) AS n_items
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
         |AND l_quantity < 24""".stripMargin),
+    QueryDef("q14_promo_share", q14PromoShare,
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) /
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share,
+        |count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin),
     QueryDef("q1_pricing_summary", q1PricingSummary,
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

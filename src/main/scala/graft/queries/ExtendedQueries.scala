@@ -386,6 +386,9 @@ object ExtendedQueries {
   private val embedProject: QFn = (s, dir) =>
     graft.ops.Moments.pcaProject(Tables.embeddings(s, dir), dims = 64)
 
+  private val embedWhiten: QFn = (s, dir) =>
+    graft.ops.Moments.pcaWhiten(Tables.embeddings(s, dir), dims = 64)
+
   private val corpusDiff: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Snapshot.corpusDiff(
@@ -407,6 +410,8 @@ object ExtendedQueries {
       graft.ops.Moments.centeredSql(dims = 64)),
     QueryDef("embed_project", embedProject,
       graft.ops.Moments.pcaProjectSql(dims = 64)),
+    QueryDef("embed_whiten", embedWhiten,
+      graft.ops.Moments.pcaWhitenSql(dims = 64)),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,

@@ -157,6 +157,36 @@ class MomentsSpec extends SparkSpec {
     }.isEmpty, s"projection pass must not shuffle:\n$plan")
   }
 
+  test("pcaWhiten: whitened coordinates have mean ~0 and population variance ~1") {
+    val pts = (-50 to 50).map { t =>
+      val w = if (t % 2 == 0) 0.01 else -0.01
+      (t.toLong, Seq((0.6 * t + 0.8 * w).toFloat, (0.8 * t - 0.6 * w).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val rows = Moments.pcaWhiten(df, dims = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val n = rows.length.toDouble
+    val whites = rows.map(_._3)
+    assert(math.abs(whites.sum / n) < 1e-9)
+    assert(math.abs(whites.map(x => x * x).sum / n - 1.0) < 1e-9,
+      s"population variance must be 1, got ${whites.map(x => x * x).sum / n}")
+    // whitening preserves the centered ordering (positive scale factor)
+    val byId = rows.sortBy(_._1)
+    assert(byId.map(_._2).zip(byId.map(_._3)).toSeq
+      .sliding(2).forall {
+        case Seq((c1, w1), (c2, w2)) => (c1 < c2) == (w1 < w2)
+        case _ => true
+      })
+    // degenerate corpus (zero variance) fails loudly — the zero
+    // covariance matrix is caught at the direction stage (the
+    // projection-variance require is unreachable belt-and-braces: the
+    // top component's variance is the top eigenvalue, > 0 whenever
+    // the covariance is non-zero)
+    val flat = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] { Moments.pcaWhiten(flat, dims = 2) }
+    assert(e.getMessage.contains("zero covariance matrix"))
+  }
+
   test("histogram: fixed-width buckets with per-bucket extremes, empties absent") {
     val df = Seq(3L, 7L, 12L, 19L, 41L).toDF("m")
     val got = Profile.histogram(df, col("m"), width = 10L).collect()
