@@ -47,7 +47,7 @@ object Classify {
     * @param threshold keep documents with margin >= threshold
     */
   def scoreLinear(docs: DataFrame, weights: Seq[(String, Long)], biasMilli: Long,
-      threshold: Double): DataFrame = {
+      threshold: Double, keepCols: Seq[String] = Nil): DataFrame = {
     require(weights.nonEmpty && weights.size <= MaxLiteralVocab,
       s"scoreLinear: 1..$MaxLiteralVocab weight entries, got ${weights.size}")
     require(weights.map(_._1).distinct.size == weights.size,
@@ -58,29 +58,54 @@ object Classify {
     val sc = graft.expr.LinearScore(col("text"), weights, biasMilli)
     val margin = element_at(col("sc"), 1).cast("double") /
       (element_at(col("sc"), 2).cast("double") * lit(1000.0))
-    docs.select(col("doc_id"), sc.as("sc"))
-      .select(col("doc_id"), margin.as("margin"))
+    docs.select(col("doc_id") +: keepCols.map(col) :+ sc.as("sc"): _*)
+      .select(col("doc_id") +: keepCols.map(col) :+ margin.as("margin"): _*)
       .withColumn("keep", col("margin") >= lit(threshold))
   }
 
-  /** DuckDB oracle for [[scoreLinear]] — generated from the SAME
-    * constants (single source of truth). The oracle uses the explode →
-    * join → group form (result-identical; integer sums are
-    * order-independent) with the final double tree mirrored verbatim. */
-  def scoreLinearSql(weights: Seq[(String, Long)], biasMilli: Long,
-      threshold: Double): String = {
+  /** Shared oracle fragments: the weight VALUES + per-doc accumulator
+    * CTEs and the margin expression tree, generated from the SAME
+    * constants as the Spark side (single source of truth). The oracle
+    * uses the explode → join → group form (result-identical; integer
+    * sums are order-independent). */
+  private def marginSqlParts(weights: Seq[(String, Long)],
+      biasMilli: Long): (String, String) = {
     def q(t: String): String = t.replace("'", "''")
     val values = weights
       .map { case (t, w) => s"('${q(t)}', CAST($w AS BIGINT))" }.mkString(", ")
+    val ctes =
+      s"""w(token, wt) AS (VALUES $values),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |s AS (SELECT tok.doc_id, CAST(sum(w.wt) AS BIGINT) AS acc
+         |  FROM tok JOIN w USING (token) GROUP BY tok.doc_id)""".stripMargin
     val marginSql =
       s"""CAST($biasMilli + coalesce(s.acc, 0) AS DOUBLE) /
          |  (CAST(len(string_split(d.text, ' ')) AS DOUBLE) * 1000.0)""".stripMargin
-    s"""WITH w(token, wt) AS (VALUES $values),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |s AS (SELECT tok.doc_id, CAST(sum(w.wt) AS BIGINT) AS acc
-       |  FROM tok JOIN w USING (token) GROUP BY tok.doc_id)
+    (ctes, marginSql)
+  }
+
+  /** DuckDB oracle for [[scoreLinear]]. */
+  def scoreLinearSql(weights: Seq[(String, Long)], biasMilli: Long,
+      threshold: Double): String = {
+    val (ctes, marginSql) = marginSqlParts(weights, biasMilli)
+    s"""WITH $ctes
        |SELECT d.doc_id, $marginSql AS margin,
        |  ($marginSql) >= ${java.lang.Double.toString(threshold)} AS keep
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for the best-`k`-per-source curation policy (the
+    * [[scoreLinear]] margin ranked inside each source). */
+  def bestPerSourceSql(weights: Seq[(String, Long)], biasMilli: Long,
+      k: Int): String = {
+    val (ctes, marginSql) = marginSqlParts(weights, biasMilli)
+    s"""WITH $ctes,
+       |m AS (SELECT d.doc_id, d.source, $marginSql AS margin
+       |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+       |SELECT source,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY margin DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id, margin
+       |FROM m
+       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY margin DESC, doc_id) <= $k""".stripMargin
   }
 }

@@ -361,6 +361,33 @@ object TextOps {
     * the gram, and the top-k is TakeOrderedAndProject (per-partition
     * heads merged on the driver — never a global sort). Ties break
     * lexicographically for a deterministic oracle. */
+  /** Vocabulary coverage curve: the top-`k` corpus tokens by frequency
+    * with the cumulative share of ALL corpus tokens they cover — the
+    * "how big must the vocab be" dial of tokenizer design (coverage at
+    * rank N = fraction of running text a rank-N vocabulary explains).
+    *
+    * Scale shape: one explode → (token) partial-agg shuffle builds the
+    * count relation (map-side combine collapses repeats); the top-k is
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition partial
+    * top-k, never a global sort), so the rank/cumsum windows run over
+    * ≤ k rows; the grand total rides back as a broadcast 1-row cross
+    * join. One double division per row, mirrored in the oracle. */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, "vocabCoverage: k must be positive")
+    val counted = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counted.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    counted.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total").cast("double")).as("cum_share"))
+  }
+
   def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "ngramTopK: n and k must be positive")
     val toks = tokens(col("text"))

@@ -447,6 +447,25 @@ object PipelineQueries {
     graft.ops.Classify.scoreLinear(Tables.documents(s, dir),
       classifyWeights, classifyBias, classifyThreshold)
 
+  // Curation policy: best 3 docs per source by classifier margin —
+  // the "keep the highest-quality N per shard/domain" selection every
+  // curated corpus build runs. WindowGroupLimit plans the rank filter
+  // below the exchange (k rows per source per input partition shuffle).
+  private val sampleBestPerSource: QFn = (s, dir) => {
+    val scored = graft.ops.Classify.scoreLinear(Tables.documents(s, dir),
+      classifyWeights, classifyBias, classifyThreshold, keepCols = Seq("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("margin").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"), col("margin"))
+  }
+
+  // Vocabulary coverage curve (tokenizer-design dial): top-100 tokens
+  // with the cumulative share of all corpus tokens they cover.
+  private val textVocabCoverage: QFn = (s, dir) =>
+    TextOps.vocabCoverage(Tables.documents(s, dir), k = 100)
+
   private val textLangid: QFn = (s, dir) =>
     TextOps.langId(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
@@ -792,6 +811,21 @@ object PipelineQueries {
     QueryDef("text_classify", textClassify,
       graft.ops.Classify.scoreLinearSql(classifyWeights, classifyBias,
         classifyThreshold)),
+    QueryDef("sample_best_per_source", sampleBestPerSource,
+      graft.ops.Classify.bestPerSourceSql(classifyWeights, classifyBias, k = 3)),
+    QueryDef("text_vocab_coverage", textVocabCoverage,
+      """WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |tk AS (SELECT token, cnt FROM c
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+        |  token, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS cum_share
+        |FROM tk, t""".stripMargin),
     QueryDef("text_langid", textLangid,
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, lang,

@@ -70,6 +70,27 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("scoreLinear keepCols carries dims through; best-per-source takes the group-limit plan") {
+    val docs = Seq(
+      (1L, "good good", "s1"), (2L, "bad", "s1"), (3L, "good", "s1"),
+      (4L, "good bad", "s1"), (5L, "good good good", "s2"))
+      .toDF("doc_id", "text", "source")
+    val scored = Classify.scoreLinear(docs, w, 0L, 0.0, keepCols = Seq("source"))
+    assert(scored.columns.toSeq === Seq("doc_id", "source", "margin", "keep"))
+    // top-3 per source by margin — s1 keeps 1,3,4 (margins 1.0, 1.0,
+    // 0.0), dropping 2 (-1.0); s2 keeps its only doc
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("margin").desc, col("doc_id").asc)
+    val top = scored.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w2))
+      .filter(col("rank") <= 3)
+    top.collect() // force
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"best-per-source must run the rank filter below the exchange:\n$plan")
+    val kept = top.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
   test("text_classify gate splits the fixture corpus (non-degenerate)") {
     // An all-keep or all-drop gate would oracle-match trivially; pin the
     // fixture model to a real split at the smoke SF.

@@ -209,6 +209,29 @@ class MomentsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a b", 3L), (2, "b c", 1L), (3, "c a", 1L)))
   }
 
+  test("vocabCoverage: ranks, cumulative counts, and the final share reach 1 when k covers all") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = TextOps.vocabCoverage(docs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // counts: a=4, b=3, c=1, total 8
+    assert(rows.toSeq === Seq(
+      (1, "a", 4L, 4L, 0.5),
+      (2, "b", 3L, 7L, 7.0 / 8.0),
+      (3, "c", 1L, 8L, 1.0)))
+    // k smaller than the vocabulary truncates the curve, shares unchanged
+    val top1 = TextOps.vocabCoverage(docs, k = 1).collect()
+    assert(top1.length === 1 && top1.head.getDouble(4) === 0.5)
+  }
+
+  test("vocabCoverage: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    val df = TextOps.vocabCoverage(docs, k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be a partial top-k, got:\n$plan")
+  }
+
   test("ngramTopK: plan takes the per-partition top-k path") {
     val docs = (1L to 50L).map(i => (i, s"w$i w${i + 1} w${i + 2}")).toDF("doc_id", "text")
     val plan = TextOps.ngramTopK(docs, n = 2, k = 5).queryExecution.executedPlan.toString
