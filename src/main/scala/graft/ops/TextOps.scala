@@ -361,6 +361,66 @@ object TextOps {
     * the gram, and the top-k is TakeOrderedAndProject (per-partition
     * heads merged on the driver — never a global sort). Ties break
     * lexicographically for a deterministic oracle. */
+  /** Positional posting lists — the inverted-index build stage a
+    * retrieval-ready corpus export runs: one row per (token, doc),
+    * with the occurrence count and the sorted 1-based word positions
+    * (rendered as a CSV string so the oracle compares portably).
+    *
+    * Scale shape: explode → ONE (token, doc_id) hash shuffle with
+    * partial aggregation (repeats collapse map-side); the position
+    * buffer is doc-bounded (a document fits an executor — the contract
+    * every text op shares). Hot tokens spread across doc_ids, so no
+    * single reducer sees a vocabulary-hot key's full posting list. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        concat_ws(",",
+          transform(sort_array(collect_list((col("p0") + 1).cast("long"))),
+            p => p.cast("string"))).as("positions"))
+
+  /** Content-defined chunking (the FastCDC/rsync boundary idea on word
+    * streams): a chunk boundary falls after word `pos + k - 1` whenever
+    * the k-gram hash at shingle position `pos` satisfies
+    * `hash % modulus == 0` — boundaries depend only on LOCAL content,
+    * so inserting or deleting words reshapes at most the neighboring
+    * chunks (fixed-stride [[chunk]] shifts every downstream chunk, which
+    * defeats chunk-hash dedup across document revisions; this is the
+    * revision-robust tier). Expected chunk length ≈ `modulus` words + k.
+    *
+    * Scale shape: cut detection is map-side (the positioned-shingle
+    * kernel + a hex-prefix mod); spans derive from ONE doc-keyed window
+    * (lag over cut positions, the [[mergeAnchors]] pattern); the
+    * chunk-hash rehydration is a doc-keyed equi-join back to the token
+    * arrays (AQE-broadcast small side at test SF, co-partitioned at
+    * scale). Docs shorter than k words form a single whole-doc chunk.
+    *
+    * Output: doc_id, chunk_start / chunk_end (1-based inclusive word
+    * positions), n_chunk_words, chunk_hash (md5 of the chunk's words —
+    * the key a CDC dedup joins on). */
+  def cdcChunks(docs: DataFrame, k: Int = 4, modulus: Int = 16): DataFrame = {
+    require(k >= 1 && modulus >= 1, "cdcChunks: k and modulus must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // first-2-hex-digit value of the shingle hash — mirrored digit-wise
+    // in the oracle (sample_shuffle_shards' position() pattern)
+    val hv = conv(substring(col("h"), 1, 2), 16, 10).cast("long")
+    val cuts = posShingles(docs, k)
+      .filter(pmod(hv, lit(modulus.toLong)) === 0L)
+      .select(col("doc_id"), (col("pos") + (k - 1)).cast("long").as("cut_end"))
+    val toksDf = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    val ends = toksDf.select(col("doc_id"), size(col("w")).cast("long").as("cut_end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cut_end"))
+    val spans = cuts.unionByName(ends).dropDuplicates("doc_id", "cut_end")
+      .withColumn("chunk_start",
+        coalesce(lag(col("cut_end"), 1).over(w), lit(0L)) + 1L)
+    spans.join(toksDf, "doc_id")
+      .select(col("doc_id"), col("chunk_start"), col("cut_end").as("chunk_end"),
+        (col("cut_end") - col("chunk_start") + 1L).as("n_chunk_words"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("chunk_start").cast("int"),
+            (col("cut_end") - col("chunk_start") + 1L).cast("int")))).as("chunk_hash"))
+  }
+
   /** Vocabulary coverage curve: the top-`k` corpus tokens by frequency
     * with the cumulative share of ALL corpus tokens they cover — the
     * "how big must the vocab be" dial of tokenizer design (coverage at

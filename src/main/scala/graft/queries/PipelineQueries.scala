@@ -466,6 +466,12 @@ object PipelineQueries {
   private val textVocabCoverage: QFn = (s, dir) =>
     TextOps.vocabCoverage(Tables.documents(s, dir), k = 100)
 
+  private val textPostings: QFn = (s, dir) =>
+    TextOps.postings(Tables.documents(s, dir))
+
+  private val textChunksCdc: QFn = (s, dir) =>
+    TextOps.cdcChunks(Tables.documents(s, dir), k = 4, modulus = 16)
+
   private val textLangid: QFn = (s, dir) =>
     TextOps.langId(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
@@ -811,6 +817,31 @@ object PipelineQueries {
     QueryDef("text_classify", textClassify,
       graft.ops.Classify.scoreLinearSql(classifyWeights, classifyBias,
         classifyThreshold)),
+    QueryDef("text_postings", textPostings,
+      """SELECT token, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+        |FROM (SELECT doc_id, u.p AS pos, w[u.p] AS token
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS p) u)
+        |GROUP BY token, doc_id""".stripMargin),
+    QueryDef("text_chunks_cdc", textChunksCdc,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+3], ' ')) AS h
+        |  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) g
+        |  WHERE len(t.w) >= 4),
+        |cuts AS (SELECT doc_id, CAST(pos + 3 AS BIGINT) AS cut_end FROM sh
+        |  WHERE ((position(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 16
+        |       + (position(substr(h, 2, 1) IN '0123456789abcdef') - 1)) % 16 = 0),
+        |ends AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS cut_end FROM toks),
+        |allc AS (SELECT DISTINCT doc_id, cut_end FROM
+        |  (SELECT doc_id, cut_end FROM cuts UNION ALL SELECT doc_id, cut_end FROM ends)),
+        |sp AS (SELECT doc_id, cut_end,
+        |  coalesce(lag(cut_end) OVER (PARTITION BY doc_id ORDER BY cut_end), 0) + 1 AS chunk_start
+        |  FROM allc)
+        |SELECT s.doc_id, s.chunk_start, s.cut_end AS chunk_end,
+        |  s.cut_end - s.chunk_start + 1 AS n_chunk_words,
+        |  md5(array_to_string(t.w[s.chunk_start:s.cut_end], ' ')) AS chunk_hash
+        |FROM sp s JOIN toks t USING (doc_id)""".stripMargin),
     QueryDef("sample_best_per_source", sampleBestPerSource,
       graft.ops.Classify.bestPerSourceSql(classifyWeights, classifyBias, k = 3)),
     QueryDef("text_vocab_coverage", textVocabCoverage,

@@ -275,4 +275,57 @@ class DupSpansProfileSpec extends SparkSpec {
     val scans = plan.collect { case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
     assert(scans.size === 1)
   }
+
+  test("cdcChunks: chunks tile the document exactly; short docs form one chunk") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "tiny doc"), // < k tokens: one whole-doc chunk
+      (3L, "")) // split('') = one empty token
+      .toDF("doc_id", "text")
+    val rows = TextOps.cdcChunks(docs, k = 4, modulus = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tiling invariant: per doc, chunks are contiguous, start at 1 and
+    // end at n_words — no gaps, no overlaps
+    for ((id, n) <- Seq((1L, 40L), (2L, 2L), (3L, 1L))) {
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._2 === 1L && cs.last._3 === n, s"doc $id must tile 1..$n")
+      assert(cs.sliding(2).forall {
+        case Array(a, b) => b._2 == a._3 + 1
+        case _ => true
+      }, s"doc $id chunks must be contiguous")
+      assert(cs.forall(c => c._4 == c._3 - c._2 + 1))
+    }
+    assert(rows.count(_._1 == 2L) === 1 && rows.count(_._1 == 3L) === 1)
+  }
+
+  test("cdcChunks: boundaries are content-local — a prefix insertion reshapes only the head") {
+    // The CDC property fixed-stride chunking lacks: words far from an
+    // edit keep their chunk hashes.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted words here " + base
+    val a = TextOps.cdcChunks(Seq((1L, base)).toDF("doc_id", "text"), k = 4, modulus = 4)
+      .collect().map(_.getAs[String]("chunk_hash")).toSet
+    val b = TextOps.cdcChunks(Seq((1L, shifted)).toDF("doc_id", "text"), k = 4, modulus = 4)
+      .collect().map(_.getAs[String]("chunk_hash")).toSet
+    // every chunk of the original except (at most) the first survives
+    // the prefix edit bit-identically
+    assert((a -- b).size <= 1, s"CDC must localize the edit: lost ${(a -- b).size} chunks")
+    // fixed-stride chunking shifts EVERY chunk (the contrast claim)
+    val fa = TextOps.chunk(Seq((1L, base)).toDF("doc_id", "text"), 16, 16)
+      .collect().map(_.getAs[String]("chunk_hash")).toSet
+    val fb = TextOps.chunk(Seq((1L, shifted)).toDF("doc_id", "text"), 16, 16)
+      .collect().map(_.getAs[String]("chunk_hash")).toSet
+    assert((fa -- fb).size > 1)
+  }
+
+  test("postings: counts and sorted positions per (token, doc)") {
+    val docs = Seq((1L, "a b a c a"), (2L, "b b")).toDF("doc_id", "text")
+    val rows = TextOps.postings(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(rows(("a", 1L)) === ((3L, "1,3,5")))
+    assert(rows(("b", 1L)) === ((1L, "2")))
+    assert(rows(("c", 1L)) === ((1L, "4")))
+    assert(rows(("b", 2L)) === ((2L, "1,2")))
+    assert(rows.size === 4)
+  }
 }
