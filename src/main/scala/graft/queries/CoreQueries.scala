@@ -494,6 +494,23 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  private val q12ShipPriority: QFn = (s, dir) => {
+    // TPC-H q12 shape: the fact-fact equi-join (lineitem |x| orders on
+    // the order key — co-partitioned shuffle join at scale, the one
+    // join AQE cannot broadcast away) with a two-way conditional count.
+    // All-integer aggregates — exact on any engine.
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+  }
+
   private val q3JoinAgg: QFn = (s, dir) => {
     // dim-filtered fact join: customer (broadcast) |x| orders |x| lineitem,
     // aggregated by order — the shuffle-join shape that dominates at scale.
@@ -760,6 +777,13 @@ object CoreQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
         |AND l_quantity < 24""".stripMargin),
+    QueryDef("q12_ship_priority", q12ShipPriority,
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin),
     QueryDef("q14_promo_share", q14PromoShare,
       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
         |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) *

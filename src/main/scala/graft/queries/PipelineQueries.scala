@@ -191,6 +191,28 @@ object PipelineQueries {
       |  CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
       |FROM ml LEFT JOIN h ON ml.method = h.method, t""".stripMargin
 
+  // CDC chunk relation as a CTE chain ending in `cdc` — mirrors
+  // TextOps.cdcChunks (k=4, modulus=16) verbatim; shared by the chunk
+  // listing and the chunk-grain dedup.
+  private val cdcChunkCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+3], ' ')) AS h
+      |  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) g
+      |  WHERE len(t.w) >= 4),
+      |cuts AS (SELECT doc_id, CAST(pos + 3 AS BIGINT) AS cut_end FROM sh
+      |  WHERE ((position(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 16
+      |       + (position(substr(h, 2, 1) IN '0123456789abcdef') - 1)) % 16 = 0),
+      |ends AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS cut_end FROM toks),
+      |allc AS (SELECT DISTINCT doc_id, cut_end FROM
+      |  (SELECT doc_id, cut_end FROM cuts UNION ALL SELECT doc_id, cut_end FROM ends)),
+      |sp AS (SELECT doc_id, cut_end,
+      |  coalesce(lag(cut_end) OVER (PARTITION BY doc_id ORDER BY cut_end), 0) + 1 AS chunk_start
+      |  FROM allc),
+      |cdc AS (SELECT s.doc_id, s.chunk_start, s.cut_end AS chunk_end,
+      |  s.cut_end - s.chunk_start + 1 AS n_chunk_words,
+      |  md5(array_to_string(t.w[s.chunk_start:s.cut_end], ' ')) AS chunk_hash
+      |FROM sp s JOIN toks t USING (doc_id))""".stripMargin
+
   private val dedupExact: QFn = (s, dir) => Dedup.exact(Tables.documents(s, dir))
 
   private val dedupMinhash: QFn = (s, dir) => Dedup.minhashCandidatePairs(Tables.documents(s, dir))
@@ -471,6 +493,18 @@ object PipelineQueries {
 
   private val textChunksCdc: QFn = (s, dir) =>
     TextOps.cdcChunks(Tables.documents(s, dir), k = 4, modulus = 16)
+
+  // Chunk-grain dedup over the CDC chunks: hashes shared across
+  // documents — what CDC chunking exists FOR (revision-robust shared-
+  // content detection). One (chunk_hash) shuffle over the chunk
+  // relation; partial agg collapses repeats map-side.
+  private val dedupCdcChunks: QFn = (s, dir) =>
+    TextOps.cdcChunks(Tables.documents(s, dir), k = 4, modulus = 16)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_chunk_words")).as("n_words"))
+      .filter(col("n_docs") > 1)
 
   private val textLangid: QFn = (s, dir) =>
     TextOps.langId(Tables.documents(s, dir))
@@ -825,23 +859,15 @@ object PipelineQueries {
         |      LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS p) u)
         |GROUP BY token, doc_id""".stripMargin),
     QueryDef("text_chunks_cdc", textChunksCdc,
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT t.doc_id, g.i AS pos, md5(array_to_string(t.w[g.i:g.i+3], ' ')) AS h
-        |  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) g
-        |  WHERE len(t.w) >= 4),
-        |cuts AS (SELECT doc_id, CAST(pos + 3 AS BIGINT) AS cut_end FROM sh
-        |  WHERE ((position(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 16
-        |       + (position(substr(h, 2, 1) IN '0123456789abcdef') - 1)) % 16 = 0),
-        |ends AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS cut_end FROM toks),
-        |allc AS (SELECT DISTINCT doc_id, cut_end FROM
-        |  (SELECT doc_id, cut_end FROM cuts UNION ALL SELECT doc_id, cut_end FROM ends)),
-        |sp AS (SELECT doc_id, cut_end,
-        |  coalesce(lag(cut_end) OVER (PARTITION BY doc_id ORDER BY cut_end), 0) + 1 AS chunk_start
-        |  FROM allc)
-        |SELECT s.doc_id, s.chunk_start, s.cut_end AS chunk_end,
-        |  s.cut_end - s.chunk_start + 1 AS n_chunk_words,
-        |  md5(array_to_string(t.w[s.chunk_start:s.cut_end], ' ')) AS chunk_hash
-        |FROM sp s JOIN toks t USING (doc_id)""".stripMargin),
+      s"""WITH $cdcChunkCtes
+        |SELECT doc_id, chunk_start, chunk_end, n_chunk_words, chunk_hash
+        |FROM cdc""".stripMargin),
+    QueryDef("dedup_cdc_chunks", dedupCdcChunks,
+      s"""WITH $cdcChunkCtes
+        |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chunk_words) AS BIGINT) AS n_words
+        |FROM cdc GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin),
     QueryDef("sample_best_per_source", sampleBestPerSource,
       graft.ops.Classify.bestPerSourceSql(classifyWeights, classifyBias, k = 3)),
     QueryDef("text_vocab_coverage", textVocabCoverage,
