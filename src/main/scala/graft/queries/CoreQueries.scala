@@ -494,6 +494,30 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  private val q19DiscountedRevenue: QFn = (s, dir) => {
+    // TPC-H q19 shape: the disjunctive-predicate join — OR of brand/
+    // size/quantity conjunctions. The join key stays a plain equi-join
+    // (the ORs are residual filters, never a cartesian fallback);
+    // Catalyst pushes the common p/l column prunes into both scans and
+    // the part side broadcasts. Decimal-exact revenue (q1 rules).
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   private val q12ShipPriority: QFn = (s, dir) => {
     // TPC-H q12 shape: the fact-fact equi-join (lineitem |x| orders on
     // the order key — co-partitioned shuffle join at scale, the one
@@ -777,6 +801,13 @@ object CoreQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
         |AND l_quantity < 24""".stripMargin),
+    QueryDef("q19_discounted_revenue", q19DiscountedRevenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin),
     QueryDef("q12_ship_priority", q12ShipPriority,
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

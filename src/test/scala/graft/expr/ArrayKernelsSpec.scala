@@ -169,4 +169,19 @@ class ArrayKernelsSpec extends AnyFunSuite {
       assert(qd.toLongArray().toSeq === qf.toLongArray().toSeq)
     }
   }
+
+  test("linearScore == naive HashMap-free reference on random inputs") {
+    val vocab = Seq("w0" -> 150L, "w1" -> -220L, "w3" -> 17L, "é" -> 5L, "" -> -3L)
+    val hm = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (t, w) => hm.put(t, w) }
+    val cases = Seq("", " ", "w0", "w0 w1 w0", "unknown only here") ++
+      Seq.fill(N)(randomText())
+    cases.foreach { s =>
+      val got = LinearScoreKernel.score(UTF8String.fromString(s), hm, 42L)
+        .toLongArray().toSeq
+      val toks = s.split(" ", -1)
+      val ref = 42L + toks.map(t => vocab.toMap.getOrElse(t, 0L)).sum
+      assert(got === Seq(ref, toks.length.toLong), s"for '$s'")
+    }
+  }
 }

@@ -318,6 +318,54 @@ class DupSpansProfileSpec extends SparkSpec {
     assert((fa -- fb).size > 1)
   }
 
+  test("profile stats are shard-mergeable: profile(A ∪ B) == merge(profile(A), profile(B)) for the mergeable tier") {
+    // The 100 TB pattern: per-shard profiles combine WITHOUT rescanning
+    // — rows/nulls add, min/max take extrema. (Exact distinct is the
+    // non-mergeable column; its scale tier is the HLL variant, whose
+    // sketches merge by design.)
+    val a = Seq((1L, "x"), (2L, null.asInstanceOf[String]), (3L, "m")).toDF("id", "s")
+    val b = Seq((4L, "z"), (5L, "a")).toDF("id", "s")
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      Profile.columns(df, Seq("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(4), r.getString(5))).head
+    val (pa, pb) = (prof(a), prof(b))
+    val merged = (pa._1, pa._2 + pb._2, pa._3 + pb._3,
+      Seq(pa._4, pb._4).min, Seq(pa._5, pb._5).max)
+    assert(merged === prof(a.unionByName(b)))
+  }
+
+  test("cdcChunks == naive per-doc reference on random corpora (8 trials)") {
+    val rnd = new scala.util.Random(77)
+    def refCdc(text: String, k: Int, m: Int): Set[(Long, Long, Long, String)] = {
+      val w = text.split(" ", -1)
+      val cuts = scala.collection.mutable.SortedSet[Int]()
+      if (w.length >= k)
+        for (p <- 1 to w.length - k + 1) {
+          val h = md5hex(w.slice(p - 1, p - 1 + k).mkString(" "))
+          if (Integer.parseInt(h.substring(0, 2), 16) % m == 0) cuts += (p + k - 1)
+        }
+      cuts += w.length
+      val cs = cuts.toSeq
+      cs.zip(0 +: cs.init).map { case (e, prev) =>
+        (prev + 1L, e.toLong, (e - prev).toLong, md5hex(w.slice(prev, e).mkString(" ")))
+      }.toSet
+    }
+    for (_ <- 1 to 8) {
+      val docs = (1 to 20).map { id =>
+        (id.toLong, Seq.fill(rnd.nextInt(30))("t" + rnd.nextInt(8)).mkString(" "))
+      }
+      val got = TextOps.cdcChunks(docs.toDF("doc_id", "text"), k = 4, modulus = 4)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet).toMap
+      docs.foreach { case (id, text) =>
+        assert(got.getOrElse(id, Set.empty) === refCdc(text, 4, 4), s"doc $id: '$text'")
+      }
+    }
+  }
+
   test("postings: counts and sorted positions per (token, doc)") {
     val docs = Seq((1L, "a b a c a"), (2L, "b b")).toDF("doc_id", "text")
     val rows = TextOps.postings(docs).collect()
