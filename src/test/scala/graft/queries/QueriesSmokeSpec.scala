@@ -51,6 +51,44 @@ class QueriesSmokeSpec extends SparkSpec {
       s"props not pruned from scan: ${meta("ReadSchema")}")
   }
 
+  test("q19: the disjunctive predicate decomposes into pushed filters on BOTH scans") {
+    // The property that makes q19 cheap at scale: Catalyst derives a
+    // per-side OR from the cross-table disjunction and pushes each
+    // into its parquet scan — neither side reads unfiltered.
+    val df = SparkEntry.queries("q19_discounted_revenue")(spark, dir)
+    // sparkPlan, not executedPlan: AQE wraps the joined plan and hides
+    // the scan leaves behind the adaptive node before execution
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata
+    }
+    val byTable = scans.map(m => m("Location") -> m("PushedFilters")).toMap
+    val l = byTable.keys.find(_.contains("lineitem")).map(byTable)
+      .getOrElse(fail("no lineitem scan"))
+    val p = byTable.keys.find(_.contains("part")).map(byTable)
+      .getOrElse(fail("no part scan"))
+    assert(l.contains("Or(") && l.contains("l_quantity"),
+      s"lineitem side must push its OR residual: $l")
+    assert(p.contains("Or(") && p.contains("p_brand"),
+      s"part side must push its OR residual: $p")
+  }
+
+  test("q12: the shipdate range reaches the lineitem scan; both scans prune columns") {
+    val df = SparkEntry.queries("q12_ship_priority")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata
+    }
+    val l = scans.find(_("Location").contains("lineitem"))
+      .getOrElse(fail("no lineitem scan"))
+    assert(l("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed: ${l("PushedFilters")}")
+    assert(!l("ReadSchema").contains("l_extendedprice"),
+      s"q12 reads no prices — column not pruned: ${l("ReadSchema")}")
+    val o = scans.find(_("Location").contains("orders"))
+      .getOrElse(fail("no orders scan"))
+    assert(!o("ReadSchema").contains("o_totalprice"),
+      s"orders price not pruned: ${o("ReadSchema")}")
+  }
+
   test("fixture invariant: events.event_id is dense and contiguous (s1 contract)") {
     // s1_range_scan derives the dense id range as event_id - min(event_id),
     // which matches its row_number()-1 DuckDB oracle ONLY while event_id
