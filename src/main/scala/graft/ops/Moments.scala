@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level embedding moment statistics: the (n, Σx_i, Σx_i·x_j)
@@ -253,9 +253,17 @@ object Moments {
     * pattern). Everything is exact integer arithmetic up to ONE double
     * division per output column, mirrored verbatim in
     * [[pcaProjectSql]]. */
-  def pcaProject(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
-    // ONE stats pass: the collected d² triangle (driver-held, metadata-
-    // scale) feeds the direction, n, AND the per-dim sums
+  /** Shared prelude of the projection-apply ops: ONE stats pass (the
+    * collected d² triangle — driver-held, metadata-scale — feeds the
+    * direction, n, the per-dim sums AND Σp²), the quantized corpus
+    * frame, and the map-side dot/centered expressions. One place, so
+    * [[pcaProject]] and [[pcaWhiten]] (and their oracles) can never
+    * desync on the fold or filter details. */
+  private case class PcaBase(rows: Array[org.apache.spark.sql.Row],
+      dir: Array[Long], n: Long, sv: Long, q: DataFrame,
+      dot: Column, projCentered: Column)
+
+  private def pcaBase(embeddings: DataFrame, dims: Int, iters: Int): PcaBase = {
     val rows = covarianceStats(embeddings, dims).collect()
     val dir = pcaDirFromStats(rows, dims, iters)
     val n = rows.head.getLong(2)
@@ -267,10 +275,16 @@ object Moments {
     val q = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
     val dot = graft.expr.ArrayExprs.dotLong(col("qv"), typedLit(dir.toSeq))
-    q.select(col("vec_id"),
-      (dot.cast("double") / lit(1000000.0)).as("proj"),
-      ((lit(n) * dot - lit(sv)).cast("double") /
-        (lit(n.toDouble) * lit(1000000.0))).as("proj_centered"))
+    val projCentered = (lit(n) * dot - lit(sv)).cast("double") /
+      (lit(n.toDouble) * lit(1000000.0))
+    PcaBase(rows, dir, n, sv, q, dot, projCentered)
+  }
+
+  def pcaProject(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
+    val b = pcaBase(embeddings, dims, iters)
+    b.q.select(col("vec_id"),
+      (b.dot.cast("double") / lit(1000000.0)).as("proj"),
+      b.projCentered.as("proj_centered"))
   }
 
   /** Shared recursive-CTE chain (quantize → moments → matrix → integer
@@ -335,31 +349,21 @@ object Moments {
     * errors the same way); at a corpus where that triggers, sub-sample
     * the stats pass (the [[pcaDirectionInt]] note). */
   def pcaWhiten(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
-    val rows = covarianceStats(embeddings, dims).collect()
-    val dir = pcaDirFromStats(rows, dims, iters)
-    val n = rows.head.getLong(2)
-    val sRows = rows.filter(r => r.getInt(0) == r.getInt(1))
-      .map(r => r.getInt(0) -> r.getLong(3)).toMap
-    val sv = (1 to dims).foldLeft(0L) { (acc, i) =>
-      Math.addExact(acc, Math.multiplyExact(sRows(i), dir(i - 1)))
-    }
+    val b = pcaBase(embeddings, dims, iters)
     // Σp² = Σ_{i,j} v_i·v_j·s_ij over the full symmetric matrix (the
     // triangle contributes off-diagonal cells twice)
-    val sump2 = rows.foldLeft(0L) { (acc, r) =>
+    val sump2 = b.rows.foldLeft(0L) { (acc, r) =>
       val i = r.getInt(0); val j = r.getInt(1)
-      val term = Math.multiplyExact(Math.multiplyExact(dir(i - 1), dir(j - 1)),
+      val term = Math.multiplyExact(Math.multiplyExact(b.dir(i - 1), b.dir(j - 1)),
         r.getLong(5))
       Math.addExact(acc, if (i == j) term else Math.multiplyExact(2L, term))
     }
-    val d = n.toDouble * sump2.toDouble - sv.toDouble * sv.toDouble
+    val d = b.n.toDouble * sump2.toDouble - b.sv.toDouble * b.sv.toDouble
     require(d > 0, "pcaWhiten: zero projection variance (degenerate corpus)")
-    val q = embeddings.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
-    val dot = graft.expr.ArrayExprs.dotLong(col("qv"), typedLit(dir.toSeq))
-    q.select(col("vec_id"),
-      ((lit(n) * dot - lit(sv)).cast("double") /
-        (lit(n.toDouble) * lit(1000000.0))).as("proj_centered"),
-      ((lit(n) * dot - lit(sv)).cast("double") / lit(math.sqrt(d))).as("proj_white"))
+    b.q.select(col("vec_id"),
+      b.projCentered.as("proj_centered"),
+      ((lit(b.n) * b.dot - lit(b.sv)).cast("double") / lit(math.sqrt(d)))
+        .as("proj_white"))
   }
 
   /** DuckDB oracle for [[pcaWhiten]] — the shared CTE chain plus Σp²

@@ -354,13 +354,6 @@ object TextOps {
         size(col("cov")).cast("long").as("n_removed"))
   }
 
-  /** Top-k corpus n-grams — the vocabulary-induction / phrase-mining
-    * sweep. Word n-grams build map-side (guarded: docs shorter than n
-    * contribute nothing; `sequence` is never called with a descending
-    * range), counts partial-aggregate before the one hash shuffle on
-    * the gram, and the top-k is TakeOrderedAndProject (per-partition
-    * heads merged on the driver — never a global sort). Ties break
-    * lexicographically for a deterministic oracle. */
   /** Positional posting lists — the inverted-index build stage a
     * retrieval-ready corpus export runs: one row per (token, doc),
     * with the occurrence count and the sorted 1-based word positions
@@ -399,11 +392,18 @@ object TextOps {
     * positions), n_chunk_words, chunk_hash (md5 of the chunk's words —
     * the key a CDC dedup joins on). */
   def cdcChunks(docs: DataFrame, k: Int = 4, modulus: Int = 16): DataFrame = {
-    require(k >= 1 && modulus >= 1, "cdcChunks: k and modulus must be >= 1")
+    require(k >= 1, "cdcChunks: k must be >= 1")
+    // modulus must be a power of two dividing the 16-bit hash-prefix
+    // space: the cut test draws hv uniform in [0, 65536), and only a
+    // power-of-two modulus partitions that range evenly — any other
+    // value silently biases the cut rate (and anything > 65536 could
+    // never cut at all). Counter-review finding; enforced loudly.
+    require(modulus >= 1 && modulus <= 65536 && (modulus & (modulus - 1)) == 0,
+      s"cdcChunks: modulus must be a power of two in [1, 65536], got $modulus")
     import org.apache.spark.sql.expressions.Window
-    // first-2-hex-digit value of the shingle hash — mirrored digit-wise
+    // first-4-hex-digit value of the shingle hash — mirrored digit-wise
     // in the oracle (sample_shuffle_shards' position() pattern)
-    val hv = conv(substring(col("h"), 1, 2), 16, 10).cast("long")
+    val hv = conv(substring(col("h"), 1, 4), 16, 10).cast("long")
     val cuts = posShingles(docs, k)
       .filter(pmod(hv, lit(modulus.toLong)) === 0L)
       .select(col("doc_id"), (col("pos") + (k - 1)).cast("long").as("cut_end"))
@@ -448,6 +448,13 @@ object TextOps {
         (col("cum_cnt").cast("double") / col("total").cast("double")).as("cum_share"))
   }
 
+  /** Top-k corpus n-grams — the vocabulary-induction / phrase-mining
+    * sweep. Word n-grams build map-side (guarded: docs shorter than n
+    * contribute nothing; `sequence` is never called with a descending
+    * range), counts partial-aggregate before the one hash shuffle on
+    * the gram, and the top-k is TakeOrderedAndProject (per-partition
+    * heads merged on the driver — never a global sort). Ties break
+    * lexicographically for a deterministic oracle. */
   def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "ngramTopK: n and k must be positive")
     val toks = tokens(col("text"))

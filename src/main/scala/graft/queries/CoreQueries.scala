@@ -529,6 +529,9 @@ object CoreQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
       .select(col("l_orderkey"), col("l_returnflag"))
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    // a NULL priority lands in NEITHER bucket (!high is NULL → the
+    // otherwise(0) branch); the oracle uses CASE WHEN NOT(... IN ...),
+    // not ELSE 1, for the same three-valued behavior
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
@@ -811,7 +814,7 @@ object CoreQueries {
     QueryDef("q12_ship_priority", q12ShipPriority,
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |CAST(sum(CASE WHEN NOT (o_orderpriority IN ('1-URGENT', '2-HIGH')) THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag""".stripMargin),

@@ -200,8 +200,10 @@ object PipelineQueries {
       |  FROM toks t, LATERAL (SELECT unnest(generate_series(1, len(t.w) - 3)) AS i) g
       |  WHERE len(t.w) >= 4),
       |cuts AS (SELECT doc_id, CAST(pos + 3 AS BIGINT) AS cut_end FROM sh
-      |  WHERE ((position(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 16
-      |       + (position(substr(h, 2, 1) IN '0123456789abcdef') - 1)) % 16 = 0),
+      |  WHERE ((position(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 4096
+      |       + (position(substr(h, 2, 1) IN '0123456789abcdef') - 1) * 256
+      |       + (position(substr(h, 3, 1) IN '0123456789abcdef') - 1) * 16
+      |       + (position(substr(h, 4, 1) IN '0123456789abcdef') - 1)) % 16 = 0),
       |ends AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS cut_end FROM toks),
       |allc AS (SELECT DISTINCT doc_id, cut_end FROM
       |  (SELECT doc_id, cut_end FROM cuts UNION ALL SELECT doc_id, cut_end FROM ends)),

@@ -83,12 +83,11 @@ class ClassifySpec extends SparkSpec {
       .partitionBy(col("source")).orderBy(col("margin").desc, col("doc_id").asc)
     val top = scored.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w2))
       .filter(col("rank") <= 3)
-    top.collect() // force
+    val rows = top.collect()
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"best-per-source must run the rank filter below the exchange:\n$plan")
-    val kept = top.collect().map(r => r.getAs[Long]("doc_id")).toSet
-    assert(kept === Set(1L, 3L, 4L, 5L))
+    assert(rows.map(r => r.getAs[Long]("doc_id")).toSet === Set(1L, 3L, 4L, 5L))
   }
 
   test("text_classify gate splits the fixture corpus (non-degenerate)") {

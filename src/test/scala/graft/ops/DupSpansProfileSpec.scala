@@ -296,6 +296,14 @@ class DupSpansProfileSpec extends SparkSpec {
       assert(cs.forall(c => c._4 == c._3 - c._2 + 1))
     }
     assert(rows.count(_._1 == 2L) === 1 && rows.count(_._1 == 3L) === 1)
+    // non-power-of-two / oversized moduli are rejected loudly (a
+    // 2-hex-digit draw once capped any modulus > 256 silently)
+    intercept[IllegalArgumentException] {
+      TextOps.cdcChunks(docs, k = 4, modulus = 100)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.cdcChunks(docs, k = 4, modulus = 131072)
+    }
   }
 
   test("cdcChunks: boundaries are content-local — a prefix insertion reshapes only the head") {
@@ -343,7 +351,7 @@ class DupSpansProfileSpec extends SparkSpec {
       if (w.length >= k)
         for (p <- 1 to w.length - k + 1) {
           val h = md5hex(w.slice(p - 1, p - 1 + k).mkString(" "))
-          if (Integer.parseInt(h.substring(0, 2), 16) % m == 0) cuts += (p + k - 1)
+          if (Integer.parseInt(h.substring(0, 4), 16) % m == 0) cuts += (p + k - 1)
         }
       cuts += w.length
       val cs = cuts.toSeq

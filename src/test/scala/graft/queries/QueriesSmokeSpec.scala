@@ -51,6 +51,18 @@ class QueriesSmokeSpec extends SparkSpec {
       s"props not pruned from scan: ${meta("ReadSchema")}")
   }
 
+  test("single-row aggregates q6/q14/q19 actually MATCH rows (no empty-set vacuity)") {
+    // A global aggregate over an empty match set still returns 1 row
+    // with NULL sums, so the n > 0 smoke guard cannot catch a fixture
+    // drift that re-vacuates them (the round-9 q6 failure mode). Pin
+    // n_items > 0 explicitly.
+    for (q <- Seq("q6_forecast_revenue", "q14_promo_share", "q19_discounted_revenue")) {
+      val n = SparkEntry.queries(q)(spark, dir)
+        .select("n_items").head().getLong(0)
+      assert(n > 0, s"$q matched zero rows — its predicates no longer hit the fixture")
+    }
+  }
+
   test("q19: the disjunctive predicate decomposes into pushed filters on BOTH scans") {
     // The property that makes q19 cheap at scale: Catalyst derives a
     // per-side OR from the cross-table disjunction and pushes each
