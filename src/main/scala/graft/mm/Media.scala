@@ -227,6 +227,66 @@ object Media {
     }
   }
 
+  // ---- perceptual image-hash dedup (aHash over the real decode) ----
+
+  /** 64-bit average hash: box-filter the image to 8×8 (the exact
+    * [[areaAverage]] scaler — one portable answer on any JVM), BT.601
+    * luma per cell, bit i set iff cell i's luma >= the 64-cell mean.
+    * Brightness/contrast shifts move every cell AND the mean together,
+    * so re-encodes and mild tone edits hash identically or nearby —
+    * the property that makes Hamming distance a near-dup signal. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val s = areaAverage(img, 8, 8)
+    val lum = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = s.getRGB(i % 8, i / 8)
+      lum(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      i += 1
+    }
+    var mean = 0.0
+    i = 0
+    while (i < 64) { mean += lum(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lum(i) >= mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  final case class ImageHash(media_id: Long, n_bytes: Long, ahash: Option[Long])
+
+  /** Per-image aHash; undecodable payloads yield None (the
+    * [[featurizeImages]] poisoned-blob convention — never kill the
+    * batch). */
+  def hashImages(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        ImageHash(row.media_id, row.media.length.toLong,
+          readImage(row.media).map(aHash))
+      }
+    }
+  }
+
+  /** Perceptual near-dup image pairs: exact Hamming pairing over the
+    * 64-bit aHash via the shared pigeonhole-banding core
+    * ([[graft.ops.Dedup.hammingPairs]] — capped (band, value) buckets,
+    * never an all-pairs join; decode runs ONCE per image on the hash
+    * pass, pairs never touch pixels). maxDist + 1 must divide 64
+    * (default 7 → 8 bands of 8 bits). */
+  def nearDupImagePairs(media: Dataset[MediaRow], maxDist: Int = 7,
+      maxBucket: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    val hashes = hashImages(media).toDF()
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("ahash").as("sig"))
+    graft.ops.Dedup.hammingPairs(hashes, bits = 64, maxDist = maxDist,
+        maxBucket = maxBucket)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+  }
+
   // ---- REAL audio decode (JDK javax.sound.sampled — WAV/AIFF PCM) ----
 
   final case class AudioFeatures(media_id: Long, n_bytes: Long,

@@ -161,21 +161,39 @@ object Dedup {
     * from text on the pair side.
     */
   def simhashPairs(docs: DataFrame, bits: Int = 16, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    hammingPairs(simhash(docs, bits).select(col("doc_id"), col("simhash").as("sig")),
+      bits, maxDist, maxBucket)
+
+  /** Exact Hamming near-dup pairs over ANY integer-signature relation
+    * `(doc_id, sig)` — the pigeonhole-banding core shared by
+    * [[simhashPairs]] (text SimHash) and the perceptual image-hash
+    * dedup (`mm.Media.nearDupImagePairs`): split the signature into
+    * `maxDist + 1` bands; two signatures within `maxDist` MUST agree on
+    * at least one band (lossless for <= maxDist), so the candidate join
+    * is a capped-bucket equi-join on (band, value), never all-pairs,
+    * and the exact `bit_count(xor)` filter runs only on candidates. */
+  def hammingPairs(sigs: DataFrame, bits: Int, maxDist: Int,
       maxBucket: Int = 1000): DataFrame = {
     val nBands = maxDist + 1
+    require(bits >= 1 && bits <= 64, s"hammingPairs: bits must be in [1, 64], got $bits")
     require(bits % nBands == 0,
-      s"simhashPairs: bits=$bits must divide into ${nBands} bands (maxDist + 1)")
+      s"hammingPairs: bits=$bits must divide into ${nBands} bands (maxDist + 1)")
     val w = bits / nBands
-    val sigs = simhash(docs, bits)
-    val banded = sigs.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until nBands).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*
+    // w == 64 only when nBands == 1 (exact equality): (1L << 64) wraps
+    // to 1 in JVM shift semantics, so the whole-signature band skips
+    // the mask instead of silently masking to zero
+    def bandVal(b: Int) =
+      if (w == 64) col("sig")
+      else shiftright(col("sig"), b * w).bitwiseAND(lit((1L << w) - 1))
+    val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"), bandVal(b).as("bv"))): _*
       )).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
     val capped = capBuckets(banded, Seq(col("band"), col("bv")), col("doc_id"), maxBucket)
-    val a = capped.select(col("doc_id").as("id_a"), col("simhash").as("ha"),
+    val a = capped.select(col("doc_id").as("id_a"), col("sig").as("ha"),
       col("band"), col("bv"))
-    val b = capped.select(col("doc_id").as("id_b"), col("simhash").as("hb"),
+    val b = capped.select(col("doc_id").as("id_b"), col("sig").as("hb"),
       col("band"), col("bv"))
     val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
     a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))

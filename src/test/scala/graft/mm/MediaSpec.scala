@@ -226,4 +226,34 @@ class MediaSpec extends SparkSpec {
     assert((f1.getRGB(3, 2) & 0xffffff) === 0x00ff00)
     assert((f1.getRGB(4, 3) & 0xffffff) === 0xff0000) // outside the patch: untouched
   }
+  test("aHash dedup: re-encodes and brightness shifts pair up, different content does not") {
+    // a gradient image: varied luma so the hash has structure
+    def gradient(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = math.min(255, x * 16 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      Media.MediaRow(1L, gradient(0)),
+      Media.MediaRow(2L, gradient(0)),            // exact re-encode twin
+      Media.MediaRow(3L, gradient(10)),           // brightness shift: mean shifts too
+      Media.MediaRow(4L, pngBytes(16, 16, 0x123456)), // flat: complement-ish hash
+      Media.MediaRow(5L, Array[Byte](1, 2, 3))    // undecodable: excluded
+    ).toDS()
+    // brightness invariance: every cell AND the mean move together
+    val hs = Media.hashImages(rows).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hs(1L).isDefined && hs(1L) === hs(2L) && hs(1L) === hs(3L))
+    assert(hs(5L).isEmpty)
+    val pairs = Media.nearDupImagePairs(rows, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "flat image must not pair with the gradient")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
