@@ -518,6 +518,30 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  private val q17SmallQuantity: QFn = (s, dir) => {
+    // TPC-H q17 shape: join the fact table against a PER-GROUP
+    // aggregate of itself (the 20%-of-average-quantity threshold per
+    // part) — the self-aggregation join pattern. Both sides shuffle on
+    // l_partkey, so the aggregate side reuses the probe side's
+    // exchange partitioning (co-partitioned, no second corpus
+    // re-distribution); the brand-filtered part dim broadcasts.
+    // Threshold tree: 0.2 * (decimal-exact sum cast double / count) —
+    // mirrored verbatim in the oracle; the qty comparison casts to
+    // double on both engines.
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = l.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") /
+        count(lit(1)).cast("double"))).as("thr"))
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#2")
+      .select(col("p_partkey"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(thr, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("double") < col("thr"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+  }
+
   private val q12ShipPriority: QFn = (s, dir) => {
     // TPC-H q12 shape: the fact-fact equi-join (lineitem |x| orders on
     // the order key — co-partitioned shuffle join at scale, the one
@@ -811,6 +835,16 @@ object CoreQueries {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin),
+    QueryDef("q17_small_quantity", q17SmallQuantity,
+      """WITH t AS (SELECT l_partkey,
+        |  0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS thr
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_items,
+        |CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#2'
+        |JOIN t ON l.l_partkey = t.l_partkey
+        |WHERE CAST(l.l_quantity AS DOUBLE) < t.thr""".stripMargin),
     QueryDef("q12_ship_priority", q12ShipPriority,
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

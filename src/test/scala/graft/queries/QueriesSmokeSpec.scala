@@ -56,7 +56,8 @@ class QueriesSmokeSpec extends SparkSpec {
     // with NULL sums, so the n > 0 smoke guard cannot catch a fixture
     // drift that re-vacuates them (the round-9 q6 failure mode). Pin
     // n_items > 0 explicitly.
-    for (q <- Seq("q6_forecast_revenue", "q14_promo_share", "q19_discounted_revenue")) {
+    for (q <- Seq("q6_forecast_revenue", "q14_promo_share", "q19_discounted_revenue",
+        "q17_small_quantity")) {
       val n = SparkEntry.queries(q)(spark, dir)
         .select("n_items").head().getLong(0)
       assert(n > 0, s"$q matched zero rows — its predicates no longer hit the fixture")
