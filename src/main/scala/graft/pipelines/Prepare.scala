@@ -12,6 +12,10 @@ import graft.tables.Tables
   *   1. quality gate    — drop each language's worst tail
   *                        (broadcast-cutoff twin: no per-language
   *                        serialization on a skewed corpus)
+  *   1b. classifier gate — OPTIONAL learned margin threshold
+  *                        (Classify.scoreLinear, projection-only)
+  *   1c. decontamination — OPTIONAL benchmark shingle gate
+  *                        (Decontaminate.benchGate bloom + exact)
   *   2. dedup           — keep one canonical doc per MinHash duplicate
   *                        cluster (connected components over bucket
   *                        stars)
@@ -34,7 +38,9 @@ object Prepare {
   def run(spark: SparkSession, dir: String, outDir: String,
       qualityFrac: Double = 0.25,
       rates: Map[String, Int] = Map("en" -> 205), defaultRate: Int = 256,
-      nShards: Int = 16, seqLen: Long = 256L): DataFrame = {
+      nShards: Int = 16, seqLen: Long = 256L,
+      classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
+      bench: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     val docs = Tables.documents(spark, dir)
@@ -52,14 +58,41 @@ object Prepare {
     val gatedC = spark.read.parquet(s"$outDir/stage_gated")
     val n1 = gatedC.count()
 
+    // 1b. learned quality gate (optional): fastText-style margin
+    // threshold, projection-only — adds no shuffle to the funnel
+    val classified = classifier match {
+      case Some((w, bias, thr)) =>
+        graft.ops.Classify.scoreLinear(gatedC, w, bias, thr)
+          .filter(col("keep")).select("doc_id").join(gatedC, "doc_id")
+      case None => gatedC
+    }
+    val n1b = classifier.fold(n1)(_ => classified.count())
+
+    // 1c. benchmark decontamination (optional): drop docs sharing
+    // enough shingles with the eval set — the bloom-pruned exact gate;
+    // staged so dedup's multiple passes read compact parquet, not the
+    // gate chain
+    val curated = bench match {
+      case Some(b) =>
+        val gate = graft.ops.Decontaminate.benchGate(b)
+        try {
+          classified.join(graft.ops.Decontaminate.contaminatedIds(classified, gate),
+              Seq("doc_id"), "left_anti")
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stage_curated")
+        } finally gate.release()
+        spark.read.parquet(s"$outDir/stage_curated")
+      case None => classified
+    }
+    val n1c = bench.fold(n1b)(_ => curated.count())
+
     // 2. one doc per duplicate cluster. The keep set (a doc_id list) is
     // staged too, so the CC computation runs exactly once — the join
     // below and the funnel count both read the staged result.
-    Dedup.clusters(gatedC).filter(col("keep") === 1L).select("doc_id")
+    Dedup.clusters(curated).filter(col("keep") === 1L).select("doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stage_keep")
     val keep = spark.read.parquet(s"$outDir/stage_keep")
     val n2 = keep.count() // keep join is 1:1 -> this IS the deduped count
-    val deduped = gatedC.join(keep, "doc_id")
+    val deduped = curated.join(keep, "doc_id")
 
     // 3. PII redaction (map-side; masked text replaces the original)
     val masked = TextOps.piiMask(deduped, col("text"))
@@ -100,6 +133,8 @@ object Prepare {
     Seq(
       ("input", n0),
       ("quality_gated", n1),
+      ("classifier_gated", n1b),
+      ("decontaminated", n1c),
       ("deduped", n2),
       ("sampled_written", n3),
       ("packed_chunks", n4)

@@ -89,6 +89,32 @@ class PipelinesSpec extends SparkSpec {
       assert(r.getAs[Long]("toks") === r.getAs[Long]("stream_end"))) // gapless
   }
 
+  test("prepare with classifier + decontamination gates: extra funnel stages bite") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("prepare_gates").toString
+    // classifier: penalize 'slow' hard enough that some docs fall below 0
+    val weights = Seq("slow" -> -5000L, "fast" -> 500L)
+    // bench: a real 8-word span from the corpus vocab so SOME doc overlaps
+    val bench = Seq((900L, "key agg row scan slow fast table value part hash"))
+      .toDF("doc_id", "text")
+    val funnel = graft.pipelines.Prepare.run(spark, "/root/testdata/sf0.001", out,
+        nShards = 2, classifier = Some((weights, 0L, 0.0)), bench = Some(bench))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(funnel("classifier_gated") <= funnel("quality_gated"))
+    assert(funnel("classifier_gated") < funnel("quality_gated"),
+      "the margin gate must actually drop documents on this fixture")
+    assert(funnel("decontaminated") <= funnel("classifier_gated"))
+    assert(funnel("deduped") <= funnel("decontaminated"))
+    assert(funnel("sampled_written") > 0)
+    // without gates the two stages are pass-through (counts equal)
+    val out2 = java.nio.file.Files.createTempDirectory("prepare_nogate").toString
+    val f2 = graft.pipelines.Prepare.run(spark, "/root/testdata/sf0.001", out2,
+        nShards = 2)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(f2("classifier_gated") === f2("quality_gated"))
+    assert(f2("decontaminated") === f2("quality_gated"))
+  }
+
   test("block-time CSV cache round-trips (S8)") {
     val out = Files.createTempDirectory("btc").toString + "/cache"
     Load.writeBlockTimeCsv(spark, dir, out)
