@@ -101,6 +101,12 @@ object Media {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
+  /** BT.601 luma of one packed-RGB pixel — the ONE definition both the
+    * luma features and the perceptual hash derive from (a coefficient
+    * change must move them together). */
+  private def luma(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
   /** Mean BT.601 luma over at most a 64x64 sample grid — O(1) per image
     * regardless of resolution, deterministic (fixed grid, no RNG). */
   private def meanLuma(img: java.awt.image.BufferedImage): Double = {
@@ -111,8 +117,7 @@ object Media {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        sum += luma(img.getRGB(x, y))
         n += 1
         x += sx
       }
@@ -240,9 +245,7 @@ object Media {
     val lum = new Array[Double](64)
     var i = 0
     while (i < 64) {
-      val rgb = s.getRGB(i % 8, i / 8)
-      lum(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-        0.114 * (rgb & 0xff)
+      lum(i) = luma(s.getRGB(i % 8, i / 8))
       i += 1
     }
     var mean = 0.0

@@ -59,11 +59,16 @@ object Prepare {
     val n1 = gatedC.count()
 
     // 1b. learned quality gate (optional): fastText-style margin
-    // threshold, projection-only — adds no shuffle to the funnel
+    // threshold, projection-only. STAGED like every other gate result:
+    // the count, the decontamination probe and dedup's several passes
+    // would otherwise each re-run the scoring scan (the stage-1
+    // rationale applies to every stage boundary).
     val classified = classifier match {
       case Some((w, bias, thr)) =>
         graft.ops.Classify.scoreLinear(gatedC, w, bias, thr)
           .filter(col("keep")).select("doc_id").join(gatedC, "doc_id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stage_classified")
+        spark.read.parquet(s"$outDir/stage_classified")
       case None => gatedC
     }
     val n1b = classifier.fold(n1)(_ => classified.count())

@@ -94,16 +94,26 @@ class PipelinesSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("prepare_gates").toString
     // classifier: penalize 'slow' hard enough that some docs fall below 0
     val weights = Seq("slow" -> -5000L, "fast" -> 500L)
-    // bench: a real 8-word span from the corpus vocab so SOME doc overlaps
-    val bench = Seq((900L, "key agg row scan slow fast table value part hash"))
-      .toDF("doc_id", "text")
+    // bench: a verbatim 10-word span from a doc that SURVIVES stages
+    // 1+1b, computed from the same library calls — a span picked from a
+    // doc the earlier gates already dropped would leave the gate
+    // provably idle (counter-review finding: <= alone cannot tell)
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val gated = graft.ops.TextOps.qualityFilterByCutoff(docs, 0.25)
+      .select("doc_id").join(docs, "doc_id")
+    val survivor = graft.ops.Classify.scoreLinear(gated, weights, 0L, 0.0)
+      .filter(org.apache.spark.sql.functions.col("keep")).select("doc_id")
+      .join(gated, "doc_id")
+      .orderBy("doc_id").select("text").head().getString(0)
+    val span = survivor.split(" ").take(10).mkString(" ")
+    val bench = Seq((900L, span)).toDF("doc_id", "text")
     val funnel = graft.pipelines.Prepare.run(spark, "/root/testdata/sf0.001", out,
         nShards = 2, classifier = Some((weights, 0L, 0.0)), bench = Some(bench))
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
-    assert(funnel("classifier_gated") <= funnel("quality_gated"))
     assert(funnel("classifier_gated") < funnel("quality_gated"),
       "the margin gate must actually drop documents on this fixture")
-    assert(funnel("decontaminated") <= funnel("classifier_gated"))
+    assert(funnel("decontaminated") < funnel("classifier_gated"),
+      "the decontamination gate must drop the doc whose span the bench holds")
     assert(funnel("deduped") <= funnel("decontaminated"))
     assert(funnel("sampled_written") > 0)
     // without gates the two stages are pass-through (counts equal)
