@@ -60,10 +60,21 @@ object Ingest {
     * the stream's state store. */
   def processNearDupBatch(batch: DataFrame, indexPath: String, outPath: String,
       batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000,
-      bench: Option[graft.ops.Decontaminate.BenchGate] = None): Unit = {
+      bench: Option[graft.ops.Decontaminate.BenchGate] = None,
+      classifier: Option[(Seq[(String, Long)], Long, Double)] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val bands = Dedup.bandIndex(batch, numHashes, maxBucket).persist()
+    // learned quality gate FIRST (optional): projection-only margin
+    // threshold — a sub-threshold doc neither pairs, nor probes the
+    // corpus index, nor extends it (the Prepare stage-1b twin, applied
+    // per micro-batch; the weights ride inside the kernel, O(batch))
+    val gated = classifier match {
+      case Some((w, bias, thr)) =>
+        batch.join(graft.ops.Classify.scoreLinear(batch, w, bias, thr)
+          .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None => batch
+    }
+    val bands = Dedup.bandIndex(gated, numHashes, maxBucket).persist()
     try {
       // benchmark decontamination FIRST: probe the STANDING gate
       // (bloom + cached bench shingles, built once at stream start) —
@@ -74,7 +85,7 @@ object Ingest {
       // its content lost entirely). persist: feeds the band filter AND
       // the dropped union.
       val contaminated = (bench match {
-        case Some(g) => graft.ops.Decontaminate.contaminatedIds(batch, g)
+        case Some(g) => graft.ops.Decontaminate.contaminatedIds(gated, g)
         case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       }).persist()
       try {
@@ -95,7 +106,7 @@ object Ingest {
         val dropped = inBatchDropped.unionByName(corpusHits)
           .unionByName(contaminated).persist()
         try {
-          val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+          val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
           writeBatchPartition(survivors, outPath, batchId)
           writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
             indexPath, batchId)
@@ -131,11 +142,13 @@ object Ingest {
     * overwrite makes replays converge instead of duplicating. */
   def startNearDupIngest(newDocs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000,
-      bench: Option[graft.ops.Decontaminate.BenchGate] = None): StreamingQuery =
+      bench: Option[graft.ops.Decontaminate.BenchGate] = None,
+      classifier: Option[(Seq[(String, Long)], Long, Double)] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket, bench)
+        processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket,
+          bench, classifier)
       }
       .start()
 }

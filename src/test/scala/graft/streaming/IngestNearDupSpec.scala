@@ -171,4 +171,29 @@ class IngestNearDupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet === Set(2L))
     } finally gate.release()
   }
+
+  test("classifier gate per micro-batch: sub-threshold docs neither land nor index") {
+    val idx = tmp("nd_idxc") + "/bands"
+    val out = tmp("nd_outc") + "/corpus"
+    // margin = weighted token mean: doc 1 scores positive, doc 2 negative
+    val clf = Some((Seq("good" -> 2000L, "bad" -> -2000L), 0L, 0.5))
+    Ingest.processNearDupBatch(Seq(
+      (1L, "good good quality document with plenty good words", "s", 49L),
+      (2L, "bad bad junk document with plenty bad words here", "s", 48L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 0L, classifier = clf)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(spark.read.parquet(idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L),
+      "a gated doc must not extend the band index either")
+    // second batch through the SAME gate config still filters
+    Ingest.processNearDupBatch(Seq(
+      (10L, "bad junk again with more bad words than good here", "s", 49L),
+      (11L, "good fresh good unique good content entirely new", "s", 48L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 1L, classifier = clf)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 11L))
+  }
 }
