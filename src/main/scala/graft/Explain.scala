@@ -23,7 +23,10 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s4_ranged_scan", "s7_time_dim_join", "a1_token_rollup",
-        "k1_versioned_upsert", "dedup_minhash", "ann_bruteforce", "j2_full_outer_reconcile")
+        "k1_versioned_upsert", "dedup_minhash", "ann_bruteforce", "j2_full_outer_reconcile",
+        // round-10 flagships: projection-only classifier, per-side OR
+        // pushdown, self-aggregation join, banded LSH recall harness
+        "text_classify", "q19_discounted_revenue", "q17_small_quantity", "ann_lsh_multi")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

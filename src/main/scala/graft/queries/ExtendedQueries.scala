@@ -264,20 +264,6 @@ object ExtendedQueries {
           .otherwise(graft.expr.Exprs.hexToDec(col("net_hex"))).as("net_dec"))
   }
 
-  private val a13Pivot: QFn = (s, dir) =>
-    // relational PIVOT: one row per user, one count column per event
-    // type — the EXPLICIT-values form (pivot(col, values)), so the
-    // plan is a single pass of conditional aggregates with NO extra
-    // distinct-values collection job, and the output schema is static
-    // (the only pivot that scales: a data-driven column set would put
-    // a distinct scan on the driver). Missing cells are 0 via the
-    // count-of-matches formulation.
-    Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("click", "view", "purchase", "error", "signup"))
-
   private val a11Percentiles: QFn = (s, dir) =>
     // Exact percentiles (linear interpolation over sorted values) on an
     // integer-floored measure so the interpolation arithmetic is
@@ -553,14 +539,6 @@ object ExtendedQueries {
         |  sum(CASE WHEN event_type = 'click' THEN event_id * 1000000 ELSE 0 END) -
         |  sum(CASE WHEN event_type = 'view' THEN event_id * 1000000 ELSE 0 END)
         |AS VARCHAR) AS net_dec
-        |FROM events GROUP BY user_id""".stripMargin),
-    QueryDef("a13_pivot", a13Pivot,
-      """SELECT user_id,
-        |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-        |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
-        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-        |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-        |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
         |FROM events GROUP BY user_id""".stripMargin),
     QueryDef("a11_percentiles", a11Percentiles,
       """SELECT event_type,

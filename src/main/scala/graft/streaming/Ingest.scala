@@ -67,13 +67,22 @@ object Ingest {
     // learned quality gate FIRST (optional): projection-only margin
     // threshold — a sub-threshold doc neither pairs, nor probes the
     // corpus index, nor extends it (the Prepare stage-1b twin, applied
-    // per micro-batch; the weights ride inside the kernel, O(batch))
-    val gated = classifier match {
+    // per micro-batch; the weights ride inside the kernel, O(batch)).
+    // PERSISTED: three lineages consume it (banding, the decon probe,
+    // the survivors anti-join) — unpersisted, the scoring scan would
+    // re-run per consumer (the same reason Prepare stages its gate).
+    val gated = (classifier match {
       case Some((w, bias, thr)) =>
         batch.join(graft.ops.Classify.scoreLinear(batch, w, bias, thr)
           .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
       case None => batch
-    }
+    }).persist()
+    try {
+    // an all-gated batch writes NOTHING (skipping is replay-safe: the
+    // epoch deterministically re-computes empty) — a zero-row parquet
+    // write would leave a schema-less dir that poisons the next
+    // epoch's standingBands read
+    if (gated.isEmpty) return
     val bands = Dedup.bandIndex(gated, numHashes, maxBucket).persist()
     try {
       // benchmark decontamination FIRST: probe the STANDING gate
@@ -113,24 +122,45 @@ object Ingest {
         } finally dropped.unpersist(blocking = false)
       } finally contaminated.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
+    } finally gated.unpersist(blocking = false)
   }
 
-  /** Missing path = empty index (first epoch); any OTHER read problem
-    * (corrupt append, schema conflict) propagates loudly — silently
-    * treating it as "no corpus" would disable dedup and poison the
-    * index with false survivors. */
+  /** Missing path OR a path with no data files = empty index (first
+    * epoch, or every prior epoch contributed nothing — e.g. only
+    * sub-banding-length docs survived); any OTHER read problem (corrupt
+    * append, schema conflict) propagates loudly — silently treating it
+    * as "no corpus" would disable dedup and poison the index with false
+    * survivors. The data-file probe matters: reading a dir holding only
+    * _SUCCESS markers throws schema-inference errors indistinguishable
+    * from corruption. */
   private def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(indexPath)) else None
+    def hasDataFile: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(indexPath)) else None
   }
 
+  /** Zero-row frames write NOTHING: a rows-less parquet write leaves a
+    * schema-less marker-only dir (or partition) that a later read
+    * cannot infer a schema from. Skipping is replay-safe — the epoch
+    * recomputes the same empty set. The isEmpty probe re-evaluates a
+    * persisted lineage (bands/dropped/gated are all cached by the
+    * caller), so it is a cache scan, not a recompute. */
   private def writeBatchPartition(df: DataFrame, target: String, batchId: Long): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(target)
+    if (!df.isEmpty)
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(target)
 
   /** Continuous near-dup ingestion: the streaming twin of
     * [[Dedup.incrementalMinhashPairs]], wired the way the reference's

@@ -196,4 +196,38 @@ class IngestNearDupSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(1L, 11L))
   }
+
+  test("an ALL-gated first batch writes nothing and does not poison the next epoch") {
+    // Counter-review finding: a zero-row parquet write leaves a
+    // schema-less marker dir, and the next epoch's standingBands read
+    // would die on schema inference — killing the stream permanently.
+    val idx = tmp("nd_idxe") + "/bands"
+    val out = tmp("nd_oute") + "/corpus"
+    val clf = Some((Seq("bad" -> -9000L), 0L, 0.0))
+    Ingest.processNearDupBatch(Seq(
+      (1L, "bad bad bad entirely rejected document text here", "s", 48L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 0L, classifier = clf)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+      "an all-gated batch must not create the index dir")
+    // the next epoch proceeds normally against the (absent) index
+    Ingest.processNearDupBatch(Seq(
+      (2L, "perfectly fine surviving document with plenty words", "s", 51L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 1L, classifier = clf)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // short-doc edge: a surviving doc too short to band (< 3 tokens)
+    // writes the corpus but NOT the index; the epoch after still works
+    Ingest.processNearDupBatch(Seq(
+      (3L, "tiny doc", "s", 8L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 2L, classifier = clf)
+    Ingest.processNearDupBatch(Seq(
+      (4L, "another normal document that bands and survives fine", "s", 52L))
+      .toDF("doc_id", "text", "source", "n_chars"),
+      idx, out, batchId = 3L, classifier = clf)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
+  }
 }
