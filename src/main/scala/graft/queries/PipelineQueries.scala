@@ -493,6 +493,22 @@ object PipelineQueries {
   private val textPostings: QFn = (s, dir) =>
     TextOps.postings(Tables.documents(s, dir))
 
+  // Per-source length-percentile rank — the "drop each source's
+  // shortest tail" curation signal as a relative position instead of a
+  // fixed cutoff. percent_rank/cume_dist are integer-derived ((rank-1)/
+  // (n-1), rows≤/n) so the doubles are bit-exact across engines. One
+  // source-keyed window; doc_id tiebreak keeps ranks deterministic.
+  private val textLengthPercentile: QFn = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(size(split(col("text"), " ", -1)).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        percent_rank().over(w).as("len_pct"),
+        cume_dist().over(w).as("len_cume"))
+  }
+
   private val textChunksCdc: QFn = (s, dir) =>
     TextOps.cdcChunks(Tables.documents(s, dir), k = 4, modulus = 16)
 
@@ -853,6 +869,14 @@ object PipelineQueries {
     QueryDef("text_classify", textClassify,
       graft.ops.Classify.scoreLinearSql(classifyWeights, classifyBias,
         classifyThreshold)),
+    QueryDef("text_length_percentile", textLengthPercentile,
+      """SELECT doc_id, source,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |percent_rank() OVER (PARTITION BY source
+        |  ORDER BY len(string_split(text, ' ')), doc_id) AS len_pct,
+        |cume_dist() OVER (PARTITION BY source
+        |  ORDER BY len(string_split(text, ' ')), doc_id) AS len_cume
+        |FROM documents""".stripMargin),
     QueryDef("text_postings", textPostings,
       """SELECT token, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
         |string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
