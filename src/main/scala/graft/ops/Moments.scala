@@ -274,8 +274,22 @@ object Moments {
     }
     val q = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), graft.expr.ArrayExprs.quantize(col("embedding")).as("qv"))
+      // centered's loud-length contract: a ragged vector would silently
+      // dot over min(length) terms in dotLong while the oracle's qv[i]
+      // yields NULL — raise instead of desyncing.
+      .select(col("vec_id"),
+        when(size(col("qv")) === dims, col("qv"))
+          .otherwise(raise_error(concat(
+            lit(s"pcaBase: dims=$dims but corpus vector has "),
+            size(col("qv")).cast("string"), lit(" elements")))).as("qv"))
     val dot = graft.expr.ArrayExprs.dotLong(col("qv"), typedLit(dir.toSeq))
-    val projCentered = (lit(n) * dot - lit(sv)).cast("double") /
+    // Assembled in DOUBLES, not Long columns: n·dot − sv exceeds 64 bits
+    // well before the stats pass itself overflows, and non-ANSI Long
+    // column arithmetic would WRAP silently while the oracle's BIGINT
+    // errors loudly — a cross-engine desync. The double tree
+    // (toDouble each operand, multiply, subtract) is the same fixed
+    // IEEE sequence in both engines, so hash equality is preserved.
+    val projCentered = (lit(n.toDouble) * dot.cast("double") - lit(sv.toDouble)) /
       (lit(n.toDouble) * lit(1000000.0))
     PcaBase(rows, dir, n, sv, q, dot, projCentered)
   }
@@ -330,7 +344,7 @@ object Moments {
        |${pcaCtes(dims, iters)}
        |SELECT q.vec_id AS vec_id,
        |  CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE)/1000000.0 AS proj,
-       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |  (CAST(nn.n AS DOUBLE)*CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE) - CAST(sv.sv AS DOUBLE))
        |    / (CAST(nn.n AS DOUBLE)*1000000.0) AS proj_centered
        |FROM q, vf, nn, sv""".stripMargin
 
@@ -362,8 +376,9 @@ object Moments {
     require(d > 0, "pcaWhiten: zero projection variance (degenerate corpus)")
     b.q.select(col("vec_id"),
       b.projCentered.as("proj_centered"),
-      ((lit(b.n) * b.dot - lit(b.sv)).cast("double") / lit(math.sqrt(d)))
-        .as("proj_white"))
+      // same double-assembled numerator as projCentered (wrap-safe)
+      ((lit(b.n.toDouble) * b.dot.cast("double") - lit(b.sv.toDouble)) /
+        lit(math.sqrt(d))).as("proj_white"))
   }
 
   /** DuckDB oracle for [[pcaWhiten]] — the shared CTE chain plus Σp²
@@ -373,9 +388,9 @@ object Moments {
        |${pcaCtes(dims, iters)},
        |p2 AS (SELECT CAST(sum(s2.sij * v[s2.i] * v[s2.j]) AS BIGINT) AS sump2 FROM s2, vf)
        |SELECT q.vec_id AS vec_id,
-       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |  (CAST(nn.n AS DOUBLE)*CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE) - CAST(sv.sv AS DOUBLE))
        |    / (CAST(nn.n AS DOUBLE)*1000000.0) AS proj_centered,
-       |  CAST(nn.n*CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) - sv.sv AS DOUBLE)
+       |  (CAST(nn.n AS DOUBLE)*CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE) - CAST(sv.sv AS DOUBLE))
        |    / sqrt(CAST(nn.n AS DOUBLE)*CAST(p2.sump2 AS DOUBLE) - CAST(sv.sv AS DOUBLE)*CAST(sv.sv AS DOUBLE)) AS proj_white
        |FROM q, vf, nn, sv, p2""".stripMargin
 }

@@ -422,6 +422,12 @@ object PipelineQueries {
       .select(col("q_id"), col("c_id")).persist()
     try {
       val nTruth = truth.count()
+      // recall divides by nTruth: a fixture with no vec_id % 100 == 0
+      // queries (or < 2 vectors) would yield NaN on the Spark side while
+      // the oracle's divide-by-zero behavior is engine-version-dependent
+      // — fail loudly naming the stride assumption instead.
+      require(nTruth > 0, "annRecall: no truth pairs — the fixture has no " +
+        "query vectors at stride 100 (needs vec_id % 100 == 0 rows and >= 2 vectors)")
       val ivf = ivfSearchAtStride(s, dir, stride = 100)
         .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
       val lsh = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
