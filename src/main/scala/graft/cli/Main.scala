@@ -333,8 +333,19 @@ object Main {
                 factSink(transfers, id)
                 views.foreach(_(transfers, id))
                 if (opts.contains("uris-view")) {
-                  // K3 two-key LWW: latest metadata URL per token
-                  val updates = graft.nft.Derive.uriUpdates(logs)
+                  // K3 two-key LWW: latest metadata URL per token, from
+                  // BOTH metadata sources — ERC-1155 URI events and the
+                  // per-mint 721 tokenURI probes (the streaming
+                  // transformer, `nft/evm/transformers.py:379-431`); the
+                  // epoch's mint set is metadata-scale, so the probe
+                  // round-trip is bounded per micro-batch
+                  // eager checkpoint (the collections-dim pattern): the
+                  // probe lineage must execute ONCE per epoch — the
+                  // isEmpty gate plus the sink write would otherwise
+                  // re-issue every eth_call
+                  val updates = graft.nft.Derive.uriUpdates(logs).unionByName(
+                    graft.nft.TokenUris.fromMints(spark, transfers, w.calls, w.options))
+                    .localCheckpoint(true)
                   if (!updates.isEmpty) graft.streaming.Tail.mergeSink(s"$out/uris",
                     Seq("collection_id", "token_id"), Seq("metadata_url_version"),
                     mergeFormat(opts, buckets), compactEvery)(updates, id)

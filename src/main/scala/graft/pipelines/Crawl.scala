@@ -119,13 +119,24 @@ object Crawl {
         // backfill must not force-broadcast a chain-length time dim
         broadcastDims = maxBlock - startBlock <= BroadcastWindowLimit),
       Seq("collection_id"), Seq("block_created"))
+    // J5 live probes: tokenURI(token_id) at the mint block, per minted
+    // ERC-721 token (`nft/evm/consumers.py:328-374`) — probe lineage
+    // like the snapshot, so stage it: both the tokens enrich and the
+    // uris union consume it
+    val tokenUris = staged(
+      graft.nft.TokenUris.fromMints(spark, transfers, callExecutor, fetcherOptions),
+      "token_uris")
     Map(
       "collections" -> collections,
       "transfers" -> transfers,
-      "tokens" -> graft.nft.Derive.tokens(transfers, blockTimes,
-        broadcastTimes = maxBlock - startBlock <= BroadcastWindowLimit),
+      "tokens" -> graft.nft.TokenUris.enrichTokens(
+        graft.nft.Derive.tokens(transfers, blockTimes,
+          broadcastTimes = maxBlock - startBlock <= BroadcastWindowLimit),
+        tokenUris),
       "owners" -> graft.nft.Derive.owners(transfers),
-      "uris" -> graft.nft.Derive.uriUpdates(logs))
+      // both metadata sources in one stream: ERC-1155 URI events + the
+      // per-mint 721 probes, LWW-merged downstream on metadata_url_version
+      "uris" -> graft.nft.Derive.uriUpdates(logs).unionByName(tokenUris))
   }
 
   /** The reference's `force` command (`nft/bin/force.py:52-120`):
@@ -175,13 +186,19 @@ object Crawl {
     val logs = src("logs", logsFetcher, creationBlock, maxBlock)
       .filter(col("address") === collectionId)
     val transfers = graft.nft.Derive.transfers(logs)
+    // the same per-mint tokenURI probes as the full crawl (the shared
+    // bus wires the transformer for force loads too, `nft/bin/shared.py`)
+    val tokenUris = graft.nft.TokenUris.fromMints(spark, transfers,
+      callExecutor, fetcherOptions)
     Map(
       "collections" -> collections,
       "transfers" -> transfers,
-      "tokens" -> graft.nft.Derive.tokens(transfers, windowTimes,
-        broadcastTimes = maxBlock - creationBlock <= BroadcastWindowLimit),
+      "tokens" -> graft.nft.TokenUris.enrichTokens(
+        graft.nft.Derive.tokens(transfers, windowTimes,
+          broadcastTimes = maxBlock - creationBlock <= BroadcastWindowLimit),
+        tokenUris),
       "owners" -> graft.nft.Derive.owners(transfers),
-      "uris" -> graft.nft.Derive.uriUpdates(logs))
+      "uris" -> graft.nft.Derive.uriUpdates(logs).unionByName(tokenUris))
   }
 
   /** Replay the same range twice at two data versions, LWW-merge, then

@@ -530,11 +530,18 @@ object CoreQueries {
     // double on both engines.
     val l = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val thr = l.groupBy(col("l_partkey"))
-      .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") /
-        count(lit(1)).cast("double"))).as("thr"))
     val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#2")
       .select(col("p_partkey"))
+    // The threshold is a WITHIN-part average, so semi-joining the
+    // broadcast Brand#2 part set into the aggregate's input first
+    // changes nothing for probed parts while shrinking the per-part
+    // agg's shuffle by the brand selectivity (~1/25) — at 100× scale
+    // that aggregate would otherwise shuffle the whole fact table to
+    // threshold parts the probe never reads.
+    val thr = l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") /
+        count(lit(1)).cast("double"))).as("thr"))
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(thr, Seq("l_partkey"))
       .filter(col("l_quantity").cast("double") < col("thr"))

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 
 /** One contract probe to execute: a row of the S6 request table
-  * ([[graft.nft.Collections.callRequests]]). */
-final case class CallRequest(to: String, probe: String, data: String)
+  * ([[graft.nft.Collections.callRequests]]). `block` is the call's
+  * state height — the reference probes `tokenURI` AT THE MINT BLOCK
+  * (`nft/evm/consumers.py:330-340`: `EthCall(..., block=token
+  * .mint_block)`); None = "latest" (the snapshot probes' height,
+  * `evm/rpc.py:256-267`). */
+final case class CallRequest(to: String, probe: String, data: String,
+    block: Option[Long] = None)
 
 /** The probe's decoded-transport result: `result` is the raw hex return
   * payload, None when the contract does not implement the function —
@@ -58,6 +63,7 @@ object SimulatedCallExecutor {
   private val TotalSupply = selector("totalSupply()")
   private val Owner = selector("owner()")
   private val OwnerOf = selector("ownerOf(uint256)")
+  private val TokenUri = selector("tokenURI(uint256)")
   private val Erc721Id = "80ac58cd"
   private val Erc1155Id = "d9b67a26"
 
@@ -91,6 +97,20 @@ object SimulatedCallExecutor {
         if (graft.sources.SimChain.collection(n) == to)
           enc(Abi.AbiAddress(graft.sources.SimChain.addr(2000 + (n + t % 10) % 50)))
         else None
+      case TokenUri if is721 =>
+        // per-token metadata URI, CONSISTENT with the simulated chain:
+        // token t = n*10+i exists iff block n's logs point at this
+        // contract (same existence rule as ownerOf above); unknown ids
+        // revert like a real 721. Every third token's URI carries the
+        // EIP-1155-style `{id}` template so the substitution path is
+        // exercised end-to-end.
+        val t = new BigInteger(data.slice(10, 74), 16).longValue()
+        val n = t / 10
+        if (graft.sources.SimChain.collection(n) == to)
+          enc(Abi.AbiString(
+            if (t % 3 == 0) s"ipfs://sim/$k/{id}.json"
+            else s"ipfs://sim/$k/$t.json"))
+        else None
       case Owner if erc165 && k % 7 != 0 =>
         enc(Abi.AbiAddress(f"0x${9000 + k % 50}%040x"))
       case _ => None // unknown function / no ERC-165: the call reverts
@@ -122,7 +142,8 @@ final class RpcCallExecutor extends CallExecutor with RpcFetcherBase {
     requests.grouped(batchSize).flatMap { group =>
       val calls = group.map(r => RpcCall("eth_call", List(
         JObject("to" -> JString(r.to), "data" -> JString(r.data)),
-        JString("latest"))))
+        JString(r.block.map(b => "0x" + java.lang.Long.toHexString(b))
+          .getOrElse("latest")))))
       var attempt = 0
       var out: Seq[Either[RpcServerException, JValue]] = null
       while (out == null) {
@@ -157,10 +178,17 @@ object Calls {
       executorClass: String = CallExecutor.Simulated,
       options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
+    // `block` is optional in the request table (snapshot probes are
+    // height-less); normalize to a nullable long so the typed encoder
+    // sees a uniform shape
+    val blockCol =
+      if (requests.columns.contains("block")) col("block").cast("long")
+      else lit(null).cast("long")
     requests
       .select(col("to").cast("string").as("to"),
         col("probe").cast("string").as("probe"),
-        col("data").cast("string").as("data"))
+        col("data").cast("string").as("data"),
+        blockCol.as("block"))
       .as[CallRequest]
       .mapPartitions(it => CallExecutor.forName(executorClass, options).execute(it))
       .toDF()

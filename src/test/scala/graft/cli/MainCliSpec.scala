@@ -236,9 +236,15 @@ class MainCliSpec extends SparkSpec {
       assert(stub.countOf("eth_getBlockByNumber") <= 30 + 10,
         "hash-list fetches exceed the window (a view re-scanned blocks)")
       // ...except the collection probes (6 calls per created contract)
+      // and ONE tokenURI probe per minted token (the uris view's J5
+      // mint-block enrichment — eager-checkpointed, so the isEmpty gate
+      // and the sink write share a single probe round per epoch)
       val creations = (20L until 50L).flatMap(graft.sources.SimulatedReceiptFetcher.receiptsOf)
         .count(_.contract_address.isDefined)
-      assert(stub.countOf("eth_call") === 6 * creations)
+      val mintTokens = (20L until 50L).filter(_ % 5 == 0)
+        .map(graft.sources.SimulatedReceiptFetcher.receiptsOf(_).size).sum
+      assert(stub.countOf("eth_call") === 6 * creations + mintTokens,
+        s"eth_call=${stub.countOf("eth_call")} creations=$creations mints=$mintTokens")
       // and all five tables materialized
       Seq("transfers", "owners", "tokens", "uris", "collections").foreach { t =>
         assert(spark.read.parquet(s"$out/$t").count() > 0, s"empty view $t")

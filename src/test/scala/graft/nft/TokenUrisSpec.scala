@@ -1,0 +1,107 @@
+package graft.nft
+
+import graft.SparkSpec
+import graft.rpc.{CallExecutor, StubRpcServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** J5 live per-token `tokenURI` enrichment
+  * (`nft/evm/consumers.py:328-374`, `nft/evm/transformers.py:379-431`):
+  * mint-block probes through the CallExecutor seam, sim == RPC parity,
+  * revert -> no row, `{id}` canonicalization, and the crawl wiring that
+  * fills `metadata_url` for tokens on contracts that never emit URI
+  * events — the reference behavior previously pinned only as a
+  * snapshot-dim approximation. */
+class TokenUrisSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var stub: StubRpcServer = _
+  override def beforeAll(): Unit = { stub = new StubRpcServer() }
+  override def afterAll(): Unit = { if (stub != null) stub.stop(); super.afterAll() }
+
+  private def hex64(n: Long): String = f"$n%064x"
+  private def addr(n: Long): String = f"0x$n%040x"
+
+  /** Blocks [5, 7): block 5 is a mint block (5 %% 5 == 0, coll 4000,
+    * tokens 50/51), block 6 transfers existing tokens — and NEITHER
+    * block emits a URI event (n %% 7 == 3 misses both), so any
+    * metadata_url here can only come from the live probe. */
+  private def crawlWindow(stageless: Boolean = true): Map[String, DataFrame] =
+    graft.pipelines.Crawl.fromChain(spark, 5, 7)
+
+  test("crawl tokens get probed metadata_url on a URI-event-free window") {
+    val tokens = crawlWindow()("tokens").collect()
+    val byId = tokens.map(r => r.getAs[String]("token_id") -> r).toMap
+    // token 50: plain URI (50 % 3 != 0)
+    assert(byId(hex64(50)).getAs[String]("metadata_url") === "ipfs://sim/4000/50.json")
+    // token 51: {id} template (51 % 3 == 0), canonicalized to the
+    // 64-hex token id — the uriUpdates convention
+    assert(byId(hex64(51)).getAs[String]("metadata_url") ===
+      s"ipfs://sim/4000/${hex64(51)}.json")
+  }
+
+  test("crawl uris stream carries the probe rows versioned by the mint transfer") {
+    val uris = crawlWindow()("uris").collect()
+    assert(uris.nonEmpty)
+    val t50 = uris.filter(_.getAs[String]("token_id") === hex64(50))
+    assert(t50.length === 1)
+    assert(t50.head.getAs[String]("metadata_url") === "ipfs://sim/4000/50.json")
+    // version = the mint transfer's attribute_version (block 5, tx 0,
+    // log 0 for token 50) — the same packed key Derive.attributeVersion
+    // builds, so LWW against later URI events resolves correctly
+    val mintVersion = crawlWindow()("transfers")
+      .filter(col("token_id") === hex64(50) && col("transaction_type") === "mint")
+      .head().getAs[String]("attribute_version")
+    assert(t50.head.getAs[String]("metadata_url_version") === mintVersion)
+  }
+
+  test("sim == RPC parity: identical URI rows through the stub JSON-RPC transport") {
+    val transfers = crawlWindow()("transfers")
+    val sim = TokenUris.fromMints(spark, transfers).collect()
+      .map(_.toString).sorted.toSeq
+    stub.callBlockTags.clear()
+    val rpc = TokenUris.fromMints(spark, transfers, CallExecutor.Rpc,
+      Map("endpoints" -> stub.url)).collect().map(_.toString).sorted.toSeq
+    assert(sim.nonEmpty && rpc === sim)
+    // the wire carries the MINT BLOCK as the call's state height, not
+    // "latest" (`consumers.py:338`: block=token.mint_block)
+    val sel = graft.expr.Keccak.functionSelector("tokenURI(uint256)")
+    val tags = stub.callBlockTags.toArray.toSeq
+      .collect { case (s: String, t: String) if s == sel => t }
+    assert(tags.nonEmpty && tags.forall(_ === "0x5"), s"tags=$tags")
+  }
+
+  test("reverting contracts (non-721 / unknown token) produce NO row, not a null row") {
+    import spark.implicits._
+    // 4001 = ERC-1155 per the sim (never probed: wrong collection_type);
+    // 4004 = no ERC-165 (probe reverts); 4000 with a token whose block
+    // doesn't map to it (probe reverts server-side)
+    val transfers = Seq(
+      (addr(4001), hex64(999), "ERC-1155", "mint", 5L, hex64(1)),
+      (addr(4004), hex64(998), "ERC-721", "mint", 5L, hex64(2)),
+      (addr(4000), hex64(11), "ERC-721", "mint", 1L, hex64(3))) // block 1 -> coll 4001
+      .toDF("collection_id", "token_id", "collection_type", "transaction_type",
+        "block_id", "attribute_version")
+    assert(TokenUris.fromMints(spark, transfers).count() === 0)
+    // and the enrich keeps such tokens with a null metadata_url
+    val tokens = Seq((addr(4004), hex64(998))).toDF("collection_id", "token_id")
+    val enriched = TokenUris.enrichTokens(tokens,
+      TokenUris.fromMints(spark, transfers)).collect()
+    assert(enriched.length === 1 && enriched.head.isNullAt(2))
+  }
+
+  test("re-minted token probes ONCE at the FIRST mint (min attribute_version)") {
+    import spark.implicits._
+    // same token minted twice (burn+remint replay): one probe, at the
+    // first mint's block, versioned by the first mint — Derive.tokens'
+    // mint_info convention
+    val transfers = Seq(
+      (addr(4000), hex64(50), "ERC-721", "mint", 10L, hex64(20)),
+      (addr(4000), hex64(50), "ERC-721", "mint", 5L, hex64(10)))
+      .toDF("collection_id", "token_id", "collection_type", "transaction_type",
+        "block_id", "attribute_version")
+    val rows = TokenUris.fromMints(spark, transfers).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("metadata_url_version") === hex64(10))
+  }
+}

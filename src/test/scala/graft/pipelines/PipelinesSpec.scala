@@ -159,14 +159,24 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(balances.subsetOf(Set(q1, "-" + q1)))
     assert(out("owners").filter(org.apache.spark.sql.functions.col("quantity") === q1).count() > 0)
-    // URI events on every 7th block with transactions: decoded, {id}
+    // URI events on every 7th block with transactions, PLUS one live
+    // tokenURI probe row per minted token (J5): decoded, {id}
     // substituted with the decimal-free token topic (P6 through the
     // whole crawl DAG)
     val uris = out("uris").collect()
-    assert(uris.length === (0 until 50).count(n => n % 7 == 3 && n % 3 != 0))
+    val eventUris = (0 until 50).count(n => n % 7 == 3 && n % 3 != 0)
+    val mintTokens = (0 until 50).filter(_ % 5 == 0).map(_ % 3).sum
+    assert(uris.length === eventUris + mintTokens)
     uris.foreach { r =>
       val u = r.getAs[String]("metadata_url")
       assert(u.startsWith("ipfs://sim/") && u.endsWith(".json") && !u.contains("{id}"), u)
+    }
+    // the probed metadata_url also lands ON the tokens table (the
+    // reference writes completed tokens with their probed URI,
+    // `consumers.py:357-372`) — every 721 mint gets one
+    minted.collect().foreach { r =>
+      assert(r.getAs[String]("metadata_url") != null,
+        s"minted token ${r.getAs[String]("token_id")} missing probed metadata_url")
     }
     // collections: creation receipts (to_=None txs in blocks 7,14,20,28,
     // 35,41,49 of [0,50)) probed through the simulated call transport;
@@ -222,10 +232,15 @@ class PipelinesSpec extends SparkSpec {
       graft.nft.Derive.owners(narrowed("transfers").filter(col("block_id") >= 35))))
     // tokens join against the WINDOW-pruned dim (the whole-chain cache
     // is cut to [creation, max) before broadcast) still enriches every
-    // mint timestamp correctly
-    assert(rows(forced("tokens")) === rows(graft.nft.Derive.tokens(
+    // mint timestamp correctly; the probed metadata_url column rides on
+    // top of the pure derivation, so compare with it stripped and pin
+    // the probe separately
+    assert(rows(forced("tokens").drop("metadata_url")) === rows(graft.nft.Derive.tokens(
       narrowed("transfers").filter(col("block_id") >= 35),
       blockTimes.filter(col("number") >= 35 && col("number") < 50))))
+    assert(forced("tokens").filter(col("mint_block").isNotNull &&
+      col("metadata_url").isNull).count() === 0,
+      "a forced-load mint is missing its probed metadata_url")
     // the collection row classifies through the same probe flow
     val c = forced("collections").collect()
     assert(c.length === 1)

@@ -102,6 +102,27 @@ class QueriesSmokeSpec extends SparkSpec {
       s"orders price not pruned: ${o("ReadSchema")}")
   }
 
+  test("q17: the per-part threshold aggregate only sees brand-probed parts") {
+    // The threshold is a within-part average, so the aggregate's input
+    // must be semi-joined against the broadcast Brand#2 part set —
+    // otherwise the self-aggregation shuffles the WHOLE fact table to
+    // threshold parts the probe never reads (a 25x-too-wide exchange at
+    // scale). Pin: the optimized plan's thr-aggregate subtree contains
+    // a LeftSemi join.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q17_small_quantity")(spark, dir)
+    val thrAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "thr") => a
+    }
+    assert(thrAggs.nonEmpty, "no thr aggregate in the optimized plan")
+    val hasSemi = thrAggs.head.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty
+    assert(hasSemi,
+      s"thr aggregate input is not brand-pruned:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("fixture invariant: events.event_id is dense and contiguous (s1 contract)") {
     // s1_range_scan derives the dense id range as event_id - min(event_id),
     // which matches its row_number()-1 DuckDB oracle ONLY while event_id

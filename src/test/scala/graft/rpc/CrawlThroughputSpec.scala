@@ -47,8 +47,10 @@ class CrawlThroughputSpec extends SparkSpec with BeforeAndAfterAll {
       assert(counts("transfers") === (0L until n).map(_ % 3).sum)
       assert(counts("collections") > 0 && counts("tokens") > 0 && counts("owners") > 0)
 
-      // LINEARITY: exact wire cost — blocks + hash lists + receipts + probes
-      val expectedRpc = n + n + totalTx + 6L * createdContracts
+      // LINEARITY: exact wire cost — blocks + hash lists + receipts +
+      // contract probes + ONE tokenURI probe per minted token (J5)
+      val mintTokens = (0L until n).filter(_ % 5 == 0).map(_ % 3).sum
+      val expectedRpc = n + n + totalTx + 6L * createdContracts + mintTokens
       assert(stub.rpcRequests.get().toLong === expectedRpc,
         s"wire entries ${stub.rpcRequests.get()} != expected $expectedRpc — " +
           "a table is re-fetching its window instead of reading the stage")

@@ -52,6 +52,9 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
   def countOf(method: String): Int =
     Option(methodCounts.get(method)).fold(0)(_.get())
   val largestBatch = new AtomicInteger(0)
+  /** (calldata selector, block tag) of every eth_call served — pins the
+    * state height probes execute at ("latest" vs a mint-block hex). */
+  val callBlockTags = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   /** High-water mark of simultaneously in-flight HTTP requests — the
     * crawl's actual wire parallelism (must stay bounded by the reader's
     * partition count; an unbounded value means batches pile up). */
@@ -173,6 +176,12 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
         val callObj = params.head
         val to = (callObj \ "to").asInstanceOf[JString].s
         val data = (callObj \ "data").asInstanceOf[JString].s
+        // record (selector, block tag) so specs can pin the state
+        // height each probe executed at (mint-block tokenURI calls)
+        params.lift(1).foreach {
+          case JString(tag) => callBlockTags.add(data.take(10) -> tag)
+          case _ => ()
+        }
         SimulatedCallExecutor.answer(to, data) match {
           case Some(hex) => result(id, JString(hex))
           case None => errorObj(id, 3, "execution reverted")
