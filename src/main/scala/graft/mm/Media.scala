@@ -258,6 +258,67 @@ object Media {
     h
   }
 
+  // ---- deterministic synthetic raster fixtures (oracle-able aHash) ----
+
+  /** The 64 aHash bits of [[syntheticPng]](id) — a KNOWN function of
+    * doc_id so a SQL oracle can replay the perceptual-dedup result
+    * without a codec: docs share a base pattern per group
+    * (doc_id % 200, 64 bits from the md5 hex digits of "g<group>":
+    * digit i%32's bit i/32), bit 0 pinned 0 and bit 1 pinned 200-side
+    * so the 64-cell mean sits STRICTLY inside (0, 200) and every
+    * luma>=mean comparison is FP-unambiguous, then doc_id % 3 extra
+    * bits flipped at positions 2 + (doc_id*7 + 13j) % 62 — so same-
+    * group images sit within Hamming distance 4 (near-dups by
+    * construction) while cross-group distance is ~32. */
+  private[graft] def syntheticAHashBits(id: Long): Array[Int] = {
+    val h = MessageDigest.getInstance("MD5")
+      .digest(("g" + (id % 200)).getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val bits = Array.tabulate(64) { i =>
+      val d = Integer.parseInt(h.charAt(i % 32).toString, 16)
+      (d >> (i / 32)) & 1
+    }
+    bits(0) = 0
+    bits(1) = 1
+    val nf = (id % 3).toInt
+    var j = 0
+    while (j < nf) {
+      val p = (2 + Math.floorMod(id * 7 + 13L * j, 62L)).toInt
+      bits(p) ^= 1
+      j += 1
+    }
+    bits
+  }
+
+  /** An 8×8 grayscale PNG (REAL codec both ways: ImageIO write here,
+    * ImageIO read in [[hashImages]]) whose aHash equals
+    * [[syntheticAHashBits]]: cell i is luma 200 where bit i is set,
+    * 0 otherwise; at 8×8 the [[areaAverage]] scaler is the identity, so
+    * the decode→scale→threshold pipeline reproduces the bits exactly. */
+  private[graft] def syntheticPng(id: Long): Array[Byte] = {
+    val bits = syntheticAHashBits(id)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = if (bits(i) == 1) 200 else 0
+      img.setRGB(i % 8, i / 8, v * 0x010101)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** One synthetic PNG per document — the oracled fixture feed for the
+    * REAL-decode perceptual dedup ([[nearDupImagePairs]]); generation is
+    * map-side (no shuffle, no driver loop). */
+  def syntheticImages(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => MediaRow(id, syntheticPng(id)))
+  }
+
   final case class ImageHash(media_id: Long, n_bytes: Long, ahash: Option[Long])
 
   /** Per-image aHash; undecodable payloads yield None (the

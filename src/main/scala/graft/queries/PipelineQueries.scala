@@ -582,6 +582,63 @@ object PipelineQueries {
         md5(col("frame")).as("frame_hash"))
   }
 
+  // perceptual image dedup over the REAL PNG decode: synthetic 8x8
+  // rasters whose aHash is a known function of doc_id
+  // (Media.syntheticAHashBits), so the DuckDB oracle replays the
+  // decode-scale-threshold pipeline as pure bit arithmetic. maxBucket
+  // is raised far above any (band, value) bucket the 200-group fixture
+  // can produce, so the banding is provably lossless here and the
+  // oracle can be the exact all-pairs formulation.
+  private val mmDedupPairs: QFn = (s, dir) => {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    Media.nearDupImagePairs(
+        Media.syntheticImages(Tables.documents(s, dir).select(col("doc_id"))),
+        maxDist = 7, maxBucket = 20000)
+      .select(col("media_a"), col("media_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  // the cluster/keep-best roll-up over the same perceptual pairs —
+  // shares Dedup.connectedComponents with every other dedup family
+  private val mmDedupClusters: QFn = (s, dir) => {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = Media.nearDupImagePairs(Media.syntheticImages(docs),
+      maxDist = 7, maxBucket = 20000)
+    Dedup.clusterVerdict(docs.select(col("doc_id").as("media_id")), "media_id",
+      Dedup.connectedComponents(
+        pairs.select(col("media_a").as("id_a"), col("media_b").as("id_b"))))
+  }
+
+  /** aHash bit i of the synthetic raster fixture as DuckDB SQL —
+    * mirrors [[graft.mm.Media.syntheticAHashBits]] exactly (pinned
+    * bits, md5-digit base pattern, the doc_id%3 flip schedule). */
+  private def mmBitSql(i: Int): String =
+    if (i == 0) "0"
+    else if (i == 1) "1"
+    else {
+      val digit = s"(position(substr(h, ${i % 32 + 1}, 1) IN '0123456789abcdef') - 1)"
+      val base = s"(($digit // ${1 << (i / 32)}) % 2)"
+      val f0 = s"(CASE WHEN doc_id % 3 >= 1 AND 2 + (doc_id * 7) % 62 = $i THEN 1 ELSE 0 END)"
+      val f1 = s"(CASE WHEN doc_id % 3 >= 2 AND 2 + (doc_id * 7 + 13) % 62 = $i THEN 1 ELSE 0 END)"
+      s"(($base + $f0 + $f1) % 2)"
+    }
+
+  /** Shared CTE chain for the perceptual-dedup oracles: the 64 aHash
+    * bits packed as two 32-bit halves (BIGINT shifts stay under bit 62
+    * — no signed-overflow edge), then exact all-pairs Hamming. */
+  private def mmHashSql: String = {
+    val lo = (0 until 32).map(i => s"${mmBitSql(i)} * (CAST(1 AS BIGINT) << $i)")
+      .mkString(" + ")
+    val hi = (32 until 64).map(i => s"${mmBitSql(i)} * (CAST(1 AS BIGINT) << ${i - 32})")
+      .mkString(" + ")
+    s"""hsrc AS (SELECT doc_id, md5('g' || CAST(doc_id % 200 AS VARCHAR)) AS h FROM documents),
+       |hh AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi FROM hsrc),
+       |mmpairs AS (SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+       |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7)""".stripMargin
+  }
+
   private def simhashSumsSql(bits: Int): String =
     (1 to bits).map { j =>
       s"sum(((position(substr(h, $j, 1) IN '0123456789abcdef') - 1) % 2) * 2 - 1) AS s$j"
@@ -932,6 +989,22 @@ object PipelineQueries {
         |  list_min(list_transform(generate_series(1, len(toks) - 4),
         |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))))
         |ELSE NULL END AS min_shingle_fp FROM t""".stripMargin),
+    QueryDef("mm_dedup_pairs", mmDedupPairs,
+      s"""WITH $mmHashSql
+        |SELECT media_a, media_b, hamming FROM mmpairs""".stripMargin),
+    QueryDef("mm_dedup_clusters", mmDedupClusters,
+      s"""WITH RECURSIVE $mmHashSql,
+        |e AS (SELECT media_a AS src, media_b AS dst FROM mmpairs
+        |      UNION ALL SELECT media_b, media_a FROM mmpairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |        FROM reach GROUP BY src)
+        |SELECT d.doc_id AS media_id, COALESCE(l.label, d.doc_id) AS cluster_id,
+        |CAST(CASE WHEN COALESCE(l.label, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node""".stripMargin),
     QueryDef("mm_frames", mmFrames,
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
         |f AS (SELECT doc_id, unnest(generate_series(0, greatest(len // 256, 1) - 1, 2)) AS frame_index,

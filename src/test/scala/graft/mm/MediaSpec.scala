@@ -256,4 +256,21 @@ class MediaSpec extends SparkSpec {
       "flat image must not pair with the gradient")
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("synthetic fixture: decoded aHash equals the bit formula (the mm_dedup oracle contract)") {
+    // The whole point of syntheticPng: the REAL codec roundtrip
+    // (ImageIO write → read → areaAverage → luma → threshold) must
+    // reproduce syntheticAHashBits EXACTLY, or the DuckDB oracle's bit
+    // arithmetic diverges from the Spark plan. 8×8 identity scaling +
+    // pinned 0/200 bits make every comparison FP-unambiguous.
+    (0L until 64L).foreach { id =>
+      val bits = Media.syntheticAHashBits(id)
+      val expected = bits.zipWithIndex.foldLeft(0L) {
+        case (h, (b, i)) => if (b == 1) h | (1L << i) else h
+      }
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Media.syntheticPng(id)))
+      assert(Media.aHash(img) === expected, s"id=$id")
+    }
+  }
 }
