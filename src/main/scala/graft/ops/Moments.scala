@@ -197,7 +197,9 @@ object Moments {
     * moments overflow Long near n ≈ 2M docs at milli-unit scale, and
     * the failure must be LOUD (the oracle's HUGEINT would keep going —
     * a silent wrap here would desync the engines). At that corpus scale
-    * the right move is sub-sampling the stats pass, not wider integers.
+    * the right move is sub-sampling the stats pass, not wider integers —
+    * implemented as [[statsSample]] / [[pcaProjectSampled]] /
+    * [[pcaWhitenSampled]] (spec-proven at n = 2.2M).
     *
     * Sign convention: first non-zero component positive. */
   def pcaDirectionInt(embeddings: DataFrame, dims: Int, iters: Int = 30): Array[Long] =
@@ -259,12 +261,67 @@ object Moments {
     * frame, and the map-side dot/centered expressions. One place, so
     * [[pcaProject]] and [[pcaWhiten]] (and their oracles) can never
     * desync on the fold or filter details. */
+  // ---- sub-sampled stats tier (the documented n ≈ 2M remedy) ----
+
+  /** Corpus bound under which the n²-scaled integer lattice provably
+    * fits in Long at milli-unit quantization (the overflow the
+    * [[pcaDirectionInt]] scaladoc flags sits near n ≈ 2M; 1.5M leaves
+    * binomial-fluctuation headroom for the sampler below). */
+  val SafeStatsN: Long = 1500000L
+
+  /** The documented loud-overflow remedy, implemented: when the corpus
+    * exceeds `maxStatsN` non-null vectors, the STATS pass runs on a
+    * DETERMINISTIC md5-bucket sub-sample — keep a vector iff its
+    * 32-bit hash ([[Sampling.hashBucket32]], the engine-wide sampling
+    * convention) falls under `floor(maxStatsN·2³² / n)` — while the
+    * projection pass still covers the FULL corpus. Membership is a pure
+    * function of vec_id (rerun/partitioning-stable, oracle-replayable);
+    * a corpus already within bound passes through untouched, so the
+    * sampled entry points are EXACTLY the exact ones below the
+    * threshold. One extra metadata-scale pass (the count). */
+  def statsSample(embeddings: DataFrame, maxStatsN: Long = SafeStatsN): DataFrame = {
+    require(maxStatsN >= 2, "statsSample: need at least 2 vectors")
+    val nonNull = embeddings.filter(col("embedding").isNotNull)
+    val n = nonNull.count()
+    if (n <= maxStatsN) embeddings
+    else {
+      val thr = ((BigInt(maxStatsN) << 32) / BigInt(n)).toLong.max(1L)
+      nonNull.filter(Sampling.hashBucket32(col("vec_id")) < thr)
+    }
+  }
+
+  /** [[pcaProject]] with the stats pass bounded by [[statsSample]] —
+    * direction and mean estimated on the sample, every vector still
+    * projected. Identical to [[pcaProject]] when n <= maxStatsN. */
+  def pcaProjectSampled(embeddings: DataFrame, dims: Int, iters: Int = 30,
+      maxStatsN: Long = SafeStatsN): DataFrame = {
+    val b = pcaBaseFrom(statsSample(embeddings, maxStatsN), embeddings, dims, iters)
+    b.q.select(col("vec_id"),
+      (b.dot.cast("double") / lit(1000000.0)).as("proj"),
+      b.projCentered.as("proj_centered"))
+  }
+
+  /** [[pcaWhiten]] with the sample-bounded stats pass: the whitening
+    * scale is the SAMPLE projection variance (the standard estimator);
+    * identical to the exact op below the threshold. */
+  def pcaWhitenSampled(embeddings: DataFrame, dims: Int, iters: Int = 30,
+      maxStatsN: Long = SafeStatsN): DataFrame =
+    pcaWhitenFrom(statsSample(embeddings, maxStatsN), embeddings, dims, iters)
+
   private case class PcaBase(rows: Array[org.apache.spark.sql.Row],
       dir: Array[Long], n: Long, sv: Long, q: DataFrame,
       dot: Column, projCentered: Column)
 
-  private def pcaBase(embeddings: DataFrame, dims: Int, iters: Int): PcaBase = {
-    val rows = covarianceStats(embeddings, dims).collect()
+  private def pcaBase(embeddings: DataFrame, dims: Int, iters: Int): PcaBase =
+    pcaBaseFrom(embeddings, embeddings, dims, iters)
+
+  /** statsInput drives the collected triangle (direction, n, sums);
+    * projectInput is the frame every map-side projection runs over —
+    * the seam the sampled tier plugs into. */
+  private def pcaBaseFrom(statsInput: DataFrame, projectInput: DataFrame,
+      dims: Int, iters: Int): PcaBase = {
+    val embeddings = projectInput
+    val rows = covarianceStats(statsInput, dims).collect()
     val dir = pcaDirFromStats(rows, dims, iters)
     val n = rows.head.getLong(2)
     val sRows = rows.filter(r => r.getInt(0) == r.getInt(1))
@@ -305,13 +362,30 @@ object Moments {
     * power iteration → sign fix → mean projection) ending in
     * `q`/`nn`/`s1`/`s2`/`vf`/`sv` — the prefix [[pcaProjectSql]] and
     * [[pcaWhitenSql]] both build on. */
-  private def pcaCtes(dims: Int, iters: Int): String =
+  private def pcaCtes(dims: Int, iters: Int, maxStatsN: Option[Long] = None): String = {
+    // qs = the STATS relation: the full corpus, or the deterministic
+    // md5-bucket sample statsSample keeps (hashBucket32 digit
+    // arithmetic, same floor(maxN·2^32 / n) threshold) when the corpus
+    // exceeds the bound — the projection CTEs still read the full `q`
+    val sampleCte = maxStatsN match {
+      case None => "qs AS (SELECT * FROM q)"
+      case Some(m) =>
+        val digits32 = (1 to 8).map { i =>
+          val w = 1L << (4 * (8 - i))
+          s"(position(substr(md5(CAST(vec_id AS VARCHAR)), $i, 1) IN '0123456789abcdef') - 1) * $w"
+        }.mkString(" + ")
+        s"""nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+           |qs AS (SELECT q.* FROM q, nall
+           |  WHERE nall.n <= $m
+           |     OR CAST($digits32 AS BIGINT) < greatest((CAST($m AS BIGINT) << 32) // nall.n, 1))""".stripMargin
+    }
     s"""q AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |$sampleCte,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
        |e AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i, qv[u.i] AS x
-       |  FROM q, unnest(generate_series(1, $dims)) u(i)),
+       |  FROM qs, unnest(generate_series(1, $dims)) u(i)),
        |s1 AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM e GROUP BY i),
        |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x*b.x) AS BIGINT) AS sij
        |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
@@ -333,15 +407,18 @@ object Moments {
        |vf AS (SELECT CASE WHEN list_filter(v, x -> x <> 0)[1] < 0
        |  THEN list_transform(v, x -> -x) ELSE v END AS v FROM vf0),
        |sv AS (SELECT CAST(sum(s1.s * v[s1.i]) AS BIGINT) AS sv FROM s1, vf)""".stripMargin
+  }
 
   /** DuckDB oracle for [[pcaProject]]: replays the IDENTICAL integer
     * power-iteration trajectory in a recursive CTE (exact BIGINT
     * mat-vec, the same fixed IEEE renormalize tree), then the same
     * projection arithmetic — bit-for-bit equal by construction, proven
-    * empirically at sf0.001/0.01/0.1. */
-  def pcaProjectSql(dims: Int, iters: Int = 30): String =
+    * empirically at sf0.001/0.01/0.1. `maxStatsN` mirrors
+    * [[pcaProjectSampled]]'s stats-pass sub-sample. */
+  def pcaProjectSql(dims: Int, iters: Int = 30,
+      maxStatsN: Option[Long] = None): String =
     s"""WITH RECURSIVE
-       |${pcaCtes(dims, iters)}
+       |${pcaCtes(dims, iters, maxStatsN)}
        |SELECT q.vec_id AS vec_id,
        |  CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE)/1000000.0 AS proj,
        |  (CAST(nn.n AS DOUBLE)*CAST(CAST(list_sum(list_transform(generate_series(1,$dims), i -> q.qv[i]*v[i])) AS BIGINT) AS DOUBLE) - CAST(sv.sv AS DOUBLE))
@@ -362,8 +439,12 @@ object Moments {
     * throws loudly on overflow (the oracle's CAST(HUGEINT AS BIGINT)
     * errors the same way); at a corpus where that triggers, sub-sample
     * the stats pass (the [[pcaDirectionInt]] note). */
-  def pcaWhiten(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame = {
-    val b = pcaBase(embeddings, dims, iters)
+  def pcaWhiten(embeddings: DataFrame, dims: Int, iters: Int = 30): DataFrame =
+    pcaWhitenFrom(embeddings, embeddings, dims, iters)
+
+  private def pcaWhitenFrom(statsInput: DataFrame, projectInput: DataFrame,
+      dims: Int, iters: Int): DataFrame = {
+    val b = pcaBaseFrom(statsInput, projectInput, dims, iters)
     // Σp² = Σ_{i,j} v_i·v_j·s_ij over the full symmetric matrix (the
     // triangle contributes off-diagonal cells twice)
     val sump2 = b.rows.foldLeft(0L) { (acc, r) =>

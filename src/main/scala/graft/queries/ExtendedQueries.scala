@@ -389,6 +389,15 @@ object ExtendedQueries {
   private val embedWhiten: QFn = (s, dir) =>
     graft.ops.Moments.pcaWhiten(Tables.embeddings(s, dir), dims = 64)
 
+  // the 100 TB stats tier: direction/mean from a deterministic
+  // md5-bucket sample when the corpus exceeds the bound, projection
+  // over everything. maxStatsN = 800 exercises BOTH branches across
+  // the driver SFs: sf0.001/0.01 (500 vectors) pass through exact,
+  // sf0.1 (2000 vectors) actually samples.
+  private val embedProjectSampled: QFn = (s, dir) =>
+    graft.ops.Moments.pcaProjectSampled(Tables.embeddings(s, dir), dims = 64,
+      maxStatsN = 800L)
+
   private val corpusDiff: QFn = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.Snapshot.corpusDiff(
@@ -412,6 +421,8 @@ object ExtendedQueries {
       graft.ops.Moments.pcaProjectSql(dims = 64)),
     QueryDef("embed_whiten", embedWhiten,
       graft.ops.Moments.pcaWhitenSql(dims = 64)),
+    QueryDef("embed_project_sampled", embedProjectSampled,
+      graft.ops.Moments.pcaProjectSql(dims = 64, maxStatsN = Some(800L))),
     QueryDef("corpus_diff", corpusDiff, graft.ops.Snapshot.diffSql),
     QueryDef("o3_rank_lag", o3RankLag,
       """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,

@@ -266,4 +266,58 @@ class MomentsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got.values.toSet === Set(1L)) // n counts only the non-null row
   }
+
+  test("statsSample: deterministic, pass-through below the bound, sized near maxN above it") {
+    val df = (0L until 4000L).map(i => (i, Seq(1.0f + (i % 7) * 0.1f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    // below the bound: the SAME frame comes back (no filter, no count drift)
+    assert(Moments.statsSample(df, maxStatsN = 5000L).count() === 4000L)
+    val s1 = Moments.statsSample(df, maxStatsN = 1000L)
+    val n1 = s1.count()
+    // binomial around 1000 with sd ~31 — a generous 5-sigma band
+    assert(n1 > 800 && n1 < 1200, s"sample size $n1 far from 1000")
+    // rerun-stable membership (pure function of vec_id)
+    assert(Moments.statsSample(df, maxStatsN = 1000L).collect().map(_.getLong(0)).sorted
+      === s1.collect().map(_.getLong(0)).sorted)
+  }
+
+  test("sampled direction stays aligned with the exact one on a planted component") {
+    // planted dominant direction along dim 1 (variance 100x dim 2's)
+    val df = (0L until 2000L).map { i =>
+      val t = ((i % 41).toDouble - 20.0) / 20.0
+      (i, Seq((t * 2.0).toFloat, (((i % 13) - 6).toDouble * 0.02).toFloat))
+    }.toDF("vec_id", "embedding")
+    def unit(v: Array[Long]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(_.toDouble / n)
+    }
+    val exact = unit(Moments.pcaDirectionInt(df, dims = 2))
+    val sampled = unit(Moments.pcaDirectionInt(Moments.statsSample(df, maxStatsN = 400L), dims = 2))
+    val cos = math.abs(exact(0) * sampled(0) + exact(1) * sampled(1))
+    assert(cos > 0.99, s"sampled direction drifted: cos=$cos")
+  }
+
+  test("n > 2M: the exact lattice overflows LOUDLY, the sampled tier runs (the documented remedy)") {
+    // 2.2M vectors with |q| ~ 1500 milli-units: n*s_ij ~ 1.1e19 > Long.Max,
+    // so the exact n^2-scaled matrix must throw (multiplyExact), never wrap
+    val big = spark.range(2200000L).select(col("id").as("vec_id"),
+      array((lit(1.4) + (col("id") % 7).cast("double") * lit(0.03)).cast("float"),
+        (lit(1.5) - (col("id") % 5).cast("double") * lit(0.02)).cast("float"))
+        .as("embedding"))
+    intercept[ArithmeticException] {
+      Moments.pcaDirectionInt(big, dims = 2)
+    }
+    // the remedy: sub-sampled stats, full-corpus projection — finite
+    // output for every row, no overflow anywhere
+    val proj = Moments.pcaProjectSampled(big, dims = 2, maxStatsN = 100000L)
+    assert(proj.count() === 2200000L)
+    val head = proj.limit(5).collect()
+    head.foreach { r =>
+      assert(!r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+    val w = Moments.pcaWhitenSampled(big, dims = 2, maxStatsN = 100000L)
+    val wh = w.limit(5).collect()
+    wh.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
 }
