@@ -30,6 +30,21 @@ object Ingest {
 
   // ---- streaming NEAR-dup ingest ------------------------------------------
 
+  /** Chunk-grain revision gate: probe/extend a standing CDC chunk-hash
+    * index at `indexPath` (same epoch-partitioned idempotent layout as
+    * the band index). A batch doc whose known-chunk share — chunk
+    * occurrences already present in the standing index — reaches
+    * `dupFrac` is dropped as a re-chunked REVISION of already-ingested
+    * content: the robustness CDC chunking exists for
+    * (`TextOps.cdcChunks` — content-defined cuts keep unedited spans'
+    * chunk hashes stable under insertions), and a catch MinHash banding
+    * makes only probabilistically (an edit can displace all band
+    * minima while most chunks are untouched). O(batch) per epoch: the
+    * standing side is probed by a chunk_hash equi-join (bucketed by
+    * that key at rest it co-locates), never re-scanned. */
+  final case class CdcGate(indexPath: String, k: Int = 4, modulus: Int = 16,
+      dupFrac: Double = 0.5)
+
   /** One micro-batch of near-dup-aware ingestion — the foreachBatch body
     * of [[startNearDupIngest]], exposed so batch replays and specs drive
     * it directly. Semantics: a batch doc survives iff (a) no smaller-id
@@ -61,7 +76,8 @@ object Ingest {
   def processNearDupBatch(batch: DataFrame, indexPath: String, outPath: String,
       batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000,
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
-      classifier: Option[(Seq[(String, Long)], Long, Double)] = None): Unit = {
+      classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
+      cdc: Option[CdcGate] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // learned quality gate FIRST (optional): projection-only margin
@@ -110,16 +126,48 @@ object Ingest {
               .select(col("doc_id")).distinct()
           case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
         }
-        // dropped feeds both sink writes (two actions) — persist so the
-        // corpus probe join runs once
-        val dropped = inBatchDropped.unionByName(corpusHits)
-          .unionByName(contaminated).persist()
+        // chunk-grain revision gate (optional): a doc most of whose CDC
+        // chunks are already in the standing chunk index is a re-chunked
+        // revision — dropped even when every band minimum moved. The
+        // chunk relation is persisted: the hit probe and the survivor
+        // index write both consume it.
+        val chunks = cdc.map(c =>
+          graft.ops.TextOps.cdcChunks(gated, c.k, c.modulus)
+            .select(col("doc_id"), col("chunk_hash")).persist())
         try {
-          val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
-          writeBatchPartition(survivors, outPath, batchId)
-          writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
-            indexPath, batchId)
-        } finally dropped.unpersist(blocking = false)
+          val chunkHits = cdc.zip(chunks).map { case (c, ch) =>
+            standingBands(spark, c.indexPath) match {
+              case Some(idx) =>
+                val known = ch.join(
+                    idx.filter(col("batch_id") =!= batchId).select(col("chunk_hash")),
+                    Seq("chunk_hash"), "left_semi")
+                  .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
+                ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+                  .join(known, Seq("doc_id"))
+                  .filter(col("n_known").cast("double") >=
+                    col("n_chunks").cast("double") * c.dupFrac)
+                  .select(col("doc_id"))
+              case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+            }
+          }.getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+          // dropped feeds the sink writes (several actions) — persist so
+          // the corpus/chunk probe joins run once
+          val dropped = inBatchDropped.unionByName(corpusHits)
+            .unionByName(contaminated).unionByName(chunkHits).persist()
+          try {
+            val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+            writeBatchPartition(survivors, outPath, batchId)
+            writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
+              indexPath, batchId)
+            // survivors' chunks extend the standing chunk index, so the
+            // NEXT epoch's revision probe sees them (same idempotent
+            // epoch-partition overwrite as the band index)
+            cdc.zip(chunks).foreach { case (c, ch) =>
+              writeBatchPartition(ch.join(dropped, Seq("doc_id"), "left_anti"),
+                c.indexPath, batchId)
+            }
+          } finally dropped.unpersist(blocking = false)
+        } finally chunks.foreach(_.unpersist(blocking = false))
       } finally contaminated.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
     } finally gated.unpersist(blocking = false)
@@ -173,12 +221,13 @@ object Ingest {
   def startNearDupIngest(newDocs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000,
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
-      classifier: Option[(Seq[(String, Long)], Long, Double)] = None): StreamingQuery =
+      classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
+      cdc: Option[CdcGate] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket,
-          bench, classifier)
+          bench, classifier, cdc)
       }
       .start()
 }

@@ -230,4 +230,73 @@ class IngestNearDupSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
   }
+
+  test("CDC chunk gate: a re-chunked revision that evades EVERY minhash band is caught") {
+    // Construct (A, B) = shared 80-word prefix + two DIFFERENT 40-word
+    // tails such that all 4 minhash values differ (no band collision —
+    // banding provably cannot pair them) while the prefix's
+    // content-defined chunks are byte-identical in both docs. Band
+    // minima are random shingles, so a deterministic search over tail
+    // pairs finds one whose minima both sit in the tails (~10% per
+    // pair): that is exactly the revision class banding misses and
+    // chunk-grain probing catches.
+    val prefix = (0 until 80).map(i => s"tok${i}x${i % 7}")
+    def tail(seed: Int): Seq[String] = (0 until 40).map(i => s"w${seed}n${i}q")
+    val cand = (0 until 200).map { j => (tail(2 * j), tail(2 * j + 1)) }
+    val sigRows = graft.ops.Dedup.minhashSignatures(
+        cand.zipWithIndex.flatMap { case ((ta, tb), j) =>
+          Seq((2L * j, (prefix ++ ta).mkString(" ")),
+            (2L * j + 1, (prefix ++ tb).mkString(" ")))
+        }.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val evading = (0 until 200).find { j =>
+      val sa = sigRows(2L * j); val sb = sigRows(2L * j + 1)
+      sa._1 != sb._1 && sa._2 != sb._2 && sa._3 != sb._3 && sa._4 != sb._4
+    }
+    assert(evading.isDefined, "no tail pair evaded all four bands — enlarge the search")
+    val textA = (prefix ++ cand(evading.get)._1).mkString(" ")
+    val textB = (prefix ++ cand(evading.get)._2).mkString(" ")
+    // fixture guard: B's chunk-hash occurrences shared with A must
+    // reach the gate's dupFrac (the shared prefix chunks), or the
+    // construction no longer demonstrates what it claims
+    val chunkSets = graft.ops.TextOps.cdcChunks(
+        Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("chunk_hash")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val aHashes = chunkSets(0L).groupBy(identity).view.mapValues(_.size).toMap
+    val shared = chunkSets(1L).count(h => aHashes.getOrElse(h, 0) > 0)
+    val share = shared.toDouble / chunkSets(1L).size
+    assert(share >= 0.3, s"fixture chunk share $share below the gate threshold")
+
+    def run(withCdc: Boolean): Set[Long] = {
+      val idx = tmp("cdc_idx") + "/bands"
+      val out = tmp("cdc_out") + "/corpus"
+      val cdc = if (withCdc) Some(Ingest.CdcGate(tmp("cdc_cidx") + "/chunks", dupFrac = 0.3))
+                else None
+      val b1 = Seq((1L, textA, "s", textA.length.toLong),
+        (2L, "a completely unrelated short corpus document here", "s", 49L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      Ingest.processNearDupBatch(b1, idx, out, batchId = 0L, cdc = cdc)
+      val b2 = Seq((10L, textB, "s", textB.length.toLong),
+        (11L, "fresh never seen words forming an honestly new document", "s", 55L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      Ingest.processNearDupBatch(b2, idx, out, batchId = 1L, cdc = cdc)
+      cdc.foreach { c =>
+        // the standing chunk index carries SURVIVOR chunks only
+        val chunkDocs = spark.read.parquet(c.indexPath).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(chunkDocs === Set(1L, 2L, 11L), s"chunk index holds $chunkDocs")
+      }
+      spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    // control: bands alone MISS the revision (it survives) — the exact
+    // gap the chunk gate closes
+    assert(run(withCdc = false) === Set(1L, 2L, 10L, 11L))
+    // with the gate: the revision is dropped, genuinely new docs keep
+    assert(run(withCdc = true) === Set(1L, 2L, 11L))
+  }
 }
