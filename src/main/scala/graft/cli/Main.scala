@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.SinkUtils
-import graft.pipelines.{Crawl, Load, VerifyPipeline}
+import graft.pipelines.{Crawl, Load, Prepare, VerifyPipeline}
 import graft.rpc.CallExecutor
 import graft.sources.{BlockDataFetcher, LogsFetcher, ReceiptDataFetcher}
 
@@ -53,6 +53,16 @@ object Main {
       |  reset              delete the five entity tables under --out (and the
       |                     bookmark/data_version store under --config if given)
       |                     so the next crawl/tail starts from nothing
+      |  prepare DATA_DIR   LLM training-data pipeline over the documents table:
+      |                     quality gate -> optional learned classifier ->
+      |                     optional benchmark decontamination -> near-dup
+      |                     dedup -> PII mask -> stratified sample -> shuffle
+      |                     shards -> sequence pack; prints the per-stage row
+      |                     funnel (--out; --quality-frac F [0.25];
+      |                     --shards N [16]; --seq-len N [256];
+      |                     --classifier CSV token,weight milli-unit table with
+      |                     --classifier-bias N [0] --classifier-threshold F [0.0];
+      |                     --bench DIR parquet eval set to decontaminate against)
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -112,7 +122,9 @@ object Main {
     "checkpoint", "max-block", "buckets", "once", "start",
     "head-wait-ms", "head-probe-ms", "rpc-requests-per-second", "merge-format",
     "compact-every",
-    "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic")
+    "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
+    "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
+    "classifier-threshold", "bench")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -165,6 +177,11 @@ object Main {
 
   private def longOpt(opts: Map[String, String], key: String, default: Long): Long =
     opts.get(key).map(v => blockArg(s"--$key", v)).getOrElse(default)
+
+  private def doubleOpt(opts: Map[String, String], key: String, default: Double): Double =
+    opts.get(key).map(v => try v.toDouble catch {
+      case _: NumberFormatException => throw CliError(s"--$key: '$v' is not a number")
+    }).getOrElse(default)
 
   /** Fetcher wiring: with --evm-rpc-nodes the RPC implementations ride
     * the same seams the simulated ones do. */
@@ -540,6 +557,46 @@ object Main {
             fs.exists(p) && fs.delete(p, true)
           }
           println(s"DB has been reset (${deleted.size} table(s) removed)")
+          0
+
+        case "prepare" =>
+          // the LLM-pipeline twin of `load`: the library Prepare program
+          // (every stage an already-tested operator) made operable like
+          // crawl/tail. The funnel prints as plain `stage rows` lines
+          // AND lands as parquet beside the corpus, so an operator can
+          // audit a finished run without re-executing it.
+          val Vector((_, dataDir)) = positional(pos, "prepare", "DATA_DIR")
+          val out = required(opts, "out")
+          val classifier = opts.get("classifier").map { path =>
+            // token,weight CSV (weight in integer milli-units — the
+            // Classify.scoreLinear contract); malformed rows fail loudly
+            val rows = spark.read.option("header", "true").csv(path)
+            if (!rows.columns.contains("token") || !rows.columns.contains("weight"))
+              throw CliError(s"--classifier: $path needs header columns token,weight")
+            val weights = rows.select("token", "weight").collect().map { r =>
+              val w = try r.getString(1).trim.toLong catch {
+                case _: NumberFormatException =>
+                  throw CliError(s"--classifier: weight '${r.getString(1)}' is not an integer")
+              }
+              r.getString(0) -> w
+            }.toSeq
+            // plain signed long — a bias is not a block number
+            val bias = opts.get("classifier-bias").map(v => try v.toLong catch {
+              case _: NumberFormatException =>
+                throw CliError(s"--classifier-bias: '$v' is not an integer")
+            }).getOrElse(0L)
+            (weights, bias, doubleOpt(opts, "classifier-threshold", 0.0))
+          }
+          val bench = opts.get("bench").map(spark.read.parquet(_))
+          val funnel = Prepare.run(spark, dataDir, out,
+            qualityFrac = doubleOpt(opts, "quality-frac", 0.25),
+            nShards = intOpt(opts, "shards", 16),
+            seqLen = longOpt(opts, "seq-len", 256L),
+            classifier = classifier, bench = bench)
+          val rows = funnel.collect()
+          rows.foreach(r => println(s"${r.getString(0)} ${r.getLong(1)}"))
+          funnel.write.mode(SaveMode.Overwrite).parquet(s"$out/funnel")
+          println(s"prepared $dataDir into $out")
           0
 
         case other => throw CliError(s"unknown command: $other")

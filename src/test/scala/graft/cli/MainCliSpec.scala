@@ -381,4 +381,41 @@ class MainCliSpec extends SparkSpec {
     // reset of an already-empty dir is a no-op success, not an error
     assert(Main.run(spark, Seq("reset", "--out", tmp("cli_reset_empty"))) === 0)
   }
+
+  test("prepare: end-to-end LLM pipeline with classifier + bench gates, funnel persisted") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = tmp("cli_prep")
+    // classifier weights: harshly negative on a token some fixture docs
+    // contain, so the classifier stage provably gates; bench set = a
+    // fixture doc verbatim, so decontamination provably gates too
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    val someTok = docs.map(_.getString(1).split(" ")).filter(_.length > 5)
+      .head.apply(2)
+    val clfCsv = tmp("cli_prep_clf") + "/weights.csv"
+    Seq(("token", "weight"), (someTok, "-900000")).toDF("token", "weight")
+      .coalesce(1).write.option("header", "false").csv(clfCsv)
+    val benchDir = tmp("cli_prep_bench") + "/bench"
+    graft.tables.Tables.documents(spark, dir).limit(3).select("doc_id", "text")
+      .write.parquet(benchDir)
+    assert(Main.run(spark, Seq("prepare", dir, "--out", out,
+      "--quality-frac", "0.5", "--shards", "2", "--seq-len", "128",
+      "--classifier", clfCsv, "--classifier-threshold", "0.0",
+      "--bench", benchDir)) === 0)
+    // outputs: sharded corpus, sequence packing, persisted funnel
+    assert(new java.io.File(s"$out/corpus").exists())
+    assert(new java.io.File(s"$out/packing").exists())
+    val funnel = spark.read.parquet(s"$out/funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("input") > 0)
+    assert(funnel("quality_gated") < funnel("input"))
+    // both optional gates engaged (strictly decreasing at each)
+    assert(funnel("classifier_gated") < funnel("quality_gated"),
+      "classifier gate was idle — the fixture token did not gate")
+    assert(funnel("decontaminated") <= funnel("classifier_gated"))
+    assert(funnel("packed_chunks") > 0)
+    // the written corpus equals the funnel's sampled count
+    assert(spark.read.parquet(s"$out/corpus").count() === funnel("sampled_written"))
+  }
 }
