@@ -235,6 +235,28 @@ object Exprs {
     GraftColumnShim.column(HexSubExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def hexToDec(c: Column): Column = GraftColumnShim.column(HexToDecExpr(GraftColumnShim.expression(c)))
 
+  /** Pre-explode receipt pruning on the logs bloom: may `bloom` (the
+    * 0x + 512-hex `logs_bloom` column) contain `itemHex` (a topic or
+    * address LITERAL)? The item's three 11-bit positions are computed
+    * at PLAN time ([[graft.model.Bloom.bitsOf]]) — the filter compiles
+    * to three codegen'd hex-digit bit tests, no per-row keccak, no UDF.
+    * No false negatives by the yellow-paper construction: a receipt
+    * whose logs carry the item ALWAYS passes; false positives just fall
+    * through to the exact topic filter after the explode. At 100 TB
+    * this turns a topic-filtered crawl's explode+filter over every
+    * receipt into a scan that discards ~all irrelevant receipts while
+    * still column-pruned at the source. */
+  def bloomMayContain(bloom: Column, itemHex: String): Column = {
+    import org.apache.spark.sql.functions.{conv, lit, substring}
+    graft.model.Bloom.bitsOf(itemHex).map { pos =>
+      // hex digit pos/4 counted from the RIGHT of the 512-char body;
+      // substring is 1-based and skips the 0x prefix
+      val charPos = 2 + 512 - pos / 4
+      conv(substring(bloom, charPos, 1), 16, 10).cast("int")
+        .bitwiseAND(lit(1 << (pos % 4))) =!= 0
+    }.reduce(_ && _)
+  }
+
   /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

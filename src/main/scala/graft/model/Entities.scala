@@ -35,7 +35,10 @@ final case class EvmBlock(
     transaction_hashes: Seq[String],
     uncles: Seq[String])
 
-// `evm/types.py:37-55`; to_ == null => contract creation
+// `evm/types.py:37-55`; to_ == null => contract creation. v/r/s are the
+// ECDSA signature triple the reference carries (`types.py:47-49`) —
+// parsed and stored, never computed on: v = recovery id + chain
+// offset (small int), r/s = 32-byte words as 0x-hex.
 final case class EvmTransaction(
     block_hash: String,
     block_number: Long,
@@ -47,9 +50,16 @@ final case class EvmTransaction(
     input: String,
     nonce: Long,
     transaction_index: Long,
-    value: String)
+    value: String,
+    v: Long,
+    r: String,
+    s: String)
 
-// `evm/types.py:107-124`
+// `evm/types.py:107-124`. logs_bloom (`types.py:116`) is the 2048-bit
+// EVM logs bloom as 0x + 512 hex — the reference parses it without
+// computing on it; here it additionally powers pre-explode topic
+// pruning ([[graft.expr.Exprs.bloomMayContain]], no false negatives by
+// the yellow-paper construction [[Bloom.logsBloom]]).
 final case class EvmTransactionReceipt(
     transaction_hash: String,
     transaction_index: Long,
@@ -61,7 +71,8 @@ final case class EvmTransactionReceipt(
     gas_used: Long,
     contract_address: Option[String],
     status: Option[Long],
-    logs: Seq[EvmLog])
+    logs: Seq[EvmLog],
+    logs_bloom: String)
 
 // `evm/rpc.py:150-196`: get_blocks with `full_transactions=True` — the
 // inflated typed form the crawler consumes (field-by-field conversion of
@@ -135,6 +146,16 @@ final case class TokenOwner(
     token_id: String,
     quantity: String, // hex64, or "-" + hex64 when net-negative mid-replay
     data_version: Int)
+
+// `nft/entities.py:54-61` — declared by the reference but written by no
+// pipeline (the metadata CONTENT store the URI points at); modeled for
+// schema parity so a downstream fetch-and-store job has its row type.
+final case class TokenMetadata(
+    blockchain: String,
+    collection_id: String,
+    token_id: String, // hex64
+    content: String,
+    content_type: String)
 
 object Addresses {
   val Zero = "0x0000000000000000000000000000000000000000"

@@ -88,7 +88,10 @@ object EvmWire {
     input = jString(j, "input"),
     nonce = hexLong(j, "nonce"),
     transaction_index = hexLong(j, "transactionIndex"),
-    value = hex64(j, "value"))
+    value = hex64(j, "value"),
+    v = hexLong(j, "v"),
+    r = jString(j, "r"),
+    s = jString(j, "s"))
 
   // `evm/rpc.py:173-196`; difficulty kept as the raw hex string (may
   // exceed 2^63 pre-merge)
@@ -149,7 +152,8 @@ object EvmWire {
     logs = j \ "logs" match {
       case JArray(ls) => ls.map(parseLog)
       case _ => Nil
-    })
+    },
+    logs_bloom = jString(j, "logsBloom"))
 }
 
 /** Shared wiring for the RPC-backed fetchers: endpoint list, timeouts,

@@ -107,6 +107,11 @@ private[graft] object SimChain {
     * the transaction-level sender stays [[txFrom]] — a real mint is
     * sent by a user, only the log's from-topic is zero */
   def isMintBlock(n: Long): Boolean = n % 5 == 0
+  // deterministic ECDSA triple (parsed-not-computed fidelity: the
+  // reference carries v/r/s, `evm/types.py:47-49`)
+  def txV(n: Long, i: Long): Long = 27 + (n + i) % 2
+  def txR(n: Long, i: Long): String = hex64(n * 10 + i, 0x5a)
+  def txS(n: Long, i: Long): String = hex64(n * 10 + i, 0x5b)
 }
 
 object SimulatedBlockDataFetcher {
@@ -125,7 +130,10 @@ object SimulatedBlockDataFetcher {
         input = "0x",
         nonce = n + i,
         transaction_index = i,
-        value = f"${(n * 7 + i) % 1000000}%064x")
+        value = f"${(n * 7 + i) % 1000000}%064x",
+        v = txV(n, i),
+        r = txR(n, i),
+        s = txS(n, i))
     }
     EvmBlockWithTxs(
       number = n,

@@ -123,7 +123,10 @@ object SimulatedReceiptFetcher {
         // the addresses the transfer logs point at.
         contract_address = if (txTo(n, i).isEmpty) Some(coll) else None,
         status = Some(1L),
-        logs = log +: uriLogs)
+        logs = log +: uriLogs,
+        // the REAL yellow-paper bloom over this receipt's logs — so
+        // bloom-pruned topic scans are testable against ground truth
+        logs_bloom = graft.model.Bloom.logsBloom(log +: uriLogs))
     }
   }
 }

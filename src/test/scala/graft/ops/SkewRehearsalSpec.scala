@@ -36,7 +36,8 @@ object SkewedReceiptFetcher {
       gas_used = 21000L,
       contract_address = creates,
       status = Some(1L),
-      logs = logs)
+      logs = logs,
+      logs_bloom = graft.model.Bloom.logsBloom(logs))
 
   private def transferLog(n: Long, tx: Long, logIdx: Long, contract: String,
       token: Long): EvmLog =

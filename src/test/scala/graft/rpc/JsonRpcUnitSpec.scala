@@ -26,7 +26,8 @@ class JsonRpcUnitSpec extends AnyFunSuite {
           gas = rnd.nextLong(1L << 30), gas_price = rnd.nextLong(1L << 40),
           hash = hash(), input = "0x" + "ab" * rnd.nextInt(100),
           nonce = rnd.nextLong(1L << 30), transaction_index = i.toLong,
-          value = hex64())
+          value = hex64(),
+          v = 27L + rnd.nextInt(2), r = "0x" + hex64(), s = "0x" + hex64())
       }
       val b = EvmBlockWithTxs(
         number = n, hash = hash(), parent_hash = hash(),
@@ -215,7 +216,8 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     val base = StubRpcServer.txJson(EvmTransaction(
       block_hash = "0xb1", block_number = 1L, from_ = "0xf", to_ = Some("0xt"),
       gas = 21000L, gas_price = 7L, hash = "0xh", input = "0x",
-      nonce = 0L, transaction_index = 0L, value = "0" * 64))
+      nonce = 0L, transaction_index = 0L, value = "0" * 64,
+      v = 27L, r = "0x" + "11" * 32, s = "0x" + "22" * 32))
     val without = JObject(base.obj.filterNot(_._1 == "gasPrice"))
     val tx = EvmWire.parseTx(without)
     assert(tx.gas_price === 0L) // degraded, not a failed crawl

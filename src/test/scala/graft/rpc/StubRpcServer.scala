@@ -213,7 +213,10 @@ object StubRpcServer {
     "input" -> JString(t.input),
     "nonce" -> qty(t.nonce),
     "transactionIndex" -> qty(t.transaction_index),
-    "value" -> JString("0x" + t.value))
+    "value" -> JString("0x" + t.value),
+    "v" -> qty(t.v),
+    "r" -> JString(t.r),
+    "s" -> JString(t.s))
 
   def blockJson(b: EvmBlockWithTxs, full: Boolean): JObject = JObject(
     "number" -> qty(b.number),
@@ -252,5 +255,6 @@ object StubRpcServer {
     "gasUsed" -> qty(r.gas_used),
     "contractAddress" -> r.contract_address.map(JString(_): JValue).getOrElse(JNull),
     "status" -> r.status.map(qty(_): JValue).getOrElse(JNull),
-    "logs" -> JArray(r.logs.map(logJson).toList))
+    "logs" -> JArray(r.logs.map(logJson).toList),
+    "logsBloom" -> JString(r.logs_bloom))
 }
