@@ -22,6 +22,10 @@ class TokenUrisSpec extends SparkSpec with BeforeAndAfterAll {
   private def hex64(n: Long): String = f"$n%064x"
   private def addr(n: Long): String = f"0x$n%040x"
 
+  test("tokenURI(uint256) calldata uses the PUBLISHED selector 0xc87b56dd") {
+    assert(graft.expr.Keccak.functionSelector("tokenURI(uint256)") === "0xc87b56dd")
+  }
+
   /** Blocks [5, 7): block 5 is a mint block (5 %% 5 == 0, coll 4000,
     * tokens 50/51), block 6 transfers existing tokens — and NEITHER
     * block emits a URI event (n %% 7 == 3 misses both), so any

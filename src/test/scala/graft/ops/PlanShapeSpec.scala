@@ -85,6 +85,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("nearDupImagePairs decodes the image corpus ONCE (band exchange reused)") {
+    // The expensive pass is the PNG decode (mapPartitions ImageIO); the
+    // self-join's two sides must share the banded exchange, not re-run
+    // the decoder per side.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 400 ids over the 200 synthetic groups -> every group has 2
+    // members, so pairs exist and AQE cannot collapse to EmptyRelation
+    val docs = (1L to 400L).toDF("doc_id")
+    val plan = finalPlan(graft.mm.Media.nearDupImagePairs(
+      graft.mm.Media.syntheticImages(docs), maxDist = 7, maxBucket = 20000))
+    val decodes = collectNodes(plan) {
+      case _: org.apache.spark.sql.execution.MapPartitionsExec => true
+      case _ => false
+    }
+    assert(decodes.size === 1,
+      s"image corpus decoded ${decodes.size}x — band exchange no longer reused:\n$plan")
+    val reuses = collectNodes(plan)(_.isInstanceOf[ReusedExchangeExec])
+    assert(reuses.nonEmpty, s"no ReusedExchange in the pairs plan:\n$plan")
+  }
+
   test("temperature aggregates the corpus exactly once (n_min via window, not a second agg)") {
     val out = Sampling.temperature(docs, col("doc_id"), col("source"))
     val aggs = out.queryExecution.optimizedPlan.collect {
