@@ -63,6 +63,13 @@ object Main {
       |                     --classifier CSV token,weight milli-unit table with
       |                     --classifier-bias N [0] --classifier-threshold F [0.0];
       |                     --bench DIR parquet eval set to decontaminate against)
+      |  ingest DOCS_DIR    continuously ingest parquet documents dropped into
+      |                     DOCS_DIR: per-micro-batch near-dup dedup against the
+      |                     standing band index, with prepare's optional
+      |                     --classifier/--bench gates and --cdc (chunk-grain
+      |                     revision gate, --cdc-dup-frac F [0.5]); survivors
+      |                     land at $out/corpus, indexes beside it
+      |                     (--out, --checkpoint; --once drains and stops)
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -113,7 +120,7 @@ object Main {
     * a typo'd option silently ignored is the worst CLI failure mode. */
   private val boolFlags = Set("--increment-data-version", "--once",
     "--owners-view", "--tokens-view", "--uris-view", "--collections-view",
-    "--log-topic")
+    "--log-topic", "--cdc")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -124,7 +131,7 @@ object Main {
     "compact-every",
     "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
-    "classifier-threshold", "bench")
+    "classifier-threshold", "bench", "cdc", "cdc-dup-frac")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -182,6 +189,32 @@ object Main {
     opts.get(key).map(v => try v.toDouble catch {
       case _: NumberFormatException => throw CliError(s"--$key: '$v' is not a number")
     }).getOrElse(default)
+
+  /** `--classifier CSV` (+ `--classifier-bias/-threshold`) → the
+    * (weights, bias, threshold) triple `Classify.scoreLinear` takes —
+    * shared by `prepare` (batch stage 1b) and `ingest` (per-epoch
+    * gate). Weights are integer milli-units; malformed rows fail
+    * loudly. */
+  private def parseClassifier(spark: SparkSession,
+      opts: Map[String, String]): Option[(Seq[(String, Long)], Long, Double)] =
+    opts.get("classifier").map { path =>
+      val rows = spark.read.option("header", "true").csv(path)
+      if (!rows.columns.contains("token") || !rows.columns.contains("weight"))
+        throw CliError(s"--classifier: $path needs header columns token,weight")
+      val weights = rows.select("token", "weight").collect().map { r =>
+        val w = try r.getString(1).trim.toLong catch {
+          case _: NumberFormatException =>
+            throw CliError(s"--classifier: weight '${r.getString(1)}' is not an integer")
+        }
+        r.getString(0) -> w
+      }.toSeq
+      // plain signed long — a bias is not a block number
+      val bias = opts.get("classifier-bias").map(v => try v.toLong catch {
+        case _: NumberFormatException =>
+          throw CliError(s"--classifier-bias: '$v' is not an integer")
+      }).getOrElse(0L)
+      (weights, bias, doubleOpt(opts, "classifier-threshold", 0.0))
+    }
 
   /** Fetcher wiring: with --evm-rpc-nodes the RPC implementations ride
     * the same seams the simulated ones do. */
@@ -567,26 +600,7 @@ object Main {
           // audit a finished run without re-executing it.
           val Vector((_, dataDir)) = positional(pos, "prepare", "DATA_DIR")
           val out = required(opts, "out")
-          val classifier = opts.get("classifier").map { path =>
-            // token,weight CSV (weight in integer milli-units — the
-            // Classify.scoreLinear contract); malformed rows fail loudly
-            val rows = spark.read.option("header", "true").csv(path)
-            if (!rows.columns.contains("token") || !rows.columns.contains("weight"))
-              throw CliError(s"--classifier: $path needs header columns token,weight")
-            val weights = rows.select("token", "weight").collect().map { r =>
-              val w = try r.getString(1).trim.toLong catch {
-                case _: NumberFormatException =>
-                  throw CliError(s"--classifier: weight '${r.getString(1)}' is not an integer")
-              }
-              r.getString(0) -> w
-            }.toSeq
-            // plain signed long — a bias is not a block number
-            val bias = opts.get("classifier-bias").map(v => try v.toLong catch {
-              case _: NumberFormatException =>
-                throw CliError(s"--classifier-bias: '$v' is not an integer")
-            }).getOrElse(0L)
-            (weights, bias, doubleOpt(opts, "classifier-threshold", 0.0))
-          }
+          val classifier = parseClassifier(spark, opts)
           val bench = opts.get("bench").map(spark.read.parquet(_))
           val funnel = Prepare.run(spark, dataDir, out,
             qualityFrac = doubleOpt(opts, "quality-frac", 0.25),
@@ -597,6 +611,39 @@ object Main {
           rows.foreach(r => println(s"${r.getString(0)} ${r.getLong(1)}"))
           funnel.write.mode(SaveMode.Overwrite).parquet(s"$out/funnel")
           println(s"prepared $dataDir into $out")
+          0
+
+        case "ingest" =>
+          // the STREAMING twin of `prepare`: continuously ingest parquet
+          // documents dropped into DOCS_DIR through the near-dup-aware
+          // gate stack (Ingest.startNearDupIngest) — per micro-batch
+          // band dedup against the standing index, plus the same
+          // optional classifier / decontamination gates prepare has and
+          // the chunk-grain revision gate (--cdc). Survivors land at
+          // $out/corpus; the standing indexes live beside it, so a
+          // stopped stream resumes exactly where it left off
+          // (checkpoint + epoch-partitioned idempotent sinks).
+          val Vector((_, docsDir)) = positional(pos, "ingest", "DOCS_DIR")
+          val out = required(opts, "out")
+          val checkpoint = required(opts, "checkpoint")
+          // file-stream sources need an explicit schema: infer it from
+          // the files already present (the drop dir must be seeded with
+          // at least one batch — same contract as spark.readStream)
+          val schema = spark.read.parquet(docsDir).schema
+          val stream = spark.readStream.schema(schema).parquet(docsDir)
+          val bench = opts.get("bench").map(p =>
+            graft.ops.Decontaminate.benchGate(spark.read.parquet(p)))
+          val cdc =
+            if (opts.contains("cdc"))
+              Some(graft.streaming.Ingest.CdcGate(s"$out/chunk_index",
+                dupFrac = doubleOpt(opts, "cdc-dup-frac", 0.5)))
+            else None
+          val q = graft.streaming.Ingest.startNearDupIngest(stream,
+            s"$out/band_index", s"$out/corpus", checkpoint,
+            bench = bench, classifier = parseClassifier(spark, opts), cdc = cdc)
+          if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
+          else q.awaitTermination()
+          println(s"ingested $docsDir into $out/corpus")
           0
 
         case other => throw CliError(s"unknown command: $other")

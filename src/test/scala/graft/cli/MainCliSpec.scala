@@ -382,6 +382,36 @@ class MainCliSpec extends SparkSpec {
     assert(Main.run(spark, Seq("reset", "--out", tmp("cli_reset_empty"))) === 0)
   }
 
+  test("ingest: two --once runs share the standing index; --cdc builds the chunk index") {
+    import spark.implicits._
+    val drop = tmp("cli_ing_drop")
+    val out = tmp("cli_ing_out")
+    val ckpt = tmp("cli_ing_ckpt")
+    def write(rows: Seq[(Long, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(drop)
+    write(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1", 43L),
+      (2L, "completely different words appear here entirely now", "s1", 51L)))
+    assert(Main.run(spark, Seq("ingest", drop, "--out", out,
+      "--checkpoint", ckpt, "--cdc", "--once")) === 0)
+    assert(spark.read.parquet(s"$out/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // second invocation, SAME checkpoint: only the new files process;
+    // the exact dup of doc 1 is dropped by the STANDING band index
+    // persisted by the first run, the new doc survives
+    write(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s2", 43L),
+      (11L, "yet another brand new unique document text", "s2", 42L)))
+    assert(Main.run(spark, Seq("ingest", drop, "--out", out,
+      "--checkpoint", ckpt, "--cdc", "--once")) === 0)
+    assert(spark.read.parquet(s"$out/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+    // --cdc maintained the standing chunk index for the survivors
+    assert(spark.read.parquet(s"$out/chunk_index").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+  }
+
   test("prepare: end-to-end LLM pipeline with classifier + bench gates, funnel persisted") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
