@@ -69,7 +69,9 @@ object Main {
       |                     --classifier/--bench gates and --cdc (chunk-grain
       |                     revision gate, --cdc-dup-frac F [0.5]); survivors
       |                     land at $out/corpus, indexes beside it
-      |                     (--out, --checkpoint; --once drains and stops)
+      |                     (--out, --checkpoint; --once drains and stops;
+      |                     --compact-index-every N folds the indexes' epoch
+      |                     partitions so per-batch listing stays bounded)
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -131,7 +133,7 @@ object Main {
     "compact-every",
     "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
-    "classifier-threshold", "bench", "cdc", "cdc-dup-frac")
+    "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -640,7 +642,9 @@ object Main {
             else None
           val q = graft.streaming.Ingest.startNearDupIngest(stream,
             s"$out/band_index", s"$out/corpus", checkpoint,
-            bench = bench, classifier = parseClassifier(spark, opts), cdc = cdc)
+            bench = bench, classifier = parseClassifier(spark, opts), cdc = cdc,
+            compactIndexEvery = opts.get("compact-index-every")
+              .map(v => longOpt(opts, "compact-index-every", 0L)))
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()
           println(s"ingested $docsDir into $out/corpus")

@@ -77,7 +77,8 @@ object Ingest {
       batchId: Long, numHashes: Int = 4, maxBucket: Int = 1000,
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
-      cdc: Option[CdcGate] = None): Unit = {
+      cdc: Option[CdcGate] = None,
+      compactIndexEvery: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // learned quality gate FIRST (optional): projection-only margin
@@ -171,6 +172,74 @@ object Ingest {
       } finally contaminated.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
     } finally gated.unpersist(blocking = false)
+    // fold the standing indexes' per-epoch partitions periodically so
+    // the file-listing cost per micro-batch stays bounded (the current
+    // epoch's partition is never folded — replay safety; see
+    // compactIndex)
+    compactIndexEvery.foreach { n =>
+      if (n > 0 && batchId > 0 && batchId % n == 0) {
+        compactIndex(spark, indexPath, batchId)
+        cdc.foreach(c => compactIndex(spark, c.indexPath, batchId))
+      }
+    }
+  }
+
+  /** Fold a standing index's per-epoch partitions into ONE fresh base
+    * partition — the file-listing cost of `standingBands` grows with
+    * epoch count (10k epochs = 10k partition dirs listed per
+    * micro-batch), and this is the bound. Correctness invariants:
+    *
+    *  - the CURRENT epoch's partition is NEVER folded: a replayed epoch
+    *    probes `batch_id =!= batchId`, and folding its own bands into
+    *    the base would make the replay collide with itself (every doc
+    *    "already in corpus" → a different survivor set than the first
+    *    run — idempotence broken). Only strictly-older partitions fold.
+    *  - the fresh base id is `-(batchId + 1)` — unique per compaction
+    *    point, never a valid epoch id, and never the partition being
+    *    read (no self-overwrite: the fold WRITES a partition that did
+    *    not exist while READING only others).
+    *  - crash-safe by duplicate-tolerance: the base is written FIRST,
+    *    then the folded partitions are deleted. A crash between the two
+    *    leaves duplicate band/chunk rows — harmless (candidate pairs
+    *    are `.distinct()`ed and the chunk probe is a semi-join), and
+    *    the next compaction folds the leftovers away. A REPLAYED
+    *    compaction (base already exists) is skipped entirely.
+    *  - loss is impossible: nothing is deleted before the base holding
+    *    it is committed. */
+  def compactIndex(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseId = -(batchId + 1)
+    if (!fs.exists(p)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, s"batch_id=$baseId"))) return // replay
+    val parts = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    val fold = parts.filter(_ != batchId)
+    if (fold.length <= 1) return // nothing worth folding
+    standingBands(spark, indexPath) match {
+      case Some(idx) =>
+        val folded = idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+        if (folded.isEmpty) {
+          // marker-only leftovers: nothing to preserve, just drop them
+          fold.foreach(id =>
+            fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_id=$id"), true))
+          return
+        }
+        // Spark refuses to overwrite a path it is reading (rightly), so
+        // the fold lands in a SIBLING dir first, then renames into place
+        // as the base partition (files carry no batch_id column — the
+        // value comes from the dir name, the standard partition layout).
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName + s".compact$baseId")
+        folded.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(p, s"batch_id=$baseId")))
+          throw new java.io.IOException(
+            s"compactIndex: rename $tmp -> $indexPath/batch_id=$baseId failed")
+        fold.foreach(id =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_id=$id"), true))
+      case None => ()
+    }
   }
 
   /** Missing path OR a path with no data files = empty index (first
@@ -222,12 +291,13 @@ object Ingest {
       checkpoint: String, numHashes: Int = 4, maxBucket: Int = 1000,
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
-      cdc: Option[CdcGate] = None): StreamingQuery =
+      cdc: Option[CdcGate] = None,
+      compactIndexEvery: Option[Long] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket,
-          bench, classifier, cdc)
+          bench, classifier, cdc, compactIndexEvery)
       }
       .start()
 }

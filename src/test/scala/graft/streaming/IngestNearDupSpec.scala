@@ -231,6 +231,42 @@ class IngestNearDupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
   }
 
+  test("index compaction folds old epochs, keeps the current one, preserves dedup + replay") {
+    val idx = tmp("cpt_idx") + "/bands"
+    val out = tmp("cpt_out") + "/corpus"
+    val every = Some(2L)
+    def run(id: Long, text: String, epoch: Long): Unit =
+      Ingest.processNearDupBatch(
+        Seq((id, text, "s", text.length.toLong)).toDF("doc_id", "text", "source", "n_chars"),
+        idx, out, epoch, compactIndexEvery = every)
+    def dirs: Set[String] = new java.io.File(idx).listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    val alpha = "alpha words making one unique document here"
+    val beta = "beta phrasing entirely different from the others"
+    run(1L, alpha, 0L)
+    run(2L, beta, 1L)
+    // epoch 2 compacts: folds 0 and 1 into base -(2+1), keeps its own
+    run(3L, "gamma text also fully distinct in content", 2L)
+    assert(dirs === Set("batch_id=-3", "batch_id=2"), s"got $dirs")
+    // dedup against the COMPACTED base still works
+    run(10L, alpha, 3L)
+    def kept: Set[Long] = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // REPLAY of the compaction epoch: base already exists -> compaction
+    // skipped, and the epoch's own partition was never folded, so the
+    // replay cannot collide with itself — identical survivors
+    run(3L, "gamma text also fully distinct in content", 2L)
+    assert(kept === Set(1L, 2L, 3L))
+    assert(dirs.contains("batch_id=-3") && dirs.contains("batch_id=2"))
+    // the next compaction point folds the old base + later epochs again
+    run(4L, "delta words new and previously unseen here", 4L)
+    assert(dirs === Set("batch_id=-5", "batch_id=4"), s"got $dirs")
+    // and a dup of a doc now living in the twice-folded base still drops
+    run(11L, beta, 5L)
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
   test("CDC chunk gate: a re-chunked revision that evades EVERY minhash band is caught") {
     // Construct (A, B) = shared 80-word prefix + two DIFFERENT 40-word
     // tails such that all 4 minhash values differ (no band collision —
