@@ -523,6 +523,12 @@ object Main {
               narrowed(table("tokens")),
               narrowed(table("collections")).filter(col("specification") === "ERC-721"),
               w.calls, w.options))
+            // per-token tokenURI check at the verify height (reference
+            // verify.py:686-690), same ERC-721 gate
+            .unionByName(VerifyPipeline.tokenUrisReport(spark,
+              narrowed(table("tokens")),
+              narrowed(table("collections")).filter(col("specification") === "ERC-721"),
+              blockHeight = Some(end), callExecutor = w.calls, options = w.options))
           // with --out, count the WRITTEN parquet rather than re-running
           // the report lineage: the lineage holds live ranged-getLogs
           // sweeps and latest-state ownerOf probes, so a second

@@ -127,6 +127,62 @@ object VerifyPipeline {
             lit(",chain="), col("chain_owner"))).as("detail"))
   }
 
+  /** Per-token METADATA-URL probe — the reference verify's tokenURI
+    * check (`nft/bin/verify.py:188-202,686-690`: call
+    * `tokenURI(token_id)` at the verify height per ERC-721 token and
+    * compare against the stored metadata_url). Same columnar shape as
+    * [[tokenOwnersReport]]; the chain answer is decoded and
+    * `{id}`-canonicalized with the SAME rule the crawl applies
+    * ([[graft.nft.TokenUris.fromMints]]) — the reference compares the
+    * raw probe value, but our db stores the canonicalized form, so the
+    * compare must too or every templated URI would read as corruption.
+    * Disagreement rows (null-safe: null==null is clean):
+    *  - `mismatch:db=…,chain=…` — including a null side rendered `-`
+    * `blockHeight`: the verify command's ending block (the reference's
+    * `self.__block_height`); None probes at the head. Tokens tables
+    * without a metadata_url column (older DBs, tail token views) verify
+    * as all-null db URLs rather than failing. */
+  def tokenUrisReport(spark: SparkSession, dbTokens: DataFrame,
+      erc721Collections: DataFrame,
+      blockHeight: Option[Long] = None,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val sel = graft.expr.Keccak.functionSelector("tokenURI(uint256)")
+    val withUrl =
+      if (dbTokens.columns.contains("metadata_url")) dbTokens
+      else dbTokens.withColumn("metadata_url", lit(null).cast("string"))
+    // probe a token iff the db CLAIMS a URL or its mint is in-window
+    // (mint_block set) — the tokenOwnersReport precedent
+    // (current_owner-null rows are skipped there): a transfer-only
+    // token whose mint precedes the crawl window legitimately has no
+    // stored URL, and flagging it would make every windowed verify
+    // noisy rather than catching corruption
+    val mintCol =
+      if (withUrl.columns.contains("mint_block")) col("mint_block")
+      else lit(null).cast("long")
+    val tokens = withUrl
+      .filter(col("metadata_url").isNotNull || mintCol.isNotNull)
+      .join(broadcast(erc721Collections.select(col("collection_id")).distinct()),
+        Seq("collection_id"), "left_semi")
+      .select(col("collection_id"), col("token_id"), col("metadata_url").as("db_url"))
+    val requests = tokens.select(
+      col("collection_id").as("to"),
+      col("token_id").as("probe"),
+      concat(lit(sel), col("token_id")).as("data"),
+      blockHeight.map(h => lit(h)).getOrElse(lit(null).cast("long")).as("block"))
+    val answers = graft.rpc.Calls.execute(spark, requests, callExecutor, options)
+      .select(col("to").as("collection_id"), col("probe").as("token_id"),
+        when(col("result").isNotNull,
+          graft.expr.Abi.decodeStringUdf(col("result"), lit(0))).as("chain_url"))
+    tokens.join(answers, Seq("collection_id", "token_id"), "left")
+      .withColumn("chain_url",
+        regexp_replace(col("chain_url"), lit("\\{id\\}"), col("token_id")))
+      .filter(!(col("chain_url") <=> col("db_url")))
+      .select(lit("token_uri").as("check"), col("collection_id"), col("token_id"),
+        concat(lit("mismatch:db="), coalesce(col("db_url"), lit("-")),
+          lit(",chain="), coalesce(col("chain_url"), lit("-"))).as("detail"))
+  }
+
   /** The verify command FIXTURE-FREE: chain truth is re-derived through
     * the ranged-logs source — the reference verify's own access path
     * (`get_transfer_logs` = `get_logs(transfer topics, address=

@@ -94,6 +94,49 @@ class TokenUrisSpec extends SparkSpec with BeforeAndAfterAll {
     assert(enriched.length === 1 && enriched.head.isNullAt(2))
   }
 
+  test("verify tokenURI report: clean crawl db is silent, corruption and missing URLs flag") {
+    import spark.implicits._
+    val tables = graft.pipelines.Crawl.fromChain(spark, 0, 40)
+    val erc721 = tables("collections")
+      .filter(col("specification") === "ERC-721")
+    val dbTokens = tables("tokens")
+    // clean: every minted 721 token's stored URL matches the probe
+    assert(graft.pipelines.VerifyPipeline.tokenUrisReport(spark, dbTokens, erc721,
+      blockHeight = Some(40L)).count() === 0)
+    // corrupt one stored URL -> exactly that token flags with both sides
+    val victim = dbTokens.filter(col("metadata_url").isNotNull)
+      .select("collection_id", "token_id").head()
+    val corrupted = dbTokens.withColumn("metadata_url",
+      when(col("collection_id") === victim.getString(0) &&
+        col("token_id") === victim.getString(1), lit("ipfs://wrong"))
+        .otherwise(col("metadata_url")))
+    val rows = graft.pipelines.VerifyPipeline.tokenUrisReport(spark, corrupted, erc721,
+      blockHeight = Some(40L)).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("check") === "token_uri")
+    assert(rows.head.getAs[String]("token_id") === victim.getString(1))
+    assert(rows.head.getAs[String]("detail").startsWith("mismatch:db=ipfs://wrong,chain="))
+    // a MINTED token whose URL was lost flags too (db should have it)...
+    val lost = dbTokens.withColumn("metadata_url",
+      when(col("collection_id") === victim.getString(0) &&
+        col("token_id") === victim.getString(1), lit(null).cast("string"))
+        .otherwise(col("metadata_url")))
+    assert(graft.pipelines.VerifyPipeline.tokenUrisReport(spark, lost, erc721,
+      blockHeight = Some(40L)).count() === 1)
+    // ...while transfer-only tokens (mint outside the window, null URL)
+    // are skipped — the windowed-verify noise rule
+    assert(dbTokens.filter(col("mint_block").isNull).count() > 0)
+    // a tokens table WITHOUT the metadata_url column verifies as
+    // all-null claims (older DBs / tail token views) instead of failing
+    val bare = dbTokens.drop("metadata_url")
+    val bareRows = graft.pipelines.VerifyPipeline.tokenUrisReport(spark, bare, erc721,
+      blockHeight = Some(40L))
+    // every minted 721 token now reads as db=- vs a chain answer
+    assert(bareRows.count() ===
+      dbTokens.filter(col("mint_block").isNotNull).join(
+        erc721.select("collection_id"), Seq("collection_id"), "left_semi").count())
+  }
+
   test("re-minted token probes ONCE at the FIRST mint (min attribute_version)") {
     import spark.implicits._
     // same token minted twice (burn+remint replay): one probe, at the
