@@ -512,10 +512,16 @@ object Main {
           val supply = narrowed(table("collections"))
             .filter(col("total_supply").isNotNull)
             .select(col("collection_id"), col("total_supply"))
+          // the uris entity table reconciles too when present (older
+          // DBs without one simply skip the check)
+          val dbUris =
+            if (SinkUtils.tableExists(spark, s"$db/uris")) Some(narrowed(table("uris")))
+            else None
           val report = VerifyPipeline.fromChain(spark, start, end,
             narrowed(table("transfers")), narrowed(table("owners")), dbTokens, supply,
             collectionId = collection, logsFetcher = w.logs,
-            numPartitions = numPartitions, fetcherOptions = w.options)
+            numPartitions = numPartitions, fetcherOptions = w.options,
+            dbUris = dbUris, callExecutor = w.calls)
             // per-token ownerOf probes (reference verify_token flow),
             // gated on the db's ERC-721 classification like the
             // reference's contract_supports_erc721 check

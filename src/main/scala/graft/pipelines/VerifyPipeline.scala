@@ -199,7 +199,9 @@ object VerifyPipeline {
       collectionId: Option[String] = None,
       logsFetcher: String = graft.sources.LogsFetcher.Simulated,
       numPartitions: Int = 4,
-      fetcherOptions: Map[String, String] = Map.empty): DataFrame = {
+      fetcherOptions: Map[String, String] = Map.empty,
+      dbUris: Option[DataFrame] = None,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated): DataFrame = {
     val base = spark.read.format("logs")
       .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
       .option("numPartitions", numPartitions.toString)
@@ -211,8 +213,50 @@ object VerifyPipeline {
     // each branch of the unioned report re-runs the live ranged-getLogs
     // sweep over the wire — double RPC cost and throttle exposure
     // (Crawl.fromChain stages its receipts for exactly this reason).
-    val chainTransfers = graft.nft.Derive.transfers(logs).localCheckpoint(true)
+    // With a uris reconcile the RAW LOGS gain a second consumer
+    // (uriUpdates) — checkpoint them too so the window is fetched once.
+    val logsM = if (dbUris.isDefined) logs.localCheckpoint(true) else logs
+    val chainTransfers = graft.nft.Derive.transfers(logsM).localCheckpoint(true)
     val chainOwners = graft.nft.Derive.owners(chainTransfers)
-    run(chainTransfers, dbTransfers, chainOwners, dbOwners, dbTokens, supplySnapshot)
+    val baseReport =
+      run(chainTransfers, dbTransfers, chainOwners, dbOwners, dbTokens, supplySnapshot)
+    dbUris.fold(baseReport) { du =>
+      // chain truth for metadata = BOTH sources the crawl writes: URI
+      // events from the window's logs and the per-mint tokenURI probes
+      // (same derivations, same executor seam — verify re-walks the
+      // crawl's own access paths, the reference verify's structure)
+      val chainUris = graft.nft.Derive.uriUpdates(logsM)
+        .unionByName(graft.nft.TokenUris.fromMints(spark, chainTransfers,
+          callExecutor, fetcherOptions))
+      baseReport.unionByName(urisReport(du, chainUris))
+    }
+  }
+
+  /** Reconcile the URIS entity table against recomputed chain truth —
+    * the reference verify's metadata checks at table grain
+    * (`nft/bin/verify.py:706-727`: the stored metadata_url must match
+    * the latest URI event, falling back to the contract probe). Both
+    * sides LWW-collapse to the latest URL per (collection, token) on
+    * metadata_url_version, then a J2-style full-outer with both anti
+    * sides reported:
+    *  - `missing:chain=…` — the chain emitted/answers a URL the db lost
+    *  - `extra:db=…` — the db holds a URL chain truth never produced
+    *  - `mismatch:db=…,chain=…` — both present, different (e.g. a stale
+    *    LWW loser persisted) */
+  def urisReport(dbUris: DataFrame, chainUris: DataFrame): DataFrame = {
+    val keys = Seq("collection_id", "token_id")
+    def latest(df: DataFrame, as: String) =
+      graft.ops.Lww.merge(
+        df.select(col("collection_id"), col("token_id"),
+          col("metadata_url"), col("metadata_url_version")),
+        keys, Seq("metadata_url_version"))
+        .select(col("collection_id"), col("token_id"), col("metadata_url").as(as))
+    latest(dbUris, "db_url").join(latest(chainUris, "chain_url"), keys, "full_outer")
+      .filter(!(col("db_url") <=> col("chain_url")))
+      .select(lit("uri").as("check"), col("collection_id"), col("token_id"),
+        when(col("db_url").isNull, concat(lit("missing:chain="), col("chain_url")))
+          .when(col("chain_url").isNull, concat(lit("extra:db="), col("db_url")))
+          .otherwise(concat(lit("mismatch:db="), col("db_url"),
+            lit(",chain="), col("chain_url"))).as("detail"))
   }
 }

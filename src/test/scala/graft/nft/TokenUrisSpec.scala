@@ -137,6 +137,37 @@ class TokenUrisSpec extends SparkSpec with BeforeAndAfterAll {
         erc721.select("collection_id"), Seq("collection_id"), "left_semi").count())
   }
 
+  test("urisReport: full-outer reconcile of the uris table (missing / extra / mismatch)") {
+    import spark.implicits._
+    val tables = crawlWindow()
+    val dbUris = tables("uris")
+    val chain = tables("uris") // recomputed truth == the same derivation here
+    // clean: identical sides collapse to silence (multi-row histories
+    // LWW-resolve before comparing)
+    assert(graft.pipelines.VerifyPipeline.urisReport(dbUris, chain).count() === 0)
+    val victim = dbUris.select("collection_id", "token_id").head()
+    def forVictim(detailPrefix: String, mutated: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = graft.pipelines.VerifyPipeline.urisReport(mutated, chain).collect()
+      assert(rows.length === 1, s"$detailPrefix: got ${rows.length} rows")
+      assert(rows.head.getAs[String]("check") === "uri")
+      assert(rows.head.getAs[String]("detail").startsWith(detailPrefix),
+        rows.head.getAs[String]("detail"))
+    }
+    // mismatch: the db persisted a different URL for one token
+    forVictim("mismatch:db=ipfs://stale", dbUris.withColumn("metadata_url",
+      when(col("collection_id") === victim.getString(0) &&
+        col("token_id") === victim.getString(1), lit("ipfs://stale"))
+        .otherwise(col("metadata_url"))))
+    // missing: the db lost the token's rows entirely
+    forVictim("missing:chain=", dbUris.filter(
+      !(col("collection_id") === victim.getString(0) &&
+        col("token_id") === victim.getString(1))))
+    // extra: the db holds a URL chain truth never produced
+    forVictim("extra:db=ipfs://phantom", dbUris.unionByName(
+      Seq((victim.getString(0), f"${999999L}%064x", "ipfs://phantom", f"${1L}%040x"))
+        .toDF("collection_id", "token_id", "metadata_url", "metadata_url_version")))
+  }
+
   test("re-minted token probes ONCE at the FIRST mint (min attribute_version)") {
     import spark.implicits._
     // same token minted twice (burn+remint replay): one probe, at the
