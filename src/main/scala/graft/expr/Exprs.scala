@@ -247,14 +247,19 @@ object Exprs {
     * receipt into a scan that discards ~all irrelevant receipts while
     * still column-pruned at the source. */
   def bloomMayContain(bloom: Column, itemHex: String): Column = {
-    import org.apache.spark.sql.functions.{conv, lit, substring}
-    graft.model.Bloom.bitsOf(itemHex).map { pos =>
+    import org.apache.spark.sql.functions.{coalesce, conv, lit, substring}
+    val test = graft.model.Bloom.bitsOf(itemHex).map { pos =>
       // hex digit pos/4 counted from the RIGHT of the 512-char body;
       // substring is 1-based and skips the 0x prefix
       val charPos = 2 + 512 - pos / 4
       conv(substring(bloom, charPos, 1), 16, 10).cast("int")
         .bitwiseAND(lit(1 << (pos % 4))) =!= 0
     }.reduce(_ && _)
+    // a NULL bloom (schema-evolved rows predating the column) must PASS
+    // — an unknown filter cannot prune, and a three-valued null here
+    // would silently drop the receipt inside a Filter: the one way this
+    // "no false negatives" contract could break
+    coalesce(test, lit(true))
   }
 
   /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */

@@ -78,6 +78,18 @@ class BloomSpec extends SparkSpec {
     assert(!planStr.contains("BatchEvalPython") && !planStr.toLowerCase.contains("udf"))
   }
 
+  test("a NULL bloom passes the filter (unknown cannot prune — legacy rows survive)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Bloom.logsBloom(Nil)),    // real all-zero bloom: prunable
+      (2L, null.asInstanceOf[String]) // schema-evolved row: must pass
+    ).toDF("id", "logs_bloom")
+    val kept = df.filter(graft.expr.Exprs.bloomMayContain(col("logs_bloom"),
+        graft.nft.Derive.Erc721TransferSig))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L), s"null bloom must pass, zero bloom must prune: $kept")
+  }
+
   test("wire fidelity: v/r/s and logsBloom round-trip the stub JSON-RPC transport") {
     val stub = new graft.rpc.StubRpcServer()
     try {
