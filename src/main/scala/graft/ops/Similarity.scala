@@ -283,6 +283,53 @@ object Similarity {
       bits: Int = 8): DataFrame =
     lshTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k, bits)
 
+  /** MULTI-PROBE single-table sign-LSH top-k (the published multi-probe
+    * LSH idea — probe the neighboring buckets instead of building more
+    * tables): each query probes its own bucket PLUS every bucket at
+    * sign-Hamming distance 1 (flip each of the `bits` sign bits) —
+    * recovering exactly the neighbors a rigid single bucket loses when
+    * one leading-dim sign straddles zero, the failure mode the recall
+    * harness measures at ~0.0 for the plain table. Cost shape: the fan
+    * out is QUERY-side only (bits+1 skinny probe rows per query, still
+    * broadcast-sized); the corpus buckets ONCE and shuffles once — the
+    * same plan as [[lshTopK]] with a wider build side. A (q, c) pair
+    * can match at most one probe (flips are distinct), so no dedup
+    * pass is needed before scoring. */
+  /** All XOR masks of sign-Hamming weight <= probeDist over `bits`
+    * bits — the probe fan-out, computed at PLAN time (37 masks for
+    * 8 bits / dist 2). */
+  def probeMasks(bits: Int, probeDist: Int): Seq[Long] = {
+    require(probeDist >= 0 && probeDist <= bits, "probeDist in [0, bits]")
+    (0 to probeDist).flatMap(w =>
+      (0 until bits).combinations(w).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+  }
+
+  def lshTopKProbe(embeddings: DataFrame, queries: DataFrame, k: Int,
+      bits: Int, probeDist: Int): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", sqNorm(col("qv")))
+        .withColumn("bucket", signBucket(col("qv"), bits))
+    val flips = array(probeMasks(bits, probeDist).map(lit): _*)
+    val q = prep(queries)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .withColumn("flip", explode(flips))
+      .select(col("q_id"), col("bucket").bitwiseXOR(col("flip")).as("q_bucket"),
+        col("q_qv"), col("q_nrm"))
+    val c = prep(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val scored = c.join(broadcast(q),
+        col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_qv"), col("c_qv"), col("q_nrm"), col("c_nrm")))
+    topK(scored, k)
+  }
+
+  def lshTopKProbe(embeddings: DataFrame, k: Int = 3, queryStride: Int = 100,
+      bits: Int = 8, probeDist: Int = 2): DataFrame =
+    lshTopKProbe(embeddings, embeddings.filter(col("vec_id") % queryStride === 0),
+      k, bits, probeDist)
+
   /** Multi-table sign-LSH top-k — OR-amplification, the production
     * recall knob: table t buckets on the signs of dims
     * [t·bits, t·bits+bits); a pair is a candidate if it collides in ANY

@@ -219,6 +219,13 @@ object ExtendedQueries {
     graft.ops.Similarity.lshTopK(Tables.embeddings(s, dir),
       k = 3, queryStride = 100, bits = 8)
 
+  // the multi-probe repair of the above: same single table, queries
+  // additionally probe every Hamming-1 sign bucket — the standard
+  // recall fix that costs probe fan-out instead of extra tables
+  private val annLshProbe: QFn = (s, dir) =>
+    graft.ops.Similarity.lshTopKProbe(Tables.embeddings(s, dir),
+      k = 3, queryStride = 100, bits = 8)
+
   // ---- P/K/A/text: JSON, exact uint256 agg, percentiles, doc frequency ----
 
   private val p7JsonExtract: QFn = (s, dir) =>
@@ -539,6 +546,30 @@ object ExtendedQueries {
         |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
         |    FROM q JOIN c ON q.q_bucket = c.c_bucket AND q.q_id <> c.c_id))
         |WHERE rank <= 3""".stripMargin),
+    QueryDef("ann_lsh_probe", annLshProbe, {
+      val flips = graft.ops.Similarity.probeMasks(8, 2).mkString(", ")
+      s"""WITH q0 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n0 AS (SELECT vec_id, qv,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM q0),
+        |q AS (SELECT vec_id AS q_id, xor(bucket, f.flip) AS q_bucket, qv AS q_qv, nrm AS q_nrm
+        |  FROM n0, (SELECT CAST(unnest([$flips]) AS BIGINT) AS flip) f
+        |  WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS c_id, bucket AS c_bucket, qv AS c_qv, nrm AS c_nrm FROM n0)
+        |SELECT q_id, c_id, rank, score FROM (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+        |  FROM (SELECT q.q_id, c.c_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(q.q_qv)),
+        |      i -> q.q_qv[i] * c.c_qv[i])) AS BIGINT) AS DOUBLE) /
+        |    (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(c.c_nrm AS DOUBLE))) AS score
+        |    FROM q JOIN c ON q.q_bucket = c.c_bucket AND q.q_id <> c.c_id))
+        |WHERE rank <= 3""".stripMargin
+    }),
     QueryDef("p7_json_extract", p7JsonExtract,
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events""".stripMargin),

@@ -171,6 +171,18 @@ object PipelineQueries {
       |    FROM lshb q JOIN lshb c
       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id AND q.vec_id % 100 = 0))
       |  WHERE rank <= 3),
+      |lshpq AS (SELECT vec_id, xor(bucket, f.flip) AS pbucket, qv, nrm
+      |  FROM lshb, (SELECT CAST(unnest([${graft.ops.Similarity.probeMasks(8, 2).mkString(", ")}]) AS BIGINT) AS flip) f
+      |  WHERE vec_id % 100 = 0),
+      |lshproberes AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    ${dotSql("q.qv", "c.qv")} /
+      |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS score
+      |    FROM lshpq q JOIN lshb c
+      |    ON q.pbucket = c.bucket AND q.vec_id <> c.vec_id))
+      |  WHERE rank <= 3),
       |truth AS (SELECT q_id, c_id FROM (
       |  SELECT q_id, c_id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
@@ -181,11 +193,12 @@ object PipelineQueries {
       |  WHERE rank <= 3),
       |m AS (SELECT 'ivf' AS method, q_id, c_id FROM ivfres
       |      UNION ALL SELECT 'lsh' AS method, q_id, c_id FROM lshres
-      |      UNION ALL SELECT 'lsh_multi' AS method, q_id, c_id FROM mlshres),
+      |      UNION ALL SELECT 'lsh_multi' AS method, q_id, c_id FROM mlshres
+      |      UNION ALL SELECT 'lsh_probe' AS method, q_id, c_id FROM lshproberes),
       |h AS (SELECT m.method, CAST(count(*) AS BIGINT) AS n_hits
       |      FROM m JOIN truth USING (q_id, c_id) GROUP BY m.method),
       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi']) AS method)
+      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi', 'lsh_probe']) AS method)
       |SELECT ml.method AS method, t.n_truth AS n_truth,
       |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
       |  CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
@@ -435,12 +448,14 @@ object PipelineQueries {
       val lshMulti = Similarity.lshTopKMulti(emb, k = 3, queryStride = 100,
           bits = 5, tables = 12)
         .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
-      val hits = ivf.union(lsh).union(lshMulti)
+      val lshProbe = Similarity.lshTopKProbe(emb, k = 3, queryStride = 100, bits = 8)
+        .select(lit("lsh_probe").as("method"), col("q_id"), col("c_id"))
+      val hits = ivf.union(lsh).union(lshMulti).union(lshProbe)
         .join(truth, Seq("q_id", "c_id"), "left_semi")
         .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       // literal method spine: a method with zero hits must still report
-      Seq("ivf", "lsh", "lsh_multi").map { m =>
+      Seq("ivf", "lsh", "lsh_multi", "lsh_probe").map { m =>
         val h = hits.getOrElse(m, 0L)
         (m, nTruth, h, h.toDouble / nTruth.toDouble)
       }.toDF("method", "n_truth", "n_hits", "recall")
