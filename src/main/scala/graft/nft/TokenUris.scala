@@ -90,6 +90,31 @@ object TokenUris {
     * to be filled by the URI-event LWW merge downstream. Keyed on the
     * tokens table's own grain, so the join co-partitions with the
     * derivation's final aggregate. */
+  /** The reference's token READ view reconstituted: its sink applies
+    * URI-event updates onto the token item
+    * (`NftMetadataUriUpdatingConsumer`), so a reference token row
+    * always shows the LATEST url from EITHER source. Our model keeps
+    * the probe URL on the tokens table and the event stream in the
+    * uris table — this reader joins them back: latest uris-row URL per
+    * token (LWW on metadata_url_version) wins over the mint-probe
+    * value; tokens untouched by either keep null. One co-partitioned
+    * join on the tokens grain. */
+  def tokensWithLatestUrls(tokens: DataFrame, uris: DataFrame): DataFrame = {
+    val latest = graft.ops.Lww.merge(
+      uris.select(col("collection_id"), col("token_id"),
+        col("metadata_url"), col("metadata_url_version")),
+      Seq("collection_id", "token_id"), Seq("metadata_url_version"))
+      .select(col("collection_id"), col("token_id"),
+        col("metadata_url").as("latest_url"))
+    val base =
+      if (tokens.columns.contains("metadata_url")) tokens
+      else tokens.withColumn("metadata_url", lit(null).cast("string"))
+    base.join(latest, Seq("collection_id", "token_id"), "left")
+      .withColumn("metadata_url", coalesce(col("latest_url"), col("metadata_url")))
+      .drop("latest_url")
+      .select(base.columns.map(col): _*)
+  }
+
   def enrichTokens(tokens: DataFrame, mintUris: DataFrame): DataFrame =
     tokens.join(
       mintUris.select(col("collection_id"), col("token_id"), col("metadata_url")),

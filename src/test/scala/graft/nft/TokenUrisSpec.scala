@@ -137,6 +137,33 @@ class TokenUrisSpec extends SparkSpec with BeforeAndAfterAll {
         erc721.select("collection_id"), Seq("collection_id"), "left_semi").count())
   }
 
+  test("tokensWithLatestUrls: the reference's fully-updated token row reconstituted") {
+    import spark.implicits._
+    // window [5, 12): block 5 mints tokens 50/51 (probe-only URIs);
+    // block 10 mints token 100 which gets BOTH a mint-probe URI and, at
+    // n=10 (n%7==3), a URI EVENT — the event must win on the token it
+    // touches, probe values must survive on the others
+    val tables = graft.pipelines.Crawl.fromChain(spark, 5, 12)
+    val view = TokenUris.tokensWithLatestUrls(tables("tokens"), tables("uris"))
+      .collect().map(r => r.getAs[String]("token_id") -> r.getAs[String]("metadata_url")).toMap
+    // token 100: URI event (version block10/tx0/log>0) > mint probe
+    // (version block10/tx0/log0) -> the event URL wins
+    assert(view(hex64(100)) === s"ipfs://sim/${hex64(100)}.json", view(hex64(100)))
+    // tokens 50/51: no event — the probed URLs stand (51 exercises the
+    // canonicalized {id} template)
+    assert(view(hex64(50)) === "ipfs://sim/4000/50.json")
+    assert(view(hex64(51)) === s"ipfs://sim/4000/${hex64(51)}.json")
+    // column order identical to the tokens table (a drop-in reader)
+    assert(TokenUris.tokensWithLatestUrls(tables("tokens"), tables("uris")).columns.toSeq
+      === tables("tokens").columns.toSeq)
+    // tokens tables WITHOUT metadata_url (tail token views) work too
+    val bare = TokenUris.tokensWithLatestUrls(
+      tables("tokens").drop("metadata_url"), tables("uris"))
+    assert(bare.columns.contains("metadata_url"))
+    assert(bare.collect().map(r => r.getAs[String]("token_id") -> r.getAs[String]("metadata_url"))
+      .toMap.apply(hex64(100)) === s"ipfs://sim/${hex64(100)}.json")
+  }
+
   test("urisReport: full-outer reconcile of the uris table (missing / extra / mismatch)") {
     import spark.implicits._
     val tables = crawlWindow()
