@@ -114,6 +114,26 @@ class SimilarityTrainedSpec extends SparkSpec {
     assert(ids.count(_ == 100L) === 1)
   }
 
+  test("probeMasks: complete distinct mask set; probeDist=0 degenerates to the plain table") {
+    // counts: sum of C(bits, w) for w <= dist; all masks distinct and
+    // weight-bounded — the fan-out contract the oracle mirrors
+    assert(Similarity.probeMasks(8, 0) === Seq(0L))
+    val m1 = Similarity.probeMasks(8, 1)
+    assert(m1.length === 9 && m1.distinct.length === 9)
+    val m2 = Similarity.probeMasks(8, 2)
+    assert(m2.length === 37 && m2.distinct.length === 37)
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    // dist 0 == the plain single-table results, row for row
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val plain = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val p0 = Similarity.lshTopKProbe(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+        k = 3, bits = 8, probeDist = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(p0 === plain)
+  }
+
   test("recall@3 floors hold at the gate SFs (the recall/cost dial is real)") {
     // ann_recall is oracle-checked for VALUES; this pins the QUALITY
     // floor so a param change that silently craters recall turns red.
