@@ -232,7 +232,7 @@ object Retrieval {
     // Grand totals BEFORE the min-count filter: probabilities are over
     // the whole corpus, not the surviving collocations.
     val totals = bi.agg(sum(col("c_xy")).as("n_bi"))
-      .crossJoin(uni.agg(sum(col("c_w")).as("n_uni")))
+      .crossJoin(broadcast(uni.agg(sum(col("c_w")).as("n_uni"))))
     val nUniD = col("n_uni").cast("double")
     val ratio = (col("c_xy").cast("double") * (nUniD * nUniD)) /
       ((col("n_bi").cast("double") * col("c_x").cast("double")) * col("c_y").cast("double"))

@@ -187,9 +187,15 @@ object Crawl {
       .filter(col("address") === collectionId)
     val transfers = graft.nft.Derive.transfers(logs)
     // the same per-mint tokenURI probes as the full crawl (the shared
-    // bus wires the transformer for force loads too, `nft/bin/shared.py`)
+    // bus wires the transformer for force loads too, `nft/bin/shared.py`).
+    // Materialized ONCE (fromChain stages it for the same reason): the
+    // tokens enrich and the uris union both consume this lineage, and
+    // without the checkpoint each output re-runs every per-mint
+    // tokenURI eth_call — double live RPC, and a transient failure on
+    // one execution could leave tokens.metadata_url inconsistent with
+    // the uris row derived from the other.
     val tokenUris = graft.nft.TokenUris.fromMints(spark, transfers,
-      callExecutor, fetcherOptions)
+      callExecutor, fetcherOptions).localCheckpoint(true)
     Map(
       "collections" -> collections,
       "transfers" -> transfers,

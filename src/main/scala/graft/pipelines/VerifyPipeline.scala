@@ -177,6 +177,13 @@ object VerifyPipeline {
     tokens.join(answers, Seq("collection_id", "token_id"), "left")
       .withColumn("chain_url",
         regexp_replace(col("chain_url"), lit("\\{id\\}"), col("token_id")))
+      // P10 cap mirrored from the crawl (`TokenUris.fromMints`,
+      // `dynamodb.py:160-167`): the crawl REFUSED to store a URL over
+      // 2048 chars, so a long chain answer must compare as null here —
+      // otherwise every legitimately-uncapped-on-chain URL reads as
+      // `mismatch:db=-` corruption forever
+      .withColumn("chain_url",
+        when(length(col("chain_url")) <= 2048, col("chain_url")))
       .filter(!(col("chain_url") <=> col("db_url")))
       .select(lit("token_uri").as("check"), col("collection_id"), col("token_id"),
         concat(lit("mismatch:db="), coalesce(col("db_url"), lit("-")),

@@ -202,8 +202,9 @@ object Ingest {
     *    then the folded partitions are deleted. A crash between the two
     *    leaves duplicate band/chunk rows — harmless (candidate pairs
     *    are `.distinct()`ed and the chunk probe is a semi-join), and
-    *    the next compaction folds the leftovers away. A REPLAYED
-    *    compaction (base already exists) is skipped entirely.
+    *    the next compaction's `.distinct()` over the folded rows
+    *    removes them, returning the index to canonical form. A
+    *    REPLAYED compaction (base already exists) is skipped entirely.
     *  - loss is impossible: nothing is deleted before the base holding
     *    it is committed. */
   def compactIndex(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
@@ -219,7 +220,14 @@ object Ingest {
     if (fold.length <= 1) return // nothing worth folding
     standingBands(spark, indexPath) match {
       case Some(idx) =>
+        // distinct: a crash between a prior compaction's base write and
+        // its partition deletes leaves the base's rows duplicated in the
+        // undeleted leftovers — without the dedup this fold would carry
+        // them into the new base permanently (the index is a set; a
+        // whole-index rewrite is already a shuffle, so this adds no
+        // extra exchange class)
         val folded = idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+          .distinct()
         if (folded.isEmpty) {
           // marker-only leftovers: nothing to preserve, just drop them
           fold.foreach(id =>
