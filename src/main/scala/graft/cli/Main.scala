@@ -517,11 +517,23 @@ object Main {
           val dbUris =
             if (SinkUtils.tableExists(spark, s"$db/uris")) Some(narrowed(table("uris")))
             else None
+          // the 1155 metadata branch compares the FULLY-UPDATED token
+          // url (URI-event updates win over the mint-probe value — the
+          // reference token item's state); older DBs without a uris
+          // table fall back to the tokens table's own column
+          def spec(s: String) =
+            narrowed(table("collections")).filter(col("specification") === s)
+          val tokens1155 = dbUris
+            .map(u => graft.nft.TokenUris.tokensWithLatestUrls(narrowed(table("tokens")), u))
+            .getOrElse(narrowed(table("tokens")))
+            .join(spec("ERC-1155").select(col("collection_id")),
+              Seq("collection_id"), "left_semi")
           val report = VerifyPipeline.fromChain(spark, start, end,
             narrowed(table("transfers")), narrowed(table("owners")), dbTokens, supply,
             collectionId = collection, logsFetcher = w.logs,
             numPartitions = numPartitions, fetcherOptions = w.options,
-            dbUris = dbUris, callExecutor = w.calls)
+            dbUris = dbUris, callExecutor = w.calls,
+            db1155Tokens = Some(tokens1155), verifyHeight = Some(end))
             // per-token ownerOf probes (reference verify_token flow),
             // gated on the db's ERC-721 classification like the
             // reference's contract_supports_erc721 check
@@ -533,19 +545,34 @@ object Main {
             // verify.py:686-690), same ERC-721 gate
             .unionByName(VerifyPipeline.tokenUrisReport(spark,
               narrowed(table("tokens")),
-              narrowed(table("collections")).filter(col("specification") === "ERC-721"),
+              spec("ERC-721"),
+              blockHeight = Some(end), callExecutor = w.calls, options = w.options))
+            // the chain's OWN token enumeration vs the db id set
+            // (reference verify.py:1043-1056) — catches a token the db
+            // lost entirely, which no per-db-row probe can see
+            .unionByName(VerifyPipeline.enumerationReport(spark,
+              narrowed(table("tokens")).select(col("collection_id"), col("token_id")),
+              spec("ERC-721"),
               blockHeight = Some(end), callExecutor = w.calls, options = w.options))
           // with --out, count the WRITTEN parquet rather than re-running
           // the report lineage: the lineage holds live ranged-getLogs
           // sweeps and latest-state ownerOf probes, so a second
           // execution doubles wire cost and can disagree with the file
-          val n = opts.get("out") match {
+          val persisted = opts.get("out") match {
             case Some(o) =>
               report.write.mode(SaveMode.Overwrite).parquet(o)
-              spark.read.parquet(o).count()
-            case None => report.count()
+              spark.read.parquet(o)
+            case None => report.localCheckpoint(true)
           }
-          println(if (n == 0) "verify: clean" else s"verify: $n discrepancies")
+          // the reference's VerifyResult passes when ERRORS are empty —
+          // warnings (not-enumerable, contract-vs-event discrepancies)
+          // are reported but never fail the audit (`verify.py:1076-1081`)
+          val warnings = persisted.filter(col("detail").startsWith("warning:")).count()
+          val n = persisted.count() - warnings
+          println(
+            if (n == 0 && warnings == 0) "verify: clean"
+            else if (n == 0) s"verify: clean ($warnings warnings)"
+            else s"verify: $n discrepancies ($warnings warnings)")
           if (n == 0) 0 else 1
 
         case "load" =>

@@ -190,6 +190,194 @@ object VerifyPipeline {
           lit(",chain="), coalesce(col("chain_url"), lit("-"))).as("detail"))
   }
 
+  /** ERC-1155 metadata verify — the reference's 1155 branch of
+    * `verify_token` (`nft/bin/verify.py:704-727`): for each db token of
+    * an ERC-1155 collection, chain truth is the LAST `URI` event for
+    * the id with the contract's live `uri(token_id)` answer as
+    * fallback, probed only where the contract declares the metadata
+    * extension (`supportsInterface(0x0e89341c)`,
+    * `verify.py:138-139,205-218`). Two row families come back:
+    *  - `warning:event=…,contract=…` — the contract's uri() disagrees
+    *    with its own last URI event (the reference's contract-vs-event
+    *    discrepancy WARNING, `verify.py:710-715` — not a db error)
+    *  - `mismatch:db=…,chain=…` — the stored metadata_url differs from
+    *    effective chain truth (event wins over contract,
+    *    `verify.py:716-727`); like the reference, a token with NEITHER
+    *    an event nor a uri() answer is never flagged
+    * Chain answers are `{id}`-canonicalized and P10-capped exactly like
+    * the crawl stores them (`Derive.uriUpdates`), so templated URIs
+    * compare cleanly. Shape: one support probe per collection
+    * (broadcast back), one uri() probe per token, every join keyed on
+    * (collection_id, token_id) — a billion-token audit shuffles once.
+    *
+    * `db1155Tokens`: the db tokens of ERC-1155 collections with their
+    * metadata_url (the fully-updated token view — event updates applied
+    * — when a uris table exists). `uriEvents`: the window's chain URI
+    * updates ([[graft.nft.Derive.uriUpdates]] output). */
+  def erc1155UrisReport(spark: SparkSession, db1155Tokens: DataFrame,
+      uriEvents: DataFrame,
+      blockHeight: Option[Long] = None,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val withUrl =
+      if (db1155Tokens.columns.contains("metadata_url")) db1155Tokens
+      else db1155Tokens.withColumn("metadata_url", lit(null).cast("string"))
+    val tokens = withUrl
+      .select(col("collection_id"), col("token_id"), col("metadata_url").as("db_url"))
+    // one supportsInterface(ERC1155MetadataURI) probe per collection —
+    // the reference caches this per contract (`verify.py:114-124`)
+    val supportReqs = tokens.select(col("collection_id")).distinct()
+      .select(col("collection_id").as("to"), lit("meta_uri").as("probe"),
+        graft.expr.Abi.encodeCallCol("supportsInterface(bytes4)",
+          lit("0e89341c" + "0" * 56)).as("data"))
+    val supporting = graft.rpc.Calls.execute(spark, supportReqs, callExecutor, options)
+      .filter(coalesce(
+        graft.expr.Abi.wordToLong(graft.expr.Abi.dataWord(col("result"), 1)) =!= 0,
+        lit(false)))
+      .select(col("to").as("collection_id"))
+    val uriSel = graft.expr.Keccak.functionSelector("uri(uint256)")
+    val uriReqs = tokens
+      .join(broadcast(supporting), Seq("collection_id"), "left_semi")
+      .select(col("collection_id").as("to"), col("token_id").as("probe"),
+        concat(lit(uriSel), col("token_id")).as("data"),
+        blockHeight.map(h => lit(h)).getOrElse(lit(null).cast("long")).as("block"))
+    val contractUris = graft.rpc.Calls.execute(spark, uriReqs, callExecutor, options)
+      .select(col("to").as("collection_id"), col("probe").as("token_id"),
+        when(col("result").isNotNull,
+          graft.expr.Abi.decodeStringUdf(col("result"), lit(0))).as("contract_url"))
+    val lastEvent = graft.ops.Lww.merge(
+      uriEvents.select(col("collection_id"), col("token_id"),
+        col("metadata_url"), col("metadata_url_version")),
+      Seq("collection_id", "token_id"), Seq("metadata_url_version"))
+      .select(col("collection_id"), col("token_id"), col("metadata_url").as("event_url"))
+    val joined = tokens
+      .join(lastEvent, Seq("collection_id", "token_id"), "left")
+      .join(contractUris, Seq("collection_id", "token_id"), "left")
+      // canonicalize + cap the contract answer like the crawl stored
+      // form (uriEvents are already canonical from Derive.uriUpdates)
+      .withColumn("contract_url",
+        regexp_replace(col("contract_url"), lit("\\{id\\}"), col("token_id")))
+      .withColumn("contract_url",
+        when(length(col("contract_url")) <= 2048, col("contract_url")))
+      .localCheckpoint(true) // warnings + errors: probe lineage runs once
+    val warnings = joined
+      .filter(col("event_url").isNotNull && col("contract_url").isNotNull &&
+        col("event_url") =!= col("contract_url"))
+      .select(lit("token_uri_1155").as("check"), col("collection_id"), col("token_id"),
+        concat(lit("warning:event="), col("event_url"),
+          lit(",contract="), col("contract_url")).as("detail"))
+    val errors = joined
+      .withColumn("chain_url", coalesce(col("event_url"), col("contract_url")))
+      .filter(col("chain_url").isNotNull && !(col("chain_url") <=> col("db_url")))
+      .select(lit("token_uri_1155").as("check"), col("collection_id"), col("token_id"),
+        concat(lit("mismatch:db="), coalesce(col("db_url"), lit("-")),
+          lit(",chain="), col("chain_url")).as("detail"))
+    warnings.unionByName(errors)
+  }
+
+  /** ERC-721 Enumerable reconciliation — the reference's owner-check
+    * enumeration (`nft/bin/verify.py:1043-1056`): when a collection
+    * supports ERC721Enumerable, the chain ITSELF can enumerate its
+    * token-id set (`tokenByIndex(i)` for i < `totalSupply()`, both at
+    * the verify height), which catches corruption no per-db-row probe
+    * can — a token the db LOST entirely. The chain's enumerated set is
+    * full-outer-reconciled against the db token ids:
+    *  - `missing:chain=1` — the chain enumerates an id the db lost
+    *    (the reference's "No owner record found in database for token…",
+    *    `verify.py:1094-1132`)
+    *  - `extra:db=1` — the db holds an id absent from the contract's
+    *    own enumeration
+    *  - `warning:not-enumerable` — one row per collection that does not
+    *    declare the interface ("Collection does not support EC721
+    *    Enumerable interface which is required for fully verifying
+    *    owners", `verify.py:1049-1053`); its tokens are skipped
+    *  - `warning:unanswered-index=…` — an in-range index probe reverted
+    *    (the reference's per-token RPC-error warning)
+    *
+    * Scale shape: supplies can be millions per collection, so the index
+    * domain is generated as a TWO-LEVEL explode — per-collection chunk
+    * starts first, REPARTITIONED so one giant collection fans across
+    * the cluster, then each task explodes one bounded chunk; probes run
+    * per partition and the reconcile is one (collection_id, token_id)
+    * shuffle. A driver-side `range(totalSupply)` loop (the reference's
+    * asyncio gather) is exactly what this avoids. */
+  def enumerationReport(spark: SparkSession, dbTokens: DataFrame,
+      erc721Collections: DataFrame,
+      blockHeight: Option[Long] = None,
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      options: Map[String, String] = Map.empty,
+      chunkSize: Int = 4096): DataFrame = {
+    val blockCol = blockHeight.map(h => lit(h)).getOrElse(lit(null).cast("long"))
+    val colls = dbTokens
+      .join(broadcast(erc721Collections.select(col("collection_id")).distinct()),
+        Seq("collection_id"), "left_semi")
+      .select(col("collection_id")).distinct()
+    // two probes per collection at the verify height: the extension
+    // flag and the enumerable supply (`verify.py:74-88,129-130`)
+    val gateReqs = colls.select(col("collection_id").as("to"),
+        explode(array(
+          struct(lit("enumerable").as("probe"),
+            graft.expr.Abi.encodeCallCol("supportsInterface(bytes4)",
+              lit("780e9d63" + "0" * 56)).as("data")),
+          struct(lit("supply").as("probe"),
+            graft.expr.Abi.encodeCallCol("totalSupply()").as("data")))).as("p"))
+      .select(col("to"), col("p.probe").as("probe"), col("p.data").as("data"),
+        blockCol.as("block"))
+    val gates = graft.rpc.Calls.execute(spark, gateReqs, callExecutor, options)
+      .groupBy(col("to").as("collection_id"))
+      .agg(
+        max(when(col("probe") === "enumerable",
+          coalesce(graft.expr.Abi.wordToLong(
+            graft.expr.Abi.dataWord(col("result"), 1)) =!= 0, lit(false))))
+          .as("enumerable"),
+        max(when(col("probe") === "supply",
+          graft.expr.Abi.wordToLong(graft.expr.Abi.dataWord(col("result"), 1))))
+          .as("n"))
+      .localCheckpoint(true) // gate probes run once across both branches
+    val notEnumerable = gates
+      .filter(!col("enumerable") || col("n").isNull)
+      .select(lit("enumeration").as("check"), col("collection_id"),
+        lit(null).cast("string").as("token_id"),
+        lit("warning:not-enumerable").as("detail"))
+    val enumerable = gates.filter(col("enumerable") && col("n").isNotNull && col("n") > 0)
+    // index domain [0, n) as chunk starts -> repartition -> explode:
+    // no single task ever materializes a supply-sized array
+    val chunks = enumerable
+      .select(col("collection_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(chunkSize.toLong))).as("lo"))
+      .repartition(col("collection_id"), col("lo"))
+    val idxSel = graft.expr.Keccak.functionSelector("tokenByIndex(uint256)")
+    val idxReqs = chunks
+      .select(col("collection_id"),
+        explode(sequence(col("lo"),
+          least(col("lo") + chunkSize - 1, col("n") - 1))).as("i"))
+      .select(col("collection_id").as("to"),
+        col("i").cast("string").as("probe"),
+        concat(lit(idxSel), graft.expr.Abi.uintWord(col("i"))).as("data"),
+        blockCol.as("block"))
+    val answers = graft.rpc.Calls.execute(spark, idxReqs, callExecutor, options)
+      .localCheckpoint(true) // probe lineage feeds two report branches
+    val unanswered = answers.filter(col("result").isNull)
+      .select(lit("enumeration").as("check"), col("to").as("collection_id"),
+        lit(null).cast("string").as("token_id"),
+        concat(lit("warning:unanswered-index="), col("probe")).as("detail"))
+    val chainIds = answers.filter(col("result").isNotNull)
+      .select(col("to").as("collection_id"),
+        graft.expr.Abi.dataWord(col("result"), 1).as("token_id"))
+    val dbIds = dbTokens
+      .join(broadcast(enumerable.select(col("collection_id"))),
+        Seq("collection_id"), "left_semi")
+      .select(col("collection_id"), col("token_id")).distinct()
+    val reconciled = chainIds.withColumn("on_chain", lit(1))
+      .join(dbIds.withColumn("in_db", lit(1)),
+        Seq("collection_id", "token_id"), "full_outer")
+      .filter(col("on_chain").isNull || col("in_db").isNull)
+      .select(lit("enumeration").as("check"), col("collection_id"), col("token_id"),
+        when(col("in_db").isNull, lit("missing:chain=1"))
+          .otherwise(lit("extra:db=1")).as("detail"))
+    notEnumerable.unionByName(unanswered).unionByName(reconciled)
+  }
+
   /** The verify command FIXTURE-FREE: chain truth is re-derived through
     * the ranged-logs source — the reference verify's own access path
     * (`get_transfer_logs` = `get_logs(transfer topics, address=
@@ -208,7 +396,9 @@ object VerifyPipeline {
       numPartitions: Int = 4,
       fetcherOptions: Map[String, String] = Map.empty,
       dbUris: Option[DataFrame] = None,
-      callExecutor: String = graft.rpc.CallExecutor.Simulated): DataFrame = {
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      db1155Tokens: Option[DataFrame] = None,
+      verifyHeight: Option[Long] = None): DataFrame = {
     val base = spark.read.format("logs")
       .option("start", startBlock.toString).option("maxBlock", maxBlock.toString)
       .option("numPartitions", numPartitions.toString)
@@ -220,14 +410,16 @@ object VerifyPipeline {
     // each branch of the unioned report re-runs the live ranged-getLogs
     // sweep over the wire — double RPC cost and throttle exposure
     // (Crawl.fromChain stages its receipts for exactly this reason).
-    // With a uris reconcile the RAW LOGS gain a second consumer
-    // (uriUpdates) — checkpoint them too so the window is fetched once.
-    val logsM = if (dbUris.isDefined) logs.localCheckpoint(true) else logs
+    // With a uris reconcile or a 1155 metadata check the RAW LOGS gain
+    // a second consumer (uriUpdates) — checkpoint them too so the
+    // window is fetched once.
+    val logsM =
+      if (dbUris.isDefined || db1155Tokens.isDefined) logs.localCheckpoint(true) else logs
     val chainTransfers = graft.nft.Derive.transfers(logsM).localCheckpoint(true)
     val chainOwners = graft.nft.Derive.owners(chainTransfers)
     val baseReport =
       run(chainTransfers, dbTransfers, chainOwners, dbOwners, dbTokens, supplySnapshot)
-    dbUris.fold(baseReport) { du =>
+    val withUris = dbUris.fold(baseReport) { du =>
       // chain truth for metadata = BOTH sources the crawl writes: URI
       // events from the window's logs and the per-mint tokenURI probes
       // (same derivations, same executor seam — verify re-walks the
@@ -236,6 +428,12 @@ object VerifyPipeline {
         .unionByName(graft.nft.TokenUris.fromMints(spark, chainTransfers,
           callExecutor, fetcherOptions))
       baseReport.unionByName(urisReport(du, chainUris))
+    }
+    // the reference verify's ERC-1155 metadata branch: last URI event
+    // from this window's logs + the live uri() fallback probe
+    db1155Tokens.fold(withUris) { dt =>
+      withUris.unionByName(erc1155UrisReport(spark, dt,
+        graft.nft.Derive.uriUpdates(logsM), verifyHeight, callExecutor, fetcherOptions))
     }
   }
 

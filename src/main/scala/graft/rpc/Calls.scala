@@ -52,7 +52,8 @@ object CallExecutor {
   * the decode half exercises the same code path as a live node's. */
 final class SimulatedCallExecutor extends CallExecutor {
   override def execute(requests: Iterator[CallRequest]): Iterator[CallResponse] =
-    requests.map(r => CallResponse(r.to, r.probe, SimulatedCallExecutor.answer(r.to, r.data)))
+    requests.map(r =>
+      CallResponse(r.to, r.probe, SimulatedCallExecutor.answer(r.to, r.data, r.block)))
 }
 
 object SimulatedCallExecutor {
@@ -64,27 +65,65 @@ object SimulatedCallExecutor {
   private val Owner = selector("owner()")
   private val OwnerOf = selector("ownerOf(uint256)")
   private val TokenUri = selector("tokenURI(uint256)")
+  private val Uri = selector("uri(uint256)")
+  private val TokenByIndex = selector("tokenByIndex(uint256)")
   private val Erc721Id = "80ac58cd"
   private val Erc1155Id = "d9b67a26"
+  // the verify-side ERC-165 extension ids (`evm/types.py:14,24`)
+  private val Erc721EnumerableId = "780e9d63"
+  private val Erc1155MetaUriId = "0e89341c"
 
   private def enc(arg: Abi.AbiArg): Option[String] = Some("0x" + Abi.encodeArgs(Seq(arg)))
 
   /** The canned contract logic, shared by this executor and the test
-    * stub server's eth_call handler. */
-  def answer(to: String, data: String): Option[String] = {
+    * stub server's eth_call handler. `block` is the call's state height;
+    * the sim's height convention is WINDOW-EXCLUSIVE (state at height h
+    * = blocks 0 until h), matching the crawl/verify [start, end) windows
+    * so a verify at height `end` sees exactly the crawled chain state.
+    * Height-insensitive probes ignore it (like a real chain whose state
+    * happens not to have changed). */
+  def answer(to: String, data: String, block: Option[Long] = None): Option[String] = {
     val k = new BigInteger(to.stripPrefix("0x"), 16).longValue()
     val sel = data.take(10).toLowerCase
     val erc165 = k % 5 != 4
     val is721 = erc165 && k % 2 == 0
     val is1155 = erc165 && k % 2 == 1
+    // ERC-165 extension surface: k%10 carves deterministic sub-families
+    // so verify specs get both branches fixture-free — 721s are
+    // enumerable unless k%10==2; 1155s answer uri() unless k%10==3
+    val enumerable = is721 && k % 10 != 2
+    val hasMetaUri = is1155 && k % 10 != 3
+    // the contract's enumerated token list at height h (tokenByIndex
+    // order = mint order): token n*10+i exists iff i < txCount(n) and
+    // block n's logs point at this contract — the same existence rule
+    // ownerOf/tokenURI use below
+    def ownedAt(h: Long): Iterator[Long] =
+      Iterator.range(0L, h.min(1000000L))
+        .filter(n => graft.sources.SimChain.collection(n) == to)
+        .flatMap(n => Iterator.range(0L, graft.sources.SimChain.txCount(n)).map(n * 10 + _))
     sel match {
       case SupportsInterface if erc165 =>
         val iface = data.slice(10, 18).toLowerCase
-        val yes = (iface == Erc721Id && is721) || (iface == Erc1155Id && is1155)
+        val yes = (iface == Erc721Id && is721) || (iface == Erc1155Id && is1155) ||
+          (iface == Erc721EnumerableId && enumerable) ||
+          (iface == Erc1155MetaUriId && hasMetaUri)
         enc(Abi.AbiBool(yes))
       case Name if is721 => enc(Abi.AbiString(s"Collection $k"))
       case Symbol if is721 => enc(Abi.AbiString(s"C$k"))
-      case TotalSupply if is721 => enc(Abi.AbiUint(BigInteger.valueOf(k * 10)))
+      case TotalSupply if is721 =>
+        // height-pinned call (the verify flow, `verify.py:74-88`) =
+        // the REAL enumerated count at that height; the snapshot's
+        // height-less probe keeps the legacy k*10 trivia value the
+        // collections dim stores
+        enc(Abi.AbiUint(BigInteger.valueOf(
+          block.fold(k * 10)(h => ownedAt(h).size.toLong))))
+      case TokenByIndex if enumerable =>
+        // ERC-721 Enumerable (`verify.py:102-112`): i-th token of the
+        // contract's own enumeration at the call height; out-of-range
+        // indexes revert like a real contract
+        val i = new BigInteger(data.slice(10, 74), 16).longValue()
+        ownedAt(block.getOrElse(1000000L)).drop(i.toInt).nextOption()
+          .map(t => "0x" + Abi.encodeArgs(Seq(Abi.AbiUint(BigInteger.valueOf(t)))))
       case OwnerOf if is721 =>
         // per-token current owner, CONSISTENT with the simulated chain's
         // transfer logs: token t = n*10+i was transferred once, in block
@@ -110,6 +149,20 @@ object SimulatedCallExecutor {
           enc(Abi.AbiString(
             if (t % 3 == 0) s"ipfs://sim/$k/{id}.json"
             else s"ipfs://sim/$k/$t.json"))
+        else None
+      case Uri if hasMetaUri =>
+        // ERC-1155 metadata extension (`verify.py:205-218`): the
+        // contract's uri() answer AGREES with the chain's URI events
+        // (the sim receipts emit `ipfs://sim/{id}.json` on the first tx
+        // of n%7==3 blocks — `ReceiptDataSource.scala`), so a clean
+        // crawl verifies clean; tokens without a URI event revert,
+        // like a 1155 that never set a URI for the id
+        val t = new BigInteger(data.slice(10, 74), 16).longValue()
+        val n = t / 10
+        if (t % 10 == 0 && n % 7 == 3 &&
+            graft.sources.SimChain.collection(n) == to &&
+            graft.sources.SimChain.txCount(n) > 0)
+          enc(Abi.AbiString("ipfs://sim/{id}.json"))
         else None
       case Owner if erc165 && k % 7 != 0 =>
         enc(Abi.AbiAddress(f"0x${9000 + k % 50}%040x"))

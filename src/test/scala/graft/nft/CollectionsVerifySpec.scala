@@ -168,6 +168,127 @@ class CollectionsVerifySpec extends SparkSpec {
     assert(flagged.head.getAs[String]("detail").startsWith("mismatch:db=0xdead"))
   }
 
+  test("ERC-1155 uri() verify: clean crawl verifies clean; corruption and divergence flagged") {
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 50)
+    // db side = the fully-updated token view (URI-event updates applied),
+    // narrowed to the 1155 collections — the CLI verify's composition
+    val erc1155 = crawled("collections")
+      .filter(col("specification") === "ERC-1155").select("collection_id")
+    val tokens1155 = TokenUris.tokensWithLatestUrls(crawled("tokens"), crawled("uris"))
+      .join(erc1155, Seq("collection_id"), "left_semi").cache()
+    assert(tokens1155.filter(col("metadata_url").isNotNull).count() > 0)
+    // chain truth events re-derived through the verify flow's own path
+    val uriEvents = Derive.uriUpdates(
+      spark.read.format("logs")
+        .option("start", "0").option("maxBlock", "50").load()).cache()
+    val clean = VerifyPipeline.erc1155UrisReport(spark, tokens1155, uriEvents,
+      blockHeight = Some(50))
+    assert(clean.count() === 0)
+    // … and identically through the live RPC transport (support gate +
+    // uri() probes over the wire)
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      val viaRpc = VerifyPipeline.erc1155UrisReport(spark, tokens1155, uriEvents,
+        blockHeight = Some(50), callExecutor = graft.rpc.CallExecutor.Rpc,
+        options = Map("endpoints" -> stub.url))
+      assert(viaRpc.count() === 0)
+    } finally stub.stop()
+
+    // corrupt one stored URL -> exactly that token flagged as mismatch
+    val victim = tokens1155.filter(col("metadata_url").isNotNull)
+      .orderBy(col("token_id")).limit(1).collect().head
+    val vTok = victim.getAs[String]("token_id")
+    val corrupted = tokens1155.withColumn("metadata_url",
+      when(col("token_id") === vTok, lit("ipfs://wrong")).otherwise(col("metadata_url")))
+    val flagged = VerifyPipeline.erc1155UrisReport(spark, corrupted, uriEvents,
+      blockHeight = Some(50)).collect()
+    assert(flagged.length === 1)
+    assert(flagged.head.getAs[String]("check") === "token_uri_1155")
+    assert(flagged.head.getAs[String]("token_id") === vTok)
+    assert(flagged.head.getAs[String]("detail").startsWith("mismatch:db=ipfs://wrong,chain="))
+
+    // a LOST stored URL (null) is also a mismatch, rendered db=-
+    val lost = tokens1155.withColumn("metadata_url",
+      when(col("token_id") === vTok, lit(null).cast("string"))
+        .otherwise(col("metadata_url")))
+    val lostRows = VerifyPipeline.erc1155UrisReport(spark, lost, uriEvents,
+      blockHeight = Some(50)).collect()
+    assert(lostRows.length === 1 &&
+      lostRows.head.getAs[String]("detail").startsWith("mismatch:db=-,chain="))
+
+    // contract-vs-event divergence: rewrite the event stream so the last
+    // event disagrees with the contract's uri() answer — the reference
+    // emits a WARNING for the contract discrepancy (verify.py:710-715)
+    // AND an error, because event truth now disagrees with the db too.
+    // Only the metadata-uri-supporting collection (k%10!=3) can warn —
+    // pick its event token so the uri() probe actually answers.
+    val supTok = tokens1155.filter(col("metadata_url").isNotNull)
+      .withColumn("k", col("collection_id").substr(lit(39), lit(4)))
+      .filter(col("k") === "0fa1") // 4001 = 0x0fa1: supports uri()
+      .limit(1).collect().head.getAs[String]("token_id")
+    val divergent = uriEvents.withColumn("metadata_url",
+      when(col("token_id") === supTok, concat(col("metadata_url"), lit("?v=2")))
+        .otherwise(col("metadata_url")))
+    val dRows = VerifyPipeline.erc1155UrisReport(spark, tokens1155, divergent,
+      blockHeight = Some(50)).collect()
+    val dByDetail = dRows.map(_.getAs[String]("detail")).sorted
+    assert(dRows.length === 2 && dRows.forall(_.getAs[String]("token_id") === supTok))
+    assert(dByDetail.exists(_.startsWith("warning:event=")))
+    assert(dByDetail.exists(_.startsWith("mismatch:db=")))
+  }
+
+  test("ERC-721 enumerable: chain enumeration reconciles; lost/extra db tokens flagged") {
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 40)
+    val dbTokens = crawled("tokens").select("collection_id", "token_id").cache()
+    val erc721 = crawled("collections")
+      .filter(col("specification") === "ERC-721").cache()
+    // fixture contracts: 4000 (0x…0fa0) is enumerable, 4002 (0x…0fa2)
+    // is not (k%10==2) -> one not-enumerable warning, nothing else
+    val clean = VerifyPipeline.enumerationReport(spark, dbTokens, erc721,
+      blockHeight = Some(40)).collect()
+    assert(clean.length === 1)
+    assert(clean.head.getAs[String]("check") === "enumeration")
+    assert(clean.head.getAs[String]("collection_id") === f"0x${4002L}%040x")
+    assert(clean.head.getAs[String]("detail") === "warning:not-enumerable")
+    // … and through the live RPC transport (height-pinned tokenByIndex)
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      val viaRpc = VerifyPipeline.enumerationReport(spark, dbTokens, erc721,
+        blockHeight = Some(40), callExecutor = graft.rpc.CallExecutor.Rpc,
+        options = Map("endpoints" -> stub.url)).collect()
+      assert(viaRpc.length === 1 &&
+        viaRpc.head.getAs[String]("detail") === "warning:not-enumerable")
+    } finally stub.stop()
+
+    val enumColl = f"0x${4000L}%040x"
+    val victim = dbTokens.filter(col("collection_id") === enumColl)
+      .orderBy(col("token_id")).limit(1).collect().head.getAs[String]("token_id")
+    // drop a token the chain enumerates -> missing:chain=1 for exactly it
+    val lost = dbTokens.filter(
+      !(col("collection_id") === enumColl && col("token_id") === victim))
+    val lostRows = VerifyPipeline.enumerationReport(spark, lost, erc721,
+      blockHeight = Some(40)).filter(col("detail") =!= "warning:not-enumerable").collect()
+    assert(lostRows.length === 1)
+    assert(lostRows.head.getAs[String]("token_id") === victim)
+    assert(lostRows.head.getAs[String]("detail") === "missing:chain=1")
+    // add an id the contract never enumerated -> extra:db=1
+    val fake = f"${999999L}%064x"
+    val extra = dbTokens.unionByName(
+      Seq((enumColl, fake)).toDF("collection_id", "token_id"))
+    val extraRows = VerifyPipeline.enumerationReport(spark, extra, erc721,
+      blockHeight = Some(40)).filter(col("detail") =!= "warning:not-enumerable").collect()
+    assert(extraRows.length === 1)
+    assert(extraRows.head.getAs[String]("token_id") === fake)
+    assert(extraRows.head.getAs[String]("detail") === "extra:db=1")
+    // the enumeration is height-pinned: at height 30 the chain stops at
+    // block 29, so db tokens minted later read as extra (and vice versa
+    // a too-early height must not invent missing rows)
+    val at30 = VerifyPipeline.enumerationReport(spark, dbTokens, erc721,
+      blockHeight = Some(30)).filter(col("detail") === "extra:db=1").collect()
+    assert(at30.map(_.getAs[String]("token_id")).toSet ===
+      Set(f"${350L}%064x", f"${351L}%064x")) // block 35's mints
+  }
+
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()

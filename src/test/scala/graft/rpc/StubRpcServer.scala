@@ -182,7 +182,11 @@ final class StubRpcServer(chainHeight: Long = Long.MaxValue, maxBatch: Int = Int
           case JString(tag) => callBlockTags.add(data.take(10) -> tag)
           case _ => ()
         }
-        SimulatedCallExecutor.answer(to, data) match {
+        val blockHeight = params.lift(1).collect {
+          case JString(tag) if tag.startsWith("0x") =>
+            java.lang.Long.parseLong(tag.drop(2), 16)
+        }
+        SimulatedCallExecutor.answer(to, data, blockHeight) match {
           case Some(hex) => result(id, JString(hex))
           case None => errorObj(id, 3, "execution reverted")
         }
