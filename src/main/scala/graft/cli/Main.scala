@@ -46,6 +46,8 @@ object Main {
       |  verify START END   reconcile chain truth against the DB tables (--db)
       |  load DATA_DIR      bulk backfill rollups from the events table (--out)
       |  compact            fold a log-format tail sink to one row per key (--out)
+      |  block-number       print the chain head via eth_blockNumber
+      |                     (requires --evm-rpc-nodes)
       |  digest FUNCTION_ABI
       |                     keccak selector for an eth_call signature, e.g.
       |                     digest "supportsInterface(bytes4)" -> 0x01ffc9a7;
@@ -611,6 +613,18 @@ object Main {
           val Vector((_, sig)) = positional(pos, "digest", "FUNCTION_ABI")
           println(if (opts.contains("log-topic")) graft.expr.Keccak.eventTopic(sig)
             else graft.expr.Keccak.functionSelector(sig))
+          0
+
+        case "block-number" =>
+          // reference `block_number` (evm/bin.py:38-52): print the
+          // node's current head via eth_blockNumber. The reference
+          // REQUIRES an archive node argument — the simulated chain has
+          // no moving head, so no-nodes is the same validation error
+          positional(pos, "block-number") // no positional args
+          val head = graft.sources.ChainHead.provider(w.blocks, w.options)
+            .getOrElse(throw CliError(
+              "block-number requires --evm-rpc-nodes (the reference's ARCHIVE_NODE)"))
+          println(head())
           0
 
         case "reset" =>

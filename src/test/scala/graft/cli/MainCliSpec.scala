@@ -361,6 +361,21 @@ class MainCliSpec extends SparkSpec {
     assert(Main.run(spark, Seq("digest")) === 2)
   }
 
+  test("block-number: prints the node head over RPC; no-node is a validation error") {
+    // reference evm/bin.py:38-52: eth_blockNumber against the archive
+    // node; ARCHIVE_NODE is required, so the simulated wiring (which
+    // has no moving head) maps to the same exit-2 validation error
+    val stub = new graft.rpc.StubRpcServer(chainHeight = 1234L)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        assert(Main.run(spark, Seq("block-number", "--evm-rpc-nodes", stub.url)) === 0)
+      }
+      assert(bos.toString.trim === "1233") // latest block NUMBER = height-1
+    } finally stub.stop()
+    assert(Main.run(spark, Seq("block-number")) === 2)
+  }
+
   test("reset: removes the entity tables and config store, leaves unrelated data") {
     import spark.implicits._
     val out = tmp("cli_reset_out")
