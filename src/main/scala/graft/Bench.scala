@@ -83,7 +83,14 @@ object Bench {
     // its wall time (however long it spent failing) would otherwise
     // skew the headline number while producing no result. The `errors`
     // array is the failure signal.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES: optional comma-separated subset filter for
+    // local iteration (time one query without the 138-query sweep);
+    // unset = the full map, which is what the driver runs
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

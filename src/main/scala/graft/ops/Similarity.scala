@@ -38,9 +38,25 @@ object Similarity {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-      .withColumn("nrm", sqNorm(col("qv")))
+  /** The quantized search relation every index consumes:
+    * (vec_id[, label], qv, nrm). IDEMPOTENT — a relation already
+    * carrying `qv` passes through untouched — so a caller running
+    * SEVERAL indexes over one corpus (the `ann_recall` harness, an
+    * index-comparison notebook) can compute + persist this ONCE and
+    * thread it through brute/IVF/LSH/multi/probe instead of re-reading
+    * parquet and re-running the quantize kernel per method. At 100 TB
+    * the prep pass is the dominant scan; sharing it is the difference
+    * between one corpus read and five. */
+  def prep(embeddings: DataFrame): DataFrame =
+    if (embeddings.columns.contains("qv")) embeddings
+    else {
+      val keep = col("vec_id") +:
+        (if (embeddings.columns.contains("label")) Seq(col("label")) else Nil)
+      embeddings.select(keep :+ quantize(col("embedding")).as("qv"): _*)
+        .withColumn("nrm", sqNorm(col("qv")))
+    }
+
+  private def prepared(embeddings: DataFrame): DataFrame = prep(embeddings)
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     // row_number + filter plans as WindowGroupLimit: partial top-k runs
@@ -265,13 +281,11 @@ object Similarity {
     * quantifies against brute force. Queries share the broadcast-sized
     * contract of [[bruteForceTopK]]. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
-    def prep(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("nrm", sqNorm(col("qv")))
-        .withColumn("bucket", signBucket(col("qv"), bits))
-    val q = prep(queries).select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+    def bucketed(df: DataFrame): DataFrame =
+      prep(df).withColumn("bucket", signBucket(col("qv"), bits))
+    val q = bucketed(queries).select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
       col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val c = prep(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+    val c = bucketed(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
       col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val scored = c.join(broadcast(q),
         col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
@@ -306,18 +320,16 @@ object Similarity {
 
   def lshTopKProbe(embeddings: DataFrame, queries: DataFrame, k: Int,
       bits: Int, probeDist: Int): DataFrame = {
-    def prep(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        .withColumn("nrm", sqNorm(col("qv")))
-        .withColumn("bucket", signBucket(col("qv"), bits))
+    def bucketed(df: DataFrame): DataFrame =
+      prep(df).withColumn("bucket", signBucket(col("qv"), bits))
     val flips = array(probeMasks(bits, probeDist).map(lit): _*)
-    val q = prep(queries)
+    val q = bucketed(queries)
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("qv").as("q_qv"), col("nrm").as("q_nrm"))
       .withColumn("flip", explode(flips))
       .select(col("q_id"), col("bucket").bitwiseXOR(col("flip")).as("q_bucket"),
         col("q_qv"), col("q_nrm"))
-    val c = prep(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+    val c = bucketed(embeddings).select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
       col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val scored = c.join(broadcast(q),
         col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
@@ -345,8 +357,8 @@ object Similarity {
   def lshTopKMulti(embeddings: DataFrame, queries: DataFrame, k: Int,
       bits: Int, tables: Int): DataFrame = {
     require(bits >= 1 && tables >= 1, "lshTopKMulti: bits and tables must be >= 1")
-    def prep(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    def checked(df: DataFrame): DataFrame =
+      prep(df)
         // tables × bits ≤ dims is enforced PER ROW, loudly: a table
         // past the vector's end sees only nulls, hashes every vector
         // to bucket 0, and silently degenerates the index into a
@@ -355,8 +367,8 @@ object Similarity {
           when(size(col("qv")) >= tables * bits, col("qv"))
             .otherwise(raise_error(concat(
               lit(s"lshTopKMulti: tables*bits = ${tables * bits} exceeds vector length "),
-              size(col("qv")).cast("string")))).as("qv"))
-        .withColumn("nrm", sqNorm(col("qv")))
+              size(col("qv")).cast("string")))).as("qv"),
+          col("nrm"))
     def bands(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("qv"), col("nrm"),
         explode(array((0 until tables).map(t =>
@@ -364,9 +376,9 @@ object Similarity {
             signBucket(col("qv"), bits, t * bits).as("bucket"))): _*)).as("tb"))
         .select(col("vec_id"), col("qv"), col("nrm"),
           col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
-    val q = bands(prep(queries)).select(col("vec_id").as("q_id"), col("tab"),
+    val q = bands(checked(queries)).select(col("vec_id").as("q_id"), col("tab"),
       col("bucket"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val c = bands(prep(embeddings)).select(col("vec_id").as("c_id"), col("tab"),
+    val c = bands(checked(embeddings)).select(col("vec_id").as("c_id"), col("tab"),
       col("bucket"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     // a pair colliding in several tables must be scored ONCE
     val cand = c.join(broadcast(q), Seq("tab", "bucket"))

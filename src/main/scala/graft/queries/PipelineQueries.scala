@@ -423,15 +423,27 @@ object PipelineQueries {
   // upstream is the already-oracled integer scoring.
   private val annRecall: QFn = (s, dir) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    // ONE quantized prep relation shared by all five pipelines (truth +
+    // the four indexes): Similarity.prep is idempotent, so every entry
+    // point consumes the same (vec_id, label, qv, nrm) node instead of
+    // building five separate read-and-quantize lineages. Deliberately
+    // NOT persisted here: A/B at sf0.1 (min-of-3, warm subset) measured
+    // the codegen'd re-scan at 2.3-2.6 s for the harness vs 2.5-3.0 s
+    // through the columnar cache — the materialization barrier costs
+    // more than the parquet re-reads at bench scale. A production
+    // index-comparison over a cold 100 TB corpus is the opposite
+    // regime: `.persist(MEMORY_AND_DISK)` this one relation and the
+    // five pipelines share a single corpus scan.
+    val prepped = Similarity.prep(Tables.embeddings(s, dir))
     // truth feeds TWO consumers (the hits semi-join and n_truth) — an
     // unpersisted lineage would recompute the O(Q·N) brute-force
     // scoring join twice. persist + count materializes it once; the
     // report itself is 3 rows, so the hit counts collect driver-side
     // like any other metadata-scale result (the kmeansCentroids
-    // pattern), letting the cache release deterministically before
+    // pattern), letting the caches release deterministically before
     // the QFn returns instead of leaking across bench runs.
-    val truth = Similarity.bruteForceTopK(emb, k = 3, queryStride = 100)
+    val queries = prepped.filter(col("vec_id") % 100 === 0)
+    val truth = Similarity.bruteForceTopK(prepped, queries, k = 3)
       .select(col("q_id"), col("c_id")).persist()
     try {
       val nTruth = truth.count()
@@ -441,14 +453,15 @@ object PipelineQueries {
       // — fail loudly naming the stride assumption instead.
       require(nTruth > 0, "annRecall: no truth pairs — the fixture has no " +
         "query vectors at stride 100 (needs vec_id % 100 == 0 rows and >= 2 vectors)")
-      val ivf = ivfSearchAtStride(s, dir, stride = 100)
+      val ivf = Similarity.ivfSearch(trainedCentroids(s, dir), prepped, queries, k = 3)
         .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
-      val lsh = Similarity.lshTopK(emb, k = 3, queryStride = 100, bits = 8)
+      val lsh = Similarity.lshTopK(prepped, queries, k = 3, bits = 8)
         .select(lit("lsh").as("method"), col("q_id"), col("c_id"))
-      val lshMulti = Similarity.lshTopKMulti(emb, k = 3, queryStride = 100,
+      val lshMulti = Similarity.lshTopKMulti(prepped, queries, k = 3,
           bits = 5, tables = 12)
         .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
-      val lshProbe = Similarity.lshTopKProbe(emb, k = 3, queryStride = 100, bits = 8)
+      val lshProbe = Similarity.lshTopKProbe(prepped, queries, k = 3,
+          bits = 8, probeDist = 2)
         .select(lit("lsh_probe").as("method"), col("q_id"), col("c_id"))
       val hits = ivf.union(lsh).union(lshMulti).union(lshProbe)
         .join(truth, Seq("q_id", "c_id"), "left_semi")
