@@ -258,7 +258,9 @@ object Ingest {
     * survivors. The data-file probe matters: reading a dir holding only
     * _SUCCESS markers throws schema-inference errors indistinguishable
     * from corruption. */
-  private def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+  // private[streaming]: the skew rehearsal spec plan-asserts the exact
+  // standing-index probe shape (semi-join boundedness under a hot key)
+  private[streaming] def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasDataFile: Boolean = {
