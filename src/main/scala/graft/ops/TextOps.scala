@@ -125,6 +125,79 @@ object TextOps {
       .withColumn("chars_per_piece",
         col("n_chars_actual").cast("double") / col("n_pieces").cast("double"))
 
+  /** BPE merge INDUCTION — learn the top-`nMerges` byte-pair-encoding
+    * merge rules from the corpus (the tokenizer-TRAINING step whose
+    * outcome [[bpeTokenStats]] only estimates): the classic algorithm
+    * — start from character symbols, repeatedly merge the most frequent
+    * adjacent symbol pair — run as `nMerges` bounded aggregate rounds.
+    *
+    * Spark shape (the published word-frequency formulation): training
+    * state is the DISTINCT-WORD table (word count `c` + current
+    * segmentation), orders of magnitude smaller than the corpus and the
+    * only relation the rounds touch. Each round = one (lhs, rhs)
+    * pair-count aggregation with map-side partials + a driver-side
+    * top-1 collect (metadata scale, like the k-means centroids), then a
+    * MAP-SIDE merge application. No round ever re-reads the corpus.
+    *
+    * The segmentation is encoded as a STRING with every symbol wrapped
+    * in `|` separators (`low` -> `|l||o||w|`), because then applying a
+    * merge IS plain left-to-right substring replace —
+    * `replace(enc, "|l||o|", "|lo|")` — whose all-occurrence,
+    * non-overlapping scan is exactly BPE's greedy pass (a consumed
+    * match removes both symbols' full wrappers, so a run `aaa` under
+    * merge (a,a) yields `[aa, a]`, never the overlapping `[aa, aa]`),
+    * and is engine-agnostic: the DuckDB oracle replays the same rounds
+    * with its own `replace`. Words are restricted to `[A-Za-z0-9]+`
+    * so the `(.)` char-split regex agrees across regex engines (Java
+    * UTF-16 vs RE2 UTF-8 disagree on astral codepoints) and no word can
+    * contain the separator.
+    *
+    * Ties break deterministically: highest count, then (lhs, rhs)
+    * lexicographic — bit-reproducible on any engine. Rounds with no
+    * remaining pairs stop early. Lineage is localCheckpoint-bounded
+    * every 4 rounds (each round stacks a `replace` layer on the word
+    * table; unbounded it re-derives O(rounds²) layers).
+    *
+    * Output: merge_rank (1-based learning order), lhs, rhs,
+    * n_pair (the pair's weighted frequency when learned). */
+  def bpeLearnMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "bpeLearnMerges: nMerges in [1, 64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("enc"), col("c"))
+      .localCheckpoint(true) // the rounds' shared base: computed once
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var cur = words0
+    var r = 0
+    var dry = false
+    while (r < nMerges && !dry) {
+      val top = cur
+        .withColumn("s", expr("regexp_extract_all(enc, '\\\\|([^|]+)\\\\|', 1)"))
+        .select(col("c"), explode(expr(
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)," +
+            " (x, y) -> named_struct('lhs', x, 'rhs', y))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(row) =>
+          val (a, b, n) =
+            (row.getAs[String]("lhs"), row.getAs[String]("rhs"), row.getAs[Long]("n"))
+          merges += ((r + 1L, a, b, n))
+          cur = cur.withColumn("enc", call_function("replace",
+            col("enc"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          if (r % 4 == 3) cur = cur.localCheckpoint(true)
+        case None => dry = true
+      }
+      r += 1
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "n_pair")
+  }
+
   /** Repetition signal (the Gopher-rule family): fraction of duplicate
     * word 3-grams per document, 1 - distinct/total. Highly repetitive
     * docs (boilerplate, keyword stuffing, generation loops) score near

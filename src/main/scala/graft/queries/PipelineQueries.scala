@@ -569,6 +569,47 @@ object PipelineQueries {
 
   private val textBpeTokens: QFn = (s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))
 
+  private val textBpeMerges: QFn = (s, dir) =>
+    TextOps.bpeLearnMerges(Tables.documents(s, dir), nMerges = 8)
+
+  /** DuckDB replay of [[graft.ops.TextOps.bpeLearnMerges]]'s fixed
+    * `n`-round induction: the same word-frequency base, and per round
+    * the same pair count -> deterministic top-1 -> wrapped-string
+    * `replace` application, as chained CTEs. Engine-agnostic by the
+    * same constructions the Spark side uses: ASCII-only words, plain
+    * substring replace for the greedy merge pass, (count DESC, lhs,
+    * rhs) tie-break. An empty round yields no t-row and the LEFT JOIN
+    * carries the segmentation forward unchanged — mirroring the Scala
+    * side's early stop. */
+  private def bpeMergesOracle(n: Int): String = {
+    val rounds = (0 until n).map { i =>
+      s"""p$i AS (
+         |  SELECT lhs, rhs, CAST(SUM(c) AS BIGINT) AS n FROM (
+         |    SELECT unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs, c
+         |    FROM (SELECT regexp_extract_all(enc, '\\|([^|]+)\\|', 1) AS s, c FROM w$i)
+         |  ) GROUP BY lhs, rhs
+         |),
+         |t$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w${i + 1} AS (
+         |  SELECT CASE WHEN t.lhs IS NULL THEN w.enc
+         |    ELSE replace(w.enc, '|' || t.lhs || '||' || t.rhs || '|',
+         |                 '|' || t.lhs || t.rhs || '|') END AS enc, w.c
+         |  FROM w$i w LEFT JOIN t$i t ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until n).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, n AS n_pair FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS enc, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+${"$"}')
+       |  GROUP BY word
+       |),
+       |$rounds
+       |$union""".stripMargin
+  }
+
   private val textRepetition: QFn = (s, dir) => TextOps.repetition(Tables.documents(s, dir))
 
   private val textDupSpans: QFn = (s, dir) => TextOps.dupSpans(Tables.documents(s, dir))
@@ -785,6 +826,7 @@ object PipelineQueries {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |FROM documents
         |QUALIFY rn <= 15""".stripMargin),
+    QueryDef("text_bpe_merges", textBpeMerges, bpeMergesOracle(8)),
     QueryDef("text_bpe_tokens", textBpeTokens,
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
