@@ -549,6 +549,11 @@ object Main {
               narrowed(table("tokens")),
               spec("ERC-721"),
               blockHeight = Some(end), callExecutor = w.calls, options = w.options))
+            // per-classification token-item invariants (reference
+            // verify.py:692-703): 721 quantity==1 (in-window mints),
+            // 1155 owner fields must be null
+            .unionByName(VerifyPipeline.tokenShapeReport(
+              narrowed(table("tokens")), spec("ERC-721"), spec("ERC-1155")))
             // the chain's OWN token enumeration vs the db id set
             // (reference verify.py:1043-1056) — catches a token the db
             // lost entirely, which no per-db-row probe can see

@@ -190,6 +190,47 @@ object VerifyPipeline {
           lit(",chain="), coalesce(col("chain_url"), lit("-"))).as("detail"))
   }
 
+  /** Token-item SHAPE checks — the reference `verify_token`'s
+    * per-classification invariants (`nft/bin/verify.py:692-703`):
+    *  - an ERC-721 token's quantity must be exactly 1
+    *    ("Database quantity value ... does not match expected value of
+    *    1") — applied, per the tokenUrisReport windowed-noise
+    *    precedent, only to tokens whose MINT is in-window (a
+    *    transfer-only token whose mint precedes the crawl window
+    *    legitimately folds to 0);
+    *  - an ERC-1155 token must not carry original_owner / current_owner
+    *    ("ERC-1155 token item should not have ... set") — 1155 balances
+    *    live in the owners table, a token-item owner field means the
+    *    crawl misclassified events (e.g. a contract declaring ERC-1155
+    *    while emitting 721-shaped Transfer logs — the reference flags
+    *    exactly this inconsistency).
+    * Pure map-side: two broadcast semi-joins against the classification
+    * dims and a filter; no probes, no shuffle beyond the dims. */
+  def tokenShapeReport(dbTokens: DataFrame,
+      erc721Collections: DataFrame, erc1155Collections: DataFrame): DataFrame = {
+    def dim(df: DataFrame) =
+      broadcast(df.select(col("collection_id")).distinct())
+    val one = graft.expr.HexMath.pad64("1")
+    val mintCol =
+      if (dbTokens.columns.contains("mint_block")) col("mint_block")
+      else lit(null).cast("long")
+    val qty721 = dbTokens
+      .join(dim(erc721Collections), Seq("collection_id"), "left_semi")
+      .filter(mintCol.isNotNull && !(col("quantity") <=> lit(one)))
+      .select(lit("token_shape").as("check"), col("collection_id"), col("token_id"),
+        concat(lit("quantity:db="), coalesce(col("quantity"), lit("-")),
+          lit(",expected="), lit(one)).as("detail"))
+    val owner1155 = dbTokens
+      .join(dim(erc1155Collections), Seq("collection_id"), "left_semi")
+      .filter(col("original_owner").isNotNull || col("current_owner").isNotNull)
+      .select(lit("token_shape").as("check"), col("collection_id"), col("token_id"),
+        concat_ws(",",
+          when(col("original_owner").isNotNull, lit("original-owner-set-on-1155")),
+          when(col("current_owner").isNotNull, lit("current-owner-set-on-1155")))
+          .as("detail"))
+    qty721.unionByName(owner1155)
+  }
+
   /** ERC-1155 metadata verify — the reference's 1155 branch of
     * `verify_token` (`nft/bin/verify.py:704-727`): for each db token of
     * an ERC-1155 collection, chain truth is the LAST `URI` event for

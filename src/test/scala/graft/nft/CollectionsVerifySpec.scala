@@ -289,6 +289,57 @@ class CollectionsVerifySpec extends SparkSpec {
       Set(f"${350L}%064x", f"${351L}%064x")) // block 35's mints
   }
 
+  test("token shape checks: 721 quantity==1 on in-window mints, 1155 owner fields null") {
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 40)
+    val tokens = crawled("tokens").cache()
+    def spec(s: String) = crawled("collections").filter(col("specification") === s)
+    val erc721 = spec("ERC-721").cache()
+    val erc1155 = spec("ERC-1155").cache()
+    val report = VerifyPipeline.tokenShapeReport(tokens, erc721, erc1155).cache()
+    // clean crawl: every in-window 721 mint folds to quantity 1, and
+    // transfer-only tokens (mint precedes the window — all of 4002's)
+    // are skipped by the windowed-noise rule rather than flagged
+    assert(report.filter(col("detail").startsWith("quantity:")).count() === 0)
+    // the sim's 1155 contracts emit 721-shaped Transfer logs, so their
+    // token items carry current_owner — EXACTLY the crawl/contract
+    // inconsistency the reference flags (verify.py:699-703)
+    val n1155 = tokens.join(erc1155.select("collection_id"),
+      Seq("collection_id"), "left_semi").count()
+    assert(n1155 > 0)
+    assert(report.filter(col("detail") === "current-owner-set-on-1155").count() === n1155)
+
+    // corrupt ONE minted 721 token's quantity -> exactly it flags, with
+    // the reference's expected-1 message shape
+    val victim = tokens.filter(col("mint_block").isNotNull)
+      .join(erc721.select("collection_id"), Seq("collection_id"), "left_semi")
+      .orderBy(col("collection_id"), col("token_id")).limit(1).collect().head
+    val vTok = victim.getAs[String]("token_id")
+    val five = graft.expr.HexMath.pad64("5")
+    val one = graft.expr.HexMath.pad64("1")
+    val corrupted = tokens.withColumn("quantity",
+      when(col("token_id") === vTok, lit(five)).otherwise(col("quantity")))
+    val qRows = VerifyPipeline.tokenShapeReport(corrupted, erc721, erc1155)
+      .filter(col("detail").startsWith("quantity:")).collect()
+    assert(qRows.length === 1)
+    assert(qRows.head.getAs[String]("token_id") === vTok)
+    assert(qRows.head.getAs[String]("detail") === s"quantity:db=$five,expected=$one")
+
+    // a corrupted ORIGINAL owner on an 1155 token reports both set
+    // fields in one row
+    val v1155 = tokens.join(erc1155.select("collection_id"),
+        Seq("collection_id"), "left_semi")
+      .orderBy(col("collection_id"), col("token_id")).limit(1).collect().head
+    val both = tokens.withColumn("original_owner",
+      when(col("token_id") === v1155.getAs[String]("token_id") &&
+        col("collection_id") === v1155.getAs[String]("collection_id"),
+        lit("0x" + "aa" * 20)).otherwise(col("original_owner")))
+    val bRows = VerifyPipeline.tokenShapeReport(both, erc721, erc1155)
+      .filter(col("detail").contains("original-owner-set-on-1155")).collect()
+    assert(bRows.length === 1)
+    assert(bRows.head.getAs[String]("detail") ===
+      "original-owner-set-on-1155,current-owner-set-on-1155")
+  }
+
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()
