@@ -554,6 +554,43 @@ object Main {
             // 1155 owner fields must be null
             .unionByName(VerifyPipeline.tokenShapeReport(
               narrowed(table("tokens")), spec("ERC-721"), spec("ERC-1155")))
+            // collections-table verify (reference verify.py:453-570):
+            // live metadata re-probes + date/creator re-checks against
+            // EXACTLY the distinct creation blocks (the reference
+            // fetches one block per collection; a window sweep would
+            // fetch receipts for every block of a narrow verify)
+            .unionByName({
+              val dbColls = narrowed(table("collections"))
+              val creationBlocks = dbColls.select(col("block_created")).distinct()
+                .limit(257).collect().map(_.getAs[Long]("block_created")).sorted
+              def src(fmt: String, fetcher: String, lo: Long, hi: Long,
+                  parts: Int) = {
+                val base = spark.read.format(fmt)
+                  .option("start", lo.toString).option("maxBlock", hi.toString)
+                  .option("numPartitions", parts.toString)
+                  .option("fetcher", fetcher)
+                w.options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+              }
+              // <= 256 creation blocks: fetch each block alone (tight
+              // ranges when clustered, per-block unions when scattered);
+              // an unbounded creation-block set keeps the probe checks
+              // and skips the date/creator sections
+              val dims =
+                if (creationBlocks.isEmpty || creationBlocks.length > 256) None
+                else if (creationBlocks.max - creationBlocks.min < 10000L) {
+                  val (lo, hi) = (creationBlocks.min, creationBlocks.max + 1)
+                  Some((src("blocks", w.blocks, lo, hi, numPartitions)
+                      .select(col("number"), col("timestamp")),
+                    src("receipts", w.receipts, lo, hi, numPartitions)))
+                } else Some((
+                  creationBlocks.map(b => src("blocks", w.blocks, b, b + 1, 1)
+                    .select(col("number"), col("timestamp"))).reduce(_ unionByName _),
+                  creationBlocks.map(b => src("receipts", w.receipts, b, b + 1, 1))
+                    .reduce(_ unionByName _)))
+              VerifyPipeline.collectionsReport(spark, dbColls,
+                blockTimes = dims.map(_._1), creationReceipts = dims.map(_._2),
+                callExecutor = w.calls, options = w.options)
+            })
             // the chain's OWN token enumeration vs the db id set
             // (reference verify.py:1043-1056) — catches a token the db
             // lost entirely, which no per-db-row probe can see

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Reconcile
 
@@ -188,6 +188,98 @@ object VerifyPipeline {
       .select(lit("token_uri").as("check"), col("collection_id"), col("token_id"),
         concat(lit("mismatch:db="), coalesce(col("db_url"), lit("-")),
           lit(",chain="), coalesce(col("chain_url"), lit("-"))).as("detail"))
+  }
+
+  /** COLLECTIONS-table verify — the reference's `verify_collection`
+    * section (`nft/bin/verify.py:453-570`): each stored collection row
+    * is re-derived from the chain and compared field by field.
+    *
+    *  - live metadata probes (the same
+    *    [[graft.nft.Collections.callRequests]] batch the crawl issues:
+    *    supportsInterface x2, name(), symbol(), totalSupply(), owner())
+    *    re-classify the contract and re-read its metadata; per-field
+    *    mismatch rows come back as `specification:` / `name:` /
+    *    `name_lower:` / `symbol:` / `owner:` / `total_supply:` with the
+    *    reference's db-vs-chain message content. A contract declaring
+    *    neither interface re-classifies as UNKNOWN (`verify.py:485-496`).
+    *  - `date_created` is re-checked against the block-time dimension
+    *    when `blockTimes` covers `block_created` (`verify.py:536-541`);
+    *    uncovered blocks are SKIPPED, the windowed-noise rule.
+    *  - `creator` is re-checked against the creation receipts when
+    *    `creationReceipts` covers the block: a creation receipt for
+    *    this contract in `block_created` with a different sender is
+    *    `creator:db=…,chain=…`; NO creation receipt in that block is
+    *    the reference's "Cannot find transaction for creation"
+    *    (`creation-not-found`) (`verify.py:543-567`). Coverage =
+    *    `receiptsCover(block_created)` so a windowed verify never
+    *    invents missing-creation errors for out-of-window collections.
+    *
+    * Scale shape: one probe per collection through the executor seam,
+    * then broadcast-joined compares; the time/receipt dims are sized by
+    * the collections under audit (the CLI fetches exactly the distinct
+    * creation blocks). */
+  def collectionsReport(spark: SparkSession, dbCollections: DataFrame,
+      blockTimes: Option[DataFrame] = None,
+      creationReceipts: Option[DataFrame] = None,
+      receiptsCover: Column = lit(true),
+      callExecutor: String = graft.rpc.CallExecutor.Simulated,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val colls = dbCollections.select(col("collection_id")).distinct()
+    val snapshot = graft.rpc.Calls.interfaceSnapshot(
+      graft.rpc.Calls.execute(spark, graft.nft.Collections.callRequests(colls),
+        callExecutor, options))
+    val chain = snapshot.select(
+      col("collection_id"),
+      when(col("supports_erc721"), lit("ERC-721"))
+        .when(col("supports_erc1155"), lit("ERC-1155"))
+        .otherwise(lit("UNKNOWN")).as("c_specification"),
+      col("name").as("c_name"),
+      when(length(col("name")) > 0, lower(substring(col("name"), 1, 1024)))
+        .as("c_name_lower"),
+      col("symbol").as("c_symbol"),
+      col("owner").as("c_owner"),
+      col("total_supply").as("c_total_supply"))
+    val joined = dbCollections.join(broadcast(chain), Seq("collection_id"), "left")
+      // probe lineage feeds one filter branch per compared field
+      .localCheckpoint(true)
+    def row(detail: Column) =
+      Seq(lit("collection").as("check"), col("collection_id"),
+        lit(null).cast("string").as("token_id"), detail.as("detail"))
+    def fieldCheck(tag: String, db: String): DataFrame =
+      joined.filter(!(col(db) <=> col(s"c_$db")))
+        .select(row(concat(lit(s"$tag:db="), coalesce(col(db).cast("string"), lit("-")),
+          lit(",chain="), coalesce(col(s"c_$db").cast("string"), lit("-")))): _*)
+    val probeChecks = Seq(
+      "specification" -> "specification", "name" -> "name",
+      "name_lower" -> "name_lower", "symbol" -> "symbol",
+      "owner" -> "owner", "total_supply" -> "total_supply")
+      .map { case (tag, c) => fieldCheck(tag, c) }
+      .reduce(_ unionByName _)
+    val dateCheck = blockTimes.map { times =>
+      joined.join(broadcast(times.select(col("number"), col("timestamp"))),
+          col("block_created") === col("number"), "left")
+        .filter(col("number").isNotNull && // uncovered block -> skip
+          !(col("date_created") <=> col("timestamp")))
+        .select(row(concat(lit("date_created:db="),
+          coalesce(col("date_created").cast("string"), lit("-")),
+          lit(",chain="), col("timestamp").cast("string"))): _*)
+    }
+    val creatorCheck = creationReceipts.map { receipts =>
+      val created = receipts
+        .filter(col("contract_address").isNotNull && col("status") === 1)
+        .select(col("contract_address").as("collection_id"),
+          col("block_number").as("block_created"),
+          col("from_").as("c_creator"))
+      val withChain = joined
+        .join(broadcast(created), Seq("collection_id", "block_created"), "left")
+      withChain.filter(col("c_creator").isNotNull && col("c_creator") =!= col("creator"))
+        .select(row(concat(lit("creator:db="), col("creator"),
+          lit(",chain="), col("c_creator"))): _*)
+        .unionByName(withChain
+          .filter(col("c_creator").isNull && receiptsCover)
+          .select(row(lit("creation-not-found")): _*))
+    }
+    (Seq(probeChecks) ++ dateCheck ++ creatorCheck).reduce(_ unionByName _)
   }
 
   /** Token-item SHAPE checks — the reference `verify_token`'s

@@ -340,6 +340,75 @@ class CollectionsVerifySpec extends SparkSpec {
       "original-owner-set-on-1155,current-owner-set-on-1155")
   }
 
+  test("collections-table verify: clean crawl clean; metadata/creation corruption flagged per field") {
+    val crawled = graft.pipelines.Crawl.fromChain(spark, 0, 50)
+    val dbColls = crawled("collections").cache()
+    assert(dbColls.count() >= 3)
+    val blockTimes = spark.read.format("blocks")
+      .option("start", "0").option("maxBlock", "50").load()
+      .select(col("number"), col("timestamp"))
+    val receipts = spark.read.format("receipts")
+      .option("start", "0").option("maxBlock", "50").load()
+    def report(db: org.apache.spark.sql.DataFrame) =
+      VerifyPipeline.collectionsReport(spark, db,
+        blockTimes = Some(blockTimes), creationReceipts = Some(receipts))
+    // a clean crawl re-verifies clean on every field including the
+    // creation re-check
+    assert(report(dbColls).count() === 0)
+    // … and identically over the live RPC transport
+    val stub = new graft.rpc.StubRpcServer()
+    try {
+      val viaRpc = VerifyPipeline.collectionsReport(spark, dbColls,
+        blockTimes = Some(blockTimes), creationReceipts = Some(receipts),
+        callExecutor = graft.rpc.CallExecutor.Rpc,
+        options = Map("endpoints" -> stub.url))
+      assert(viaRpc.count() === 0)
+    } finally stub.stop()
+
+    val victim = f"0x${4002L}%040x" // an ERC-721 with full metadata
+    def corrupt(c: String, v: org.apache.spark.sql.Column) =
+      dbColls.withColumn(c, when(col("collection_id") === victim, v).otherwise(col(c)))
+    // every probed field flags individually with db-vs-chain content
+    val nameRows = report(corrupt("name", lit("Evil"))).collect()
+    assert(nameRows.length === 1 &&
+      nameRows.head.getAs[String]("detail") === "name:db=Evil,chain=Collection 4002")
+    assert(report(corrupt("symbol", lit("EV"))).count() === 1)
+    assert(report(corrupt("owner", lit("0x" + "99" * 20))).count() === 1)
+    assert(report(corrupt("total_supply", lit("f" * 64))).count() === 1)
+    val specRows = report(corrupt("specification", lit("ERC-1155"))).collect()
+    assert(specRows.length === 1 && specRows.head.getAs[String]("detail")
+      === "specification:db=ERC-1155,chain=ERC-721")
+    // name_lower has its own derivation rule (lower + 1024-char cap)
+    assert(report(corrupt("name_lower", lit("WRONG"))).count() === 1)
+    // date_created re-checks against the block's timestamp
+    val dateRows = report(corrupt("date_created", lit(123456789L)))
+      .filter(col("detail").startsWith("date_created:")).collect()
+    assert(dateRows.length === 1)
+    // a wrong creator is flagged; a block_created pointing at a block
+    // with NO creation of this contract is the reference's
+    // cannot-find-creation error
+    assert(report(corrupt("creator", lit("0x" + "77" * 20)))
+      .filter(col("detail").startsWith("creator:")).count() === 1)
+    val moved = report(corrupt("block_created", lit(1L)))
+    assert(moved.filter(col("detail") === "creation-not-found").count() === 1)
+    // out-of-coverage creations are skipped, not flagged: same moved
+    // row, but the receipts dim declared as not covering block 1
+    val skipped = VerifyPipeline.collectionsReport(spark,
+      corrupt("block_created", lit(1L)),
+      blockTimes = Some(blockTimes), creationReceipts = Some(receipts),
+      receiptsCover = col("block_created") =!= 1L)
+    assert(skipped.filter(col("detail") === "creation-not-found").count() === 0)
+    // a db row for a no-ERC-165 contract re-classifies as UNKNOWN
+    val ghost = dbColls.limit(1)
+      .withColumn("collection_id", lit(f"0x${4004L}%040x"))
+      .localCheckpoint(true)
+    val ghostRows = report(dbColls.unionByName(ghost))
+      .filter(col("collection_id") === f"0x${4004L}%040x")
+      .collect().map(_.getAs[String]("detail"))
+    assert(ghostRows.exists(_.startsWith("specification:")),
+      s"UNKNOWN reclassification missing in ${ghostRows.mkString(";")}")
+  }
+
   test("callRequests: per-contract eth_call calldata built columnar (encode half of J6/J5)") {
     val contracts = Seq("0x" + "ab" * 20, "0x" + "cd" * 20).toDF("collection_id")
     val reqs = Collections.callRequests(contracts).collect()
