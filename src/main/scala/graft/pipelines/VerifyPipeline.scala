@@ -22,14 +22,20 @@ import graft.ops.Reconcile
   */
 object VerifyPipeline {
 
-  def transfersReport(chain: DataFrame, db: DataFrame): DataFrame =
+  def transfersReport(chain: DataFrame, db: DataFrame): DataFrame = {
+    // the reference's verify_transfer compares every stored field
+    // (`verify.py:852-934`): beyond the from/to/quantity core, the
+    // transaction_hash and the derived transaction_type participate
+    // when both sides carry them (trimmed db tables still reconcile on
+    // the core)
+    val keys = Seq("collection_id", "token_id", "attribute_version")
+    val compare = Seq("from_", "to_", "quantity") ++
+      Seq("transaction_hash", "transaction_type")
+        .filter(c => chain.columns.contains(c) && db.columns.contains(c))
     Reconcile.fullOuter(
-        chain.select(col("collection_id"), col("token_id"), col("attribute_version"),
-          col("from_"), col("to_"), col("quantity")),
-        db.select(col("collection_id"), col("token_id"), col("attribute_version"),
-          col("from_"), col("to_"), col("quantity")),
-        keys = Seq("collection_id", "token_id", "attribute_version"),
-        compareCols = Seq("from_", "to_", "quantity"))
+        chain.select((keys ++ compare).map(col): _*),
+        db.select((keys ++ compare).map(col): _*),
+        keys = keys, compareCols = compare)
       .filter(col("status") =!= "match")
       .select(lit("transfers").as("check"), col("collection_id"), col("token_id"),
         // mismatch rows name the differing fields — `mismatch:from_,to_`
@@ -39,6 +45,7 @@ object VerifyPipeline {
           when(size(col("mismatch_cols")) > 0,
             concat(lit(":"), array_join(col("mismatch_cols"), ","))).otherwise(lit("")))
           .as("detail"))
+  }
 
   def ownersReport(chainOwners: DataFrame, dbOwners: DataFrame): DataFrame = {
     val keys = Seq("collection_id", "token_id", "account")

@@ -123,6 +123,19 @@ class CollectionsVerifySpec extends SparkSpec {
     assert(byCheck("owners") >= 1) // every inflated balance mismatches
     assert(byCheck.getOrElse("counts", 0) === 0)
 
+    // the full-field compare (reference verify_transfer,
+    // verify.py:852-934): a corrupted transaction_type is flagged BY
+    // NAME even when from/to/quantity still agree
+    val typeVictim = dbTransfers.orderBy(col("attribute_version").desc)
+      .limit(1).collect().head.getAs[String]("attribute_version")
+    val t3 = dbTransfers.withColumn("transaction_type",
+      when(col("attribute_version") === typeVictim, lit("burn"))
+        .otherwise(col("transaction_type")))
+    val typeRows = graft.pipelines.VerifyPipeline.fromChain(spark, 0, 40,
+      t3, dbOwners, dbTokens, supply).collect()
+    assert(typeRows.length === 1)
+    assert(typeRows.head.getAs[String]("detail") === "mismatch:transaction_type")
+
     // narrowing to one collection audits only its rows — and pushes the
     // address predicate into the fetch (db side narrowed to match)
     val oneColl = dropped.getAs[String]("collection_id")
