@@ -198,6 +198,53 @@ object TextOps {
     merges.result().toDF("merge_rank", "lhs", "rhs", "n_pair")
   }
 
+  /** BPE APPLICATION — segment the corpus with a LEARNED merge list
+    * (the inference half of [[bpeLearnMerges]]; together they are the
+    * full train-then-tokenize loop a tokenizer-prep pipeline runs,
+    * byte-level style: every character is a piece unless a learned
+    * merge fused it). `merges` is the (merge_rank, lhs, rhs, …)
+    * relation the trainer returns — metadata scale (its rank order IS
+    * the application order), collected driver-side like the k-means
+    * centroids so the whole application compiles into ONE map-side
+    * codegen'd expression chain: wrap every character of the doc text,
+    * fold the merges through the same greedy `replace` the trainer
+    * used, count the surviving symbols by separator arithmetic. ZERO
+    * shuffle, linear in corpus size, independent of vocab size.
+    *
+    * Merges can never cross a word boundary: learned lhs/rhs are
+    * `[A-Za-z0-9]+` (the trainer's population rule) while the
+    * boundary chars (space, punctuation) sit wrapped between them —
+    * a `|lhs||rhs|` pattern cannot span an interposed `| |` symbol.
+    * Non-ASCII caveat: the char-split regex counts UTF-16 units (Java)
+    * vs codepoints (RE2) differently for astral chars; the alnum-only
+    * merge rules keep the MERGE behavior identical, only raw piece
+    * counts of astral text would drift between engines.
+    *
+    * Output: doc_id, n_chars_actual, n_bpe_pieces, chars_per_piece —
+    * the [[bpeTokenStats]] cost-estimate shape, but under the CORPUS'S
+    * OWN learned tokenizer instead of the fixed regex proxy. */
+  def bpeSegment(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val enc0 = regexp_replace(col("text"), "(.)", "|$1|")
+    val merged = rules.foldLeft(enc0) { case (enc, (a, b)) =>
+      call_function("replace", enc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    // every symbol carries exactly two '|' wrappers -> symbols =
+    // separator count / 2, where the separator count is a length
+    // difference: pure codegen'd arithmetic, no arrays
+    val pieces = ((length(merged) -
+      length(call_function("replace", merged, lit("|"), lit("")))) / 2)
+      .cast("long")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        pieces.as("n_bpe_pieces"))
+      .withColumn("chars_per_piece",
+        when(col("n_bpe_pieces") > 0,
+          col("n_chars_actual").cast("double") / col("n_bpe_pieces").cast("double")))
+  }
+
   /** Repetition signal (the Gopher-rule family): fraction of duplicate
     * word 3-grams per document, 1 - distinct/total. Highly repetitive
     * docs (boilerplate, keyword stuffing, generation loops) score near

@@ -572,6 +572,11 @@ object PipelineQueries {
   private val textBpeMerges: QFn = (s, dir) =>
     TextOps.bpeLearnMerges(Tables.documents(s, dir), nMerges = 8)
 
+  private val textBpeSegment: QFn = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextOps.bpeSegment(docs, TextOps.bpeLearnMerges(docs, nMerges = 8))
+  }
+
   /** DuckDB replay of [[graft.ops.TextOps.bpeLearnMerges]]'s fixed
     * `n`-round induction: the same word-frequency base, and per round
     * the same pair count -> deterministic top-1 -> wrapped-string
@@ -581,7 +586,9 @@ object PipelineQueries {
     * rhs) tie-break. An empty round yields no t-row and the LEFT JOIN
     * carries the segmentation forward unchanged — mirroring the Scala
     * side's early stop. */
-  private def bpeMergesOracle(n: Int): String = {
+  /** The shared WITH-body: word-frequency base + `n` induction rounds
+    * (pair counts -> deterministic top-1 -> greedy replace). */
+  private def bpeRoundsCtes(n: Int): String = {
     val rounds = (0 until n).map { i =>
       s"""p$i AS (
          |  SELECT lhs, rhs, CAST(SUM(c) AS BIGINT) AS n FROM (
@@ -597,17 +604,51 @@ object PipelineQueries {
          |  FROM w$i w LEFT JOIN t$i t ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until n).map(i =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, n AS n_pair FROM t$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
        |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS enc, COUNT(*) AS c
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[A-Za-z0-9]+${"$"}')
        |  GROUP BY word
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesOracle(n: Int): String = {
+    val union = (0 until n).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, lhs, rhs, n AS n_pair FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeRoundsCtes(n)}
        |$union""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.TextOps.bpeSegment]] over the rules
+    * [[bpeMergesOracle]]'s induction learns: the same `n` rounds, then
+    * the whole-text wrapped encoding folded through each round's
+    * (possibly absent) rule in rank order, piece count by separator
+    * arithmetic. */
+  private def bpeSegmentOracle(n: Int): String = {
+    val applies = (0 until n).map { i =>
+      s"""d${i + 1} AS (
+         |  SELECT doc_id, n_chars_actual, CASE WHEN t.lhs IS NULL THEN d.enc
+         |    ELSE replace(d.enc, '|' || t.lhs || '||' || t.rhs || '|',
+         |                 '|' || t.lhs || t.rhs || '|') END AS enc
+         |  FROM d$i d LEFT JOIN t$i t ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeRoundsCtes(n)},
+       |d0 AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |    regexp_replace(text, '(.)', '|\\1|', 'g') AS enc
+       |  FROM documents
+       |),
+       |$applies
+       |SELECT doc_id, n_chars_actual,
+       |  CAST((length(enc) - length(replace(enc, '|', ''))) // 2 AS BIGINT)
+       |    AS n_bpe_pieces,
+       |  CASE WHEN length(enc) > 0 THEN CAST(n_chars_actual AS DOUBLE) /
+       |    CAST((length(enc) - length(replace(enc, '|', ''))) // 2 AS DOUBLE)
+       |  END AS chars_per_piece
+       |FROM d$n""".stripMargin
   }
 
   private val textRepetition: QFn = (s, dir) => TextOps.repetition(Tables.documents(s, dir))
@@ -827,6 +868,7 @@ object PipelineQueries {
         |FROM documents
         |QUALIFY rn <= 15""".stripMargin),
     QueryDef("text_bpe_merges", textBpeMerges, bpeMergesOracle(8)),
+    QueryDef("text_bpe_segment", textBpeSegment, bpeSegmentOracle(8)),
     QueryDef("text_bpe_tokens", textBpeTokens,
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

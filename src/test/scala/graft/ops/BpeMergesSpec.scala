@@ -43,6 +43,30 @@ class BpeMergesSpec extends SparkSpec {
     assert(got.map(g => (g._2, g._3)).contains(("l", "o")))
   }
 
+  test("bpeSegment applies learned merges greedily, never across word boundaries") {
+    val docs = Seq(
+      (1L, "aaab aaab"),   // trained population
+      (2L, "abba"),        // merge applies inside an unseen word too
+      (3L, "a b"),         // 'a','b' ADJACENT only across a space: no merge
+      (4L, "xyz!"))        // untouched text: one piece per char
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeLearnMerges(docs.filter(col("doc_id") === 1L), 3)
+    // learned on 'aaab' x2: (a,a), (a,b), (aa,ab) — see the first test
+    val got = TextOps.bpeSegment(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_actual"), r.getAs[Long]("n_bpe_pieces"))).toMap
+    // "aaab aaab": each word folds to ONE symbol (aaab), space is its
+    // own piece -> 3 pieces of 9 chars
+    assert(got(1L) === (9L, 3L))
+    // "abba": (a,b) fuses the prefix; 'b','a' has no rule -> [ab, b, a]
+    assert(got(2L) === (4L, 3L))
+    // "a b": the space symbol sits between 'a' and 'b', so the (a,b)
+    // rule CANNOT fire across the boundary -> [a, ' ', b]
+    assert(got(3L) === (3L, 3L))
+    // no rule touches "xyz!": every char its own piece
+    assert(got(4L) === (4L, 4L))
+  }
+
   test("non-ASCII and separator-unsafe words are excluded from training") {
     // the word population is [A-Za-z0-9]+ only: punctuation-bearing and
     // non-ASCII words never contribute symbols (documented restriction:
