@@ -112,7 +112,7 @@ object TokenUris {
     base.join(latest, Seq("collection_id", "token_id"), "left")
       .withColumn("metadata_url", coalesce(col("latest_url"), col("metadata_url")))
       .drop("latest_url")
-      .select(base.columns.map(col): _*)
+      .select(base.columns.toIndexedSeq.map(col): _*)
   }
 
   def enrichTokens(tokens: DataFrame, mintUris: DataFrame): DataFrame =
@@ -122,5 +122,5 @@ object TokenUris {
       // the equi-join hoists its keys to the front; keep the tokens
       // table's own column order, metadata_url appended (the reference
       // Token entity shape, `nft/entities.py:39-52`)
-      .select((tokens.columns :+ "metadata_url").map(col): _*)
+      .select((tokens.columns.toIndexedSeq :+ "metadata_url").map(col): _*)
 }

@@ -628,6 +628,300 @@ object CoreQueries {
       .limit(100)
   }
 
+  private val q7NationVolume: QFn = (s, dir) => {
+    // the two-nation volume join: ONE dim joined twice under different
+    // roles (supplier's nation / customer's nation). Both roles
+    // prefilter to the two nations of interest BEFORE touching the
+    // fact (the disjunctive pair predicate can't push through the join
+    // by inference, but its per-role projection can), leaving only the
+    // cross-pair residual after the broadcasts.
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    def nations(key: String, name: String) = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_20", "NATION_11"))
+      .select(col("n_nationkey").as(key), col("n_name").as(name))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nations("n1_key", "supp_nation")), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(nations("n2_key", "cust_nation")), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // the cross pairs
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  private val q10ReturnedItems: QFn = (s, dir) => {
+    // returned-item reporting: quarter-windowed fact x orders join,
+    // customer/nation broadcast enrich, top-20 by lost revenue —
+    // TakeOrderedAndProject keeps the top-k partial below the exchange.
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp_ntz"))
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val q13OrderDistribution: QFn = (s, dir) => {
+    // customer order-count distribution: LEFT OUTER with the exclusion
+    // predicate INSIDE the join condition (a WHERE would turn the
+    // outer join inner and lose the zero-order customers), then a
+    // group-by OF a group-by — the double-aggregation histogram shape.
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): nulls excluded
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q15TopSupplier: QFn = (s, dir) => {
+    // top supplier: aggregate once, then join the aggregate against
+    // its own broadcast 1-row max — the max-of-aggregate scalar
+    // subquery, kept in EXACT decimals so the equality is
+    // engine-portable (a double max could tie-break differently).
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("r"))
+    val sup = Tables.supplier(s, dir)
+    rev.join(broadcast(rev.agg(max(col("r")).as("mr"))), col("r") === col("mr"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_revenue"))
+  }
+
+  private val q22SalesOpportunity: QFn = (s, dir) => {
+    // global-sales-opportunity: scalar-subquery threshold + anti join.
+    // The above-average test multiplies through by the count
+    // (bal * n > total) so the whole comparison stays exact decimal
+    // arithmetic — an avg() would be DECIMAL in Spark and DOUBLE in
+    // DuckDB and hash-drift. Anti side: no orders since 2000.
+    val c = Tables.customer(s, dir)
+    val stats = c.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(dec(col("c_acctbal"))).as("total_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("total_pos"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  private val q2MinCostSupplier: QFn = (s, dir) => {
+    // per-group argmin (the Q2 correlated-min shape, re-keyed to this
+    // schema's lineitem as the offer relation): min offer per part over
+    // one region's suppliers, recovering WHO offers it. Ties return all
+    // tied suppliers, same as the reference subquery. Decorrelated as a
+    // window-min + filter rather than the textbook aggregate join-back:
+    // one fact scan instead of two (the join-back rebuilds the offers
+    // subtree on both sides and only AQE exchange reuse rescues it),
+    // and the decimal min stays exact so the tie equality is
+    // engine-portable. The part-type filter prefilters the fact via
+    // broadcast BEFORE the offer aggregation — at 100 TB the agg only
+    // ever sees the filtered partkeys.
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("offer"))
+    offers
+      .withColumn("mo", min(col("offer")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("offer") === col("mo"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("offer").cast("double").as("min_offer"))
+  }
+
+  private val q4OrderPriority: QFn = (s, dir) => {
+    // priority-check EXISTS: semi join with an equi key PLUS a residual
+    // inequality that references BOTH sides (shipped >60 days after
+    // order). Catalyst keeps the equi key for the shuffle/broadcast and
+    // evaluates the residual inside the join — the correlated-exists
+    // pattern with zero row duplication (semi, not inner+distinct).
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  private val q8MarketShare: QFn = (s, dir) => {
+    // national market share: conditional aggregation (CASE inside BOTH
+    // sums) computing a ratio per year. The two sums stay exact
+    // decimal; the DIVISION is double/double (IEEE-deterministic) —
+    // decimal division would round at engine-specific scales and
+    // hash-drift. Region restricts the customer side via a broadcast
+    // semi join resolved before the fact shuffle.
+    val vol = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val eur = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(eur), col("c_nationkey") === col("n_nationkey"), "left_semi")
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+    val sup = Tables.supplier(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  private val q9ProductProfit: QFn = (s, dir) => {
+    // product-type profit: revenue minus a cost term built from a
+    // SECOND table's column (p_retailprice stands in for supplycost —
+    // this schema has no partsupp), grouped by supplier nation x year.
+    // The whole profit expression is decimal-exact end to end; the
+    // name LIKE prefilters the part broadcast before the fact join.
+    val p = Tables.part(s, dir).filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
+      dec(col("l_quantity")) * dec(col("p_retailprice")) * lit(0.5).cast("decimal(18,2)")
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+  }
+
+  private val q11ImportantStock: QFn = (s, dir) => {
+    // important-stock: grouped aggregate filtered by a GLOBAL scalar
+    // threshold (value > total/1800). Multiply-through keeps the
+    // comparison in exact decimals, and the 1-row total rides a
+    // broadcast — the grouped side never reshuffles for the filter.
+    val l = Tables.lineitem(s, dir)
+    val vals = l.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("v"))
+    val total = l.agg(sum(dec(col("l_extendedprice"))).as("tot"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("v") * 1800 > col("tot"))
+      .select(col("l_partkey"), col("v").cast("double").as("value"))
+  }
+
+  private val q16SupplierCnt: QFn = (s, dir) => {
+    // supplier-count-per-part-class: COUNT DISTINCT over a join,
+    // minus an excluded-supplier anti join (the NOT IN subquery; no
+    // nulls in the key so anti == NOT IN). Both dim sides broadcast;
+    // the only shuffle is the final (brand,type,size) aggregation,
+    // which Spark runs as a two-phase partial-distinct.
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").between(1, 25))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private val q20ExcessSuppliers: QFn = (s, dir) => {
+    // who-shipped-in-bulk: nested semi chain — an inner HAVING
+    // aggregate over (supplier, part) feeds a semi join against the
+    // supplier dim. The part-name and date filters land before the
+    // aggregation; the supplier table is only ever probed, never
+    // duplicated (semi, not inner+distinct).
+    val p = Tables.part(s, dir).filter(col("p_name").like("small%"))
+      .select(col("p_partkey"))
+    val bulky = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .filter(col("q") > 40)
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(s, dir)
+    Tables.supplier(s, dir)
+      .join(broadcast(bulky), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  private val q21WaitingOrders: QFn = (s, dir) => {
+    // suppliers-who-kept-orders-waiting: the double-correlated
+    // EXISTS / NOT EXISTS decorrelated into per-order conditional
+    // aggregation — count distinct suppliers, count distinct LATE
+    // suppliers, and (when exactly one is late) that supplier's id —
+    // with the distincts themselves rewritten as a two-level pre-agg:
+    // collapse to (order, supplier, late_any) first, then PLAIN
+    // count/sum/max per order. Two small shuffles instead of the
+    // Expand a double countDistinct plans (3x the fact rows through
+    // the first exchange — measured 2.3x slower at sf0.1); and still
+    // no self-join of the fact against itself twice, which is what the
+    // textbook plan does and what dies first at 100 TB.
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perSupp = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, lit(1)).otherwise(lit(0))).as("late_any"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"),
+        sum(col("late_any")).as("nl"),
+        max(when(col("late_any") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("ns") > 1 && col("nl") === 1)
+    perOrder.join(broadcast(Tables.supplier(s, dir)),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   // ---- oracle SQL ----------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -913,6 +1207,169 @@ object CoreQueries {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, epoch_ms(o.o_orderdate), o.o_totalprice
         |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
+    QueryDef("q7_nation_volume", q7NationVolume,
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+        |GROUP BY 1, 2, 3""".stripMargin),
+    QueryDef("q10_returned_items", q10ReturnedItems,
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin),
+    QueryDef("q13_order_distribution", q13OrderDistribution,
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin),
+    QueryDef("q15_top_supplier", q15TopSupplier,
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.r = (SELECT max(r) FROM rev)""".stripMargin),
+    QueryDef("q22_sales_opportunity", q22SalesOpportunity,
+      """WITH stats AS (
+        |  SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, stats
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n_pos > stats.total_pos
+        |  AND c.c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey""".stripMargin),
+    QueryDef("q2_min_cost_supplier", q2MinCostSupplier,
+      """WITH sup AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |offers AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    min(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS offer
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |  WHERE p.p_type = 'LARGE'
+        |  GROUP BY 1, 2),
+        |mins AS (SELECT l_partkey, min(offer) AS mo FROM offers GROUP BY 1)
+        |SELECT p.p_partkey, p.p_name, sup.s_suppkey, sup.s_name, sup.n_name,
+        |  CAST(o.offer AS DOUBLE) AS min_offer
+        |FROM offers o
+        |JOIN mins ON o.l_partkey = mins.l_partkey AND o.offer = mins.mo
+        |JOIN sup ON o.l_suppkey = sup.s_suppkey
+        |JOIN part p ON o.l_partkey = p.p_partkey""".stripMargin),
+    QueryDef("q4_order_priority", q4OrderPriority,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin),
+    QueryDef("q8_market_share", q8MarketShare,
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin),
+    QueryDef("q9_product_profit", q9ProductProfit,
+      """SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) -
+        |    CAST(l.l_quantity AS DECIMAL(18,2)) *
+        |      CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin),
+    QueryDef("q11_important_stock", q11ImportantStock,
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot FROM lineitem)
+        |SELECT v.l_partkey, CAST(v.v AS DOUBLE) AS value
+        |FROM v, t WHERE v.v * 1800 > t.tot""".stripMargin),
+    QueryDef("q16_supplier_cnt", q16SupplierCnt,
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_size BETWEEN 1 AND 25
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin),
+    QueryDef("q20_excess_suppliers", q20ExcessSuppliers,
+      """SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'small%'
+        |    AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 40)""".stripMargin),
+    QueryDef("q21_waiting_orders", q21WaitingOrders,
+      """WITH per_order AS (
+        |  SELECT l.l_orderkey,
+        |    count(DISTINCT l.l_suppkey) AS ns,
+        |    count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |      THEN l.l_suppkey END) AS nl,
+        |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |      THEN l.l_suppkey END) AS late_supp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+        |WHERE p.ns > 1 AND p.nl = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin),
     QueryDef("t2_tumbling_window", t2TumblingWindow,
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
         |event_type, count(*) AS n,
