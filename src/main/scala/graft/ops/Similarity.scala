@@ -58,7 +58,7 @@ object Similarity {
 
   private def prepared(embeddings: DataFrame): DataFrame = prep(embeddings)
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topK(scored: DataFrame, k: Int): DataFrame = {
     // row_number + filter plans as WindowGroupLimit: partial top-k runs
     // below the exchange, so only k rows per query per input partition
     // shuffle — the property that keeps top-k viable at cluster scale.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.ops.{Decontaminate, Dedup, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Decontaminate, Dedup, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.mm.Media
 import CoreQueries.{QFn, QueryDef}
 
@@ -125,6 +125,94 @@ object PipelineQueries {
       |${ivfTrainedCtes(stride)}
       |SELECT q_id, c_id, rank, score FROM ivfres""".stripMargin
 
+  // ---- product quantization (ADC) oracle ------------------------------
+  // Mirrors Pq.{trainCodebooks,encode,adcTopK} with m=8 subspaces of 8
+  // dims, k=16 codes, 2 Lloyd rounds: same seeds (the 16 rows with the
+  // smallest (md5(vec_id), vec_id) seed every subspace), same integer
+  // argmin with code tie-break, same rounded-integer means, same exact-
+  // integer ADC numerator; only the final cosine division is a double.
+
+  // One per-subspace Lloyd assignment: nearest sub-code by
+  // (-2 x.c + ||c||^2, code) — the ||x||^2 term is row-constant and
+  // omitted on both engines.
+  private def pqAssignSql(out: String, cents: String) =
+    s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
+       |  SELECT v.vec_id, v.sub, v.sqv, s.code,
+       |    row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |      ORDER BY -2 * ${idotSql("v.sqv", "s.cv")} + s.cnrm, s.code) AS rn
+       |  FROM psv v JOIN $cents s ON v.sub = s.sub) WHERE rn = 1)""".stripMargin
+
+  private def pqMeanSql(prefix: String, from: String) =
+    s"""${prefix}e AS (SELECT sub, code, u.i AS dim, sqv[u.i] AS v
+       |  FROM $from, unnest(generate_series(1, 8)) AS u(i)),
+       |${prefix}s AS (SELECT sub, code, dim,
+       |  CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM ${prefix}e GROUP BY sub, code, dim),
+       |${prefix}m AS (SELECT sub, code, list(m ORDER BY dim) AS cv FROM ${prefix}s GROUP BY sub, code),
+       |${prefix}n AS (SELECT sub, code, cv,
+       |  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm FROM ${prefix}m)""".stripMargin
+
+  // PQ CTE chain ending in `pqres` — composable (the ann_pq query and
+  // the recall harness share one SQL body, the ivfTrainedCtes pattern).
+  // `depth` is the per-query ADC ranking depth kept in pqres: 3 for the
+  // pure-ADC result, 32 for a rerank shortlist (consumers re-filter).
+  private def pqCtes(stride: Int, depth: Int = 3) =
+    s"""psv AS (SELECT vec_id, t.s AS sub, list_slice(qv, t.s * 8 + 1, t.s * 8 + 8) AS sqv
+      |  FROM n0, unnest(generate_series(0, 7)) AS t(s)),
+      |pseed AS (SELECT sub, code, sqv AS cv,
+      |    CAST(list_sum(list_transform(sqv, x -> x * x)) AS BIGINT) AS cnrm
+      |  FROM (SELECT sub, sqv,
+      |      CAST(row_number() OVER (PARTITION BY sub
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS code
+      |    FROM psv) WHERE code <= 16),
+      |${pqAssignSql("pa1", "pseed")},
+      |${pqMeanSql("pm1", "pa1")},
+      |${pqAssignSql("pa2", "pm1n")},
+      |${pqMeanSql("pm2", "pa2")},
+      |${pqAssignSql("paf", "pm2n")},
+      |prn AS (SELECT a.vec_id, CAST(sum(s.cnrm) AS BIGINT) AS rnrm
+      |  FROM paf a JOIN pm2n s ON a.sub = s.sub AND a.code = s.code
+      |  GROUP BY a.vec_id),
+      |pqq AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0
+      |  WHERE vec_id % $stride = 0),
+      |pnum AS (SELECT q.q_id, a.vec_id AS c_id, q.q_nrm,
+      |    CAST(sum(${idotSql("list_slice(q.q_qv, a.sub * 8 + 1, a.sub * 8 + 8)", "s.cv")}) AS BIGINT) AS num
+      |  FROM pqq q JOIN paf a ON q.q_id <> a.vec_id
+      |  JOIN pm2n s ON a.sub = s.sub AND a.code = s.code
+      |  GROUP BY q.q_id, a.vec_id, q.q_nrm),
+      |pqres AS (SELECT q_id, c_id, rank, score FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+      |  FROM (SELECT p.q_id, p.c_id,
+      |    CAST(p.num AS DOUBLE) /
+      |    (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(r.rnrm AS DOUBLE))) AS score
+      |    FROM pnum p JOIN prn r ON p.c_id = r.vec_id))
+      |  WHERE rank <= $depth)""".stripMargin
+
+  private def pqSql(stride: Int) =
+    s"""WITH $preparedSql,
+      |${pqCtes(stride)}
+      |SELECT q_id, c_id, rank, score FROM pqres""".stripMargin
+
+  // Exact rerank of a depth-32 ADC shortlist (IVFADC+R): re-score the
+  // shortlist pairs on their raw quantized vectors, re-rank, keep 3.
+  private def pqRerankCtes =
+    s"""prr AS (SELECT q_id, c_id, rank, score FROM (
+      |  SELECT s.q_id, s.c_id,
+      |    row_number() OVER (PARTITION BY s.q_id ORDER BY score DESC, s.c_id) AS rank, score
+      |  FROM (SELECT s.q_id, s.c_id,
+      |    ${dotSql("q.qv", "c.qv")} /
+      |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS score
+      |    FROM pqres s JOIN n0 q ON s.q_id = q.vec_id
+      |    JOIN n0 c ON s.c_id = c.vec_id) s)
+      |  WHERE rank <= 3)""".stripMargin
+
+  private def pqRerankSql(stride: Int) =
+    s"""WITH $preparedSql,
+      |${pqCtes(stride, depth = 32)},
+      |$pqRerankCtes
+      |SELECT q_id, c_id, rank, score FROM prr""".stripMargin
+
   // Multi-table sign-LSH band relation: table t buckets on the signs of
   // dims [t·bits+1, t·bits+bits] — mirrors Similarity.lshTopKMulti.
   private def lshMultiBandsSql(bits: Int, tables: Int) =
@@ -158,6 +246,8 @@ object PipelineQueries {
     s"""WITH $preparedSql,
       |${ivfTrainedCtes(100)},
       |${lshMultiCtes(100)},
+      |${pqCtes(100, depth = 32)},
+      |$pqRerankCtes,
       |lshb AS (SELECT vec_id, qv, nrm,
       |  CAST(list_sum(list_transform(generate_series(1, 8),
       |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
@@ -194,11 +284,13 @@ object PipelineQueries {
       |m AS (SELECT 'ivf' AS method, q_id, c_id FROM ivfres
       |      UNION ALL SELECT 'lsh' AS method, q_id, c_id FROM lshres
       |      UNION ALL SELECT 'lsh_multi' AS method, q_id, c_id FROM mlshres
-      |      UNION ALL SELECT 'lsh_probe' AS method, q_id, c_id FROM lshproberes),
+      |      UNION ALL SELECT 'lsh_probe' AS method, q_id, c_id FROM lshproberes
+      |      UNION ALL SELECT 'pq' AS method, q_id, c_id FROM pqres WHERE rank <= 3
+      |      UNION ALL SELECT 'pq_rerank' AS method, q_id, c_id FROM prr),
       |h AS (SELECT m.method, CAST(count(*) AS BIGINT) AS n_hits
       |      FROM m JOIN truth USING (q_id, c_id) GROUP BY m.method),
       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi', 'lsh_probe']) AS method)
+      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi', 'lsh_probe', 'pq', 'pq_rerank']) AS method)
       |SELECT ml.method AS method, t.n_truth AS n_truth,
       |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
       |  CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
@@ -407,6 +499,24 @@ object PipelineQueries {
 
   private val annIvfTrained: QFn = (s, dir) => ivfSearchAtStride(s, dir, stride = 100)
 
+  // PQ codebooks are an index too: train once per sf dir (plain longs,
+  // metadata-scale — m=8 subspaces x 16 codes x 8 dims), search many.
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Pq.Book]]()
+  private val annPq: QFn = (s, dir) => {
+    val books = pqBookCache.computeIfAbsent(dir,
+      _ => Pq.trainCodebooks(Tables.embeddings(s, dir)))
+    val emb = Tables.embeddings(s, dir)
+    Pq.adcTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3, books)
+  }
+  private val annPqRerank: QFn = (s, dir) => {
+    val books = pqBookCache.computeIfAbsent(dir,
+      _ => Pq.trainCodebooks(Tables.embeddings(s, dir)))
+    val emb = Tables.embeddings(s, dir)
+    Pq.adcRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3, books,
+      shortlist = 32)
+  }
+
   private val annIvfTrainedSearch: QFn = (s, dir) => ivfSearchAtStride(s, dir, stride = 50)
 
   private val annIvf: QFn = (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))
@@ -463,12 +573,29 @@ object PipelineQueries {
       val lshProbe = Similarity.lshTopKProbe(prepped, queries, k = 3,
           bits = 8, probeDist = 2)
         .select(lit("lsh_probe").as("method"), col("q_id"), col("c_id"))
-      val hits = ivf.union(lsh).union(lshMulti).union(lshProbe)
-        .join(truth, Seq("q_id", "c_id"), "left_semi")
-        .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // PQ is the COMPRESSION dial (exhaustive scan over 8-byte codes):
+      // its recall here quantifies pure quantization loss, no pruning
+      val pqBooks = pqBookCache.computeIfAbsent(dir,
+        _ => Pq.trainCodebooks(Tables.embeddings(s, dir)))
+      // ONE depth-32 ADC pass feeds both PQ rows: the pure-ADC method is
+      // its rank<=3 prefix, the rerank re-scores the whole shortlist
+      // exactly (Q x 32 raw-vector fetches, corpus never rescanned).
+      // persist: the shortlist's lineage is the O(Q·N) compressed scan
+      // and it feeds two consumers (the truth pattern above).
+      val pqShortlist = Pq.adcTopK(prepped, queries, k = 32, pqBooks).persist()
+      val pq = pqShortlist.filter(col("rank") <= 3)
+        .select(lit("pq").as("method"), col("q_id"), col("c_id"))
+      val pqRerank = Pq.rerank(pqShortlist, prepped, queries, k = 3)
+        .select(lit("pq_rerank").as("method"), col("q_id"), col("c_id"))
+      val hits =
+        try {
+          ivf.union(lsh).union(lshMulti).union(lshProbe).union(pq).union(pqRerank)
+            .join(truth, Seq("q_id", "c_id"), "left_semi")
+            .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        } finally pqShortlist.unpersist(blocking = false)
       // literal method spine: a method with zero hits must still report
-      Seq("ivf", "lsh", "lsh_multi", "lsh_probe").map { m =>
+      Seq("ivf", "lsh", "lsh_multi", "lsh_probe", "pq", "pq_rerank").map { m =>
         val h = hits.getOrElse(m, 0L)
         (m, nTruth, h, h.toDouble / nTruth.toDouble)
       }.toDF("method", "n_truth", "n_hits", "recall")
@@ -1015,6 +1142,8 @@ object PipelineQueries {
         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS s
         |FROM u GROUP BY label, dim""".stripMargin),
     QueryDef("ann_ivf_trained", annIvfTrained, ivfTrainedSql(100)),
+    QueryDef("ann_pq", annPq, pqSql(100)),
+    QueryDef("ann_pq_rerank", annPqRerank, pqRerankSql(100)),
     QueryDef("ann_recall", annRecall, annRecallSql),
     QueryDef("ann_lsh_multi", annLshMulti,
       s"""WITH $preparedSql,

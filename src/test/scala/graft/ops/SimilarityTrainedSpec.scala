@@ -152,6 +152,19 @@ class SimilarityTrainedSpec extends SparkSpec {
       assert(rec("lsh_probe") >= 0.25, s"$dir: lsh_probe recall ${rec("lsh_probe")} < 0.25")
       assert(rec("lsh_probe") >= rec("lsh"),
         s"$dir: probing supersets the plain bucket — recall cannot drop")
+      info(s"$dir recall map: $rec")
+      // pq is an EXHAUSTIVE scan — recall measures pure quantization
+      // loss of the m=8 x 16-code books (measured 0.33/0.10 at
+      // sf0.01/sf0.1 — honest, like the plain lsh 0.0); the production
+      // config is the 32-deep exact rerank (measured 0.60/0.42)
+      assert(rec("pq") >= 0.05, s"$dir: pq recall ${rec("pq")} < 0.05")
+      assert(rec("pq_rerank") >= 0.3,
+        s"$dir: pq_rerank recall ${rec("pq_rerank")} < 0.3")
+      // a truth pair is top-3 by EXACT score globally, so inside any
+      // shortlist that contains it it stays top-3 exact — rerank recall
+      // therefore dominates pure-ADC recall, structurally
+      assert(rec("pq_rerank") >= rec("pq"),
+        s"$dir: exact rerank of an ADC-superset shortlist cannot lose recall")
     }
   }
 }
