@@ -141,8 +141,12 @@ object Pq {
       dims: Int = 64): DataFrame = {
     val dsub = dims / m
     val k = books.map(_.code).max.toInt
-    val coded = withCodes(
-      Similarity.prep(embeddings).select(col("vec_id"), checkedQv(dims).as("qv")),
+    val base = Similarity.prep(embeddings)
+    // a coarse-cell column (from Similarity.assignCells) rides through:
+    // IVFADC stores (cell, codes, rnrm) and prunes on cell at search
+    val keep = col("vec_id") +:
+      (if (base.columns.contains("cell")) Seq(col("cell")) else Nil)
+    val coded = withCodes(base.select(keep :+ checkedQv(dims).as("qv"): _*),
       books, m, dsub)
     // rnrm via per-subspace literal lookup grids (k longs each; codes
     // that collapsed during training never appear in code_t, their slot
@@ -153,9 +157,29 @@ object Pq {
       }
       element_at(typedlit(grid.toSeq), col(s"code_$t").cast("int"))
     }.reduce(_ + _)
-    coded.select(col("vec_id") +: (0 until m).map(t => col(s"code_$t")) :+
+    coded.select(keep ++ (0 until m).map(t => col(s"code_$t")) :+
       rnrm.as("rnrm"): _*)
   }
+
+  /** The flattened m×k dot table of EXACT integer dots
+    * ⟨q_sub, c_(sub,code)⟩ — position sub·k + code; collapsed codes get
+    * a never-read 0 slot. */
+  private def dtfExpr(books: Array[Book], m: Int, dims: Int, codes: Int): Column = {
+    val dsub = dims / m
+    array((for (t <- 0 until m; j <- 1 to codes) yield {
+      books.find(b => b.sub == t && b.code == j) match {
+        case Some(b) => graft.expr.ArrayExprs.dotLong(
+          slice(col("qv"), t * dsub + 1, dsub), typedlit(b.cv))
+        case None => lit(0L)
+      }
+    }): _*)
+  }
+
+  /** ADC numerator: m table lookups + adds over the candidate's codes. */
+  private def adcNumerator(m: Int, codes: Int): Column =
+    (0 until m).map(t =>
+      element_at(col("dtf"), (lit(t * codes) + col(s"code_$t")).cast("int")))
+      .reduce(_ + _)
 
   /** ADC top-k: score every candidate's CODES against each query's
     * precomputed dot table. The query set must be broadcast-sized (the
@@ -170,26 +194,44 @@ object Pq {
     * the reconstruction norm: ⟨q, recon(c)⟩ / (‖q‖·‖recon(c)‖). */
   def adcTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       books: Array[Book], m: Int = 8, dims: Int = 64, codes: Int = 16): DataFrame = {
-    val dsub = dims / m
     val cand = encode(embeddings, books, m, dims)
-    val dtf = array((for (t <- 0 until m; j <- 1 to codes) yield {
-      books.find(b => b.sub == t && b.code == j) match {
-        case Some(b) => graft.expr.ArrayExprs.dotLong(
-          slice(col("qv"), t * dsub + 1, dsub), typedlit(b.cv))
-        case None => lit(0L)
-      }
-    }): _*)
     val q = Similarity.prep(queries)
       .select(col("vec_id").as("q_id"), checkedQv(dims).as("qv"), col("nrm").as("q_nrm"))
-      .withColumn("dtf", dtf).drop("qv")
-    val num = (0 until m).map(t =>
-      element_at(col("dtf"), (lit(t * codes) + col(s"code_$t")).cast("int")))
-      .reduce(_ + _)
+      .withColumn("dtf", dtfExpr(books, m, dims, codes)).drop("qv")
     val scored = cand.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .withColumn("score", num.cast("double") /
+      .withColumn("score", adcNumerator(m, codes).cast("double") /
         (sqrt(col("q_nrm").cast("double")) * sqrt(col("rnrm").cast("double"))))
       .select(col("q_id"), col("vec_id").as("c_id"), col("score"))
     Similarity.topK(scored, k)
+  }
+
+  /** IVFADC+R — the full production composition: the coarse quantizer
+    * prunes WHICH candidates are scored (each candidate lives in one
+    * cell; a query probes its `nprobe` nearest — O(Q·N·nprobe/nlist)
+    * pairs), PQ codes bound the COST of each score (m lookups), and the
+    * exact rerank of the `shortlist` repairs the quantization loss at
+    * the top of the ranking. At 100 TB this is the only all-three
+    * configuration: scan volume pruned by cell, scan bytes compressed
+    * ~64x, exact math only on Q·shortlist fetched rows. */
+  def ivfAdcRerankTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      books: Array[Book], centroids: DataFrame, nprobe: Int = 2,
+      shortlist: Int = 32, m: Int = 8, dims: Int = 64, codes: Int = 16): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = encode(
+      Similarity.assignCells(Similarity.prep(embeddings), centroids),
+      books, m, dims)
+    val q = Similarity.probeCells(Similarity.prep(queries), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        checkedQv(dims).as("qv"), col("nrm").as("q_nrm"))
+      .withColumn("dtf", dtfExpr(books, m, dims, codes)).drop("qv")
+    // equi-join on the coarse cell: candidates shuffle/bucket ONCE by
+    // cell; a (q, c) pair matches at most once (one cell per candidate)
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", adcNumerator(m, codes).cast("double") /
+        (sqrt(col("q_nrm").cast("double")) * sqrt(col("rnrm").cast("double"))))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("score"))
+    rerank(Similarity.topK(scored, shortlist), embeddings, queries, k)
   }
 
   /** Two-stage search — the production configuration (IVFADC+R,

@@ -221,13 +221,8 @@ object Similarity {
     * centroids on the driver). Retraining never happens here — an index
     * rebuilt per query isn't an index. */
   def ivfSearch(centroids: DataFrame, embeddings: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids.select(col("cell"), col("cv"), col("cnrm")).collect()
-      .map(r => Cent(r.getAs[Long]("cell"),
-        r.getAs[scala.collection.Seq[Long]]("cv").toVector, r.getAs[Long]("cnrm")))
-      .sortBy(_.cell)
-    searchWithCents(cents, embeddings, queries, k, nprobe)
-  }
+      k: Int, nprobe: Int = 2): DataFrame =
+    searchWithCents(collectCents(centroids), embeddings, queries, k, nprobe)
 
   /** Search core shared by the one-shot and pre-trained paths: assign
     * candidates to their final cell once, probe each query's `nprobe`
@@ -258,6 +253,30 @@ object Similarity {
   /** Fixture wrapper matching the other ANN variants' query stride. */
   def ivfTrainedTopK(embeddings: DataFrame, k: Int, queryStride: Int): DataFrame =
     ivfTrainedTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0), k)
+
+  private def collectCents(centroids: DataFrame): Array[Cent] =
+    centroids.select(col("cell"), col("cv"), col("cnrm")).collect()
+      .map(r => Cent(r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Long]]("cv").toVector, r.getAs[Long]("cnrm")))
+      .sortBy(_.cell)
+
+  /** Public composition seams for indexes that layer on the coarse
+    * quantizer (IVFADC: [[graft.ops.Pq]] prunes candidates by `cell`
+    * before compressed-domain scoring). Both are map-side expressions
+    * against driver-held centroid references — zero shuffle. */
+  def assignCells(prepped: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
+    prepped.withColumn("cell", assignExpr(cents, col("qv"), col("nrm")))
+  }
+
+  /** Per-query probe expansion: one row per (query, probed cell), the
+    * `nprobe` nearest coarse cells by (distance, cell). */
+  def probeCells(prepped: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = collectCents(centroids)
+    val (cvs, cnrms, cells) = centArrays(cents)
+    prepped.withColumn("cell",
+      explode(graft.expr.CellExprs.nearestCells(col("qv"), cvs, cnrms, cells, nprobe)))
+  }
 
   /** Sign-pattern LSH bucket (coordinate signs of the first `bits`
     * dims as the hyperplane set — deterministic and engine-agnostic).

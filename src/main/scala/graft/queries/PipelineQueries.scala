@@ -156,7 +156,9 @@ object PipelineQueries {
   // the recall harness share one SQL body, the ivfTrainedCtes pattern).
   // `depth` is the per-query ADC ranking depth kept in pqres: 3 for the
   // pure-ADC result, 32 for a rerank shortlist (consumers re-filter).
-  private def pqCtes(stride: Int, depth: Int = 3) =
+  // Codebook training + encoding alone (psv..prn) — shared by the
+  // exhaustive ADC scan and the IVFADC composition.
+  private def pqTrainCtes =
     s"""psv AS (SELECT vec_id, t.s AS sub, list_slice(qv, t.s * 8 + 1, t.s * 8 + 8) AS sqv
       |  FROM n0, unnest(generate_series(0, 7)) AS t(s)),
       |pseed AS (SELECT sub, code, sqv AS cv,
@@ -172,8 +174,11 @@ object PipelineQueries {
       |${pqAssignSql("paf", "pm2n")},
       |prn AS (SELECT a.vec_id, CAST(sum(s.cnrm) AS BIGINT) AS rnrm
       |  FROM paf a JOIN pm2n s ON a.sub = s.sub AND a.code = s.code
-      |  GROUP BY a.vec_id),
-      |pqq AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0
+      |  GROUP BY a.vec_id)""".stripMargin
+
+  // Exhaustive compressed-domain scan ending in `pqres` at `depth`.
+  private def pqScanCtes(stride: Int, depth: Int) =
+    s"""pqq AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n0
       |  WHERE vec_id % $stride = 0),
       |pnum AS (SELECT q.q_id, a.vec_id AS c_id, q.q_nrm,
       |    CAST(sum(${idotSql("list_slice(q.q_qv, a.sub * 8 + 1, a.sub * 8 + 8)", "s.cv")}) AS BIGINT) AS num
@@ -189,29 +194,60 @@ object PipelineQueries {
       |    FROM pnum p JOIN prn r ON p.c_id = r.vec_id))
       |  WHERE rank <= $depth)""".stripMargin
 
+  private def pqCtes(stride: Int, depth: Int = 3) =
+    s"""$pqTrainCtes,
+      |${pqScanCtes(stride, depth)}""".stripMargin
+
   private def pqSql(stride: Int) =
     s"""WITH $preparedSql,
       |${pqCtes(stride)}
       |SELECT q_id, c_id, rank, score FROM pqres""".stripMargin
 
-  // Exact rerank of a depth-32 ADC shortlist (IVFADC+R): re-score the
-  // shortlist pairs on their raw quantized vectors, re-rank, keep 3.
-  private def pqRerankCtes =
-    s"""prr AS (SELECT q_id, c_id, rank, score FROM (
+  // Exact rerank of a shortlist CTE (IVFADC+R): re-score the shortlist
+  // pairs on their raw quantized vectors, re-rank, keep 3.
+  private def pqRerankCtes(out: String = "prr", from: String = "pqres") =
+    s"""$out AS (SELECT q_id, c_id, rank, score FROM (
       |  SELECT s.q_id, s.c_id,
       |    row_number() OVER (PARTITION BY s.q_id ORDER BY score DESC, s.c_id) AS rank, score
       |  FROM (SELECT s.q_id, s.c_id,
       |    ${dotSql("q.qv", "c.qv")} /
       |    (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS score
-      |    FROM pqres s JOIN n0 q ON s.q_id = q.vec_id
+      |    FROM $from s JOIN n0 q ON s.q_id = q.vec_id
       |    JOIN n0 c ON s.c_id = c.vec_id) s)
       |  WHERE rank <= 3)""".stripMargin
 
   private def pqRerankSql(stride: Int) =
     s"""WITH $preparedSql,
       |${pqCtes(stride, depth = 32)},
-      |$pqRerankCtes
+      |${pqRerankCtes()}
       |SELECT q_id, c_id, rank, score FROM prr""".stripMargin
+
+  // IVFADC scan: candidates pruned to the query's nprobe probed coarse
+  // cells (`pr`/`af` from ivfTrainedCtes), scored on their PQ codes
+  // (`paf`/`pm2n`/`prn` from pqTrainCtes), shortlist at `depth`.
+  private def ivfAdcCtes(depth: Int) =
+    s"""ianum AS (SELECT pr.q_id, a.vec_id AS c_id, pr.q_nrm,
+      |    CAST(sum(${idotSql("list_slice(pr.q_qv, f.sub * 8 + 1, f.sub * 8 + 8)", "s.cv")}) AS BIGINT) AS num
+      |  FROM pr JOIN af a ON pr.cell = a.cell AND pr.q_id <> a.vec_id
+      |  JOIN paf f ON f.vec_id = a.vec_id
+      |  JOIN pm2n s ON f.sub = s.sub AND f.code = s.code
+      |  GROUP BY pr.q_id, a.vec_id, pr.q_nrm),
+      |iares AS (SELECT q_id, c_id, rank, score FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+      |  FROM (SELECT p.q_id, p.c_id,
+      |    CAST(p.num AS DOUBLE) /
+      |    (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(r.rnrm AS DOUBLE))) AS score
+      |    FROM ianum p JOIN prn r ON p.c_id = r.vec_id))
+      |  WHERE rank <= $depth)""".stripMargin
+
+  private def ivfPqSql(stride: Int) =
+    s"""WITH $preparedSql,
+      |${ivfTrainedCtes(stride)},
+      |$pqTrainCtes,
+      |${ivfAdcCtes(32)},
+      |${pqRerankCtes(out = "iarr", from = "iares")}
+      |SELECT q_id, c_id, rank, score FROM iarr""".stripMargin
 
   // Multi-table sign-LSH band relation: table t buckets on the signs of
   // dims [t·bits+1, t·bits+bits] — mirrors Similarity.lshTopKMulti.
@@ -247,7 +283,9 @@ object PipelineQueries {
       |${ivfTrainedCtes(100)},
       |${lshMultiCtes(100)},
       |${pqCtes(100, depth = 32)},
-      |$pqRerankCtes,
+      |${pqRerankCtes()},
+      |${ivfAdcCtes(32)},
+      |${pqRerankCtes(out = "iarr", from = "iares")},
       |lshb AS (SELECT vec_id, qv, nrm,
       |  CAST(list_sum(list_transform(generate_series(1, 8),
       |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS bucket
@@ -286,11 +324,12 @@ object PipelineQueries {
       |      UNION ALL SELECT 'lsh_multi' AS method, q_id, c_id FROM mlshres
       |      UNION ALL SELECT 'lsh_probe' AS method, q_id, c_id FROM lshproberes
       |      UNION ALL SELECT 'pq' AS method, q_id, c_id FROM pqres WHERE rank <= 3
-      |      UNION ALL SELECT 'pq_rerank' AS method, q_id, c_id FROM prr),
+      |      UNION ALL SELECT 'pq_rerank' AS method, q_id, c_id FROM prr
+      |      UNION ALL SELECT 'ivfpq' AS method, q_id, c_id FROM iarr),
       |h AS (SELECT m.method, CAST(count(*) AS BIGINT) AS n_hits
       |      FROM m JOIN truth USING (q_id, c_id) GROUP BY m.method),
       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi', 'lsh_probe', 'pq', 'pq_rerank']) AS method)
+      |ml AS (SELECT unnest(['ivf', 'lsh', 'lsh_multi', 'lsh_probe', 'pq', 'pq_rerank', 'ivfpq']) AS method)
       |SELECT ml.method AS method, t.n_truth AS n_truth,
       |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
       |  CAST(coalesce(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
@@ -516,6 +555,15 @@ object PipelineQueries {
     Pq.adcRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3, books,
       shortlist = 32)
   }
+  // IVFADC+R: both standing indexes (coarse centroids + PQ codebooks)
+  // come from their caches — this query measures the production search
+  private val annIvfPq: QFn = (s, dir) => {
+    val books = pqBookCache.computeIfAbsent(dir,
+      _ => Pq.trainCodebooks(Tables.embeddings(s, dir)))
+    val emb = Tables.embeddings(s, dir)
+    Pq.ivfAdcRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3,
+      books, trainedCentroids(s, dir), nprobe = 2, shortlist = 32)
+  }
 
   private val annIvfTrainedSearch: QFn = (s, dir) => ivfSearchAtStride(s, dir, stride = 50)
 
@@ -587,15 +635,21 @@ object PipelineQueries {
         .select(lit("pq").as("method"), col("q_id"), col("c_id"))
       val pqRerank = Pq.rerank(pqShortlist, prepped, queries, k = 3)
         .select(lit("pq_rerank").as("method"), col("q_id"), col("c_id"))
+      // the full production composition: cell-pruned, code-scored,
+      // exactly reranked — its recall vs the pure tiers IS the report
+      val ivfpq = Pq.ivfAdcRerankTopK(prepped, queries, k = 3, pqBooks,
+          trainedCentroids(s, dir), nprobe = 2, shortlist = 32)
+        .select(lit("ivfpq").as("method"), col("q_id"), col("c_id"))
       val hits =
         try {
           ivf.union(lsh).union(lshMulti).union(lshProbe).union(pq).union(pqRerank)
+            .union(ivfpq)
             .join(truth, Seq("q_id", "c_id"), "left_semi")
             .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
         } finally pqShortlist.unpersist(blocking = false)
       // literal method spine: a method with zero hits must still report
-      Seq("ivf", "lsh", "lsh_multi", "lsh_probe", "pq", "pq_rerank").map { m =>
+      Seq("ivf", "lsh", "lsh_multi", "lsh_probe", "pq", "pq_rerank", "ivfpq").map { m =>
         val h = hits.getOrElse(m, 0L)
         (m, nTruth, h, h.toDouble / nTruth.toDouble)
       }.toDF("method", "n_truth", "n_hits", "recall")
@@ -1144,6 +1198,7 @@ object PipelineQueries {
     QueryDef("ann_ivf_trained", annIvfTrained, ivfTrainedSql(100)),
     QueryDef("ann_pq", annPq, pqSql(100)),
     QueryDef("ann_pq_rerank", annPqRerank, pqRerankSql(100)),
+    QueryDef("ann_ivfpq", annIvfPq, ivfPqSql(100)),
     QueryDef("ann_recall", annRecall, annRecallSql),
     QueryDef("ann_lsh_multi", annLshMulti,
       s"""WITH $preparedSql,

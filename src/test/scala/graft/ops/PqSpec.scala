@@ -92,6 +92,28 @@ class PqSpec extends SparkSpec {
     assert(rr.toSeq === brute.toSeq)
   }
 
+  test("IVFADC with full probe + full shortlist == brute force exactly") {
+    // nprobe = nlist prunes nothing; an all-candidate shortlist makes
+    // the exact rerank total — so the whole three-stage composition
+    // (coarse assign, code scoring, rerank) must collapse back to
+    // brute force bit-for-bit. Pins the cell equi-join (no pair lost
+    // or duplicated across cells) on top of the two rerank pins.
+    val c = corpus(n = 12)
+    val q = c.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.kmeansCentroids(c, nlist = 3, iters = 2)
+    val books = Pq.trainCodebooks(c, m = 4, k = 2, iters = 1, dims = 16) // coarse!
+    val ivfadc = Pq.ivfAdcRerankTopK(c, q, k = 3, books, cents, nprobe = 3,
+        shortlist = 11, m = 4, dims = 16, codes = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("score")))
+    val brute = Similarity.bruteForceTopK(c, q, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("score")))
+    assert(ivfadc.toSeq === brute.toSeq)
+  }
+
   test("encode emits m codes + reconstruction norm; codes come from the books") {
     val books = Pq.trainCodebooks(corpus(), m = 4, k = 4, iters = 1, dims = 16)
     val enc = Pq.encode(corpus(), books, m = 4, dims = 16)

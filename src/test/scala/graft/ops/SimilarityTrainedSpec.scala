@@ -165,6 +165,11 @@ class SimilarityTrainedSpec extends SparkSpec {
       // therefore dominates pure-ADC recall, structurally
       assert(rec("pq_rerank") >= rec("pq"),
         s"$dir: exact rerank of an ADC-superset shortlist cannot lose recall")
+      // the production composition: cell-pruned + code-scored + exact
+      // rerank (measured 0.67/0.33 at sf0.01/sf0.1 — tracks ivf at
+      // small N; at 32k vectors the 32-deep ADC ordering inside the
+      // probed cells drops some truth pairs, the honest IVFADC trade).
+      assert(rec("ivfpq") >= 0.25, s"$dir: ivfpq recall ${rec("ivfpq")} < 0.25")
     }
   }
 }
