@@ -193,6 +193,45 @@ object ExtendedQueries {
         coalesce(max(col("o_orderkey")), lit(-1L)).as("max_orderkey_7d"))
   }
 
+  private val j8PointInInterval: QFn = (s, dir) => {
+    // KEYLESS point-in-interval join (no shared equi key exists — j6's
+    // user-key trick doesn't apply): which events fall inside each
+    // 2-hour window opened by a sampled purchase? A plain inequality
+    // join would plan BroadcastNestedLoopJoin — O(P·I) scored pairs.
+    // RangeJoin buckets time at the window length (each interval spans
+    // <= 2 buckets, each point exactly 1) and turns it into ONE hash
+    // shuffle on the bucket id; a pair can meet only in the point's
+    // bucket, so no dedup pass exists. RangeJoinSpec pins the plan
+    // (no BNLJ/cartesian) and the semantics (differential vs naive).
+    import graft.ops.RangeJoin
+    val ev = Tables.events(s, dir)
+    val twoH = 2L * 3600000000L
+    val points = ev.select(col("event_id"), col("ts_us"))
+    val intervals = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id"), col("ts_us"), (col("ts_us") + twoH).as("end_us"))
+    RangeJoin.pointInInterval(points, col("event_id"), col("ts_us"),
+      intervals, col("event_id"), col("ts_us"), col("end_us"), bucketWidth = twoH)
+  }
+
+  private val j9IntervalOverlap: QFn = (s, dir) => {
+    // KEYLESS interval-overlap join: 12-hour purchase windows vs
+    // 12-hour signup windows, one row per overlapping pair. Same
+    // bucketed-banding plan; each overlapping pair is allocated to the
+    // single bucket holding the LATER start, so the result needs no
+    // dedup even though wide intervals share many buckets.
+    import graft.ops.RangeJoin
+    val ev = Tables.events(s, dir)
+    val h12 = 12L * 3600000000L
+    def win(tpe: String) = ev
+      .filter(col("event_type") === tpe && col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts_us"), (col("ts_us") + h12).as("end_us"))
+    RangeJoin.intervalOverlap(
+      win("purchase"), col("event_id"), col("ts_us"), col("end_us"),
+      win("signup"), col("event_id"), col("ts_us"), col("end_us"),
+      bucketWidth = h12)
+  }
+
   // ---- T: sliding windows --------------------------------------------------
 
   private val t4SlidingWindow: QFn = (s, dir) =>
@@ -518,6 +557,19 @@ object ExtendedQueries {
         |ON e.user_id = o.o_custkey AND o.o_us <= epoch_us(e.ts)
         |  AND o.o_us > epoch_us(e.ts) - 604800000000
         |GROUP BY e.event_id, e.user_id""".stripMargin),
+    QueryDef("j8_point_in_interval", j8PointInInterval,
+      """SELECT i.event_id AS interval_id, p.event_id AS point_id
+        |FROM events i, events p
+        |WHERE i.event_type = 'purchase' AND i.event_id % 20 = 0
+        |  AND epoch_us(p.ts) >= epoch_us(i.ts)
+        |  AND epoch_us(p.ts) < epoch_us(i.ts) + 7200000000""".stripMargin),
+    QueryDef("j9_interval_overlap", j9IntervalOverlap,
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a, events b
+        |WHERE a.event_type = 'purchase' AND a.event_id % 5 = 0
+        |  AND b.event_type = 'signup' AND b.event_id % 5 = 0
+        |  AND epoch_us(a.ts) < epoch_us(b.ts) + 43200000000
+        |  AND epoch_us(b.ts) < epoch_us(a.ts) + 43200000000""".stripMargin),
     QueryDef("t4_sliding_window", t4SlidingWindow,
       """WITH x AS (SELECT event_type, value,
         |  (epoch_us(ts) // 10800000000) * 10800000000 AS s1 FROM events)

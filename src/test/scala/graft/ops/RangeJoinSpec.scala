@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic pseudo-random longs (no RNG — rerun-stable).
+  private def h(i: Long, salt: Long): Long =
+    math.abs((i * 2654435761L + salt * 40503L) % 100000L)
+
+  // points: 200 timestamps over [0, 100k); intervals: 60 windows of
+  // wildly varying width (1 .. ~9k), some empty, some crossing many
+  // buckets, some duplicated.
+  private def points = (0L until 200L).map(i => (i, h(i, 7))).toDF("id", "ts")
+  private def intervals = (0L until 60L).map { i =>
+    val s = h(i, 13)
+    val w = h(i, 29) % 9000L - 500L // negative/zero widths included
+    (i, s, s + w)
+  }.toDF("id", "start", "end")
+
+  private def naiveContain: Set[(Long, Long)] = {
+    val ps = points.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val is = intervals.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (for {
+      (iid, s, e) <- is
+      (pid, ts) <- ps
+      if ts >= s && ts < e
+    } yield (iid, pid)).toSet
+  }
+
+  private def naiveOverlap(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (ai, as_, ae) <- a
+      (bi, bs, be) <- b
+      if as_ < ae && bs < be // both non-empty
+      if as_ < be && bs < ae
+    } yield (ai, bi)).toSet
+
+  test("pointInInterval matches the naive cross join across bucket widths") {
+    for (width <- Seq(100L, 1000L, 9999L)) {
+      val got = RangeJoin.pointInInterval(points, col("id"), col("ts"),
+          intervals, col("id"), col("start"), col("end"),
+          bucketWidth = width, maxSpanBuckets = 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naiveContain, s"width=$width")
+    }
+  }
+
+  test("pointInInterval emits no duplicate pairs (one bucket per point)") {
+    val got = RangeJoin.pointInInterval(points, col("id"), col("ts"),
+        intervals, col("id"), col("start"), col("end"),
+        bucketWidth = 50L, maxSpanBuckets = 500) // tiny buckets: max fan-out
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "duplicate (interval, point) pairs")
+  }
+
+  test("intervalOverlap matches naive, exactly once per pair, end-exclusive") {
+    val a = (0L until 40L).map { i =>
+      val s = h(i, 3); (i, s, s + h(i, 5) % 7000L)
+    }
+    val b = (0L until 40L).map { i =>
+      val s = h(i, 11); (i, s, s + h(i, 17) % 7000L)
+    } ++ Seq(
+      (98L, 1000L, 2000L), // touching pair: [1000,2000) vs [2000,3000)
+      (99L, 2000L, 3000L)) //   must NOT overlap (end-exclusive)
+    val adf = a.toDF("id", "start", "end")
+    val bdf = b.toDF("id", "start", "end")
+    for (width <- Seq(128L, 1024L, 8192L)) {
+      val rows = RangeJoin.intervalOverlap(adf, col("id"), col("start"), col("end"),
+          bdf, col("id"), col("start"), col("end"),
+          bucketWidth = width, maxSpanBuckets = 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size, s"width=$width: pair emitted twice")
+      assert(rows.toSet === naiveOverlap(a, b), s"width=$width")
+    }
+  }
+
+  test("identical and contained intervals overlap; empty intervals never match") {
+    val a = Seq((1L, 100L, 200L), (2L, 100L, 200L), (3L, 500L, 500L)).toDF("id", "start", "end")
+    val b = Seq((10L, 100L, 200L), (11L, 120L, 130L), (12L, 499L, 501L)).toDF("id", "start", "end")
+    val got = RangeJoin.intervalOverlap(a, col("id"), col("start"), col("end"),
+        b, col("id"), col("start"), col("end"), bucketWidth = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id 3 is empty [500,500) — matches nothing, not even the window
+    // that spans 500
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+  }
+
+  test("an interval spanning more than maxSpanBuckets fails loudly") {
+    val wide = Seq((1L, 0L, 1000000L)).toDF("id", "start", "end")
+    val e = intercept[Throwable] {
+      RangeJoin.pointInInterval(points, col("id"), col("ts"),
+        wide, col("id"), col("start"), col("end"),
+        bucketWidth = 100L, maxSpanBuckets = 64).count()
+    }
+    assert(e.getMessage.contains("spans more than 64 buckets") ||
+      Option(e.getCause).exists(_.getMessage.contains("spans more than 64 buckets")),
+      s"unexpected failure: $e")
+  }
+
+  test("the plan is a bucket EQUI join — no nested-loop, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def assertNoCross(df: DataFrame, name: String): Unit = {
+      val p = df.queryExecution.sparkPlan
+      assert(p.collect {
+        case b: BroadcastNestedLoopJoinExec => b
+        case c: CartesianProductExec => c
+      }.isEmpty, s"$name planned a cross-style join:\n$p")
+    }
+    assertNoCross(RangeJoin.pointInInterval(points, col("id"), col("ts"),
+      intervals, col("id"), col("start"), col("end"), bucketWidth = 1000L), "pointInInterval")
+    assertNoCross(RangeJoin.intervalOverlap(intervals, col("id"), col("start"), col("end"),
+      intervals, col("id"), col("start"), col("end"), bucketWidth = 1000L), "intervalOverlap")
+    // and the declared queries keep the property on the real fixture
+    for (q <- Seq("j8_point_in_interval", "j9_interval_overlap"))
+      assertNoCross(graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"), q)
+  }
+}
