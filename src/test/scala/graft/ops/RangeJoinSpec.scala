@@ -101,6 +101,40 @@ class RangeJoinSpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("bucket width is the skew dial: candidate volume collapses, results don't") {
+    // Hot-window rehearsal: 20k points and 400 one-minute intervals all
+    // inside ONE hour. A coarse bucket (the whole hour) funnels every
+    // row into a single join key — the candidate volume (Σ_b |P_b|·|I_b|,
+    // the rows the residual filter must touch) is the full cross
+    // product, exactly the skew a careless width re-creates. Re-bucket
+    // at the interval length and the SAME operator does ~30x less
+    // residual work for an identical result — the capBuckets discipline,
+    // expressed as a width choice. (A residual hot bucket beyond the
+    // width dial is a plain shuffle-join partition, which AQE skew-split
+    // handles like any other hot key.)
+    val hour = 3600L
+    val pts = (0L until 20000L).map(i => (i, h(i, 41) % hour)).toDF("id", "ts")
+    val ivs = (0L until 400L).map { i =>
+      val s = h(i, 43) % (hour - 60); (i, s, s + 60L)
+    }.toDF("id", "start", "end")
+    def candidates(width: Long): Long = {
+      val pb = pts.groupBy(floor(col("ts") / width).as("b")).count()
+        .withColumnRenamed("count", "np")
+      val ib = ivs.select(explode(sequence(floor(col("start") / width),
+          floor((col("end") - 1) / width))).as("b"))
+        .groupBy("b").count().withColumnRenamed("count", "ni")
+      pb.join(ib, "b").agg(sum(col("np") * col("ni"))).head().getLong(0)
+    }
+    val coarse = candidates(hour)
+    val fine = candidates(60L)
+    assert(coarse === 20000L * 400L, "coarse width should be the full cross product")
+    assert(coarse / fine > 20, s"narrow buckets only cut candidates $coarse -> $fine")
+    def run(width: Long) = RangeJoin.pointInInterval(pts, col("id"), col("ts"),
+        ivs, col("id"), col("start"), col("end"), bucketWidth = width)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(hour) === run(60L), "width changed the answer")
+  }
+
   test("the plan is a bucket EQUI join — no nested-loop, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     def assertNoCross(df: DataFrame, name: String): Unit = {
