@@ -74,6 +74,20 @@ object Main {
       |                     (--out, --checkpoint; --once drains and stops;
       |                     --compact-index-every N folds the indexes' epoch
       |                     partitions so per-batch listing stays bounded)
+      |  index-build EMB_DIR
+      |                     train + persist the ANN standing index over a
+      |                     (vec_id, embedding[, label]) parquet: coarse IVF
+      |                     centroids, PQ codebooks, and the encoded corpus
+      |                     (cell + 8 codes + rnrm per vector) land under --out
+      |                     (--nlist N [8] --iters N [2] --m N [8]
+      |                      --codes N [16] --dims N [64])
+      |  index-search EMB_DIR
+      |                     top-k neighbors from a standing --index WITHOUT
+      |                     retraining or rescanning raw vectors (IVFADC+R:
+      |                     cell-pruned compressed scan + exact rerank; raw
+      |                     vectors touched only for the Q x shortlist rerank
+      |                     fetch); queries = --ids I,J,... rows of EMB_DIR
+      |                     (--k N [3] --nprobe N [2] --shortlist N [32])
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -135,7 +149,8 @@ object Main {
     "compact-every",
     "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
-    "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every")
+    "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
+    "index", "ids", "k", "nprobe", "shortlist", "nlist", "iters", "m", "codes", "dims")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -743,6 +758,63 @@ object Main {
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()
           println(s"ingested $docsDir into $out/corpus")
+          0
+
+        case "index-build" =>
+          // build-once half of the ANN standing index: both quantizers
+          // trained with the deterministic integer k-means discipline,
+          // then the corpus encoded to (cell, codes, rnrm) — the 8-byte
+          // searchable form. Everything lands as plain parquet + a
+          // 1-row meta table, so search (and any other engine) can
+          // reconstruct the exact configuration without guessing.
+          val Vector((_, embDir)) = positional(pos, "index-build", "EMB_DIR")
+          val out = required(opts, "out")
+          val (m, dims, codes) = (intOpt(opts, "m", 8),
+            intOpt(opts, "dims", 64), intOpt(opts, "codes", 16))
+          val (nlist, iters) = (intOpt(opts, "nlist", 8), intOpt(opts, "iters", 2))
+          val emb = spark.read.parquet(embDir)
+          val centroids = graft.ops.Similarity.kmeansCentroids(emb, nlist, iters)
+          centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+          val books = graft.ops.Pq.trainCodebooks(emb, m, codes, iters, dims)
+          graft.ops.Pq.booksToDf(spark, books)
+            .write.mode(SaveMode.Overwrite).parquet(s"$out/codebooks")
+          val index = graft.ops.Pq.encode(
+            graft.ops.Similarity.assignCells(graft.ops.Similarity.prep(emb),
+              spark.read.parquet(s"$out/centroids")), books, m, dims)
+          index.write.mode(SaveMode.Overwrite).parquet(s"$out/codes")
+          import spark.implicits._
+          Seq((m, dims, codes, nlist, iters))
+            .toDF("m", "dims", "codes", "nlist", "iters")
+            .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+          val n = spark.read.parquet(s"$out/codes").count()
+          println(s"indexed $n vectors into $out (nlist=$nlist, m=$m, codes=$codes)")
+          0
+
+        case "index-search" =>
+          // search-many half: query the standing index at --index. The
+          // compressed codes are the ONLY corpus-wide relation touched;
+          // EMB_DIR supplies the query vectors and the Q x shortlist
+          // rerank fetch (vec_id equi-join), never a full raw scan.
+          val Vector((_, embDir)) = positional(pos, "index-search", "EMB_DIR")
+          val idx = required(opts, "index")
+          val ids = required(opts, "ids").split(',').map(_.trim.toLong).toSeq
+          val meta = spark.read.parquet(s"$idx/meta").head()
+          val (m, dims, codes) = (meta.getAs[Int]("m"),
+            meta.getAs[Int]("dims"), meta.getAs[Int]("codes"))
+          val emb = spark.read.parquet(embDir)
+          val res = graft.ops.Pq.searchIndex(
+            spark.read.parquet(s"$idx/codes"), emb,
+            emb.filter(col("vec_id").isin(ids: _*)),
+            k = intOpt(opts, "k", 3),
+            books = graft.ops.Pq.booksFromDf(spark.read.parquet(s"$idx/codebooks")),
+            centroids = Some(spark.read.parquet(s"$idx/centroids")),
+            nprobe = intOpt(opts, "nprobe", 2),
+            shortlist = intOpt(opts, "shortlist", 32),
+            m = m, dims = dims, codes = codes)
+          res.orderBy(col("q_id"), col("rank")).collect().foreach { r =>
+            println(s"${r.getAs[Long]("q_id")} ${r.getAs[Long]("c_id")} " +
+              s"${r.getAs[Int]("rank")} ${r.getAs[Double]("score")}")
+          }
           0
 
         case other => throw CliError(s"unknown command: $other")

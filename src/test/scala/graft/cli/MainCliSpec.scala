@@ -463,4 +463,35 @@ class MainCliSpec extends SparkSpec {
     // the written corpus equals the funnel's sampled count
     assert(spark.read.parquet(s"$out/corpus").count() === funnel("sampled_written"))
   }
+
+  test("index-build + index-search: stored ANN index answers == one-shot library path") {
+    val dir = "/root/testdata/sf0.001"
+    val embPath = s"$dir/embeddings.parquet"
+    val out = tmp("cli_ann")
+    assert(Main.run(spark, Seq("index-build", embPath, "--out", out)) === 0)
+    // all four artifacts exist; codes carry (cell, 8 codes, rnrm), one
+    // row per corpus vector — the index is 8 bytes/vector, not vectors
+    val emb = spark.read.parquet(embPath)
+    val codes = spark.read.parquet(s"$out/codes")
+    assert(codes.count() === emb.count())
+    assert(codes.columns.toSet ===
+      (Set("vec_id", "cell", "rnrm") ++ (0 until 8).map(t => s"code_$t")))
+    assert(spark.read.parquet(s"$out/meta").head().getAs[Int]("codes") === 16)
+    // search from the STORED index (no retraining) must reproduce the
+    // one-shot library composition exactly
+    assert(Main.run(spark, Seq("index-search", embPath, "--index", out,
+      "--ids", "0,20", "--k", "3")) === 0)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, 20L))
+    val stored = graft.ops.Pq.searchIndex(codes, emb, queries, k = 3,
+        books = graft.ops.Pq.booksFromDf(spark.read.parquet(s"$out/codebooks")),
+        centroids = Some(spark.read.parquet(s"$out/centroids")))
+      .collect().map(_.toString).sorted.toSeq
+    val books = graft.ops.Pq.trainCodebooks(emb)
+    val cents = graft.ops.Similarity.kmeansCentroids(emb)
+    val oneShot = graft.ops.Pq.ivfAdcRerankTopK(emb, queries, k = 3, books, cents)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === oneShot)
+    // missing --ids is the click-style validation error, exit 2
+    assert(Main.run(spark, Seq("index-search", embPath, "--index", out)) === 2)
+  }
 }
