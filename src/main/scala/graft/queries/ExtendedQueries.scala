@@ -232,6 +232,21 @@ object ExtendedQueries {
       bucketWidth = h12)
   }
 
+  private val t6Resample: QFn = (s, dir) => {
+    // Gap-filled per-user daily resample: one row per (user, day) over
+    // each user's own active span, n_events = 0 on gap days, value
+    // forward-filled from the last observed event ((ts, event_id)
+    // argmax — deterministic under ties). floor(ts_us / day) is exact
+    // here: for integer a < 2^53, double division can't misround the
+    // floor (epoch micros ≈ 1.7e15 stays far under), so Spark's floor
+    // and DuckDB's integer // agree on every boundary.
+    import graft.ops.Resample
+    val ev = Tables.events(s, dir)
+    Resample.resample(ev, col("user_id"), col("ts_us"), col("value"),
+        col("event_id"), stepUs = 86400000000L)
+      .withColumnRenamed("key", "user_id")
+  }
+
   // ---- T: sliding windows --------------------------------------------------
 
   private val t4SlidingWindow: QFn = (s, dir) =>
@@ -570,6 +585,27 @@ object ExtendedQueries {
         |  AND b.event_type = 'signup' AND b.event_id % 5 = 0
         |  AND epoch_us(a.ts) < epoch_us(b.ts) + 43200000000
         |  AND epoch_us(b.ts) < epoch_us(a.ts) + 43200000000""".stripMargin),
+    QueryDef("t6_resample", t6Resample,
+      """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS step,
+        |    epoch_us(ts) AS us, event_id, value FROM events),
+        |ps AS (SELECT user_id, step, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM obs GROUP BY 1, 2),
+        |lastv AS (SELECT user_id, step, value FROM (
+        |  SELECT user_id, step, value,
+        |    row_number() OVER (PARTITION BY user_id, step
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM obs) WHERE rn = 1),
+        |span AS (SELECT user_id, min(step) AS lo, max(step) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS step FROM span),
+        |j AS (SELECT g.user_id, g.step, coalesce(ps.n_events, CAST(0 AS BIGINT)) AS n_events,
+        |    lastv.value AS v
+        |  FROM grid g
+        |  LEFT JOIN ps ON g.user_id = ps.user_id AND g.step = ps.step
+        |  LEFT JOIN lastv ON g.user_id = lastv.user_id AND g.step = lastv.step)
+        |SELECT user_id, step, step * 86400000000 AS step_start_us, n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY step
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+        |FROM j""".stripMargin),
     QueryDef("t4_sliding_window", t4SlidingWindow,
       """WITH x AS (SELECT event_type, value,
         |  (epoch_us(ts) // 10800000000) * 10800000000 AS s1 FROM events)

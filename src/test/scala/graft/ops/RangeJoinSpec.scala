@@ -135,6 +135,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(hour) === run(60L), "width changed the answer")
   }
 
+  test("epoch-scale bucket boundaries: floor(a/W) never misrounds below 2^53") {
+    // The bucket id is floor(ts / width) computed in DOUBLE division.
+    // For integer ts < 2^53 the rounding error (≤ ts·2^-53 / width
+    // buckets) is strictly smaller than the 1/width gap between any
+    // non-multiple ratio and its nearest integer, so the floor is
+    // EXACT — but only because epoch micros stay under 2^53. Pin it at
+    // realistic 2024 epochs with points sitting 1us around boundaries.
+    val w = 7200000000L // 2h in micros
+    val k = 1704067200000000L / w // a 2024 epoch boundary
+    val pts = Seq((1L, k * w - 1L), (2L, k * w), (3L, k * w + 1L))
+      .toDF("id", "ts")
+    val ivs = Seq((10L, k * w, (k + 1) * w)).toDF("id", "start", "end")
+    val got = RangeJoin.pointInInterval(pts, col("id"), col("ts"),
+        ivs, col("id"), col("start"), col("end"), bucketWidth = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ts = kW-1 is OUTSIDE [kW, (k+1)W); the other two are inside
+    assert(got === Set((10L, 2L), (10L, 3L)))
+  }
+
   test("the plan is a bucket EQUI join — no nested-loop, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     def assertNoCross(df: DataFrame, name: String): Unit = {
