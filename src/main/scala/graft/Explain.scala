@@ -26,7 +26,12 @@ object Explain {
         "k1_versioned_upsert", "dedup_minhash", "ann_bruteforce", "j2_full_outer_reconcile",
         // round-10 flagships: projection-only classifier, per-side OR
         // pushdown, self-aggregation join, banded LSH recall harness
-        "text_classify", "q19_discounted_revenue", "q17_small_quantity", "ann_lsh_multi")
+        "text_classify", "q19_discounted_revenue", "q17_small_quantity", "ann_lsh_multi",
+        // round-12 flagships: Expand-free double-distinct decorrelation,
+        // window-min argmin (single fact scan), compressed cell-pruned
+        // ANN, keyless bucketed range join, per-key gap-fill grid
+        "q21_waiting_orders", "q2_min_cost_supplier", "ann_ivfpq",
+        "j8_point_in_interval", "t6_resample")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -220,6 +220,29 @@ object ArrayKernels {
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
+
+  private val deflaterTl =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION))
+
+  /** DEFLATE-compressed byte length of the UTF-8 text — the
+    * compression-ratio quality signal (Gopher/CCNet-style: boilerplate
+    * and repetition compress far below natural prose). One ThreadLocal
+    * Deflater per executor thread, reset per row — no per-row
+    * allocation beyond the fixed scratch buffer. Deterministic for a
+    * fixed JVM (zlib level/strategy pinned), which is why the query
+    * layer declares it rows-only: DuckDB has no DEFLATE to replay. */
+  def deflateLen(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = deflaterTl.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }
 
 /** minhash_sigs(text) -> array<string> of numHashes signature slices;
@@ -408,7 +431,22 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(l, r)
 }
 
+/** deflate_len(text) -> compressed byte count (see ArrayKernels.deflateLen). */
+case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.string("deflate_len", child.dataType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(ArrayKernels.deflateLen(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ArrayKernels.deflateLen($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateLenExpr =
+    copy(child = c)
+}
+
 object ArrayExprs {
+  def deflateLen(c: Column): Column =
+    GraftColumnShim.column(DeflateLenExpr(GraftColumnShim.expression(c)))
   def minhashSigs(c: Column, numHashes: Int = 4): Column =
     GraftColumnShim.column(MinHashSigsExpr(GraftColumnShim.expression(c), numHashes))
   def shingleHashes(c: Column): Column =

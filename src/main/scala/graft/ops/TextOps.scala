@@ -259,6 +259,24 @@ object TextOps {
         .as("rep_ratio"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/CCNet rule the
+    * length/stopword/repetition family can't express): boilerplate,
+    * template spam, and pathological repetition DEFLATE far below
+    * natural prose, so `ratio = deflate_len / n_bytes` is a one-number
+    * junk detector. Pure map-side native-kernel work inside whole-stage
+    * codegen — zero shuffle. Deterministic per JVM but NOT replayable
+    * in DuckDB (no DEFLATE there), so `text_compress_ratio` is declared
+    * rows-only — the p8/p9/x1 convention — with the semantics pinned by
+    * CompressRatioSpec's differentials instead. Empty docs get a null
+    * ratio (0/0 is a gate decision, not a number). */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.expr.ArrayExprs.deflateLen(col("text")).as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes").cast("double")))
+
   // local part includes + and - (user+tag@, john-doe@): omitting them
   // would mask only the suffix and leak the identifying prefix
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"

@@ -834,6 +834,11 @@ object PipelineQueries {
 
   private val textRepetition: QFn = (s, dir) => TextOps.repetition(Tables.documents(s, dir))
 
+  // rows-only (DuckDB has no DEFLATE to replay — the p8/p9/x1
+  // convention); semantics pinned by CompressRatioSpec differentials
+  private val textCompressRatio: QFn = (s, dir) =>
+    TextOps.compressionRatio(Tables.documents(s, dir))
+
   private val textDupSpans: QFn = (s, dir) => TextOps.dupSpans(Tables.documents(s, dir))
 
   private val textDecontaminateSpans: QFn = (s, dir) => {
@@ -1058,6 +1063,7 @@ object PipelineQueries {
         |CAST(length(text) AS DOUBLE) /
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) AS chars_per_piece
         |FROM documents""".stripMargin),
+    QueryDef("text_compress_ratio", textCompressRatio, ""),
     QueryDef("text_repetition", textRepetition,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

@@ -16,8 +16,10 @@ class QueriesSmokeSpec extends SparkSpec {
     Set("dedup_embed_cosine", "dedup_minhash", "dedup_ngram_jaccard")
 
   test("oracleSql covers every query except declared rows-only ops") {
-    // no 256-bit ints / keccak in DuckDB; sketches are approximate by definition
-    val rowsOnly = Set("p8_uint256_math", "p9_keccak", "x1_approx_sketch")
+    // no 256-bit ints / keccak / DEFLATE in DuckDB; sketches are
+    // approximate by definition
+    val rowsOnly = Set("p8_uint256_math", "p9_keccak", "x1_approx_sketch",
+      "text_compress_ratio")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
