@@ -68,8 +68,11 @@ object Main {
       |  ingest DOCS_DIR    continuously ingest parquet documents dropped into
       |                     DOCS_DIR: per-micro-batch near-dup dedup against the
       |                     standing band index, with prepare's optional
-      |                     --classifier/--bench gates and --cdc (chunk-grain
-      |                     revision gate, --cdc-dup-frac F [0.5]); survivors
+      |                     --classifier/--bench gates, --cdc (chunk-grain
+      |                     revision gate, --cdc-dup-frac F [0.5]), and
+      |                     --embed-threshold F (semantic near-dup gate over an
+      |                     embedding column: standing sign-bucket index,
+      |                     quantized cosine >= F drops); survivors
       |                     land at $out/corpus, indexes beside it
       |                     (--out, --checkpoint; --once drains and stops;
       |                     --compact-index-every N folds the indexes' epoch
@@ -150,7 +153,8 @@ object Main {
     "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
-    "index", "ids", "k", "nprobe", "shortlist", "nlist", "iters", "m", "codes", "dims")
+    "index", "ids", "k", "nprobe", "shortlist", "nlist", "iters", "m", "codes", "dims",
+    "embed-threshold")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -750,9 +754,15 @@ object Main {
               Some(graft.streaming.Ingest.CdcGate(s"$out/chunk_index",
                 dupFrac = doubleOpt(opts, "cdc-dup-frac", 0.5)))
             else None
+          val embed =
+            if (opts.contains("embed-threshold"))
+              Some(graft.streaming.Ingest.EmbedGate(s"$out/embed_index",
+                threshold = doubleOpt(opts, "embed-threshold", 0.9)))
+            else None
           val q = graft.streaming.Ingest.startNearDupIngest(stream,
             s"$out/band_index", s"$out/corpus", checkpoint,
             bench = bench, classifier = parseClassifier(spark, opts), cdc = cdc,
+            embed = embed,
             compactIndexEvery = opts.get("compact-index-every")
               .map(v => longOpt(opts, "compact-index-every", 0L)))
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }

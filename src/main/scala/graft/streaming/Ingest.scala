@@ -45,6 +45,25 @@ object Ingest {
   final case class CdcGate(indexPath: String, k: Int = 4, modulus: Int = 16,
       dupFrac: Double = 0.5)
 
+  /** Embedding near-dup gate: probe/extend a standing sign-bucket
+    * embedding index at `indexPath` (same epoch-partitioned idempotent
+    * layout as the band index). A batch doc whose quantized-cosine
+    * against ANY standing vector in its (multi-probed) LSH bucket
+    * reaches `threshold` is dropped as a SEMANTIC near-dup — the
+    * paraphrase/translation/re-render case no text-shingle gate can
+    * see (every band minimum moves, every CDC chunk hash changes, but
+    * the embedding barely does). Catches and misses are the standard
+    * sign-LSH trade: `probeDist` sign-bit flips widen recall on the
+    * QUERY side only — the standing index buckets once and is probed
+    * by a bucket equi-join, O(batch · bucket-occupancy) per epoch,
+    * never re-scanned. The index stores the quantized vectors
+    * themselves (exact integer cosine at probe time); at 100 TB swap
+    * the stored vectors for PQ codes + ADC threshold (ops/Pq) — same
+    * probe shape, ~64x smaller index. Only engages when the stream
+    * carries an `embedding` column (enforced loudly). */
+  final case class EmbedGate(indexPath: String, threshold: Double = 0.9,
+      bits: Int = 8, probeDist: Int = 1)
+
   /** One micro-batch of near-dup-aware ingestion — the foreachBatch body
     * of [[startNearDupIngest]], exposed so batch replays and specs drive
     * it directly. Semantics: a batch doc survives iff (a) no smaller-id
@@ -78,6 +97,7 @@ object Ingest {
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
       cdc: Option[CdcGate] = None,
+      embed: Option[EmbedGate] = None,
       compactIndexEvery: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
@@ -151,23 +171,63 @@ object Ingest {
               case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
             }
           }.getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
-          // dropped feeds the sink writes (several actions) — persist so
-          // the corpus/chunk probe joins run once
-          val dropped = inBatchDropped.unionByName(corpusHits)
-            .unionByName(contaminated).unionByName(chunkHits).persist()
+          // embedding gate (optional): quantize + sign-bucket the batch
+          // once; persisted because the corpus probe AND the survivor
+          // index write both consume it
+          val embVecs = embed.map { g =>
+            require(gated.columns.contains("embedding"),
+              "EmbedGate requires the stream to carry an `embedding` column")
+            import graft.ops.Similarity
+            gated.select(col("doc_id"), Similarity.quantize(col("embedding")).as("qv"))
+              .withColumn("nrm", Similarity.sqNorm(col("qv")))
+              .withColumn("bucket", Similarity.signBucket(col("qv"), g.bits))
+              .persist()
+          }
           try {
-            val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
-            writeBatchPartition(survivors, outPath, batchId)
-            writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
-              indexPath, batchId)
-            // survivors' chunks extend the standing chunk index, so the
-            // NEXT epoch's revision probe sees them (same idempotent
-            // epoch-partition overwrite as the band index)
-            cdc.zip(chunks).foreach { case (c, ch) =>
-              writeBatchPartition(ch.join(dropped, Seq("doc_id"), "left_anti"),
-                c.indexPath, batchId)
-            }
-          } finally dropped.unpersist(blocking = false)
+            val embedHits = embed.zip(embVecs).map { case (g, pe) =>
+              standingBands(spark, g.indexPath) match {
+                case Some(idx) =>
+                  import graft.ops.Similarity
+                  val corpus = idx.filter(col("batch_id") =!= batchId)
+                    .select(col("bucket"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+                  // fan-out rides the BATCH side only (probeMasks are
+                  // plan-time literals); the standing index never widens
+                  val probes = pe.withColumn("flip", explode(array(
+                      Similarity.probeMasks(g.bits, g.probeDist).map(lit): _*)))
+                    .select(col("doc_id"),
+                      col("bucket").bitwiseXOR(col("flip")).as("bucket"),
+                      col("qv"), col("nrm"))
+                  corpus.join(probes, Seq("bucket"))
+                    .filter(Similarity.cosine(col("qv"), col("c_qv"),
+                      col("nrm"), col("c_nrm")) >= g.threshold)
+                    .select(col("doc_id")).distinct()
+                case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+              }
+            }.getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+            // dropped feeds the sink writes (several actions) — persist so
+            // the corpus/chunk probe joins run once
+            val dropped = inBatchDropped.unionByName(corpusHits)
+              .unionByName(contaminated).unionByName(chunkHits)
+              .unionByName(embedHits).persist()
+            try {
+              val survivors = gated.join(dropped, Seq("doc_id"), "left_anti")
+              writeBatchPartition(survivors, outPath, batchId)
+              writeBatchPartition(bands.join(dropped, Seq("doc_id"), "left_anti"),
+                indexPath, batchId)
+              // survivors' chunks extend the standing chunk index, so the
+              // NEXT epoch's revision probe sees them (same idempotent
+              // epoch-partition overwrite as the band index)
+              cdc.zip(chunks).foreach { case (c, ch) =>
+                writeBatchPartition(ch.join(dropped, Seq("doc_id"), "left_anti"),
+                  c.indexPath, batchId)
+              }
+              // ...and survivors' vectors extend the standing embed index
+              embed.zip(embVecs).foreach { case (g, pe) =>
+                writeBatchPartition(pe.join(dropped, Seq("doc_id"), "left_anti"),
+                  g.indexPath, batchId)
+              }
+            } finally dropped.unpersist(blocking = false)
+          } finally embVecs.foreach(_.unpersist(blocking = false))
         } finally chunks.foreach(_.unpersist(blocking = false))
       } finally contaminated.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
@@ -180,6 +240,7 @@ object Ingest {
       if (n > 0 && batchId > 0 && batchId % n == 0) {
         compactIndex(spark, indexPath, batchId)
         cdc.foreach(c => compactIndex(spark, c.indexPath, batchId))
+        embed.foreach(g => compactIndex(spark, g.indexPath, batchId))
       }
     }
   }
@@ -302,12 +363,13 @@ object Ingest {
       bench: Option[graft.ops.Decontaminate.BenchGate] = None,
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
       cdc: Option[CdcGate] = None,
+      embed: Option[EmbedGate] = None,
       compactIndexEvery: Option[Long] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket,
-          bench, classifier, cdc, compactIndexEvery)
+          bench, classifier, cdc, embed, compactIndexEvery)
       }
       .start()
 }
