@@ -181,6 +181,12 @@ object Pq {
     * ⟨q_sub, c_(sub,code)⟩ — position sub·k + code; collapsed codes get
     * a never-read 0 slot. */
   private def dtfExpr(books: Array[Book], m: Int, dims: Int, codes: Int): Column = {
+    // a stored code larger than the declared table width would make
+    // adcNumerator read a NEIGHBORING subspace's dot slot — silent
+    // ranking corruption, so the mismatch fails at plan build
+    require(books.forall(b => b.code >= 1 && b.code <= codes && b.sub < m),
+      s"codebook exceeds the declared m=$m x codes=$codes table " +
+        s"(max sub=${books.map(_.sub).max}, max code=${books.map(_.code).max})")
     val dsub = dims / m
     array((for (t <- 0 until m; j <- 1 to codes) yield {
       books.find(b => b.sub == t && b.code == j) match {

@@ -178,7 +178,11 @@ object Ingest {
             require(gated.columns.contains("embedding"),
               "EmbedGate requires the stream to carry an `embedding` column")
             import graft.ops.Similarity
-            gated.select(col("doc_id"), Similarity.quantize(col("embedding")).as("qv"))
+            // null embeddings can neither match (null cosine never
+            // reaches a threshold) nor be matched — indexing them would
+            // only accrete dead rows, so they pass the gate unindexed
+            gated.filter(col("embedding").isNotNull)
+              .select(col("doc_id"), Similarity.quantize(col("embedding")).as("qv"))
               .withColumn("nrm", Similarity.sqNorm(col("qv")))
               .withColumn("bucket", Similarity.signBucket(col("qv"), g.bits))
               .persist()

@@ -125,6 +125,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("a codebook wider than the declared dot table fails at plan build") {
+    // codes=2 table vs k=4 books: a code 3 would index a NEIGHBORING
+    // subspace's dot slot — must die loudly before any scoring
+    val c = corpus()
+    val books = Pq.trainCodebooks(c, m = 4, k = 4, iters = 1, dims = 16)
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(c, c.filter(col("vec_id") === 0), k = 3, books,
+        m = 4, dims = 16, codes = 2)
+    }
+    assert(e.getMessage.contains("exceeds the declared"))
+  }
+
   test("wrong-width vectors fail loudly, not as silent tail corruption") {
     val bad = corpus(n = 6, dims = 8) // 8-dim rows into a 16-dim PQ
     val e = intercept[Throwable] {

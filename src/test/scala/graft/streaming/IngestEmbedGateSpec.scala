@@ -80,6 +80,23 @@ class IngestEmbedGateSpec extends SparkSpec {
     assert(spark.read.parquet(embIdx).count() === 1L)
   }
 
+  test("null embeddings pass the gate unindexed (no dead rows, no null-cosine drops)") {
+    val bandIdx = tmp("eg_band4") + "/bands"
+    val embIdx = tmp("eg_emb4") + "/vecs"
+    val out = tmp("eg_out4") + "/corpus"
+    val gate = Some(Ingest.EmbedGate(embIdx, threshold = 0.9))
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Some(base)),
+      (2L, "completely different words appear here entirely now", Option.empty[Array[Float]]))
+      .toDF("doc_id", "text", "embedding")
+    Ingest.processNearDupBatch(b1, bandIdx, out, batchId = 0L, embed = gate)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // only the embedded doc's vector landed in the index
+    assert(spark.read.parquet(embIdx).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("a stream without an embedding column fails loudly, not silently ungated") {
     val b = Seq((1L, "some text", "s1", 9L)).toDF("doc_id", "text", "source", "n_chars")
     val e = intercept[IllegalArgumentException] {
