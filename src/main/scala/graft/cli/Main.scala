@@ -89,8 +89,9 @@ object Main {
       |                     retraining or rescanning raw vectors (IVFADC+R:
       |                     cell-pruned compressed scan + exact rerank; raw
       |                     vectors touched only for the Q x shortlist rerank
-      |                     fetch); queries = --ids I,J,... rows of EMB_DIR
-      |                     (--k N [3] --nprobe N [2] --shortlist N [32])
+      |                     fetch); queries = --ids I,J,... rows of EMB_DIR or
+      |                     --queries DIR, an external (vec_id, embedding)
+      |                     parquet (--k N [3] --nprobe N [2] --shortlist N [32])
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -153,8 +154,8 @@ object Main {
     "owners-view", "tokens-view", "uris-view", "collections-view", "log-topic",
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
-    "index", "ids", "k", "nprobe", "shortlist", "nlist", "iters", "m", "codes", "dims",
-    "embed-threshold")
+    "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
+    "m", "codes", "dims", "embed-threshold")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -807,14 +808,23 @@ object Main {
           // rerank fetch (vec_id equi-join), never a full raw scan.
           val Vector((_, embDir)) = positional(pos, "index-search", "EMB_DIR")
           val idx = required(opts, "index")
-          val ids = required(opts, "ids").split(',').map(_.trim.toLong).toSeq
           val meta = spark.read.parquet(s"$idx/meta").head()
           val (m, dims, codes) = (meta.getAs[Int]("m"),
             meta.getAs[Int]("dims"), meta.getAs[Int]("codes"))
           val emb = spark.read.parquet(embDir)
+          // queries: --ids picks corpus rows; --queries is an EXTERNAL
+          // (vec_id, embedding) parquet — the production shape, where
+          // the asker's vectors were never indexed
+          val queries = (opts.get("ids"), opts.get("queries")) match {
+            case (Some(ids), None) =>
+              emb.filter(col("vec_id").isin(
+                ids.split(',').map(_.trim.toLong).toSeq: _*))
+            case (None, Some(qDir)) => spark.read.parquet(qDir)
+            case _ => throw CliError(
+              "index-search needs exactly one of --ids or --queries")
+          }
           val res = graft.ops.Pq.searchIndex(
-            spark.read.parquet(s"$idx/codes"), emb,
-            emb.filter(col("vec_id").isin(ids: _*)),
+            spark.read.parquet(s"$idx/codes"), emb, queries,
             k = intOpt(opts, "k", 3),
             books = graft.ops.Pq.booksFromDf(spark.read.parquet(s"$idx/codebooks")),
             centroids = Some(spark.read.parquet(s"$idx/centroids")),

@@ -251,7 +251,10 @@ object Pq {
     * consulted only for the Q·shortlist rerank fetch (one vec_id
     * equi-join) and the query vectors. With `centroids` present the
     * scan is cell-pruned (IVFADC); without, it is the exhaustive
-    * compressed scan. */
+    * compressed scan. q_id == vec_id pairs are excluded (the self-match
+    * guard every ANN entry point here shares) — an EXTERNAL query set
+    * should use ids disjoint from the corpus, or a colliding id would
+    * silently lose that one candidate. */
   def searchIndex(index: DataFrame, embeddings: DataFrame, queries: DataFrame,
       k: Int, books: Array[Book], centroids: Option[DataFrame] = None,
       nprobe: Int = 2, shortlist: Int = 32, m: Int = 8, dims: Int = 64,

@@ -491,7 +491,22 @@ class MainCliSpec extends SparkSpec {
     val oneShot = graft.ops.Pq.ivfAdcRerankTopK(emb, queries, k = 3, books, cents)
       .collect().map(_.toString).sorted.toSeq
     assert(stored === oneShot)
-    // missing --ids is the click-style validation error, exit 2
+    // missing --ids/--queries is the click-style validation error, exit 2
     assert(Main.run(spark, Seq("index-search", embPath, "--index", out)) === 2)
+    // EXTERNAL query set (--queries): vectors never indexed, fresh ids
+    val extDir = tmp("cli_ann_q") + "/q"
+    import org.apache.spark.sql.functions.{col => c, transform => tf, lit => l}
+    emb.filter(c("vec_id") === 0L)
+      .select((c("vec_id") + 1000000L).as("vec_id"),
+        tf(c("embedding"), v => v * l(1.01f)).as("embedding"))
+      .write.parquet(extDir)
+    assert(Main.run(spark, Seq("index-search", embPath, "--index", out,
+      "--queries", extDir, "--k", "1")) === 0)
+    val extTop = graft.ops.Pq.searchIndex(codes, emb, spark.read.parquet(extDir),
+        k = 1, books = graft.ops.Pq.booksFromDf(spark.read.parquet(s"$out/codebooks")),
+        centroids = Some(spark.read.parquet(s"$out/centroids"))).head()
+    // a 1.01-scaled copy of corpus vector 0 must come home to vector 0
+    assert(extTop.getAs[Long]("q_id") === 1000000L)
+    assert(extTop.getAs[Long]("c_id") === 0L)
   }
 }
