@@ -56,6 +56,8 @@ object Main {
       |                     bookmark/data_version store under --config if given)
       |                     so the next crawl/tail starts from nothing
       |  prepare DATA_DIR   LLM training-data pipeline over the documents table:
+      |                     optional compression-ratio junk gate
+      |                     (--min-compress-ratio F: DEFLATE ratio < F drops) ->
       |                     quality gate -> optional learned classifier ->
       |                     optional benchmark decontamination -> near-dup
       |                     dedup -> PII mask -> stratified sample -> shuffle
@@ -155,7 +157,7 @@ object Main {
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
     "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
-    "m", "codes", "dims", "embed-threshold")
+    "m", "codes", "dims", "embed-threshold", "min-compress-ratio")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -723,7 +725,9 @@ object Main {
             qualityFrac = doubleOpt(opts, "quality-frac", 0.25),
             nShards = intOpt(opts, "shards", 16),
             seqLen = longOpt(opts, "seq-len", 256L),
-            classifier = classifier, bench = bench)
+            classifier = classifier, bench = bench,
+            minCompressRatio = opts.get("min-compress-ratio")
+              .map(_ => doubleOpt(opts, "min-compress-ratio", 0.0)))
           val rows = funnel.collect()
           rows.foreach(r => println(s"${r.getString(0)} ${r.getLong(1)}"))
           funnel.write.mode(SaveMode.Overwrite).parquet(s"$out/funnel")

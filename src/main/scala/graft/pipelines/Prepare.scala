@@ -9,6 +9,9 @@ import graft.tables.Tables
   * engine actually runs over raw documents, composed from the operator
   * library —
   *
+  *   0b. compress gate  — OPTIONAL DEFLATE-ratio junk floor
+  *                        (TextOps.compressionRatio, map-side — the
+  *                        cheapest discriminator runs first)
   *   1. quality gate    — drop each language's worst tail
   *                        (broadcast-cutoff twin: no per-language
   *                        serialization on a skewed corpus)
@@ -40,11 +43,28 @@ object Prepare {
       rates: Map[String, Int] = Map("en" -> 205), defaultRate: Int = 256,
       nShards: Int = 16, seqLen: Long = 256L,
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
-      bench: Option[DataFrame] = None): DataFrame = {
+      bench: Option[DataFrame] = None,
+      minCompressRatio: Option[Double] = None): DataFrame = {
     import spark.implicits._
 
-    val docs = Tables.documents(spark, dir)
-    val n0 = docs.count()
+    val rawDocs = Tables.documents(spark, dir)
+    val n0 = rawDocs.count()
+
+    // 0b. compression-ratio junk gate (optional, FIRST: it is the
+    // cheapest discriminator — one map-side deflate per doc, zero
+    // shuffle — so boilerplate dies before any scoring/shingling
+    // spends on it). Docs whose DEFLATE ratio falls below the floor
+    // are template spam / pathological repetition (TextOps
+    // .compressionRatio); empty docs carry a null ratio and are kept —
+    // emptiness is the LENGTH gate's verdict to make, not this one's.
+    val docs = minCompressRatio match {
+      case Some(floor) => rawDocs.join(
+        TextOps.compressionRatio(rawDocs)
+          .filter(col("ratio") < floor).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      case None => rawDocs
+    }
+    val n0b = minCompressRatio.fold(n0)(_ => docs.count())
 
     // 1. quality gate (approximate per-language cutoff, broadcast back).
     // The gated corpus is STAGED to parquet rather than cached: dedup
@@ -137,6 +157,7 @@ object Prepare {
 
     Seq(
       ("input", n0),
+      ("compress_gated", n0b),
       ("quality_gated", n1),
       ("classifier_gated", n1b),
       ("decontaminated", n1c),

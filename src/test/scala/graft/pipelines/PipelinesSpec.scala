@@ -47,6 +47,24 @@ class PipelinesSpec extends SparkSpec {
     assert(tokensAfter === tokensBefore)
   }
 
+  test("prepare: the compression-ratio junk gate engages and gates exactly the floor") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("prepare_cr").toString
+    // floor chosen from the corpus itself: just above its minimum ratio,
+    // so the gate provably drops the most-compressible doc(s) and no more
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val ratios = graft.ops.TextOps.compressionRatio(docs)
+      .select("ratio").collect().map(_.getDouble(0)).sorted
+    val floor = ratios.head + 1e-9
+    val expectGated = ratios.count(_ < floor).toLong
+    assert(expectGated >= 1, "fixture has no most-compressible doc?")
+    val funnel = graft.pipelines.Prepare.run(spark, dir, out,
+        nShards = 2, minCompressRatio = Some(floor))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("rows")).toMap
+    assert(funnel("compress_gated") === funnel("input") - expectGated)
+    assert(funnel("quality_gated") <= funnel("compress_gated"))
+  }
+
   test("prepare pipeline: funnel shrinks monotonically, shards written, pii gone") {
     val out = java.nio.file.Files.createTempDirectory("prepare").toString
     val funnel = graft.pipelines.Prepare.run(spark, "/root/testdata/sf0.001", out,
