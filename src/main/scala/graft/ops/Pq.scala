@@ -155,6 +155,7 @@ object Pq {
     * vector — IS the stored index. */
   def encode(embeddings: DataFrame, books: Array[Book], m: Int = 8,
       dims: Int = 64): DataFrame = {
+    require(books.nonEmpty, "encode: empty codebook (corrupt index read?)")
     val dsub = dims / m
     val k = books.map(_.code).max.toInt
     val base = Similarity.prep(embeddings)

@@ -100,6 +100,56 @@ object ExtendedQueries {
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("bucket"), lit(-1L)).as("bucket"), col("n"), col("total"))
 
+  private val a13Cube: QFn = (s, dir) =>
+    // full CUBE: all four grouping-set combinations in ONE pass —
+    // Spark plans a single Expand (4x rows) into one aggregate
+    // exchange instead of four scans; sentinels as in a8_rollup
+    Tables.events(s, dir)
+      .withColumn("bucket", col("user_id") % 3)
+      .cube(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("bucket"), lit(-1L)).as("bucket"), col("n"), col("total"))
+
+  private val g6KhopReachability: QFn = (s, dir) => {
+    // Fixed-depth BFS over the bipartite customer-supplier graph
+    // (edge = "this customer's order contained this supplier's item"):
+    // 3 hops from a seed customer set, each node labeled with its
+    // FIRST (minimal) hop. The scale shape is frontier expansion —
+    // per hop one semi-join against the edge relation + one anti-join
+    // against the visited set; frontiers and visited sets are skinny
+    // id relations, paths are never materialized, and the edge
+    // relation is distinct'd once and reused across hops (exchange
+    // reuse; at production scale, persist it).
+    // the edge list feeds four consumers (three hops use it on both
+    // sides of their semi-joins); deliberately NOT checkpointed: the
+    // identical subtrees canonicalize equal, so AQE exchange reuse
+    // dedupes the heavy shuffle at runtime — an eager localCheckpoint
+    // measured SLOWER (4.5 s vs 3.7 s at sf0.1, the same
+    // materialization-barrier-loses verdict as ann_recall's prep A/B).
+    // At production scale the edge list is a staged parquet table (the
+    // Prepare convention) built once per graph snapshot, not per query.
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val c0 = Tables.customer(s, dir).filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("id"))
+    val s1 = e.join(c0.withColumnRenamed("id", "cust"), Seq("cust"), "left_semi")
+      .select(col("supp").as("id")).distinct()
+    val c2 = e.join(s1.withColumnRenamed("id", "supp"), Seq("supp"), "left_semi")
+      .select(col("cust").as("id")).distinct()
+      .join(c0, Seq("id"), "left_anti")
+    val s3 = e.join(c2.withColumnRenamed("id", "cust"), Seq("cust"), "left_semi")
+      .select(col("supp").as("id")).distinct()
+      .join(s1, Seq("id"), "left_anti")
+    c0.select(lit("cust").as("kind"), col("id"), lit(0L).as("hop"))
+      .unionByName(s1.select(lit("supp").as("kind"), col("id"), lit(1L).as("hop")))
+      .unionByName(c2.select(lit("cust").as("kind"), col("id"), lit(2L).as("hop")))
+      .unionByName(s3.select(lit("supp").as("kind"), col("id"), lit(3L).as("hop")))
+  }
+
   private val a9DistinctAgg: QFn = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -532,6 +582,25 @@ object ExtendedQueries {
         |  SELECT event_type, user_id % 5 AS bucket, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM events GROUP BY ROLLUP(event_type, user_id % 5))""".stripMargin),
+    QueryDef("a13_cube", a13Cube,
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |coalesce(bucket, -1) AS bucket, n, total FROM (
+        |  SELECT event_type, user_id % 3 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY CUBE(event_type, user_id % 3))""".stripMargin),
+    QueryDef("g6_khop_reachability", g6KhopReachability,
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c0 AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 50 = 0),
+        |s1 AS (SELECT DISTINCT supp AS id FROM e JOIN c0 ON e.cust = c0.id),
+        |c2 AS (SELECT DISTINCT cust AS id FROM e JOIN s1 ON e.supp = s1.id
+        |  WHERE cust NOT IN (SELECT id FROM c0)),
+        |s3 AS (SELECT DISTINCT supp AS id FROM e JOIN c2 ON e.cust = c2.id
+        |  WHERE supp NOT IN (SELECT id FROM s1))
+        |SELECT 'cust' AS kind, id, CAST(0 AS BIGINT) AS hop FROM c0
+        |UNION ALL SELECT 'supp' AS kind, id, CAST(1 AS BIGINT) AS hop FROM s1
+        |UNION ALL SELECT 'cust' AS kind, id, CAST(2 AS BIGINT) AS hop FROM c2
+        |UNION ALL SELECT 'supp' AS kind, id, CAST(3 AS BIGINT) AS hop FROM s3""".stripMargin),
     QueryDef("a9_distinct_agg", a9DistinctAgg,
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |count(DISTINCT (user_id, event_id % 7)) AS n_user_slots,
