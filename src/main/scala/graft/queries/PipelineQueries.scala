@@ -376,6 +376,71 @@ object PipelineQueries {
 
   private val dedupClusters: QFn = (s, dir) => Dedup.clusters(Tables.documents(s, dir))
 
+  // Recall/precision of the three banded near-dup candidate generators
+  // against EXACT 3-gram-SHINGLE-set Jaccard >= 0.5 truth — the
+  // ann_recall discipline applied to the dedup family: banding is a
+  // trade and the engine should MEASURE it, not assert it. Shingle
+  // sets (not token sets) are the truth domain because they are what
+  // MinHash provably approximates — token-set Jaccard on this corpus
+  // calls 69% of ALL pairs "duplicates" (shared vocabulary), which
+  // measures nothing. Truth is an all-pairs exact scan, which is why
+  // it runs on the doc_id % 2 == 0 HALF of the corpus (a sampled
+  // estimate; all three methods see the same subset, apples-to-apples)
+  // — a harness, like ann_recall's brute force, but UNLIKE it not even
+  // quadratic: exact truth comes from a postings self-join (a pair with
+  // Jaccard >= tau > 0 shares at least one shingle, so grouping the
+  // shingle-match pairs is COMPLETE), which costs sum-of-df^2 over
+  // shingles instead of |S|^2 — an earlier all-pairs array-intersect
+  // formulation measured 120 s at sf0.1; this one ~2 s. The known
+  // ceiling is a boilerplate shingle shared by everything (df^2) — for
+  // a TRUTH scan that blow-up cannot be capped away, only sampled.
+  private val dedupRecall: QFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+    val ts = docs.select(col("doc_id"),
+        graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
+      .filter(col("ts").isNotNull) // < 3 tokens: can't shingle, can't band
+    val sizes = ts.select(col("doc_id"), size(col("ts")).as("n"))
+    val posts = ts.select(col("doc_id"), explode(col("ts")).as("sh"))
+    val shared = posts.alias("x")
+      .join(posts.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    val truth = shared
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), Seq("id_b"))
+      .filter(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double") >= 0.5)
+      .select("id_a", "id_b").persist()
+    try {
+      val nTruth = truth.count()
+      val all = Seq(
+        "minhash" -> Dedup.minhashCandidatePairs(docs),
+        "simhash" -> Dedup.simhashPairs(docs, bits = 16, maxDist = 1),
+        "winnow" -> Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 3L))
+        .map { case (nm, df) =>
+          df.select(lit(nm).as("method"), col("id_a"), col("id_b")) }
+        .reduce(_ unionByName _).persist()
+      try {
+        val cands = all.groupBy("method").agg(count(lit(1)).as("n_cand"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val hits = all.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .groupBy("method").agg(count(lit(1)).as("n_hits"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // literal method spine, like ann_recall: a vacuous method must
+        // still report; 0/0 is NULL on both engines by construction
+        Seq("minhash", "simhash", "winnow").map { m =>
+          val nc = cands.getOrElse(m, 0L)
+          val nh = hits.getOrElse(m, 0L)
+          (m, nTruth, nc, nh,
+            if (nTruth > 0) Some(nh.toDouble / nTruth) else None,
+            if (nc > 0) Some(nh.toDouble / nc) else None)
+        }.toDF("method", "n_truth", "n_cand", "n_hits", "recall", "prec")
+      } finally all.unpersist(blocking = false)
+    } finally truth.unpersist(blocking = false)
+  }
+
   private val dedupIncremental: QFn = (s, dir) => {
     // the operational shape: a standing corpus (here doc_id % 10 < 8)
     // is indexed by content hash once; the new batch dedups against the
@@ -998,6 +1063,71 @@ object PipelineQueries {
         |  FROM b2 a JOIN b2 c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin),
+    QueryDef("dedup_recall", dedupRecall,
+      s"""WITH ${bandSideSql("r", "doc_id % 2 = 0")},
+        |mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM b2r a JOIN b2r b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        |tokr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |hhr AS (SELECT doc_id, md5(token) AS h FROM tokr),
+        |ssr AS (SELECT doc_id,
+        |${simhashSumsSql(16)}
+        |FROM hhr GROUP BY doc_id),
+        |sigr AS (SELECT doc_id, CAST(${simhashPackSql(16)} AS BIGINT) AS simhash FROM ssr),
+        |sbr AS (SELECT doc_id, simhash, u.band AS band,
+        |  (simhash >> (u.band * 8)) & 255 AS bv
+        |  FROM sigr, unnest([0, 1]) AS u(band)),
+        |sb2r AS (SELECT doc_id, simhash, band, bv FROM sbr
+        |  QUALIFY row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) <= 1000),
+        |scand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM sb2r a JOIN sb2r c ON a.band = c.band AND a.bv = c.bv
+        |    AND a.doc_id < c.doc_id AND bit_count(xor(a.simhash, c.simhash)) <= 1),
+        |wtr AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |whr AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM wtr WHERE len(toks) >= 3),
+        |wfr AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |  generate_series(1, greatest(len(sh) - 3, 1)),
+        |  j -> list_min(list_slice(sh, j, j + 3)))) AS fp FROM whr),
+        |wf2r AS (SELECT doc_id, fp FROM wfr
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 1000),
+        |wcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM wf2r a JOIN wf2r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+        |dsetr AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS ts
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE len(toks) >= 3),
+        |postsr AS (SELECT doc_id, unnest(ts) AS sh FROM dsetr),
+        |sharedr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM postsr x JOIN postsr y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |trur AS (SELECT s.id_a, s.id_b
+        |  FROM sharedr s JOIN dsetr a ON s.id_a = a.doc_id
+        |  JOIN dsetr b ON s.id_b = b.doc_id
+        |  WHERE CAST(s.n_shared AS DOUBLE) /
+        |    CAST(len(a.ts) + len(b.ts) - s.n_shared AS DOUBLE) >= 0.5),
+        |mm AS (SELECT 'minhash' AS method, id_a, id_b FROM mcand
+        |  UNION ALL SELECT 'simhash' AS method, id_a, id_b FROM scand
+        |  UNION ALL SELECT 'winnow' AS method, id_a, id_b FROM wcand),
+        |hh2 AS (SELECT mm.method, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM mm JOIN trur USING (id_a, id_b) GROUP BY mm.method),
+        |nc AS (SELECT method, CAST(count(*) AS BIGINT) AS n_cand FROM mm GROUP BY method),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM trur),
+        |mlr AS (SELECT unnest(['minhash', 'simhash', 'winnow']) AS method)
+        |SELECT mlr.method AS method, tt.n_truth AS n_truth,
+        |  coalesce(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+        |  coalesce(hh2.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        |  CASE WHEN tt.n_truth > 0
+        |    THEN CAST(coalesce(hh2.n_hits, 0) AS DOUBLE) / CAST(tt.n_truth AS DOUBLE) END AS recall,
+        |  CASE WHEN coalesce(nc.n_cand, 0) > 0
+        |    THEN CAST(coalesce(hh2.n_hits, 0) AS DOUBLE) / CAST(nc.n_cand AS DOUBLE) END AS prec
+        |FROM mlr LEFT JOIN hh2 ON mlr.method = hh2.method
+        |LEFT JOIN nc ON mlr.method = nc.method, tt""".stripMargin),
     QueryDef("dedup_clusters", dedupClusters,
       s"""WITH RECURSIVE $minhashBandsSql,
         |e AS (SELECT id_a AS src, id_b AS dst FROM cand

@@ -622,4 +622,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(lsh.contains((0L, 100L)))
     assert(!lsh.contains((0L, 3L)))
   }
+
+  test("dedup_recall floors hold at the gate SFs (banding quality is measured, not asserted)") {
+    // dedup_recall is oracle-checked for VALUES; this pins the QUALITY
+    // floors across fixture drift (the SimilarityTrainedSpec pattern).
+    // Measured at sf0.01/sf0.1: recall minhash 1.00/1.00,
+    // simhash 0.83/0.79, winnow 1.00/0.97; winnow precision 0.86/0.61.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rep = graft.SparkEntry.queries("dedup_recall")(spark, dir).collect()
+        .map(r => r.getAs[String]("method") ->
+          (r.getAs[Long]("n_truth"), r.getAs[Double]("recall"),
+            r.getAs[Double]("prec"))).toMap
+      info(s"$dir dedup recall map: $rep")
+      assert(rep("minhash")._1 > 0, s"$dir: no truth pairs — harness vacuous")
+      // 4-band MinHash theoretical recall at j=0.5 is 1-(1-j)^4 ≈ 0.94
+      assert(rep("minhash")._2 >= 0.8, s"$dir: minhash recall ${rep("minhash")._2}")
+      assert(rep("simhash")._2 >= 0.5, s"$dir: simhash recall ${rep("simhash")._2}")
+      assert(rep("winnow")._2 >= 0.8, s"$dir: winnow recall ${rep("winnow")._2}")
+      // winnow's fingerprint-count gate is the selective one
+      assert(rep("winnow")._3 >= 0.5, s"$dir: winnow precision ${rep("winnow")._3}")
+    }
+  }
 }
