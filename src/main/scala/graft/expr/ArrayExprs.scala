@@ -185,6 +185,21 @@ object ArrayKernels {
     acc
   }
 
+  /** Element-wise a − b over long arrays (the PQ residual: vector minus
+    * its coarse centroid) — one tight loop instead of an interpreted
+    * zip_with lambda, same rationale as dotLong. Truncates to the
+    * shorter input like dotLong. */
+  def subLong(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getLong(i) - b.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): the DISTINCT sliding-
     * window (width w) minima over the positioned k-gram hashes, in ONE
     * linear pass with a monotonic deque — the composable formulation
@@ -431,6 +446,19 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(l, r)
 }
 
+/** sub_long(a, b) -> element-wise a − b (see ArrayKernels.subLong). */
+case class SubLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArrays("sub_long", left.dataType, right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.subLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ArrayKernels.subLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubLongExpr =
+    copy(l, r)
+}
+
 /** deflate_len(text) -> compressed byte count (see ArrayKernels.deflateLen). */
 case class DeflateLenExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -462,4 +490,6 @@ object ArrayExprs {
     GraftColumnShim.column(QuantizeExpr(GraftColumnShim.expression(c)))
   def dotLong(a: Column, b: Column): Column =
     GraftColumnShim.column(DotLongExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+  def subLong(a: Column, b: Column): Column =
+    GraftColumnShim.column(SubLongExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 }

@@ -330,4 +330,108 @@ object Pq {
     adcTopK(embeddings, embeddings.filter(col("vec_id") % queryStride === 0),
       k, books, m, dims, codes)
   }
+
+  // ---- residual IVFADC (the original Jégou formulation) --------------------
+
+  /** Driver-held coarse centroids as (cell → cv) structures for the
+    * residual arithmetic; slot 0 unused, vanished cells hold zero
+    * vectors that no assignment can reference. */
+  private def centGrid(centroids: DataFrame, dims: Int): Array[Array[Long]] = {
+    val rows = centroids.select(col("cell"), col("cv")).collect()
+      .map(r => r.getAs[Long]("cell").toInt ->
+        r.getAs[scala.collection.Seq[Long]]("cv").toArray)
+    val maxCell = rows.map(_._1).max
+    val grid = Array.fill(maxCell + 1)(Array.fill(dims)(0L))
+    rows.foreach { case (c, v) => grid(c) = v }
+    grid
+  }
+
+  /** (vec_id, cell, qv = x − coarse_centroid(x)): the residual relation
+    * both residual training and residual encoding consume. Map-side —
+    * the centroid matrix rides as a plan literal, subtraction is the
+    * native sub_long kernel. */
+  private def residuals(embeddings: DataFrame, centroids: DataFrame,
+      dims: Int): DataFrame = {
+    val grid = centGrid(centroids, dims)
+    val withCell = Similarity.assignCells(Similarity.prep(embeddings), centroids)
+    withCell.select(col("vec_id"), col("cell"),
+      graft.expr.ArrayExprs.subLong(checkedQv(dims),
+        // element_at is 1-based; grid slot c holds cell c's centroid
+        element_at(typedlit(grid.map(_.toSeq).toSeq),
+          col("cell").cast("int") + 1)).as("qv"))
+  }
+
+  /** Train PQ codebooks on RESIDUALS (x − coarse centroid) — the
+    * original IVFADC design: residuals cluster around zero regardless
+    * of which cell a vector lives in, so the m×k codebook models the
+    * local displacement instead of re-spending codes on the coarse
+    * position the cell id already encodes. Same deterministic
+    * discipline as [[trainCodebooks]] (which this delegates to —
+    * [[Similarity.prep]] passes the residual `qv` through untouched). */
+  def trainResidualCodebooks(embeddings: DataFrame, centroids: DataFrame,
+      m: Int = 8, k: Int = 16, iters: Int = 2, dims: Int = 64): Array[Book] =
+    trainCodebooks(residuals(embeddings, centroids, dims), m, k, iters, dims)
+
+  /** Residual IVFADC+R search. Candidate index rows carry (cell, codes
+    * of the RESIDUAL, exact ‖recon‖² where recon = coarse_cv +
+    * residual_recon — the cross term is a driver-precomputed
+    * (cell, sub, code) grid, all exact integers). Query side: the dot
+    * table covers ⟨q_sub, residual_codeword⟩ as usual, plus ONE
+    * per-probe coarse term ⟨q, coarse_cv(cell)⟩ — so the scored
+    * numerator is exactly ⟨q, recon⟩ and the whole chain stays
+    * bit-reproducible. */
+  def ivfAdcResidualRerankTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      books: Array[Book], centroids: DataFrame, nprobe: Int = 2,
+      shortlist: Int = 32, m: Int = 8, dims: Int = 64, codes: Int = 16): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val dsub = dims / m
+    val grid = centGrid(centroids, dims)
+    val cellCnrm = grid.map(v => v.foldLeft(0L)((s, x) => s + x * x))
+    // candidates: residual codes + exact reconstruction norm
+    // ‖recon‖² = ‖cv‖² + 2·⟨cv, res_recon⟩ + ‖res_recon‖², with the
+    // cross term looked up from a flat (cell, sub, code) grid
+    val nCells = grid.length // slot 0 unused
+    val crossFlat = (for (c <- 0 until nCells; t <- 0 until m; j <- 1 to codes) yield {
+      books.find(b => b.sub == t && b.code == j) match {
+        case Some(b) =>
+          var acc = 0L
+          var i = 0
+          while (i < dsub) { acc += grid(c)(t * dsub + i) * b.cv(i); i += 1 }
+          acc
+        case None => 0L
+      }
+    }).toSeq
+    val coded = withCodes(residuals(embeddings, centroids, dims), books, m, dsub)
+    val resNorm = (0 until m).map { t =>
+      val g = Array.tabulate(codes) { j =>
+        books.find(b => b.sub == t && b.code == j + 1L).map(_.cnrm).getOrElse(0L)
+      }
+      element_at(typedlit(g.toSeq), col(s"code_$t").cast("int"))
+    }.reduce(_ + _)
+    val crossTerm = (0 until m).map { t =>
+      element_at(typedlit(crossFlat),
+        ((col("cell").cast("int") * m + lit(t)) * codes + col(s"code_$t").cast("int"))
+          .cast("int"))
+    }.reduce(_ + _)
+    val cand = coded.withColumn("rnrm",
+      element_at(typedlit(cellCnrm.toSeq), col("cell").cast("int") + 1) +
+        lit(2L) * crossTerm + resNorm)
+    // query side: probes carry the coarse dot ⟨q, cv(cell)⟩ per probed
+    // cell plus the residual dot table
+    val qcdArr = array(grid.map(cv =>
+      graft.expr.ArrayExprs.dotLong(col("qv"), typedlit(cv.toSeq))): _*)
+    val q = Similarity.probeCells(Similarity.prep(queries), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        checkedQv(dims).as("qv"), col("nrm").as("q_nrm"))
+      .withColumn("dtf", dtfExpr(books, m, dims, codes))
+      .withColumn("qcd", element_at(qcdArr, col("cell").cast("int") + 1))
+      .drop("qv")
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score",
+        (col("qcd") + adcNumerator(m, codes)).cast("double") /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(col("rnrm").cast("double"))))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("score"))
+    rerank(Similarity.topK(scored, shortlist), embeddings, queries, k)
+  }
 }

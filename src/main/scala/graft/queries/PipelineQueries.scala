@@ -135,12 +135,12 @@ object PipelineQueries {
   // One per-subspace Lloyd assignment: nearest sub-code by
   // (-2 x.c + ||c||^2, code) — the ||x||^2 term is row-constant and
   // omitted on both engines.
-  private def pqAssignSql(out: String, cents: String) =
+  private def pqAssignSql(out: String, cents: String, src: String = "psv") =
     s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
        |  SELECT v.vec_id, v.sub, v.sqv, s.code,
        |    row_number() OVER (PARTITION BY v.vec_id, v.sub
        |      ORDER BY -2 * ${idotSql("v.sqv", "s.cv")} + s.cnrm, s.code) AS rn
-       |  FROM psv v JOIN $cents s ON v.sub = s.sub) WHERE rn = 1)""".stripMargin
+       |  FROM $src v JOIN $cents s ON v.sub = s.sub) WHERE rn = 1)""".stripMargin
 
   private def pqMeanSql(prefix: String, from: String) =
     s"""${prefix}e AS (SELECT sub, code, u.i AS dim, sqv[u.i] AS v
@@ -248,6 +248,52 @@ object PipelineQueries {
       |${ivfAdcCtes(32)},
       |${pqRerankCtes(out = "iarr", from = "iares")}
       |SELECT q_id, c_id, rank, score FROM iarr""".stripMargin
+
+  // Residual IVFADC oracle: PQ trained on x − coarse_cv(x), candidates
+  // scored as exact ⟨q, recon⟩ with recon = coarse_cv + residual
+  // reconstruction (built list-wise — in SQL the full reconstruction is
+  // cheaper to express than the Spark side's cross-term lookups, and
+  // integer-identical to them by linearity).
+  private def ivfPqResidualCtes(depth: Int) =
+    s"""rv AS (SELECT a.vec_id, a.cell,
+      |  list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] - c.cv[i]) AS rqv
+      |  FROM af a JOIN m2n c ON a.cell = c.cell),
+      |rpsv AS (SELECT vec_id, t.s AS sub, list_slice(rqv, t.s * 8 + 1, t.s * 8 + 8) AS sqv
+      |  FROM rv, unnest(generate_series(0, 7)) AS t(s)),
+      |rseed AS (SELECT sub, code, sqv AS cv,
+      |    CAST(list_sum(list_transform(sqv, x -> x * x)) AS BIGINT) AS cnrm
+      |  FROM (SELECT sub, sqv,
+      |      CAST(row_number() OVER (PARTITION BY sub
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS code
+      |    FROM rpsv) WHERE code <= 16),
+      |${pqAssignSql("rpa1", "rseed", src = "rpsv")},
+      |${pqMeanSql("rpm1", "rpa1")},
+      |${pqAssignSql("rpa2", "rpm1n", src = "rpsv")},
+      |${pqMeanSql("rpm2", "rpa2")},
+      |${pqAssignSql("rpaf", "rpm2n", src = "rpsv")},
+      |rres AS (SELECT f.vec_id, flatten(list(s.cv ORDER BY f.sub)) AS res
+      |  FROM rpaf f JOIN rpm2n s ON f.sub = s.sub AND f.code = s.code
+      |  GROUP BY f.vec_id),
+      |rfull AS (SELECT r.vec_id, a.cell,
+      |    list_transform(generate_series(1, len(r.res)), i -> r.res[i] + c.cv[i]) AS recon
+      |  FROM rres r JOIN af a ON r.vec_id = a.vec_id JOIN m2n c ON a.cell = c.cell),
+      |rrn AS (SELECT vec_id, cell, recon,
+      |  CAST(list_sum(list_transform(recon, x -> x * x)) AS BIGINT) AS rnrm FROM rfull),
+      |rires AS (SELECT q_id, c_id, rank, score FROM (
+      |  SELECT q_id, c_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank, score
+      |  FROM (SELECT p.q_id, r.vec_id AS c_id,
+      |    ${dotSql("p.q_qv", "r.recon")} /
+      |    (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(r.rnrm AS DOUBLE))) AS score
+      |    FROM pr p JOIN rrn r ON p.cell = r.cell AND p.q_id <> r.vec_id))
+      |  WHERE rank <= $depth)""".stripMargin
+
+  private def ivfPqResidualSql(stride: Int) =
+    s"""WITH $preparedSql,
+      |${ivfTrainedCtes(stride)},
+      |${ivfPqResidualCtes(32)},
+      |${pqRerankCtes(out = "rirr", from = "rires")}
+      |SELECT q_id, c_id, rank, score FROM rirr""".stripMargin
 
   // Multi-table sign-LSH band relation: table t buckets on the signs of
   // dims [t·bits+1, t·bits+bits] — mirrors Similarity.lshTopKMulti.
@@ -628,6 +674,18 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     Pq.ivfAdcRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 3,
       books, trainedCentroids(s, dir), nprobe = 2, shortlist = 32)
+  }
+  // residual variant: codebooks model the displacement FROM the coarse
+  // centroid (the original IVFADC); its own standing-index cache
+  private val pqResBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Pq.Book]]()
+  private val annIvfPqRes: QFn = (s, dir) => {
+    val cents = trainedCentroids(s, dir)
+    val books = pqResBookCache.computeIfAbsent(dir,
+      _ => Pq.trainResidualCodebooks(Tables.embeddings(s, dir), cents))
+    val emb = Tables.embeddings(s, dir)
+    Pq.ivfAdcResidualRerankTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      k = 3, books, cents, nprobe = 2, shortlist = 32)
   }
 
   private val annIvfTrainedSearch: QFn = (s, dir) => ivfSearchAtStride(s, dir, stride = 50)
@@ -1335,6 +1393,7 @@ object PipelineQueries {
     QueryDef("ann_pq", annPq, pqSql(100)),
     QueryDef("ann_pq_rerank", annPqRerank, pqRerankSql(100)),
     QueryDef("ann_ivfpq", annIvfPq, ivfPqSql(100)),
+    QueryDef("ann_ivfpq_res", annIvfPqRes, ivfPqResidualSql(100)),
     QueryDef("ann_recall", annRecall, annRecallSql),
     QueryDef("ann_lsh_multi", annLshMulti,
       s"""WITH $preparedSql,

@@ -114,6 +114,34 @@ class PqSpec extends SparkSpec {
     assert(ivfadc.toSeq === brute.toSeq)
   }
 
+  test("residual IVFADC: k = N residual books collapse to brute force bit-for-bit") {
+    // With one residual code per vector, recon = coarse_cv + (x −
+    // coarse_cv) = x EXACTLY, so the full residual chain — coarse
+    // assignment, residual training, cross-term reconstruction norm,
+    // coarse-dot + residual-table numerator, rerank — must reproduce
+    // brute force with zero tolerance. Pins every piece of the
+    // residual arithmetic at once.
+    val c = corpus(n = 12)
+    val q = c.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.kmeansCentroids(c, nlist = 3, iters = 2)
+    val books = Pq.trainResidualCodebooks(c, cents, m = 4, k = 12, iters = 2, dims = 16)
+    // shortlist = k: the rerank gets NO slack to repair a wrong ADC
+    // order (a full shortlist would make any ADC pass look exact —
+    // that case is the lossy-codebook test above); here the selective
+    // shortlist only equals brute force if the residual ADC scores
+    // are themselves exact
+    val res = Pq.ivfAdcResidualRerankTopK(c, q, k = 3, books, cents, nprobe = 3,
+        shortlist = 3, m = 4, dims = 16, codes = 12)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("score")))
+    val brute = Similarity.bruteForceTopK(c, q, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("score")))
+    assert(res.toSeq === brute.toSeq)
+  }
+
   test("encode emits m codes + reconstruction norm; codes come from the books") {
     val books = Pq.trainCodebooks(corpus(), m = 4, k = 4, iters = 1, dims = 16)
     val enc = Pq.encode(corpus(), books, m = 4, dims = 16)
