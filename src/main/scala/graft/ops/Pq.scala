@@ -204,6 +204,15 @@ object Pq {
       element_at(col("dtf"), (lit(t * codes) + col(s"code_$t")).cast("int")))
       .reduce(_ + _)
 
+  /** Public ADC scoring seams for callers composing their own probe
+    * (the streaming embed gate): [[dotTable]] attaches the flattened
+    * m×k dot table to a relation carrying an exact `qv`; [[adcDot]] is
+    * the numerator over a joined row carrying `dtf` + `code_*`. */
+  def dotTable(books: Array[Book], m: Int = 8, dims: Int = 64,
+      codes: Int = 16): Column = dtfExpr(books, m, dims, codes)
+
+  def adcDot(m: Int = 8, codes: Int = 16): Column = adcNumerator(m, codes)
+
   /** ADC top-k: score every candidate's CODES against each query's
     * precomputed dot table. The query set must be broadcast-sized (the
     * [[Similarity.bruteForceTopK]] contract); candidates are the

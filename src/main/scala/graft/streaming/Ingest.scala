@@ -57,12 +57,21 @@ object Ingest {
     * QUERY side only — the standing index buckets once and is probed
     * by a bucket equi-join, O(batch · bucket-occupancy) per epoch,
     * never re-scanned. The index stores the quantized vectors
-    * themselves (exact integer cosine at probe time); at 100 TB swap
-    * the stored vectors for PQ codes + ADC threshold (ops/Pq) — same
-    * probe shape, ~64x smaller index. Only engages when the stream
-    * carries an `embedding` column (enforced loudly). */
+    * themselves (exact integer cosine at probe time); with
+    * `usePq = true` the index stores PQ CODES + reconstruction norm
+    * instead (~64x smaller at rest — the 100 TB configuration): the
+    * codebooks train ONCE on the first non-empty batch (deterministic,
+    * so a replayed first epoch retrains identically) and persist
+    * beside the index; probing scores the batch's EXACT vectors
+    * against stored codes via ADC dot tables (ops/Pq), so the
+    * threshold compares the asymmetric cosine — approximate by the
+    * codebook's quantization error, which is near zero exactly where
+    * the gate matters (a paraphrase's vector barely moves, so its ADC
+    * cosine stays ~1). Only engages when the stream carries an
+    * `embedding` column (enforced loudly). */
   final case class EmbedGate(indexPath: String, threshold: Double = 0.9,
-      bits: Int = 8, probeDist: Int = 1)
+      bits: Int = 8, probeDist: Int = 1, usePq: Boolean = false,
+      pqM: Int = 8, pqDims: Int = 64, pqCodes: Int = 16)
 
   /** One micro-batch of near-dup-aware ingestion — the foreachBatch body
     * of [[startNearDupIngest]], exposed so batch replays and specs drive
@@ -188,26 +197,13 @@ object Ingest {
               .persist()
           }
           try {
-            val embedHits = embed.zip(embVecs).map { case (g, pe) =>
-              standingBands(spark, g.indexPath) match {
-                case Some(idx) =>
-                  import graft.ops.Similarity
-                  val corpus = idx.filter(col("batch_id") =!= batchId)
-                    .select(col("bucket"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-                  // fan-out rides the BATCH side only (probeMasks are
-                  // plan-time literals); the standing index never widens
-                  val probes = pe.withColumn("flip", explode(array(
-                      Similarity.probeMasks(g.bits, g.probeDist).map(lit): _*)))
-                    .select(col("doc_id"),
-                      col("bucket").bitwiseXOR(col("flip")).as("bucket"),
-                      col("qv"), col("nrm"))
-                  corpus.join(probes, Seq("bucket"))
-                    .filter(Similarity.cosine(col("qv"), col("c_qv"),
-                      col("nrm"), col("c_nrm")) >= g.threshold)
-                    .select(col("doc_id")).distinct()
-                case None => spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-              }
-            }.getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+            // (hits to drop, rows every batch doc would contribute to
+            // the standing index — the caller anti-joins the dropped)
+            val embedGate = embed.zip(embVecs).map { case (g, pe) =>
+              embedHitsAndIndexRows(spark, g, pe, batchId)
+            }
+            val embedHits = embedGate.map(_._1)
+              .getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
             // dropped feeds the sink writes (several actions) — persist so
             // the corpus/chunk probe joins run once
             val dropped = inBatchDropped.unionByName(corpusHits)
@@ -225,9 +221,10 @@ object Ingest {
                 writeBatchPartition(ch.join(dropped, Seq("doc_id"), "left_anti"),
                   c.indexPath, batchId)
               }
-              // ...and survivors' vectors extend the standing embed index
-              embed.zip(embVecs).foreach { case (g, pe) =>
-                writeBatchPartition(pe.join(dropped, Seq("doc_id"), "left_anti"),
+              // ...and survivors' vectors (or PQ codes) extend the
+              // standing embed index
+              embed.zip(embedGate).foreach { case (g, (_, indexRows)) =>
+                writeBatchPartition(indexRows.join(dropped, Seq("doc_id"), "left_anti"),
                   g.indexPath, batchId)
               }
             } finally dropped.unpersist(blocking = false)
@@ -245,6 +242,79 @@ object Ingest {
         compactIndex(spark, indexPath, batchId)
         cdc.foreach(c => compactIndex(spark, c.indexPath, batchId))
         embed.foreach(g => compactIndex(spark, g.indexPath, batchId))
+      }
+    }
+  }
+
+  /** The embed gate's probe + index-contribution, both modes. Returns
+    * (doc_ids to drop, the rows every batch doc would add to the
+    * standing index — the caller anti-joins the dropped before
+    * writing). Exact mode stores/compares quantized vectors; PQ mode
+    * stores 8-byte codes + reconstruction norm and scores the batch's
+    * EXACT vectors against them via ADC dot tables. */
+  private def embedHitsAndIndexRows(spark: SparkSession, g: EmbedGate,
+      pe: DataFrame, batchId: Long): (DataFrame, DataFrame) = {
+    import graft.ops.{Pq, Similarity}
+    val empty = spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    def flips(df: DataFrame) =
+      df.withColumn("flip", explode(array(
+          Similarity.probeMasks(g.bits, g.probeDist).map(lit): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+    if (!g.usePq) {
+      val hits = standingBands(spark, g.indexPath) match {
+        case Some(idx) =>
+          val corpus = idx.filter(col("batch_id") =!= batchId)
+            .select(col("bucket"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+          // fan-out rides the BATCH side only (probeMasks are plan-time
+          // literals); the standing index never widens
+          corpus.join(
+              flips(pe).select(col("doc_id"), col("bucket"), col("qv"), col("nrm")),
+              Seq("bucket"))
+            .filter(Similarity.cosine(col("qv"), col("c_qv"),
+              col("nrm"), col("c_nrm")) >= g.threshold)
+            .select(col("doc_id")).distinct()
+        case None => empty
+      }
+      (hits, pe)
+    } else {
+      // codebooks: train ONCE on the first non-empty batch (the same
+      // deterministic discipline as every quantizer here, so a replayed
+      // first epoch retrains bit-identical books), persist beside the
+      // index, reuse forever after
+      val booksPath = g.indexPath + "_books"
+      val books = standingBands(spark, booksPath) match {
+        case Some(df) => Pq.booksFromDf(df)
+        case None if pe.isEmpty => Array.empty[Pq.Book]
+        case None =>
+          val b = Pq.trainCodebooks(pe.withColumnRenamed("doc_id", "vec_id"),
+            m = g.pqM, k = g.pqCodes, dims = g.pqDims)
+          Pq.booksToDf(spark, b).write.mode("overwrite").parquet(booksPath)
+          b
+      }
+      if (books.isEmpty) (empty, pe.limit(0))
+      else {
+        // encode keeps a `cell` passthrough column — ride the LSH bucket
+        // through it (the index prunes on bucket exactly as before)
+        val encoded = Pq.encode(
+            pe.withColumnRenamed("doc_id", "vec_id")
+              .withColumnRenamed("bucket", "cell"), books, m = g.pqM, dims = g.pqDims)
+          .withColumnRenamed("vec_id", "doc_id")
+          .withColumnRenamed("cell", "bucket")
+        val hits = standingBands(spark, g.indexPath) match {
+          case Some(idx) =>
+            val corpus = idx.filter(col("batch_id") =!= batchId).drop("batch_id")
+              .withColumnRenamed("doc_id", "c_id").withColumnRenamed("rnrm", "c_rnrm")
+            val probes = flips(pe.withColumn("dtf",
+                Pq.dotTable(books, m = g.pqM, dims = g.pqDims, codes = g.pqCodes)))
+              .select(col("doc_id"), col("bucket"), col("dtf"), col("nrm"))
+            corpus.join(probes, Seq("bucket"))
+              .withColumn("c_score", Pq.adcDot(m = g.pqM, codes = g.pqCodes).cast("double") /
+                (sqrt(col("nrm").cast("double")) * sqrt(col("c_rnrm").cast("double"))))
+              .filter(col("c_score") >= g.threshold)
+              .select(col("doc_id")).distinct()
+          case None => empty
+        }
+        (hits, encoded)
       }
     }
   }

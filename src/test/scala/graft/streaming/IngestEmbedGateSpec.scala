@@ -64,6 +64,45 @@ class IngestEmbedGateSpec extends SparkSpec {
     assert(idx.columns.toSet === Set("doc_id", "qv", "nrm", "bucket", "batch_id"))
   }
 
+  test("PQ mode: same verdicts from an index of 8-byte codes, books persisted once") {
+    // the 100 TB configuration — the standing index stores PQ codes +
+    // reconstruction norm instead of raw vectors; scoring is ADC
+    // against the batch's EXACT vectors, and near-identical embeddings
+    // keep ADC cosine ~1, so the gate's verdicts must match exact mode
+    // on the same scenario
+    val bandIdx = tmp("eg_band_pq") + "/bands"
+    val embIdx = tmp("eg_emb_pq") + "/vecs"
+    val out = tmp("eg_out_pq") + "/corpus"
+    val gate = Some(Ingest.EmbedGate(embIdx, threshold = 0.9, usePq = true,
+      pqM = 4, pqDims = 16, pqCodes = 4))
+    def batch(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    Ingest.processNearDupBatch(batch(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", base),
+      (2L, "completely different words appear here entirely now", base2))),
+      bandIdx, out, batchId = 0L, embed = gate)
+    Ingest.processNearDupBatch(batch(Seq(
+      (10L, "a swift russet canine leaps above an idle hound", base.map(_ * 1.01f)),
+      (11L, "utterly dissimilar tokens occupy this line instead",
+        base2.updated(3, -0.005f)),
+      (12L, "sharing the sign pattern yet pointing somewhere else",
+        vec(Seq.fill(8)(0.001f), 0.0f +: 0.0f +: Seq.fill(6)(0.5f))),
+      (13L, "this vector points the other way around wholly",
+        base.map(x => -x)))),
+      bandIdx, out, batchId = 1L, embed = gate)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 12L, 13L))
+    // the index holds CODES, not vectors: m byte-sized codes + rnrm
+    val idx = spark.read.parquet(embIdx)
+    assert(idx.columns.toSet ===
+      (Set("doc_id", "bucket", "rnrm", "batch_id") ++ (0 until 4).map(t => s"code_$t")))
+    assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
+    // books trained once on the first batch and persisted beside the index
+    assert(graft.ops.Pq.booksFromDf(
+      spark.read.parquet(embIdx + "_books")).nonEmpty)
+  }
+
   test("replaying an epoch converges (idempotent overwrite, no self-collision)") {
     val bandIdx = tmp("eg_band2") + "/bands"
     val embIdx = tmp("eg_emb2") + "/vecs"
