@@ -74,7 +74,9 @@ object Main {
       |                     revision gate, --cdc-dup-frac F [0.5]), and
       |                     --embed-threshold F (semantic near-dup gate over an
       |                     embedding column: standing sign-bucket index,
-      |                     quantized cosine >= F drops); survivors
+      |                     quantized cosine >= F drops; --embed-pq stores
+      |                     PQ codes instead of vectors, ~64x smaller
+      |                     index, ADC-scored); survivors
       |                     land at $out/corpus, indexes beside it
       |                     (--out, --checkpoint; --once drains and stops;
       |                     --compact-index-every N folds the indexes' epoch
@@ -144,7 +146,7 @@ object Main {
     * a typo'd option silently ignored is the worst CLI failure mode. */
   private val boolFlags = Set("--increment-data-version", "--once",
     "--owners-view", "--tokens-view", "--uris-view", "--collections-view",
-    "--log-topic", "--cdc")
+    "--log-topic", "--cdc", "--embed-pq")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -157,7 +159,7 @@ object Main {
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
     "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
-    "m", "codes", "dims", "embed-threshold", "min-compress-ratio")
+    "m", "codes", "dims", "embed-threshold", "embed-pq", "min-compress-ratio")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -762,7 +764,8 @@ object Main {
           val embed =
             if (opts.contains("embed-threshold"))
               Some(graft.streaming.Ingest.EmbedGate(s"$out/embed_index",
-                threshold = doubleOpt(opts, "embed-threshold", 0.9)))
+                threshold = doubleOpt(opts, "embed-threshold", 0.9),
+                usePq = opts.contains("embed-pq")))
             else None
           val q = graft.streaming.Ingest.startNearDupIngest(stream,
             s"$out/band_index", s"$out/corpus", checkpoint,
