@@ -54,7 +54,7 @@ object Dedup {
     * stay at/below spark.sql.optimizer.windowGroupLimitThreshold (1000)
     * — above it the rank filter stays a full Window instead of the
     * partial-limit rewrite. */
-  private[ops] def capBuckets(df: DataFrame, bucketCols: Seq[Column], id: Column,
+  def capBuckets(df: DataFrame, bucketCols: Seq[Column], id: Column,
       cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols: _*).orderBy(id.asc)

@@ -150,6 +150,36 @@ object ExtendedQueries {
       .unionByName(s3.select(lit("supp").as("kind"), col("id"), lit(3L).as("hop")))
   }
 
+  private val g7CopurchaseProjection: QFn = (s, dir) => {
+    // Weighted one-mode projection of the bipartite customer-supplier
+    // graph: supplier pairs weighted by shared customers, kept when the
+    // weight exceeds the GLOBAL mean (scalar threshold multiplied
+    // through — exact integer compare, the q11/q22 pattern — so the
+    // filter discriminates at every SF instead of going vacuous). The
+    // classic blow-up is the per-customer self-join — a hot customer
+    // who bought from everyone contributes degree² pairs — so each
+    // customer's supplier list is capped at 100 BEFORE the pairing
+    // (WindowGroupLimit below the shuffle, smallest supplier ids win,
+    // the Dedup.capBuckets discipline with the cap mirrored in the
+    // oracle via QUALIFY). Co-occurrence pairing via self-join on the
+    // customer key — the postings pattern, never a cartesian.
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val capped = graft.ops.Dedup.capBuckets(e, Seq(col("cust")), col("supp"), 100)
+    val x = capped.select(col("cust"), col("supp").as("supp_a"))
+    val y = capped.select(col("cust"), col("supp").as("supp_b"))
+    val pairs = x.join(y, Seq("cust"))
+      .filter(col("supp_a") < col("supp_b"))
+      .groupBy(col("supp_a"), col("supp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val tot = pairs.agg(sum(col("n_shared")).as("ts"), count(lit(1)).as("np"))
+    pairs.crossJoin(broadcast(tot))
+      .filter(col("n_shared") * col("np") > col("ts"))
+      .select(col("supp_a"), col("supp_b"), col("n_shared"))
+  }
+
   private val a9DistinctAgg: QFn = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -588,6 +618,19 @@ object ExtendedQueries {
         |  SELECT event_type, user_id % 3 AS bucket, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM events GROUP BY CUBE(event_type, user_id % 3))""".stripMargin),
+    QueryDef("g7_copurchase_projection", g7CopurchaseProjection,
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c AS (SELECT cust, supp FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY cust ORDER BY supp) <= 100),
+        |p AS (SELECT a.supp AS supp_a, b.supp AS supp_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM c a JOIN c b ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_shared) AS BIGINT) AS ts,
+        |  CAST(count(*) AS BIGINT) AS np FROM p)
+        |SELECT p.supp_a, p.supp_b, p.n_shared FROM p, t
+        |WHERE p.n_shared * t.np > t.ts""".stripMargin),
     QueryDef("g6_khop_reachability", g6KhopReachability,
       """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
