@@ -37,6 +37,23 @@ object ExtendedQueries {
       lead(col("value"), 1).over(wSeq).as("next_value"))
   }
 
+  private val o7DistributionWindows: QFn = (s, dir) => {
+    // The distribution window members o3's rank family doesn't cover:
+    // ntile (equal-height bucketing for quantile cohorts), percent_rank
+    // and cume_dist (relative standing — the per-group percentile a
+    // leaderboard or an SLA report derives). All three depend only on
+    // the ordering key, so ties are engine-reproducible; percent_rank /
+    // cume_dist are ratios of exact integers, bit-identical everywhere.
+    val ev = Tables.events(s, dir)
+      .withColumn("vb", floor(col("value") / 100).cast("int"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("vb"))
+    ev.select(col("event_id"), col("user_id"), col("vb"),
+      ntile(4).over(Window.partitionBy(col("user_id")).orderBy(col("event_id")))
+        .as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
   private val o4MovingAgg: QFn = (s, dir) => {
     // Frame-spec window: trailing 4-row sum/avg per user ordered by
     // event_id. Decimal-exact inside the frame, double at the edge.
@@ -571,6 +588,12 @@ object ExtendedQueries {
         |dense_rank() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS drnk,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
         |lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        |FROM events""".stripMargin),
+    QueryDef("o7_distribution_windows", o7DistributionWindows,
+      """SELECT event_id, user_id, CAST(floor(value / 100) AS INTEGER) AS vb,
+        |CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS quartile,
+        |percent_rank() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS pr,
+        |cume_dist() OVER (PARTITION BY user_id ORDER BY CAST(floor(value / 100) AS INTEGER)) AS cd
         |FROM events""".stripMargin),
     QueryDef("o4_moving_agg", o4MovingAgg,
       """SELECT event_id, user_id,

@@ -153,6 +153,21 @@ class ArrayKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("subLong == element-wise subtraction, truncating to the shorter input") {
+    (1 to N).foreach { _ =>
+      val n = 1 + rnd.nextInt(8)
+      val m = 1 + rnd.nextInt(8)
+      val a = Array.fill(n)(rnd.nextLong() % 100000L)
+      val b = Array.fill(m)(rnd.nextLong() % 100000L)
+      val got = ArrayKernels.subLong(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      val want = a.zip(b).map { case (x, y) => x - y }
+      assert(got.numElements() === math.min(n, m))
+      (0 until got.numElements()).foreach(i => assert(got.getLong(i) === want(i)))
+    }
+  }
+
   test("quantizeDouble on unsafe 8-byte-slot arrays == quantize on the float values") {
     // UnsafeArrayData packs doubles in 8-byte slots; reading them with
     // getFloat would return garbage halves. This pins that the double
