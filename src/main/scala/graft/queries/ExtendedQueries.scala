@@ -136,15 +136,20 @@ object ExtendedQueries {
     // FIRST (minimal) hop. The scale shape is frontier expansion —
     // per hop one semi-join against the edge relation + one anti-join
     // against the visited set; frontiers and visited sets are skinny
-    // id relations, paths are never materialized, and the edge
-    // relation is distinct'd once and reused across hops (exchange
-    // reuse; at production scale, persist it).
-    // the edge list feeds four consumers (three hops use it on both
-    // sides of their semi-joins); deliberately NOT checkpointed: the
-    // identical subtrees canonicalize equal, so AQE exchange reuse
-    // dedupes the heavy shuffle at runtime — an eager localCheckpoint
-    // measured SLOWER (4.5 s vs 3.7 s at sf0.1, the same
-    // materialization-barrier-loses verdict as ann_recall's prep A/B).
+    // id relations, paths are never materialized.
+    // The EDGE list is deliberately NOT staged: Catalyst pushes each
+    // hop's frontier semi-probe BELOW the lineitem⋈orders join
+    // (PushDownLeftSemiAntiJoin), so every hop derives only the edge
+    // rows its frontier reaches — one PRUNED fact scan per hop beats
+    // one full un-pruned edge materialization (an eager edge
+    // localCheckpoint measured SLOWER, 4.5 s vs 3.7 s at sf0.1). The
+    // FRONTIERS are the opposite case: each hop's definition nests the
+    // previous hop's, so unstaged lineage re-derives every earlier hop
+    // inside every later one — 2^h-1 fact scans (7 at h=3, observed in
+    // the r12 plan), the classic iterative-algorithm lineage blow-up.
+    // Frontiers are skinny id relations, so an eager localCheckpoint
+    // per hop costs one tiny job and caps the plan at one pruned fact
+    // scan per hop (3 total). GraphPlanSpec pins both shapes.
     // At production scale the edge list is a staged parquet table (the
     // Prepare convention) built once per graph snapshot, not per query.
     val e = Tables.lineitem(s, dir)
@@ -154,10 +159,10 @@ object ExtendedQueries {
     val c0 = Tables.customer(s, dir).filter(col("c_custkey") % 50 === 0)
       .select(col("c_custkey").as("id"))
     val s1 = e.join(c0.withColumnRenamed("id", "cust"), Seq("cust"), "left_semi")
-      .select(col("supp").as("id")).distinct()
+      .select(col("supp").as("id")).distinct().localCheckpoint(true)
     val c2 = e.join(s1.withColumnRenamed("id", "supp"), Seq("supp"), "left_semi")
       .select(col("cust").as("id")).distinct()
-      .join(c0, Seq("id"), "left_anti")
+      .join(c0, Seq("id"), "left_anti").localCheckpoint(true)
     val s3 = e.join(c2.withColumnRenamed("id", "cust"), Seq("cust"), "left_semi")
       .select(col("supp").as("id")).distinct()
       .join(s1, Seq("id"), "left_anti")
@@ -180,6 +185,11 @@ object ExtendedQueries {
     // the Dedup.capBuckets discipline with the cap mirrored in the
     // oracle via QUALIFY). Co-occurrence pairing via self-join on the
     // customer key — the postings pattern, never a cartesian.
+    // Deliberately NOT staged: the capped relation and the pairs agg
+    // each feed two consumers, but r13 A/B'd localCheckpoint staging
+    // of both (warm min-of-3 at sf0.1: current 2.2 s, capped-staged
+    // 2.6 s, pairs-staged 2.1 s) — AQE stage reuse already dedupes the
+    // shared subtrees at runtime, so staging only adds a barrier.
     val e = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))

@@ -483,8 +483,14 @@ object PipelineQueries {
             if (nTruth > 0) Some(nh.toDouble / nTruth) else None,
             if (nc > 0) Some(nh.toDouble / nc) else None)
         }.toDF("method", "n_truth", "n_cand", "n_hits", "recall", "prec")
-      } finally all.unpersist(blocking = false)
-    } finally truth.unpersist(blocking = false)
+        // blocking: these harness caches are the largest transient
+        // relations in the bench suite; a lazy release lets their blocks
+        // linger into the NEXT bench query's memory budget on a tight
+        // host (the one code-side mechanism that could explain the r12
+        // driver's inflated readings for the queries that follow this
+        // one in bench order). Blocking costs microseconds here.
+      } finally all.unpersist(blocking = true)
+    } finally truth.unpersist(blocking = true)
   }
 
   private val dedupIncremental: QFn = (s, dir) => {
@@ -770,13 +776,13 @@ object PipelineQueries {
             .join(truth, Seq("q_id", "c_id"), "left_semi")
             .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
-        } finally pqShortlist.unpersist(blocking = false)
+        } finally pqShortlist.unpersist(blocking = true)
       // literal method spine: a method with zero hits must still report
       Seq("ivf", "lsh", "lsh_multi", "lsh_probe", "pq", "pq_rerank", "ivfpq").map { m =>
         val h = hits.getOrElse(m, 0L)
         (m, nTruth, h, h.toDouble / nTruth.toDouble)
       }.toDF("method", "n_truth", "n_hits", "recall")
-    } finally truth.unpersist(blocking = false)
+    } finally truth.unpersist(blocking = true)
   }
 
   private val textTokens: QFn = (s, dir) =>

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+
+/** Plan-shape pins for the graph queries (g6 k-hop, g7 co-purchase
+  * projection) — the round-12 verdict's one audit gap. Same discipline
+  * as [[CoreTpchPlanSpec]]: the scale-critical property is asserted
+  * against the plan Catalyst actually produces, so a refactor that
+  * reintroduces an uncapped self-join or a nested-loop pairing turns a
+  * test red instead of becoming a 100 TB incident. Values are covered
+  * by the DuckDB oracle; these tests are ONLY about plan shape.
+  */
+class GraphPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def plan(name: String): SparkPlan = q(name).queryExecution.sparkPlan
+
+  test("g6: every join is an equi semi/anti/inner — no cartesian, no BNLJ") {
+    // the frontier expansion's whole scale story is that each hop is a
+    // hash semi-join on a skinny id relation; a cartesian or
+    // nested-loop anywhere means a frontier got paired, not probed
+    val p = plan("g6_khop_reachability")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"g6 plans a cartesian product:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"g6 plans a nested-loop join:\n$p")
+    // hops 1-2 execute inside their checkpoint jobs, so the returned
+    // plan shows only hop 3's probe: one semi (the frontier probe,
+    // plus any pushed copy) and one anti (the visited exclusion)
+    val log = q("g6_khop_reachability").queryExecution.optimizedPlan
+    assert(log.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      "g6 hop 3 must probe the edge relation as a semi join")
+    assert(log.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      "g6 hop 3 must exclude visited nodes with an anti join")
+  }
+
+  test("g6: frontier staging caps lineage — 1 fact scan and 2 checkpointed frontiers") {
+    // each hop's definition nests the previous hop's, so WITHOUT the
+    // per-hop frontier localCheckpoint the final plan re-derives every
+    // earlier hop inside every later one — 2^h-1 lineitem scans (7 at
+    // h=3, observed in the r12 plan). With hops 1 and 2 checkpointed,
+    // the returned plan must contain EXACTLY one lineitem scan (hop
+    // 3's, frontier-pruned via the pushed semi-probe) and two RDD-scan
+    // leaves (the staged skinny frontiers). A refactor that drops the
+    // staging brings the scan count back up; one that checkpoints the
+    // EDGE list (A/B'd slower — it defeats the semi-probe pushdown)
+    // removes the lineitem scan entirely. Both must be deliberate
+    // re-pins, measured at scale.
+    val qe = q("g6_khop_reachability").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    val factScans = leaves.count {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }
+    assert(factScans == 1,
+      s"g6 expects exactly hop-3's pruned lineitem scan, found $factScans")
+    val rddLeaves = leaves.count {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }
+    assert(rddLeaves >= 2,
+      s"g6's hop-1/2 frontiers are no longer checkpoint-staged ($rddLeaves RDD leaves)")
+  }
+
+  test("g7: the per-customer degree cap plans as WindowGroupLimit below the pairing") {
+    // the cap is what bounds a hot customer to O(cap²) pair work; if
+    // the row_number filter stops qualifying for the WindowGroupLimit
+    // rewrite (e.g. cap raised past the 1000 threshold, or the filter
+    // drifts away from rank<=k form), every degenerate customer's FULL
+    // supplier list shuffles into the window sort
+    val p = plan("g7_copurchase_projection")
+    assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      s"g7's degree cap no longer plans as WindowGroupLimit:\n$p")
+  }
+
+  test("g7: pairing is an equi self-join; the only nested-loop is the 1-row scalar broadcast") {
+    val p = plan("g7_copurchase_projection")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"g7 plans a cartesian product:\n$p")
+    // the global-mean threshold rides a broadcast of a single aggregate
+    // row (the q11/q22 pattern) — exactly one BNLJ, and no other
+    val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size == 1,
+      s"g7 expects exactly the scalar-threshold BNLJ, found ${bnlj.size}:\n$p")
+  }
+}
