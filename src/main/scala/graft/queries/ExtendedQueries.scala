@@ -339,6 +339,31 @@ object ExtendedQueries {
       bucketWidth = h12)
   }
 
+  private val j10FuzzyJoin: QFn = (s, dir) => {
+    // PassJoin fuzzy string join (edit distance <= 1): a probe set of
+    // deliberately-corrupted customer names (every third customer, one
+    // deletion or one substitution — both corruptions SQL-replayable,
+    // so the DuckDB oracle is the naive cross-join levenshtein filter)
+    // matched against the full name roster. Short keys + k=1 is the
+    // deletion-neighborhood regime (the segment scheme's per-segment
+    // key degenerates on this data — every name shares "Customer#", so
+    // its candidate set approaches |P|·|N| and measured 20-233 s at
+    // sf0.1 across salting/partition-pinning variants, vs well under a
+    // second here); FuzzyJoinSpec proves both blockings complete
+    // differentially, this query proves the values against the oracle.
+    import graft.ops.FuzzyJoin
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val probe = c.filter(col("id") % 3 === 0)
+      .select(col("id").as("pid"),
+        when(col("id") % 2 === 0,
+          concat(substring(col("name"), 1, 9), expr("substring(name, 11)")))
+          .otherwise(concat(substring(col("name"), 1, 17), lit("X")))
+          .as("pname"))
+    FuzzyJoin.edJoinDeletes(c, col("id"), col("name"),
+      probe, col("pid"), col("pname"), k = 1)
+  }
+
   private val t6Resample: QFn = (s, dir) => {
     // Gap-filled per-user daily resample: one row per (user, day) over
     // each user's own active span, n_events = 0 on gap days, value
@@ -730,6 +755,16 @@ object ExtendedQueries {
         |  AND b.event_type = 'signup' AND b.event_id % 5 = 0
         |  AND epoch_us(a.ts) < epoch_us(b.ts) + 43200000000
         |  AND epoch_us(b.ts) < epoch_us(a.ts) + 43200000000""".stripMargin),
+    QueryDef("j10_fuzzy_join", j10FuzzyJoin,
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |p AS (SELECT id AS probe_id,
+        |    CASE WHEN id % 2 = 0 THEN substr(name, 1, 9) || substr(name, 11)
+        |         ELSE substr(name, 1, 17) || 'X' END AS pname
+        |  FROM c WHERE id % 3 = 0)
+        |SELECT p.probe_id, c.id AS match_id,
+        |  CAST(levenshtein(p.pname, c.name) AS BIGINT) AS dist
+        |FROM p CROSS JOIN c
+        |WHERE levenshtein(p.pname, c.name) <= 1""".stripMargin),
     QueryDef("t6_resample", t6Resample,
       """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS step,
         |    epoch_us(ts) AS us, event_id, value FROM events),
