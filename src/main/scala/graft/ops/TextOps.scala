@@ -652,6 +652,141 @@ object TextOps {
         (col("n_tokens").cast("double") / col("t_tokens").cast("double")).as("token_share"))
   }
 
+  // ---- Unigram-LM tokenizer training -------------------------------------
+
+  /** UNIGRAM-LM (SentencePiece-style) tokenizer training — the
+    * tokenizer-prep tier [[bpeLearnMerges]] doesn't cover: instead of
+    * greedy pair merging, a piece VOCABULARY is scored and the corpus
+    * is re-segmented against it, EM-style. Two hard-EM rounds:
+    *
+    *   seed vocab (all substrings, weighted counts) -> E-step: segment
+    *   every word by DP against the vocab -> M-step: re-rank the vocab
+    *   by usage -> E-step again -> report the top pieces by final usage.
+    *
+    * The segmentation objective is FIXED-POINT INTEGER, not float
+    * likelihood, so the whole trainer is hash-exact replayable by the
+    * DuckDB oracle (the bpeLearnMerges convention — true unigram EM
+    * multiplies probabilities, whose log-domain floats would drift
+    * between engines): minimize pieces first, break ties by maximal
+    * total piece frequency. Both collapse into ONE long cost
+    * `cost(p) = BIG - freq(p)` with BIG = 1e12 (a piece count beyond
+    * 1e12 would need a ~100 PB text corpus; revisit the constant
+    * before that). dp[j] = min over t<=maxPieceLen of
+    * dp[j-t] + cost(word[j-t..j)) for in-vocab pieces; min is
+    * order-independent, so the forward pass is deterministic on any
+    * engine. The backward read-out picks the SMALLEST t whose piece
+    * reproduces dp[j] — the one tie-break rule, mirrored verbatim in
+    * the oracle's recursive CTE.
+    *
+    * Every length-1 substring of the corpus stays in the vocab through
+    * both rounds (even at zero usage), so the DP always has a feasible
+    * step — the SentencePiece character-coverage invariant.
+    *
+    * Scale shape: the DP runs over DISTINCT words (weighted by count),
+    * entirely inside one map-side projection per E-step — the vocab
+    * rides along as a ~(alphabet + vocabMulti)-entry map literal (the
+    * kmeansCentroids convention: metadata-scale collects only). Words
+    * are map-side work + one groupBy each for the word table, the seed
+    * counts, and each round's usage aggregation. Words longer than
+    * maxWordLen (16) are dropped on both engines — they are URLs/hashes
+    * at 40x the DP cost per row, not vocabulary material.
+    *
+    * Output: the top `topK` pieces by round-2 usage —
+    * (piece, n_uses), ordered (n_uses DESC, piece ASC) for the
+    * deterministic-ranking convention. */
+  def unigramLm(docs: DataFrame, vocabMulti: Int = 400, topK: Int = 50): DataFrame = {
+    val BIG = 1000000000000L
+    val maxLen = 4
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[A-Za-z0-9]+$") && length(col("word")) <= 16)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the seed count + both E-steps
+
+    // seed vocabulary: every substring occurrence of length 1..4,
+    // weighted by word frequency (repeats within a word all count)
+    val subs = words
+      .select(col("word"), col("c"), explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("c"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("word")) - col("s") + 1))).as("l"))
+      .select(col("word").substr(col("s"), col("l")).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("n"))
+      .localCheckpoint(true) // feeds singles (both rounds) + seed multi
+
+    val singles = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedMulti = subs.filter(length(col("piece")) >= 2 && col("n") >= 2)
+      .orderBy(col("n").desc, col("piece")).limit(vocabMulti)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def segmentUsage(vocab: Map[String, Long]): DataFrame = {
+      // a CreateMap of plain literals (the Column-API literal encoder
+      // rejects Scala Maps); all children foldable, so ConstantFolding
+      // collapses it to one map literal at plan time, not per row.
+      // Sorted for a deterministic plan.
+      val vmap = map(vocab.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val w = col("word")
+      val inf = lit(Long.MaxValue / 4)
+      // forward: dp(j) for j = 0..len as a growing array; term t reads
+      // dp(j-t) (1-based element_at index j-t+1) and the piece ending
+      // at j of length t (1-based start j-t+1)
+      def term(acc: Column, j: Column, t: Int): Column = {
+        val piece = w.substr(j - lit(t) + 1, lit(t))
+        val freq = element_at(vmap, piece)
+        when(j >= t && freq.isNotNull,
+          element_at(acc, j - lit(t) + 1) + (lit(BIG) - freq)).otherwise(inf)
+      }
+      val dpCol = aggregate(
+        sequence(lit(1), length(w)),
+        array(lit(0L)),
+        (acc, j) => concat(acc, array(
+          least(term(acc, j, 1), term(acc, j, 2), term(acc, j, 3), term(acc, j, 4)))))
+      // backward: from j = len, take the SMALLEST t reproducing dp(j)
+      def pick(dp: Column, st: Column): Column = {
+        val j = st.getField("j")
+        val ps = st.getField("ps")
+        def cand(t: Int): Column = {
+          val piece = w.substr(j - lit(t) + 1, lit(t))
+          val freq = element_at(vmap, piece)
+          j >= t && freq.isNotNull &&
+            element_at(dp, j - lit(t) + 1) + (lit(BIG) - freq) === element_at(dp, j + 1)
+        }
+        def took(t: Int): Column = struct(
+          (j - t).as("j"),
+          concat(ps, array(w.substr(j - lit(t) + 1, lit(t)))).as("ps"))
+        when(j === 0, st)
+          .when(cand(1), took(1)).when(cand(2), took(2))
+          .when(cand(3), took(3)).otherwise(took(4))
+      }
+      words
+        .withColumn("dp", dpCol)
+        .withColumn("ps", aggregate(
+          sequence(lit(1), length(w)),
+          struct(length(w).cast("int").as("j"),
+            array().cast("array<string>").as("ps")),
+          (st, _) => pick(col("dp"), st)).getField("ps"))
+        .select(col("c"), explode(col("ps")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).as("n_uses"))
+    }
+
+    // round 1: segment against the seed vocabulary
+    val usage1 = segmentUsage(singles ++ seedMulti)
+      .localCheckpoint(true) // feeds the multi re-rank + the singles re-score
+    // M-step: singles always survive (usage or 0); multi re-ranked by usage
+    val multi1 = usage1.filter(length(col("piece")) >= 2)
+      .orderBy(col("n_uses").desc, col("piece")).limit(vocabMulti)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val singles1 = {
+      val used = usage1.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      singles.map { case (p, _) => p -> used.getOrElse(p, 0L) }
+    }
+    // round 2: segment against the learned vocabulary, report the top
+    segmentUsage(singles1 ++ multi1)
+      .orderBy(col("n_uses").desc, col("piece")).limit(topK)
+  }
+
   /** Document fingerprint: whole-doc hash + min rolling 5-gram hash
     * (the winnowing/rolling-hash idea with md5 as the rolling function). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -887,6 +887,100 @@ object PipelineQueries {
     TextOps.bpeSegment(docs, TextOps.bpeLearnMerges(docs, nMerges = 8))
   }
 
+  private val textUnigramLm: QFn = (s, dir) =>
+    TextOps.unigramLm(Tables.documents(s, dir))
+
+  /** DuckDB replay of [[graft.ops.TextOps.unigramLm]]: the same word
+    * table, seed substring counts, and two hard-EM rounds. Each round's
+    * DP runs as a pair of recursive CTEs — the forward pass carries the
+    * dp array as a growing list (one level per character, vocab looked
+    * up via four LEFT JOINs per level, exactly the four `term`s the
+    * Spark fold evaluates), the backward pass re-derives the SMALLEST-t
+    * transition that reproduces dp[j] (the CASE order IS the tie-break,
+    * mirroring the Spark when-chain verbatim). All arithmetic is BIGINT
+    * (cost = BIG - freq), so the replay is hash-exact; the INF sentinel
+    * never survives a `least` over a feasible position, so its exact
+    * value is immaterial on both engines. */
+  private def unigramLmOracle(vocabMulti: Int = 400, topK: Int = 50): String = {
+    val BIG = "1000000000000"
+    val INF = "4611686018427387904"
+    def dpRound(tag: Int, vocab: String): String = s"""
+      |fwd$tag AS (
+      |  SELECT word, c, 0 AS j, [CAST(0 AS BIGINT)] AS dp FROM words
+      |  UNION ALL
+      |  SELECT f.word, f.c, f.j + 1,
+      |    list_append(f.dp, least(
+      |      CASE WHEN f.j + 1 >= 1 AND v1.n IS NOT NULL THEN f.dp[f.j + 1] + ($BIG - v1.n) ELSE $INF END,
+      |      CASE WHEN f.j + 1 >= 2 AND v2.n IS NOT NULL THEN f.dp[f.j + 0] + ($BIG - v2.n) ELSE $INF END,
+      |      CASE WHEN f.j + 1 >= 3 AND v3.n IS NOT NULL THEN f.dp[f.j - 1] + ($BIG - v3.n) ELSE $INF END,
+      |      CASE WHEN f.j + 1 >= 4 AND v4.n IS NOT NULL THEN f.dp[f.j - 2] + ($BIG - v4.n) ELSE $INF END))
+      |  FROM fwd$tag f
+      |  LEFT JOIN $vocab v1 ON v1.piece = substr(f.word, f.j + 1, 1)
+      |  LEFT JOIN $vocab v2 ON v2.piece = substr(f.word, f.j, 2)
+      |  LEFT JOIN $vocab v3 ON v3.piece = substr(f.word, f.j - 1, 3)
+      |  LEFT JOIN $vocab v4 ON v4.piece = substr(f.word, f.j - 2, 4)
+      |  WHERE f.j < length(f.word)
+      |),
+      |wdp$tag AS (SELECT word, c, dp FROM fwd$tag WHERE j = length(word)),
+      |bwd$tag AS (
+      |  SELECT word, c, length(word) AS j, dp, CAST([] AS VARCHAR[]) AS ps FROM wdp$tag
+      |  UNION ALL
+      |  SELECT b.word, b.c,
+      |    b.j - CASE
+      |      WHEN b.j >= 1 AND v1.n IS NOT NULL AND b.dp[b.j] + ($BIG - v1.n) = b.dp[b.j + 1] THEN 1
+      |      WHEN b.j >= 2 AND v2.n IS NOT NULL AND b.dp[b.j - 1] + ($BIG - v2.n) = b.dp[b.j + 1] THEN 2
+      |      WHEN b.j >= 3 AND v3.n IS NOT NULL AND b.dp[b.j - 2] + ($BIG - v3.n) = b.dp[b.j + 1] THEN 3
+      |      ELSE 4 END,
+      |    b.dp,
+      |    list_append(b.ps, CASE
+      |      WHEN b.j >= 1 AND v1.n IS NOT NULL AND b.dp[b.j] + ($BIG - v1.n) = b.dp[b.j + 1] THEN substr(b.word, b.j, 1)
+      |      WHEN b.j >= 2 AND v2.n IS NOT NULL AND b.dp[b.j - 1] + ($BIG - v2.n) = b.dp[b.j + 1] THEN substr(b.word, b.j - 1, 2)
+      |      WHEN b.j >= 3 AND v3.n IS NOT NULL AND b.dp[b.j - 2] + ($BIG - v3.n) = b.dp[b.j + 1] THEN substr(b.word, b.j - 2, 3)
+      |      ELSE substr(b.word, b.j - 3, 4) END)
+      |  FROM bwd$tag b
+      |  LEFT JOIN $vocab v1 ON v1.piece = substr(b.word, b.j, 1)
+      |  LEFT JOIN $vocab v2 ON v2.piece = substr(b.word, b.j - 1, 2)
+      |  LEFT JOIN $vocab v3 ON v3.piece = substr(b.word, b.j - 2, 3)
+      |  WHERE b.j > 0
+      |),
+      |usage$tag AS (
+      |  SELECT piece, CAST(SUM(c) AS BIGINT) AS n_uses
+      |  FROM (SELECT c, unnest(ps) AS piece FROM bwd$tag WHERE j = 0)
+      |  GROUP BY piece
+      |)""".stripMargin
+    s"""WITH RECURSIVE words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$') AND length(word) <= 16
+       |  GROUP BY word
+       |),
+       |subs AS (
+       |  SELECT substr(word, s, l) AS piece, CAST(SUM(c) AS BIGINT) AS n
+       |  FROM words,
+       |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS s) ts,
+       |    LATERAL (SELECT unnest(generate_series(1, least(4, length(word) - s + 1))) AS l) tl
+       |  GROUP BY 1
+       |),
+       |singles AS (SELECT piece, n FROM subs WHERE length(piece) = 1),
+       |seed_multi AS (
+       |  SELECT piece, n FROM subs WHERE length(piece) >= 2 AND n >= 2
+       |  ORDER BY n DESC, piece LIMIT $vocabMulti
+       |),
+       |vocab0 AS (SELECT * FROM singles UNION ALL SELECT * FROM seed_multi),
+       |${dpRound(0, "vocab0")},
+       |multi1 AS (
+       |  SELECT piece, n_uses AS n FROM usage0 WHERE length(piece) >= 2
+       |  ORDER BY n_uses DESC, piece LIMIT $vocabMulti
+       |),
+       |singles1 AS (
+       |  SELECT s.piece, COALESCE(u.n_uses, 0) AS n
+       |  FROM singles s LEFT JOIN usage0 u ON u.piece = s.piece AND length(u.piece) = 1
+       |),
+       |vocab1 AS (SELECT * FROM singles1 UNION ALL SELECT * FROM multi1),
+       |${dpRound(1, "vocab1")}
+       |SELECT piece, n_uses FROM usage1 ORDER BY n_uses DESC, piece LIMIT $topK""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.ops.TextOps.bpeLearnMerges]]'s fixed
     * `n`-round induction: the same word-frequency base, and per round
     * the same pair count -> deterministic top-1 -> wrapped-string
@@ -1248,6 +1342,7 @@ object PipelineQueries {
         |FROM documents
         |QUALIFY rn <= 15""".stripMargin),
     QueryDef("text_bpe_merges", textBpeMerges, bpeMergesOracle(8)),
+    QueryDef("text_unigram_lm", textUnigramLm, unigramLmOracle()),
     QueryDef("text_bpe_segment", textBpeSegment, bpeSegmentOracle(8)),
     QueryDef("text_bpe_tokens", textBpeTokens,
       """SELECT doc_id,
