@@ -200,6 +200,36 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Flattened m×codes PQ dot table (the ADC query-side precompute):
+    * entry t·codes + (j-1) = ⟨qv[t·dsub .. +dsub), cv(t,j)⟩, 0 where the
+    * codebook has no (t,j) entry; `cvs` is the flattened codebook with
+    * nulls in the gaps. One tight loop replaces the previous 128-element
+    * array-of-slice-dots COLUMN expression, whose generated projection
+    * ran to thousands of Janino lines compiled for ~dozens of query
+    * rows — compile time was 3-4 s of every cold PQ query while the
+    * eval itself is microseconds. Truncation semantics match the old
+    * slice+dotLong composition: a qv shorter than (t+1)·dsub contributes
+    * only its available elements. */
+  def pqDotTable(qv: ArrayData, cvs: Array[Array[Long]], codes: Int,
+      dsub: Int): ArrayData = {
+    val out = new Array[Long](cvs.length)
+    val qn = qv.numElements()
+    var idx = 0
+    while (idx < cvs.length) {
+      val cv = cvs(idx)
+      if (cv != null) {
+        val off = (idx / codes) * dsub
+        val n = math.min(cv.length, math.min(dsub, math.max(0, qn - off)))
+        var acc = 0L
+        var i = 0
+        while (i < n) { acc += qv.getLong(off + i) * cv(i); i += 1 }
+        out(idx) = acc
+      }
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): the DISTINCT sliding-
     * window (width w) minima over the positioned k-gram hashes, in ONE
     * linear pass with a monotonic deque — the composable formulation
@@ -459,6 +489,26 @@ case class SubLongExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(l, r)
 }
 
+/** pq_dot_table(qv) -> array<long> of m·codes ADC dots (see
+  * ArrayKernels.pqDotTable). The codebook rides as a reference object —
+  * plan-time constant, never a literal subtree — so the generated code
+  * is ONE static call regardless of m×codes. */
+case class PqDotTableExpr(child: Expression, cvs: Array[Array[Long]],
+    codes: Int, dsub: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprTypeChecks.longArray("pq_dot_table", child.dataType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.pqDotTable(v.asInstanceOf[ArrayData], cvs, codes, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCvs", cvs, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.ArrayKernels.pqDotTable($c, $ref, $codes, $dsub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqDotTableExpr =
+    copy(child = c)
+}
+
 /** deflate_len(text) -> compressed byte count (see ArrayKernels.deflateLen). */
 case class DeflateLenExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -492,4 +542,6 @@ object ArrayExprs {
     GraftColumnShim.column(DotLongExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
   def subLong(a: Column, b: Column): Column =
     GraftColumnShim.column(SubLongExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+  def pqDotTable(qv: Column, cvs: Array[Array[Long]], codes: Int, dsub: Int): Column =
+    GraftColumnShim.column(PqDotTableExpr(GraftColumnShim.expression(qv), cvs, codes, dsub))
 }

@@ -189,13 +189,16 @@ object Pq {
       s"codebook exceeds the declared m=$m x codes=$codes table " +
         s"(max sub=${books.map(_.sub).max}, max code=${books.map(_.code).max})")
     val dsub = dims / m
-    array((for (t <- 0 until m; j <- 1 to codes) yield {
-      books.find(b => b.sub == t && b.code == j) match {
-        case Some(b) => graft.expr.ArrayExprs.dotLong(
-          slice(col("qv"), t * dsub + 1, dsub), typedlit(b.cv))
-        case None => lit(0L)
-      }
-    }): _*)
+    // ONE kernel expression with the codebook as a reference object.
+    // The previous form — an array() of m·codes slice+dot column
+    // subtrees — generated a projection so large that Janino compile
+    // dominated every cold PQ query (~3 s for a table evaluated on
+    // dozens of query rows); the kernel's generated code is one static
+    // call, same exact integer results (PqSpec's degenerate-case pins
+    // cover the equivalence).
+    val cvs = Array.fill[Array[Long]](m * codes)(null)
+    books.foreach(b => cvs(b.sub * codes + (b.code.toInt - 1)) = b.cv.toArray)
+    graft.expr.ArrayExprs.pqDotTable(col("qv"), cvs, codes, dsub)
   }
 
   /** ADC numerator: m table lookups + adds over the candidate's codes. */

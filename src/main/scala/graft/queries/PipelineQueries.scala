@@ -708,7 +708,34 @@ object PipelineQueries {
   // (stride 100) and k=3, so recall = |approx ∩ truth| / |truth| is the
   // standard definition. recall is the one double division; everything
   // upstream is the already-oracled integer scoring.
-  private val annRecall: QFn = (s, dir) => {
+  /** Run `body` with whole-stage codegen off, restoring the previous
+    * setting after. For DIAGNOSTIC HARNESSES only: ann_recall's seven
+    * pipelines compile 223 generated classes (~4.5 s of a measured
+    * 11.5 s standalone-cold run) to process relations of at most a few
+    * hundred thousand rows — compile time dominated execution 4:1, and
+    * no single kernel dominated (largest class 270 ms; the old 128-wide
+    * PQ dot-table projection was the one outlier and is now a native
+    * kernel). Interpreted execution of the same plans measures faster
+    * cold and identical warm, with identical results. NOT for
+    * corpus-scale queries — dedup_recall's postings self-join keeps
+    * codegen. The restore happens before the QFn returns; the returned
+    * relation is a LocalRelation of already-collected rows, so no lazy
+    * execution escapes the scope. */
+  private def withInterpretedPlans[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.codegen.wholeStage" -> "false",
+      // non-wholestage operators still compile per-operator unsafe
+      // projections; NO_CODEGEN makes those interpreted too
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val annRecall: QFn = (s, dir) => withInterpretedPlans(s) {
     import s.implicits._
     // ONE quantized prep relation shared by all five pipelines (truth +
     // the four indexes): Similarity.prep is idempotent, so every entry
