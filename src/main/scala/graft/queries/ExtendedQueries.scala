@@ -364,6 +364,25 @@ object ExtendedQueries {
       probe, col("pid"), col("pname"), k = 1)
   }
 
+  private val j11SetSimJoin: QFn = (s, dir) =>
+    // Exact set-similarity self-join (Jaccard >= 0.5) via prefix
+    // filtering — the provably-complete tier beside
+    // dedup_ngram_jaccard's MinHash recall trade. Element domain is
+    // 3-gram SHINGLE sets, not tokens: on this shared-vocabulary
+    // corpus token-Jaccard >= 0.5 holds for most pairs (the
+    // dedup_recall finding — an intrinsically quadratic OUTPUT no
+    // algorithm fixes; a token-set run measured 55 s at sf0.1 with
+    // virtually every pair surviving the verify). The oracle is the
+    // postings-exact scan; the operator's prefix math never needs to
+    // match it (candidates are an implementation detail, the exact
+    // verify defines the output). SetSimJoinSpec proves completeness
+    // differentially incl. template corpora.
+    graft.ops.SetSimJoin.jaccardSelfJoin(
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
+        .filter(col("ts").isNotNull),
+      tau = 0.8)
+
   private val t6Resample: QFn = (s, dir) => {
     // Gap-filled per-user daily resample: one row per (user, day) over
     // each user's own active span, n_events = 0 on gap days, value
@@ -765,6 +784,22 @@ object ExtendedQueries {
         |  CAST(levenshtein(p.pname, c.name) AS BIGINT) AS dist
         |FROM p CROSS JOIN c
         |WHERE levenshtein(p.pname, c.name) <= 1""".stripMargin),
+    QueryDef("j11_set_sim_join", j11SetSimJoin,
+      """WITH dset AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 2),
+        |    i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS ts
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |posts AS (SELECT doc_id, unnest(ts) AS sh FROM dset),
+        |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM posts x JOIN posts y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ts) AS n FROM dset)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jaccard
+        |FROM shared JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) >= 0.8""".stripMargin),
     QueryDef("t6_resample", t6Resample,
       """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS step,
         |    epoch_us(ts) AS us, event_id, value FROM events),
