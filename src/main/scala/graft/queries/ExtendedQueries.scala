@@ -364,6 +364,53 @@ object ExtendedQueries {
       probe, col("pid"), col("pname"), k = 1)
   }
 
+  private val g8Pagerank: QFn = (s, dir) => {
+    // PageRank over the bipartite customer-supplier graph (both
+    // directions, so the walk alternates sides and no node dangles),
+    // FIVE power iterations in FIXED-POINT INTEGER arithmetic:
+    // r' = 150000 + sum over in-neighbors of (r·85) div (100·deg) —
+    // i.e. d = 0.85 and a per-node base of 0.15 in milli-millionths.
+    // Float PageRank sums doubles in partition order (engine-divergent);
+    // the integer form is order-independent and replays hash-exact in
+    // DuckDB's `//`. Truncation loses < 1 unit per (edge, round) — at
+    // SCALE=1e6 that is relative error < 1e-4 on the smallest ranks,
+    // irrelevant to ranking and identical on both engines.
+    // Scale shape: the degree-annotated edge list is staged ONCE
+    // (localCheckpoint — five consumers), and each iteration's skinny
+    // rank relation is staged before the next. Unlike g6's frontiers
+    // (multiply-referenced -> exponential lineage), each rank feeds
+    // exactly one successor, so lineage only grows LINEARLY without
+    // staging — the A/B at sf0.1 measured neutral (3.1-4.0 s both
+    // ways). Staged anyway: it bounds plan depth and recovery cost as
+    // the iteration count grows (the Pregel discipline), for free.
+    // Per iteration: one equi-join + one map-side-combined aggregate —
+    // the textbook distributed PageRank step.
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = e0.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
+      .unionByName(e0.select((col("supp") + 1000000000L).as("src"), col("cust").as("dst")))
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    var ranks = withDeg.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      ranks = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+        .select(col("dst").as("id"), (lit(150000L) + col("cs")).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.select(
+        when(col("id") >= 1000000000L, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("id") >= 1000000000L, col("id") - 1000000000L)
+          .otherwise(col("id")).as("node_id"),
+        col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("node_id")).limit(100)
+  }
+
   private val j11SetSimJoin: QFn = (s, dir) =>
     // Exact set-similarity self-join (Jaccard >= 0.5) via prefix
     // filtering — the provably-complete tier beside
@@ -784,6 +831,25 @@ object ExtendedQueries {
         |  CAST(levenshtein(p.pname, c.name) AS BIGINT) AS dist
         |FROM p CROSS JOIN c
         |WHERE levenshtein(p.pname, c.name) <= 1""".stripMargin),
+    QueryDef("g8_pagerank", g8Pagerank, {
+      val rounds = (1 to 5).map { t =>
+        s"""r$t AS (SELECT e.dst AS id,
+           |    CAST(150000 + SUM((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM edges e JOIN r${t - 1} r ON r.id = e.src
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT cust AS src, supp + 1000000000 AS dst FROM e0
+         |  UNION ALL SELECT supp + 1000000000, cust FROM e0),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$rounds
+         |SELECT CASE WHEN id >= 1000000000 THEN 'supp' ELSE 'cust' END AS kind,
+         |  CASE WHEN id >= 1000000000 THEN id - 1000000000 ELSE id END AS node_id,
+         |  pr
+         |FROM r5 ORDER BY pr DESC, id LIMIT 100""".stripMargin
+    }),
     QueryDef("j11_set_sim_join", j11SetSimJoin,
       """WITH dset AS (SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, len(toks) - 2),

