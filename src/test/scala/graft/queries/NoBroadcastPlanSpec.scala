@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** The "plan at cluster scale" view for the round-13 operators: with
+  * broadcast joins disabled (no side fits under any threshold at
+  * 100 TB), every join must still plan as a hash/sort-merge EQUI join —
+  * a query that silently degrades to a nested loop when its small side
+  * outgrows the broadcast threshold is a 100 TB incident in waiting.
+  * The one sanctioned exception is an EXPLICIT broadcast() of a
+  * metadata-scale relation (documented at each site), which rightly
+  * survives the threshold. */
+class NoBroadcastPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planNoBroadcast(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def assertEquiOnly(name: String, allowedBnlj: Int = 0): Unit = {
+    val p = planNoBroadcast(name)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"$name plans a cartesian without broadcast:\n$p")
+    val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size <= allowedBnlj,
+      s"$name: ${bnlj.size} nested-loop joins without broadcast (allowed $allowedBnlj):\n$p")
+  }
+
+  test("j10 fuzzy join plans equi-only without broadcast") {
+    assertEquiOnly("j10_fuzzy_join")
+  }
+
+  test("j11 set-similarity join plans equi-only without broadcast") {
+    // the length filter and id ordering ride as residuals on the
+    // prefix-token equi key, never as a join strategy downgrade
+    assertEquiOnly("j11_set_sim_join")
+  }
+
+  test("g8 pagerank plans equi-only without broadcast") {
+    assertEquiOnly("g8_pagerank")
+  }
+
+  test("g6/g7 keep their shapes without broadcast") {
+    assertEquiOnly("g6_khop_reachability")
+    // g7's single BNLJ is the explicit 1-row scalar-threshold
+    // broadcast — metadata-scale by construction, sanctioned
+    assertEquiOnly("g7_copurchase_projection", allowedBnlj = 1)
+  }
+}
