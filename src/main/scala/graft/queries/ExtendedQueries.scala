@@ -364,6 +364,16 @@ object ExtendedQueries {
       probe, col("pid"), col("pname"), k = 1)
   }
 
+  private val o8Funnel: QFn = (s, dir) =>
+    // First-touch conversion funnel signup -> click -> purchase within
+    // 12 hours: the ordered-event pattern metric (ClickHouse
+    // windowFunnel / MATCH_RECOGNIZE-lite). Greedy-earliest chaining
+    // is exact for this metric and pure integer-microsecond compares,
+    // so the DuckDB oracle replays the same per-step conditional mins.
+    graft.ops.Funnel.firstTouch(Tables.events(s, dir),
+      col("user_id"), col("ts_us"), col("event_type"),
+      Seq("signup", "click", "purchase"), windowUs = 12L * 3600000000L)
+
   private val g8Pagerank: QFn = (s, dir) => {
     // PageRank over the bipartite customer-supplier graph (both
     // directions, so the walk alternates sides and no node dangles),
@@ -831,6 +841,23 @@ object ExtendedQueries {
         |  CAST(levenshtein(p.pname, c.name) AS BIGINT) AS dist
         |FROM p CROSS JOIN c
         |WHERE levenshtein(p.pname, c.name) <= 1""".stripMargin),
+    QueryDef("o8_funnel", o8Funnel,
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS tpe
+        |  FROM events),
+        |l1 AS (SELECT u, CAST(MIN(us) AS BIGINT) AS t1_us FROM ev
+        |  WHERE tpe = 'signup' GROUP BY u),
+        |l2 AS (SELECT e.u, CAST(MIN(e.us) AS BIGINT) AS t2_us
+        |  FROM ev e JOIN l1 ON l1.u = e.u
+        |  WHERE e.tpe = 'click' AND e.us >= l1.t1_us
+        |    AND e.us - l1.t1_us <= 43200000000 GROUP BY e.u),
+        |l3 AS (SELECT e.u, CAST(MIN(e.us) AS BIGINT) AS t3_us
+        |  FROM ev e JOIN l2 ON l2.u = e.u JOIN l1 ON l1.u = e.u
+        |  WHERE e.tpe = 'purchase' AND e.us >= l2.t2_us
+        |    AND e.us - l1.t1_us <= 43200000000 GROUP BY e.u)
+        |SELECT l1.u AS user_id, l1.t1_us, l2.t2_us, l3.t3_us,
+        |  CAST(CASE WHEN l3.t3_us IS NOT NULL THEN 3
+        |            WHEN l2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS level
+        |FROM l1 LEFT JOIN l2 ON l2.u = l1.u LEFT JOIN l3 ON l3.u = l1.u""".stripMargin),
     QueryDef("g8_pagerank", g8Pagerank, {
       val rounds = (1 to 5).map { t =>
         s"""r$t AS (SELECT e.dst AS id,
