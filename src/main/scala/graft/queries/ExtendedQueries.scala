@@ -374,6 +374,37 @@ object ExtendedQueries {
       col("user_id"), col("ts_us"), col("event_type"),
       Seq("signup", "click", "purchase"), windowUs = 12L * 3600000000L)
 
+  private val o9Retention: QFn = (s, dir) => {
+    // Cohort retention (the funnel's companion metric): users cohorted
+    // by first-signup week, each later week's activity fraction
+    // reported per (cohort, offset). floor(ts/week) is exact here for
+    // the same reason as t6_resample (micros ≈ 1.7e15 stays far under
+    // 2^53, so the double quotient's floor can't misround); the ratio
+    // is the one int/int double division. Shape: one anchor aggregate,
+    // one (user, cohort, offset)-distinct activity relation, one
+    // grouped count + a broadcast cohort-size join — every stage keyed,
+    // nothing driver-side.
+    val week = 604800000000L
+    val ev = Tables.events(s, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("su"))
+      .select(col("user_id"), floor(col("su") / week).as("cw"))
+    val active = ev.select(col("user_id"), floor(col("ts_us") / week).as("w"))
+      .join(cohort, "user_id")
+      .select(col("user_id"), col("cw"), (col("w") - col("cw")).as("off"))
+      .filter(col("off") >= 0 && col("off") <= 8)
+      .distinct()
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+    active.groupBy(col("cw"), col("off"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").cast("long").as("cohort_week"),
+        col("off").cast("long").as("week_offset"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
+
   private val g8Pagerank: QFn = (s, dir) => {
     // PageRank over the bipartite customer-supplier graph (both
     // directions, so the walk alternates sides and no node dangles),
@@ -858,6 +889,22 @@ object ExtendedQueries {
         |  CAST(CASE WHEN l3.t3_us IS NOT NULL THEN 3
         |            WHEN l2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS level
         |FROM l1 LEFT JOIN l2 ON l2.u = l1.u LEFT JOIN l3 ON l3.u = l1.u""".stripMargin),
+    QueryDef("o9_retention", o9Retention,
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |cohort AS (SELECT user_id, MIN(us) // 604800000000 AS cw
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT e.user_id, c.cw,
+        |    (e.us // 604800000000) - c.cw AS off
+        |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+        |  WHERE (e.us // 604800000000) - c.cw BETWEEN 0 AND 8),
+        |sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |  FROM cohort GROUP BY cw)
+        |SELECT CAST(a.cw AS BIGINT) AS cohort_week,
+        |  CAST(a.off AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active, s.n_cohort,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+        |FROM active a JOIN sizes s ON s.cw = a.cw
+        |GROUP BY a.cw, a.off, s.n_cohort""".stripMargin),
     QueryDef("g8_pagerank", g8Pagerank, {
       val rounds = (1 to 5).map { t =>
         s"""r$t AS (SELECT e.dst AS id,
