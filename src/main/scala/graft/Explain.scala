@@ -31,7 +31,11 @@ object Explain {
         // window-min argmin (single fact scan), compressed cell-pruned
         // ANN, keyless bucketed range join, per-key gap-fill grid
         "q21_waiting_orders", "q2_min_cost_supplier", "ann_ivfpq",
-        "j8_point_in_interval", "t6_resample")
+        "j8_point_in_interval", "t6_resample",
+        // round-13 flagships: deletion-neighborhood fuzzy join,
+        // prefix-filtered set-similarity join, staged iterative
+        // PageRank, chained-conditional-min funnel
+        "j10_fuzzy_join", "j11_set_sim_join", "g8_pagerank", "o8_funnel")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -232,4 +232,42 @@ object FuzzyJoin {
     strPairs.join(idx, "r_str").join(prb, "s_str")
       .select(col("s_id").as("probe_id"), col("r_id").as("match_id"), col("dist"))
   }
+
+  /** Standing deletion-variant index rows for incremental ed<=k probes
+    * — the fuzzy twin of [[Dedup.bandIndex]]: build once per corpus
+    * snapshot (or extend per epoch with each batch's survivors), store
+    * bucketed by `v` at rest so probes co-locate. One row per (variant,
+    * distinct string) plus a (string -> id) side of the SAME relation
+    * (ids ride along), so a duplicate-heavy corpus pays its distinct
+    * strings in variant fan-out and its duplicates only as skinny id
+    * rows. Fan-out per distinct string: 1 + L + C(L,2) (k=2). */
+  def deleteVariantIndex(index: DataFrame, indexId: Column, indexStr: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"deleteVariantIndex: k in [1, 2], got $k")
+    val idx = index.select(indexId.as("r_id"), indexStr.as("r_str"))
+    idx.select(col("r_str")).distinct()
+      .select(col("r_str"), explode(deleteVariants(col("r_str"), k)).as("v"))
+      .join(idx, "r_str")
+      .select(col("v"), col("r_id"), col("r_str"))
+  }
+
+  /** Incremental probe: batch strings against a standing
+    * [[deleteVariantIndex]] — O(batch·fanout) new work per epoch, the
+    * corpus never re-enumerated (the incrementalMinhashPairs
+    * discipline). Returns the same (probe_id, match_id, dist) shape as
+    * [[edJoinDeletes]]; FuzzyJoinSpec proves the two agree on the
+    * (batch x corpus) restriction. */
+  def probeDeletes(probe: DataFrame, probeId: Column, probeStr: Column,
+      standingIndex: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"probeDeletes: k in [1, 2], got $k")
+    val prb = probe.select(probeId.as("s_id"), probeStr.as("s_str"))
+    val hits = prb.select(col("s_str")).distinct()
+      .select(col("s_str"), explode(deleteVariants(col("s_str"), k)).as("v"))
+      .join(standingIndex.select(col("v"), col("r_id"), col("r_str")), "v")
+      .select(col("s_str"), col("r_id"), col("r_str")).distinct()
+      .withColumn("dist", levenshtein(col("s_str"), col("r_str"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+    hits.join(prb, "s_str")
+      .select(col("s_id").as("probe_id"), col("r_id").as("match_id"), col("dist"))
+  }
 }

@@ -374,6 +374,21 @@ object ExtendedQueries {
       col("user_id"), col("ts_us"), col("event_type"),
       Seq("signup", "click", "purchase"), windowUs = 12L * 3600000000L)
 
+  private val j10FuzzyIncremental: QFn = (s, dir) => {
+    // the operational fuzzy-match shape: a standing corpus (custkey %
+    // 10 < 8) is variant-indexed once; each batch (the rest) probes it
+    // with O(batch·fanout) new work — the incrementalMinhashPairs
+    // discipline applied to edit distance. Customer names differing in
+    // one digit supply the ed<=1 cross-partition pairs.
+    import graft.ops.FuzzyJoin
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val idx = FuzzyJoin.deleteVariantIndex(
+      c.filter(col("id") % 10 < 8), col("id"), col("name"), k = 1)
+    FuzzyJoin.probeDeletes(
+      c.filter(col("id") % 10 >= 8), col("id"), col("name"), idx, k = 1)
+  }
+
   private val o9Retention: QFn = (s, dir) => {
     // Cohort retention (the funnel's companion metric): users cohorted
     // by first-signup week, each later week's activity fraction
@@ -889,6 +904,13 @@ object ExtendedQueries {
         |  CAST(CASE WHEN l3.t3_us IS NOT NULL THEN 3
         |            WHEN l2.t2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS level
         |FROM l1 LEFT JOIN l2 ON l2.u = l1.u LEFT JOIN l3 ON l3.u = l1.u""".stripMargin),
+    QueryDef("j10_fuzzy_incremental", j10FuzzyIncremental,
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+        |SELECT p.id AS probe_id, r.id AS match_id,
+        |  CAST(levenshtein(p.name, r.name) AS BIGINT) AS dist
+        |FROM c p CROSS JOIN c r
+        |WHERE p.id % 10 >= 8 AND r.id % 10 < 8
+        |  AND levenshtein(p.name, r.name) <= 1""".stripMargin),
     QueryDef("o9_retention", o9Retention,
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |cohort AS (SELECT user_id, MIN(us) // 604800000000 AS cw

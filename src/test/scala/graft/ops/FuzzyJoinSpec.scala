@@ -94,6 +94,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, s"BNLJ:\n$p")
   }
 
+  test("incremental probe against a standing variant index == the batch join") {
+    // the standing-index path must produce exactly edJoinDeletes'
+    // answer for the same (batch x corpus) pairs — the convergence
+    // contract every incremental tier here carries
+    val corpus = this.corpus(70, 60, "abc", 7)
+    val batch = this.corpus(71, 30, "abc", 7)
+    for (k <- Seq(1, 2)) {
+      val idx = FuzzyJoin.deleteVariantIndex(
+        corpus.toDF("id", "str"), col("id"), col("str"), k)
+      val got = FuzzyJoin.probeDeletes(
+          batch.toDF("id", "str"), col("id"), col("str"), idx, k)
+        .select("probe_id", "match_id", "dist").as[(Long, Long, Long)]
+        .collect().toSet
+      val want = FuzzyJoin.edJoinDeletes(
+          corpus.toDF("id", "str"), col("id"), col("str"),
+          batch.toDF("id", "str"), col("id"), col("str"), k)
+        .select("probe_id", "match_id", "dist").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got === want, s"k=$k: probe diverged from the batch join")
+      assert(want.nonEmpty, s"k=$k: vacuous fixture")
+    }
+  }
+
   test("hand case: edits spanning segment boundaries and shifted survivors") {
     // "abcdef" vs probes built by one deletion/insertion/substitution at
     // each position — every pair must surface with dist 1 despite the
