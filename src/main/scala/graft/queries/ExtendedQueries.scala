@@ -389,6 +389,37 @@ object ExtendedQueries {
       c.filter(col("id") % 10 >= 8), col("id"), col("name"), idx, k = 1)
   }
 
+  private val t7Anomaly: QFn = (s, dir) => {
+    // Rolling z-score anomaly detection: flag events whose value sits
+    // more than 3 sigma from their user's TRAILING-20 window (current
+    // row excluded — an anomaly must not mask itself by inflating its
+    // own baseline). Determinism: the window accumulates s1/s2 as
+    // DECIMALS (order-independent — the a10_moments/o4 discipline;
+    // double window sums depend on frame arrival order), then one
+    // fixed double expression derives mean/variance. Windows with < 5
+    // prior events emit no verdict (a 2-sample sigma is noise).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-20, -1)
+    val d = dec(col("value"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        count(lit(1)).over(w).as("n"),
+        sum(d).over(w).cast("double").as("s1"),
+        sum(d * d).over(w).cast("double").as("s2"))
+      .filter(col("n") >= 5)
+      .withColumn("mean", col("s1") / col("n").cast("double"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("z",
+        when(col("variance") > 0,
+          (col("value") - col("mean")) / sqrt(col("variance"))))
+      .withColumn("is_anomaly",
+        (col("z").isNotNull && abs(col("z")) > 3.0).cast("long"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n"), col("mean"), col("z"), col("is_anomaly"))
+  }
+
   private val o9Retention: QFn = (s, dir) => {
     // Cohort retention (the funnel's companion metric): users cohorted
     // by first-signup week, each later week's activity fraction
@@ -911,6 +942,26 @@ object ExtendedQueries {
         |FROM c p CROSS JOIN c r
         |WHERE p.id % 10 >= 8 AND r.id % 10 < 8
         |  AND levenshtein(p.name, r.name) <= 1""".stripMargin),
+    QueryDef("t7_anomaly", t7Anomaly,
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |wi AS (SELECT event_id, user_id, value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |    OVER w AS DOUBLE) AS s2
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value, n, s1 / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    THEN (value - s1 / CAST(n AS DOUBLE)) /
+        |      sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |  END AS z,
+        |  CAST(CASE WHEN (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    AND abs((value - s1 / CAST(n AS DOUBLE)) /
+        |      sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))) > 3.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM wi WHERE n >= 5""".stripMargin),
     QueryDef("o9_retention", o9Retention,
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |cohort AS (SELECT user_id, MIN(us) // 604800000000 AS cw
