@@ -96,6 +96,14 @@ object Main {
       |                     fetch); queries = --ids I,J,... rows of EMB_DIR or
       |                     --queries DIR, an external (vec_id, embedding)
       |                     parquet (--k N [3] --nprobe N [2] --shortlist N [32])
+      |  fuzzy-index-build SRC_DIR
+      |                     persist the deletion-variant fuzzy-match index over
+      |                     an (id, str) parquet under --out
+      |                     (--k N [1] --id-col NAME [id] --str-col NAME [str])
+      |  fuzzy-search       edit-distance matches from a standing --index
+      |                     without re-enumerating the corpus; probes =
+      |                     --strings a,b,... or --queries DIR ((id, str)
+      |                     parquet); k comes from the index meta
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -159,7 +167,8 @@ object Main {
     "quality-frac", "shards", "seq-len", "classifier", "classifier-bias",
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
     "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
-    "m", "codes", "dims", "embed-threshold", "embed-pq", "min-compress-ratio")
+    "m", "codes", "dims", "embed-threshold", "embed-pq", "min-compress-ratio",
+    "id-col", "str-col", "strings")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -842,6 +851,51 @@ object Main {
             println(s"${r.getAs[Long]("q_id")} ${r.getAs[Long]("c_id")} " +
               s"${r.getAs[Int]("rank")} ${r.getAs[Double]("score")}")
           }
+          0
+
+        case "fuzzy-index-build" =>
+          // build-once half of the fuzzy-match standing index: the
+          // deletion-variant rows land as plain parquet (bucket the
+          // `v` column at rest for co-located probes) + a 1-row meta
+          // table pinning k, so search never guesses the neighborhood
+          // radius the index was built for.
+          val Vector((_, srcDir)) = positional(pos, "fuzzy-index-build", "SRC_DIR")
+          val out = required(opts, "out")
+          val k = intOpt(opts, "k", 1)
+          val idCol = opts.getOrElse("id-col", "id")
+          val strCol = opts.getOrElse("str-col", "str")
+          val src = spark.read.parquet(srcDir)
+          graft.ops.FuzzyJoin.deleteVariantIndex(src, col(idCol), col(strCol), k)
+            .write.mode(SaveMode.Overwrite).parquet(s"$out/variants")
+          import spark.implicits._
+          Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+          val n = spark.read.parquet(s"$out/variants").count()
+          println(s"indexed $n variant rows into $out (k=$k)")
+          0
+
+        case "fuzzy-search" =>
+          // search-many half: probe the standing --index with O(probe
+          // x fanout) work; the corpus is never re-enumerated. Probes
+          // come from --strings (ad hoc, ids are their position) or
+          // --queries DIR, an (id, str) parquet.
+          val idx = required(opts, "index")
+          val k = spark.read.parquet(s"$idx/meta").head().getAs[Int]("k")
+          import spark.implicits._
+          val probe = (opts.get("strings"), opts.get("queries")) match {
+            case (Some(ss), None) =>
+              ss.split(',').toSeq.zipWithIndex
+                .map { case (t, i) => (i.toLong, t.trim) }.toDF("id", "str")
+            case (None, Some(qDir)) => spark.read.parquet(qDir)
+            case _ => throw CliError(
+              "fuzzy-search needs exactly one of --strings or --queries")
+          }
+          val res = graft.ops.FuzzyJoin.probeDeletes(probe, col("id"), col("str"),
+            spark.read.parquet(s"$idx/variants"), k)
+          res.orderBy(col("probe_id"), col("dist"), col("match_id"))
+            .collect().foreach { r =>
+              println(s"${r.getAs[Long]("probe_id")} ${r.getAs[Long]("match_id")} " +
+                s"${r.getAs[Long]("dist")}")
+            }
           0
 
         case other => throw CliError(s"unknown command: $other")

@@ -509,4 +509,30 @@ class MainCliSpec extends SparkSpec {
     assert(extTop.getAs[Long]("q_id") === 1000000L)
     assert(extTop.getAs[Long]("c_id") === 0L)
   }
+
+  test("fuzzy-index-build + fuzzy-search answer from the persisted index") {
+    import spark.implicits._
+    val base = tmp("cli_fuzzy")
+    val srcDir = base + "/src"
+    val out = base + "/idx"
+    Seq((1L, "kitten"), (2L, "mitten"), (3L, "sitting"), (4L, "apple"))
+      .toDF("id", "str").write.parquet(srcDir)
+    assert(Main.run(spark, Seq("fuzzy-index-build", srcDir,
+      "--out", out, "--k", "1")) === 0)
+    // meta pins k; variants persisted
+    assert(spark.read.parquet(s"$out/meta").head().getAs[Int]("k") === 1)
+    assert(spark.read.parquet(s"$out/variants").count() > 0)
+    // ad hoc probe: "mitten" matches kitten+mitten at ed<=1, not sitting
+    assert(Main.run(spark, Seq("fuzzy-search", "--index", out,
+      "--strings", "mitten,banana")) === 0)
+    val got = graft.ops.FuzzyJoin.probeDeletes(
+        Seq((0L, "mitten")).toDF("id", "str"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("str"),
+        spark.read.parquet(s"$out/variants"), 1)
+      .select("match_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+    // missing probes is the click-style validation error, exit 2
+    assert(Main.run(spark, Seq("fuzzy-search", "--index", out)) === 2)
+  }
 }
