@@ -421,34 +421,11 @@ object ExtendedQueries {
   }
 
   private val o9Retention: QFn = (s, dir) => {
-    // Cohort retention (the funnel's companion metric): users cohorted
-    // by first-signup week, each later week's activity fraction
-    // reported per (cohort, offset). floor(ts/week) is exact here for
-    // the same reason as t6_resample (micros ≈ 1.7e15 stays far under
-    // 2^53, so the double quotient's floor can't misround); the ratio
-    // is the one int/int double division. Shape: one anchor aggregate,
-    // one (user, cohort, offset)-distinct activity relation, one
-    // grouped count + a broadcast cohort-size join — every stage keyed,
-    // nothing driver-side.
-    val week = 604800000000L
-    val ev = Tables.events(s, dir)
-    val cohort = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("su"))
-      .select(col("user_id"), floor(col("su") / week).as("cw"))
-    val active = ev.select(col("user_id"), floor(col("ts_us") / week).as("w"))
-      .join(cohort, "user_id")
-      .select(col("user_id"), col("cw"), (col("w") - col("cw")).as("off"))
-      .filter(col("off") >= 0 && col("off") <= 8)
-      .distinct()
-    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
-    active.groupBy(col("cw"), col("off"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cw")
-      .select(col("cw").cast("long").as("cohort_week"),
-        col("off").cast("long").as("week_offset"),
-        col("n_active"), col("n_cohort"),
-        (col("n_active").cast("double") / col("n_cohort").cast("double"))
-          .as("retention"))
+    // Cohort retention — body extracted to ops.Retention.matrix so the
+    // streaming twin (StreamRetention) converges against the same batch
+    // operator; semantics, shape, and output contract documented there.
+    graft.ops.Retention.matrix(Tables.events(s, dir),
+      col("user_id"), col("ts_us"), col("event_type"))
   }
 
   private val g8Pagerank: QFn = (s, dir) => {
