@@ -390,34 +390,12 @@ object ExtendedQueries {
   }
 
   private val t7Anomaly: QFn = (s, dir) => {
-    // Rolling z-score anomaly detection: flag events whose value sits
-    // more than 3 sigma from their user's TRAILING-20 window (current
-    // row excluded — an anomaly must not mask itself by inflating its
-    // own baseline). Determinism: the window accumulates s1/s2 as
-    // DECIMALS (order-independent — the a10_moments/o4 discipline;
-    // double window sums depend on frame arrival order), then one
-    // fixed double expression derives mean/variance. Windows with < 5
-    // prior events emit no verdict (a 2-sample sigma is noise).
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      .rowsBetween(-20, -1)
-    val d = dec(col("value"))
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("value"),
-        count(lit(1)).over(w).as("n"),
-        sum(d).over(w).cast("double").as("s1"),
-        sum(d * d).over(w).cast("double").as("s2"))
-      .filter(col("n") >= 5)
-      .withColumn("mean", col("s1") / col("n").cast("double"))
-      .withColumn("variance",
-        (col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
-          (col("n").cast("double") - lit(1.0)))
-      .withColumn("z",
-        when(col("variance") > 0,
-          (col("value") - col("mean")) / sqrt(col("variance"))))
-      .withColumn("is_anomaly",
-        (col("z").isNotNull && abs(col("z")) > 3.0).cast("long"))
-      .select(col("event_id"), col("user_id"), col("value"),
-        col("n"), col("mean"), col("z"), col("is_anomaly"))
+    // Rolling z-score anomaly detection — body extracted to
+    // ops.Anomaly.rolling so the streaming twin (StreamAnomaly)
+    // converges against the same batch operator; semantics, decimal
+    // determinism, and shape documented there.
+    graft.ops.Anomaly.rolling(Tables.events(s, dir), col("event_id"),
+      col("user_id"), col("value"), Seq(col("event_id")))
   }
 
   private val o9Retention: QFn = (s, dir) => {
