@@ -398,6 +398,16 @@ object ExtendedQueries {
       col("user_id"), col("value"), Seq(col("event_id")))
   }
 
+  private val t8HeavyHitters: QFn = (s, dir) =>
+    // Exact frequency-threshold heavy hitters at bounded memory: a
+    // Misra-Gries candidate sketch (capacity 144 < the ~150 distinct
+    // users at sf0.01, so the fixture genuinely evicts) followed by a
+    // broadcast exact recount — see ops.HeavyHitters for the recall
+    // guarantee and the 100 TB shape. Pure-integer threshold
+    // (cnt·1000 ≥ 7·N) so no float boundary can drift vs the oracle.
+    graft.ops.HeavyHitters.frequentItems(Tables.events(s, dir),
+      col("user_id"), thetaNum = 7L, thetaDen = 1000L, capacity = 144)
+
   private val o9Retention: QFn = (s, dir) => {
     // Cohort retention — body extracted to ops.Retention.matrix so the
     // streaming twin (StreamRetention) converges against the same batch
@@ -917,6 +927,12 @@ object ExtendedQueries {
         |      sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))) > 3.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM wi WHERE n >= 5""".stripMargin),
+    QueryDef("t8_heavy_hitters", t8HeavyHitters,
+      """WITH r AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
+        |SELECT r.item, CAST(count(*) AS BIGINT) AS cnt, n.n_total
+        |FROM r, n GROUP BY r.item, n.n_total
+        |HAVING count(*) * 1000 >= 7 * n.n_total""".stripMargin),
     QueryDef("o9_retention", o9Retention,
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |cohort AS (SELECT user_id, MIN(us) // 604800000000 AS cw
