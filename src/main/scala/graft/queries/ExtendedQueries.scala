@@ -638,6 +638,37 @@ object ExtendedQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
         count(lit(1)).as("n"))
 
+  private val x3SketchAtRest: QFn = (s, dir) => {
+    // Mergeable sketches AT REST — the 100 TB distinct-count idiom: a
+    // daily pre-aggregation stores ONE HLL sketch per day (a KB-scale
+    // binary), and every later rollup (here weekly) merges the STORED
+    // sketches with hll_union_agg instead of rescanning raw rows. At
+    // 1000 executors this turns "distinct users last week" from a
+    // full-corpus shuffle into a 7-row sketch merge. Approximate by
+    // definition, so the oracled contract is the x2 discipline: each
+    // engine asserts its own estimate against its own exact count,
+    // and the compared columns (week, n_days, exact_users, users_ok)
+    // are deterministic. Day/week use integer division on positive
+    // epoch-us, matching DuckDB's `//` floor semantics.
+    val ev = Tables.events(s, dir).select(
+      (col("ts_us") / lit(86400000000L)).cast("long").as("day"),
+      col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily
+      .groupBy((col("day") / lit(7L)).cast("long").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev
+      .groupBy((col("day") / lit(7L)).cast("long").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .select(col("week"), col("n_days"), col("exact_users"),
+        (abs(col("est").cast("double") - col("exact_users").cast("double")) <=
+          greatest(col("exact_users").cast("double") * lit(0.10), lit(10.0)))
+          .as("users_ok"))
+  }
+
   private val x2SketchBounds: QFn = (s, dir) =>
     // Cross-engine sketch-accuracy CONTRACT, hash-oracled: each engine
     // runs its own HLL / quantile sketch and asserts it against its own
@@ -1089,6 +1120,18 @@ object ExtendedQueries {
         |${graft.ops.Layout.zValueSql(Seq("user_id", "CAST(floor(value) AS BIGINT)"))} AS zv
         |FROM events""".stripMargin),
     QueryDef("x1_approx_sketch", x1ApproxSketch, ""),
+    QueryDef("x3_sketch_at_rest", x3SketchAtRest,
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |wk AS (SELECT day // 7 AS week, day, user_id FROM ev),
+        |days AS (SELECT week, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |  FROM wk GROUP BY week),
+        |ex AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |    CAST(approx_count_distinct(user_id) AS DOUBLE) AS est
+        |  FROM wk GROUP BY week)
+        |SELECT CAST(d.week AS BIGINT) AS week, d.n_days, ex.exact_users,
+        |  (abs(ex.est - CAST(ex.exact_users AS DOUBLE))
+        |    <= greatest(CAST(ex.exact_users AS DOUBLE) * 0.10, 10.0)) AS users_ok
+        |FROM days d JOIN ex ON ex.week = d.week""".stripMargin),
     QueryDef("x2_sketch_bounds", x2SketchBounds,
       """SELECT event_type, count(*) AS n,
         |count(DISTINCT user_id) AS exact_users,

@@ -111,6 +111,30 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(grand === leaves)
   }
 
+  test("x3: merging stored daily HLL sketches == sketching the raw week") {
+    // The property that makes sketch-at-rest rollups trustworthy:
+    // hll_union_agg over per-day sketches must return the SAME
+    // estimate as one hll_sketch_agg over the week's raw rows (the
+    // datasketches merge is lossless for HLL registers). If this ever
+    // breaks, x3's users_ok booleans could stay green while the
+    // at-rest path silently degrades.
+    import org.apache.spark.sql.functions._
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((col("ts_us") / lit(86400000000L)).cast("long").as("day"),
+        col("user_id"))
+    val viaRest = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy((col("day") / lit(7L)).cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val viaRaw = ev
+      .groupBy((col("day") / lit(7L)).cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val rest = viaRest.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = viaRaw.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rest === raw, "at-rest merge diverged from raw sketch")
+    assert(rest.nonEmpty)
+  }
+
   test("LSH gate queries are non-vacuous at the gate SF (sf0.01)") {
     // Round-9 finding: at 16 sign bits both queries hash-matched the
     // oracle on ZERO rows — a green light that proved nothing. The
