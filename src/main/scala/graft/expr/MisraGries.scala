@@ -63,21 +63,10 @@ case class MisraGriesAgg(
       input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1L)
-        case None if buf.size < capacity =>
-          // child.eval may return a pointer into a reused row buffer —
-          // copy before retaining it as a map key.
-          buf.update(s.clone(), 1L)
-        case None =>
-          // Classic MG overflow: decrement every counter (the new
-          // item's implicit 1 decrements to 0 — it is not inserted),
-          // dropping zeros. Each decrement cancels one prior
-          // increment, so total decrement work is O(N) amortized.
-          buf.filterInPlace((_, c) => c > 1L)
-          buf.mapValuesInPlace((_, c) => c - 1L)
-      }
+      // child.eval may return a pointer into a reused row buffer — the
+      // copy fn clones before the step retains it as a map key.
+      MisraGries.updateStep[UTF8String](buf, v.asInstanceOf[UTF8String],
+        capacity, _.clone())
     }
     buf
   }
@@ -151,6 +140,23 @@ case class MisraGriesAgg(
 }
 
 object MisraGries {
+  /** One Misra–Gries update step, shared by the batch aggregate and
+    * the streaming twin so the two cannot drift: increment a resident
+    * counter, insert below capacity (via `copy`, for callers whose
+    * items alias reused buffers), or decrement-all on overflow (the
+    * new item's implicit 1 decrements to 0 — it is not inserted;
+    * zeros drop). Each decrement cancels one prior increment, so
+    * total decrement work is O(N) amortized over a stream. */
+  def updateStep[K](buf: mutable.HashMap[K, Long], item: K, capacity: Int,
+      copy: K => K): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < capacity => buf.update(copy(item), 1L)
+      case None =>
+        buf.filterInPlace((_, c) => c > 1L)
+        buf.mapValuesInPlace((_, c) => c - 1L)
+    }
+
   val sketchType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("lb", LongType, nullable = false))), containsNull = false)
