@@ -482,6 +482,17 @@ object ExtendedQueries {
         .filter(col("ts").isNotNull),
       tau = 0.8)
 
+  private val j12EntityResolution: QFn = (s, dir) =>
+    // Entity resolution over customer names: conjunctive match rule
+    // (lev <= 1 AND char-trigram Jaccard >= 0.9), both channels
+    // provably-complete blocked joins, entities = connected
+    // components. At sf0.01 this yields 3 multi-record entities
+    // (sizes 47/11/10) and 1432 singletons — non-trivial on both
+    // sides of the rule. See ops.EntityResolution for the shape.
+    graft.ops.EntityResolution.resolve(
+      Tables.customer(s, dir), col("c_custkey"), col("c_name"),
+      k = 1, tau = 0.9)
+
   private val t6Resample: QFn = (s, dir) => {
     // Gap-filled per-user daily resample: one row per (user, day) over
     // each user's own active span, n_events = 0 on gap days, value
@@ -999,6 +1010,26 @@ object ExtendedQueries {
          |  pr
          |FROM r5 ORDER BY pr DESC, id LIMIT 100""".stripMargin
     }),
+    QueryDef("j12_entity_resolution", j12EntityResolution,
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |tg AS (SELECT id, name, list_distinct(list_transform(
+        |    generate_series(1, len(name) - 2), i -> substr(name, i, 3))) AS ts
+        |  FROM c),
+        |m AS (SELECT a.id AS ia, b.id AS ib FROM tg a JOIN tg b ON a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1
+        |    AND len(list_intersect(a.ts, b.ts)) * 1.0
+        |      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9),
+        |e AS (SELECT ia AS src, ib AS dst FROM m UNION ALL SELECT ib, ia FROM m),
+        |reach(src, dst) AS (SELECT src, dst FROM e
+        |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |ent AS (SELECT c.id AS record_id, COALESCE(l.label, c.id) AS entity_id
+        |  FROM c LEFT JOIN lab l ON l.node = c.id),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM ent GROUP BY entity_id)
+        |SELECT ent.record_id, ent.entity_id, sz.n_members
+        |FROM ent JOIN sz USING (entity_id)""".stripMargin),
     QueryDef("j11_set_sim_join", j11SetSimJoin,
       """WITH dset AS (SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, len(toks) - 2),
