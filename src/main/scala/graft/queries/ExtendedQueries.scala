@@ -680,6 +680,30 @@ object ExtendedQueries {
           .as("users_ok"))
   }
 
+  private val x4CmsBounds: QFn = (s, dir) => {
+    // Count-Min point-frequency contract: build ONE seeded CMS over
+    // all events (counters are additive, so the binary — and hence
+    // every estimate — is identical under any partitioning, unlike
+    // MG), broadcast it, and probe per-user frequencies with the
+    // native cms_estimate expression. CMS only over-counts: est ≥
+    // exact always; the upper envelope uses 2·eps·N headroom over the
+    // per-item eps·N @ 0.999-confidence bound so the booleans are
+    // stable, not flaky. DuckDB has no CMS, so the oracle emits
+    // literal TRUE bounds — the hash compare thereby ASSERTS Spark's
+    // sketch sits inside its envelope (the x2 discipline, one-sided).
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val sk = ev.agg(
+      count_min_sketch(col("user_id"), lit(0.005), lit(0.999), lit(42)).as("sk"),
+      count(lit(1)).as("n_total"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(sk)) // 1-row scalar, the q11/q15 pattern
+      .withColumn("est", graft.expr.Cms.cmsEstimate(col("sk"), col("user_id")))
+      .select(col("user_id"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("ok_lower"),
+        (col("est") <= col("exact_cnt") +
+          ceil(col("n_total").cast("double") * lit(0.01)).cast("long")).as("ok_upper"))
+  }
+
   private val x2SketchBounds: QFn = (s, dir) =>
     // Cross-engine sketch-accuracy CONTRACT, hash-oracled: each engine
     // runs its own HLL / quantile sketch and asserts it against its own
@@ -1151,6 +1175,10 @@ object ExtendedQueries {
         |${graft.ops.Layout.zValueSql(Seq("user_id", "CAST(floor(value) AS BIGINT)"))} AS zv
         |FROM events""".stripMargin),
     QueryDef("x1_approx_sketch", x1ApproxSketch, ""),
+    QueryDef("x4_cms_bounds", x4CmsBounds,
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |TRUE AS ok_lower, TRUE AS ok_upper
+        |FROM events GROUP BY user_id""".stripMargin),
     QueryDef("x3_sketch_at_rest", x3SketchAtRest,
       """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
         |wk AS (SELECT day // 7 AS week, day, user_id FROM ev),
