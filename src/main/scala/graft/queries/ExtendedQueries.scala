@@ -493,6 +493,20 @@ object ExtendedQueries {
       Tables.customer(s, dir), col("c_custkey"), col("c_name"),
       k = 1, tau = 0.9)
 
+  private val g9Triangles: QFn = (s, dir) => {
+    // Per-part triangle counts over the part co-occurrence graph
+    // (parts sharing an order). The interesting machinery is in
+    // ops.Triangles: degree-ordered orientation caps wedge cost at
+    // O(m^1.5) under any skew. 115k edges / 413k triangles at sf0.01.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("id_a"), col("y.p").as("id_b")).distinct()
+    graft.ops.Triangles.perNodeCounts(edges)
+      .select(col("node").as("part_id"), col("n_tri"))
+  }
+
   private val t6Resample: QFn = (s, dir) => {
     // Gap-filled per-user daily resample: one row per (user, day) over
     // each user's own active span, n_events = 0 on gap days, value
@@ -1015,6 +1029,17 @@ object ExtendedQueries {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
         |FROM active a JOIN sizes s ON s.cw = a.cw
         |GROUP BY a.cw, a.off, s.n_cohort""".stripMargin),
+    QueryDef("g9_triangles", g9Triangles,
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS part_id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY part_id""".stripMargin),
     QueryDef("g8_pagerank", g8Pagerank, {
       val rounds = (1 to 5).map { t =>
         s"""r$t AS (SELECT e.dst AS id,
