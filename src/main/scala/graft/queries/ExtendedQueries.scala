@@ -493,18 +493,42 @@ object ExtendedQueries {
       Tables.customer(s, dir), col("c_custkey"), col("c_name"),
       k = 1, tau = 0.9)
 
-  private val g9Triangles: QFn = (s, dir) => {
-    // Per-part triangle counts over the part co-occurrence graph
-    // (parts sharing an order). The interesting machinery is in
-    // ops.Triangles: degree-ordered orientation caps wedge cost at
-    // O(m^1.5) under any skew. 115k edges / 413k triangles at sf0.01.
+  /** Part co-occurrence graph: parts sharing an order, one undirected
+    * edge per distinct pair (115k edges / 413k triangles at sf0.01).
+    * Shared by g9/g10. */
+  private def partCoEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("x").join(li.as("y"),
+    li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("id_a"), col("y.p").as("id_b")).distinct()
-    graft.ops.Triangles.perNodeCounts(edges)
+  }
+
+  private val g9Triangles: QFn = (s, dir) =>
+    // Per-part triangle counts. The interesting machinery is in
+    // ops.Triangles: degree-ordered orientation caps closure cost at
+    // O(m^1.5) under any skew.
+    graft.ops.Triangles.perNodeCounts(partCoEdges(s, dir))
       .select(col("node").as("part_id"), col("n_tri"))
+
+  private val g10Clustering: QFn = (s, dir) => {
+    // Local clustering coefficient per part — triangles over possible
+    // wedges, kept in INTEGER math (millionths, floor division) so the
+    // oracle hash-matches exactly: coef_ppm = n_tri·2·10⁶ div
+    // (d·(d−1)). Degree joins broadcast (node-scale); nodes with no
+    // triangles still appear (coef 0) via the degree side.
+    val edges = partCoEdges(s, dir)
+    val deg = edges.select(explode(array(col("id_a"), col("id_b"))).as("part_id"))
+      .groupBy(col("part_id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    val tri = graft.ops.Triangles.perNodeCounts(edges)
+      .select(col("node").as("part_id"), col("n_tri"))
+    deg.join(tri, Seq("part_id"), "left")
+      .select(col("part_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      // `div` = true integer division on both engines (no double
+      // quotient that could round across the floor boundary)
+      .withColumn("coef_ppm", expr("n_tri * 2000000 div (deg * (deg - 1))"))
   }
 
   private val t6Resample: QFn = (s, dir) => {
@@ -716,6 +740,36 @@ object ExtendedQueries {
         (col("est") >= col("exact_cnt")).as("ok_lower"),
         (col("est") <= col("exact_cnt") +
           ceil(col("n_total").cast("double") * lit(0.01)).cast("long")).as("ok_upper"))
+  }
+
+  private val x5QuantileAtRest: QFn = (s, dir) => {
+    // Quantile sketches AT REST (the x3 idiom for ranks): one KLL
+    // sketch per day, weekly rollups merge the STORED binaries with
+    // kll_merge — no raw rescan. KLL compaction is randomized
+    // (expr/Kll.scala caveat), so unlike x3 the estimate itself can
+    // never face the hash oracle: the contract exposes exact counts
+    // plus a wide-envelope boolean — the EXACT rank of the estimated
+    // median must sit in [0.40, 0.60] (k=200 rank error is ~1.65%;
+    // the envelope is ~6 sigma, so the boolean is stable, not flaky).
+    // DuckDB has no KLL: literal TRUE, the one-sided x4 discipline.
+    val ev = Tables.events(s, dir).select(
+      (col("ts_us") / lit(86400000000L)).cast("long").as("day"),
+      col("value"))
+    val weekly = ev.groupBy(col("day"))
+      .agg(graft.expr.Kll.kllSketch(col("value").cast("double")).as("sk"))
+      .groupBy((col("day") / lit(7L)).cast("long").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.expr.Kll.kllMerge(col("sk")).as("sk"))
+      .select(col("week"), col("n_days"),
+        graft.expr.Kll.kllQuantile(col("sk"), lit(0.5)).as("est"))
+    ev.select((col("day") / lit(7L)).cast("long").as("week"), col("value"))
+      .join(broadcast(weekly), Seq("week"))
+      .groupBy(col("week"), col("n_days"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("week"), col("n_days"), col("n_values"),
+        (abs(col("n_le").cast("double") / col("n_values").cast("double") - lit(0.5))
+          <= lit(0.10)).as("p50_ok"))
   }
 
   private val x2SketchBounds: QFn = (s, dir) =>
@@ -1029,6 +1083,23 @@ object ExtendedQueries {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
         |FROM active a JOIN sizes s ON s.cw = a.cw
         |GROUP BY a.cw, a.off, s.n_cohort""".stripMargin),
+    QueryDef("g10_clustering", g10Clustering,
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT v AS part_id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS part_id FROM tri
+        |    UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY part_id)
+        |SELECT d.part_id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+        |  COALESCE(tc.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS coef_ppm
+        |FROM deg d LEFT JOIN tc ON tc.part_id = d.part_id""".stripMargin),
     QueryDef("g9_triangles", g9Triangles,
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x
@@ -1204,6 +1275,13 @@ object ExtendedQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
         |TRUE AS ok_lower, TRUE AS ok_upper
         |FROM events GROUP BY user_id""".stripMargin),
+    QueryDef("x5_quantile_at_rest", x5QuantileAtRest,
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, value FROM events),
+        |wk AS (SELECT day // 7 AS week, day, value FROM ev)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_values, TRUE AS p50_ok
+        |FROM wk GROUP BY week""".stripMargin),
     QueryDef("x3_sketch_at_rest", x3SketchAtRest,
       """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
         |wk AS (SELECT day // 7 AS week, day, user_id FROM ev),
