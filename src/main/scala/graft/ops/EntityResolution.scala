@@ -44,17 +44,16 @@ object EntityResolution {
         i => s.substr(i, lit(3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** (record_id, entity_id, n_members): entity_id is the component-min
-    * record id under the conjunctive match rule. */
-  def resolve(records: DataFrame, id: Column, name: Column,
-      k: Int = 1, tau: Double = 0.9): DataFrame = {
-    val recs = records.select(id.cast("long").as("id"), name.as("name"))
+  /** Verified (id_a, id_b) self-match pairs of a (id, name) relation
+    * under the conjunctive rule — the pipeline resolve() clusters and
+    * the incremental tier reuses for its batch-internal pairs. */
+  private[ops] def matchPairs(recs: DataFrame, k: Int, tau: Double): DataFrame = {
     val trigramSets = recs
       .select(col("id").as("doc_id"), charTrigrams(col("name")).as("ts"))
       .filter(size(col("ts")) > 0)
     val candidates = SetSimJoin.jaccardSelfJoin(trigramSets, tau)
       .select(col("id_a"), col("id_b"))
-    val matches = candidates
+    candidates
       .join(recs.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
       .join(recs.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
       // bounded levenshtein: returns -1 past k, so the verify is O(k·L)
@@ -62,7 +61,14 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), k))
       .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("id_a"), col("id_b"))
-    val labels = Dedup.connectedComponents(matches)
+  }
+
+  /** (record_id, entity_id, n_members): entity_id is the component-min
+    * record id under the conjunctive match rule. */
+  def resolve(records: DataFrame, id: Column, name: Column,
+      k: Int = 1, tau: Double = 0.9): DataFrame = {
+    val recs = records.select(id.cast("long").as("id"), name.as("name"))
+    val labels = Dedup.connectedComponents(matchPairs(recs, k, tau))
       .select(col("node").as("id"), col("label"))
     val ents = recs.join(labels, Seq("id"), "left")
       .select(col("id").as("record_id"),
@@ -71,5 +77,56 @@ object EntityResolution {
       .agg(count(lit(1)).as("n_members"))
     ents.join(sizes, Seq("entity_id"))
       .select(col("record_id"), col("entity_id"), col("n_members"))
+  }
+
+  /** Incremental tier: place a BATCH of new records into a standing
+    * resolved corpus without re-pairing the corpus — the
+    * j10_fuzzy_incremental discipline applied to entities.
+    *
+    * New pairing work is O(batch): batch↔corpus candidates come from
+    * probing the corpus's standing FastSS deletion-variant index
+    * ([[FuzzyJoin.probeDeletes]] — complete for lev ≤ k, hence for the
+    * conjunctive rule), verified by the trigram conjunct computed
+    * inline on the candidate pairs; batch-internal pairs run
+    * [[matchPairs]] on the batch alone. The corpus contributes only
+    * its EXISTING (record → entity) links as pre-coarsened edges, so
+    * connected components sees the same connectivity as a full
+    * re-resolve — including batch records BRIDGING two standing
+    * entities, which merge under the component min exactly as the
+    * batch re-resolve would (convergence proven in
+    * EntityResolutionSpec).
+    *
+    * Returns (record_id, entity_id) for the batch records. Corpus
+    * relabels (entity merges caused by bridges) are derivable from the
+    * same label relation; this surface returns the batch view, the
+    * compaction that rewrites the corpus table being sink-side.
+    */
+  def assignBatch(resolvedCorpus: DataFrame, corpusId: Column,
+      corpusEntity: Column, corpusName: Column,
+      batch: DataFrame, batchId: Column, batchName: Column,
+      k: Int = 1, tau: Double = 0.9): DataFrame = {
+    val corpus = resolvedCorpus.select(corpusId.cast("long").as("id"),
+      corpusEntity.cast("long").as("entity_id"), corpusName.as("name"))
+    val b = batch.select(batchId.cast("long").as("id"), batchName.as("name"))
+    // standing index (built once per corpus snapshot, stored at rest)
+    val idx = FuzzyJoin.deleteVariantIndex(corpus, col("id"), col("name"), k)
+    val bcCand = FuzzyJoin.probeDeletes(b, col("id"), col("name"), idx, k)
+      .select(col("probe_id").as("id_a"), col("match_id").as("id_b"))
+    val bc = bcCand
+      .join(b.select(col("id").as("id_a"), charTrigrams(col("name")).as("ts_a")), "id_a")
+      .join(corpus.select(col("id").as("id_b"), charTrigrams(col("name")).as("ts_b")), "id_b")
+      .filter(size(col("ts_a")) > 0 && size(col("ts_b")) > 0)
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("ts_a")) + size(col("ts_b")) - col("inter")).cast("double") >= tau)
+      .select(col("id_a"), col("id_b"))
+    val bb = matchPairs(b, k, tau)
+    val corpusLinks = corpus.filter(col("id") =!= col("entity_id"))
+      .select(col("id").as("id_a"), col("entity_id").as("id_b"))
+    val labels = Dedup.connectedComponents(bc.union(bb).union(corpusLinks))
+      .select(col("node").as("id"), col("label"))
+    b.join(labels, Seq("id"), "left")
+      .select(col("id").as("record_id"),
+        coalesce(col("label"), col("id")).as("entity_id"))
   }
 }

@@ -91,6 +91,52 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got(3L) === 3L && got(4L) === 3L, "identical long records must merge")
   }
 
+  test("incremental assignBatch == full re-resolve, differentially incl. bridges") {
+    for (seed <- Seq(1, 2, 4)) {
+      val recs = corpus(150, seed)
+      val (corpusRecs, batchRecs) = recs.partition(_._1 % 5 != 0) // 80/20
+      val resolved = EntityResolution.resolve(
+        corpusRecs.toDF("id", "name"), col("id"), col("name"), 1, 0.9)
+      val standing = resolved
+        .join(corpusRecs.toDF("record_id", "name"), Seq("record_id"))
+      val got = EntityResolution.assignBatch(
+          standing, col("record_id"), col("entity_id"), col("name"),
+          batchRecs.toDF("id", "name"), col("id"), col("name"), 1, 0.9)
+        .as[(Long, Long)].collect().toMap
+      val full = naive(recs, 1, 0.9)
+      val want = batchRecs.map { case (id, _) => id -> full(id) }.toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("a batch record bridging two standing entities merges them") {
+    // corpus: entity {1,2} = "X"+base and entity {10,11} = base+"Y"
+    // (lev 2 apart, trigram jaccard 15/17 < 0.9 — resolve keeps them
+    // separate, asserted below); batch record 5 = base is 1 edit and
+    // 15/16 trigram-jaccard from BOTH, so the full re-resolve is one
+    // component — the incremental path must emit the GLOBAL min (1),
+    // not either standing label.
+    val base = "alphabravocharlie"
+    val corpusRecs = Seq(
+      (1L, "X" + base), (2L, "X" + base),
+      (10L, base + "Y"), (11L, base + "Y"))
+    val standing = EntityResolution.resolve(
+        corpusRecs.toDF("id", "name"), col("id"), col("name"), 1, 0.9)
+      .join(corpusRecs.toDF("record_id", "name"), Seq("record_id"))
+    val pre = standing.select("record_id", "entity_id")
+      .as[(Long, Long)].collect().toMap
+    assert(pre === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      "fixture must start as two standing entities")
+    val batch = Seq((5L, base))
+    val got = EntityResolution.assignBatch(
+        standing, col("record_id"), col("entity_id"), col("name"),
+        batch.toDF("id", "name"), col("id"), col("name"), 1, 0.9)
+      .as[(Long, Long)].collect().toMap
+    val full = naive(corpusRecs ++ batch, 1, 0.9)
+    assert(full(5L) === 1L && full(10L) === 1L, "fixture must actually bridge")
+    assert(got(5L) === 1L, s"got=$got")
+  }
+
   test("plan: no cartesian product anywhere in the resolve pipeline") {
     val recs = corpus(60, seed = 4)
     val plan = EntityResolution.resolve(recs.toDF("id", "name"),
