@@ -128,6 +128,44 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-Res): keep the k rows per stratum with the
+    * largest priority u^(1/w) — inclusion probability proportional to
+    * `weight`, no replacement, one pass. The uniform u is
+    * (md5₅₂(salt‖key)+1)/2⁵², so the draw is rerun-stable and
+    * re-dealable by salt (the shuffleShards convention); the priority
+    * compares as ln(u)/w (same order, no pow underflow at large w).
+    *
+    * DETERMINISM BOUNDARY, stated loudly: selection is a function of
+    * (key, weight, salt) only — partitioning-invariant and
+    * rerun-stable, proven by exact differential in WeightedSampleSpec
+    * — but ln() is engine-libm-specific in its last ulp, so unlike
+    * the integer-bucket samplers above this op's selection cannot
+    * face a CROSS-ENGINE hash oracle (a 1-ulp flip at the k-th
+    * boundary is astronomically unlikely, not impossible). The
+    * sample_weighted query is rows-only for that reason, shadowed by
+    * the spec's JVM differential — the compress-ratio convention.
+    *
+    * Scale: priorities are map-side expressions; the rank filter stays
+    * ≤ 1000 so it plans as WindowGroupLimit — at most k rows per
+    * stratum per input partition reach the shuffle (the mixtureQuota
+    * shape). Rows with weight ≤ 0 or NULL are dropped (a non-positive
+    * weight has no E-S priority), stated behavior. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+      stratum: Column, k: Int, salt: String = "w0"): DataFrame = {
+    require(k >= 1 && k <= 1000,
+      "rank filters above windowGroupLimitThreshold lose the partial top-k")
+    val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 13),
+      16, 10).cast("long") + 1L).cast("double") / lit(4503599627370496.0) // 2^52
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("es_pri").desc, key.asc)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_pri", log(u) / weight.cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("es_pri", "rn")
+  }
+
   /** Temperature (α = 0.5) mixture rebalancing: downsample each stratum
     * with keep-rate sqrt(n_min / n_s) — large sources shrink toward the
     * smallest one (which keeps 100%) without the hard cap of a quota.

@@ -516,6 +516,19 @@ object PipelineQueries {
       size(split(col("text"), " ")), budget = 150L)
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("cum_tokens"))
 
+  private val sampleWeighted: QFn = (s, dir) =>
+    // Quality-weighted corpus draw: per source, 15 docs without
+    // replacement with inclusion odds ∝ word count (the "prefer long
+    // documents" mixture step). Deterministic in (doc_id, salt) and
+    // partitioning-invariant, but the E-S priority passes through
+    // ln() — engine-libm territory — so this is a rows-only check
+    // shadowed by WeightedSampleSpec's exact JVM differential (the
+    // compress-ratio convention; rationale in Sampling.weightedTopK).
+    Sampling.weightedTopK(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_words")),
+      col("doc_id"), col("n_words"), col("source"), k = 15)
+
   private val sampleStratified: QFn = (s, dir) =>
     Sampling.stratified(
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
@@ -1342,6 +1355,7 @@ object PipelineQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM t)
         |WHERE cum_tokens <= 150""".stripMargin),
+    QueryDef("sample_weighted", sampleWeighted, ""),
     QueryDef("sample_stratified", sampleStratified,
       """WITH b AS (SELECT doc_id, lang, source, n_chars,
         |  CAST((position(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 16
