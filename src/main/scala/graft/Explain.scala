@@ -35,7 +35,12 @@ object Explain {
         // round-13 flagships: deletion-neighborhood fuzzy join,
         // prefix-filtered set-similarity join, staged iterative
         // PageRank, chained-conditional-min funnel
-        "j10_fuzzy_join", "j11_set_sim_join", "g8_pagerank", "o8_funnel")
+        "j10_fuzzy_join", "j11_set_sim_join", "g8_pagerank", "o8_funnel",
+        // round-13 second-half flagships: sketch-candidate + broadcast
+        // recount heavy hitters, adjacency-intersection triangles,
+        // blocked-conjunction entity resolution, sketch-at-rest rollup
+        "t8_heavy_hitters", "g9_triangles", "j12_entity_resolution",
+        "x3_sketch_at_rest")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

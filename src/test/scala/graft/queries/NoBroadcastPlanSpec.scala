@@ -52,4 +52,20 @@ class NoBroadcastPlanSpec extends SparkSpec {
     // broadcast — metadata-scale by construction, sanctioned
     assertEquiOnly("g7_copurchase_projection", allowedBnlj = 1)
   }
+
+  test("round-13 second-half queries plan equi-only without broadcast") {
+    // t8's candidate set and x3/x5's 1-row scalar sides are explicit
+    // broadcast() of capacity/metadata-scale relations (sanctioned);
+    // none of these may fall back to a nested loop or cartesian
+    assertEquiOnly("t8_heavy_hitters")
+    assertEquiOnly("j12_entity_resolution")
+    assertEquiOnly("j13_er_incremental")
+    // g9/g10's adjacency + rank broadcasts are size-gated explicit
+    // hints (Triangles scaladoc); the underlying joins are all equi
+    assertEquiOnly("g9_triangles")
+    assertEquiOnly("g10_clustering")
+    assertEquiOnly("x3_sketch_at_rest")
+    assertEquiOnly("x5_quantile_at_rest")
+    assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
+  }
 }
