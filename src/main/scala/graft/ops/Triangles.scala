@@ -79,4 +79,54 @@ object Triangles {
     tri.select(explode(array(col("v0"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Incremental tier: per-node counts of the NEW triangles a batch of
+    * edges creates against a standing corpus — O(|batch| · degree)
+    * pairing, the corpus never re-enumerated (the j10/j13 discipline
+    * on a graph).
+    *
+    * Every new triangle contains ≥ 1 batch edge, so enumerating common
+    * union-neighbors of each BATCH edge's endpoints finds them all;
+    * triangles with 2–3 batch edges surface once per such edge, so the
+    * canonical (sorted triple) pass dedups before counting — exactness
+    * over cleverness, and the distinct runs on delta-scale rows only.
+    *
+    * Orientation note, stated because it is a real trade: the batch
+    * tier uses STABLE id-orientation (a < b), not degree orientation —
+    * degrees move when edges arrive, so a degree-ranked adjacency
+    * would need rebuilding per batch, defeating incrementality. The
+    * skew cap therefore does not apply here; the per-batch cost is
+    * Σ_{(u,v)∈batch} (deg(u)+deg(v)), the honest incremental price
+    * every streaming triangle system pays (id/arrival-stable
+    * orientations are the standard choice for exactly this reason).
+    *
+    * Inputs are simple undirected edge lists (id_a < id_b, distinct);
+    * batch edges already present in the corpus are the caller's to
+    * exclude (a replayed edge would re-count its triangles). */
+  def newTrianglesPerNode(corpusEdges: DataFrame, batchEdges: DataFrame,
+      broadcastEdgeLimit: Long = 4L << 20): DataFrame = {
+    val ec = corpusEdges.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
+    val eb = batchEdges.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b")).localCheckpoint()
+    // union adjacency, BOTH directions (a batch edge's endpoints need
+    // their full neighborhoods to close wedges through corpus edges)
+    val e = ec.union(eb)
+    val adj = e.select(col("a").as("v"), col("b").as("w"))
+      .union(e.select(col("b").as("v"), col("a").as("w")))
+      .groupBy(col("v")).agg(collect_list(col("w")).as("nbrs"))
+      .localCheckpoint()
+    val small = adj.count() <= broadcastEdgeLimit
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val tri = eb
+      .join(maybeB(adj.select(col("v").as("a"), col("nbrs").as("na"))), "a")
+      .join(maybeB(adj.select(col("v").as("b"), col("nbrs").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+      // canonical triple: dedups multi-batch-edge triangles
+      .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+      .distinct()
+    tri.select(explode(col("t")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri_new"))
+  }
 }

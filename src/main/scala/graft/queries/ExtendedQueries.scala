@@ -521,13 +521,43 @@ object ExtendedQueries {
     * g6/g8 staging discipline targets — without the checkpoint each
     * read re-runs the lineitem self-join (measured 7.6 → ~3 s for
     * g10 at sf0.1). */
-  private def partCoEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def partCoEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+      orderFilter: Column = lit(true)) = {
     val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .filter(orderFilter).distinct()
     li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("id_a"), col("y.p").as("id_b")).distinct()
       .localCheckpoint()
+  }
+
+  private val g11TriIncremental: QFn = (s, dir) => {
+    // Incremental triangle maintenance: the co-occurrence edges of the
+    // last 2% of orders arrive as a batch against the standing 98%
+    // graph (an increment should be small against its corpus — that is
+    // the regime the operator exists for); new-triangle counts per
+    // part come from batch-edge wedges only
+    // (ops.Triangles.newTrianglesPerNode — the corpus is never
+    // re-enumerated). ONE self-join derives both relations: each
+    // distinct pair is flagged by whether any CORPUS order produces it
+    // — pairs also reachable from corpus orders are standing edges,
+    // not batch edges (the replayed-edge rule as a flag, no second
+    // edge build + anti-join). Oracle = recount(union) −
+    // recount(corpus).
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val flagged = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("id_a"), col("y.p").as("id_b"),
+        (col("x.o") % 50 =!= 49).as("fc"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("fc")).as("in_corpus"))
+      .localCheckpoint()
+    graft.ops.Triangles.newTrianglesPerNode(
+        flagged.filter(col("in_corpus")),
+        flagged.filter(!col("in_corpus")))
+      .select(col("node").as("part_id"), col("n_tri_new"))
   }
 
   private val g9Triangles: QFn = (s, dir) =>
@@ -1126,6 +1156,26 @@ object ExtendedQueries {
         |SELECT d.part_id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
         |  COALESCE(tc.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS coef_ppm
         |FROM deg d LEFT JOIN tc ON tc.part_id = d.part_id""".stripMargin),
+    QueryDef("g11_tri_incremental", g11TriIncremental,
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |eu AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p),
+        |lc AS (SELECT * FROM li WHERE o % 50 <> 49),
+        |ec AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lc x
+        |  JOIN lc y ON x.o = y.o AND x.p < y.p),
+        |tu AS (SELECT e1.a x, e1.b y, e2.b z FROM eu e1
+        |  JOIN eu e2 ON e2.a = e1.b JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT e1.a x, e1.b y, e2.b z FROM ec e1
+        |  JOIN ec e2 ON e2.a = e1.b JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cu AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT x AS part_id FROM tu UNION ALL SELECT y FROM tu
+        |    UNION ALL SELECT z FROM tu) GROUP BY part_id),
+        |cc AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT x AS part_id FROM tc UNION ALL SELECT y FROM tc
+        |    UNION ALL SELECT z FROM tc) GROUP BY part_id)
+        |SELECT cu.part_id, cu.n - COALESCE(cc.n, 0) AS n_tri_new
+        |FROM cu LEFT JOIN cc ON cc.part_id = cu.part_id
+        |WHERE cu.n - COALESCE(cc.n, 0) > 0""".stripMargin),
     QueryDef("g9_triangles", g9Triangles,
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x

@@ -77,6 +77,35 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("incremental: new-triangle counts == recount(union) - recount(corpus)") {
+    for (seed <- Seq(2, 5)) {
+      val rnd = new Random(seed)
+      val all = (for {
+        i <- 0L until 50L; j <- i + 1 until 50L if rnd.nextDouble() < 0.15
+      } yield (i, j)).toSeq
+      val (batch, corpusE) = all.partition(_ => rnd.nextDouble() < 0.3)
+      val got = Triangles
+        .newTrianglesPerNode(corpusE.toDF("id_a", "id_b"), batch.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val after = naive(all)
+      val before = naive(corpusE)
+      val want = after.map { case (n, c) => n -> (c - before.getOrElse(n, 0L)) }
+        .filter(_._2 > 0L)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("incremental: a triangle with 2 or 3 batch edges counts once") {
+    // corpus holds one side, the batch brings the other two — and a
+    // second triangle arrives entirely in the batch
+    val corpusE = Seq((1L, 2L))
+    val batch = Seq((1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val got = Triangles
+      .newTrianglesPerNode(corpusE.toDF("id_a", "id_b"), batch.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("plan: equi-joins only — no cartesian, no nested loop") {
     val edges = (for (i <- 0L to 20L; j <- i + 1 to 20L if (i + j) % 3 != 0) yield (i, j)).toSeq
     val plan = Triangles.perNodeCounts(edges.toDF("id_a", "id_b"))
