@@ -104,6 +104,16 @@ object Main {
       |                     without re-enumerating the corpus; probes =
       |                     --strings a,b,... or --queries DIR ((id, str)
       |                     parquet); k comes from the index meta
+      |  er-resolve SRC_DIR
+      |                     entity resolution over an (id, name) parquet
+      |                     (conjunctive lev/trigram rule) -> --out entity
+      |                     table (--k N [1] --tau F [0.9] --id-col [id]
+      |                     --name-col [name])
+      |  er-assign BATCH_DIR
+      |                     place a batch against a standing --corpus
+      |                     (er-resolve output) with O(batch) pairing;
+      |                     bridges merge; rule comes from the corpus meta;
+      |                     optional --out parquet
       |
       |common options:
       |  --blockchain NAME         config-table key (default ethereum-mainnet)
@@ -168,7 +178,7 @@ object Main {
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
     "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
     "m", "codes", "dims", "embed-threshold", "embed-pq", "min-compress-ratio",
-    "id-col", "str-col", "strings")
+    "id-col", "str-col", "strings", "tau", "name-col", "corpus")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -896,6 +906,55 @@ object Main {
               println(s"${r.getAs[Long]("probe_id")} ${r.getAs[Long]("match_id")} " +
                 s"${r.getAs[Long]("dist")}")
             }
+          0
+
+        case "er-resolve" =>
+          // one-shot entity resolution over an (id, name) parquet:
+          // conjunctive rule (lev <= k AND trigram-jaccard >= tau),
+          // entities = connected components (ops/EntityResolution).
+          // Output keeps the name column so er-assign can probe it as
+          // the standing corpus.
+          val Vector((_, srcDir)) = positional(pos, "er-resolve", "SRC_DIR")
+          val out = required(opts, "out")
+          val k = intOpt(opts, "k", 1)
+          val tau = doubleOpt(opts, "tau", 0.9)
+          val idCol = opts.getOrElse("id-col", "id")
+          val nameCol = opts.getOrElse("name-col", "name")
+          val src = spark.read.parquet(srcDir)
+          graft.ops.EntityResolution.resolve(src, col(idCol), col(nameCol), k, tau)
+            .join(src.select(col(idCol).cast("long").as("record_id"),
+              col(nameCol).as("name")), Seq("record_id"))
+            .write.mode(SaveMode.Overwrite).parquet(out)
+          import spark.implicits._
+          Seq((k, tau)).toDF("k", "tau").write.mode(SaveMode.Overwrite)
+            .parquet(s"$out.meta")
+          val res = spark.read.parquet(out)
+          val nEnt = res.select("entity_id").distinct().count()
+          println(s"resolved ${res.count()} records into $nEnt entities -> $out (k=$k tau=$tau)")
+          0
+
+        case "er-assign" =>
+          // incremental half: place an (id, name) batch against a
+          // standing er-resolve output with O(batch) pairing work
+          // (standing variant index + pre-coarsened entity links —
+          // bridges merge, ops/EntityResolution.assignBatch). The rule
+          // comes from the corpus meta, so a batch can never be
+          // assigned under different thresholds than its corpus.
+          val Vector((_, batchDir)) = positional(pos, "er-assign", "BATCH_DIR")
+          val corpusDir = required(opts, "corpus")
+          val meta = spark.read.parquet(s"$corpusDir.meta").head()
+          val (k, tau) = (meta.getAs[Int]("k"), meta.getAs[Double]("tau"))
+          val idCol = opts.getOrElse("id-col", "id")
+          val nameCol = opts.getOrElse("name-col", "name")
+          val corpus = spark.read.parquet(corpusDir)
+          val res = graft.ops.EntityResolution.assignBatch(
+            corpus, col("record_id"), col("entity_id"), col("name"),
+            spark.read.parquet(batchDir), col(idCol), col(nameCol), k, tau)
+          opts.get("out").foreach(o =>
+            res.write.mode(SaveMode.Overwrite).parquet(o))
+          res.orderBy(col("record_id")).collect().foreach { r =>
+            println(s"${r.getAs[Long]("record_id")} ${r.getAs[Long]("entity_id")}")
+          }
           0
 
         case other => throw CliError(s"unknown command: $other")

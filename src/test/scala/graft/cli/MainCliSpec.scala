@@ -535,4 +535,33 @@ class MainCliSpec extends SparkSpec {
     // missing probes is the click-style validation error, exit 2
     assert(Main.run(spark, Seq("fuzzy-search", "--index", out)) === 2)
   }
+
+  test("er-resolve + er-assign place a batch against the persisted entity table") {
+    import spark.implicits._
+    val base = tmp("cli_er")
+    val srcDir = base + "/src"
+    val out = base + "/entities"
+    // two dirty duplicates + one unrelated record (names long enough
+    // to clear the 0.9 trigram bar at 1 edit)
+    val b = "alphabravocharlie"
+    Seq((1L, "X" + b), (2L, "X" + b), (9L, "zuluyankeewhiskey"))
+      .toDF("id", "name").write.parquet(srcDir)
+    assert(Main.run(spark, Seq("er-resolve", srcDir, "--out", out)) === 0)
+    val ents = spark.read.parquet(out)
+      .select("record_id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    assert(spark.read.parquet(out + ".meta").head().getAs[Int]("k") === 1)
+    // batch: a bridge-free near-dup of entity 1 plus a fresh singleton
+    val batchDir = base + "/batch"
+    val assignedDir = base + "/assigned"
+    Seq((5L, "X" + b + "z"), (6L, "somethingelse99"))
+      .toDF("id", "name").write.parquet(batchDir)
+    assert(Main.run(spark, Seq("er-assign", batchDir,
+      "--corpus", out, "--out", assignedDir)) === 0)
+    val got = spark.read.parquet(assignedDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 1L, 6L -> 6L))
+    // missing --corpus is the click-style validation error, exit 2
+    assert(Main.run(spark, Seq("er-assign", batchDir)) === 2)
+  }
 }
