@@ -17,9 +17,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("oracleSql covers every query except declared rows-only ops") {
     // no 256-bit ints / keccak / DEFLATE in DuckDB; sketches are
-    // approximate by definition
+    // approximate by definition; sample_weighted's E-S priority passes
+    // through ln() (engine-libm) — WeightedSampleSpec carries the
+    // exact JVM differential instead
     val rowsOnly = Set("p8_uint256_math", "p9_keccak", "x1_approx_sketch",
-      "text_compress_ratio")
+      "text_compress_ratio", "sample_weighted")
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 
