@@ -145,5 +145,10 @@ class ExtendedQueriesSpec extends SparkSpec {
       "ann_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
     assert(SparkEntry.queries("dedup_embed_lsh")(spark, gate).count() > 0,
       "dedup_embed_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
+    // t8's 0.7% threshold clears 54 of 150 users at the gate SF but
+    // nobody at sf0.1 (1500 uniform users) — vacuous-at-other-SF is
+    // known and fine, vacuous HERE would mean the green proves nothing
+    assert(SparkEntry.queries("t8_heavy_hitters")(spark, gate).count() > 0,
+      "t8_heavy_hitters emitted 0 rows at sf0.01 — threshold too high")
   }
 }
