@@ -875,7 +875,10 @@ object Main {
           val idCol = opts.getOrElse("id-col", "id")
           val strCol = opts.getOrElse("str-col", "str")
           val src = spark.read.parquet(srcDir)
-          graft.ops.FuzzyJoin.deleteVariantIndex(src, col(idCol), col(strCol), k)
+          // cast at the CLI boundary (the er-resolve convention): an
+          // int-typed id parquet must not surface later as a
+          // ClassCastException in fuzzy-search's getAs[Long] output
+          graft.ops.FuzzyJoin.deleteVariantIndex(src, col(idCol).cast("long"), col(strCol), k)
             .write.mode(SaveMode.Overwrite).parquet(s"$out/variants")
           import spark.implicits._
           Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
@@ -895,7 +898,12 @@ object Main {
             case (Some(ss), None) =>
               ss.split(',').toSeq.zipWithIndex
                 .map { case (t, i) => (i.toLong, t.trim) }.toDF("id", "str")
-            case (None, Some(qDir)) => spark.read.parquet(qDir)
+            case (None, Some(qDir)) =>
+              // normalize an int-typed external id column to long (the
+              // er-resolve convention) so the getAs[Long] output below
+              // cannot ClassCastException on a valid parquet
+              val q = spark.read.parquet(qDir)
+              q.withColumn("id", col("id").cast("long"))
             case _ => throw CliError(
               "fuzzy-search needs exactly one of --strings or --queries")
           }
@@ -949,7 +957,7 @@ object Main {
           val corpus = spark.read.parquet(corpusDir)
           val res = graft.ops.EntityResolution.assignBatch(
             corpus, col("record_id"), col("entity_id"), col("name"),
-            spark.read.parquet(batchDir), col(idCol), col(nameCol), k, tau)
+            spark.read.parquet(batchDir), col(idCol).cast("long"), col(nameCol), k, tau)
           opts.get("out").foreach(o =>
             res.write.mode(SaveMode.Overwrite).parquet(o))
           res.orderBy(col("record_id")).collect().foreach { r =>

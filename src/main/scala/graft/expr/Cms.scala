@@ -24,11 +24,15 @@ import org.apache.spark.util.sketch.CountMinSketch
   * OVER-count only: est ≥ true always; est ≤ true + eps·N with
   * probability ≥ confidence per item.
   *
-  * The deserialized sketch is cached per (expression instance, buffer
-  * reference): in the broadcast-scalar pattern every row carries the
-  * SAME byte array, so deserialization happens once per task, not per
-  * row. CodegenFallback — sketch probing is object code either way,
-  * and the surrounding projection stays codegen'd.
+  * The deserialized sketch is cached per expression instance by
+  * CONTENT (length + `Arrays.equals`), not reference: BinaryType eval
+  * over UnsafeRow-backed input returns a fresh copied byte array per
+  * row, so a reference-only cache would re-deserialize every row. The
+  * content compare is a vectorized linear scan — orders cheaper than
+  * `readFrom`'s parse + counter-matrix allocation — and a reference
+  * fast-path keeps the literal/reused-array case O(1). CodegenFallback
+  * — sketch probing is object code either way, and the surrounding
+  * projection stays codegen'd.
   */
 case class CmsEstimateExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -47,10 +51,11 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
+    if (!(bytes eq lastBytes) &&
+        (lastBytes == null || !java.util.Arrays.equals(bytes, lastBytes))) {
       lastSketch = CountMinSketch.readFrom(bytes)
-      lastBytes = bytes
     }
+    lastBytes = bytes
     lastSketch.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Long]))
   }
 

@@ -125,8 +125,10 @@ case class KllMergeAgg(
 /** `kll_quantile(sketch, q)` — reads a quantile from a stored sketch
   * in-plan (the cms_estimate pattern: broadcast the KB-scale sketch,
   * probe rows where they live). Returns null for an empty sketch.
-  * Deserialization caches per buffer reference — in the
-  * broadcast-scalar pattern every row carries the same byte array. */
+  * Deserialization caches per CONTENT (Arrays.equals, with a reference
+  * fast-path): BinaryType eval hands back a fresh copied array per row
+  * on UnsafeRow-backed input, so a reference-only cache never hits in
+  * the broadcast-scalar probe pattern. */
 case class KllQuantileExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
@@ -144,10 +146,11 @@ case class KllQuantileExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sk: Any, q: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
+    if (!(bytes eq lastBytes) &&
+        (lastBytes == null || !java.util.Arrays.equals(bytes, lastBytes))) {
       lastSketch = KllDoublesSketch.heapify(Memory.wrap(bytes))
-      lastBytes = bytes
     }
+    lastBytes = bytes
     if (lastSketch.isEmpty) null
     else lastSketch.getQuantile(q.asInstanceOf[Double])
   }

@@ -14,7 +14,11 @@ import graft.expr.MisraGries
   *     reduces to ≤ `capacity` counters, partials merge associatively,
   *     and the MG recall guarantee (undercount ≤ N/(capacity+1))
   *     means every item at or above the threshold is in the candidate
-  *     set whenever capacity+1 ≥ thetaDen/thetaNum;
+  *     set whenever capacity+1 > thetaDen/thetaNum — STRICTLY: MG only
+  *     guarantees survival for counts strictly above N/(capacity+1),
+  *     while the output filter is a non-strict ≥ threshold, so at
+  *     equality an item with count exactly theta·N can be decremented
+  *     out of the sketch (capacity=1, theta=1/2, stream "a,b");
   *  2. an exact recount of ONLY the candidates — a broadcast inner
   *     join (≤ capacity rows) onto the fact rows, then a hash
   *     aggregate whose distinct-key space is ≤ capacity.
@@ -38,8 +42,8 @@ object HeavyHitters {
   def frequentItems(df: DataFrame, item: Column, thetaNum: Long,
       thetaDen: Long, capacity: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0, "heavy_hitters: theta > 0")
-    require((capacity + 1).toLong * thetaNum >= thetaDen,
-      s"heavy_hitters: recall guarantee needs capacity+1 >= thetaDen/thetaNum " +
+    require((capacity + 1).toLong * thetaNum > thetaDen,
+      s"heavy_hitters: recall guarantee needs capacity+1 > thetaDen/thetaNum " +
         s"(= ${thetaDen.toDouble / thetaNum}), got capacity=$capacity")
     val rows = df.select(item.cast("string").as("item"))
     val cands = rows

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   * Shape: one token-frequency aggregate (map-side combined), one
   * per-document sort of its own tokens (inside an aggregate fold, no
   * shuffle), one prefix-token equi-join with the classic length
-  * pre-filter (tau·|a| <= |b|), candidate distinct at id-pair grain,
+  * pre-filter (tau·|a| <= |b|) AND the PPJoin+ positional upper-bound
+  * filter (prefix positions cap the achievable overlap — prunes
+  * candidates before they exist), candidate distinct at id-pair grain,
   * two fetch joins, exact Jaccard verify (int/int double division —
   * bit-identical on any engine). Verified pairs only reach the output.
   */
@@ -74,16 +76,32 @@ object SetSimJoin {
     val p = (col("n") - ceil(col("n") * tau - lit(1e-9)).cast("int") + 1).cast("int")
     val prefixes = ordered
       .select(col("doc_id"), col("n"),
-        explode(slice(col("sorted"), lit(1), p)).as("s"))
-      .select(col("doc_id"), col("n"), col("s.tok").as("tok"))
-    val a = prefixes.select(col("doc_id").as("id_a"), col("n").as("na"), col("tok"))
-    val b = prefixes.select(col("doc_id").as("id_b"), col("n").as("nb"), col("tok"))
+        posexplode(slice(col("sorted"), lit(1), p)).as(Seq("pos0", "s")))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"),
+        col("s.tok").as("tok"))
+    val a = prefixes.select(col("doc_id").as("id_a"), col("n").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val b = prefixes.select(col("doc_id").as("id_b"), col("n").as("nb"),
+      col("pos").as("pb"), col("tok"))
+    // PPJoin+ positional filter (Xiao et al., WWW'08): Jaccard >= tau
+    // needs overlap >= alpha = ceil(tau/(1+tau)·(na+nb)). Both prefixes
+    // sort under the SAME global total order, so for the pair's FIRST
+    // common token (positions pa/pb) every other common token sits
+    // strictly after it on both sides: overlap <= 1 + min(na-pa, nb-pb).
+    // Applied per match event it can reject a later common token's
+    // event, but the first-event bound always holds, so the pair
+    // survives through that event — completeness intact (the distinct
+    // collapses events). Epsilon subtracts INSIDE the ceil: drifting
+    // alpha down only admits extra candidates for the verify to
+    // discard; drifting it up would over-prune.
+    val alpha = ceil((col("na") + col("nb")) * lit(tau / (1.0 + tau)) - lit(1e-9))
     val cand = a.join(b,
         a("tok") === b("tok") && col("id_a") < col("id_b") &&
           // length filter: Jaccard >= tau forces tau·|a| <= |b| (and
           // symmetrically) — prune before the verify fetch
           col("nb") * lit(1.0) >= col("na") * tau &&
-          col("na") * lit(1.0) >= col("nb") * tau)
+          col("na") * lit(1.0) >= col("nb") * tau &&
+          lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     val ta = toks.select(col("doc_id").as("id_a"), col("ts").as("ts_a"))
     val tb = toks.select(col("doc_id").as("id_b"), col("ts").as("ts_b"))

@@ -48,7 +48,15 @@ object Triangles {
       col("id_b").cast("long").as("b"))
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val rk = deg.select(col("v"),
+    // rk packs (deg, id) into one sortable long, which is only a total
+    // order when 0 <= id < 2^32 — outside that domain collisions /
+    // inversions would silently mis-orient edges (double- or zero-
+    // counted triangles). Enforce the documented domain loudly, map-
+    // side, on the already-distinct node relation.
+    val vOk = when(col("v") >= 0 && col("v") < lit(1L << 32), col("v"))
+      .otherwise(raise_error(concat(
+        lit("triangles: node id out of [0, 2^32): "), col("v").cast("string"))))
+    val rk = deg.select(vOk.as("v"),
       (col("d") * lit(1L << 32) + col("v")).as("rk"))
     val oriented = e
       .join(broadcast(rk.select(col("v").as("a"), col("rk").as("rka"))), "a")

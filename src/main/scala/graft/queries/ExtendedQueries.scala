@@ -503,10 +503,18 @@ object ExtendedQueries {
     // the operator's coarsened-edge argument claims.
     val c = Tables.customer(s, dir)
     val corpusRecs = c.filter(col("c_custkey") % 10 < 8)
+    // Staged eagerly: assignBatch consumes the resolved corpus THREE
+    // times (variant-index build, trigram verify side, pre-coarsened
+    // entity links) — unstaged, each consumer re-runs the full resolve
+    // join lineage (the partCoEdges discipline; in production the
+    // resolved corpus is a standing table at rest, so the checkpoint is
+    // the fixture analog of reading it from storage, not a semantic
+    // change).
     val corpus = graft.ops.EntityResolution.resolve(
         corpusRecs, col("c_custkey"), col("c_name"), k = 1, tau = 0.9)
       .join(corpusRecs.select(col("c_custkey").as("record_id"), col("c_name")),
         Seq("record_id"))
+      .localCheckpoint(true)
     graft.ops.EntityResolution.assignBatch(
       corpus, col("record_id"), col("entity_id"), col("c_name"),
       c.filter(col("c_custkey") % 10 >= 8), col("c_custkey"), col("c_name"),

@@ -91,8 +91,12 @@ object StreamFunnel {
           buf.filter(_._1 >= wmUs)))
         return Iterator.empty
       }
-      if (anchor + windowUs <= wmUs) {
-        // window closed: run the chain once, tombstone the user
+      if (anchor + windowUs < wmUs) {
+        // window closed: run the chain once, tombstone the user.
+        // Strict <: an event timestamped exactly AT the watermark can
+        // still arrive, and us == anchor + windowUs is in-window for
+        // the batch chain — closing on the tie would silently drop it
+        // after the tombstone (StreamAnomaly's readiness convention).
         val row = chain(anchor, buf).copy(user_id = key)
         state.update(FState(anchor, emitted = true, Nil))
         Iterator.single(row)

@@ -101,6 +101,13 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HeavyHitters.frequentItems(df, col("item"), 1L, 1000L, 10)
     }
+    // equality is NOT enough: with (capacity+1)*thetaNum == thetaDen an
+    // item with count exactly theta*N can be decremented out of the MG
+    // sketch (capacity=1, theta=1/2, stream "a","b") yet passes the
+    // output's non-strict >= filter — the guard must be strict
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(df, col("item"), 1L, 2L, 1)
+    }
   }
 
   test("plan: partial sketch aggregation, broadcast recount, no row shuffle in pass 1") {

@@ -34,6 +34,22 @@ class TrianglesSpec extends SparkSpec {
     assert(counts(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("id outside [0, 2^32) fails loudly instead of mis-orienting") {
+    // rk = deg*2^32 + id is only a total order on that domain; a
+    // silent collision would double- or zero-count triangles
+    val big = 1L << 32
+    val bad = Seq((0L, 1L), (1L, big), (0L, big))
+    val ex = intercept[Exception] {
+      Triangles.perNodeCounts(bad.toDF("id_a", "id_b")).collect()
+    }
+    assert(ex.getMessage.contains("2^32") ||
+      Option(ex.getCause).exists(_.getMessage.contains("2^32")), ex.getMessage)
+    val neg = Seq((-1L, 1L), (1L, 2L), (-1L, 2L))
+    intercept[Exception] {
+      Triangles.perNodeCounts(neg.toDF("id_a", "id_b")).collect()
+    }
+  }
+
   test("triangle-free shapes emit nothing") {
     assert(counts(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))).isEmpty, "4-cycle")
     assert(counts((1L to 5L).map(l => (0L, l))).isEmpty, "star")

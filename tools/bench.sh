@@ -1,0 +1,21 @@
+#!/bin/bash
+# Focused bench runner: tools/bench.sh [comma-separated-queries] [sfdir]
+# Uses the compiled classes directly (no sbt JVM) — the fast path from
+# .claude/skills/verify/SKILL.md. Run on an idle machine, min-of-3.
+set -e
+cd "$(dirname "$0")/.."
+QUERIES="${1:-}"
+SFDIR="${2:-/root/testdata/sf0.1}"
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+SPARK_GRAFT_QUERIES="$QUERIES" \
+java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>/dev/null | tail -1
