@@ -40,20 +40,52 @@ object HeavyHitters {
     * cnt/n_total ≥ thetaNum/thetaDen. `item` is cast to string (the
     * sketch's key type). */
   def frequentItems(df: DataFrame, item: Column, thetaNum: Long,
-      thetaDen: Long, capacity: Int): DataFrame = {
-    require(thetaNum > 0 && thetaDen > 0, "heavy_hitters: theta > 0")
-    require((capacity + 1).toLong * thetaNum > thetaDen,
-      s"heavy_hitters: recall guarantee needs capacity+1 > thetaDen/thetaNum " +
-        s"(= ${thetaDen.toDouble / thetaNum}), got capacity=$capacity")
+      thetaDen: Long, capacity: Int): DataFrame =
+    frequentItemsTiered(df, item, Seq((Long.MaxValue, thetaNum, thetaDen)),
+      capacity)
+
+  /** [[frequentItems]] with a CORPUS-SIZE-TIERED threshold: `tiers` is
+    * a schedule of `(nMax, thetaNum, thetaDen)` rows and the first tier
+    * with `n_total ≤ nMax` supplies the threshold (the last tier must
+    * be a `Long.MaxValue` catch-all).
+    *
+    * Why a schedule instead of one theta: an absolute-share threshold
+    * is corpus-size-dependent whenever the item universe grows with the
+    * corpus (uniform users at 10× the rows have 1/10 the share), so a
+    * production job sweeping corpora of different magnitudes pins a
+    * theta PER MAGNITUDE — and because both engines branch on the same
+    * exact integer `n_total`, the schedule stays DuckDB-oracle-able as
+    * a CASE on n_total. The MG capacity is sized once for the SMALLEST
+    * theta in the schedule (the guard checks every tier), so the recall
+    * guarantee holds whichever tier fires at runtime.
+    */
+  def frequentItemsTiered(df: DataFrame, item: Column,
+      tiers: Seq[(Long, Long, Long)], capacity: Int): DataFrame = {
+    require(tiers.nonEmpty && tiers.last._1 == Long.MaxValue,
+      "heavy_hitters: tiers must end with a Long.MaxValue catch-all")
+    tiers.foreach { case (nMax, num, den) =>
+      require(num > 0 && den > 0, s"heavy_hitters: theta > 0 (tier nMax=$nMax)")
+      require((capacity + 1).toLong * num > den,
+        s"heavy_hitters: recall guarantee needs capacity+1 > thetaDen/thetaNum " +
+          s"(= ${den.toDouble / num} at tier nMax=$nMax), got capacity=$capacity")
+    }
     val rows = df.select(item.cast("string").as("item"))
     val cands = rows
       .agg(MisraGries.mgSketch(col("item"), capacity).as("sk"),
         count(lit(1)).as("n_total"))
       .select(col("n_total"), explode(col("sk")).as("c"))
       .select(col("c.item").as("item"), col("n_total"))
+    // first-match tier selection as nested CASE on the exact n_total —
+    // the same integer branch the oracle SQL takes
+    val num = tiers.init.foldRight(lit(tiers.last._2)) { case ((nMax, n, _), e) =>
+      when(col("n_total") <= nMax, lit(n)).otherwise(e)
+    }
+    val den = tiers.init.foldRight(lit(tiers.last._3)) { case ((nMax, _, d), e) =>
+      when(col("n_total") <= nMax, lit(d)).otherwise(e)
+    }
     rows.join(broadcast(cands), Seq("item"))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
-      .filter(col("cnt") * lit(thetaDen) >= lit(thetaNum) * col("n_total"))
+      .filter(col("cnt") * den >= num * col("n_total"))
   }
 }

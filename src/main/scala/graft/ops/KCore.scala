@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly delete every
+  * node of degree < k (and its incident edges) until no node changes —
+  * the fixpoint is the unique maximal subgraph with minimum degree ≥ k
+  * (Seidman 1983, "Network structure and minimum degree"). The classic
+  * graph-strength primitive beside triangles/CC/PageRank: the 2-core
+  * strips whiskers and tendrils before community or cycle analysis, and
+  * higher cores isolate the dense nucleus.
+  *
+  * Input: one row per UNDIRECTED edge as `(id_a, id_b)`, distinct, no
+  * self-loops (id_a ≠ id_b) — the caller dedups, exactly like
+  * [[Triangles]]. Output: `(node_id, core_deg)` for every node of the
+  * k-core, where core_deg is the node's degree WITHIN the core — an
+  * exact integer set, so the fixpoint is DuckDB-oracle-able by
+  * unrolling peel rounds as CTEs (any unroll ≥ the actual round count
+  * is the identity afterwards, the g8 discipline).
+  *
+  * Scale shape (the per-round Pregel discipline of g8_pagerank):
+  *  - each round is ONE map-side-combined degree aggregate over the
+  *    surviving edges plus TWO hash semi-joins keyed on node id — no
+  *    cartesian, no per-node adjacency materialization, nothing
+  *    driver-side but two counters;
+  *  - the surviving edge set is localCheckpoint-staged every round, so
+  *    lineage stays one round deep no matter the peel depth (without
+  *    staging, round r re-derives rounds 1..r-1 per consumer — the g6
+  *    exponential-lineage lesson);
+  *  - rounds are bounded by the peeling depth (≤ node count in the
+  *    degenerate path-graph case, O(log n) on skewed real graphs); the
+  *    `maxRounds` failsafe fails LOUDLY rather than looping — the
+  *    Dedup.clusters discipline.
+  */
+object KCore {
+
+  /** Nodes of the k-core of `edges` with their in-core degrees.
+    * `edges`: columns `id_a`, `id_b` (distinct undirected pairs). */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k_core: k >= 1")
+    require(maxRounds >= 1, "k_core: maxRounds >= 1")
+    var cur = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var curEdges = cur.count()
+    var rounds = 0
+    var converged = curEdges == 0L
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"k_core: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
+      val keep = cur.select(col("id_a").as("v"))
+        .unionByName(cur.select(col("id_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      val next = cur
+        .join(keep.select(col("v").as("ka")), col("id_a") === col("ka"), "left_semi")
+        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi")
+        .localCheckpoint(true)
+      val nextEdges = next.count()
+      converged = nextEdges == curEdges || nextEdges == 0L
+      cur = next
+      curEdges = nextEdges
+      rounds += 1
+    }
+    cur.select(col("id_a").as("node_id"))
+      .unionByName(cur.select(col("id_b").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("core_deg"))
+  }
+}

@@ -89,6 +89,35 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("tiered threshold: the tier matching n_total fires, differentially") {
+    // two corpora straddling the tier boundary; each must be filtered
+    // by ITS tier's theta, exactly as the oracle's CASE on n_total
+    val tiers = Seq((10000L, 1L, 100L), (Long.MaxValue, 1L, 400L))
+    for ((n, num, den) <- Seq((8000, 1L, 100L), (12000, 1L, 400L))) {
+      val items = corpus(n, 300, seed = n)
+      val got = HeavyHitters.frequentItemsTiered(
+          items.toDF("item").repartition(8), col("item"), tiers, capacity = 420)
+        .select("item", "cnt").as[(String, Long)].collect().toSet
+      val want = exactCounts(items)
+        .filter { case (_, c) => c * den >= num * n.toLong }.toSet
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("tiered guard: EVERY tier must satisfy the strict capacity bound") {
+    val df = Seq("a").toDF("item")
+    // capacity 150 covers tier 1 (theta 1/100) but not tier 2 (1/400)
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsTiered(df, col("item"),
+        Seq((10000L, 1L, 100L), (Long.MaxValue, 1L, 400L)), capacity = 150)
+    }
+    // schedule must end with a catch-all
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsTiered(df, col("item"),
+        Seq((10000L, 1L, 100L)), capacity = 500)
+    }
+  }
+
   test("empty input and all-null items yield no hitters") {
     val empty = Seq.empty[String].toDF("item")
     assert(HeavyHitters.frequentItems(empty, col("item"), 1L, 10L, 20).count() === 0L)

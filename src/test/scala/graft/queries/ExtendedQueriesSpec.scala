@@ -145,10 +145,24 @@ class ExtendedQueriesSpec extends SparkSpec {
       "ann_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
     assert(SparkEntry.queries("dedup_embed_lsh")(spark, gate).count() > 0,
       "dedup_embed_lsh emitted 0 rows at sf0.01 — LSH bucket too wide")
-    // t8's 0.7% threshold clears 54 of 150 users at the gate SF but
-    // nobody at sf0.1 (1500 uniform users) — vacuous-at-other-SF is
-    // known and fine, vacuous HERE would mean the green proves nothing
+    // t8's tier-1 threshold (0.7% below 20k rows) clears 54 of 150
+    // users at the gate SF; with a vacuous emission the green oracle
+    // check would prove nothing (the round-9 LSH lesson)
     assert(SparkEntry.queries("t8_heavy_hitters")(spark, gate).count() > 0,
       "t8_heavy_hitters emitted 0 rows at sf0.01 — threshold too high")
+  }
+
+  test("t8 emits AND evicts at the bench SF (sf0.1)") {
+    // Round-13 verdict: the benched query used to output 0 rows at
+    // sf0.1 (no uniform user clears 0.7% of 100k rows), so the bench
+    // measured a query that emitted nothing. The tier-2 threshold
+    // (0.09% above 20k rows) selects the top uniform outliers — and at
+    // capacity 1200 < 1500 distinct users the benched sketch also
+    // genuinely EVICTS, so the bench now exercises both the recall
+    // guarantee under eviction and a non-empty recount.
+    val bench = "/root/testdata/sf0.1"
+    val rows = SparkEntry.queries("t8_heavy_hitters")(spark, bench).count()
+    assert(rows > 0, "t8_heavy_hitters emitted 0 rows at sf0.1 — tier-2 threshold too high")
+    assert(rows < 100, s"t8 at sf0.1 stopped being selective ($rows rows)")
   }
 }
