@@ -473,6 +473,30 @@ object ExtendedQueries {
       .orderBy(col("pr").desc, col("kind"), col("node_id")).limit(100)
   }
 
+  private val g12Kcore: QFn = (s, dir) => {
+    // 2-core of the STRONG co-purchase graph (parts sharing >= 2
+    // distinct orders — the support threshold is what makes peeling
+    // non-degenerate: the support-1 graph's min degree is 42 at sf0.01,
+    // so every k <= 42 keeps everything and every k near the median
+    // collapses it all at once; the support-2 graph is sparse and
+    // skewed, and the 2-core strips 345 of 1880 nodes over a genuine
+    // 4-round whisker cascade at sf0.01, 6 rounds at sf0.1). Exact
+    // integer output (node, in-core degree); the peel fixpoint is
+    // unique, so any oracle unroll >= the actual round count matches
+    // hash-exactly. Scale shape documented in ops.KCore.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val strong = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("id_a"), col("y.p").as("id_b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    graft.ops.KCore.core(strong, k = 2)
+      .select(col("node_id").cast("long").as("part_id"), col("core_deg"))
+  }
+
   private val j11SetSimJoin: QFn = (s, dir) =>
     // Exact set-similarity self-join (Jaccard >= 0.5) via prefix
     // filtering — the provably-complete tier beside
@@ -1224,6 +1248,31 @@ object ExtendedQueries {
          |  CASE WHEN id >= 1000000000 THEN id - 1000000000 ELSE id END AS node_id,
          |  pr
          |FROM r5 ORDER BY pr DESC, id LIMIT 100""".stripMargin
+    }),
+    QueryDef("g12_kcore", g12Kcore, {
+      // peel rounds unrolled as MATERIALIZED CTEs (each round
+      // references its predecessor 4x — inlined, the unroll re-derives
+      // round r-1 per reference and the expansion is 4^r; materialized,
+      // each round evaluates once, the Spark staging's exact analog).
+      // 6 unrolled rounds >= the 4 the sf0.01 fixture needs; extra
+      // rounds are the identity at the fixpoint.
+      val rounds = (1 to 6).map { i =>
+        val p = s"e${i - 1}"
+        s"""n$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM $p
+           |    UNION ALL SELECT b FROM $p) GROUP BY v HAVING count(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $p e
+           |  JOIN n$i x ON x.v = e.a JOIN n$i y ON y.v = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$rounds
+         |SELECT CAST(v AS BIGINT) AS part_id,
+         |  CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+         |GROUP BY v""".stripMargin
     }),
     QueryDef("j13_er_incremental", j13ErIncremental,
       """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name FROM customer),

@@ -152,6 +152,32 @@ class ExtendedQueriesSpec extends SparkSpec {
       "t8_heavy_hitters emitted 0 rows at sf0.01 — threshold too high")
   }
 
+  test("g12 peels a REAL cascade at the gate SF — nonempty, strictly smaller core") {
+    // self-calibrating non-vacuity: the 2-core must keep some nodes
+    // (else the green oracle proves nothing) and drop some (else the
+    // support-2 graph stopped having whiskers and the peel is a no-op;
+    // at sf0.01 it keeps 1535 of 1880 over 4 rounds)
+    val gate = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = graft.tables.Tables.lineitem(spark, gate)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val strongNodes = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select(col("a").as("v")).unionByName(
+        li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+          .select(col("b").as("v")))
+      .distinct().count()
+    val coreNodes = SparkEntry.queries("g12_kcore")(spark, gate).count()
+    assert(coreNodes > 0, "g12_kcore emitted 0 rows at sf0.01 — core collapsed")
+    assert(coreNodes < strongNodes,
+      s"g12_kcore peeled nothing at sf0.01 ($coreNodes of $strongNodes nodes)")
+  }
+
   test("t8 emits AND evicts at the bench SF (sf0.1)") {
     // Round-13 verdict: the benched query used to output 0 rows at
     // sf0.1 (no uniform user clears 0.7% of 100k rows), so the bench

@@ -107,6 +107,29 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g8 plans a non-equi join")
   }
 
+  test("g12: the peel loop is fully staged — no fact scan survives into the final plan") {
+    // each peel round localCheckpoints the surviving edges, so the
+    // RETURNED plan is the in-core degree aggregate over an RDD-scan
+    // leaf only: a lineitem scan here means a round's lineage escaped
+    // staging and every earlier round re-derives per reference (the
+    // exact blow-up the oracle needed MATERIALIZED CTEs to avoid)
+    val qe = q("g12_kcore").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g12's final plan re-derives the edge list from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g12's staged core-edge relation vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g12 plans a non-equi join")
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
