@@ -130,6 +130,27 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g12 plans a non-equi join")
   }
 
+  test("g9/g10/g11: edge staging holds — no fact scan survives into the final plan") {
+    // r13 verdict item: the partCoEdges localCheckpoint (g9/g10) and
+    // the flagged-edge + adjacency staging (g11) had no structural pin
+    // — a refactor could silently drop them and re-run the lineitem
+    // self-join once per consumer (g10 reads the edges >= 2x; measured
+    // 7.6 → ~3 s at sf0.1 when the checkpoint landed). The returned
+    // plan must read ONLY staged RDD leaves.
+    for (name <- Seq("g9_triangles", "g10_clustering", "g11_tri_incremental")) {
+      val leaves = q(name).queryExecution.sparkPlan.collectLeaves()
+      assert(!leaves.exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("Location").contains("lineitem")
+        case _ => false
+      }, s"$name's final plan re-derives the co-occurrence edges from lineitem")
+      assert(leaves.exists {
+        case _: org.apache.spark.sql.execution.RDDScanExec => true
+        case _ => false
+      }, s"$name's staged edge relation vanished from the plan")
+    }
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
