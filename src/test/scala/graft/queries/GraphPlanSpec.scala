@@ -151,6 +151,29 @@ class GraphPlanSpec extends SparkSpec {
     }
   }
 
+  test("g13: both iteration chains fully staged — no fact scan survives into the final plan") {
+    // the flagged-pair relation, every standing-chain rank, and every
+    // warm-chain rank are localCheckpoint-staged (ops.PageRank), so
+    // the RETURNED plan is the final pr/pr_prev join over RDD-scan
+    // leaves only — a lineitem scan means an iteration's lineage
+    // escaped staging and BOTH chains re-derive per consumer
+    val qe = q("g13_pagerank_incremental").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g13's final plan re-derives the edge list from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g13's staged relations vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g13 plans a non-equi join")
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
