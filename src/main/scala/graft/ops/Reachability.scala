@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hop-bounded reachability (min-hop BFS) and its INCREMENTAL
+  * maintenance under edge insertion — the k-hop counterpart of the
+  * g11/g13 standing-state tiers: reachability is MONOTONE under
+  * insert-only edge arrival (a new edge can only shrink hop
+  * distances, never grow them), so the refreshed labels are exactly
+  * recomputable from (standing labels, batch edges) with work
+  * proportional to the batch's affected neighborhood — the standing
+  * graph's BFS is never re-run.
+  *
+  * [[hops]] — the cold tier, g6's frontier-expansion shape factored
+  * into an operator: per hop one equi-join of the skinny frontier
+  * against the edge relation + one anti-join against the visited set;
+  * frontiers are eagerly staged (the g6 lineage lesson: each hop's
+  * definition nests the previous one's — unstaged, the final plan
+  * re-derives every earlier hop inside every later one, 2^h scans).
+  *
+  * [[refreshHops]] — the incremental tier: batch edges seed candidate
+  * improvements from already-labeled sources, then improvements relax
+  * through the MERGED edge relation Dijkstra-style — a node re-enters
+  * the frontier only when its best-known hop strictly drops, so
+  * propagation touches exactly the improved region. An improvement
+  * chain lengthens its hop value by 1 per round and values live in
+  * [1, maxHop], so maxHop relaxation rounds are always enough — the
+  * loop is bounded, no fixpoint detection needed. Correctness is
+  * differential (ReachabilitySpec): refreshed labels equal a cold
+  * [[hops]] run over the merged graph, on random graphs and on hand
+  * fixtures for the newly-reachable / hop-shortcut / capped cases.
+  *
+  * Both take DIRECTED (src, dst) edges — callers union both
+  * directions for undirected walks (the PageRank convention).
+  */
+object Reachability {
+
+  /** Min-hop labels for every node within `maxHop` hops of `seeds`.
+    * `edges`: (src, dst); `seeds`: (id). Returns (id, hop) with hop in
+    * [0, maxHop] — one row per reachable node, seeds at 0. */
+  def hops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 0, "reachability: maxHop >= 0")
+    // only the frontiers are checkpointed (they nest hop over hop —
+    // the g6 lineage lesson); the visited set is a UNION of already-
+    // staged leaves, so it needs no checkpoint job of its own
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited
+    var h = 1
+    while (h <= maxHop && !frontier.isEmpty) {
+      frontier = edges
+        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h.toLong)).localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+      h += 1
+    }
+    visited
+  }
+
+  /** Refreshed min-hop labels after `batchEdges` land on the graph
+    * whose labels are `standing` (id, hop). `mergedEdges` is the full
+    * post-batch edge relation (standing ∪ batch — the relaxation needs
+    * it: an improvement propagates through OLD edges too). Returns the
+    * complete refreshed table (id, hop, hop_prev) — hop_prev NULL for
+    * newly-reachable nodes, so the delta is auditable in place (the
+    * g13 output convention). */
+  def refreshHops(standing: DataFrame, mergedEdges: DataFrame,
+      batchEdges: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 0, "reachability: maxHop >= 0")
+    val sentinel = maxHop.toLong + 1L // "unreached" for the strict compare
+    def better(cands: DataFrame, best: DataFrame): DataFrame = cands
+      .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      .join(best.select(col("id"), col("hop").as("known")), Seq("id"), "left")
+      .filter(col("cand") < coalesce(col("known"), lit(sentinel)))
+      .select(col("id"), col("cand").as("hop"))
+
+    // only the frontiers are checkpointed; the best-known relation
+    // nests at most maxHop union/min layers over staged leaves
+    // (standing + each round's frontier) — bounded, skinny, and
+    // cheaper than paying a checkpoint barrier per round
+    var best = standing.select(col("id"), col("hop"))
+    // candidate improvements seeded by the batch edges alone: a batch
+    // edge from a labeled source offers src.hop + 1 to its target
+    var frontier = better(
+      batchEdges
+        .join(best.select(col("id").as("src"), col("hop").as("shop")), Seq("src"))
+        .select(col("dst").as("id"), (col("shop") + 1L).as("cand"))
+        .filter(col("cand") <= maxHop.toLong),
+      best).localCheckpoint(true)
+    // relax through the merged graph; value-k improvements only spawn
+    // value-(k+1) ones, values live in [1, maxHop] -> maxHop rounds
+    var r = 1
+    while (r <= maxHop && !frontier.isEmpty) {
+      best = best.unionByName(frontier)
+        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      frontier = better(
+        mergedEdges
+          .join(frontier.select(col("id").as("src"), col("hop").as("shop")), Seq("src"))
+          .select(col("dst").as("id"), (col("shop") + 1L).as("cand"))
+          .filter(col("cand") <= maxHop.toLong),
+        best).localCheckpoint(true)
+      r += 1
+    }
+    best.unionByName(frontier)
+      .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      .join(standing.select(col("id"), col("hop").as("hop_prev")), Seq("id"), "left")
+      .select(col("id"), col("hop"), col("hop_prev"))
+  }
+}

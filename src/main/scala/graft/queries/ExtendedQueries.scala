@@ -490,6 +490,50 @@ object ExtendedQueries {
         col("pr"), col("pr_prev"))
   }
 
+  private val g14ReachIncremental: QFn = (s, dir) => {
+    // Incremental k-hop reachability on the STRONG co-purchase graph
+    // (parts sharing >= 2 distinct orders — g12's support threshold,
+    // and for the same reason: the support-1 graph saturates 3-hop BFS
+    // from any seed set, leaving the increment nothing to improve;
+    // the support-2 graph is sparse enough that the batch genuinely
+    // re-labels — 66 newly-reachable + 7 hop-shortcuts at sf0.01).
+    // The corpus/batch order split (o % 50) moves EDGES, not rows: an
+    // edge whose support only clears 2 once batch orders count is a
+    // batch edge — insert-only arrival at the edge level, the regime
+    // where reachability is monotone and ops.Reachability.refreshHops
+    // is exact. ONE self-join derives both support counts (the g11
+    // flag discipline). Standing labels are built inline for the
+    // fixture (the j13 convention); output = the full refreshed label
+    // table with hop_prev (NULL = newly reachable), so the delta is
+    // auditable and the row never goes vacuous at tiny SF.
+    import graft.ops.Reachability
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val sup = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+      .agg(count(when(col("x.o") % 50 =!= 49, 1)).as("csup"),
+        count(lit(1)).as("tsup"))
+      .localCheckpoint(true) // three consumers: corpus, merged, batch edges
+    def bidir(pairs: org.apache.spark.sql.DataFrame) =
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // the support-filtered edge lists are ~400x smaller than the pair
+    // relation; staged, each BFS hop / relaxation round reads a skinny
+    // RDD instead of re-scanning + re-filtering the pair relation per
+    // job (measured 9.3 -> ~4 s at sf0.1). batchE feeds ONE join —
+    // staging it would do the same scan-filter work a job earlier.
+    val corpusE = bidir(sup.filter(col("csup") >= 2)).localCheckpoint(true)
+    val mergedE = bidir(sup.filter(col("tsup") >= 2)).localCheckpoint(true)
+    val batchE = bidir(sup.filter(col("tsup") >= 2 && col("csup") < 2))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").cast("long").as("id"))
+    val standing = Reachability.hops(corpusE, seeds, maxHop = 3)
+    Reachability.refreshHops(standing, mergedE, batchE, maxHop = 3)
+      .select(col("id").as("part_id"), col("hop"), col("hop_prev"))
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1307,6 +1351,43 @@ object ExtendedQueries {
          |  CASE WHEN w.id >= 1000000000 THEN w.id - 1000000000 ELSE w.id END AS node_id,
          |  w.pr, r5.pr AS pr_prev
          |FROM w3 w LEFT JOIN r5 ON r5.id = w.id""".stripMargin
+    }),
+    QueryDef("g14_reach_incremental", g14ReachIncremental, {
+      // two layered BFS unrolls (corpus, merged) — min-hop layer k is
+      // "reached at k, not in any earlier layer", the g6 oracle shape;
+      // every layer is referenced by every later one -> MATERIALIZED
+      // throughout (the g12 lesson)
+      def bfs(tag: String, edges: String) = (1 to 3).map { h =>
+        val excl = (0 until h).map(i => s"AND e.dst NOT IN (SELECT id FROM $tag$i)")
+          .mkString(" ")
+        s"""$tag$h AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+           |  FROM $edges e JOIN $tag${h - 1} f ON e.src = f.id
+           |  WHERE true $excl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |sup AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    count(*) FILTER (WHERE x.o % 50 <> 49) AS csup, count(*) AS tsup
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |ce AS MATERIALIZED (SELECT a AS src, b AS dst FROM sup WHERE csup >= 2
+         |  UNION ALL SELECT b, a FROM sup WHERE csup >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM sup WHERE tsup >= 2
+         |  UNION ALL SELECT b, a FROM sup WHERE tsup >= 2),
+         |b0 AS MATERIALIZED (
+         |  SELECT p_partkey AS id FROM part WHERE p_partkey % 100 = 0),
+         |m0 AS MATERIALIZED (
+         |  SELECT p_partkey AS id FROM part WHERE p_partkey % 100 = 0),
+         |${bfs("b", "ce")},
+         |${bfs("m", "me")},
+         |bh AS MATERIALIZED (SELECT id, 0 AS hop FROM b0
+         |  UNION ALL SELECT id, 1 FROM b1 UNION ALL SELECT id, 2 FROM b2
+         |  UNION ALL SELECT id, 3 FROM b3),
+         |mh AS (SELECT id, 0 AS hop FROM m0
+         |  UNION ALL SELECT id, 1 FROM m1 UNION ALL SELECT id, 2 FROM m2
+         |  UNION ALL SELECT id, 3 FROM m3)
+         |SELECT CAST(mh.id AS BIGINT) AS part_id, CAST(mh.hop AS BIGINT) AS hop,
+         |  CAST(bh.hop AS BIGINT) AS hop_prev
+         |FROM mh LEFT JOIN bh ON bh.id = mh.id""".stripMargin
     }),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round

@@ -1,0 +1,94 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hop-bounded BFS and its incremental maintenance: an in-memory BFS
+  * differential for the cold tier, and the convergence property the
+  * incremental tier's exactness claim rests on — refreshHops over
+  * (standing labels, batch edges) equals a cold BFS over the merged
+  * graph, on random corpus/batch splits and on hand fixtures for the
+  * newly-reachable, hop-shortcut, capped, and unreached-source cases. */
+class ReachabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxHop: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to maxHop) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h.toLong)
+    }
+    dist
+  }
+
+  private def collectHops(df: DataFrame): Map[Long, Long] =
+    df.select(col("id"), col("hop")).as[(Long, Long)].collect().toMap
+
+  private def undirected(seed: Int, n: Int, p: Double): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    (for {
+      i <- 0L until n.toLong; j <- i + 1 until n.toLong
+      if rnd.nextDouble() < p
+    } yield Seq((i, j), (j, i))).flatten
+  }
+
+  test("cold hops match the in-memory BFS") {
+    val edges = undirected(seed = 3, n = 50, p = 0.04)
+    val seeds = Set(0L, 17L, 33L)
+    val got = collectHops(Reachability.hops(
+      edges.toDF("src", "dst"), seeds.toSeq.toDF("id"), maxHop = 3))
+    assert(got === refBfs(edges, seeds, 3))
+  }
+
+  test("refreshHops converges to the cold BFS over the merged graph (random splits)") {
+    for (seed <- Seq(11, 23, 47)) {
+      val all = undirected(seed, n = 60, p = 0.035)
+      // split by pair parity: batch edges are insert-only arrivals
+      val corpus = all.filter { case (a, b) => (a + b) % 7 != 0 }
+      val batch = all.filter { case (a, b) => (a + b) % 7 == 0 }
+      val seeds = Seq(0L, 5L)
+      val standing = Reachability.hops(
+        corpus.toDF("src", "dst"), seeds.toDF("id"), maxHop = 3)
+      val got = Reachability.refreshHops(standing,
+        all.toDF("src", "dst"), batch.toDF("src", "dst"), maxHop = 3)
+      assert(collectHops(got) === refBfs(all, seeds.toSet, 3), s"seed $seed diverged")
+      // hop_prev mirrors the standing labels exactly — every standing
+      // node keeps its row (monotone), every new node is NULL
+      val prev = got.filter(col("hop_prev").isNotNull)
+        .select(col("id"), col("hop_prev")).as[(Long, Long)].collect().toMap
+      assert(prev === collectHops(standing))
+    }
+  }
+
+  test("hand fixture: newly-reachable, hop shortcut, cap, and unreached-source batch edge") {
+    // corpus path: 0-1-2-3 (3 at hop 3); node 4 unreached; 5-6 an
+    // island pair. batch: (1,4) labels 4 at hop 2; (0,3) shortcuts 3
+    // to hop 1; (5,6) already islanded stays unreached (source has no
+    // label); (4,7): 7 becomes reachable at hop 3 THROUGH the batch
+    // improvement chain; (3,8) offers hop 2 via the shortcut — and 8's
+    // neighbor 9 (corpus edge 8-9) lands at hop 3 through relaxation
+    // over OLD edges.
+    val corpus = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val batch = Seq((1L, 4L), (0L, 3L), (4L, 7L), (3L, 8L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val standing = Reachability.hops(
+      corpus.toDF("src", "dst"), Seq(0L).toDF("id"), maxHop = 3)
+    assert(collectHops(standing) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val got = Reachability.refreshHops(standing,
+      (corpus ++ batch).toDF("src", "dst"), batch.toDF("src", "dst"), maxHop = 3)
+    assert(collectHops(got) === Map(
+      0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 7L -> 3L, 8L -> 2L, 9L -> 3L))
+    val prevs = got.select(col("id"), col("hop_prev"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(prevs(3L) === Some(3L), "shortcut keeps its old label in hop_prev")
+    assert(prevs(4L).isEmpty && prevs(7L).isEmpty, "new nodes have NULL hop_prev")
+  }
+}

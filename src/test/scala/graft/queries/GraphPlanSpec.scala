@@ -174,6 +174,29 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g13 plans a non-equi join")
   }
 
+  test("g14: BFS + relaxation chains fully staged — no fact scan survives into the final plan") {
+    // the flagged support relation, every standing-BFS frontier, and
+    // every relaxation round are localCheckpoint-staged (the g6
+    // exponential-lineage lesson applies TWICE here: BFS layers nest
+    // AND relaxation rounds nest), so the returned plan reads only
+    // staged RDD leaves
+    val qe = q("g14_reach_incremental").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g14's final plan re-derives the support relation from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g14's staged relations vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g14 plans a non-equi join")
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
