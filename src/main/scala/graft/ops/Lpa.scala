@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.
+  * 2007, "Near linear time algorithm to detect community structures in
+  * large-scale networks"), made DETERMINISTIC so it can be oracled:
+  * every node starts as its own label; each round, every node adopts
+  * the label most frequent among its neighbors, ties broken by the
+  * SMALLEST label; a fixed round count replaces the usual convergence
+  * test (asynchronous/randomized LPA is irreproducible by design —
+  * the fixed-round synchronous variant is a pure function of the edge
+  * set, so the same rounds replay hash-exact in SQL).
+  *
+  * Scale shape (the g8 Pregel discipline): per round ONE equi-join of
+  * the edge relation against the skinny label relation + ONE
+  * map-side-combined aggregate. The argmax-with-tie-break is a packed
+  * long — `cnt·2³² + (2³²−1−label)` — so `max()` picks (max count,
+  * min label) inside a HashAggregate; the struct/window formulations
+  * force SortAggregate or a per-group sort (the a1 packed-long
+  * lesson). Labels are staged per round: each round's relation feeds
+  * the next round's join, and staging caps lineage depth at one round
+  * regardless of the round count. Label ids must fit in 32 bits
+  * (enforced), counts are degree-bounded — no overflow.
+  *
+  * The caller passes DIRECTED (src, dst) edges — union both directions
+  * for the undirected classic (the PageRank convention). Nodes absent
+  * from `src` never update (they have no neighbors to vote).
+  */
+object Lpa {
+
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "lpa: rounds >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    // 32-bit label domain makes the packed argmax total — fail loudly
+    // instead of mis-ranking (the Triangles id-domain rule)
+    val bounds = e.agg(min(least(col("src"), col("dst"))),
+      max(greatest(col("src"), col("dst")))).collect().head
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32),
+        s"lpa: node ids must lie in [0, 2^32), got [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
+    val mask = (1L << 32) - 1L
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * (mask + 1L) + (lit(mask) - col("lbl"))).as("packed"))
+        .select(col("dst").as("node"),
+          (lit(mask) - (col("packed") % (mask + 1L))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

@@ -534,6 +534,31 @@ object ExtendedQueries {
       .select(col("id").as("part_id"), col("hop"), col("hop_prev"))
   }
 
+  private val g15Communities: QFn = (s, dir) => {
+    // Community detection on the STRONG co-purchase graph (the g12
+    // support-2 graph — sparse and clustered, so labels actually
+    // coalesce; the support-1 graph is near-complete and LPA collapses
+    // it to one community immediately). Four deterministic synchronous
+    // LPA rounds (ops.Lpa: most-frequent neighbor label, ties to the
+    // smallest — a pure function of the edge set, so the oracle
+    // replays the rounds as unrolled CTEs hash-exactly). Output: each
+    // part's community plus the community size.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val strong = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val lab = graft.ops.Lpa.propagate(edges, rounds = 4)
+    val sz = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    lab.join(sz, Seq("lbl"))
+      .select(col("node").as("part_id"), col("lbl").as("community"),
+        col("n_members"))
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1388,6 +1413,34 @@ object ExtendedQueries {
          |SELECT CAST(mh.id AS BIGINT) AS part_id, CAST(mh.hop AS BIGINT) AS hop,
          |  CAST(bh.hop AS BIGINT) AS hop_prev
          |FROM mh LEFT JOIN bh ON bh.id = mh.id""".stripMargin
+    }),
+    QueryDef("g15_communities", g15Communities, {
+      // LPA rounds unrolled as MATERIALIZED CTEs (each round feeds the
+      // next AND the final size join — the g12 lesson); the tie-break
+      // (max count, then min label) is the row_number ordering, the
+      // exact mirror of the Spark packed-long argmax
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT dst AS node, lbl FROM (
+           |  SELECT e.dst, l.lbl, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY e.dst
+           |      ORDER BY count(*) DESC, l.lbl) AS rn
+           |  FROM me e JOIN l${t - 1} l ON l.node = e.src
+           |  GROUP BY e.dst, l.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM me),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM l4 GROUP BY lbl)
+         |SELECT CAST(l4.node AS BIGINT) AS part_id,
+         |  CAST(l4.lbl AS BIGINT) AS community, sz.n_members
+         |FROM l4 JOIN sz ON sz.lbl = l4.lbl""".stripMargin
     }),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round

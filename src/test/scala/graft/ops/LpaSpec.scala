@@ -1,0 +1,65 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic synchronous LPA: in-memory differential on random
+  * graphs, a hand fixture where the community structure is known, and
+  * the id-domain guard. */
+class LpaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The same round semantics, no Spark: most-frequent neighbor label,
+    * ties to the smallest label. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = edges.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = lbl.map { case (v, old) =>
+        in.get(v) match {
+          case None => v -> old
+          case Some(srcs) =>
+            val votes = srcs.map(lbl).groupBy(identity).view.mapValues(_.size)
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    lbl
+  }
+
+  private def undirected(seed: Int, n: Int, p: Double): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    (for {
+      i <- 0L until n.toLong; j <- i + 1 until n.toLong
+      if rnd.nextDouble() < p
+    } yield Seq((i, j), (j, i))).flatten
+  }
+
+  test("propagate matches the in-memory reference on random graphs") {
+    for (seed <- Seq(5, 19)) {
+      val edges = undirected(seed, n = 45, p = 0.08)
+      val got = Lpa.propagate(edges.toDF("src", "dst"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refLpa(edges, 3), s"seed $seed diverged")
+    }
+  }
+
+  test("two cliques joined by one bridge resolve into two communities") {
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i != j) yield (i, j)
+    val bridge = Seq((3L, 10L), (10L, 3L))
+    val got = Lpa.propagate((cliqueA ++ cliqueB ++ bridge).toDF("src", "dst"),
+      rounds = 4).as[(Long, Long)].collect().toMap
+    // min-label tie-breaking drives each clique to its smallest member
+    assert((0L to 3L).forall(got(_) == 0L), s"clique A: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"clique B: $got")
+  }
+
+  test("ids outside [0, 2^32) fail loudly instead of mis-ranking") {
+    val bad = Seq((1L, 1L << 33), (1L << 33, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](Lpa.propagate(bad, rounds = 1))
+    assert(e.getMessage.contains("2^32"))
+  }
+}

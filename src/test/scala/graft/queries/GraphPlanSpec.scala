@@ -197,6 +197,28 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g14 plans a non-equi join")
   }
 
+  test("g15: LPA rounds fully staged — no fact scan survives into the final plan") {
+    // the edge relation is checkpointed once inside ops.Lpa and every
+    // round's label relation is checkpointed before the next (the g8
+    // iteration discipline); the returned plan is the size join over
+    // RDD leaves only
+    val qe = q("g15_communities").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g15's final plan re-derives the edge list from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g15's staged label relation vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g15 plans a non-equi join")
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
