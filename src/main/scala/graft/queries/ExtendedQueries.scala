@@ -559,6 +559,29 @@ object ExtendedQueries {
         col("n_members"))
   }
 
+  private val g16WalkCorpus: QFn = (s, dir) => {
+    // DeepWalk-style walk corpus on the strong co-purchase graph: a
+    // 4-step deterministic walk from every 20th graph node (ops.Walks
+    // — md5-seeded neighbor draws, so the corpus replays hash-exact).
+    // The sequences are what a skip-gram embedding trainer would
+    // consume; at 100 TB the indexed adjacency is a Prepare-convention
+    // staged table and walk work is O(walks·steps), graph-size-free.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val strong = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // two consumers: adjacency + start set
+    val starts = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 20 === 0)
+    graft.ops.Walks.deterministicWalks(edges, starts, steps = 4)
+      .select(col("walk_id"), col("step"), col("node").as("node_id"))
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1441,6 +1464,40 @@ object ExtendedQueries {
          |SELECT CAST(l4.node AS BIGINT) AS part_id,
          |  CAST(l4.lbl AS BIGINT) AS community, sz.n_members
          |FROM l4 JOIN sz ON sz.lbl = l4.lbl""".stripMargin
+    }),
+    QueryDef("g16_walk_corpus", g16WalkCorpus, {
+      // walk steps unrolled; the draw replays the Spark conv(md5)
+      // arithmetic as positional hex sums (the sample_split mirror)
+      def hex8(t: Int) = (0 until 8).map { i =>
+        s"""(position(substr(md5(CAST(w.walk_id AS VARCHAR) || ':$t'),
+           | ${i + 1}, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (7 - i))}"""
+          .stripMargin.replace("\n", "")
+      }.mkString(" + ")
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS node
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+           |  AND a.rk = (${hex8(t)}) % a.deg + 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |adj AS MATERIALIZED (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM me),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node
+         |  FROM me WHERE src % 20 = 0),
+         |$steps
+         |SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+         |  CAST(node AS BIGINT) AS node_id FROM (
+         |  SELECT walk_id, 0 AS step, node FROM w0
+         |  UNION ALL SELECT walk_id, 1, node FROM w1
+         |  UNION ALL SELECT walk_id, 2, node FROM w2
+         |  UNION ALL SELECT walk_id, 3, node FROM w3
+         |  UNION ALL SELECT walk_id, 4, node FROM w4)""".stripMargin
     }),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round

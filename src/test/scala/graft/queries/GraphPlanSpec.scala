@@ -219,6 +219,28 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g15 plans a non-equi join")
   }
 
+  test("g16: adjacency + frontiers fully staged — no fact scan survives into the final plan") {
+    // the indexed adjacency is checkpointed once (ops.Walks — the
+    // Prepare-convention artifact) and each step's walk frontier is
+    // checkpointed before the next; the returned plan unions RDD
+    // leaves only
+    val qe = q("g16_walk_corpus").queryExecution
+    val leaves = qe.sparkPlan.collectLeaves()
+    assert(!leaves.exists {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("Location").contains("lineitem")
+      case _ => false
+    }, "g16's final plan re-derives the adjacency from the fact table")
+    assert(leaves.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, "g16's staged walk frontiers vanished from the plan")
+    assert(qe.sparkPlan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "g16 plans a non-equi join")
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
