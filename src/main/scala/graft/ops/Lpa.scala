@@ -45,13 +45,19 @@ object Lpa {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      labels = e
+      // a node with no labeled in-neighbor this round KEEPS its label
+      // (matters on directed input — the inner vote join would silently
+      // drop it; on bidirectional graphs every node gets votes and the
+      // coalesce is the identity)
+      val voted = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(col("cnt") * (mask + 1L) + (lit(mask) - col("lbl"))).as("packed"))
         .select(col("dst").as("node"),
-          (lit(mask) - (col("packed") % (mask + 1L))).as("lbl"))
+          (lit(mask) - (col("packed") % (mask + 1L))).as("vlbl"))
+      labels = labels.join(voted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("vlbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
     }
     labels

@@ -1504,9 +1504,12 @@ object ExtendedQueries {
       // references its predecessor 4x — inlined, the unroll re-derives
       // round r-1 per reference and the expansion is 4^r; materialized,
       // each round evaluates once, the Spark staging's exact analog).
-      // 6 unrolled rounds >= the 4 the sf0.01 fixture needs; extra
-      // rounds are the identity at the fixpoint.
-      val rounds = (1 to 6).map { i =>
+      // 9 unrolled rounds: sf0.01 cascades 4 deep, sf0.1 cascades 6 —
+      // the three extra rounds are near-free identity passes at the
+      // fixpoint and give the oracle headroom against a deeper cascade
+      // at a regenerated/larger SF (review finding: a 7-round corpus
+      // would silently diverge from Spark's true fixpoint).
+      val rounds = (1 to 9).map { i =>
         val p = s"e${i - 1}"
         s"""n$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM $p
            |    UNION ALL SELECT b FROM $p) GROUP BY v HAVING count(*) >= 2),
@@ -1521,7 +1524,7 @@ object ExtendedQueries {
          |$rounds
          |SELECT CAST(v AS BIGINT) AS part_id,
          |  CAST(count(*) AS BIGINT) AS core_deg
-         |FROM (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+         |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
     }),
     QueryDef("j13_er_incremental", j13ErIncremental,

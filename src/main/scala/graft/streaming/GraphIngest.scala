@@ -67,26 +67,9 @@ object GraphIngest {
         .select(lit(0L).as("node"), lit(0L).as("n_tri")).limit(0)
     }
 
-  private def standing(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasDataFile: Boolean = {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(path)) else None
-  }
+  private def standing(spark: SparkSession, path: String): Option[DataFrame] =
+    StandingStore.standing(spark, path)
 
   private def writePartition(df: DataFrame, target: String, batchId: Long): Unit =
-    if (!df.isEmpty)
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(target)
+    StandingStore.writePartition(df, target, batchId)
 }

@@ -395,34 +395,15 @@ object Ingest {
     * from corruption. */
   // private[streaming]: the skew rehearsal spec plan-asserts the exact
   // standing-index probe shape (semi-join boundedness under a hot key)
-  private[streaming] def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasDataFile: Boolean = {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(indexPath)) else None
-  }
+  private[streaming] def standingBands(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    StandingStore.standing(spark, indexPath)
 
-  /** Zero-row frames write NOTHING: a rows-less parquet write leaves a
-    * schema-less marker-only dir (or partition) that a later read
-    * cannot infer a schema from. Skipping is replay-safe — the epoch
-    * recomputes the same empty set. The isEmpty probe re-evaluates a
-    * persisted lineage (bands/dropped/gated are all cached by the
-    * caller), so it is a cache scan, not a recompute. */
+  /** Zero-row frames write NOTHING ([[StandingStore.writePartition]]);
+    * the isEmpty probe re-evaluates a persisted lineage (bands/dropped/
+    * gated are all cached by the caller), so it is a cache scan, not a
+    * recompute. */
   private def writeBatchPartition(df: DataFrame, target: String, batchId: Long): Unit =
-    if (!df.isEmpty)
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(target)
+    StandingStore.writePartition(df, target, batchId)
 
   /** Continuous near-dup ingestion: the streaming twin of
     * [[Dedup.incrementalMinhashPairs]], wired the way the reference's

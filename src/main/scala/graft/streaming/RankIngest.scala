@@ -91,40 +91,15 @@ object RankIngest {
     spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("pr")).limit(0)
 
   /** Newest snapshot with batch_id < `beforeBatch` — the replay rule:
-    * an epoch's seed is always the snapshot written BEFORE it. The
-    * max-epoch probe is one scalar aggregate (metadata-scale). */
+    * an epoch's seed is always the snapshot written BEFORE it
+    * ([[StandingStore.latestSnapshot]]). */
   private def latestSnapshot(spark: SparkSession, rankPath: String,
       beforeBatch: Long): Option[DataFrame] =
-    standing(spark, rankPath).flatMap { snaps =>
-      // partition columns read back type-inferred (int) — cast before
-      // the scalar max probe
-      val prior = snaps.filter(col("batch_id").cast("long") < beforeBatch)
-      prior.agg(max(col("batch_id").cast("long"))).collect().headOption
-        .filterNot(_.isNullAt(0)).map(_.getLong(0))
-        .map(latest => prior.filter(col("batch_id") === latest)
-          .select(col("id"), col("pr")))
-    }
+    StandingStore.latestSnapshot(spark, rankPath, beforeBatch, Seq("id", "pr"))
 
-  private def standing(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasDataFile: Boolean = {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(path)) else None
-  }
+  private def standing(spark: SparkSession, path: String): Option[DataFrame] =
+    StandingStore.standing(spark, path)
 
   private def writePartition(df: DataFrame, target: String, batchId: Long): Unit =
-    if (!df.isEmpty)
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(target)
+    StandingStore.writePartition(df, target, batchId)
 }

@@ -63,35 +63,11 @@ object ReachIngest {
 
   private def latestSnapshot(spark: SparkSession, hopPath: String,
       beforeBatch: Long): Option[DataFrame] =
-    standing(spark, hopPath).flatMap { snaps =>
-      // partition columns read back type-inferred (int) — cast first
-      val prior = snaps.filter(col("batch_id").cast("long") < beforeBatch)
-      prior.agg(max(col("batch_id").cast("long"))).collect().headOption
-        .filterNot(_.isNullAt(0)).map(_.getLong(0))
-        .map(latest => prior.filter(col("batch_id") === latest)
-          .select(col("id"), col("hop")))
-    }
+    StandingStore.latestSnapshot(spark, hopPath, beforeBatch, Seq("id", "hop"))
 
-  private def standing(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasDataFile: Boolean = {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
-    if (fs.exists(p) && hasDataFile) Some(spark.read.parquet(path)) else None
-  }
+  private def standing(spark: SparkSession, path: String): Option[DataFrame] =
+    StandingStore.standing(spark, path)
 
   private def writePartition(df: DataFrame, target: String, batchId: Long): Unit =
-    if (!df.isEmpty)
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(target)
+    StandingStore.writePartition(df, target, batchId)
 }

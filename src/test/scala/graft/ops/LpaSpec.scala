@@ -57,6 +57,15 @@ class LpaSpec extends SparkSpec {
     assert((10L to 13L).forall(got(_) == 10L), s"clique B: $got")
   }
 
+  test("directed input: a node with no labeled in-neighbor keeps its label") {
+    // 1 -> 2 -> 3: node 1 never receives a vote and must survive with
+    // its own label (the inner vote join would silently drop it)
+    val got = Lpa.propagate(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refLpa(Seq((1L, 2L), (2L, 3L)), 2))
+    assert(got(1L) === 1L, s"unvoted node dropped or relabeled: $got")
+  }
+
   test("ids outside [0, 2^32) fail loudly instead of mis-ranking") {
     val bad = Seq((1L, 1L << 33), (1L << 33, 1L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException](Lpa.propagate(bad, rounds = 1))

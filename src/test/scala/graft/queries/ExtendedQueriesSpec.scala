@@ -161,16 +161,13 @@ class ExtendedQueriesSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, count, lit}
     val li = graft.tables.Tables.lineitem(spark, gate)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val strongNodes = li.as("x").join(li.as("y"),
+    val strong = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
-      .select(col("a").as("v")).unionByName(
-        li.as("x").join(li.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
-          .select(col("b").as("v")))
+      .localCheckpoint(true) // two projections below — build once
+    val strongNodes = strong.select(col("a").as("v"))
+      .unionByName(strong.select(col("b").as("v")))
       .distinct().count()
     val coreNodes = SparkEntry.queries("g12_kcore")(spark, gate).count()
     assert(coreNodes > 0, "g12_kcore emitted 0 rows at sf0.01 — core collapsed")

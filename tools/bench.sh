@@ -2,7 +2,7 @@
 # Focused bench runner: tools/bench.sh [comma-separated-queries] [sfdir]
 # Uses the compiled classes directly (no sbt JVM) — the fast path from
 # .claude/skills/verify/SKILL.md. Run on an idle machine, min-of-3.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 QUERIES="${1:-}"
 SFDIR="${2:-/root/testdata/sf0.1}"
@@ -14,8 +14,13 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
+# stderr (Spark INFO noise, but also any crash) goes to a log, not
+# /dev/null: with pipefail a dead JVM now exits non-zero AND leaves
+# its diagnostics readable instead of vanishing behind tail's 0
+STDERR_LOG="${BENCH_STDERR_LOG:-/tmp/graft_bench_stderr.log}"
 SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_GRAFT_QUERIES="$QUERIES" \
 java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>/dev/null | tail -1
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>"$STDERR_LOG" | tail -1 \
+  || { echo "bench failed; last stderr:" >&2; tail -5 "$STDERR_LOG" >&2; exit 1; }
