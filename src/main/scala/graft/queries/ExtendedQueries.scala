@@ -582,6 +582,36 @@ object ExtendedQueries {
       .select(col("walk_id"), col("step"), col("node").as("node_id"))
   }
 
+  private val g17WalkPairs: QFn = (s, dir) => {
+    // Skip-gram training pairs from the g16 walk corpus: every ordered
+    // (center, context) co-occurrence within a ±2-step window, counted
+    // — the word2vec input convention applied to node sequences (the
+    // walks ARE the sentences). The pairing is an equi-join on walk_id
+    // with the step band as a residual (the j6 range-join shape): a
+    // walk contributes O(len·window) pairs, never a cross product.
+    // Walk rows are unions of staged step frontiers (ops.Walks), so
+    // the self-join reads leaves twice, not the build twice.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val strong = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val starts = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 20 === 0)
+    val walks = graft.ops.Walks.deterministicWalks(edges, starts, steps = 4)
+    walks.as("l").join(walks.as("r"),
+        col("l.walk_id") === col("r.walk_id")
+          && abs(col("l.step") - col("r.step")) <= 2
+          && col("l.step") =!= col("r.step"))
+      .groupBy(col("l.node").as("center"), col("r.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1498,6 +1528,43 @@ object ExtendedQueries {
          |  UNION ALL SELECT walk_id, 2, node FROM w2
          |  UNION ALL SELECT walk_id, 3, node FROM w3
          |  UNION ALL SELECT walk_id, 4, node FROM w4)""".stripMargin
+    }),
+    QueryDef("g17_walk_pairs", g17WalkPairs, {
+      // the g16 walk unroll verbatim, then the banded self-join pairing
+      def hex8(t: Int) = (0 until 8).map { i =>
+        s"""(position(substr(md5(CAST(w.walk_id AS VARCHAR) || ':$t'),
+           | ${i + 1}, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (7 - i))}"""
+          .stripMargin.replace("\n", "")
+      }.mkString(" + ")
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS node
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+           |  AND a.rk = (${hex8(t)}) % a.deg + 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |adj AS MATERIALIZED (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM me),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node
+         |  FROM me WHERE src % 20 = 0),
+         |$steps,
+         |walks AS MATERIALIZED (
+         |  SELECT walk_id, 0 AS step, node FROM w0
+         |  UNION ALL SELECT walk_id, 1, node FROM w1
+         |  UNION ALL SELECT walk_id, 2, node FROM w2
+         |  UNION ALL SELECT walk_id, 3, node FROM w3
+         |  UNION ALL SELECT walk_id, 4, node FROM w4)
+         |SELECT CAST(l.node AS BIGINT) AS center, CAST(r.node AS BIGINT) AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM walks l JOIN walks r ON l.walk_id = r.walk_id
+         |  AND abs(l.step - r.step) <= 2 AND l.step <> r.step
+         |GROUP BY 1, 2""".stripMargin
     }),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round
