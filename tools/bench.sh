@@ -18,8 +18,11 @@ done
 # /dev/null: with pipefail a dead JVM now exits non-zero AND leaves
 # its diagnostics readable instead of vanishing behind tail's 0
 STDERR_LOG="${BENCH_STDERR_LOG:-/tmp/graft_bench_stderr.log}"
+# only export the subset filter when non-empty: Bench treats a SET but
+# EMPTY SPARK_GRAFT_QUERIES as "select zero queries" (an empty-but-set
+# var would silently bench nothing and exit green)
+if [ -n "$QUERIES" ]; then export SPARK_GRAFT_QUERIES="$QUERIES"; else unset SPARK_GRAFT_QUERIES; fi
 SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-SPARK_GRAFT_QUERIES="$QUERIES" \
 java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>"$STDERR_LOG" | tail -1 \
