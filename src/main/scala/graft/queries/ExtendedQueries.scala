@@ -435,11 +435,11 @@ object ExtendedQueries {
     // incremental tier and the RankIngest streaming ledger). The
     // staging A/B at sf0.1 measured neutral (3.1-4.0 s both ways) —
     // staged anyway: it bounds plan depth and recovery cost as the
-    // iteration count grows (the Pregel discipline), for free.
-    val e0 = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    // iteration count grows (the Pregel discipline), for free. The
+    // distinct pair set = the session-memoized flagged relation's keys
+    // (flag ignored — g13 consumes it; same groupBy keys, same set).
+    val e0 = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
+      .select(col("cust"), col("supp"))
     val edges = e0.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
       .unionByName(e0.select((col("supp") + 1000000000L).as("src"), col("cust").as("dst")))
     val ranks = graft.ops.PageRank.cold(edges, rounds = 5)
@@ -470,11 +470,9 @@ object ExtendedQueries {
     // the oracle unrolls BOTH chains (r0..r5 standing, w0..w3 merged)
     // and hash-matches exactly.
     import graft.ops.PageRank
-    val flagged = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .agg(max(col("o_orderkey") % 50 =!= 49).as("in_corpus"))
-      .localCheckpoint(true) // two consumers: corpus edges + merged edges
+    // session-memoized (shared with g8): staged once, two consumers
+    // here (corpus edges + merged edges)
+    val flagged = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
     def bidir(pairs: org.apache.spark.sql.DataFrame) =
       pairs.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
         .unionByName(
@@ -505,16 +503,11 @@ object ExtendedQueries {
     // flag discipline). Standing labels are built inline for the
     // fixture (the j13 convention); output = the full refreshed label
     // table with hop_prev (NULL = newly reachable), so the delta is
-    // auditable and the row never goes vacuous at tiny SF.
+    // auditable and the row never goes vacuous at tiny SF. The pair
+    // stats are the session-memoized GraphFixtures relation (three
+    // consumers here: corpus, merged, batch edges).
     import graft.ops.Reachability
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val sup = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
-      .agg(count(when(col("x.o") % 50 =!= 49, 1)).as("csup"),
-        count(lit(1)).as("tsup"))
-      .localCheckpoint(true) // three consumers: corpus, merged, batch edges
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
     def bidir(pairs: org.apache.spark.sql.DataFrame) =
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -542,14 +535,9 @@ object ExtendedQueries {
     // LPA rounds (ops.Lpa: most-frequent neighbor label, ties to the
     // smallest — a pure function of the edge set, so the oracle
     // replays the rounds as unrolled CTEs hash-exactly). Output: each
-    // part's community plus the community size.
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val strong = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    // part's community plus the community size. Strong graph =
+    // session-memoized GraphFixtures relation.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
     val edges = strong.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
     val lab = graft.ops.Lpa.propagate(edges, rounds = 4)
@@ -566,16 +554,11 @@ object ExtendedQueries {
     // The sequences are what a skip-gram embedding trainer would
     // consume; at 100 TB the indexed adjacency is a Prepare-convention
     // staged table and walk work is O(walks·steps), graph-size-free.
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val strong = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    // Strong graph = session-memoized GraphFixtures relation; the
+    // bidir union of its staged leaf needs no checkpoint of its own.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
     val edges = strong.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true) // two consumers: adjacency + start set
     val starts = edges.select(col("src").as("id")).distinct()
       .filter(col("id") % 20 === 0)
     graft.ops.Walks.deterministicWalks(edges, starts, steps = 4)
@@ -590,17 +573,11 @@ object ExtendedQueries {
     // with the step band as a residual (the j6 range-join shape): a
     // walk contributes O(len·window) pairs, never a cross product.
     // Walk rows are unions of staged step frontiers (ops.Walks), so
-    // the self-join reads leaves twice, not the build twice.
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val strong = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+    // the self-join reads leaves twice, not the build twice. Strong
+    // graph = session-memoized GraphFixtures relation.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
     val edges = strong.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
     val starts = edges.select(col("src").as("id")).distinct()
       .filter(col("id") % 20 === 0)
     val walks = graft.ops.Walks.deterministicWalks(edges, starts, steps = 4)
@@ -622,16 +599,11 @@ object ExtendedQueries {
     // 4-round whisker cascade at sf0.01, 6 rounds at sf0.1). Exact
     // integer output (node, in-core degree); the peel fixpoint is
     // unique, so any oracle unroll >= the actual round count matches
-    // hash-exactly. Scale shape documented in ops.KCore.
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val strong = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("id_a"), col("y.p").as("id_b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
+    // hash-exactly. Scale shape documented in ops.KCore; the strong
+    // graph is the session-memoized GraphFixtures relation (shared
+    // with g15/g16/g17 — the Prepare convention).
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
     graft.ops.KCore.core(strong, k = 2)
       .select(col("node_id").cast("long").as("part_id"), col("core_deg"))
   }
@@ -696,22 +668,14 @@ object ExtendedQueries {
 
   /** Part co-occurrence graph: parts sharing an order, one undirected
     * edge per distinct pair (115k edges / 413k triangles at sf0.01).
-    * Shared by g9/g10. Staged eagerly: every consumer reads it ≥ 2×
-    * (degree pass + orientation inside Triangles; g10 adds its own
-    * degree pass), and it is the skinny multi-consumer relation the
-    * g6/g8 staging discipline targets — without the checkpoint each
-    * read re-runs the lineitem self-join (measured 7.6 → ~3 s for
-    * g10 at sf0.1). */
-  private def partCoEdges(s: org.apache.spark.sql.SparkSession, dir: String,
-      orderFilter: Column = lit(true)) = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .filter(orderFilter).distinct()
-    li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("id_a"), col("y.p").as("id_b")).distinct()
-      .localCheckpoint()
-  }
+    * Shared by g9/g10 via the session-memoized
+    * [[graft.tables.GraphFixtures.partCoPairs]] (the Prepare
+    * convention: one build per session+dir, every consumer reads the
+    * staged relation — without it each query re-runs the lineitem
+    * self-join, measured 7.6 → ~3 s for g10 at sf0.1 for the
+    * within-query sharing alone). */
+  private def partCoEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.tables.GraphFixtures.partCoPairs(s, dir)
 
   private val g11TriIncremental: QFn = (s, dir) => {
     // Incremental triangle maintenance: the co-occurrence edges of the
@@ -725,16 +689,12 @@ object ExtendedQueries {
     // — pairs also reachable from corpus orders are standing edges,
     // not batch edges (the replayed-edge rule as a flag, no second
     // edge build + anti-join). Oracle = recount(union) −
-    // recount(corpus).
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val flagged = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("id_a"), col("y.p").as("id_b"),
-        (col("x.o") % 50 =!= 49).as("fc"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("fc")).as("in_corpus"))
-      .localCheckpoint()
+    // recount(corpus). The flag derives from the session-memoized
+    // pair stats: csup >= 1 ⟺ max over orders of (o % 50 <> 49) —
+    // the exact flag the inline build computed.
+    val flagged = graft.tables.GraphFixtures.supCounts(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        (col("csup") >= 1).as("in_corpus"))
     graft.ops.Triangles.newTrianglesPerNode(
         flagged.filter(col("in_corpus")),
         flagged.filter(!col("in_corpus")))

@@ -1,0 +1,98 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph fixture relations, built ONCE per (session, sf-dir) and
+  * shared by every graph query — the Prepare convention realized for
+  * the query suite: at production scale these are parquet tables at
+  * rest, rebuilt per graph snapshot and read by every consumer, not
+  * re-derived per query. Seven queries consume three relations
+  * (g9/g10 the co-occurrence pairs, g12/g15/g16/g17 the support-2
+  * pairs, g8/g13 the flagged purchase pairs); without sharing, each
+  * pays the same lineitem self-join or join+groupBy again — measured
+  * ~2-3 s per query at sf0.1, ~15 s across a suite run.
+  *
+  * Semantics are UNCHANGED: each getter derives exactly the relation
+  * the queries built inline before (same arithmetic, same distinct,
+  * same staging), so every DuckDB oracle hash is identical. Only the
+  * redundant rebuilds go away.
+  *
+  * Attribution note for bench reading: within one session the FIRST
+  * consumer (alphabetically, e.g. g10 before g9) pays the build; a
+  * standalone single-query run pays its own build (cold memo) — both
+  * are honest, they measure different regimes (suite at rest vs cold
+  * start), the same way j13's staged corpus resolve reads.
+  *
+  * The memo is a WeakHashMap keyed on the session (entries die with
+  * it — a stopped session's checkpointed RDDs are not pinned) holding
+  * per-(dir, key) staged DataFrames; access is synchronized (Verify/
+  * Bench/specs run queries sequentially, the lock is uncontended).
+  */
+object GraphFixtures {
+
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
+
+  private def memo(spark: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame = cache.synchronized {
+    val perSession = cache.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty[(String, String), DataFrame])
+    perSession.getOrElseUpdate((dir, key), build)
+  }
+
+  /** Part co-occurrence pairs (parts sharing >= 1 order), distinct,
+    * a < b, staged. Consumers: g9, g10. */
+  def partCoPairs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "part_co_pairs") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("id_a"), col("y.p").as("id_b")).distinct()
+        .localCheckpoint()
+    }
+
+  /** Per-pair support stats over the co-occurrence graph: distinct
+    * part pairs (long-typed) with their corpus-order support (csup —
+    * orders with o % 50 <> 49) and total support (tsup). The ONE
+    * self-join every support-derived relation shares. Consumers:
+    * g14 directly; [[strongPairs]] and g11's corpus flag derive from
+    * it (csup >= 1 ⟺ some corpus order produces the pair — exactly
+    * the max-flag g11 computed inline). */
+  def supCounts(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "sup_counts") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").cast("long").as("a"), col("y.p").cast("long").as("b"))
+        .agg(count(when(col("x.o") % 50 =!= 49, 1)).as("csup"),
+          count(lit(1)).as("tsup"))
+        .localCheckpoint(true)
+    }
+
+  /** Strong co-purchase pairs (parts sharing >= 2 distinct orders),
+    * long-typed, staged — a skinny filter over [[supCounts]].
+    * Consumers: g12, g15, g16, g17. */
+  def strongPairs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "strong_pairs") {
+      supCounts(spark, dir)
+        .filter(col("tsup") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+
+  /** Distinct (cust, supp) purchase pairs flagged by whether any
+    * CORPUS order (o % 50 <> 49) produces them — the g11/g13
+    * replayed-edge rule. Consumers: g8 (flag ignored — all pairs),
+    * g13 (corpus/merged split). */
+  def custSuppFlagged(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cust_supp_flagged") {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .agg(max(col("o_orderkey") % 50 =!= 49).as("in_corpus"))
+        .localCheckpoint(true)
+    }
+}
