@@ -78,6 +78,36 @@ object PageRank {
     iterate(withDeg, init, rounds)
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the recommendation /
+    * locality-ranking variant): teleport mass goes ONLY to the seed
+    * set — base = [[BaseRank]]·[v ∈ S], init = [[InitRank]]·[v ∈ S] —
+    * so rank measures proximity to the seeds rather than global
+    * centrality. Same integer recurrence, same per-iteration staging;
+    * the seed membership rides as one skinny staged relation joined
+    * after each aggregate (equi, broadcast-friendly but not
+    * broadcast-dependent). Non-seed nodes relay mass with zero base;
+    * on a bidirectional graph every node keeps its row (the cold-start
+    * convention). */
+  def personalized(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val withDeg = withDegrees(edges)
+    val seedIds = seeds.select(col("id")).distinct()
+      .withColumn("s", lit(1L)).localCheckpoint(true)
+    var ranks = withDeg.select(col("src").as("id")).distinct()
+      .join(seedIds, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("s"), lit(0L)) * InitRank).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      ranks = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+        .join(seedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left")
+        .select(col("dst").as("id"),
+          (coalesce(col("s"), lit(0L)) * BaseRank + col("cs")).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Warm start: ranks seeded from `standingRanks` (columns `id`,
     * `pr`) where the node is known, [[InitRank]] for nodes new to the
     * merged graph, then `rounds` refinement iterations over

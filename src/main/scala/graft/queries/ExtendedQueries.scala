@@ -589,6 +589,28 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  private val g18Ppr: QFn = (s, dir) => {
+    // Personalized PageRank from the g6 seed customers (every 50th):
+    // teleport mass restricted to the seeds, so rank = proximity to
+    // the seed cohort over the bipartite purchase graph — the
+    // recommendation primitive beside g8's global centrality. Same
+    // integer recurrence (ops.PageRank.personalized), same shared
+    // fixture (GraphFixtures.custSuppFlagged, flag ignored), top 100.
+    val e0 = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
+      .select(col("cust"), col("supp"))
+    val edges = e0.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
+      .unionByName(e0.select((col("supp") + 1000000000L).as("src"), col("cust").as("dst")))
+    val seeds = Tables.customer(s, dir).filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("long").as("id"))
+    graft.ops.PageRank.personalized(edges, seeds, rounds = 5)
+      .select(
+        when(col("id") >= 1000000000L, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("id") >= 1000000000L, col("id") - 1000000000L)
+          .otherwise(col("id")).as("node_id"),
+        col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("node_id")).limit(100)
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1525,6 +1547,32 @@ object ExtendedQueries {
          |FROM walks l JOIN walks r ON l.walk_id = r.walk_id
          |  AND abs(l.step - r.step) <= 2 AND l.step <> r.step
          |GROUP BY 1, 2""".stripMargin
+    }),
+    QueryDef("g18_ppr", g18Ppr, {
+      // the g8 unroll with the teleport CASE restricted to seeds
+      val rounds = (1 to 5).map { t =>
+        s"""r$t AS (SELECT e.dst AS id,
+           |    CAST((CASE WHEN e.dst IN (SELECT id FROM sd) THEN 150000 ELSE 0 END)
+           |      + SUM((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM edges e JOIN r${t - 1} r ON r.id = e.src
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT cust AS src, supp + 1000000000 AS dst FROM p0
+         |  UNION ALL SELECT supp + 1000000000, cust FROM p0),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |sd AS MATERIALIZED (
+         |  SELECT c_custkey AS id FROM customer WHERE c_custkey % 50 = 0),
+         |r0 AS (SELECT src AS id, CAST(CASE WHEN src IN (SELECT id FROM sd)
+         |    THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM deg),
+         |$rounds
+         |SELECT CASE WHEN id >= 1000000000 THEN 'supp' ELSE 'cust' END AS kind,
+         |  CASE WHEN id >= 1000000000 THEN id - 1000000000 ELSE id END AS node_id,
+         |  pr
+         |FROM r5 ORDER BY pr DESC, id LIMIT 100""".stripMargin
     }),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round

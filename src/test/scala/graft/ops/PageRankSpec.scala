@@ -60,6 +60,29 @@ class PageRankSpec extends SparkSpec {
     assert(got === Map(1L -> 527400L, 2L -> 1660450L, 3L -> 527400L))
   }
 
+  /** Reference personalized step: base and init restricted to seeds. */
+  private def refPprStep(edges: Seq[(Long, Long)], seeds: Set[Long],
+      r: Map[Long, Long]): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    edges.groupBy(_._2).view.mapValues { in =>
+      in.map { case (s, _) => r(s) * 85 / (100 * deg(s)) }.sum
+    }.toMap.map { case (v, cs) => v -> (cs + (if (seeds(v)) 150000L else 0L)) }
+  }
+
+  test("personalized matches the in-memory reference; non-seeds start and teleport at zero") {
+    val edges = fixture(seed = 31, n = 35, p = 0.15)
+    val seeds = Set(0L, 9L, 20L)
+    val got = collectRanks(PageRank.personalized(
+      edges.toDF("src", "dst"), seeds.toSeq.toDF("id"), rounds = 4))
+    var want = edges.map(_._1).distinct
+      .map(v => v -> (if (seeds(v)) PageRank.InitRank else 0L)).toMap
+    for (_ <- 1 to 4) want = refPprStep(edges, seeds, want)
+    assert(got === want)
+    // rank measures seed proximity: a seed outranks any node with the
+    // same in-profile minus the teleport, and unreached nodes sit at 0
+    assert(seeds.forall(s => got(s) >= 150000L))
+  }
+
   test("quiescent convergence: warm and cold starts settle into the same truncation band") {
     // Real-arithmetic PageRank contracts to ONE fixpoint from any
     // seed; the floor in the integer recurrence can leave a small
