@@ -40,7 +40,12 @@ object Explain {
         // recount heavy hitters, adjacency-intersection triangles,
         // blocked-conjunction entity resolution, sketch-at-rest rollup
         "t8_heavy_hitters", "g9_triangles", "j12_entity_resolution",
-        "x3_sketch_at_rest")
+        "x3_sketch_at_rest",
+        // round-14 flagships: warm-start incremental PageRank, exact
+        // incremental reachability relabeling, packed-argmax LPA
+        // communities, md5-drawn walk corpus
+        "g13_pagerank_incremental", "g14_reach_incremental",
+        "g15_communities", "g16_walk_corpus")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
