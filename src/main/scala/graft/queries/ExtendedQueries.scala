@@ -611,6 +611,22 @@ object ExtendedQueries {
       .orderBy(col("pr").desc, col("kind"), col("node_id")).limit(100)
   }
 
+  private val g19Components: QFn = (s, dir) => {
+    // First-class connected components on the strong co-purchase graph
+    // — min-label per component + component size, the adaptive CC
+    // machinery the dedup/ER clusters already rely on (ops.Dedup:
+    // one-task union-find under the edge limit, hash-to-min loop
+    // above it — same output, differentially proven there). Every
+    // strong-graph node has an edge, so no coalesce-to-self is needed.
+    val cc = graft.ops.Dedup.connectedComponents(
+      graft.tables.GraphFixtures.strongPairs(s, dir)
+        .select(col("a").as("id_a"), col("b").as("id_b")))
+    val sz = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    cc.join(sz, Seq("label"))
+      .select(col("node").as("part_id"), col("label").as("component"),
+        col("n_members"))
+  }
+
   private val g12Kcore: QFn = (s, dir) => {
     // 2-core of the STRONG co-purchase graph (parts sharing >= 2
     // distinct orders — the support threshold is what makes peeling
@@ -1574,6 +1590,23 @@ object ExtendedQueries {
          |  pr
          |FROM r5 ORDER BY pr DESC, id LIMIT 100""".stripMargin
     }),
+    QueryDef("g19_components", g19Components,
+      """WITH RECURSIVE li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |reach(src, dst) AS (SELECT src, dst FROM e
+        |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS node, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM lab GROUP BY label)
+        |SELECT CAST(lab.node AS BIGINT) AS part_id,
+        |  CAST(lab.label AS BIGINT) AS component, sz.n_members
+        |FROM lab JOIN sz ON sz.label = lab.label""".stripMargin),
     QueryDef("g12_kcore", g12Kcore, {
       // peel rounds unrolled as MATERIALIZED CTEs (each round
       // references its predecessor 4x — inlined, the unroll re-derives

@@ -72,6 +72,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g16_walk_corpus")
     assertEquiOnly("g17_walk_pairs")
     assertEquiOnly("g18_ppr")
+    assertEquiOnly("g19_components")
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
