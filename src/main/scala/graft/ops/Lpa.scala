@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * force SortAggregate or a per-group sort (the a1 packed-long
   * lesson). Labels are staged per round: each round's relation feeds
   * the next round's join, and staging caps lineage depth at one round
-  * regardless of the round count. Label ids must fit in 32 bits
-  * (enforced), counts are degree-bounded — no overflow.
+  * regardless of the round count. Label ids must fit in 32 bits and
+  * the edge count (which bounds every vote count) in 31 — both
+  * enforced up front, so the packing can never overflow silently.
   *
   * The caller passes DIRECTED (src, dst) edges — union both directions
   * for the undirected classic (the PageRank convention). Nodes absent
@@ -35,12 +36,19 @@ object Lpa {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
     // 32-bit label domain makes the packed argmax total — fail loudly
-    // instead of mis-ranking (the Triangles id-domain rule)
+    // instead of mis-ranking (the Triangles id-domain rule). Vote
+    // counts ride the upper 32 bits, so they too must stay below 2^31;
+    // a count is bounded by the voter's in-degree <= |E|, so one edge
+    // count (free — same agg pass as the bounds) enforces it loudly
+    // instead of leaving the no-overflow claim to luck.
     val bounds = e.agg(min(least(col("src"), col("dst"))),
-      max(greatest(col("src"), col("dst")))).collect().head
-    if (!bounds.isNullAt(0))
+      max(greatest(col("src"), col("dst"))), count(lit(1))).collect().head
+    if (!bounds.isNullAt(0)) {
       require(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32),
         s"lpa: node ids must lie in [0, 2^32), got [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
+      require(bounds.getLong(2) < (1L << 31),
+        s"lpa: edge count ${bounds.getLong(2)} >= 2^31 — packed vote counts would overflow")
+    }
     val mask = (1L << 32) - 1L
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)

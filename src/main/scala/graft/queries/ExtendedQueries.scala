@@ -672,35 +672,26 @@ object ExtendedQueries {
     // components. At sf0.01 this yields 3 multi-record entities
     // (sizes 47/11/10) and 1432 singletons — non-trivial on both
     // sides of the rule. See ops.EntityResolution for the shape.
-    graft.ops.EntityResolution.resolve(
-      Tables.customer(s, dir), col("c_custkey"), col("c_name"),
-      k = 1, tau = 0.9)
+    // The resolved table is the session-memoized / at-rest ErFixtures
+    // relation (the GraphFixtures convention): in production it is a
+    // standing table rebuilt per corpus snapshot, not re-resolved per
+    // reader.
+    graft.tables.ErFixtures.resolvedAll(s, dir)
 
   private val j13ErIncremental: QFn = (s, dir) => {
     // Incremental entity resolution across the j10 corpus/batch split:
     // the 80% corpus is resolved once (standing entity table + FastSS
-    // variant index at rest in production; built inline for the
-    // fixture, the j10_fuzzy_incremental precedent), then the 20%
-    // batch is placed with O(batch) pairing work. Oracled against the
-    // FULL re-resolve restricted to batch records — the convergence
-    // the operator's coarsened-edge argument claims.
-    val c = Tables.customer(s, dir)
-    val corpusRecs = c.filter(col("c_custkey") % 10 < 8)
-    // Staged eagerly: assignBatch consumes the resolved corpus THREE
-    // times (variant-index build, trigram verify side, pre-coarsened
-    // entity links) — unstaged, each consumer re-runs the full resolve
-    // join lineage (the partCoEdges discipline; in production the
-    // resolved corpus is a standing table at rest, so the checkpoint is
-    // the fixture analog of reading it from storage, not a semantic
-    // change).
-    val corpus = graft.ops.EntityResolution.resolve(
-        corpusRecs, col("c_custkey"), col("c_name"), k = 1, tau = 0.9)
-      .join(corpusRecs.select(col("c_custkey").as("record_id"), col("c_name")),
-        Seq("record_id"))
-      .localCheckpoint(true)
+    // variant index at rest in production; the session-memoized /
+    // at-rest ErFixtures relation — staged eagerly because assignBatch
+    // consumes it three times), then the 20% batch is placed with
+    // O(batch) pairing work. Oracled against the FULL re-resolve
+    // restricted to batch records — the convergence the operator's
+    // coarsened-edge argument claims.
+    val corpus = graft.tables.ErFixtures.resolvedCorpus(s, dir)
     graft.ops.EntityResolution.assignBatch(
       corpus, col("record_id"), col("entity_id"), col("c_name"),
-      c.filter(col("c_custkey") % 10 >= 8), col("c_custkey"), col("c_name"),
+      Tables.customer(s, dir).filter(col("c_custkey") % 10 >= 8),
+      col("c_custkey"), col("c_name"),
       k = 1, tau = 0.9)
   }
 

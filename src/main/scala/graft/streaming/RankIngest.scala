@@ -31,11 +31,13 @@ import graft.ops.PageRank
   *  - batch edges are normalized (self-loops dropped, distinct) and
   *    anti-joined against the standing store, so a re-sent edge
   *    contributes nothing and an all-replayed batch writes nothing;
-  *  - the warm seed is the newest snapshot with batch_id < the current
-  *    epoch, so an at-least-once replay of epoch e re-reads the exact
-  *    seed e saw the first time and recomputes the identical snapshot
-  *    (integer arithmetic — no accumulation drift), overwriting its
-  *    own partitions;
+  *  - every standing read an epoch makes is bounded STRICTLY BELOW its
+  *    own batch_id — the edge probe/merge reads batch_id < e and the
+  *    warm seed is the newest snapshot with batch_id < e — so a replay
+  *    of epoch e recomputes the identical snapshot (integer arithmetic,
+  *    no accumulation drift) even OUT OF ORDER, after later epochs
+  *    committed: later partitions are invisible to e by construction,
+  *    not merely absent at first write;
   *  - both writes key on batch_id with dynamic partition overwrite,
   *    the GraphIngest idempotence discipline.
   */
@@ -53,7 +55,8 @@ object RankIngest {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val standingEdges = standing(spark, edgePath)
-      .map(_.filter(col("batch_id") =!= batchId).select(col("src"), col("dst")))
+      .map(_.filter(col("batch_id").cast("long") < batchId)
+        .select(col("src"), col("dst")))
     val fresh = (standingEdges match {
       case Some(se) => raw.join(se, Seq("src", "dst"), "left_anti")
       case None => raw

@@ -21,9 +21,11 @@ import graft.ops.Reachability
   * (Contrast [[RankIngest]], whose integer fixpoint is only unique up
   * to the floor-truncation band.) The replay rules are RankIngest's:
   * normalized + anti-joined batch edges (re-sent edges contribute
-  * nothing), seeds-from-the-snapshot-before-this-epoch (an
-  * at-least-once replay recomputes the identical snapshot), dynamic
-  * partition overwrite keyed on batch_id. */
+  * nothing), every standing read bounded strictly below the epoch's
+  * own batch_id (edges AND the label seed), so a replay recomputes the
+  * identical snapshot even out of order — later epochs' partitions are
+  * invisible to it by construction — and dynamic partition overwrite
+  * keyed on batch_id. */
 object ReachIngest {
 
   /** One micro-batch of directed (src, dst) edges against the seed set
@@ -36,7 +38,8 @@ object ReachIngest {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val standingEdges = standing(spark, edgePath)
-      .map(_.filter(col("batch_id") =!= batchId).select(col("src"), col("dst")))
+      .map(_.filter(col("batch_id").cast("long") < batchId)
+        .select(col("src"), col("dst")))
     val fresh = (standingEdges match {
       case Some(se) => raw.join(se, Seq("src", "dst"), "left_anti")
       case None => raw

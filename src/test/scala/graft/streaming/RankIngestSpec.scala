@@ -60,6 +60,31 @@ class RankIngestSpec extends SparkSpec {
     assert(ranks(rp) === want, "refine diverged from the direct warm iterate")
   }
 
+  test("OUT-OF-ORDER replay rewrites a historical snapshot identically") {
+    // epoch e's standing reads are bounded batch_id < e, so replaying
+    // e after e+1 committed must not absorb e+1's edges into e's
+    // recomputed snapshot — historical snapshots are replay-stable,
+    // not just the newest one
+    val ep = Files.createTempDirectory("rki_e3").toString + "/edges"
+    val rp = Files.createTempDirectory("rki_r3").toString + "/ranks"
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 1L)),
+      Seq((2L, 3L), (3L, 2L)),
+      Seq((3L, 4L), (4L, 3L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      RankIngest.processEdgeBatch(b.toDF("src", "dst"), ep, rp, i.toLong, rounds = 2)
+    }
+    def snapshot(id: Long): Map[Long, Long] =
+      spark.read.parquet(rp).filter(col("batch_id").cast("long") === id)
+        .select(col("id"), col("pr")).as[(Long, Long)].collect().toMap
+    val snap1 = snapshot(1L)
+    val cur = ranks(rp)
+    RankIngest.processEdgeBatch(batches(1).toDF("src", "dst"), ep, rp, 1L, rounds = 2)
+    assert(snapshot(1L) === snap1,
+      "out-of-order replay of epoch 1 rewrote its snapshot with different content")
+    assert(ranks(rp) === cur, "out-of-order replay disturbed the ledger head")
+  }
+
   test("edges normalize on ingest (self-loops, duplicates) and store stays distinct") {
     val ep = Files.createTempDirectory("rki_e2").toString + "/edges"
     val rp = Files.createTempDirectory("rki_r2").toString + "/ranks"

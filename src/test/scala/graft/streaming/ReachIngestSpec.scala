@@ -50,5 +50,19 @@ class ReachIngestSpec extends SparkSpec {
     ReachIngest.processEdgeBatch(batches.head.toDF("src", "dst"), seeds.toDF("id"),
       ep, hp, 99L, maxHop = 3)
     assert(hops(hp) === before, "re-sent edges advanced the labels")
+
+    // OUT-OF-ORDER replay of a historical epoch: standing reads are
+    // bounded batch_id < e, so epoch 1's snapshot is recomputed from
+    // exactly the state it saw the first time — rewritten identically,
+    // later snapshots untouched
+    def snapshot(id: Long): Map[Long, Long] =
+      spark.read.parquet(hp).filter(col("batch_id").cast("long") === id)
+        .select(col("id"), col("hop")).as[(Long, Long)].collect().toMap
+    val snap1 = snapshot(1L)
+    ReachIngest.processEdgeBatch(batches(1).toDF("src", "dst"), seeds.toDF("id"),
+      ep, hp, 1L, maxHop = 3)
+    assert(snapshot(1L) === snap1,
+      "out-of-order replay of epoch 1 rewrote its snapshot with different content")
+    assert(hops(hp) === before, "out-of-order replay disturbed the ledger head")
   }
 }

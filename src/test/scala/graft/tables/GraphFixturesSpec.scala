@@ -32,4 +32,42 @@ class GraphFixturesSpec extends SparkSpec {
     assert(strong.join(sup.filter(col("tsup") >= 2).select(col("a"), col("b")),
       Seq("a", "b"), "left_anti").isEmpty, "strong pair not in the filtered stats")
   }
+
+  test("at-rest tier: materialize + configured root is READ, not rebuilt, value-identical") {
+    val inlineSup = GraphFixtures.supCounts(spark, dirA)
+      .collect().map(_.toSeq).toSet
+    val inlineCorpus = ErFixtures.resolvedCorpus(spark, dirA)
+      .select(col("record_id"), col("entity_id")).collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("gfx_rest").toString
+    GraphFixtures.materialize(spark, dirA, root)
+    ErFixtures.materialize(spark, dirA, root)
+    assert(FixtureStore.readMarker(spark, root) === Some(dirA), "source marker missing")
+    FixtureStore.release(spark) // cold memo, so the getter consults the root
+    spark.conf.set("graft.fixtures.dir", root)
+    try {
+      val atRest = GraphFixtures.supCounts(spark, dirA)
+      assert(atRest.inputFiles.nonEmpty &&
+        atRest.inputFiles.forall(_.contains(root)),
+        s"at-rest getter did not scan $root: ${atRest.inputFiles.take(2).mkString(",")}")
+      assert(atRest.collect().map(_.toSeq).toSet === inlineSup,
+        "at-rest relation diverged from the inline build")
+      val corpusAtRest = ErFixtures.resolvedCorpus(spark, dirA)
+      assert(corpusAtRest.inputFiles.forall(_.contains(root)),
+        "ER corpus not read from the at-rest root")
+      assert(corpusAtRest.select(col("record_id"), col("entity_id"))
+        .collect().map(_.toSeq).toSet === inlineCorpus,
+        "at-rest ER corpus diverged from the inline resolve")
+
+      // marker mismatch (fixtures prepared for ANOTHER dir): loud
+      // fallback to the inline build — wrong-dir fixtures are never
+      // served, and the relation still computes correctly
+      val other = "/root/testdata/sf0.01"
+      val fallback = GraphFixtures.strongPairs(spark, other)
+      assert(fallback.inputFiles.forall(!_.contains(root)),
+        "mismatched-marker root was served for the wrong dir")
+    } finally {
+      spark.conf.unset("graft.fixtures.dir")
+      FixtureStore.release(spark) // drop at-rest entries so later suites rebuild inline
+    }
+  }
 }

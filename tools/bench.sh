@@ -16,8 +16,11 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 # stderr (Spark INFO noise, but also any crash) goes to a log, not
 # /dev/null: with pipefail a dead JVM now exits non-zero AND leaves
-# its diagnostics readable instead of vanishing behind tail's 0
-STDERR_LOG="${BENCH_STDERR_LOG:-/tmp/graft_bench_stderr.log}"
+# its diagnostics readable instead of vanishing behind tail's 0.
+# Default path is per-run (PID-suffixed) so concurrent invocations
+# don't clobber each other's crash diagnostics; BENCH_STDERR_LOG pins
+# a fixed path when you want one.
+STDERR_LOG="${BENCH_STDERR_LOG:-/tmp/graft_bench_stderr.$$.log}"
 # only export the subset filter when non-empty: Bench treats a SET but
 # EMPTY SPARK_GRAFT_QUERIES as "select zero queries" (an empty-but-set
 # var would silently bench nothing and exit green)
