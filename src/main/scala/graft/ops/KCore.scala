@@ -35,12 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Nodes of the k-core of `edges` with their in-core degrees.
-    * `edges`: columns `id_a`, `id_b` (distinct undirected pairs). */
-  def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
-    require(k >= 1, "k_core: k >= 1")
-    require(maxRounds >= 1, "k_core: maxRounds >= 1")
-    var cur = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+  /** Peel `edges0` (already staged) to the k-core fixpoint; returns the
+    * surviving edge set, staged. The per-round shape documented in the
+    * header; shared by [[core]] and [[coreness]]. */
+  private def peel(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var cur = edges0
     var curEdges = cur.count()
     var rounds = 0
     var converged = curEdges == 0L
@@ -61,8 +60,60 @@ object KCore {
       curEdges = nextEdges
       rounds += 1
     }
+    cur
+  }
+
+  /** Nodes of the k-core of `edges` with their in-core degrees.
+    * `edges`: columns `id_a`, `id_b` (distinct undirected pairs). */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k_core: k >= 1")
+    require(maxRounds >= 1, "k_core: maxRounds >= 1")
+    val cur = peel(edges.select(col("id_a"), col("id_b")).localCheckpoint(true),
+      k, maxRounds)
     cur.select(col("id_a").as("node_id"))
       .unionByName(cur.select(col("id_b").as("node_id")))
       .groupBy(col("node_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Full coreness decomposition (core number per node) — the
+    * degeneracy structure of the graph: `coreness(v)` = the largest k
+    * such that v belongs to the k-core (Matula–Beck 1983 smallest-last
+    * peeling, expressed level-by-level). Every node of the edge set has
+    * coreness >= 1; the level loop ends when some k-core comes up
+    * empty, so the output is the COMPLETE decomposition, not a cap.
+    *
+    * Shape: level k's peel starts from the STAGED (k-1)-core edge set
+    * (the (k)-core is a subgraph of it — each level only shrinks the
+    * relation, never rescans the input), so total work is the telescoped
+    * peel, not levels × full peels. coreness(v) is recovered as the
+    * count of levels whose core contains v — a union of skinny staged
+    * node sets + one map-side-combined aggregate, the same arithmetic
+    * the DuckDB oracle replays (g20). `maxK` is a loud failsafe like
+    * `maxRounds`, far above any degeneracy these graphs reach. */
+  def coreness(edges: DataFrame, maxK: Int = 64, maxRounds: Int = 64): DataFrame = {
+    require(maxK >= 1, "coreness: maxK >= 1")
+    def nodesOf(e: DataFrame) =
+      e.select(col("id_a").as("v")).unionByName(e.select(col("id_b").as("v")))
+        .distinct()
+    var cur = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var curEdges = cur.count()
+    var levels = List.empty[DataFrame]
+    if (curEdges > 0) levels ::= nodesOf(cur) // k = 1: every node with an edge
+    var k = 2
+    while (curEdges > 0) {
+      require(k <= maxK,
+        s"coreness: ${k}-core still non-empty past maxK=$maxK ($curEdges edges live)")
+      cur = peel(cur, k, maxRounds)
+      curEdges = cur.count()
+      if (curEdges > 0) levels ::= nodesOf(cur)
+      k += 1
+    }
+    if (levels.isEmpty)
+      edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node_id"), lit(0L).as("coreness")).limit(0)
+    else
+      levels.reduce(_ unionByName _)
+        .groupBy(col("v")).agg(count(lit(1)).as("coreness"))
+        .select(col("v").as("node_id"), col("coreness"))
   }
 }

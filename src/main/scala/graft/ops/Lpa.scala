@@ -31,7 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object Lpa {
 
-  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+  def propagate(edges: DataFrame, rounds: Int): DataFrame =
+    run(edges, None, rounds)
+
+  /** Warm-started LPA — the incremental face of [[propagate]]: labels
+    * initialize from a standing snapshot (`seedLabels`: node, lbl)
+    * instead of identity, nodes the snapshot doesn't cover start as
+    * their own label, then `rounds` synchronous rounds run over the
+    * (merged) edge set. Deterministic like propagate — a pure function
+    * of (seed, edges, rounds), so the DuckDB oracle unrolls both the
+    * standing chain and the warm chain and hash-matches exactly (the
+    * g13 PageRank-warm-start discipline). Unlike PageRank there is no
+    * contraction guarantee — the claim is determinism + batch
+    * absorption, not convergence to the cold fixpoint; CommunityIngest
+    * pins the ledger to this exact fold. */
+  def warmStart(seedLabels: DataFrame, edges: DataFrame, rounds: Int): DataFrame =
+    run(edges, Some(seedLabels.select(col("node").cast("long"),
+      col("lbl").cast("long"))), rounds)
+
+  private def run(edges: DataFrame, seed: Option[DataFrame], rounds: Int): DataFrame = {
     require(rounds >= 1, "lpa: rounds >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
@@ -49,9 +67,23 @@ object Lpa {
       require(bounds.getLong(2) < (1L << 31),
         s"lpa: edge count ${bounds.getLong(2)} >= 2^31 — packed vote counts would overflow")
     }
+    // seed labels are labels too — they ride the same packing, so the
+    // same 32-bit domain guard applies (a seed is a node id of the
+    // standing graph, but enforce rather than assume)
+    seed.foreach { sd =>
+      val sb = sd.agg(min(col("lbl")), max(col("lbl"))).collect().head
+      if (!sb.isNullAt(0))
+        require(sb.getLong(0) >= 0L && sb.getLong(1) < (1L << 32),
+          s"lpa: seed labels must lie in [0, 2^32), got [${sb.getLong(0)}, ${sb.getLong(1)}]")
+    }
     val mask = (1L << 32) - 1L
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = (seed match {
+      case Some(sd) => nodes.join(sd.withColumnRenamed("lbl", "seed_lbl"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("seed_lbl"), col("node")).as("lbl"))
+      case None => nodes.withColumn("lbl", col("node"))
+    }).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // a node with no labeled in-neighbor this round KEEPS its label
       // (matters on directed input — the inner vote join would silently

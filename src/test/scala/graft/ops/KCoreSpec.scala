@@ -79,6 +79,59 @@ class KCoreSpec extends SparkSpec {
     assert(run(g, k = 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  /** In-JVM reference coreness: peel at k = 1, 2, ... to exhaustion;
+    * a node's core number is the last k whose core contained it. */
+  private def refCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    var cur = edges
+    var out = Map.empty[Long, Long]
+    var k = 1L
+    while (cur.nonEmpty) {
+      out ++= cur.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> k)
+      var changed = true
+      while (changed) {
+        val deg = cur.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k + 1).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != cur.size
+        cur = next
+      }
+      k += 1
+    }
+    out
+  }
+
+  private def runCoreness(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
+    KCore.coreness(edges.toDF("id_a", "id_b").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("coreness == reference level peel, differentially") {
+    for (seed <- Seq(1, 4); parts <- Seq(1, 7)) {
+      val edges = randomGraph(60, 150, seed)
+      assert(runCoreness(edges, parts) === refCoreness(edges),
+        s"seed=$seed parts=$parts")
+    }
+  }
+
+  test("coreness is consistent with every single-k core") {
+    val edges = randomGraph(50, 120, 9)
+    val cn = runCoreness(edges)
+    val maxK = cn.values.max.toInt
+    for (k <- 1 to maxK + 1) {
+      val want = run(edges, k).keySet
+      assert(cn.filter(_._2 >= k).keySet === want,
+        s"{v : coreness >= $k} != nodes of the $k-core")
+    }
+  }
+
+  test("coreness on the cycle-with-tail: cycle 2, tail 1; empty input empty") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    assert(runCoreness(cycle ++ tail) ===
+      ((0L to 4L).map(_ -> 2L) ++ (5L to 8L).map(_ -> 1L)).toMap)
+    assert(runCoreness(Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
   test("maxRounds failsafe fails loudly") {
     val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
     val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))

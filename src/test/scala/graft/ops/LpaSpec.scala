@@ -66,6 +66,62 @@ class LpaSpec extends SparkSpec {
     assert(got(1L) === 1L, s"unvoted node dropped or relabeled: $got")
   }
 
+  /** refLpa with seeded initial labels (nodes absent from the seed
+    * start as themselves) — the warm-start semantics. */
+  private def refWarm(edges: Seq[(Long, Long)], seed: Map[Long, Long],
+      rounds: Int): Map[Long, Long] = {
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = edges.map(_._1).distinct.map(v => v -> seed.getOrElse(v, v)).toMap
+    for (_ <- 1 to rounds) {
+      lbl = lbl.map { case (v, old) =>
+        in.get(v) match {
+          case None => v -> old
+          case Some(srcs) =>
+            val votes = srcs.map(lbl).groupBy(identity).view.mapValues(_.size)
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    lbl
+  }
+
+  test("warmStart matches the seeded reference; empty seed == propagate") {
+    for (seed <- Seq(7, 23)) {
+      val standing = undirected(seed, n = 40, p = 0.07)
+      val batch = undirected(seed + 100, n = 45, p = 0.03)
+        .filterNot(standing.toSet)
+      val merged = standing ++ batch
+      val standingLbl = refLpa(standing, 3)
+      val got = Lpa.warmStart(
+          standingLbl.toSeq.toDF("node", "lbl"),
+          merged.toDF("src", "dst"), rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refWarm(merged, standingLbl, 2), s"seed $seed diverged")
+      // the warm chain equals folding: propagate(standing,3) then 2
+      // more rounds on merged — the CommunityIngest ledger contract
+      val fold = Lpa.warmStart(
+          Lpa.propagate(standing.toDF("src", "dst"), rounds = 3),
+          merged.toDF("src", "dst"), rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(fold === got, s"seed $seed: Spark fold diverged from seeded run")
+    }
+    val edges = undirected(3, n = 30, p = 0.1)
+    val cold = Lpa.propagate(edges.toDF("src", "dst"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val warmEmpty = Lpa.warmStart(
+        Seq.empty[(Long, Long)].toDF("node", "lbl"),
+        edges.toDF("src", "dst"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(warmEmpty === cold, "empty seed must reduce to the cold run")
+  }
+
+  test("warmStart rejects out-of-domain seed labels loudly") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val bad = Seq((1L, 1L << 33)).toDF("node", "lbl")
+    val e = intercept[IllegalArgumentException](Lpa.warmStart(bad, edges, rounds = 1))
+    assert(e.getMessage.contains("seed labels"))
+  }
+
   test("ids outside [0, 2^32) fail loudly instead of mis-ranking") {
     val bad = Seq((1L, 1L << 33), (1L << 33, 1L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException](Lpa.propagate(bad, rounds = 1))

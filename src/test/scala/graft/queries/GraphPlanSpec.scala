@@ -241,6 +241,34 @@ class GraphPlanSpec extends SparkSpec {
     }.isEmpty, "g16 plans a non-equi join")
   }
 
+  test("g20/g21: coreness levels + warm LPA chains fully staged — no fact scan survives") {
+    // g20: every peel round of every level localCheckpoints (ops.KCore
+    // — the telescoped decomposition), so the returned plan is the
+    // level-membership aggregate over RDD leaves; g21: both LPA chains
+    // stage per round (ops.Lpa), the final plan is the prev-label join
+    // over RDD leaves. A lineitem scan in either means a round escaped
+    // staging and earlier rounds re-derive per reference.
+    for ((name, what) <- Seq(
+        "g20_coreness" -> "level node-set",
+        "g21_communities_incremental" -> "label")) {
+      val qe = q(name).queryExecution
+      val leaves = qe.sparkPlan.collectLeaves()
+      assert(!leaves.exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("Location").contains("lineitem")
+        case _ => false
+      }, s"$name's final plan re-derives the edge list from the fact table")
+      assert(leaves.exists {
+        case _: org.apache.spark.sql.execution.RDDScanExec => true
+        case _ => false
+      }, s"$name's staged $what relation vanished from the plan")
+      assert(qe.sparkPlan.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$name plans a non-equi join")
+    }
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly

@@ -73,6 +73,8 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g17_walk_pairs")
     assertEquiOnly("g18_ppr")
     assertEquiOnly("g19_components")
+    assertEquiOnly("g20_coreness")
+    assertEquiOnly("g21_communities_incremental")
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
