@@ -693,6 +693,28 @@ object ExtendedQueries {
         col("community_prev"))
   }
 
+  private val g22Harmonic: QFn = (s, dir) => {
+    // Hop-bounded harmonic centrality from the g14 seed cohort (every
+    // 100th part) over the strong co-purchase graph — the
+    // closeness-family primitive beside PageRank: each seed runs its
+    // own BFS lane inside ONE multi-source labeled BFS (frontier keyed
+    // on (seed, node) pairs, ops.Centrality), contribution floor(1e6 /
+    // hop) per reaching seed in integer division. State is
+    // O(seeds × reached) — the sampled-cohort estimate trade
+    // (Eppstein–Wang) made explicit, never all-pairs. 884 scored nodes
+    // at sf0.01, 120 at sf0.1. Strong graph = session-memoized /
+    // at-rest GraphFixtures relation.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").cast("long").as("id"))
+    graft.ops.Centrality.harmonic(edges, seeds, maxHop = 3)
+      .select(col("node_id").as("part_id"), col("centrality_ppm"),
+        col("n_seeds_reaching"))
+  }
+
   private val j11SetSimJoin: QFn = (s, dir) =>
     // Exact set-similarity self-join (Jaccard >= 0.5) via prefix
     // filtering — the provably-complete tier beside
@@ -1672,6 +1694,37 @@ object ExtendedQueries {
          |  CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
+    }),
+    QueryDef("g22_harmonic", g22Harmonic, {
+      // multi-source labeled BFS layers unrolled (the g14 shape with
+      // (seed, id) PAIR keys — exclusion is a pair NOT EXISTS per
+      // earlier layer); harmonic sum replays the integer division
+      val layers = (1 to 3).map { h =>
+        val prev = if (h == 1) "s0" else s"b${h - 1}"
+        val excl = (Seq("s0") ++ (1 until h).map(i => s"b$i")).map(t =>
+          s"NOT EXISTS (SELECT 1 FROM $t p$t WHERE p$t.seed = f.seed AND p$t.id = e.dst)")
+          .mkString("\n    AND ")
+        s"""b$h AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS id
+           |  FROM me e JOIN $prev f ON e.src = f.id
+           |  WHERE $excl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |s0 AS MATERIALIZED (SELECT p_partkey AS seed, p_partkey AS id
+         |  FROM part WHERE p_partkey % 100 = 0),
+         |$layers,
+         |hops AS (SELECT seed, id, 1 AS hop FROM b1
+         |  UNION ALL SELECT seed, id, 2 FROM b2
+         |  UNION ALL SELECT seed, id, 3 FROM b3)
+         |SELECT CAST(id AS BIGINT) AS part_id,
+         |  CAST(SUM(1000000 // hop) AS BIGINT) AS centrality_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_seeds_reaching
+         |FROM hops GROUP BY id""".stripMargin
     }),
     QueryDef("g20_coreness", g20Coreness, {
       // peel LEVELS x ROUNDS unrolled as MATERIALIZED n/e CTE pairs

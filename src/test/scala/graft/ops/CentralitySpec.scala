@@ -1,0 +1,74 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Harmonic centrality via multi-source labeled BFS: in-JVM
+  * differential on random graphs and seed samples, hand fixtures where
+  * the distances are known, seed/self handling, and the hop bound. */
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: independent BFS per seed, sum floor(1e6 / d) over
+    * reaching seeds with 0 < d <= maxHop. */
+  private def ref(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHop: Int): Map[Long, (Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (s <- seeds.distinct) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Seq(s)
+      for (h <- 1 to maxHop) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = h)
+      }
+      dist.foreach { case (v, d) =>
+        if (d >= 1) {
+          val (c, n) = acc.getOrElse(v, (0L, 0L))
+          acc(v) = (c + 1000000L / d, n + 1)
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHop: Int): Map[Long, (Long, Long)] =
+    Centrality.harmonic(edges.toDF("src", "dst"), seeds.toDF("id"), maxHop)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("matches the per-seed BFS reference on random graphs") {
+    for (seed <- Seq(11, 31); maxHop <- Seq(2, 3)) {
+      val rnd = new Random(seed)
+      val edges = (for {
+        i <- 0L until 40L; j <- i + 1 until 40L if rnd.nextDouble() < 0.06
+      } yield Seq((i, j), (j, i))).flatten
+      val seeds = (0L until 40L).filter(_ % 5 == 0)
+      assert(run(edges, seeds, maxHop) === ref(edges, seeds, maxHop),
+        s"seed=$seed maxHop=$maxHop")
+    }
+  }
+
+  test("path graph: contributions are exact integer 1e6/d; hop bound cuts") {
+    // 0 -> 1 -> 2 -> 3 -> 4 (directed chain), seed {0}
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(chain, Seq(0L), maxHop = 3) ===
+      Map(1L -> (1000000L, 1L), 2L -> (500000L, 1L), 3L -> (333333L, 1L)))
+    // two seeds both reaching node 2: contributions add
+    val y = Seq((0L, 2L), (1L, 2L))
+    assert(run(y, Seq(0L, 1L), maxHop = 2) === Map(2L -> (2000000L, 2L)))
+  }
+
+  test("self-distance contributes nothing; seeds score only via other seeds") {
+    // 0 <-> 1, both seeds: each reaches the other at hop 1
+    val e = Seq((0L, 1L), (1L, 0L))
+    assert(run(e, Seq(0L, 1L), maxHop = 2) ===
+      Map(0L -> (1000000L, 1L), 1L -> (1000000L, 1L)))
+    // absent seed (no edges) scores nothing and breaks nothing
+    assert(run(e, Seq(0L, 1L, 99L), maxHop = 2) ===
+      Map(0L -> (1000000L, 1L), 1L -> (1000000L, 1L)))
+  }
+}

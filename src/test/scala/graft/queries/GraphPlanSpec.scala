@@ -250,7 +250,8 @@ class GraphPlanSpec extends SparkSpec {
     // staging and earlier rounds re-derive per reference.
     for ((name, what) <- Seq(
         "g20_coreness" -> "level node-set",
-        "g21_communities_incremental" -> "label")) {
+        "g21_communities_incremental" -> "label",
+        "g22_harmonic" -> "pair frontier")) {
       val qe = q(name).queryExecution
       val leaves = qe.sparkPlan.collectLeaves()
       assert(!leaves.exists {
