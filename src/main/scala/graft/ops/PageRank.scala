@@ -108,6 +108,38 @@ object PageRank {
     ranks
   }
 
+  /** WEIGHTED PageRank (Xing & Ghorbani 2004's edge-weighted walk, on
+    * the same integer lattice): mass splits over out-edges in
+    * proportion to edge weight rather than uniformly —
+    *   pr'(v) = 150000 + Σ over in-edges (u,v,w) of
+    *            (pr(u)·85·w) div (100·W(u)),  W(u) = Σ out-weights.
+    * The unweighted recurrence is the w ≡ 1 special case. Weights must
+    * be POSITIVE integers (enforced loudly — a zero/negative weight
+    * silently leaks or inverts mass); headroom: pr ≤ mass ≈ n·10⁶ and
+    * the per-edge product pr·85·w stays well under 2⁶³ for any
+    * realistic (n, w) — e.g. 10⁹ nodes × weight 10⁴ ≈ 8.5e17.
+    * Same per-iteration staging discipline as [[step]].
+    * `edges`: columns `src`, `dst`, `w`. */
+  def weighted(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "pagerank: rounds >= 0")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+    require(e.filter(col("w") <= 0L).isEmpty,
+      "weighted pagerank: edge weights must be positive")
+    val withW = e
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src")
+      .localCheckpoint(true)
+    var ranks = withW.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(InitRank)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      ranks = withW.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+        .select(col("dst").as("id"), (lit(BaseRank) + col("cs")).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Warm start: ranks seeded from `standingRanks` (columns `id`,
     * `pr`) where the node is known, [[InitRank]] for nodes new to the
     * merged graph, then `rounds` refinement iterations over

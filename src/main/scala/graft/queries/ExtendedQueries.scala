@@ -715,6 +715,24 @@ object ExtendedQueries {
         col("n_seeds_reaching"))
   }
 
+  private val g23PagerankWeighted: QFn = (s, dir) => {
+    // Weighted PageRank over the strong co-purchase graph with the
+    // pair SUPPORT as edge weight (ops.PageRank.weighted): mass flows
+    // toward parts whose co-purchases repeat, not merely exist — the
+    // weighted-graph primitive the unweighted family (g8/g13/g18)
+    // lacks. Same integer lattice, so the oracle unrolls the weighted
+    // recurrence hash-exactly. Support stats are the session-memoized /
+    // at-rest GraphFixtures relation; full rank table out (no top-k),
+    // with the weight-degree for auditability.
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+      .filter(col("tsup") >= 2)
+    val edges = sup.select(col("a").as("src"), col("b").as("dst"), col("tsup").as("w"))
+      .unionByName(sup.select(col("b").as("src"), col("a").as("dst"),
+        col("tsup").as("w")))
+    graft.ops.PageRank.weighted(edges, rounds = 5)
+      .select(col("id").as("part_id"), col("pr"))
+  }
+
   private val j11SetSimJoin: QFn = (s, dir) =>
     // Exact set-similarity self-join (Jaccard >= 0.5) via prefix
     // filtering — the provably-complete tier beside
@@ -1694,6 +1712,29 @@ object ExtendedQueries {
          |  CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
+    }),
+    QueryDef("g23_pagerank_weighted", g23PagerankWeighted, {
+      // the g8 unroll with the weighted recurrence: contribution
+      // (pr·85·w) // (100·tw), tw = source's total out-weight
+      val rounds = (1 to 5).map { t =>
+        s"""r$t AS (SELECT e.dst AS id,
+           |    CAST(150000 + SUM((r.pr * 85 * e.w) // (100 * d.tw)) AS BIGINT) AS pr
+           |  FROM we e JOIN r${t - 1} r ON r.id = e.src
+           |  JOIN wd d ON d.src = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    CAST(count(*) AS BIGINT) AS w FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |we AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0
+         |  UNION ALL SELECT b, a, w FROM e0),
+         |wd AS MATERIALIZED (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM we GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM wd),
+         |$rounds
+         |SELECT CAST(id AS BIGINT) AS part_id, pr FROM r5""".stripMargin
     }),
     QueryDef("g22_harmonic", g22Harmonic, {
       // multi-source labeled BFS layers unrolled (the g14 shape with

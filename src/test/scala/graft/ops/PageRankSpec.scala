@@ -83,6 +83,37 @@ class PageRankSpec extends SparkSpec {
     assert(seeds.forall(s => got(s) >= 150000L))
   }
 
+  /** Weighted reference step: contribution (pr·85·w) / (100·W(src)). */
+  private def refWeightedStep(edges: Seq[(Long, Long, Long)],
+      r: Map[Long, Long]): Map[Long, Long] = {
+    val tw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    edges.groupBy(_._2).view.mapValues { in =>
+      150000L + in.map { case (s, _, w) => r(s) * 85 * w / (100 * tw(s)) }.sum
+    }.toMap
+  }
+
+  test("weighted matches the in-memory reference; w == 1 reduces to cold") {
+    val rnd = new Random(13)
+    val base = fixture(seed = 13, n = 30, p = 0.2)
+    val weighted = base.map { case (s, d) => (s, d, rnd.nextInt(9).toLong + 1L) }
+    var want = weighted.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) want = refWeightedStep(weighted, want)
+    val got = collectRanks(
+      PageRank.weighted(weighted.toDF("src", "dst", "w"), rounds = 4))
+    assert(got === want, "weighted recurrence diverged from the reference")
+    // unit weights: the weighted walk IS the uniform walk
+    val unit = base.map { case (s, d) => (s, d, 1L) }
+    assert(collectRanks(PageRank.weighted(unit.toDF("src", "dst", "w"), rounds = 3))
+      === collectRanks(PageRank.cold(base.toDF("src", "dst"), rounds = 3)),
+      "w == 1 must reduce to the unweighted recurrence")
+  }
+
+  test("weighted rejects non-positive weights loudly") {
+    val bad = Seq((1L, 2L, 0L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException](PageRank.weighted(bad, rounds = 1))
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("quiescent convergence: warm and cold starts settle into the same truncation band") {
     // Real-arithmetic PageRank contracts to ONE fixpoint from any
     // seed; the floor in the integer recurrence can leave a small

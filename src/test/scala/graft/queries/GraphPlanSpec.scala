@@ -251,7 +251,8 @@ class GraphPlanSpec extends SparkSpec {
     for ((name, what) <- Seq(
         "g20_coreness" -> "level node-set",
         "g21_communities_incremental" -> "label",
-        "g22_harmonic" -> "pair frontier")) {
+        "g22_harmonic" -> "pair frontier",
+        "g23_pagerank_weighted" -> "rank")) {
       val qe = q(name).queryExecution
       val leaves = qe.sparkPlan.collectLeaves()
       assert(!leaves.exists {
