@@ -262,67 +262,81 @@ object Exprs {
     coalesce(test, lit(true))
   }
 
-  /** SQL-surface registration: keccak256 / hex_add / hex_cmp. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("keccak256", es => Keccak256Expr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("digits_int", es => DigitsIntExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("hex_add", es => HexAddExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("hex_sub", es => HexSubExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("hex_cmp", es => HexCmpExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("hex_to_dec", es => HexToDecExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sigs", es => MinHashSigsExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "built-in")
-    // k must be a foldable literal — evaluated once at resolution, so the
-    // kernel's width is a plan-time constant like the Scala-side API's.
-    reg.createOrReplaceTempFunction("shingle_pos_hashes", es => {
-      // arity and foldability first: es(1) on a 1-arg call or eval() on
-      // a column reference throws an obscure internal error, not the
-      // contract message
+  /** Integer-literal argument guard shared by the parameterized
+    * kernels: k/w/capacity are evaluated ONCE at resolution, so the
+    * kernel's width is a plan-time constant like the Scala-side
+    * API's. Arity and foldability are checked first — es(1) on a
+    * 1-arg call or eval() on a column reference throws an obscure
+    * internal error, not the contract message. Math.toIntExact, not
+    * .toInt: silent truncation would let 4294967300 alias to 4 and
+    * sail through a bounds check. */
+  private def litInt(e: Expression, fn: String, name: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn $name must be an integer literal, got non-literal ${e.sql}")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long =>
+        try Math.toIntExact(l) catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"$fn $name must be an integer literal in Int range, got $l")
+        }
+      case other   => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got $other")
+    }
+  }
+
+  /** The engine's SQL function surface — ONE list consumed by BOTH
+    * registration paths (runtime [[register]] for a plain session and
+    * [[graft.GraftExtensions]]'s injectFunction for sessions built
+    * withExtensions), so the two surfaces cannot drift. Aggregates
+    * register as bare AggregateFunctions — the analyzer wraps them in
+    * AggregateExpression. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "keccak256" -> (es => Keccak256Expr(es.head)),
+    "digits_int" -> (es => DigitsIntExpr(es.head)),
+    "hex_add" -> (es => HexAddExpr(es(0), es(1))),
+    "hex_sub" -> (es => HexSubExpr(es(0), es(1))),
+    "hex_cmp" -> (es => HexCmpExpr(es(0), es(1))),
+    "hex_to_dec" -> (es => HexToDecExpr(es.head)),
+    "minhash_sigs" -> (es => MinHashSigsExpr(es.head)),
+    "shingle_hashes" -> (es => ShingleHashesExpr(es.head)),
+    "shingle_pos_hashes" -> (es => {
       if (es.length != 2) throw new IllegalArgumentException(
         s"shingle_pos_hashes expects (text, k literal), got ${es.length} argument(s)")
-      if (!es(1).foldable) throw new IllegalArgumentException(
-        s"shingle_pos_hashes k must be an integer literal, got non-literal ${es(1).sql}")
-      ShinglePosHashesExpr(es(0), es(1).eval() match {
-        case i: Int  => i
-        case l: Long =>
-          try Math.toIntExact(l) catch {
-            case _: ArithmeticException => throw new IllegalArgumentException(
-              s"shingle_pos_hashes k must be an integer literal in Int range, got $l")
-          }
-        case other   => throw new IllegalArgumentException(
-          s"shingle_pos_hashes k must be an integer literal, got $other")
-      })
-    }, "built-in")
-    reg.createOrReplaceTempFunction("strip_positions", es => StripPositionsExpr(es(0), es(1)), "built-in")
-    // winnow_fps(text, k, w): k and w must be integer literals, same
-    // contract (and same guard order) as shingle_pos_hashes above.
-    reg.createOrReplaceTempFunction("winnow_fps", es => {
+      ShinglePosHashesExpr(es(0), litInt(es(1), "shingle_pos_hashes", "k"))
+    }),
+    "strip_positions" -> (es => StripPositionsExpr(es(0), es(1))),
+    "winnow_fps" -> (es => {
       if (es.length != 3) throw new IllegalArgumentException(
         s"winnow_fps expects (text, k literal, w literal), got ${es.length} argument(s)")
-      def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int = {
-        if (!e.foldable) throw new IllegalArgumentException(
-          s"winnow_fps $name must be an integer literal, got non-literal ${e.sql}")
-        e.eval() match {
-          case i: Int  => i
-          case l: Long =>
-            // Math.toIntExact, not l.toInt: silent truncation would let
-            // 4294967300 alias to 4 and sail through the bounds check
-            try Math.toIntExact(l) catch {
-              case _: ArithmeticException => throw new IllegalArgumentException(
-                s"winnow_fps $name must be an integer literal in Int range, got $l")
-            }
-          case other   => throw new IllegalArgumentException(
-            s"winnow_fps $name must be an integer literal, got $other")
-        }
-      }
-      WinnowFpsExpr(es(0), litInt(es(1), "k"), litInt(es(2), "w"))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("quantize_embedding", es => QuantizeExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("dot_long", es => DotLongExpr(es(0), es(1)), "built-in")
-    // bare AggregateFunction: the analyzer wraps it in AggregateExpression
-    reg.createOrReplaceTempFunction("vector_sum_long", es => VectorSumLongAgg(es.head), "built-in")
-    reg.createOrReplaceTempFunction("covar_sums_long", es => CovarSumsLongAgg(es.head), "built-in")
+      WinnowFpsExpr(es(0), litInt(es(1), "winnow_fps", "k"),
+        litInt(es(2), "winnow_fps", "w"))
+    }),
+    "quantize_embedding" -> (es => QuantizeExpr(es.head)),
+    "dot_long" -> (es => DotLongExpr(es(0), es(1))),
+    "vector_sum_long" -> (es => VectorSumLongAgg(es.head)),
+    "covar_sums_long" -> (es => CovarSumsLongAgg(es.head)),
+    // the sketch family, SQL-complete: build/merge/probe the at-rest
+    // rollup idiom (x3/x4/x5) without touching the Column API
+    "kll_sketch" -> (es => KllSketchAgg(es.head)),
+    "kll_merge" -> (es => KllMergeAgg(es.head)),
+    "kll_quantile" -> (es => KllQuantileExpr(es(0), es(1))),
+    "cms_estimate" -> (es => CmsEstimateExpr(es(0), es(1))),
+    "mg_sketch" -> (es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"mg_sketch expects (item, capacity literal), got ${es.length} argument(s)")
+      MisraGriesAgg(es(0), litInt(es(1), "mg_sketch", "capacity"))
+    })
+  )
+
+  /** SQL-surface registration for a plain session (Catalog.registerAll
+    * path); sessions built withExtensions get the same list via
+    * [[graft.GraftExtensions]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
     Uint256Sum.register(spark)
   }
 }
