@@ -984,7 +984,8 @@ object Main {
           graft.tables.GraphFixtures.materialize(spark, dataDir, out)
           graft.tables.ErFixtures.materialize(spark, dataDir, out)
           val names = Seq("part_co_pairs", "sup_counts", "strong_pairs",
-            "cust_supp_flagged", "er_resolved_all", "er_resolved_corpus")
+            "cust_supp_flagged", "cooccur_corpus_core",
+            "er_resolved_all", "er_resolved_corpus")
           names.foreach { n =>
             println(s"$n: ${spark.read.parquet(s"$out/$n").count()} rows -> $out/$n")
           }

@@ -75,6 +75,79 @@ object KCore {
       .groupBy(col("node_id")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** INCREMENTAL k-core under insert-only edge arrival — the g13/g14
+    * standing-state discipline applied to cores: edges only arrive, so
+    * degrees only grow and the k-core only GROWS (a standing-core node
+    * can never be peeled — its old in-core neighbors all survive with
+    * it, mutually). That monotonicity makes the refresh EXACT:
+    *  - standing-core nodes are PROTECTED (never deleted);
+    *  - edges wholly inside the standing core survive by fiat and are
+    *    EXCLUDED from the peel loop — per-round work is proportional
+    *    to the ACTIVE region (edges touching a non-core node), not the
+    *    graph: on the sf0.1 co-occurrence fixture the core holds ~92%
+    *    of nodes, so the loop touches a sliver of the 1.2M edges the
+    *    cold peel re-scans every round;
+    *  - unprotected nodes peel by the usual degree < k rule (their
+    *    edges are all active, so their full degree is visible).
+    * The fixpoint is exactly the cold k-core of the merged graph (the
+    * k-core is unique; KCoreSpec proves equality differentially).
+    * Output: (node_id, core_deg, core_deg_prev) — prev NULL for nodes
+    * the batch promoted into the core, so the delta is auditable (the
+    * g13 output convention). `standingCore`: (node_id, core_deg) from
+    * [[core]] over the pre-batch edges. */
+  def refreshCore(standingCore: DataFrame, mergedEdges: DataFrame, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "k_core: k >= 1")
+    val prot = standingCore.select(col("node_id").as("v")).distinct()
+      .localCheckpoint(true)
+    // ONE flag-annotate pass splits the edge relation (two equi left
+    // joins against the skinny protected set) instead of deriving
+    // core-core edges and then anti-joining the full relation against
+    // them — the anti join re-shuffled ~all of a 1.2M-pair relation on
+    // the composite key; the flags are a projection over one staged
+    // relation
+    val flagged = mergedEdges.select(col("id_a"), col("id_b"))
+      .join(prot.select(col("v").as("id_a"), lit(1).as("fa")), Seq("id_a"), "left")
+      .join(prot.select(col("v").as("id_b"), lit(1).as("fb")), Seq("id_b"), "left")
+      .localCheckpoint(true)
+    val coreE = flagged.filter(col("fa").isNotNull && col("fb").isNotNull)
+      .select(col("id_a"), col("id_b"))
+    var cur = flagged.filter(col("fa").isNull || col("fb").isNull)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var curEdges = cur.count()
+    var rounds = 0
+    var converged = curEdges == 0L
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"k_core refresh: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
+      // degree over ACTIVE edges only is the full degree for every
+      // unprotected node (all its edges are active); protected nodes
+      // survive regardless, so their undercount is harmless
+      val keep = cur.select(col("id_a").as("v"))
+        .unionByName(cur.select(col("id_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+        .unionByName(prot).distinct()
+      val next = cur
+        .join(keep.select(col("v").as("ka")), col("id_a") === col("ka"), "left_semi")
+        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi")
+        .localCheckpoint(true)
+      val nextEdges = next.count()
+      converged = nextEdges == curEdges || nextEdges == 0L
+      cur = next
+      curEdges = nextEdges
+      rounds += 1
+    }
+    val coreEdges = coreE.unionByName(cur)
+    coreEdges.select(col("id_a").as("node_id"))
+      .unionByName(coreEdges.select(col("id_b").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("core_deg"))
+      .join(standingCore.select(col("node_id"), col("core_deg").as("core_deg_prev")),
+        Seq("node_id"), "left")
+      .select(col("node_id"), col("core_deg"), col("core_deg_prev"))
+  }
+
   /** Full coreness decomposition (core number per node) — the
     * degeneracy structure of the graph: `coreness(v)` = the largest k
     * such that v belongs to the k-core (Matula–Beck 1983 smallest-last

@@ -715,6 +715,32 @@ object ExtendedQueries {
         col("n_seeds_reaching"))
   }
 
+  private val g24KcoreIncremental: QFn = (s, dir) => {
+    // Incremental k-core across the corpus/batch order split, on the
+    // SUPPORT-1 co-occurrence graph at k = 80 (the strong graph's
+    // 2-core is 3 nodes at sf0.1 — vacuous; the co-occurrence graph at
+    // k = 80 cascades 7-9 rounds AND the batch genuinely promotes: 54
+    // newly-in-core + 1706 degree changes at sf0.01, 369 + 16150 at
+    // sf0.1). Insert-only edge arrival ⇒ the core only grows, so the
+    // refresh is EXACT: standing-core nodes are protected, core-core
+    // edges skip the peel, and per-round work is the ACTIVE region
+    // (the ~8% of nodes outside the standing core), not the 1.2M-pair
+    // graph (ops.KCore.refreshCore). Output = merged-core degree per
+    // node + its standing degree (NULL = promoted by the batch). Pair
+    // stats are the session-memoized / at-rest GraphFixtures relation.
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+    val mergedE = sup.select(col("a").as("id_a"), col("b").as("id_b"))
+    // the standing core is a fixture relation (at rest between batches
+    // in production — the refresh's premise), not a per-query rebuild;
+    // k is corpus-size-tiered (the t8 discipline, CASE-mirrored in the
+    // oracle) so the smoke SF keeps a non-vacuous core
+    val standing = graft.tables.GraphFixtures.coOccurCorpusCore(s, dir)
+    graft.ops.KCore.refreshCore(standing, mergedE,
+      k = graft.tables.GraphFixtures.coOccurCoreK(s, dir))
+      .select(col("node_id").cast("long").as("part_id"), col("core_deg"),
+        col("core_deg_prev"))
+  }
+
   private val g23PagerankWeighted: QFn = (s, dir) => {
     // Weighted PageRank over the strong co-purchase graph with the
     // pair SUPPORT as edge weight (ops.PageRank.weighted): mass flows
@@ -1712,6 +1738,41 @@ object ExtendedQueries {
          |  CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
+    }),
+    QueryDef("g24_kcore_incremental", g24KcoreIncremental, {
+      // two cold peel unrolls at the corpus-size-tiered k (the k-core
+      // is unique, so the cold merged peel equals the protected
+      // incremental refresh), the g12 n/e MATERIALIZED pattern; the
+      // tier is one scalar CASE on the pair count (the t8 mirror);
+      // 14 rounds vs the 9 the deepest observed cascade needs (~1.5x
+      // headroom, surplus rounds are identity passes)
+      val rounds = 14
+      def chain(tag: String, base: String) = (1 to rounds).map { r =>
+        val p = if (r == 1) base else s"${tag}e${r - 1}"
+        s"""${tag}n$r AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM $p
+           |    UNION ALL SELECT b FROM $p) GROUP BY v
+           |  HAVING count(*) >= (SELECT k FROM kk)),
+           |${tag}e$r AS MATERIALIZED (SELECT e.a, e.b FROM $p e
+           |  JOIN ${tag}n$r x ON x.v = e.a JOIN ${tag}n$r y ON y.v = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |sup AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    count(*) FILTER (WHERE x.o % 50 <> 49) AS csup
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |kk AS MATERIALIZED (
+         |  SELECT CASE WHEN count(*) < 50000 THEN 20 ELSE 80 END AS k FROM sup),
+         |ce0 AS MATERIALIZED (SELECT a, b FROM sup WHERE csup >= 1),
+         |me0 AS MATERIALIZED (SELECT a, b FROM sup),
+         |${chain("c", "ce0")},
+         |${chain("m", "me0")},
+         |cd AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS v FROM ce$rounds UNION ALL SELECT b FROM ce$rounds) GROUP BY v),
+         |md AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS v FROM me$rounds UNION ALL SELECT b FROM me$rounds) GROUP BY v)
+         |SELECT CAST(md.v AS BIGINT) AS part_id, md.deg AS core_deg,
+         |  cd.deg AS core_deg_prev
+         |FROM md LEFT JOIN cd ON cd.v = md.v""".stripMargin
     }),
     QueryDef("g23_pagerank_weighted", g23PagerankWeighted, {
       // the g8 unroll with the weighted recurrence: contribution

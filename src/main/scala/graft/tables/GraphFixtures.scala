@@ -98,6 +98,30 @@ object GraphFixtures {
         .localCheckpoint(true)
     }
 
+  /** Corpus-size-tiered k for the co-occurrence core (the t8 tier
+    * discipline, mirrored as a CASE on the pair count in the g24
+    * oracle): the sf0.001 fixture's max degree is 138, so a fixed
+    * k = 80 leaves an EMPTY core there — vacuous at the smoke SF. The
+    * count is one scalar aggregate over the staged pair relation
+    * (metadata-scale, the Lpa-bounds precedent). */
+  def coOccurCoreK(spark: SparkSession, dir: String): Int =
+    if (supCounts(spark, dir).count() < 50000L) 20 else 80
+
+  /** Standing tiered-k core of the CORPUS co-occurrence graph (pairs
+    * with csup >= 1) — g24's pre-batch core: in production the
+    * standing core is exactly what lives at rest between batches (the
+    * incremental refresh's whole premise), so it is a fixture relation
+    * like the resolved ER corpus, not a per-query rebuild. Staged: the
+    * refresh consumes it twice (protected set + prev-degree audit). */
+  def coOccurCorpusCore(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "cooccur_corpus_core") {
+      graft.ops.KCore.core(
+        supCounts(spark, dir).filter(col("csup") >= 1)
+          .select(col("a").as("id_a"), col("b").as("id_b")),
+        k = coOccurCoreK(spark, dir))
+        .localCheckpoint(true)
+    }
+
   /** The at-rest prepare step: derive every fixture relation from
     * `dir` and persist it as parquet under `outRoot`, plus the
     * `_source_dir` marker that pins the pairing. A session configured
@@ -109,5 +133,6 @@ object GraphFixtures {
     FixtureStore.write(supCounts(spark, dir), outRoot, "sup_counts")
     FixtureStore.write(strongPairs(spark, dir), outRoot, "strong_pairs")
     FixtureStore.write(custSuppFlagged(spark, dir), outRoot, "cust_supp_flagged")
+    FixtureStore.write(coOccurCorpusCore(spark, dir), outRoot, "cooccur_corpus_core")
   }
 }

@@ -132,6 +132,40 @@ class KCoreSpec extends SparkSpec {
     assert(runCoreness(Seq.empty[(Long, Long)]) === Map.empty)
   }
 
+  private def runRefresh(corpus: Seq[(Long, Long)], merged: Seq[(Long, Long)],
+      k: Int): Map[Long, (Long, Option[Long])] = {
+    val standing = KCore.core(corpus.toDF("id_a", "id_b"), k)
+    KCore.refreshCore(standing, merged.toDF("id_a", "id_b"), k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+  }
+
+  test("refreshCore == cold core of the merged graph, differentially") {
+    for (seed <- Seq(2, 8); k <- Seq(2, 3)) {
+      val merged = randomGraph(60, 160, seed)
+      val rnd = new Random(seed + 50)
+      val corpus = merged.filter(_ => rnd.nextDouble() < 0.85)
+      val got = runRefresh(corpus, merged, k)
+      val want = refCore(merged, k)
+      val prev = refCore(corpus, k)
+      assert(got.view.mapValues(_._1).toMap === want, s"seed=$seed k=$k degrees diverged")
+      assert(got.view.mapValues(_._2).toMap ===
+        want.keys.map(v => v -> prev.get(v)).toMap,
+        s"seed=$seed k=$k prev-degree audit column diverged")
+    }
+  }
+
+  test("refreshCore: a batch edge promotes a whisker node into the core") {
+    // corpus: triangle 0-1-2 with pendant 3 (2-core = triangle);
+    // batch edge 3-0 closes a second cycle -> 3 joins the 2-core
+    val corpus = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val merged = corpus :+ (0L, 3L)
+    val got = runRefresh(corpus, merged, k = 2)
+    assert(got === Map(
+      0L -> (3L, Some(2L)), 1L -> (2L, Some(2L)),
+      2L -> (3L, Some(2L)), 3L -> (2L, None)))
+  }
+
   test("maxRounds failsafe fails loudly") {
     val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
     val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))

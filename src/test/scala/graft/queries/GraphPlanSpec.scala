@@ -252,7 +252,8 @@ class GraphPlanSpec extends SparkSpec {
         "g20_coreness" -> "level node-set",
         "g21_communities_incremental" -> "label",
         "g22_harmonic" -> "pair frontier",
-        "g23_pagerank_weighted" -> "rank")) {
+        "g23_pagerank_weighted" -> "rank",
+        "g24_kcore_incremental" -> "active-region edge")) {
       val qe = q(name).queryExecution
       val leaves = qe.sparkPlan.collectLeaves()
       assert(!leaves.exists {

@@ -77,6 +77,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g21_communities_incremental")
     assertEquiOnly("g22_harmonic")
     assertEquiOnly("g23_pagerank_weighted")
+    assertEquiOnly("g24_kcore_incremental")
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
