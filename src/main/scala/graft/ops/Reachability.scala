@@ -60,6 +60,50 @@ object Reachability {
     visited
   }
 
+  /** Hop-bounded WEIGHTED shortest distances (SSSP) from `seeds`:
+    * dist(v) = min total weight over walks of at most `maxHop` edges
+    * (positive weights ⇒ the min is attained by a simple path, so
+    * "walks" costs nothing and needs no visited set). The engine is
+    * the [[refreshHops]] improvement frontier, not the layer DP: per
+    * round one equi-join of the CURRENT IMPROVEMENTS against the edge
+    * relation + one map-side-combined min + one strict-improvement
+    * probe against the best-known table — a node re-enters the
+    * frontier only when its distance drops, so late rounds touch the
+    * shrinking improved region, not every reached node (the DP
+    * recomputes full node-sized layers every round). A candidate
+    * pruned as not-better can never seed a better extension: its
+    * extensions cost >= the known distance's own extensions, already
+    * offered the round the known value landed. Exactly maxHop rounds
+    * bound the loop (an improvement chain lengthens one edge per
+    * round); the DuckDB oracle replays the equivalent layer DP.
+    * Positive integer weights enforced loudly ([[PageRank.weighted]]'s
+    * rule — a zero/negative weight breaks the pruning argument).
+    * `edges`: (src, dst, w); returns (id, dist), seeds at 0. */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 0, "reachability: maxHop >= 0")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .localCheckpoint(true)
+    require(e.filter(col("w") <= 0L).isEmpty,
+      "weighted distances: edge weights must be positive")
+    var best = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = best
+    var h = 1
+    while (h <= maxHop && !frontier.isEmpty) {
+      frontier = e
+        .join(frontier.select(col("id").as("src"), col("dist").as("sdist")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("sdist") + col("w")).as("cand"))
+        .join(best.select(col("id").as("dst"), col("dist").as("known")), Seq("dst"), "left")
+        .filter(col("cand") < coalesce(col("known"), lit(Long.MaxValue)))
+        .select(col("dst").as("id"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      best = best.unionByName(frontier)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      h += 1
+    }
+    best
+  }
+
   /** Refreshed min-hop labels after `batchEdges` land on the graph
     * whose labels are `standing` (id, hop). `mergedEdges` is the full
     * post-batch edge relation (standing ∪ batch — the relaxation needs

@@ -715,6 +715,27 @@ object ExtendedQueries {
         col("n_seeds_reaching"))
   }
 
+  private val g25Sssp: QFn = (s, dir) => {
+    // Hop-bounded weighted shortest distances from the g14 seed cohort
+    // over the strong co-purchase graph, edge cost = 1e6 div support
+    // ("rarer co-purchases are farther" — positive, integer,
+    // deterministic): the SSSP primitive beside g6/g14's unweighted
+    // BFS (ops.Reachability.weightedDistances — improvement-frontier
+    // relaxation, never full node-sized layers). The oracle replays
+    // the equivalent layer DP. Support stats are the session-memoized /
+    // at-rest GraphFixtures relation.
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+      .filter(col("tsup") >= 2)
+      .select(col("a"), col("b"), expr("1000000L div tsup").as("w"))
+    val edges = sup.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(sup.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").cast("long").as("id"))
+    graft.ops.Reachability.weightedDistances(edges, seeds, maxHop = 3)
+      .select(col("id").as("part_id"), col("dist"))
+  }
+
   private val g24KcoreIncremental: QFn = (s, dir) => {
     // Incremental k-core across the corpus/batch order split, on the
     // SUPPORT-1 co-occurrence graph at k = 80 (the strong graph's
@@ -1738,6 +1759,31 @@ object ExtendedQueries {
          |  CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
+    }),
+    QueryDef("g25_sssp", g25Sssp, {
+      // the layer DP mirror of the improvement-frontier relaxation:
+      // d_h = min over exactly-h-edge walks (positive weights make
+      // walks == paths for the min), answer = min over layers 0..3;
+      // every layer feeds the next AND the final min -> MATERIALIZED
+      val layers = (1 to 3).map { h =>
+        s"""d$h AS MATERIALIZED (SELECT e.dst AS id, MIN(d.dist + e.w) AS dist
+           |  FROM we e JOIN d${h - 1} d ON d.id = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    1000000 // count(*) AS w FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |we AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0
+         |  UNION ALL SELECT b, a, w FROM e0),
+         |d0 AS MATERIALIZED (SELECT p_partkey AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM part WHERE p_partkey % 100 = 0),
+         |$layers
+         |SELECT CAST(id AS BIGINT) AS part_id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM (SELECT id, dist FROM d0 UNION ALL SELECT id, dist FROM d1
+         |  UNION ALL SELECT id, dist FROM d2 UNION ALL SELECT id, dist FROM d3)
+         |GROUP BY id""".stripMargin
     }),
     QueryDef("g24_kcore_incremental", g24KcoreIncremental, {
       // two cold peel unrolls at the corpus-size-tiered k (the k-core

@@ -38,6 +38,54 @@ class ReachabilitySpec extends SparkSpec {
     } yield Seq((i, j), (j, i))).flatten
   }
 
+  /** Bounded Bellman-Ford reference: dist = min total weight over
+    * paths of at most maxHop edges. */
+  private def refSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      maxHop: Int): Map[Long, Long] = {
+    var best = seeds.map(_ -> 0L).toMap
+    var layer = best
+    for (_ <- 1 to maxHop) {
+      val next = edges.flatMap { case (s2, d, w) =>
+        layer.get(s2).map(sd => d -> (sd + w))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      layer = next.filter { case (v, c) => best.get(v).forall(c < _) }
+      best = best ++ layer
+    }
+    best
+  }
+
+  test("weightedDistances match the bounded Bellman-Ford reference") {
+    for (seedN <- Seq(5, 12)) {
+      val rnd = new Random(seedN)
+      val edges = undirected(seedN, n = 45, p = 0.05)
+        .map { case (a, b) => (a, b, rnd.nextInt(9).toLong + 1L) }
+      val seeds = Set(0L, 11L, 30L)
+      val got = Reachability.weightedDistances(
+          edges.toDF("src", "dst", "w"), seeds.toSeq.toDF("id"), maxHop = 3)
+        .select(col("id"), col("dist")).as[(Long, Long)].collect().toMap
+      assert(got === refSssp(edges, seeds, 3), s"seed $seedN diverged")
+    }
+  }
+
+  test("weightedDistances: a longer-hop cheaper path wins within the bound") {
+    // 0 -> 3 direct costs 10; 0 -> 1 -> 2 -> 3 costs 3. At maxHop 3
+    // the relaxation must find the 3-edge path; at maxHop 1 only the
+    // direct edge is reachable.
+    val e = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    def run(h: Int) = Reachability.weightedDistances(
+        e.toDF("src", "dst", "w"), Seq(0L).toDF("id"), maxHop = h)
+      .select(col("id"), col("dist")).as[(Long, Long)].collect().toMap
+    assert(run(3) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(run(1) === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
+  }
+
+  test("weightedDistances reject non-positive weights loudly") {
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException](
+      Reachability.weightedDistances(bad, Seq(1L).toDF("id"), maxHop = 2))
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("cold hops match the in-memory BFS") {
     val edges = undirected(seed = 3, n = 50, p = 0.04)
     val seeds = Set(0L, 17L, 33L)

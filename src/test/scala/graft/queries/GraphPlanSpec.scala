@@ -253,7 +253,8 @@ class GraphPlanSpec extends SparkSpec {
         "g21_communities_incremental" -> "label",
         "g22_harmonic" -> "pair frontier",
         "g23_pagerank_weighted" -> "rank",
-        "g24_kcore_incremental" -> "active-region edge")) {
+        "g24_kcore_incremental" -> "active-region edge",
+        "g25_sssp" -> "improvement frontier")) {
       val qe = q(name).queryExecution
       val leaves = qe.sparkPlan.collectLeaves()
       assert(!leaves.exists {
