@@ -49,6 +49,66 @@ object Lpa {
     run(edges, Some(seedLabels.select(col("node").cast("long"),
       col("lbl").cast("long"))), rounds)
 
+  /** Semi-supervised label SPREADING with hard clamping (Zhu &
+    * Ghahramani 2002's label propagation for SSL): seed nodes carry
+    * ground-truth classes and NEVER update; unlabeled nodes adopt the
+    * majority label among their labeled in-neighbors each round (same
+    * packed argmax, same tie-to-smallest), staying unlabeled until a
+    * labeled neighbor reaches them. The training-data primitive beside
+    * [[propagate]]'s community detection: spread a small set of
+    * human-labeled quality/topic classes through a similarity graph.
+    * Deterministic — the oracle unrolls rounds with the clamp as a
+    * seed-first union. Seeds are restricted to graph nodes (a seed
+    * with no edges can influence nothing and would pad the output).
+    * Output: (node, lbl) for LABELED nodes only — unreached nodes are
+    * absent, they have no defensible label. `seedLabels`: (node, lbl). */
+  def spread(edges: DataFrame, seedLabels: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "lpa: rounds >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val bounds = e.agg(min(least(col("src"), col("dst"))),
+      max(greatest(col("src"), col("dst"))), count(lit(1))).collect().head
+    if (!bounds.isNullAt(0)) {
+      require(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 32),
+        s"lpa: node ids must lie in [0, 2^32), got [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
+      require(bounds.getLong(2) < (1L << 31),
+        s"lpa: edge count ${bounds.getLong(2)} >= 2^31 — packed vote counts would overflow")
+    }
+    val nodes = e.select(col("src").as("node")).distinct()
+    val seeds = seedLabels.select(col("node").cast("long"), col("lbl").cast("long"))
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint(true)
+    val sb = seeds.agg(min(col("lbl")), max(col("lbl"))).collect().head
+    if (!sb.isNullAt(0))
+      require(sb.getLong(0) >= 0L && sb.getLong(1) < (1L << 32),
+        s"lpa: seed labels must lie in [0, 2^32), got [${sb.getLong(0)}, ${sb.getLong(1)}]")
+    val mask = (1L << 32) - 1L
+    var labels = seeds
+    for (_ <- 1 to rounds) {
+      val voted = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * (mask + 1L) + (lit(mask) - col("lbl"))).as("packed"))
+        .select(col("dst").as("node"),
+          (lit(mask) - (col("packed") % (mask + 1L))).as("vlbl"))
+      // clamp: seeds keep their class; every other labeled-or-voted
+      // node takes this round's vote, falling back to its previous
+      // label when no vote reached it (directed-input keep rule;
+      // identity on bidirectional graphs — the neighbor that labeled
+      // it stays labeled, so votes persist)
+      val nonSeed = labels.select(col("node"))
+        .unionByName(voted.select(col("node"))).distinct()
+        .join(seeds, Seq("node"), "left_anti")
+      labels = seeds.unionByName(
+        nonSeed
+          .join(voted, Seq("node"), "left")
+          .join(labels.withColumnRenamed("lbl", "old_lbl"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("vlbl"), col("old_lbl")).as("lbl"))
+      ).localCheckpoint(true)
+    }
+    labels
+  }
+
   private def run(edges: DataFrame, seed: Option[DataFrame], rounds: Int): DataFrame = {
     require(rounds >= 1, "lpa: rounds >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))

@@ -104,6 +104,49 @@ object Reachability {
     best
   }
 
+  /** Hop-bounded TEMPORAL earliest-arrival reachability (Wu et al.
+    * 2014, "Path problems in temporal graphs"): edges carry a
+    * timestamp and a path must be time-respecting — edge (u, v, t) is
+    * traversable only when t >= arrival(u) — so arrival(v) = the
+    * earliest moment influence starting at the seeds (arrival 0) can
+    * reach v through chronologically ordered events, within `maxHop`
+    * edges. The primitive static reachability gets WRONG on event
+    * data: a static path through edges that happened in the wrong
+    * order claims influence that never flowed.
+    *
+    * Engine: the [[weightedDistances]] improvement frontier — per
+    * round the current improvements equi-join the edge relation on the
+    * node id with `t >= arrival` as a residual (the j6 band shape),
+    * one map-side min, one strict-improvement probe. An improved
+    * (lower) arrival only LOOSENS the residual, so improvements-only
+    * candidate generation stays complete (the weightedDistances
+    * argument, with monotone traversability on top). The oracle
+    * replays the equivalent min-merged layer DP.
+    * `edges`: (src, dst, t); returns (id, arr), seeds at 0. */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 0, "reachability: maxHop >= 0")
+    val e = edges.select(col("src"), col("dst"), col("t").cast("long"))
+      .localCheckpoint(true)
+    var best = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("arr", lit(0L)).localCheckpoint(true)
+    var frontier = best
+    var h = 1
+    while (h <= maxHop && !frontier.isEmpty) {
+      frontier = e
+        .join(frontier.select(col("id").as("src"), col("arr").as("sarr")), Seq("src"))
+        .filter(col("t") >= col("sarr"))
+        .groupBy(col("dst")).agg(min(col("t")).as("cand"))
+        .join(best.select(col("id").as("dst"), col("arr").as("known")), Seq("dst"), "left")
+        .filter(col("cand") < coalesce(col("known"), lit(Long.MaxValue)))
+        .select(col("dst").as("id"), col("cand").as("arr"))
+        .localCheckpoint(true)
+      best = best.unionByName(frontier)
+        .groupBy(col("id")).agg(min(col("arr")).as("arr"))
+      h += 1
+    }
+    best
+  }
+
   /** Refreshed min-hop labels after `batchEdges` land on the graph
     * whose labels are `standing` (id, hop). `mergedEdges` is the full
     * post-batch edge relation (standing ∪ batch — the relaxation needs

@@ -715,6 +715,57 @@ object ExtendedQueries {
         col("n_seeds_reaching"))
   }
 
+  private val g26LabelSpread: QFn = (s, dir) => {
+    // Semi-supervised label spreading with hard clamping over the
+    // strong co-purchase graph: every 50th part carries a ground-truth
+    // class (p_partkey % 5 — five classes), seeds never update, and
+    // unlabeled parts adopt the majority class among labeled neighbors
+    // for 4 rounds (ops.Lpa.spread — Zhu & Ghahramani's SSL label
+    // propagation, the training-data labeling primitive: spread a
+    // small human-labeled set through a similarity graph). 1676
+    // non-seed parts labeled at sf0.01, 236 at sf0.1. Strong graph =
+    // session-memoized / at-rest GraphFixtures relation.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey").cast("long").as("node"),
+        (col("p_partkey") % 5).cast("long").as("lbl"))
+    graft.ops.Lpa.spread(edges, seeds, rounds = 4)
+      .select(col("node").as("part_id"), col("lbl").as("label"))
+  }
+
+  private val g27TemporalReach: QFn = (s, dir) => {
+    // Temporal earliest-arrival reachability over the customer-
+    // supplier event graph: each (cust, supp) purchase carries its
+    // order day, influence starting at the g6 seed cohort (every 100th
+    // customer, day 0) flows only through chronologically ordered
+    // events, bounded at 3 hops (ops.Reachability.earliestArrival).
+    // The static-graph answer overstates reach — a path whose edges
+    // happened out of order never carried anything. Exact integer
+    // days, oracle = min-merged layer DP.
+    val joined = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+    val p0 = joined
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+        Tables.epochDay(joined, "o_orderdate").as("t"))
+      .distinct()
+    val edges = p0.select(col("cust").as("src"),
+        (col("supp") + 1000000000L).as("dst"), col("t"))
+      .unionByName(p0.select((col("supp") + 1000000000L).as("src"),
+        col("cust").as("dst"), col("t")))
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey").cast("long").as("id"))
+    graft.ops.Reachability.earliestArrival(edges, seeds, maxHop = 3)
+      .select(
+        when(col("id") >= 1000000000L, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("id") >= 1000000000L, col("id") - 1000000000L)
+          .otherwise(col("id")).as("node_id"),
+        col("arr").as("arrival_day"))
+  }
+
   private val g25Sssp: QFn = (s, dir) => {
     // Hop-bounded weighted shortest distances from the g14 seed cohort
     // over the strong co-purchase graph, edge cost = 1e6 div support
@@ -1759,6 +1810,64 @@ object ExtendedQueries {
          |  CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
+    }),
+    QueryDef("g26_label_spread", g26LabelSpread, {
+      // rounds unrolled with the clamp as a seed-first union: votes
+      // over the previous round's labeled set (inner join — identity
+      // with the keep rule on this bidirectional graph, the g15
+      // argument), then c_r = seeds UNION non-seed votes; the
+      // row_number tie-break mirrors the packed argmax
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "s0" else s"c${r - 1}"
+        s"""v$r AS MATERIALIZED (SELECT node, lbl FROM (
+           |  SELECT e.dst AS node, l.lbl, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY e.dst
+           |      ORDER BY count(*) DESC, l.lbl) AS rn
+           |  FROM me e JOIN $prev l ON l.node = e.src
+           |  GROUP BY e.dst, l.lbl) WHERE rn = 1),
+           |c$r AS MATERIALIZED (SELECT node, lbl FROM s0
+           |  UNION ALL SELECT v.node, v.lbl FROM v$r v
+           |  WHERE NOT EXISTS (SELECT 1 FROM s0 p WHERE p.node = v.node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |s0 AS MATERIALIZED (SELECT p_partkey AS node, p_partkey % 5 AS lbl
+         |  FROM part WHERE p_partkey % 50 = 0
+         |    AND p_partkey IN (SELECT src FROM me)),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS label
+         |FROM c4""".stripMargin
+    }),
+    QueryDef("g27_temporal_reach", g27TemporalReach, {
+      // min-merged layer DP: a_h = min(a_{h-1}, earliest edge time t
+      // with t >= a_{h-1}(src)) — the time-respecting residual rides
+      // the node equi-join (the j6 band shape)
+      val layers = (1 to 3).map { h =>
+        s"""v$h AS MATERIALIZED (SELECT e.dst AS id, CAST(MIN(e.t) AS BIGINT) AS arr
+           |  FROM te e JOIN a${h - 1} a ON a.id = e.src AND e.t >= a.arr
+           |  GROUP BY e.dst),
+           |a$h AS MATERIALIZED (SELECT id, MIN(arr) AS arr FROM (
+           |  SELECT id, arr FROM a${h - 1} UNION ALL SELECT id, arr FROM v$h)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust,
+         |    l_suppkey AS supp, epoch(o_orderdate) // 86400 AS t
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |te AS MATERIALIZED (SELECT cust AS src, supp + 1000000000 AS dst, t FROM p0
+         |  UNION ALL SELECT supp + 1000000000, cust, t FROM p0),
+         |a0 AS MATERIALIZED (SELECT c_custkey AS id, CAST(0 AS BIGINT) AS arr
+         |  FROM customer WHERE c_custkey % 100 = 0),
+         |$layers
+         |SELECT CASE WHEN id >= 1000000000 THEN 'supp' ELSE 'cust' END AS kind,
+         |  CAST(CASE WHEN id >= 1000000000 THEN id - 1000000000 ELSE id END AS BIGINT)
+         |    AS node_id,
+         |  arr AS arrival_day
+         |FROM a3""".stripMargin
     }),
     QueryDef("g25_sssp", g25Sssp, {
       // the layer DP mirror of the improvement-frontier relaxation:

@@ -115,6 +115,58 @@ class LpaSpec extends SparkSpec {
     assert(warmEmpty === cold, "empty seed must reduce to the cold run")
   }
 
+  /** Clamped-spread reference: seeds never update; unlabeled nodes
+    * adopt the majority among labeled in-neighbors, keep when unvoted. */
+  private def refSpread(edges: Seq[(Long, Long)], seeds: Map[Long, Long],
+      rounds: Int): Map[Long, Long] = {
+    val graphNodes = edges.map(_._1).toSet
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = seeds.filter(s => graphNodes(s._1))
+    for (_ <- 1 to rounds) {
+      val next = graphNodes.flatMap { v =>
+        val votes = in.getOrElse(v, Nil).flatMap(lbl.get)
+          .groupBy(identity).view.mapValues(_.size)
+        if (votes.nonEmpty)
+          Some(v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+        else lbl.get(v).map(v -> _)
+      }.toMap
+      lbl = next ++ seeds.filter(s => graphNodes(s._1))
+    }
+    lbl
+  }
+
+  test("spread matches the clamped reference; seeds never move; unreached stay absent") {
+    for (seed <- Seq(9, 27)) {
+      val edges = undirected(seed, n = 40, p = 0.06)
+      val graphNodes = edges.map(_._1).distinct
+      val seedLbls = graphNodes.filter(_ % 4 == 0).map(v => v -> (v % 3)).toMap ++
+        Map(999L -> 2L) // off-graph seed: must be ignored, not emitted
+      val got = Lpa.spread(edges.toDF("src", "dst"),
+          seedLbls.toSeq.toDF("node", "lbl"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === refSpread(edges, seedLbls, 3), s"seed $seed diverged")
+      assert(!got.contains(999L), "off-graph seed leaked into the output")
+      seedLbls.filterKeys(k => graphNodes.contains(k)).foreach { case (v, l) =>
+        assert(got(v) === l, s"clamped seed $v moved")
+      }
+    }
+  }
+
+  test("spread: two seed classes meet on a path, min-tie favors the smaller class") {
+    // 0(class 10) - 1 - 2 - 3 - 4(class 20), bidirectional. Round 1:
+    // 1 -> 10, 3 -> 20. Round 2: 2 hears one 10 and one 20 — tie to
+    // the smaller, 10. Round 3: 3 now hears 2(10) and 4(20) — tie,
+    // so the min rule drags 3 to 10 too; only the clamped seed 4
+    // holds class 20. Deterministic, if one-sided — exactly what the
+    // documented tie-break does.
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Lpa.spread(path.toDF("src", "dst"),
+        Seq((0L, 10L), (4L, 20L)).toDF("node", "lbl"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L))
+  }
+
   test("warmStart rejects out-of-domain seed labels loudly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val bad = Seq((1L, 1L << 33)).toDF("node", "lbl")

@@ -79,6 +79,51 @@ class ReachabilitySpec extends SparkSpec {
     assert(run(1) === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
   }
 
+  /** Bounded temporal earliest-arrival reference (layer DP). */
+  private def refArrival(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      maxHop: Int): Map[Long, Long] = {
+    var arr = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to maxHop) {
+      val cands = edges.flatMap { case (s2, d, t) =>
+        arr.get(s2).filter(t >= _).map(_ => d -> t)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      arr = (arr.keySet ++ cands.keySet).map { v =>
+        v -> math.min(arr.getOrElse(v, Long.MaxValue),
+          cands.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    arr
+  }
+
+  test("earliestArrival matches the temporal layer DP") {
+    for (seedN <- Seq(6, 14)) {
+      val rnd = new Random(seedN)
+      val edges = undirected(seedN, n = 45, p = 0.05)
+        .map { case (a, b) => (a, b, rnd.nextInt(50).toLong) }
+      val seeds = Set(0L, 9L, 22L)
+      val got = Reachability.earliestArrival(
+          edges.toDF("src", "dst", "t"), seeds.toSeq.toDF("id"), maxHop = 3)
+        .select(col("id"), col("arr")).as[(Long, Long)].collect().toMap
+      assert(got === refArrival(edges, seeds, 3), s"seed $seedN diverged")
+    }
+  }
+
+  test("earliestArrival: out-of-order edges carry nothing; in-order chains do") {
+    // 0 -[t=5]-> 1 -[t=3]-> 2: the 1->2 edge happened BEFORE influence
+    // reached 1 (arrival 5 > 3), so 2 is unreachable; with t=7 it is.
+    val blocked = Seq((0L, 1L, 5L), (1L, 2L, 3L))
+    def run(e: Seq[(Long, Long, Long)]) = Reachability.earliestArrival(
+        e.toDF("src", "dst", "t"), Seq(0L).toDF("id"), maxHop = 3)
+      .select(col("id"), col("arr")).as[(Long, Long)].collect().toMap
+    assert(run(blocked) === Map(0L -> 0L, 1L -> 5L))
+    assert(run(Seq((0L, 1L, 5L), (1L, 2L, 7L))) ===
+      Map(0L -> 0L, 1L -> 5L, 2L -> 7L))
+    // a later improvement re-opens earlier edges: a cheaper arrival at
+    // 1 (direct t=1) makes the t=3 edge traversable after all
+    assert(run(blocked :+ (0L, 1L, 1L)) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 3L))
+  }
+
   test("weightedDistances reject non-positive weights loudly") {
     val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
     val err = intercept[IllegalArgumentException](

@@ -254,7 +254,9 @@ class GraphPlanSpec extends SparkSpec {
         "g22_harmonic" -> "pair frontier",
         "g23_pagerank_weighted" -> "rank",
         "g24_kcore_incremental" -> "active-region edge",
-        "g25_sssp" -> "improvement frontier")) {
+        "g25_sssp" -> "improvement frontier",
+        "g26_label_spread" -> "clamped label",
+        "g27_temporal_reach" -> "arrival frontier")) {
       val qe = q(name).queryExecution
       val leaves = qe.sparkPlan.collectLeaves()
       assert(!leaves.exists {

@@ -79,6 +79,8 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g23_pagerank_weighted")
     assertEquiOnly("g24_kcore_incremental")
     assertEquiOnly("g25_sssp")
+    assertEquiOnly("g26_label_spread")
+    assertEquiOnly("g27_temporal_reach")
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
