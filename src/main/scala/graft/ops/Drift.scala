@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution drift between two snapshots — the monitoring
+  * primitive a continuously-ingested training corpus needs: did the
+  * new crawl / the post-dedup survivors shift the token distribution,
+  * and which tokens moved? Drift is L1 distance between the two token
+  * frequency distributions in integer PPM (Σ |p_a − p_b|, p = count ·
+  * 10⁶ div total — every step integer multiply/floor-divide, the
+  * PageRank lattice discipline, so the statistic replays hash-exact in
+  * DuckDB; KL/PSI need ln, whose libm rounding differs across engines
+  * — the documented reason TV/L1 is the oracled statistic).
+  *
+  * Shape: one token-count aggregate per side (map-side combined), one
+  * full-outer equi-join on the token, two 1-row total relations
+  * broadcast onto it (the x4 scalar convention), top movers by
+  * |Δppm| with the token as the total-order tiebreak. O(vocab) state,
+  * never O(corpus).
+  */
+object Drift {
+
+  /** Top-`k` moving tokens between snapshots `a` and `b` plus the
+    * whole-distribution L1 drift attached to every row: (token, cnt_a,
+    * cnt_b, ppm_a, ppm_b, delta_ppm, l1_ppm). `text`: the document
+    * column to tokenize (whitespace). */
+  def tokenDrift(a: DataFrame, b: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, "drift: k >= 1")
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(split(text, " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(s"cnt_$side"))
+    val ca = counts(a, "a")
+    val cb = counts(b, "b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val na = joined.agg(sum(col("cnt_a")).as("n_a"))
+    val nb = joined.agg(sum(col("cnt_b")).as("n_b"))
+    val withPpm = joined
+      .join(broadcast(na)).join(broadcast(nb))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        expr("(cnt_a * 1000000L) div n_a").as("ppm_a"),
+        expr("(cnt_b * 1000000L) div n_b").as("ppm_b"))
+      .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
+    val l1 = withPpm.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
+    withPpm.join(broadcast(l1))
+      .orderBy(abs(col("delta_ppm")).desc, col("token"))
+      .limit(k)
+  }
+}

@@ -715,6 +715,21 @@ object ExtendedQueries {
         col("n_seeds_reaching"))
   }
 
+  private val textDriftTv: QFn = (s, dir) => {
+    // Corpus drift between the j10/j13 corpus/batch document split:
+    // which tokens shifted frequency when the last 20% of documents
+    // landed, and by how much overall (L1 distance in integer ppm —
+    // ops.Drift; KL/PSI need ln, whose libm rounding differs across
+    // engines, so TV/L1 is the oracled statistic). The continuous-
+    // ingest monitoring primitive beside mixtureReport's one-snapshot
+    // composition report.
+    val docs = Tables.documents(s, dir)
+    graft.ops.Drift.tokenDrift(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8),
+      col("text"), k = 100)
+  }
+
   private val g26LabelSpread: QFn = (s, dir) => {
     // Semi-supervised label spreading with hard clamping over the
     // strong co-purchase graph: every 50th part carries a ground-truth
@@ -1811,6 +1826,30 @@ object ExtendedQueries {
          |FROM (SELECT a AS v FROM e9 UNION ALL SELECT b FROM e9)
          |GROUP BY v""".stripMargin
     }),
+    QueryDef("text_drift_tv", textDriftTv,
+      """WITH ta AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |tb AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |ca AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM ta GROUP BY token),
+        |cb AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM tb GROUP BY token),
+        |j AS MATERIALIZED (SELECT COALESCE(ca.token, cb.token) AS token,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |n AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM j),
+        |p AS MATERIALIZED (SELECT token, cnt_a, cnt_b,
+        |    CAST((cnt_a * 1000000) // n.n_a AS BIGINT) AS ppm_a,
+        |    CAST((cnt_b * 1000000) // n.n_b AS BIGINT) AS ppm_b,
+        |    CAST((cnt_a * 1000000) // n.n_a - (cnt_b * 1000000) // n.n_b AS BIGINT)
+        |      AS delta_ppm
+        |  FROM j, n),
+        |l1 AS (SELECT CAST(SUM(ABS(delta_ppm)) AS BIGINT) AS l1_ppm FROM p)
+        |SELECT p.token, p.cnt_a, p.cnt_b, p.ppm_a, p.ppm_b, p.delta_ppm, l1.l1_ppm
+        |FROM p, l1
+        |ORDER BY ABS(p.delta_ppm) DESC, p.token LIMIT 100""".stripMargin),
     QueryDef("g26_label_spread", g26LabelSpread, {
       // rounds unrolled with the clamp as a seed-first union: votes
       // over the previous round's labeled set (inner join — identity
