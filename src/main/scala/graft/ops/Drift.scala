@@ -25,28 +25,38 @@ object Drift {
     * whole-distribution L1 drift attached to every row: (token, cnt_a,
     * cnt_b, ppm_a, ppm_b, delta_ppm, l1_ppm). `text`: the document
     * column to tokenize (whitespace). */
-  def tokenDrift(a: DataFrame, b: DataFrame, text: Column, k: Int): DataFrame = {
+  def tokenDrift(a: DataFrame, b: DataFrame, text: Column, k: Int): DataFrame =
+    drift(a.select(explode(split(text, " ")).as("key")),
+      b.select(explode(split(text, " ")).as("key")), k)
+      .withColumnRenamed("key", "token")
+
+  /** Drift over ANY categorical key — e.g. embedding sign-buckets
+    * (did the new batch's vectors land in different LSH cells?),
+    * language ids, source labels. Output keyed as `key`. */
+  def categoryDrift(a: DataFrame, b: DataFrame, key: Column, k: Int): DataFrame =
+    drift(a.select(key.as("key")), b.select(key.as("key")), k)
+
+  /** Core: both sides reduced to a single `key` column, one row per
+    * observation. */
+  private def drift(ka: DataFrame, kb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "drift: k >= 1")
-    def counts(df: DataFrame, side: String) = df
-      .select(explode(split(text, " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as(s"cnt_$side"))
-    val ca = counts(a, "a")
-    val cb = counts(b, "b")
-    val joined = ca.join(cb, Seq("token"), "full_outer")
-      .select(col("token"),
+    val ca = ka.groupBy(col("key")).agg(count(lit(1)).as("cnt_a"))
+    val cb = kb.groupBy(col("key")).agg(count(lit(1)).as("cnt_b"))
+    val joined = ca.join(cb, Seq("key"), "full_outer")
+      .select(col("key"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
     val na = joined.agg(sum(col("cnt_a")).as("n_a"))
     val nb = joined.agg(sum(col("cnt_b")).as("n_b"))
     val withPpm = joined
       .join(broadcast(na)).join(broadcast(nb))
-      .select(col("token"), col("cnt_a"), col("cnt_b"),
+      .select(col("key"), col("cnt_a"), col("cnt_b"),
         expr("(cnt_a * 1000000L) div n_a").as("ppm_a"),
         expr("(cnt_b * 1000000L) div n_b").as("ppm_b"))
       .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
     val l1 = withPpm.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
     withPpm.join(broadcast(l1))
-      .orderBy(abs(col("delta_ppm")).desc, col("token"))
+      .orderBy(abs(col("delta_ppm")).desc, col("key"))
       .limit(k)
   }
 }

@@ -730,6 +730,23 @@ object ExtendedQueries {
       col("text"), k = 100)
   }
 
+  private val embedDrift: QFn = (s, dir) => {
+    // Embedding-space drift between the corpus/batch vector split:
+    // compare the distributions over sign-pattern LSH cells (the
+    // ann_lsh bucket arithmetic) — did the new batch's vectors land in
+    // different regions? Cheap O(cells) monitoring beside the exact
+    // embed_* moment queries; same integer-ppm L1 statistic as
+    // text_drift_tv.
+    val emb = Tables.embeddings(s, dir)
+    val bucket = graft.ops.Similarity.signBucket(
+      graft.ops.Similarity.quantize(col("embedding")))
+    graft.ops.Drift.categoryDrift(
+      emb.filter(col("vec_id") % 10 < 8),
+      emb.filter(col("vec_id") % 10 >= 8),
+      bucket, k = 100)
+      .withColumnRenamed("key", "bucket")
+  }
+
   private val g26LabelSpread: QFn = (s, dir) => {
     // Semi-supervised label spreading with hard clamping over the
     // strong co-purchase graph: every 50th part carries a ground-truth
@@ -1850,6 +1867,34 @@ object ExtendedQueries {
         |SELECT p.token, p.cnt_a, p.cnt_b, p.ppm_a, p.ppm_b, p.delta_ppm, l1.l1_ppm
         |FROM p, l1
         |ORDER BY ABS(p.delta_ppm) DESC, p.token LIMIT 100""".stripMargin),
+    QueryDef("embed_drift", embedDrift,
+      """WITH q0 AS MATERIALIZED (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |bk AS MATERIALIZED (SELECT vec_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT)
+        |    AS key FROM q0),
+        |ca AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt_a FROM bk
+        |  WHERE vec_id % 10 < 8 GROUP BY key),
+        |cb AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt_b FROM bk
+        |  WHERE vec_id % 10 >= 8 GROUP BY key),
+        |j AS MATERIALIZED (SELECT COALESCE(ca.key, cb.key) AS key,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.key = cb.key),
+        |n AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM j),
+        |p AS MATERIALIZED (SELECT key, cnt_a, cnt_b,
+        |    CAST((cnt_a * 1000000) // n.n_a AS BIGINT) AS ppm_a,
+        |    CAST((cnt_b * 1000000) // n.n_b AS BIGINT) AS ppm_b,
+        |    CAST((cnt_a * 1000000) // n.n_a - (cnt_b * 1000000) // n.n_b AS BIGINT)
+        |      AS delta_ppm
+        |  FROM j, n),
+        |l1 AS (SELECT CAST(SUM(ABS(delta_ppm)) AS BIGINT) AS l1_ppm FROM p)
+        |SELECT p.key AS bucket, p.cnt_a, p.cnt_b, p.ppm_a, p.ppm_b,
+        |  p.delta_ppm, l1.l1_ppm
+        |FROM p, l1
+        |ORDER BY ABS(p.delta_ppm) DESC, p.key LIMIT 100""".stripMargin),
     QueryDef("g26_label_spread", g26LabelSpread, {
       // rounds unrolled with the clamp as a seed-first union: votes
       // over the previous round's labeled set (inner join — identity
