@@ -36,27 +36,46 @@ object Drift {
   def categoryDrift(a: DataFrame, b: DataFrame, key: Column, k: Int): DataFrame =
     drift(a.select(key.as("key")), b.select(key.as("key")), k)
 
+  /** One-row drift summary (n_a, n_b, n_keys, l1_ppm) straight from
+    * per-key COUNT relations — the ingest-gate entry point: a standing
+    * distribution lives as counts at rest, so the batch-vs-standing
+    * comparison should not re-observe rows. `ca`: (key, cnt_a);
+    * `cb`: (key, cnt_b). */
+  def l1Summary(ca: DataFrame, cb: DataFrame): DataFrame =
+    perKeyPpm(ca, cb)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_keys"),
+        sum(abs(col("delta_ppm"))).as("l1_ppm"))
+
   /** Core: both sides reduced to a single `key` column, one row per
     * observation. */
   private def drift(ka: DataFrame, kb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "drift: k >= 1")
-    val ca = ka.groupBy(col("key")).agg(count(lit(1)).as("cnt_a"))
-    val cb = kb.groupBy(col("key")).agg(count(lit(1)).as("cnt_b"))
+    val withPpm = perKeyPpm(
+      ka.groupBy(col("key")).agg(count(lit(1)).as("cnt_a")),
+      kb.groupBy(col("key")).agg(count(lit(1)).as("cnt_b")))
+    val l1 = withPpm.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
+    withPpm.join(broadcast(l1))
+      .select(col("key"), col("cnt_a"), col("cnt_b"), col("ppm_a"),
+        col("ppm_b"), col("delta_ppm"), col("l1_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("key"))
+      .limit(k)
+  }
+
+  /** Full-outer merge of two (key, cnt) relations with integer-ppm
+    * shares and deltas; totals ride every row (broadcast 1-row). */
+  private def perKeyPpm(ca: DataFrame, cb: DataFrame): DataFrame = {
     val joined = ca.join(cb, Seq("key"), "full_outer")
       .select(col("key"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
     val na = joined.agg(sum(col("cnt_a")).as("n_a"))
     val nb = joined.agg(sum(col("cnt_b")).as("n_b"))
-    val withPpm = joined
+    joined
       .join(broadcast(na)).join(broadcast(nb))
-      .select(col("key"), col("cnt_a"), col("cnt_b"),
+      .select(col("key"), col("cnt_a"), col("cnt_b"), col("n_a"), col("n_b"),
         expr("(cnt_a * 1000000L) div n_a").as("ppm_a"),
         expr("(cnt_b * 1000000L) div n_b").as("ppm_b"))
       .withColumn("delta_ppm", col("ppm_a") - col("ppm_b"))
-    val l1 = withPpm.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
-    withPpm.join(broadcast(l1))
-      .orderBy(abs(col("delta_ppm")).desc, col("key"))
-      .limit(k)
   }
 }
