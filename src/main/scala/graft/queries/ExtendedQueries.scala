@@ -747,6 +747,26 @@ object ExtendedQueries {
       .withColumnRenamed("key", "bucket")
   }
 
+  private val g28Modularity: QFn = (s, dir) => {
+    // Modularity decomposition of the g15 LPA partition over the
+    // strong co-purchase graph — the community family judged, not just
+    // produced (ops.Modularity): per-community in-edges, degree mass,
+    // exact integer numerator 4·m·in_c − deg_c², and the two IEEE
+    // single-division scores (contribution + whole-partition Q).
+    // Both fixture-shared: the strong graph is the session-memoized /
+    // at-rest relation, the labels are the same 4-round chain g15
+    // runs.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val edges = strong.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(strong.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = graft.ops.Lpa.propagate(edges, rounds = 4)
+    graft.ops.Modularity.ofPartition(strong, labels)
+      .select(col("community"), col("n_members"), col("in_edges"),
+        col("deg_sum"), col("numer"), col("denom"), col("q_contrib"),
+        col("q_total"))
+  }
+
   private val g26LabelSpread: QFn = (s, dir) => {
     // Semi-supervised label spreading with hard clamping over the
     // strong co-purchase graph: every 50th part carries a ground-truth
@@ -1895,6 +1915,51 @@ object ExtendedQueries {
         |  p.delta_ppm, l1.l1_ppm
         |FROM p, l1
         |ORDER BY ABS(p.delta_ppm) DESC, p.key LIMIT 100""".stripMargin),
+    QueryDef("g28_modularity", g28Modularity, {
+      // the g15 label chain verbatim, then the modularity aggregates:
+      // intra = edge list joined on BOTH endpoint labels, degree mass
+      // = the endpoint union joined once; one double division per
+      // score (single IEEE op — engine-exact)
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS MATERIALIZED (SELECT dst AS node, lbl FROM (
+           |  SELECT e.dst, l.lbl, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY e.dst
+           |      ORDER BY count(*) DESC, l.lbl) AS rn
+           |  FROM me e JOIN l${t - 1} l ON l.node = e.src
+           |  GROUP BY e.dst, l.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM me),
+         |$rounds,
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |intra AS MATERIALIZED (SELECT la.lbl AS community,
+         |    CAST(count(*) AS BIGINT) AS in_edges
+         |  FROM e0 JOIN l4 la ON la.node = e0.a JOIN l4 lb ON lb.node = e0.b
+         |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |degs AS MATERIALIZED (SELECT l.lbl AS community,
+         |    CAST(count(*) AS BIGINT) AS deg_sum,
+         |    CAST(count(DISTINCT n.v) AS BIGINT) AS n_members
+         |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) n
+         |  JOIN l4 l ON l.node = n.v GROUP BY l.lbl),
+         |per AS MATERIALIZED (SELECT d.community, d.n_members,
+         |    COALESCE(i.in_edges, 0) AS in_edges, d.deg_sum,
+         |    CAST(4 * mm.m * COALESCE(i.in_edges, 0)
+         |      - d.deg_sum * d.deg_sum AS BIGINT) AS numer,
+         |    CAST(4 * mm.m * mm.m AS BIGINT) AS denom
+         |  FROM degs d LEFT JOIN intra i ON i.community = d.community, mm),
+         |tot AS (SELECT CAST(SUM(numer) AS BIGINT) AS numer_total FROM per)
+         |SELECT CAST(per.community AS BIGINT) AS community, per.n_members,
+         |  per.in_edges, per.deg_sum, per.numer, per.denom,
+         |  CAST(per.numer AS DOUBLE) / CAST(per.denom AS DOUBLE) AS q_contrib,
+         |  CAST(tot.numer_total AS DOUBLE) / CAST(per.denom AS DOUBLE) AS q_total
+         |FROM per, tot""".stripMargin
+    }),
     QueryDef("g26_label_spread", g26LabelSpread, {
       // rounds unrolled with the clamp as a seed-first union: votes
       // over the previous round's labeled set (inner join — identity

@@ -81,6 +81,9 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g25_sssp")
     assertEquiOnly("g26_label_spread")
     assertEquiOnly("g27_temporal_reach")
+    // g28's single BNLJ is the explicit 1-row numer-total broadcast
+    // (the x4 scalar convention)
+    assertEquiOnly("g28_modularity", allowedBnlj = 1)
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
