@@ -80,7 +80,10 @@ object Main {
       |                     land at $out/corpus, indexes beside it
       |                     (--out, --checkpoint; --once drains and stops;
       |                     --compact-index-every N folds the indexes' epoch
-      |                     partitions so per-batch listing stays bounded)
+      |                     partitions so per-batch listing stays bounded;
+      |                     --drift records each batch's token-distribution
+      |                     L1 drift vs the standing corpus under $out/drift
+      |                     and prints the per-batch ledger)
       |  index-build EMB_DIR
       |                     train + persist the ANN standing index over a
       |                     (vec_id, embedding[, label]) parquet: coarse IVF
@@ -170,7 +173,7 @@ object Main {
     * a typo'd option silently ignored is the worst CLI failure mode. */
   private val boolFlags = Set("--increment-data-version", "--once",
     "--owners-view", "--tokens-view", "--uris-view", "--collections-view",
-    "--log-topic", "--cdc", "--embed-pq")
+    "--log-topic", "--cdc", "--embed-pq", "--drift")
 
   private val knownOptions = Set(
     "blockchain", "evm-rpc-nodes", "rpc-batch", "rpc-timeout-ms", "num-partitions",
@@ -184,7 +187,7 @@ object Main {
     "classifier-threshold", "bench", "cdc", "cdc-dup-frac", "compact-index-every",
     "index", "ids", "queries", "k", "nprobe", "shortlist", "nlist", "iters",
     "m", "codes", "dims", "embed-threshold", "embed-pq", "min-compress-ratio",
-    "id-col", "str-col", "strings", "tau", "name-col", "corpus")
+    "id-col", "str-col", "strings", "tau", "name-col", "corpus", "drift")
 
   private[cli] def parse(args: Seq[String]): (String, Vector[String], Map[String, String]) = {
     if (args.isEmpty) throw CliError("no command given")
@@ -792,15 +795,24 @@ object Main {
                 threshold = doubleOpt(opts, "embed-threshold", 0.9),
                 usePq = opts.contains("embed-pq")))
             else None
+          val drift = if (opts.contains("drift")) Some(s"$out/drift") else None
           val q = graft.streaming.Ingest.startNearDupIngest(stream,
             s"$out/band_index", s"$out/corpus", checkpoint,
             bench = bench, classifier = parseClassifier(spark, opts), cdc = cdc,
             embed = embed,
             compactIndexEvery = opts.get("compact-index-every")
-              .map(v => longOpt(opts, "compact-index-every", 0L)))
+              .map(v => longOpt(opts, "compact-index-every", 0L)),
+            drift = drift)
           if (opts.contains("once")) { q.processAllAvailable(); q.stop() }
           else q.awaitTermination()
           println(s"ingested $docsDir into $out/corpus")
+          drift.foreach { root =>
+            graft.streaming.DriftIngest.driftHistory(spark, s"$root/ledger")
+              .orderBy(col("batch_id")).collect().foreach { r =>
+                println(s"drift batch=${r.getLong(0)} l1_ppm=${r.getLong(4)} " +
+                  s"batch_tokens=${r.getLong(2)} standing_tokens=${r.getLong(1)}")
+              }
+          }
           0
 
         case "index-build" =>

@@ -419,10 +419,19 @@ object Ingest {
       classifier: Option[(Seq[(String, Long)], Long, Double)] = None,
       cdc: Option[CdcGate] = None,
       embed: Option[EmbedGate] = None,
-      compactIndexEvery: Option[Long] = None): StreamingQuery =
+      compactIndexEvery: Option[Long] = None,
+      drift: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // drift monitor first, over the RAW batch (pre-gate): the point
+        // is to notice a shifted/corrupted drop the moment it lands,
+        // including the part the gates are about to throw away
+        drift.foreach { root =>
+          DriftIngest.processBatch(
+            batch.select(explode(split(col("text"), " ")).as("tok")),
+            col("tok"), s"$root/counts", s"$root/ledger", id)
+        }
         processNearDupBatch(batch, indexPath, outPath, id, numHashes, maxBucket,
           bench, classifier, cdc, embed, compactIndexEvery)
       }

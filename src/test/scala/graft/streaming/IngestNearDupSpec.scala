@@ -54,6 +54,31 @@ class IngestNearDupSpec extends SparkSpec {
     assert(kept3 === Set(1L, 2L, 11L, 12L))
   }
 
+  test("--drift wiring: the ingest stream feeds the drift ledger per micro-batch") {
+    val idx = tmp("nd_idxd") + "/bands"
+    val out = tmp("nd_outd") + "/corpus"
+    val ckpt = tmp("nd_ckptd")
+    val droot = tmp("nd_drift") + "/drift"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val docs = input.toDF.toDF("doc_id", "text", "source", "n_chars")
+    val q = Ingest.startNearDupIngest(docs, idx, out, ckpt, drift = Some(droot))
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta", "s1", 35L))
+      q.processAllAvailable()
+      input.addData((2L, "alpha beta gamma NEW WORDS HERE NOW", "s1", 35L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = DriftIngest.driftHistory(spark, s"$droot/ledger")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(hist.keySet === Set(1L), s"exactly batch 1 has a baseline: $hist")
+    assert(hist(1L) > 0L, "a shifted batch must register non-zero drift")
+    // counts accumulated over both batches (the raw pre-gate stream)
+    val total = DriftIngest.currentCounts(spark, s"$droot/counts")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(total === 13L, s"expected 13 tokens across the two batches (6 + 7), got $total")
+  }
+
   test("batch replay is idempotent: re-running an epoch adds nothing (at-least-once safety)") {
     // foreachBatch delivers at-least-once; a replayed epoch must not
     // duplicate the corpus. Both sinks are partitioned by batch_id and
