@@ -747,6 +747,16 @@ object ExtendedQueries {
       .withColumnRenamed("key", "bucket")
   }
 
+  private val g29Assortativity: QFn = (s, dir) => {
+    // Degree assortativity of the strong co-purchase graph
+    // (ops.Assortativity — exact BIGINT moment sums, one fixed
+    // IEEE-exact formula with correctly-rounded sqrt): the one-number
+    // structural summary beside the centrality/community families.
+    graft.ops.Assortativity.degreeAssortativity(
+      graft.tables.GraphFixtures.strongPairs(s, dir)
+        .select(col("a").as("id_a"), col("b").as("id_b")))
+  }
+
   private val g28Modularity: QFn = (s, dir) => {
     // Modularity decomposition of the g15 LPA partition over the
     // strong co-purchase graph — the community family judged, not just
@@ -1915,6 +1925,29 @@ object ExtendedQueries {
         |  p.delta_ppm, l1.l1_ppm
         |FROM p, l1
         |ORDER BY ABS(p.delta_ppm) DESC, p.key LIMIT 100""".stripMargin),
+    QueryDef("g29_assortativity", g29Assortativity,
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |de AS MATERIALIZED (SELECT da.d AS x, db.d AS y
+        |  FROM (SELECT a AS src, b AS dst FROM e0
+        |        UNION ALL SELECT b, a FROM e0) me
+        |  JOIN deg da ON da.v = me.src JOIN deg db ON db.v = me.dst),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  CAST(SUM(y * y) AS BIGINT) AS syy FROM de)
+        |SELECT m, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END AS r
+        |FROM s""".stripMargin),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:
       // intra = edge list joined on BOTH endpoint labels, degree mass

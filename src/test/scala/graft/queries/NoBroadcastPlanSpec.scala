@@ -84,6 +84,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     // g28's single BNLJ is the explicit 1-row numer-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("g28_modularity", allowedBnlj = 1)
+    assertEquiOnly("g29_assortativity")
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
