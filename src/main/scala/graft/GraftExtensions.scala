@@ -12,8 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * ship custom Catalyst functions with a library. The function list is
   * [[graft.expr.Exprs.sqlBuilders]], the SAME list the runtime
   * `Catalog.registerAll` path installs, so the two surfaces cannot
-  * drift (they did before this shared list: extensions sessions were
-  * missing seven functions the runtime path had).
+  * drift (they did twice before: first the hand-copied extensions
+  * list ran seven functions behind the runtime path, then the udaf
+  * `uint256_sum` rode a separate udf.register call the extensions
+  * path lacked — it is now an entry in the shared list too, built as
+  * the same ScalaAggregator).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {

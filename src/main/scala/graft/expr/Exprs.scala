@@ -326,7 +326,11 @@ object Exprs {
       if (es.length != 2) throw new IllegalArgumentException(
         s"mg_sketch expects (item, capacity literal), got ${es.length} argument(s)")
       MisraGriesAgg(es(0), litInt(es(1), "mg_sketch", "capacity"))
-    })
+    }),
+    // the one Aggregator-backed entry: a ScalaAggregator built exactly
+    // as udf.register would, so it rides the SAME shared list instead
+    // of a second registration path (which had drifted once already)
+    "uint256_sum" -> (es => Uint256Sum.sqlBuilder(es))
   )
 
   /** SQL-surface registration for a plain session (Catalog.registerAll
@@ -337,6 +341,5 @@ object Exprs {
     sqlBuilders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
-    Uint256Sum.register(spark)
   }
 }

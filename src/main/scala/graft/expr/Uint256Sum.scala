@@ -38,4 +38,22 @@ object Uint256Sum extends Aggregator[String, Array[Byte], String] {
   /** SQL/DataFrame registration: `uint256_sum(hexCol)`. */
   def register(spark: SparkSession): Unit =
     spark.udf.register("uint256_sum", org.apache.spark.sql.functions.udaf(this))
+
+  /** Registry builder for the shared [[Exprs.sqlBuilders]] list — the
+    * same ScalaAggregator the `udf.register` path constructs, built
+    * directly so sessions registered EITHER way (runtime registerAll
+    * or withExtensions injectFunction) expose `uint256_sum`: this was
+    * the one function the two surfaces had drifted on after the list
+    * unification. The encoders resolve in analysis via Spark's
+    * standard ResolveEncodersInScalaAgg rule. */
+  private[graft] def sqlBuilder(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+    new org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      children, this,
+      ExpressionEncoder(Encoders.STRING.asInstanceOf[AgnosticEncoder[String]]),
+      ExpressionEncoder(bufferEncoder.asInstanceOf[AgnosticEncoder[Array[Byte]]]),
+      true, true, 0, 0, Some("uint256_sum"))
+  }
 }

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * — the documented reason TV/L1 is the oracled statistic).
   *
   * Shape: one token-count aggregate per side (map-side combined), one
-  * full-outer equi-join on the token, two 1-row total relations
-  * broadcast onto it (the x4 scalar convention), top movers by
-  * |Δppm| with the token as the total-order tiebreak. O(vocab) state,
-  * never O(corpus).
+  * full-outer equi-join on the token STAGED at vocab scale, totals as
+  * one collected row folded back in as literals (metadata-scale), top
+  * movers by |Δppm| with the token as the total-order tiebreak.
+  * O(vocab) state, never O(corpus), and the corpus is scanned exactly
+  * once per side.
   */
 object Drift {
 
@@ -48,12 +49,18 @@ object Drift {
         sum(abs(col("delta_ppm"))).as("l1_ppm"))
 
   /** Core: both sides reduced to a single `key` column, one row per
-    * observation. */
+    * observation. `withPpm` is staged before fan-out: the L1 total and
+    * the final row set are two consumers, and without staging each
+    * would re-run the corpus-scale explode+aggregate underneath
+    * (measured 12–24 scans of the corpus in one text_drift_tv /
+    * embed_drift plan — the DuckDB oracle marks the same CTEs
+    * MATERIALIZED for exactly this reason). */
   private def drift(ka: DataFrame, kb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "drift: k >= 1")
     val withPpm = perKeyPpm(
       ka.groupBy(col("key")).agg(count(lit(1)).as("cnt_a")),
       kb.groupBy(col("key")).agg(count(lit(1)).as("cnt_b")))
+      .localCheckpoint(true)
     val l1 = withPpm.agg(sum(abs(col("delta_ppm"))).as("l1_ppm"))
     withPpm.join(broadcast(l1))
       .select(col("key"), col("cnt_a"), col("cnt_b"), col("ppm_a"),
@@ -63,16 +70,27 @@ object Drift {
   }
 
   /** Full-outer merge of two (key, cnt) relations with integer-ppm
-    * shares and deltas; totals ride every row (broadcast 1-row). */
+    * shares and deltas. The merge is staged ONCE (vocab-sized), then
+    * the totals come off the staged relation as one collected row —
+    * metadata-scale, the Lpa-bounds precedent — which both kills the
+    * per-consumer re-evaluation of the corpus-scale aggregate and
+    * lets the empty-side contract fail LOUDLY: a ppm share against an
+    * empty distribution is undefined, and integer div by a 0 total
+    * would otherwise surface as NULL ppm rows summing to a
+    * misleadingly small l1_ppm. */
   private def perKeyPpm(ca: DataFrame, cb: DataFrame): DataFrame = {
     val joined = ca.join(cb, Seq("key"), "full_outer")
       .select(col("key"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val na = joined.agg(sum(col("cnt_a")).as("n_a"))
-    val nb = joined.agg(sum(col("cnt_b")).as("n_b"))
+      .localCheckpoint(true)
+    val t = joined.agg(sum(col("cnt_a")), sum(col("cnt_b"))).collect().head
+    require(!t.isNullAt(0) && t.getLong(0) > 0L,
+      "drift: side A has no observations — ppm shares against an empty distribution are undefined")
+    require(!t.isNullAt(1) && t.getLong(1) > 0L,
+      "drift: side B has no observations — ppm shares against an empty distribution are undefined")
     joined
-      .join(broadcast(na)).join(broadcast(nb))
+      .withColumn("n_a", lit(t.getLong(0))).withColumn("n_b", lit(t.getLong(1)))
       .select(col("key"), col("cnt_a"), col("cnt_b"), col("n_a"), col("n_b"),
         expr("(cnt_a * 1000000L) div n_a").as("ppm_a"),
         expr("(cnt_b * 1000000L) div n_b").as("ppm_b"))

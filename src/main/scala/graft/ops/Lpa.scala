@@ -58,8 +58,11 @@ object Lpa {
     * [[propagate]]'s community detection: spread a small set of
     * human-labeled quality/topic classes through a similarity graph.
     * Deterministic — the oracle unrolls rounds with the clamp as a
-    * seed-first union. Seeds are restricted to graph nodes (a seed
-    * with no edges can influence nothing and would pad the output).
+    * seed-first union. Seeds are restricted to graph nodes — src OR
+    * dst side (a seed with no edges at all can influence nothing and
+    * would pad the output; a DST-ONLY seed must stay, clamped: it
+    * receives votes on directed input, and dropping it from the clamp
+    * set would let a propagated label override its ground truth).
     * Output: (node, lbl) for LABELED nodes only — unreached nodes are
     * absent, they have no defensible label. `seedLabels`: (node, lbl). */
   def spread(edges: DataFrame, seedLabels: DataFrame, rounds: Int): DataFrame = {
@@ -74,7 +77,11 @@ object Lpa {
       require(bounds.getLong(2) < (1L << 31),
         s"lpa: edge count ${bounds.getLong(2)} >= 2^31 — packed vote counts would overflow")
     }
-    val nodes = e.select(col("src").as("node")).distinct()
+    // src UNION dst, not src alone: on directed input a dst-only seed
+    // still receives votes, so it must be retained IN THE CLAMP SET
+    // (it never votes anyway — the vote join keys on src)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
     val seeds = seedLabels.select(col("node").cast("long"), col("lbl").cast("long"))
       .join(nodes, Seq("node"), "left_semi").localCheckpoint(true)
     val sb = seeds.agg(min(col("lbl")), max(col("lbl"))).collect().head

@@ -123,8 +123,11 @@ object PageRank {
   def weighted(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "pagerank: rounds >= 0")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-    require(e.filter(col("w") <= 0L).isEmpty,
-      "weighted pagerank: edge weights must be positive")
+    // isNull is part of the guard, not redundancy: `w <= 0` is NULL
+    // (not true) for a NULL weight, so a null-only filter would pass
+    // and the null edge would silently drop its contribution downstream
+    require(e.filter(col("w").isNull || col("w") <= 0L).isEmpty,
+      "weighted pagerank: edge weights must be positive and non-null")
     val withW = e
       .join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src")
       .localCheckpoint(true)

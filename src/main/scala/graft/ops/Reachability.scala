@@ -83,8 +83,11 @@ object Reachability {
     require(maxHop >= 0, "reachability: maxHop >= 0")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .localCheckpoint(true)
-    require(e.filter(col("w") <= 0L).isEmpty,
-      "weighted distances: edge weights must be positive")
+    // NULL weights must hit the require too — `w <= 0` is NULL for
+    // them, so without isNull they'd pass the guard and silently drop
+    // relaxation candidates instead of failing loudly
+    require(e.filter(col("w").isNull || col("w") <= 0L).isEmpty,
+      "weighted distances: edge weights must be positive and non-null")
     var best = seeds.select(col("id").cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = best

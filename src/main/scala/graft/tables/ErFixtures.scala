@@ -41,10 +41,16 @@ object ErFixtures {
     }
 
   /** Persist both resolved tables (plus the source marker) under
-    * `outRoot` — the er-resolve prepare job. */
-  def materialize(spark: SparkSession, dir: String, outRoot: String): Unit = {
-    FixtureStore.writeMarker(spark, outRoot, dir)
-    FixtureStore.write(resolvedAll(spark, dir), outRoot, "er_resolved_all")
-    FixtureStore.write(resolvedCorpus(spark, dir), outRoot, "er_resolved_corpus")
-  }
+    * `outRoot` — the er-resolve prepare job. Builds inline with the
+    * memo released and the at-rest tier bypassed, via staged swap
+    * writes — see [[GraphFixtures.materialize]] for why (re-prepare at
+    * an unchanged dir string must re-derive, never re-persist the
+    * stale at-rest relations it is replacing). */
+  def materialize(spark: SparkSession, dir: String, outRoot: String): Unit =
+    FixtureStore.buildingInline {
+      FixtureStore.release(spark)
+      FixtureStore.writeMarker(spark, outRoot, dir)
+      FixtureStore.write(resolvedAll(spark, dir), outRoot, "er_resolved_all")
+      FixtureStore.write(resolvedCorpus(spark, dir), outRoot, "er_resolved_corpus")
+    }
 }

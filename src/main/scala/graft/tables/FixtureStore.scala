@@ -53,6 +53,25 @@ private[graft] object FixtureStore {
       atRest(spark, dir, key).getOrElse(build))
   }
 
+  /** When true (scoped via [[buildingInline]]), [[memo]] never serves
+    * the at-rest tier — every getter derives from the source tables. */
+  private val inlineOnly = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Run `body` with the at-rest tier bypassed. The prepare path
+    * ([[GraphFixtures.materialize]] / [[ErFixtures.materialize]]) wraps
+    * itself in this: if `graft.fixtures.dir` already points at the
+    * prepare TARGET (the natural production setup, or any re-prepare
+    * after the source data changed at the same dir string), an
+    * unbypassed getter would lazily READ `root/<key>` while the write
+    * replaces it — Spark aborts with "Cannot overwrite a path that is
+    * also being read from" — and a refreshed source dataset would
+    * silently re-persist the stale at-rest relations instead of
+    * re-deriving them. Callers should [[release]] the session first so
+    * a memo entry that was served from at rest earlier in the session
+    * cannot leak into the build either. */
+  private[graft] def buildingInline[T](body: => T): T =
+    inlineOnly.withValue(true)(body)
+
   /** Drop one session's entries (frees its checkpointed fixtures). */
   def release(spark: SparkSession): Unit = synchronized {
     val k = sessionKey(spark)
@@ -84,7 +103,8 @@ private[graft] object FixtureStore {
     * its marker matches `dir`; None (plus a loud stderr note on
     * marker mismatch) otherwise. */
   private def atRest(spark: SparkSession, dir: String, key: String): Option[DataFrame] =
-    atRestRoot(spark).flatMap { root =>
+    if (inlineOnly.value) None
+    else atRestRoot(spark).flatMap { root =>
       readMarker(spark, root) match {
         case Some(src) if src != dir =>
           System.err.println(
@@ -109,9 +129,25 @@ private[graft] object FixtureStore {
     found
   }
 
-  /** Persist one fixture relation under the at-rest root. */
-  def write(df: DataFrame, root: String, key: String): Unit =
-    df.write.mode("overwrite").parquet(s"$root/$key")
+  /** Persist one fixture relation under `root/<key>` via a staged
+    * tmp-dir + rename swap: the parquet lands COMPLETE at a hidden
+    * sibling path, then replaces the old key dir in one delete+rename
+    * metadata move — a failed prepare leaves the previous fixtures
+    * intact rather than a half-written dir, and the writing plan never
+    * targets a path any plan could be reading. Staged per KEY, not per
+    * root, because the graph and ER prepares share one root (a whole-
+    * root swap by either would drop the other's output). */
+  def write(df: DataFrame, root: String, key: String): Unit = {
+    val tmp = s"$root/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(tmp)
+    val (hfs, tmpP) = fs(df.sparkSession, tmp)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/$key")
+    if (hfs.exists(dst)) hfs.delete(dst, true)
+    if (!hfs.rename(tmpP, dst)) {
+      hfs.delete(tmpP, true)
+      throw new java.io.IOException(s"fixture swap failed: $tmp -> $dst")
+    }
+  }
 
   /** Pin the source data dir the root's fixtures were derived from. */
   def writeMarker(spark: SparkSession, root: String, dir: String): Unit = {

@@ -126,13 +126,25 @@ object GraphFixtures {
     * `dir` and persist it as parquet under `outRoot`, plus the
     * `_source_dir` marker that pins the pairing. A session configured
     * with `graft.fixtures.dir=outRoot` then reads these instead of
-    * rebuilding (see [[FixtureStore]]). */
-  def materialize(spark: SparkSession, dir: String, outRoot: String): Unit = {
-    FixtureStore.writeMarker(spark, outRoot, dir)
-    FixtureStore.write(partCoPairs(spark, dir), outRoot, "part_co_pairs")
-    FixtureStore.write(supCounts(spark, dir), outRoot, "sup_counts")
-    FixtureStore.write(strongPairs(spark, dir), outRoot, "strong_pairs")
-    FixtureStore.write(custSuppFlagged(spark, dir), outRoot, "cust_supp_flagged")
-    FixtureStore.write(coOccurCorpusCore(spark, dir), outRoot, "cooccur_corpus_core")
-  }
+    * rebuilding (see [[FixtureStore]]).
+    *
+    * The build runs with the at-rest tier BYPASSED
+    * ([[FixtureStore.buildingInline]]) and the session memo released
+    * up front: when the configured fixtures dir already equals
+    * `outRoot` (production re-prepare at the same path), an unbypassed
+    * getter would serve the very parquet this job is about to replace
+    * — overwrite-while-reading at best, silently re-persisted STALE
+    * fixtures at worst. Each write is a staged tmp+rename swap
+    * ([[FixtureStore.write]]), so a failed prepare leaves the previous
+    * fixtures readable. */
+  def materialize(spark: SparkSession, dir: String, outRoot: String): Unit =
+    FixtureStore.buildingInline {
+      FixtureStore.release(spark)
+      FixtureStore.writeMarker(spark, outRoot, dir)
+      FixtureStore.write(partCoPairs(spark, dir), outRoot, "part_co_pairs")
+      FixtureStore.write(supCounts(spark, dir), outRoot, "sup_counts")
+      FixtureStore.write(strongPairs(spark, dir), outRoot, "strong_pairs")
+      FixtureStore.write(custSuppFlagged(spark, dir), outRoot, "cust_supp_flagged")
+      FixtureStore.write(coOccurCorpusCore(spark, dir), outRoot, "cooccur_corpus_core")
+    }
 }

@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends SparkSpec {
       val sum = ext.sql(
         s"SELECT hex_to_dec(hex_add('0x${"f" * 16}', '0x1')) AS s").head().getString(0)
       assert(sum === java.math.BigInteger.valueOf(2).pow(64).toString)
+      // the Aggregator-backed udaf rides the same shared list now —
+      // extensions sessions were the one surface still missing it
+      val us = ext.sql(
+        """SELECT uint256_sum(h) AS us FROM (
+          |  SELECT lpad('2', 64, '0') AS h UNION ALL SELECT lpad('3', 64, '0'))"""
+          .stripMargin).head().getString(0)
+      assert(us === "0" * 63 + "5", s"uint256_sum via extensions: $us")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

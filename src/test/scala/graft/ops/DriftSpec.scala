@@ -54,4 +54,33 @@ class DriftSpec extends SparkSpec {
     assert(top.length === 1)
     assert(Set("q", "x").contains(top.head._1), s"unexpected top mover: ${top.head}")
   }
+
+  test("an empty side fails loudly instead of NULL-ppm rows") {
+    // integer div by a zero total would yield NULL ppm shares that SUM
+    // silently skips — drift would read near-zero exactly when the
+    // input is most broken (a side vanished)
+    val e1 = intercept[IllegalArgumentException](run(Seq.empty[String], Seq("a b")))
+    assert(e1.getMessage.contains("side A has no observations"))
+    val e2 = intercept[IllegalArgumentException](run(Seq("a b"), Seq.empty[String]))
+    assert(e2.getMessage.contains("side B has no observations"))
+  }
+
+  test("the corpus-scale merge is staged: the final plan re-reads no source") {
+    // The r15 defect: perKeyPpm hung four consumers off the full-outer
+    // count merge with no staging, so the corpus re-scanned 12-24x in
+    // one plan (text_drift_tv/embed_drift). Pin the fix shape: with the
+    // merge checkpointed, the executed plan reads ONLY staged RDDs —
+    // any file/local-table scan of the inputs here means a consumer
+    // reached past the stage and the rescan regressed.
+    val dir = java.nio.file.Files.createTempDirectory("drift_plan").toString
+    Seq("the cat sat", "the dog ran").toDF("text")
+      .write.parquet(s"$dir/a")
+    Seq("the cat sat", "a bird flew").toDF("text")
+      .write.parquet(s"$dir/b")
+    val out = Drift.tokenDrift(spark.read.parquet(s"$dir/a"),
+      spark.read.parquet(s"$dir/b"), col("text"), k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"corpus scan leaked past the stage:\n$plan")
+  }
 }

@@ -119,7 +119,9 @@ class LpaSpec extends SparkSpec {
     * adopt the majority among labeled in-neighbors, keep when unvoted. */
   private def refSpread(edges: Seq[(Long, Long)], seeds: Map[Long, Long],
       rounds: Int): Map[Long, Long] = {
-    val graphNodes = edges.map(_._1).toSet
+    // src UNION dst: a dst-only seed receives votes on directed input
+    // and must stay in the clamp set (the op's retention rule)
+    val graphNodes = edges.map(_._1).toSet ++ edges.map(_._2).toSet
     val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     var lbl = seeds.filter(s => graphNodes(s._1))
     for (_ <- 1 to rounds) {
@@ -165,6 +167,23 @@ class LpaSpec extends SparkSpec {
         Seq((0L, 10L), (4L, 20L)).toDF("node", "lbl"), rounds = 4)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L))
+  }
+
+  test("spread on directed input: a dst-only seed stays clamped, never voted over") {
+    // 1 -> 2 -> 3, one direction only. Node 3 appears ONLY as dst and
+    // carries ground truth 77. The r15 defect: seed retention semi-
+    // joined against src nodes alone, so 3 fell out of the clamp set
+    // yet still received votes — by round 2 the propagated label 50
+    // (from seed 1) overrode its ground truth, violating the
+    // documented "seeds NEVER update" invariant.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, 50L), (3L, 77L)).toDF("node", "lbl")
+    val got = Lpa.spread(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) === 77L, "dst-only seed was voted over")
+    assert(got(1L) === 50L)
+    assert(got(2L) === 50L) // propagated from seed 1
+    assert(got === refSpread(Seq((1L, 2L), (2L, 3L)), Map(1L -> 50L, 3L -> 77L), 3))
   }
 
   test("warmStart rejects out-of-domain seed labels loudly") {

@@ -114,6 +114,13 @@ class PageRankSpec extends SparkSpec {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("weighted rejects NULL weights loudly (w <= 0 is NULL for them, not true)") {
+    val bad = Seq((1L, 2L, Some(3L)), (2L, 1L, Option.empty[Long]))
+      .toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException](PageRank.weighted(bad, rounds = 1))
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("quiescent convergence: warm and cold starts settle into the same truncation band") {
     // Real-arithmetic PageRank contracts to ONE fixpoint from any
     // seed; the floor in the integer recurrence can leave a small

@@ -131,6 +131,14 @@ class ReachabilitySpec extends SparkSpec {
     assert(err.getMessage.contains("positive"))
   }
 
+  test("weightedDistances reject NULL weights loudly instead of dropping candidates") {
+    val bad = Seq((1L, 2L, Some(4L)), (2L, 3L, Option.empty[Long]))
+      .toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException](
+      Reachability.weightedDistances(bad, Seq(1L).toDF("id"), maxHop = 2))
+    assert(err.getMessage.contains("positive"))
+  }
+
   test("cold hops match the in-memory BFS") {
     val edges = undirected(seed = 3, n = 50, p = 0.04)
     val seeds = Set(0L, 17L, 33L)

@@ -70,4 +70,34 @@ class GraphFixturesSpec extends SparkSpec {
       FixtureStore.release(spark) // drop at-rest entries so later suites rebuild inline
     }
   }
+
+  test("re-prepare with fixtures.dir pointing AT the prepare target re-derives, not re-persists") {
+    // The r15 hazard: with graft.fixtures.dir == outRoot (the natural
+    // production setup), materialize's getters served the existing
+    // at-rest parquet and write() then replaced the very path being
+    // read — Spark aborts ("Cannot overwrite a path that is also being
+    // read from"), and a refreshed dataset at an unchanged dir string
+    // silently re-persisted stale fixtures. Now the prepare builds
+    // inline (at-rest tier bypassed + memo released) and swaps each
+    // key via tmp+rename, so a re-prepare at the same root both
+    // succeeds and re-derives from the source tables.
+    val root = java.nio.file.Files.createTempDirectory("gfx_reprep").toString
+    GraphFixtures.materialize(spark, dirA, root)
+    spark.conf.set("graft.fixtures.dir", root)
+    try {
+      // force an at-rest-backed memo entry into the session first —
+      // the exact state the old code corrupted from
+      val served = GraphFixtures.supCounts(spark, dirA)
+      assert(served.inputFiles.forall(_.contains(root)), "precondition: at-rest serve")
+      val servedCount = served.count() // before the swap replaces its files
+      GraphFixtures.materialize(spark, dirA, root) // must not throw
+      FixtureStore.release(spark)
+      val again = GraphFixtures.supCounts(spark, dirA)
+      assert(again.inputFiles.nonEmpty && again.inputFiles.forall(_.contains(root)))
+      assert(again.count() === servedCount, "re-prepared fixture diverged")
+    } finally {
+      spark.conf.unset("graft.fixtures.dir")
+      FixtureStore.release(spark)
+    }
+  }
 }
