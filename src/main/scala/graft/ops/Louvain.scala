@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One LEVEL of Louvain-style greedy modularity optimization (Blondel
+  * et al. 2008, "Fast unfolding of communities in large networks"),
+  * made deterministic and synchronous so it can be oracled: each
+  * round, every node in the round's PARITY CLASS (node id mod 2 ==
+  * round mod 2) considers moving to the community of one of its
+  * neighbors (or staying), picks the candidate maximizing the
+  * modularity gain, and all moves apply at once; a fixed round count
+  * replaces the sequential sweep (classic Louvain moves nodes one at
+  * a time in visit order — irreproducible across partitionings; the
+  * synchronous variant is a pure function of (edges, labels, rounds),
+  * the [[Lpa]] determinism trade, and is the standard distributed
+  * formulation). The parity half-sweep is the symmetry breaker:
+  * full-synchronous moves two-color OSCILLATE (two singleton
+  * neighbors each greedily adopt the other's community and swap
+  * forever — observed on the triangle fixture); restricting each
+  * round to one id-parity class is the deterministic version of the
+  * coloring schedule parallel Louvain uses (Lu, Halappanavar &
+  * Kalyanaraman 2015, "Parallel heuristics for scalable community
+  * detection"), and it mirrors in SQL as one WHERE clause.
+  *
+  * The gain is compared on the SAME integer lattice
+  * [[Modularity.ofPartition]] scores on: moving node i (degree k_i)
+  * into community c changes Q by (k_{i,c} − k_i·Σtot_c / 2m) / m plus
+  * terms constant across candidates, so candidates order by the exact
+  * BIGINT score
+  *   `2m·k_{i,c} − k_i·(Σtot_c − [c = cur]·k_i)`
+  * (the self-degree leaves Σtot of the CURRENT community when
+  * comparing against staying — the standard remove-then-place
+  * bookkeeping). Argmax is two aggregates — max score per node, then
+  * MIN label among the achievers — fully deterministic in both
+  * engines, no packing needed since scores exceed 32 bits.
+  *
+  * Scale shape: per round ONE equi-join of the bidirectional edge
+  * relation against the skinny label relation (k_{i,c} counts), one
+  * label⋈degree aggregate (Σtot), and the two argmax aggregates —
+  * everything keyed, nothing quadratic; labels staged per round.
+  * Bounds: m < 10⁹ keeps 2m·k_{i,c} and k_i·Σtot_c under 2⁶³
+  * (both ≤ 2m², the [[Modularity]] guard).
+  */
+object Louvain {
+
+  /** `rounds` synchronous greedy-move rounds from `labels` (node,
+    * lbl) over undirected `edges` (id_a, id_b — distinct, a < b, no
+    * self-loops). Returns (node, lbl) for every edge endpoint. */
+  def oneLevel(edges: DataFrame, labels: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvain: rounds >= 1")
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val m = e.count()
+    require(m > 0L, "louvain: empty edge set has no modularity to optimize")
+    require(m < 1000000000L,
+      s"louvain: $m edges — 2m^2 lattice scores would overflow BIGINT; upgrade to DECIMAL")
+    val ed = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    var lab = labels.select(col("node"), col("lbl")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      // Σtot per community: degree mass of its members
+      val sigma = lab.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
+      // this round's parity class re-decides; the other half carries
+      val movers = lab.filter(pmod(col("node"), lit(2L)) === lit(r % 2))
+      val keepers = lab.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2))
+      // k_{i,c}: edges from mover i into community c
+      val kic = ed
+        .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("kic"))
+        .join(movers.select(col("node")), Seq("node"), "left_semi")
+      // candidate set per mover: neighbor communities ∪ its CURRENT
+      // community (staying must stay comparable even with no
+      // intra-community neighbor left); max() dedups the overlap —
+      // the current-community row carries its true kic when it is
+      // also a neighbor community, else 0
+      val cand = kic.unionByName(
+          movers.withColumn("kic", lit(0L)))
+        .groupBy(col("node"), col("lbl")).agg(max(col("kic")).as("kic"))
+      val scored = cand
+        .join(deg, Seq("node"))
+        .join(sigma, Seq("lbl"))
+        .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
+        .select(col("node"), col("lbl"), col("cur"),
+          (lit(2L * m) * col("kic") -
+            col("k") * (col("tot") -
+              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L))))
+            .as("score"))
+      val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
+      lab = keepers.unionByName(
+          scored.join(best, Seq("node"))
+            .filter(col("score") === col("ms"))
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
+  /** The classic level-1 entry: every node starts as its own
+    * community (the singleton partition scores Q-contributions of
+    * −k_i²/4m², so first-round moves are pure merges). */
+  def fromSingletons(edges: DataFrame, rounds: Int): DataFrame = {
+    val nodes = edges.select(col("id_a").as("node"))
+      .unionByName(edges.select(col("id_b").as("node"))).distinct()
+    oneLevel(edges, nodes.withColumn("lbl", col("node")), rounds)
+  }
+}

@@ -747,6 +747,93 @@ object ExtendedQueries {
       .withColumnRenamed("key", "bucket")
   }
 
+  private val g30Node2vecCorpus: QFn = (s, dir) => {
+    // node2vec biased walk corpus on the strong co-purchase graph:
+    // SECOND-ORDER 3-step walks from every 20th node with integer
+    // bias weights (wRet, wIn, wFar) = (1, 2, 4) — the classic
+    // (1/p, 1, 1/q) alphas at p = 2, q = 1/2 scaled to integers, an
+    // outward/DFS-leaning exploration (ops.Walks.biasedWalks — md5
+    // cumulative-interval draws over the dst-sorted candidates, so
+    // the corpus replays hash-exact in SQL; (1,1,1) reduces exactly
+    // to g16's uniform walks, spec-pinned). Per step: one frontier ⋈
+    // adjacency equi-join, one edge-probe equi-join for the
+    // distance-1 flag, one per-walk window — O(walks·deg) work,
+    // graph-size-free. Strong graph = session-memoized / at-rest
+    // GraphFixtures relation.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val starts = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 20 === 0)
+    graft.ops.Walks.biasedWalks(edges, starts, steps = 3,
+        wRet = 1L, wIn = 2L, wFar = 4L)
+      .select(col("walk_id"), col("step"), col("node").as("node_id"))
+  }
+
+  private val g31Louvain: QFn = (s, dir) => {
+    // One Louvain level over the strong co-purchase graph, from
+    // singletons, 4 deterministic parity-alternating move rounds
+    // (ops.Louvain): the community family now OPTIMIZES the
+    // modularity g28 scores — greedy ΔQ moves on the same exact
+    // integer lattice (score 2m·k_ic − k_i·Σtot), argmax as max-score
+    // + min-label (two aggregates, deterministic in both engines).
+    // LouvainSpec pins Q(louvain) ≥ Q(LPA) on the fixture graph.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val lab = graft.ops.Louvain.fromSingletons(strong, rounds = 4)
+    val sz = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    lab.join(sz, Seq("lbl"))
+      .select(col("node").as("part_id"), col("lbl").as("community"),
+        col("n_members"))
+  }
+
+  private val g32Betweenness: QFn = (s, dir) => {
+    // Sampled Brandes betweenness from the g22 seed cohort (every
+    // 100th part), hop bound 3 (ops.Centrality.betweenness): forward
+    // = the g22 labeled BFS carrying shortest-path COUNTS, backward =
+    // per-layer dependency accumulation in integer millionths with
+    // the division floored identically in both engines. The traffic
+    // complement to g22's proximity: which nodes shortest paths flow
+    // THROUGH. State O(seeds × reached) per layer — the Brandes–Pich
+    // estimator trade, never all-pairs.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Tables.part(s, dir)
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").cast("long").as("id"))
+    graft.ops.Centrality.betweenness(edges, seeds, maxHop = 3)
+      .select(col("node_id").as("part_id"), col("betweenness_ppm"),
+        col("n_seeds_reaching"))
+  }
+
+  private val driftAtRest: QFn = (s, dir) => {
+    // Standing-drift ledger replay over counts AT REST — the
+    // DriftIngest math as a batch query (the x3_sketch_at_rest
+    // precedent: the 100 TB monitoring idiom stores per-epoch COUNT
+    // partitions, and every drift row derives from counts, never
+    // re-observing rows). Epochs = doc_id % 4; each epoch b >= 1
+    // yields one row: the integer-ppm L1 distance between the counts
+    // accumulated STRICTLY BEFORE b (the ledger's replay rule) and
+    // b's own counts. The corpus is tokenized and counted ONCE,
+    // staged at O(epochs × vocab); the three summaries read counts.
+    val counts = Tables.documents(s, dir)
+      .select((col("doc_id") % 4).as("batch_id"),
+        explode(split(col("text"), " ")).as("key"))
+      .groupBy(col("batch_id"), col("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    (1 to 3).map { b =>
+      graft.ops.Drift.l1Summary(
+          counts.filter(col("batch_id") < b)
+            .groupBy(col("key")).agg(sum(col("cnt")).as("cnt_a")),
+          counts.filter(col("batch_id") === b)
+            .select(col("key"), col("cnt").as("cnt_b")))
+        .withColumn("batch_id", lit(b.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("batch_id"), col("n_a"), col("n_b"), col("n_keys"),
+        col("l1_ppm"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -1948,6 +2035,181 @@ object ExtendedQueries {
         |      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
         |       sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END AS r
         |FROM s""".stripMargin),
+    QueryDef("g30_node2vec_corpus", g30Node2vecCorpus, {
+      // the g16 unroll with second-order bias from step 2: candidates
+      // carry CASE weights (return 1 / distance-1 2 / outward 4), the
+      // per-walk window builds cumulative + total weight, and the md5
+      // draw picks the covering interval — pure integer compares
+      def hex8(t: Int, al: String) = (0 until 8).map { i =>
+        s"""(position(substr(md5(CAST($al.walk_id AS VARCHAR) || ':$t'),
+           | ${i + 1}, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (7 - i))}"""
+          .stripMargin.replace("\n", "")
+      }.mkString(" + ")
+      val biased = (2 to 3).map { t =>
+        s"""c$t AS MATERIALIZED (SELECT w.walk_id, w.prev, w.node, a.dst,
+           |  CASE WHEN a.dst = w.prev THEN 1
+           |       WHEN pe.src IS NOT NULL THEN 2
+           |       ELSE 4 END AS wt
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+           |  LEFT JOIN me pe ON pe.src = w.prev AND pe.dst = a.dst),
+           |s$t AS MATERIALIZED (SELECT walk_id, node, dst, wt,
+           |  SUM(wt) OVER (PARTITION BY walk_id ORDER BY dst) AS cum,
+           |  SUM(wt) OVER (PARTITION BY walk_id) AS tot
+           |  FROM c$t),
+           |w$t AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, w.dst AS node
+           |  FROM s$t w
+           |  WHERE (${hex8(t, "w")}) % w.tot >= w.cum - w.wt
+           |    AND (${hex8(t, "w")}) % w.tot < w.cum)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |adj AS MATERIALIZED (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM me),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node
+         |  FROM me WHERE src % 20 = 0),
+         |w1 AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, a.dst AS node
+         |  FROM w0 w JOIN adj a ON a.src = w.node
+         |  AND a.rk = (${hex8(1, "w")}) % a.deg + 1),
+         |$biased
+         |SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS BIGINT) AS step,
+         |  CAST(node AS BIGINT) AS node_id FROM (
+         |  SELECT walk_id, 0 AS step, node FROM w0
+         |  UNION ALL SELECT walk_id, 1, node FROM w1
+         |  UNION ALL SELECT walk_id, 2, node FROM w2
+         |  UNION ALL SELECT walk_id, 3, node FROM w3)""".stripMargin
+    }),
+    QueryDef("g31_louvain", g31Louvain, {
+      // parity-alternating greedy move rounds unrolled: per round the
+      // movers' candidate communities (neighbors ∪ current) score on
+      // the exact lattice 2m·kic − k_i·(tot − [cur]·k_i); argmax is
+      // max-score + MIN-label (two grouped selects); off-parity nodes
+      // carry via UNION ALL
+      val rounds = (1 to 4).map { r =>
+        val par = r % 2
+        s"""sg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS tot
+           |  FROM r${r - 1} l JOIN deg d ON d.v = l.node GROUP BY l.lbl),
+           |kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
+           |    CAST(count(*) AS BIGINT) AS kic
+           |  FROM me e JOIN r${r - 1} l ON l.node = e.dst
+           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
+           |  SELECT node, lbl, kic FROM kic$r
+           |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM r${r - 1}
+           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
+           |    2 * mm.m * c.kic - d.d * (s.tot
+           |      - CASE WHEN c.lbl = cur.lbl THEN d.d ELSE 0 END) AS score
+           |  FROM cand$r c JOIN deg d ON d.v = c.node
+           |  JOIN sg$r s ON s.lbl = c.lbl
+           |  JOIN r${r - 1} cur ON cur.node = c.node, mm),
+           |r$r AS MATERIALIZED (
+           |  SELECT s.node, MIN(s.lbl) AS lbl FROM sc$r s
+           |  JOIN (SELECT node, MAX(score) AS ms FROM sc$r GROUP BY node) x
+           |    ON x.node = s.node AND s.score = x.ms
+           |  GROUP BY s.node
+           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE node % 2 <> $par)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |r0 AS MATERIALIZED (SELECT v AS node, v AS lbl FROM deg),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM r4 GROUP BY lbl)
+         |SELECT CAST(r4.node AS BIGINT) AS part_id,
+         |  CAST(r4.lbl AS BIGINT) AS community, sz.n_members
+         |FROM r4 JOIN sz ON sz.lbl = r4.lbl""".stripMargin
+    }),
+    QueryDef("g32_betweenness", g32Betweenness, {
+      // the g22 pair-keyed BFS carrying shortest-path counts (SUM of
+      // predecessor sigmas per newly-reached pair), then the Brandes
+      // dependency DP back down the layers with the SAME floored
+      // integer division
+      val fwd = (1 to 3).map { h =>
+        val prev = if (h == 1) "f0" else s"f${h - 1}"
+        val excl = (0 until h).map(i =>
+          s"NOT EXISTS (SELECT 1 FROM f$i p$i WHERE p$i.seed = f.seed AND p$i.id = e.dst)")
+          .mkString("\n    AND ")
+        s"""f$h AS MATERIALIZED (SELECT f.seed, e.dst AS id,
+           |  CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM me e JOIN $prev f ON e.src = f.id
+           |  WHERE $excl
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val back = (2 to 1 by -1).map { h =>
+        s"""cb$h AS (SELECT v.seed, v.id,
+           |  CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT) AS dsum
+           |  FROM f$h v JOIN me e ON e.src = v.id
+           |  JOIN d${h + 1} w ON w.seed = v.seed AND w.id = e.dst
+           |  GROUP BY 1, 2),
+           |d$h AS MATERIALIZED (SELECT v.seed, v.id, v.sigma,
+           |  COALESCE(c.dsum, CAST(0 AS BIGINT)) AS delta
+           |  FROM f$h v LEFT JOIN cb$h c ON c.seed = v.seed AND c.id = v.id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |f0 AS MATERIALIZED (SELECT p_partkey AS seed, p_partkey AS id,
+         |  CAST(1 AS BIGINT) AS sigma FROM part WHERE p_partkey % 100 = 0),
+         |$fwd,
+         |d3 AS MATERIALIZED (SELECT seed, id, sigma, CAST(0 AS BIGINT) AS delta
+         |  FROM f3),
+         |$back
+         |SELECT CAST(id AS BIGINT) AS part_id,
+         |  CAST(SUM(delta) AS BIGINT) AS betweenness_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_seeds_reaching
+         |FROM (SELECT seed, id, delta FROM d1
+         |  UNION ALL SELECT seed, id, delta FROM d2
+         |  UNION ALL SELECT seed, id, delta FROM d3)
+         |GROUP BY id""".stripMargin
+    }),
+    QueryDef("drift_at_rest", driftAtRest, {
+      // the DriftIngest fold over counts at rest: epoch counts built
+      // once (MATERIALIZED — the single-evaluation requirement), then
+      // per epoch the standing-before-vs-batch L1 summary, totals as
+      // a 1-row cross join
+      val epochs = (1 to 3).map { b =>
+        s"""p$b AS MATERIALIZED (SELECT COALESCE(a.key, b.key) AS key,
+           |    COALESCE(a.cnt_a, 0) AS cnt_a, COALESCE(b.cnt_b, 0) AS cnt_b
+           |  FROM (SELECT key, CAST(SUM(cnt) AS BIGINT) AS cnt_a FROM cc
+           |    WHERE batch_id < $b GROUP BY key) a
+           |  FULL OUTER JOIN (SELECT key, cnt AS cnt_b FROM cc
+           |    WHERE batch_id = $b) b ON a.key = b.key),
+           |t$b AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+           |    CAST(SUM(cnt_b) AS BIGINT) AS nb FROM p$b),
+           |s$b AS (SELECT CAST($b AS BIGINT) AS batch_id, t.na AS n_a,
+           |    t.nb AS n_b, CAST(count(*) AS BIGINT) AS n_keys,
+           |    CAST(SUM(ABS((cnt_a * 1000000) // t.na
+           |      - (cnt_b * 1000000) // t.nb)) AS BIGINT) AS l1_ppm
+           |  FROM p$b, t$b t GROUP BY t.na, t.nb)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id % 4 AS batch_id,
+         |  unnest(string_split(text, ' ')) AS key FROM documents),
+         |cc AS MATERIALIZED (SELECT batch_id, key,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+         |$epochs
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3""".stripMargin
+    }),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:
       // intra = edge list joined on BOTH endpoint labels, degree mass

@@ -85,6 +85,14 @@ class NoBroadcastPlanSpec extends SparkSpec {
     // (the x4 scalar convention)
     assertEquiOnly("g28_modularity", allowedBnlj = 1)
     assertEquiOnly("g29_assortativity")
+    assertEquiOnly("g30_node2vec_corpus")
+    assertEquiOnly("g31_louvain")
+    assertEquiOnly("g32_betweenness")
+    // drift's single BNLJ is the explicit 1-row l1-total broadcast
+    // (the x4 scalar convention)
+    assertEquiOnly("drift_at_rest")
+    assertEquiOnly("text_drift_tv", allowedBnlj = 1)
+    assertEquiOnly("embed_drift", allowedBnlj = 1)
     assertEquiOnly("x3_sketch_at_rest")
     assertEquiOnly("x5_quantile_at_rest")
     assertEquiOnly("x4_cms_bounds", allowedBnlj = 1) // explicit 1-row sketch scalar
