@@ -834,6 +834,46 @@ object ExtendedQueries {
         col("l1_ppm"))
   }
 
+  private val g33LinkFeatures: QFn = (s, dir) => {
+    // Local link-prediction features over the strong co-purchase
+    // graph (ops.LinkPrediction — Liben-Nowell & Kleinberg's indices,
+    // the graph feature-engineering primitive a ranking model trains
+    // on): for every distance-2 candidate pair through a wedge center
+    // of degree <= 64 (the Σdeg² practicality cap, exercised even at
+    // the sf0.001 smoke SF where max degree is 138), common-neighbor
+    // count, resource-allocation ppm (the oracled member of the
+    // Adamic-Adar family — AA's ln differs across libms), preferential
+    // attachment, and neighborhood-jaccard ppm. Top 1000 by support
+    // with the pair as the total-order tiebreak.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    graft.ops.LinkPrediction.features(strong, maxHubDeg = 64L)
+      .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+      .limit(1000)
+      .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+        col("common_neighbors"), col("resource_alloc_ppm"),
+        col("pref_attach"), col("jaccard_ppm"))
+  }
+
+  private val g34Ktruss: QFn = (s, dir) => {
+    // 3-truss of the strong co-purchase graph (ops.KTruss — every
+    // surviving edge closes >= 1 triangle WITHIN the truss): the
+    // edge-cohesion nucleus one notch stronger than g12's k-core,
+    // separating genuinely clustered co-purchases from hub-and-spoke
+    // stars. k = 3 because the strong graph's triangle density FALLS
+    // with SF (probed: the 4-truss is empty at sf0.01/0.1 — the g24
+    // vacuous-tier lesson — while the 3-truss holds 2244/181/3 edges
+    // at sf0.001/0.01/0.1, and its peel still cascades: dropping a
+    // triangle-free edge breaks neighbors' triangles next round).
+    // Degree-ordered triangle enumeration per peel round, edge set
+    // staged per round; output edges with their in-truss support.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    graft.ops.KTruss.truss(strong, k = 3)
+      .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+        col("support"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2209,6 +2249,68 @@ object ExtendedQueries {
          |$epochs
          |SELECT * FROM s1 UNION ALL SELECT * FROM s2
          |UNION ALL SELECT * FROM s3""".stripMargin
+    }),
+    QueryDef("g33_link_features", g33LinkFeatures,
+      // wedge enumeration through permitted centers, NOT EXISTS for
+      // the existing-edge exclusion, integer-div RA/jaccard
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |ctr AS MATERIALIZED (SELECT m.src, m.dst FROM me m
+        |  JOIN deg dd ON dd.v = m.src WHERE dd.d <= 64),
+        |wed AS MATERIALIZED (SELECT x.src AS z, x.dst AS u, y.dst AS w
+        |  FROM ctr x JOIN ctr y ON x.src = y.src AND x.dst < y.dst
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0
+        |    WHERE e0.a = x.dst AND e0.b = y.dst)),
+        |agg AS MATERIALIZED (SELECT u, w,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(SUM(1000000 // dz.d) AS BIGINT) AS resource_alloc_ppm
+        |  FROM wed JOIN deg dz ON dz.v = wed.z GROUP BY u, w)
+        |SELECT CAST(agg.u AS BIGINT) AS part_a, CAST(agg.w AS BIGINT) AS part_b,
+        |  agg.common_neighbors, agg.resource_alloc_ppm,
+        |  CAST(du.d * dw.d AS BIGINT) AS pref_attach,
+        |  CAST((agg.common_neighbors * 1000000)
+        |    // (du.d + dw.d - agg.common_neighbors) AS BIGINT) AS jaccard_ppm
+        |FROM agg JOIN deg du ON du.v = agg.u JOIN deg dw ON dw.v = agg.w
+        |ORDER BY agg.common_neighbors DESC, part_a, part_b
+        |LIMIT 1000""".stripMargin),
+    QueryDef("g34_ktruss", g34Ktruss, {
+      // peel rounds unrolled (the g12/g20 headroom discipline —
+      // surplus rounds are the identity at the fixpoint): triangles
+      // per round by id-ordered enumeration (orientation affects cost,
+      // not the result set), support = the three canonical edge
+      // projections aggregated, final support joined off the LAST
+      // round's identity pass
+      val rounds = 12
+      val peel = (1 to rounds).map { r =>
+        s"""tr$r AS MATERIALIZED (SELECT p.a AS x, p.b AS y, q.b AS z
+           |  FROM t${r - 1} p JOIN t${r - 1} q ON q.a = p.a AND q.b > p.b
+           |  JOIN t${r - 1} c ON c.a = p.b AND c.b = q.b),
+           |sp$r AS MATERIALIZED (SELECT id_a, id_b,
+           |    CAST(count(*) AS BIGINT) AS support FROM (
+           |  SELECT x AS id_a, y AS id_b FROM tr$r
+           |  UNION ALL SELECT x, z FROM tr$r
+           |  UNION ALL SELECT y, z FROM tr$r) GROUP BY 1, 2),
+           |t$r AS MATERIALIZED (SELECT e.a, e.b FROM t${r - 1} e
+           |  JOIN sp$r s ON s.id_a = e.a AND s.id_b = e.b
+           |  WHERE s.support >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |t0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$peel
+         |SELECT CAST(e.a AS BIGINT) AS part_a, CAST(e.b AS BIGINT) AS part_b,
+         |  s.support
+         |FROM t$rounds e JOIN sp$rounds s ON s.id_a = e.a AND s.id_b = e.b"""
+        .stripMargin
     }),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:

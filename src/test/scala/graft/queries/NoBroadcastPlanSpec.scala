@@ -88,6 +88,8 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g30_node2vec_corpus")
     assertEquiOnly("g31_louvain")
     assertEquiOnly("g32_betweenness")
+    assertEquiOnly("g33_link_features")
+    assertEquiOnly("g34_ktruss")
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
