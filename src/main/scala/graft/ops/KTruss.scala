@@ -61,6 +61,119 @@ object KTruss {
     result
   }
 
+  /** INCREMENTAL k-truss under insert-only edge arrival — the
+    * [[KCore.refreshCore]] monotonicity argument lifted to edge
+    * supports: edges only arrive, so triangles only form (never
+    * dissolve) and the k-truss only GROWS. A standing-truss edge can
+    * never peel — its ≥ k−2 witnessing triangles live entirely inside
+    * the standing truss, whose edges all survive with it, MUTUALLY —
+    * so standing-truss edges are PROTECTED and only the ACTIVE edges
+    * (new arrivals + pre-existing edges outside the standing truss)
+    * run the peel rule. Triangle enumeration per round is restricted
+    * to triangles touching at least one active edge: two wedge joins
+    * anchored on an active SIDE plus one join chain anchored on an
+    * active CLOSING edge — every intermediate is bounded by the
+    * active region's touchings, never the graph's wedge count
+    * (all-protected triangles can't change an active edge's support:
+    * they don't contain it). The fixpoint equals the cold
+    * truss of the merged graph (truss uniqueness; KTrussSpec proves
+    * it differentially).
+    *
+    * Output: (id_a, id_b, support, support_prev) — prev NULL for
+    * edges the batch promoted into the truss (the g13/g24 delta
+    * convention); support is the IN-TRUSS support over the merged
+    * fixpoint. `standingTruss`: (id_a, id_b, support) from [[truss]]
+    * over the pre-batch edges. */
+  def refreshTruss(standingTruss: DataFrame, mergedEdges: DataFrame, k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 3, "k_truss: k >= 3 (the 2-truss is the whole graph)")
+    require(maxRounds >= 1, "k_truss: maxRounds >= 1")
+    val protectedE = standingTruss.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    var active = mergedEdges.select(col("id_a"), col("id_b"))
+      .join(protectedE, Seq("id_a", "id_b"), "left_anti")
+      .localCheckpoint(true)
+    var activeEdges = active.count()
+    var rounds = 0
+    var fixed = activeEdges == 0L
+    while (!fixed) {
+      require(rounds < maxRounds,
+        s"k_truss refresh: no fixpoint after $maxRounds rounds ($activeEdges active edges live)")
+      val cur = protectedE.unionByName(active).localCheckpoint(true)
+      val keep = activeSupport(cur, active)
+        .filter(col("support") >= k - 2)
+        .select(col("id_a"), col("id_b"))
+      val next = active.join(keep, Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint(true)
+      val nextEdges = next.count()
+      fixed = nextEdges == activeEdges || nextEdges == 0L
+      active = next
+      activeEdges = nextEdges
+      rounds += 1
+    }
+    // final supports over the merged fixpoint: protected edges need
+    // theirs refreshed too (new triangles may have raised them), so
+    // one full support pass over the fixpoint edge set — the same
+    // one-shot cost truss() pays per round, paid once here
+    val fix = protectedE.unionByName(active).localCheckpoint(true)
+    val sup = support(fix)
+    fix.join(sup, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .join(standingTruss.select(col("id_a"), col("id_b"),
+        col("support").as("support_prev")), Seq("id_a", "id_b"), "left")
+  }
+
+  /** Support of the ACTIVE edges only, counting every triangle of
+    * `cur` that touches ≥ 1 active edge (sufficient: all-protected
+    * triangles contain no active edge, so they cannot contribute to
+    * an active support). Stable a < b orientation — a triangle
+    * (x<y<z) is (x,y),(x,z),(y,z) — generated as three ACTIVE-side
+    * joins (each equi-join anchors ON the active relation, so work is
+    * bounded by wedges TOUCHING the active region, never the graph's
+    * wedge count), deduped on the full row (flags are a function of
+    * the triangle, so distinct-by-all-columns dedups triangles with
+    * 2+ active edges exactly once), then each active edge of each
+    * triangle receives the count. */
+  private def activeSupport(cur: DataFrame, active: DataFrame): DataFrame = {
+    val flagged = cur.join(active.withColumn("is_active", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("is_active"), lit(0)).as("fa"))
+      .localCheckpoint(true) // six join sides below read it
+    def shape(t: DataFrame) =
+      t.select(col("p.id_a").as("x"), col("p.id_b").as("y"), col("q.id_b").as("z"),
+        col("p.fa").as("fxy"), col("q.fa").as("fxz"), col("c.fa").as("fyz"))
+    val act = flagged.filter(col("fa") === 1)
+    // (x,y) or (x,z) active: the wedge join anchors on the active side
+    // of the shared-corner equality, so its OUTPUT is wedges touching
+    // the active region
+    def wedgeAnchored(p: DataFrame, q: DataFrame) =
+      p.as("p").join(q.as("q"),
+          col("p.id_a") === col("q.id_a") && col("p.id_b") < col("q.id_b"))
+        .join(flagged.as("c"),
+          col("c.id_a") === col("p.id_b") && col("c.id_b") === col("q.id_b"))
+    // (y,z) active: anchor on the CLOSING edge first — composing it as
+    // all×all wedges probed by active would enumerate the graph's full
+    // wedge set before the restriction; p.id_b < q.id_b holds by
+    // construction (y = c.id_a < c.id_b = z)
+    val closingAnchored = act.as("c")
+      .join(flagged.as("p"), col("p.id_b") === col("c.id_a"))
+      .join(flagged.as("q"),
+        col("q.id_a") === col("p.id_a") && col("q.id_b") === col("c.id_b"))
+    val tri = shape(wedgeAnchored(act, flagged))
+      .unionByName(shape(wedgeAnchored(flagged, act)))
+      .unionByName(shape(closingAnchored))
+      .distinct()
+      .localCheckpoint(true) // three projections below
+    tri.filter(col("fxy") === 1).select(col("x").as("id_a"), col("y").as("id_b"))
+      .unionByName(tri.filter(col("fxz") === 1)
+        .select(col("x").as("id_a"), col("z").as("id_b")))
+      .unionByName(tri.filter(col("fyz") === 1)
+        .select(col("y").as("id_a"), col("z").as("id_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
+  }
+
   /** Per-edge triangle support within `e` (staged, a < b): degree-
     * ordered orientation, wedge join at the rank-min corner, closing-
     * edge probe, then one aggregate over the three canonical edge

@@ -874,6 +874,29 @@ object ExtendedQueries {
         col("support"))
   }
 
+  private val g35KtrussIncremental: QFn = (s, dir) => {
+    // Incremental 3-truss refresh under insert-only arrival — the
+    // g24 story lifted from node degrees to edge supports
+    // (ops.KTruss.refreshTruss): the standing truss of the CORPUS
+    // strong graph (csup >= 2, the replayed-edge rule) is protected by
+    // monotonicity (triangles only form), so the refresh peels only
+    // the ACTIVE edges the full graph (tsup >= 2) adds, with triangle
+    // enumeration anchored on the active region. Output is the merged
+    // fixpoint with the g13/g24 delta convention: support_prev NULL
+    // for batch-promoted edges. Both edge tiers come off the shared
+    // supCounts fixture (csup >= 2 ⊆ tsup >= 2, so arrival is
+    // insert-only by construction).
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+    val corpusE = sup.filter(col("csup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val mergedE = sup.filter(col("tsup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val standing = graft.ops.KTruss.truss(corpusE, k = 3)
+    graft.ops.KTruss.refreshTruss(standing, mergedE, k = 3)
+      .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+        col("support"), col("support_prev"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2310,6 +2333,44 @@ object ExtendedQueries {
          |SELECT CAST(e.a AS BIGINT) AS part_a, CAST(e.b AS BIGINT) AS part_b,
          |  s.support
          |FROM t$rounds e JOIN sp$rounds s ON s.id_a = e.a AND s.id_b = e.b"""
+        .stripMargin
+    }),
+    QueryDef("g35_ktruss_incremental", g35KtrussIncremental, {
+      // two cold peel unrolls (the g24 oracle convention): the corpus
+      // truss for support_prev, the merged truss for the fixpoint;
+      // truss uniqueness makes refresh == cold, so the oracle never
+      // needs the incremental machinery
+      def peelRounds(pfx: String, rounds: Int) = (1 to rounds).map { r =>
+        s"""${pfx}tr$r AS MATERIALIZED (SELECT p.a AS x, p.b AS y, q.b AS z
+           |  FROM ${pfx}t${r - 1} p JOIN ${pfx}t${r - 1} q
+           |    ON q.a = p.a AND q.b > p.b
+           |  JOIN ${pfx}t${r - 1} c ON c.a = p.b AND c.b = q.b),
+           |${pfx}sp$r AS MATERIALIZED (SELECT id_a, id_b,
+           |    CAST(count(*) AS BIGINT) AS support FROM (
+           |  SELECT x AS id_a, y AS id_b FROM ${pfx}tr$r
+           |  UNION ALL SELECT x, z FROM ${pfx}tr$r
+           |  UNION ALL SELECT y, z FROM ${pfx}tr$r) GROUP BY 1, 2),
+           |${pfx}t$r AS MATERIALIZED (SELECT e.a, e.b FROM ${pfx}t${r - 1} e
+           |  JOIN ${pfx}sp$r s ON s.id_a = e.a AND s.id_b = e.b
+           |  WHERE s.support >= 1)""".stripMargin
+      }.mkString(",\n")
+      val rounds = 12
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |sup0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    count(CASE WHEN x.o % 50 <> 49 THEN 1 END) AS csup,
+         |    count(*) AS tsup
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |ct0 AS MATERIALIZED (SELECT a, b FROM sup0 WHERE csup >= 2),
+         |mt0 AS MATERIALIZED (SELECT a, b FROM sup0 WHERE tsup >= 2),
+         |${peelRounds("c", rounds)},
+         |${peelRounds("m", rounds)}
+         |SELECT CAST(e.a AS BIGINT) AS part_a, CAST(e.b AS BIGINT) AS part_b,
+         |  sm.support,
+         |  sc.support AS support_prev
+         |FROM mt$rounds e
+         |JOIN msp$rounds sm ON sm.id_a = e.a AND sm.id_b = e.b
+         |LEFT JOIN csp$rounds sc ON sc.id_a = e.a AND sc.id_b = e.b"""
         .stripMargin
     }),
     QueryDef("g28_modularity", g28Modularity, {

@@ -64,6 +64,49 @@ class KTrussSpec extends SparkSpec {
       .updated((1L, 2L), 2L))
   }
 
+  test("refreshTruss converges to the cold truss over the merged graph (random splits)") {
+    for (seed <- Seq(11, 29); k <- Seq(3, 4)) {
+      val rnd = new Random(seed)
+      val all = (for {
+        i <- 0L until 25L; j <- i + 1 until 25L if rnd.nextDouble() < 0.22
+      } yield (i, j)).toSeq
+      val (corpus, batch) = all.partition(_ => rnd.nextDouble() < 0.75)
+      val standing = KTruss.truss(corpus.toDF("id_a", "id_b"), k)
+      val refreshed = KTruss.refreshTruss(standing,
+          (corpus ++ batch).toDF("id_a", "id_b"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val cold = ref(all, k)
+      assert(refreshed.view.mapValues(_._1).toMap === cold,
+        s"seed=$seed k=$k refresh diverged from the cold truss")
+      // delta audit: standing edges carry their previous support,
+      // batch-promoted edges carry NULL
+      val standingSup = standing.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      refreshed.foreach { case (e, (_, prev)) =>
+        assert(prev === standingSup.get(e), s"seed=$seed k=$k edge $e prev drifted")
+      }
+    }
+  }
+
+  test("refresh hand fixture: a batch edge closes triangles and promotes a wedge") {
+    // corpus: open wedge (0,1),(0,2) + K4 on {5,6,7,8}; 3-truss of the
+    // corpus is the K4 alone. Batch adds (1,2): the wedge closes into
+    // a triangle and all three of its edges enter the 3-truss with
+    // support 1 and NULL prev; the K4 edges keep support 2 with prev 2.
+    val k4 = for (i <- 5L to 8L; j <- i + 1 to 8L) yield (i, j)
+    val corpus = Seq((0L, 1L), (0L, 2L)) ++ k4
+    val standing = KTruss.truss(corpus.toDF("id_a", "id_b"), k = 3)
+    val got = KTruss.refreshTruss(standing,
+        (corpus ++ Seq((1L, 2L))).toDF("id_a", "id_b"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for (e <- Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+      assert(got(e) === (1L, None), s"promoted edge $e: ${got(e)}")
+    for (e <- k4)
+      assert(got(e) === (2L, Some(2L)), s"standing edge $e: ${got(e)}")
+  }
+
   test("guards are loud: k < 3 and missing fixpoint headroom") {
     val e = Seq((0L, 1L)).toDF("id_a", "id_b")
     val e1 = intercept[IllegalArgumentException](KTruss.truss(e, k = 2))

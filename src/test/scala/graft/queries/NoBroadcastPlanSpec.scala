@@ -90,6 +90,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g32_betweenness")
     assertEquiOnly("g33_link_features")
     assertEquiOnly("g34_ktruss")
+    assertEquiOnly("g35_ktruss_incremental")
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
