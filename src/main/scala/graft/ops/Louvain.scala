@@ -108,4 +108,71 @@ object Louvain {
       .unionByName(edges.select(col("id_b").as("node"))).distinct()
     oneLevel(edges, nodes.withColumn("lbl", col("node")), rounds)
   }
+
+  /** WEIGHTED move rounds over a multigraph with self-loops — the
+    * level-2+ pass of multi-level Louvain, consuming
+    * [[Coarsen.contract]]'s output directly. `g`: (id_a <= id_b, w)
+    * with id_a == id_b rows as self-loops. Same lattice with weight
+    * mass: W = Σw, weighted degree k_i = Σ_{j≠i} w_ij + 2·w_ii,
+    * k_{i,c} = Σ w_ij over j ∈ c, j ≠ i (the self-loop travels with i
+    * under every candidate, so it cancels out of the comparison and
+    * rides only the degree), score 2W·k_ic − k_i·(Σtot_c − [cur]·k_i).
+    * Same parity half-sweeps, same min-label argmax. Unit weights with
+    * no self-loops reduce EXACTLY to [[oneLevel]] (spec-pinned).
+    * Starts from singletons — the multi-level convention (level N's
+    * input partition is the identity over level N−1's communities). */
+  def oneLevelWeighted(g: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "louvain: rounds >= 1")
+    val e = g.select(col("id_a"), col("id_b"), col("w").cast("long"))
+      .localCheckpoint(true)
+    require(e.filter(col("w").isNull || col("w") <= 0L).isEmpty,
+      "louvain: edge weights must be positive and non-null")
+    val wRow = e.agg(sum(col("w"))).collect().head
+    require(!wRow.isNullAt(0) && wRow.getLong(0) > 0L,
+      "louvain: empty multigraph has no modularity to optimize")
+    val bigW = wRow.getLong(0)
+    require(bigW < 1000000000L,
+      s"louvain: total weight $bigW — 2W^2 lattice scores would overflow BIGINT; upgrade to DECIMAL")
+    // non-self rows both directions for votes; self-loops only in deg
+    val nonSelf = e.filter(col("id_a") =!= col("id_b"))
+    val ed = nonSelf.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .unionByName(nonSelf.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val deg = ed.select(col("src").as("node"), col("w"))
+      .unionByName(e.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("node"), (col("w") * 2L).as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true)
+    var lab = deg.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val sigma = lab.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
+      val movers = lab.filter(pmod(col("node"), lit(2L)) === lit(r % 2))
+      val keepers = lab.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2))
+      val kic = ed
+        .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("kic"))
+        .join(movers.select(col("node")), Seq("node"), "left_semi")
+      val cand = kic.unionByName(
+          movers.withColumn("kic", lit(0L)))
+        .groupBy(col("node"), col("lbl")).agg(max(col("kic")).as("kic"))
+      val scored = cand
+        .join(deg, Seq("node"))
+        .join(sigma, Seq("lbl"))
+        .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
+        .select(col("node"), col("lbl"), col("cur"),
+          (lit(2L * bigW) * col("kic") -
+            col("k") * (col("tot") -
+              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L))))
+            .as("score"))
+      val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
+      lab = keepers.unionByName(
+          scored.join(best, Seq("node"))
+            .filter(col("score") === col("ms"))
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

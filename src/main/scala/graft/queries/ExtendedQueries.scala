@@ -897,6 +897,29 @@ object ExtendedQueries {
         col("support"), col("support_prev"))
   }
 
+  private val g36LouvainMultilevel: QFn = (s, dir) => {
+    // MULTI-LEVEL Louvain over the strong co-purchase graph: the g31
+    // level-1 move rounds, then Coarsen.contract collapses each
+    // community into a weighted supernode (modularity-preserving —
+    // Blondel's phase 2), then a weighted move pass merges whole
+    // communities where the bridge mass justifies it
+    // (Louvain.oneLevelWeighted, the same integer lattice with weight
+    // mass). Output: each part labeled by its LEVEL-2 super-community
+    // + member count — the partition multi-level Louvain actually
+    // ships, refined past anything one level can see.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val l1 = graft.ops.Louvain.fromSingletons(strong, rounds = 4)
+    val l2 = graft.ops.Louvain.oneLevelWeighted(
+      graft.ops.Coarsen.contract(strong, l1), rounds = 2)
+    val projected = l1
+      .join(l2.select(col("node").as("lbl"), col("lbl").as("super")), Seq("lbl"))
+      .select(col("node").as("part_id"), col("super").as("community"))
+    val sz = projected.groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+    projected.join(sz, Seq("community"))
+      .select(col("part_id"), col("community"), col("n_members"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2372,6 +2395,95 @@ object ExtendedQueries {
          |JOIN msp$rounds sm ON sm.id_a = e.a AND sm.id_b = e.b
          |LEFT JOIN csp$rounds sc ON sc.id_a = e.a AND sc.id_b = e.b"""
         .stripMargin
+    }),
+    QueryDef("g36_louvain_multilevel", g36LouvainMultilevel, {
+      // the g31 unroll (4 rounds), the contraction aggregate, then the
+      // weighted rounds with SUM(w) votes and the weight-mass scalar
+      val l1Rounds = (1 to 4).map { r =>
+        val par = r % 2
+        s"""sg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS tot
+           |  FROM r${r - 1} l JOIN deg d ON d.v = l.node GROUP BY l.lbl),
+           |kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
+           |    CAST(count(*) AS BIGINT) AS kic
+           |  FROM me e JOIN r${r - 1} l ON l.node = e.dst
+           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
+           |  SELECT node, lbl, kic FROM kic$r
+           |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM r${r - 1}
+           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
+           |    2 * mm.m * c.kic - d.d * (s.tot
+           |      - CASE WHEN c.lbl = cur.lbl THEN d.d ELSE 0 END) AS score
+           |  FROM cand$r c JOIN deg d ON d.v = c.node
+           |  JOIN sg$r s ON s.lbl = c.lbl
+           |  JOIN r${r - 1} cur ON cur.node = c.node, mm),
+           |r$r AS MATERIALIZED (
+           |  SELECT s.node, MIN(s.lbl) AS lbl FROM sc$r s
+           |  JOIN (SELECT node, MAX(score) AS ms FROM sc$r GROUP BY node) x
+           |    ON x.node = s.node AND s.score = x.ms
+           |  GROUP BY s.node
+           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE node % 2 <> $par)"""
+          .stripMargin
+      }.mkString(",\n")
+      val l2Rounds = (1 to 2).map { r =>
+        val par = r % 2
+        s"""wsg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+           |  FROM w${r - 1} l JOIN wdeg d ON d.node = l.node GROUP BY l.lbl),
+           |wkic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
+           |    CAST(SUM(e.w) AS BIGINT) AS kic
+           |  FROM wed e JOIN w${r - 1} l ON l.node = e.dst
+           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |wcand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
+           |  SELECT node, lbl, kic FROM wkic$r
+           |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM w${r - 1}
+           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |wsc$r AS MATERIALIZED (SELECT c.node, c.lbl,
+           |    2 * ww.wtot * c.kic - d.k * (s.tot
+           |      - CASE WHEN c.lbl = cur.lbl THEN d.k ELSE 0 END) AS score
+           |  FROM wcand$r c JOIN wdeg d ON d.node = c.node
+           |  JOIN wsg$r s ON s.lbl = c.lbl
+           |  JOIN w${r - 1} cur ON cur.node = c.node, ww),
+           |w$r AS MATERIALIZED (
+           |  SELECT s.node, MIN(s.lbl) AS lbl FROM wsc$r s
+           |  JOIN (SELECT node, MAX(score) AS ms FROM wsc$r GROUP BY node) x
+           |    ON x.node = s.node AND s.score = x.ms
+           |  GROUP BY s.node
+           |  UNION ALL SELECT node, lbl FROM w${r - 1} WHERE node % 2 <> $par)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |r0 AS MATERIALIZED (SELECT v AS node, v AS lbl FROM deg),
+         |$l1Rounds,
+         |cg AS MATERIALIZED (SELECT LEAST(la.lbl, lb.lbl) AS a2,
+         |    GREATEST(la.lbl, lb.lbl) AS b2, CAST(count(*) AS BIGINT) AS w
+         |  FROM e0 JOIN r4 la ON la.node = e0.a JOIN r4 lb ON lb.node = e0.b
+         |  GROUP BY 1, 2),
+         |wdeg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS k FROM (
+         |  SELECT a2 AS node, w FROM cg WHERE a2 <> b2
+         |  UNION ALL SELECT b2, w FROM cg WHERE a2 <> b2
+         |  UNION ALL SELECT a2, 2 * w FROM cg WHERE a2 = b2) GROUP BY node),
+         |ww AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM cg),
+         |wed AS MATERIALIZED (SELECT a2 AS src, b2 AS dst, w FROM cg
+         |  WHERE a2 <> b2
+         |  UNION ALL SELECT b2, a2, w FROM cg WHERE a2 <> b2),
+         |w0 AS MATERIALIZED (SELECT node, node AS lbl FROM wdeg),
+         |$l2Rounds,
+         |proj AS MATERIALIZED (SELECT l1.node AS part_id, w2.lbl AS community
+         |  FROM r4 l1 JOIN w2 ON w2.node = l1.lbl),
+         |sz AS (SELECT community, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM proj GROUP BY community)
+         |SELECT CAST(proj.part_id AS BIGINT) AS part_id,
+         |  CAST(proj.community AS BIGINT) AS community, sz.n_members
+         |FROM proj JOIN sz ON sz.community = proj.community""".stripMargin
     }),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:

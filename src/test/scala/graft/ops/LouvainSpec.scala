@@ -79,6 +79,93 @@ class LouvainSpec extends SparkSpec {
     assert(q(lab) > q(singles), "greedy moves did not improve modularity")
   }
 
+  /** Weighted reference: same rule with weight mass (self-loops ride
+    * only the degree). `g`: (id_a <= id_b, w). */
+  private def refWeighted(g: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+    val wTot = g.map(_._3).sum
+    val nonSelf = g.filterNot(x => x._1 == x._2)
+    val ed = nonSelf.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val deg = (ed.map(x => (x._1, x._3)) ++
+        g.collect { case (a, b, w) if a == b => (a, 2 * w) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    var lab = deg.keys.map(v => v -> v).toMap
+    for (r <- 1 to rounds) {
+      val sigma = lab.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => deg(x._1)).sum).toMap
+      val kic = ed.groupBy(x => (x._1, lab(x._2))).view
+        .mapValues(_.map(_._3).sum).toMap
+      lab = lab.map { case (i, cur) =>
+        if (i % 2 != r % 2) i -> cur
+        else {
+          val cands = kic.keysIterator.collect { case (n, c) if n == i => c }.toSet + cur
+          val scored = cands.map { c =>
+            val tot = sigma(c) - (if (c == cur) deg(i) else 0L)
+            (2L * wTot * kic.getOrElse((i, c), 0L) - deg(i) * tot, c)
+          }
+          val ms = scored.map(_._1).max
+          i -> scored.filter(_._1 == ms).map(_._2).min
+        }
+      }
+    }
+    lab
+  }
+
+  test("oneLevelWeighted matches the weighted reference on random multigraphs") {
+    for (seed <- Seq(41, 59); rounds <- Seq(1, 3)) {
+      val rnd = new Random(seed)
+      val g = ((for {
+        i <- 0L until 20L; j <- i + 1 until 20L
+        if rnd.nextDouble() < 0.14
+      } yield (i, j, 1L + rnd.nextInt(5).toLong)) ++
+        (0L until 20L).filter(_ => rnd.nextDouble() < 0.3)
+          .map(v => (v, v, 1L + rnd.nextInt(3).toLong))).toSeq
+      if (g.nonEmpty) {
+        val got = Louvain.oneLevelWeighted(g.toDF("id_a", "id_b", "w"), rounds)
+          .as[(Long, Long)].collect().toMap
+        assert(got === refWeighted(g, rounds), s"seed=$seed rounds=$rounds")
+      }
+    }
+  }
+
+  test("unit weights with no self-loops reduce to the unweighted level exactly") {
+    val edges = undirected(83, n = 25, p = 0.14)
+    val unweighted = Louvain.fromSingletons(edges.toDF("id_a", "id_b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val weighted = Louvain.oneLevelWeighted(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("id_a", "id_b", "w"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted === unweighted)
+  }
+
+  test("coarsened level 2 keeps well-separated communities apart and absorbs satellites") {
+    // two triangles + bridge contract (via the level-1 labels) into
+    // two supernodes with self-loop weight 3 each and ONE inter edge;
+    // the weighted pass must NOT merge them (merging two dense
+    // supernodes over a weight-1 bridge lowers Q)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (2L, 3L)).toDF("id_a", "id_b")
+    val l1 = Louvain.fromSingletons(edges, rounds = 3)
+    val cg = Coarsen.contract(edges, l1)
+      .as[(Long, Long, Long)].collect().toSet
+    val c1 = l1.as[(Long, Long)].collect().toMap.apply(0L)
+    val c2 = l1.as[(Long, Long)].collect().toMap.apply(3L)
+    assert(cg === Set((c1, c1, 3L), (c2, c2, 3L),
+      (math.min(c1, c2), math.max(c1, c2), 1L)), s"coarsened: $cg")
+    val l2 = Louvain.oneLevelWeighted(
+        Coarsen.contract(edges, l1), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2(c1) !== l2(c2), s"bridge merged the triangles at level 2: $l2")
+  }
+
+  test("weighted guards are loud: null/non-positive weights and empty graphs") {
+    val bad = Seq((1L, 2L, Some(0L))).toDF("id_a", "id_b", "w")
+    val e1 = intercept[IllegalArgumentException](Louvain.oneLevelWeighted(bad, 1))
+    assert(e1.getMessage.contains("positive"))
+    val e2 = intercept[IllegalArgumentException](Louvain.oneLevelWeighted(
+      Seq.empty[(Long, Long, Long)].toDF("id_a", "id_b", "w"), 1))
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("empty and oversized edge sets fail loudly") {
     val e1 = intercept[IllegalArgumentException](
       Louvain.oneLevel(Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
