@@ -920,6 +920,43 @@ object ExtendedQueries {
       .select(col("part_id"), col("community"), col("n_members"))
   }
 
+  private val x6Anf: QFn = (s, dir) => {
+    // Approximate neighborhood function over the strong co-purchase
+    // graph (ops.Anf — the HyperBall iteration: per-node HLL ball
+    // sketches, one edge⋈state join + union-agg per hop, O(|E|)
+    // sketch merges at any graph size): N(h) = ordered pairs within h
+    // hops, the effective-diameter / reach profile read. Approximate
+    // by definition, so the oracled contract is the x2/x3 discipline:
+    // the exact side is THIS query's own all-pairs BFS (the documented
+    // exact-truth harness — the quadratic path ANF exists to replace),
+    // and the compared columns (hop, exact_pairs, anf_ok) are
+    // deterministic; the DuckDB side replays the BFS and emits literal
+    // TRUE, so the hash compare ASSERTS the sketch sits in its
+    // envelope.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val est = graft.ops.Anf.neighborhoodFunction(edges, maxHop = 3)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var visited = nodes.select(col("node").as("seed"), col("node").as("id"))
+      .localCheckpoint(true)
+    val exact = (1 to 3).map { h =>
+      val next = edges
+        .join(visited.select(col("seed"), col("id").as("src")), Seq("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
+      visited = visited.unionByName(next).localCheckpoint(true)
+      visited.agg(count(lit(1)).as("exact_pairs"))
+        .select(lit(h.toLong).as("hop"), col("exact_pairs"))
+    }.reduce(_.unionByName(_))
+    exact.join(est, Seq("hop"))
+      .select(col("hop"), col("exact_pairs"),
+        (abs(col("est_pairs").cast("double") - col("exact_pairs").cast("double"))
+          <= greatest(col("exact_pairs").cast("double") * lit(0.10), lit(50.0)))
+          .as("anf_ok"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2484,6 +2521,38 @@ object ExtendedQueries {
          |SELECT CAST(proj.part_id AS BIGINT) AS part_id,
          |  CAST(proj.community AS BIGINT) AS community, sz.n_members
          |FROM proj JOIN sz ON sz.community = proj.community""".stripMargin
+    }),
+    QueryDef("x6_anf", x6Anf, {
+      // the exact side only: all-nodes pair BFS layers (the g22 shape
+      // with every node as its own seed), cumulative counts per hop,
+      // literal TRUE envelope (the x2 one-sided discipline)
+      val layers = (1 to 3).map { h =>
+        val prev = if (h == 1) "s0" else s"b${h - 1}"
+        val excl = (Seq("s0") ++ (1 until h).map(i => s"b$i")).map(t =>
+          s"NOT EXISTS (SELECT 1 FROM $t p$t WHERE p$t.seed = f.seed AND p$t.id = e.dst)")
+          .mkString("\n    AND ")
+        s"""b$h AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS id
+           |  FROM me e JOIN $prev f ON e.src = f.id
+           |  WHERE $excl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS id FROM me),
+         |$layers,
+         |c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+         |  (SELECT count(*) FROM b1) AS c1,
+         |  (SELECT count(*) FROM b2) AS c2,
+         |  (SELECT count(*) FROM b3) AS c3)
+         |SELECT CAST(1 AS BIGINT) AS hop,
+         |  CAST(c0 + c1 AS BIGINT) AS exact_pairs, TRUE AS anf_ok FROM c
+         |UNION ALL SELECT 2, CAST(c0 + c1 + c2 AS BIGINT), TRUE FROM c
+         |UNION ALL SELECT 3, CAST(c0 + c1 + c2 + c3 AS BIGINT), TRUE FROM c"""
+        .stripMargin
     }),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:

@@ -92,6 +92,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g34_ktruss")
     assertEquiOnly("g35_ktruss_incremental")
     assertEquiOnly("g36_louvain_multilevel")
+    assertEquiOnly("x6_anf")
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
