@@ -79,8 +79,13 @@ object Bench {
             spark.conf.set("graft.fixtures.dir", provided)
             -1.0
           } else {
+            // root keyed on a CONTENT fingerprint (file names + sizes +
+            // mtimes), not just the dir string: the same path holding
+            // REGENERATED data must re-prepare, not serve the previous
+            // snapshot's fixtures (the marker alone pins only the
+            // string — the ADVICE stale-re-prepare hazard)
             val root = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_" +
-              java.lang.Integer.toHexString(sfDir.hashCode)
+              dataFingerprint(sfDir)
             val prepSec =
               if (FixtureStore.readMarker(spark, root).contains(sfDir)) -1.0
               else {
@@ -102,6 +107,22 @@ object Bench {
         System.err.println(s"[bench] fixtures-prepare failed (continuing cold): $t")
         -1.0
     }
+  }
+
+  /** MD5 over every file's (relative path, length, mtime) under the
+    * sf dir — a cheap local-fs content fingerprint (metadata-scale:
+    * one directory walk, no data read). */
+  private def dataFingerprint(sfDir: String): String = {
+    val base = new java.io.File(sfDir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(base).foreach { f =>
+      md.update(s"${f.getPath.stripPrefix(base.getPath)}:${f.length()}:${f.lastModified()};"
+        .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
   def main(args: Array[String]): Unit = {
