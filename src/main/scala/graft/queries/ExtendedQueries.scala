@@ -957,6 +957,34 @@ object ExtendedQueries {
           .as("anf_ok"))
   }
 
+  private val g37LinkIncremental: QFn = (s, dir) => {
+    // Incremental link-feature refresh under insert-only arrival (the
+    // g35 split, the g11 delta-region discipline): standing features
+    // over the CORPUS strong graph (csup >= 2), batch = the edges the
+    // full graph adds (tsup >= 2 minus corpus), refresh =
+    // ops.LinkPrediction.refreshFeatures — affected pairs generated
+    // anchored on the batch's endpoint set (features are NOT monotone:
+    // a batch edge kills its own candidate and rewrites every index
+    // touching its endpoints), unchanged rows carried verbatim,
+    // fixpoint == cold merged features (spec-proven). Output the
+    // g33 top-1000 with prev_common_neighbors (NULL = batch-created
+    // pair, the delta convention).
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+    val corpusE = sup.filter(col("csup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val mergedE = sup.filter(col("tsup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val batchE = mergedE.join(corpusE, Seq("id_a", "id_b"), "left_anti")
+    val standing = graft.ops.LinkPrediction.features(corpusE, maxHubDeg = 64L)
+    graft.ops.LinkPrediction.refreshFeatures(standing, mergedE, batchE,
+        maxHubDeg = 64L)
+      .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+      .limit(1000)
+      .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+        col("common_neighbors"), col("resource_alloc_ppm"),
+        col("pref_attach"), col("jaccard_ppm"), col("prev_common_neighbors"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2553,6 +2581,51 @@ object ExtendedQueries {
          |UNION ALL SELECT 2, CAST(c0 + c1 + c2 AS BIGINT), TRUE FROM c
          |UNION ALL SELECT 3, CAST(c0 + c1 + c2 + c3 AS BIGINT), TRUE FROM c"""
         .stripMargin
+    }),
+    QueryDef("g37_link_incremental", g37LinkIncremental, {
+      // refresh == cold (delta-region correctness is the Spark side's
+      // burden), so the oracle is the g33 wedge computation over the
+      // MERGED graph + a LEFT JOIN of the corpus computation's
+      // common-neighbor counts for prev
+      def wedge(pfx: String, src: String) =
+        s"""${pfx}deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d
+           |  FROM (SELECT a AS v FROM $src UNION ALL SELECT b FROM $src)
+           |  GROUP BY v),
+           |${pfx}ctr AS MATERIALIZED (SELECT m.src, m.dst FROM (
+           |    SELECT a AS src, b AS dst FROM $src
+           |    UNION ALL SELECT b, a FROM $src) m
+           |  JOIN ${pfx}deg dd ON dd.v = m.src WHERE dd.d <= 64),
+           |${pfx}wed AS MATERIALIZED (SELECT x.src AS z, x.dst AS u, y.dst AS w
+           |  FROM ${pfx}ctr x JOIN ${pfx}ctr y
+           |    ON x.src = y.src AND x.dst < y.dst
+           |  WHERE NOT EXISTS (SELECT 1 FROM $src
+           |    WHERE $src.a = x.dst AND $src.b = y.dst)),
+           |${pfx}agg AS MATERIALIZED (SELECT u, w,
+           |    CAST(count(*) AS BIGINT) AS common_neighbors,
+           |    CAST(SUM(1000000 // dz.d) AS BIGINT) AS resource_alloc_ppm
+           |  FROM ${pfx}wed JOIN ${pfx}deg dz ON dz.v = ${pfx}wed.z
+           |  GROUP BY u, w)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |sup0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    count(CASE WHEN x.o % 50 <> 49 THEN 1 END) AS csup,
+         |    count(*) AS tsup
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+         |ce0 AS MATERIALIZED (SELECT a, b FROM sup0 WHERE csup >= 2),
+         |me0 AS MATERIALIZED (SELECT a, b FROM sup0 WHERE tsup >= 2),
+         |${wedge("c", "ce0")},
+         |${wedge("m", "me0")}
+         |SELECT CAST(m.u AS BIGINT) AS part_a, CAST(m.w AS BIGINT) AS part_b,
+         |  m.common_neighbors, m.resource_alloc_ppm,
+         |  CAST(du.d * dw.d AS BIGINT) AS pref_attach,
+         |  CAST((m.common_neighbors * 1000000)
+         |    // (du.d + dw.d - m.common_neighbors) AS BIGINT) AS jaccard_ppm,
+         |  c.common_neighbors AS prev_common_neighbors
+         |FROM magg m
+         |JOIN mdeg du ON du.v = m.u JOIN mdeg dw ON dw.v = m.w
+         |LEFT JOIN cagg c ON c.u = m.u AND c.w = m.w
+         |ORDER BY m.common_neighbors DESC, part_a, part_b
+         |LIMIT 1000""".stripMargin
     }),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:

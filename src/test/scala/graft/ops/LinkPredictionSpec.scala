@@ -70,6 +70,57 @@ class LinkPredictionSpec extends SparkSpec {
     assert(full((1L, 3L)) === (1L, 333333L, 2L, 500000L))
   }
 
+  test("refreshFeatures equals the cold features of the merged graph (random splits)") {
+    // caps chosen to EXERCISE the touched-center cap flip: at cap 3
+    // some centers cross maxHubDeg when batch edges land on them —
+    // the case that must route through the uncapped touched-center
+    // generator, not carry stale
+    for (seed <- Seq(13, 47); cap <- Seq(3L, 100L)) {
+      val rnd = new Random(seed)
+      val all = (for {
+        i <- 0L until 25L; j <- i + 1 until 25L if rnd.nextDouble() < 0.15
+      } yield (i, j)).toSeq
+      val (corpus, batch) = all.partition(_ => rnd.nextDouble() < 0.7)
+      if (batch.nonEmpty) {
+        val standing = LinkPrediction.features(corpus.toDF("id_a", "id_b"), cap)
+        val got = LinkPrediction.refreshFeatures(standing,
+            all.toDF("id_a", "id_b"), batch.toDF("id_a", "id_b"), cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+              if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+        assert(got.view.mapValues(_._1).toMap === ref(all, cap),
+          s"seed=$seed cap=$cap refresh diverged from cold")
+        // delta audit: prev = the standing row's common-neighbor count
+        val prev = standing.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        got.foreach { case (p, (_, pv)) =>
+          assert(pv === prev.get(p), s"seed=$seed cap=$cap pair $p prev drifted")
+        }
+      }
+    }
+  }
+
+  test("refresh hand fixture: a batch edge kills its candidate and shifts RA via the new degree") {
+    // corpus path 0-1-2: one candidate (0,2) via center 1. Batch adds
+    // (0,2): the candidate becomes an edge and a NEW candidate set
+    // appears through the now-triangle (none — K3 has no distance-2
+    // pairs). Batch also adds (2,3): candidates (1,3) via center 2.
+    val corpus = Seq((0L, 1L), (1L, 2L))
+    val batch = Seq((0L, 2L), (2L, 3L))
+    val standing = LinkPrediction.features(corpus.toDF("id_a", "id_b"), 10L)
+    val got = LinkPrediction.refreshFeatures(standing,
+        (corpus ++ batch).toDF("id_a", "id_b"), batch.toDF("id_a", "id_b"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    assert(!got.contains((0L, 2L)), "edge-ified candidate survived the refresh")
+    // (1,3) through center 2 (deg 3): cn=1, ra=333333, pa=deg1*deg3=2*1,
+    // jac=1e6/(2+1-1)=500000; promoted -> prev NULL
+    assert(got((1L, 3L)) === ((1L, 333333L, 2L, 500000L), None), s"got: $got")
+    // (0,3) through center 2 as well: deg0=2 -> pa=2, same cn/ra
+    assert(got((0L, 3L)) === ((1L, 333333L, 2L, 500000L), None))
+  }
+
   test("the cap guard is loud") {
     val e = intercept[IllegalArgumentException](
       LinkPrediction.features(Seq((1L, 2L)).toDF("id_a", "id_b"), 0L))

@@ -93,6 +93,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g35_ktruss_incremental")
     assertEquiOnly("g36_louvain_multilevel")
     assertEquiOnly("x6_anf")
+    assertEquiOnly("g37_link_incremental")
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
