@@ -275,6 +275,27 @@ class GraphPlanSpec extends SparkSpec {
     }
   }
 
+  test("g31/g34/g35/g36/g37: round-16 iteration chains fully staged — no fact scan survives") {
+    // the Louvain move rounds, both truss peels, the coarsened
+    // weighted rounds, and the link-feature refresh all stage their
+    // per-round relations (localCheckpoint): the RETURNED plan must
+    // read staged RDDs, never re-derive the strong graph from lineitem
+    for (name <- Seq("g31_louvain", "g34_ktruss", "g35_ktruss_incremental",
+        "g36_louvain_multilevel", "g37_link_incremental")) {
+      val qe = q(name).queryExecution
+      val leaves = qe.sparkPlan.collectLeaves()
+      assert(!leaves.exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("Location").contains("lineitem")
+        case _ => false
+      }, s"$name's final plan re-derives the edge list from the fact table")
+      assert(leaves.exists {
+        case _: org.apache.spark.sql.execution.RDDScanExec => true
+        case _ => false
+      }, s"$name's staged relations vanished from the plan")
+    }
+  }
+
   test("g8: fixed-point semantics — star graph concentrates rank in the hub") {
     // hand-check of the integer recurrence on a 1-hub star: after any
     // number of rounds every leaf has identical pr and the hub strictly
