@@ -985,6 +985,19 @@ object ExtendedQueries {
         col("pref_attach"), col("jaccard_ppm"), col("prev_common_neighbors"))
   }
 
+  private val g38Motifs: QFn = (s, dir) => {
+    // Small-motif census of the strong co-purchase graph (ops.Motifs):
+    // node/edge/wedge/triangle/4-cycle counts from closed-form
+    // aggregates (4-cycles via the diagonal-pair identity — no motif
+    // is ever enumerated), one exact BIGINT row — the structural
+    // fingerprint beside g29's assortativity scalar. The strong tier
+    // IS the hub clamp the census cost model requires (Σdeg², the
+    // triangle budget).
+    graft.ops.Motifs.census(
+      graft.tables.GraphFixtures.strongPairs(s, dir)
+        .select(col("a").as("id_a"), col("b").as("id_b")))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2627,6 +2640,33 @@ object ExtendedQueries {
          |ORDER BY m.common_neighbors DESC, part_a, part_b
          |LIMIT 1000""".stripMargin
     }),
+    QueryDef("g38_motifs", g38Motifs,
+      // the same closed-form aggregates: degree moments, one codeg
+      // wedge aggregation read by both the triangle (edge-restricted)
+      // and 4-cycle (C(cd,2) halved) sums
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM me GROUP BY src),
+        |basics AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+        |  CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |codeg AS MATERIALIZED (SELECT x.dst AS u, y.dst AS w,
+        |    CAST(count(*) AS BIGINT) AS cd
+        |  FROM me x JOIN me y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2),
+        |tri AS (SELECT CAST(COALESCE(SUM(cd), 0) // 3 AS BIGINT) AS n_triangles
+        |  FROM codeg JOIN e0 ON e0.a = codeg.u AND e0.b = codeg.w),
+        |cyc AS (SELECT CAST(COALESCE(SUM(cd * (cd - 1) // 2), 0) // 2 AS BIGINT)
+        |    AS n_four_cycles FROM codeg)
+        |SELECT basics.n_nodes, basics.n_edges, basics.n_wedges,
+        |  tri.n_triangles, cyc.n_four_cycles
+        |FROM basics, tri, cyc""".stripMargin),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:
       // intra = edge list joined on BOTH endpoint labels, degree mass

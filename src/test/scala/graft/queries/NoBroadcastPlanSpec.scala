@@ -94,6 +94,9 @@ class NoBroadcastPlanSpec extends SparkSpec {
     assertEquiOnly("g36_louvain_multilevel")
     assertEquiOnly("x6_anf")
     assertEquiOnly("g37_link_incremental")
+    // g38's two BNLJs are the explicit 1-row triangle/4-cycle scalar
+    // broadcasts (the x4 convention)
+    assertEquiOnly("g38_motifs", allowedBnlj = 2)
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
