@@ -998,6 +998,20 @@ object ExtendedQueries {
         .select(col("a").as("id_a"), col("b").as("id_b")))
   }
 
+  private val g39Richclub: QFn = (s, dir) => {
+    // Rich-club profile of the strong co-purchase graph
+    // (ops.RichClub): per degree threshold k, how densely the
+    // degree->k club connects internally — rising phi(k) = hub
+    // oligarchy, the distributional complement of g29's one-number
+    // assortativity. Whole profile = TWO grouped aggregates against a
+    // broadcast 6-row literal series; exact BIGINT num/den + one IEEE
+    // division, NULL (not 0) below two members.
+    graft.ops.RichClub.profile(
+      graft.tables.GraphFixtures.strongPairs(s, dir)
+        .select(col("a").as("id_a"), col("b").as("id_b")),
+      ks = Seq(1L, 2L, 4L, 8L, 16L, 32L))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2667,6 +2681,33 @@ object ExtendedQueries {
         |SELECT basics.n_nodes, basics.n_edges, basics.n_wedges,
         |  tri.n_triangles, cyc.n_four_cycles
         |FROM basics, tri, cyc""".stripMargin),
+    QueryDef("g39_richclub", g39Richclub,
+      // same two grouped aggregates against the literal series; phi as
+      // the single guarded division
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+        |  JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (1), (2), (4), (8), (16), (32)) t(k)),
+        |nr AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_rich
+        |  FROM deg JOIN ks ON deg.d > ks.k GROUP BY ks.k),
+        |md AS MATERIALIZED (SELECT LEAST(da.d, db.d) AS mindeg
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |er AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS e_rich
+        |  FROM md JOIN ks ON md.mindeg > ks.k GROUP BY ks.k)
+        |SELECT ks.k, COALESCE(nr.n_rich, 0) AS n_rich,
+        |  COALESCE(er.e_rich, 0) AS e_rich,
+        |  COALESCE(er.e_rich, 0) * 2 AS phi_num,
+        |  COALESCE(nr.n_rich, 0) * (COALESCE(nr.n_rich, 0) - 1) AS phi_den,
+        |  CASE WHEN COALESCE(nr.n_rich, 0) >= 2 THEN
+        |    CAST(COALESCE(er.e_rich, 0) * 2 AS DOUBLE)
+        |      / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE) END AS phi
+        |FROM ks LEFT JOIN nr ON nr.k = ks.k LEFT JOIN er ON er.k = ks.k"""
+        .stripMargin),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:
       // intra = edge list joined on BOTH endpoint labels, degree mass

@@ -97,6 +97,9 @@ class NoBroadcastPlanSpec extends SparkSpec {
     // g38's two BNLJs are the explicit 1-row triangle/4-cycle scalar
     // broadcasts (the x4 convention)
     assertEquiOnly("g38_motifs", allowedBnlj = 2)
+    // g39's two BNLJs are the deg>k / mindeg>k band joins against the
+    // explicit broadcast 6-row literal threshold series
+    assertEquiOnly("g39_richclub", allowedBnlj = 2)
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
