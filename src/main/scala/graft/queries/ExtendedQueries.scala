@@ -1012,6 +1012,31 @@ object ExtendedQueries {
       ks = Seq(1L, 2L, 4L, 8L, 16L, 32L))
   }
 
+  private val g40ComponentsIncremental: QFn = (s, dir) => {
+    // Incremental connected components (ops.Components — the cheapest
+    // incremental-family member: components only MERGE, so the refresh
+    // contracts standing components to their labels and solves CC on
+    // the components+batch-sized contracted graph, NEVER re-touching
+    // the full edge set). Same corpus/full split as g35/g37; output
+    // the g19 shape; refresh == cold proven by the spec and by this
+    // oracle (which just computes the merged CC cold).
+    val sup = graft.tables.GraphFixtures.supCounts(s, dir)
+    val corpusE = sup.filter(col("csup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val batchE = sup.filter(col("tsup") >= 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .join(corpusE, Seq("id_a", "id_b"), "left_anti")
+    val standing = graft.ops.Dedup.connectedComponents(corpusE)
+      .localCheckpoint(true) // refresh input + the prev column
+    val cc = graft.ops.Components.refreshComponents(standing, batchE)
+    val sz = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    cc.join(sz, Seq("label"))
+      .join(standing.select(col("node"),
+        col("label").as("component_prev")), Seq("node"), "left")
+      .select(col("node").as("part_id"), col("label").as("component"),
+        col("n_members"), col("component_prev"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2708,6 +2733,36 @@ object ExtendedQueries {
         |      / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE) END AS phi
         |FROM ks LEFT JOIN nr ON nr.k = ks.k LEFT JOIN er ON er.k = ks.k"""
         .stripMargin),
+    QueryDef("g40_components_incremental", g40ComponentsIncremental,
+      // refresh == cold (the contraction argument), so the oracle is
+      // TWO recursive-CC computations: the merged graph for the
+      // labels, the corpus graph LEFT-JOINED for component_prev
+      // (NULL = node the batch introduced) — the g35/g37 convention
+      """WITH RECURSIVE li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sup0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+        |    count(CASE WHEN x.o % 50 <> 49 THEN 1 END) AS csup,
+        |    count(*) AS tsup
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM sup0
+        |  WHERE tsup >= 2 UNION ALL SELECT b, a FROM sup0 WHERE tsup >= 2),
+        |ce AS MATERIALIZED (SELECT a AS src, b AS dst FROM sup0
+        |  WHERE csup >= 2 UNION ALL SELECT b, a FROM sup0 WHERE csup >= 2),
+        |mreach(src, dst) AS (SELECT src, dst FROM me
+        |  UNION SELECT r.src, e2.dst FROM mreach r JOIN me e2 ON r.dst = e2.src),
+        |mlab AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS label
+        |  FROM mreach GROUP BY src),
+        |creach(src, dst) AS (SELECT src, dst FROM ce
+        |  UNION SELECT r.src, e2.dst FROM creach r JOIN ce e2 ON r.dst = e2.src),
+        |clab AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS label
+        |  FROM creach GROUP BY src),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM mlab GROUP BY label)
+        |SELECT CAST(mlab.node AS BIGINT) AS part_id,
+        |  CAST(mlab.label AS BIGINT) AS component, sz.n_members,
+        |  CAST(clab.label AS BIGINT) AS component_prev
+        |FROM mlab JOIN sz ON sz.label = mlab.label
+        |LEFT JOIN clab ON clab.node = mlab.node""".stripMargin),
     QueryDef("g28_modularity", g28Modularity, {
       // the g15 label chain verbatim, then the modularity aggregates:
       // intra = edge list joined on BOTH endpoint labels, degree mass

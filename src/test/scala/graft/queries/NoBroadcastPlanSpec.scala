@@ -100,6 +100,7 @@ class NoBroadcastPlanSpec extends SparkSpec {
     // g39's two BNLJs are the deg>k / mindeg>k band joins against the
     // explicit broadcast 6-row literal threshold series
     assertEquiOnly("g39_richclub", allowedBnlj = 2)
+    assertEquiOnly("g40_components_incremental")
     // drift's single BNLJ is the explicit 1-row l1-total broadcast
     // (the x4 scalar convention)
     assertEquiOnly("drift_at_rest")
