@@ -330,7 +330,11 @@ object Exprs {
     // the one Aggregator-backed entry: a ScalaAggregator built exactly
     // as udf.register would, so it rides the SAME shared list instead
     // of a second registration path (which had drifted once already)
-    "uint256_sum" -> (es => Uint256Sum.sqlBuilder(es))
+    "uint256_sum" -> (es => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"uint256_sum expects (hex_value), got ${es.length} argument(s)")
+      Uint256Sum.sqlBuilder(es)
+    })
   )
 
   /** SQL-surface registration for a plain session (Catalog.registerAll

@@ -61,6 +61,90 @@ object KTruss {
     result
   }
 
+  /** WEIGHTED truss peel — the support threshold lifted from triangle
+    * COUNTS to triangle WEIGHT MASS: each triangle contributes the MIN
+    * of its three edge weights (the bottleneck-tie convention — a
+    * triangle is only as strong as its weakest tie; the alternative Σ
+    * convention rewards one heavy edge in an otherwise weak triangle,
+    * which is exactly the hub-and-spoke artifact the truss family
+    * exists to exclude), and an edge survives while its weighted
+    * support Σ_{T∋e} min-weight(T), computed WITHIN the surviving
+    * subgraph, stays ≥ `minSupport`. Same confluent-peel argument as
+    * [[truss]] (weighted support only drops when edges leave), so the
+    * fixpoint is unique and DuckDB-oracle-able by unrolled rounds with
+    * headroom. Same degree-ordered triangle enumeration and per-round
+    * staging; the closing-edge probe is an inner join (not semi) so
+    * the third weight rides into the min.
+    *
+    * `edges`: (id_a < id_b, w) distinct with POSITIVE integer weights
+    * (enforced loudly — a zero/negative weight would make min-mass
+    * non-monotone under peeling). `minSupport` >= 1, so triangle-free
+    * edges always peel (the k >= 3 analogue). Returns
+    * (id_a, id_b, w, w_support). */
+  def trussWeighted(edges: DataFrame, minSupport: Long,
+      maxRounds: Int = 64): DataFrame = {
+    require(minSupport >= 1L, "k_truss weighted: minSupport >= 1")
+    require(maxRounds >= 1, "k_truss: maxRounds >= 1")
+    var cur = edges.select(col("id_a"), col("id_b"), col("w").cast("long"))
+      .localCheckpoint(true)
+    require(cur.filter(col("w").isNull || col("w") <= 0L).isEmpty,
+      "k_truss weighted: edge weights must be positive and non-null")
+    var curEdges = cur.count()
+    var rounds = 0
+    var result: DataFrame = null
+    while (result == null) {
+      require(rounds < maxRounds,
+        s"k_truss weighted: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
+      val sup = weightedSupport(cur)
+      val next = cur.join(sup, Seq("id_a", "id_b"))
+        .filter(col("w_support") >= minSupport)
+      val nextEdges = next.count()
+      if (nextEdges == curEdges || nextEdges == 0L) result = next
+      else {
+        cur = next.select(col("id_a"), col("id_b"), col("w")).localCheckpoint(true)
+        curEdges = nextEdges
+        rounds += 1
+      }
+    }
+    result.select(col("id_a"), col("id_b"), col("w"), col("w_support"))
+  }
+
+  /** Per-edge weighted support within `e` (staged, a < b, w): the
+    * [[support]] enumeration with each triangle's min edge weight
+    * carried through the three canonical projections and SUMMED. */
+  private def weightedSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val vOk = when(col("v") >= 0 && col("v") < lit(1L << 32), col("v"))
+      .otherwise(raise_error(concat(
+        lit("k_truss: node id out of [0, 2^32): "), col("v").cast("string"))))
+    val rk = deg.select(vOk.as("v"),
+      (col("d") * lit(1L << 32) + col("v")).as("rk"))
+    val oriented = e
+      .join(broadcast(rk.select(col("v").as("id_a"), col("rk").as("rka"))), "id_a")
+      .join(broadcast(rk.select(col("v").as("id_b"), col("rk").as("rkb"))), "id_b")
+      .select(
+        when(col("rka") < col("rkb"), col("id_a")).otherwise(col("id_b")).as("src"),
+        when(col("rka") < col("rkb"), col("id_b")).otherwise(col("id_a")).as("dst"),
+        greatest(col("rka"), col("rkb")).as("rkdst"), col("w"))
+      .localCheckpoint(true) // wedge sides + closing probe
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rkdst") < col("e2.rkdst"))
+      .select(col("e1.src").as("v0"), col("e1.dst").as("v1"), col("e2.dst").as("v2"),
+        col("e1.w").as("w1"), col("e2.w").as("w2"))
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2"),
+        col("w").as("w3")), Seq("v1", "v2"))
+      .select(col("v0"), col("v1"), col("v2"),
+        least(col("w1"), col("w2"), col("w3")).as("minw"))
+    tri.select(least(col("v0"), col("v1")).as("id_a"),
+        greatest(col("v0"), col("v1")).as("id_b"), col("minw"))
+      .unionByName(tri.select(least(col("v0"), col("v2")).as("id_a"),
+        greatest(col("v0"), col("v2")).as("id_b"), col("minw")))
+      .unionByName(tri.select(least(col("v1"), col("v2")).as("id_a"),
+        greatest(col("v1"), col("v2")).as("id_b"), col("minw")))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("minw")).as("w_support"))
+  }
+
   /** INCREMENTAL k-truss under insert-only edge arrival — the
     * [[KCore.refreshCore]] monotonicity argument lifted to edge
     * supports: edges only arrive, so triangles only form (never

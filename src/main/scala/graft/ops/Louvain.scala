@@ -39,8 +39,15 @@ import org.apache.spark.sql.functions._
   * relation against the skinny label relation (k_{i,c} counts), one
   * label⋈degree aggregate (Σtot), and the two argmax aggregates —
   * everything keyed, nothing quadratic; labels staged per round.
-  * Bounds: m < 10⁹ keeps 2m·k_{i,c} and k_i·Σtot_c under 2⁶³
-  * (both ≤ 2m², the [[Modularity]] guard).
+  * Bounds: scores live on a DECIMAL(38,0) lattice — 2m·k_{i,c} and
+  * k_i·Σtot_c are both ≤ 4m², which fits DECIMAL(38) up to m ≤ 10¹⁸
+  * edges (any conceivable corpus; the counts themselves overflow
+  * BIGINT degrees first). Exactness is unchanged: decimal128
+  * arithmetic at scale 0 is exact integer arithmetic, and the scored
+  * relation is skinny (one row per mover-candidate), so the wider
+  * lattice never touches a corpus-scale column. The DuckDB oracle
+  * keeps BIGINT arithmetic — identical integers at any SF it runs,
+  * since DuckDB verifies only at test scales.
   */
 object Louvain {
 
@@ -52,8 +59,8 @@ object Louvain {
     val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val m = e.count()
     require(m > 0L, "louvain: empty edge set has no modularity to optimize")
-    require(m < 1000000000L,
-      s"louvain: $m edges — 2m^2 lattice scores would overflow BIGINT; upgrade to DECIMAL")
+    require(m <= 1000000000000000000L, // 10^18: 4m^2 <= 4e36 < 10^38
+      s"louvain: $m edges — 4m^2 exceeds the DECIMAL(38,0) score lattice")
     val ed = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -86,9 +93,11 @@ object Louvain {
         .join(sigma, Seq("lbl"))
         .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
         .select(col("node"), col("lbl"), col("cur"),
-          (lit(2L * m) * col("kic") -
-            col("k") * (col("tot") -
-              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L))))
+          (lit(BigDecimal(2L) * BigDecimal(m)).cast("decimal(38,0)")
+              * col("kic").cast("decimal(38,0)") -
+            col("k").cast("decimal(38,0)") * (col("tot") -
+              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L)))
+              .cast("decimal(38,0)"))
             .as("score"))
       val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
       lab = keepers.unionByName(
@@ -107,6 +116,52 @@ object Louvain {
     val nodes = edges.select(col("id_a").as("node"))
       .unionByName(edges.select(col("id_b").as("node"))).distinct()
     oneLevel(edges, nodes.withColumn("lbl", col("node")), rounds)
+  }
+
+  /** MULTI-LEVEL Louvain to CONVERGENCE — the full Blondel et al.
+    * 2008 outer loop: level 1 = [[fromSingletons]] move rounds on the
+    * base graph, then repeatedly [[Coarsen.contract]] the partition
+    * into a weighted supernode multigraph and run
+    * [[oneLevelWeighted]], ACCEPTING a level only while the exact
+    * integer modularity numerator (Σ_c 4m·in_c − deg_c², the
+    * [[Modularity.ofPartition]] lattice — shared denominator, so the
+    * numerator total orders partitions exactly) strictly improves on
+    * the BASE graph. The loop is bounded by `maxLevels` LOUDLY: a
+    * partition still improving at the bound throws rather than
+    * silently shipping a non-converged level (the KTruss maxRounds
+    * rule). Each accepted level's projected labels are staged; Q is
+    * scored per level as one aggregate over the per-community
+    * decomposition — O(levels) extra passes, each on the skinny
+    * label relation plus one edge join.
+    *
+    * Returns (node, lbl, levels) over the BASE nodes — `levels` = the
+    * accepted level count (constant column, audit surface). */
+  def multiLevel(edges: DataFrame, level1Rounds: Int, weightedRounds: Int,
+      maxLevels: Int): DataFrame = {
+    require(maxLevels >= 1, "louvain: maxLevels >= 1")
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    def qNumer(lab: DataFrame): java.math.BigDecimal =
+      Modularity.ofPartition(e, lab)
+        .agg(sum(col("numer"))).collect().head.getDecimal(0)
+    var lab = fromSingletons(e, level1Rounds).localCheckpoint(true)
+    var q = qNumer(lab)
+    var levels = 1
+    var converged = false
+    while (!converged) {
+      val cand = lab
+        .join(oneLevelWeighted(Coarsen.contract(e, lab), weightedRounds)
+          .select(col("node").as("lbl"), col("lbl").as("super")), Seq("lbl"))
+        .select(col("node"), col("super").as("lbl"))
+      val q2 = qNumer(cand)
+      if (q2.compareTo(q) > 0) {
+        require(levels < maxLevels,
+          s"louvain: modularity still improving after $maxLevels levels — raise maxLevels")
+        lab = cand.localCheckpoint(true)
+        q = q2
+        levels += 1
+      } else converged = true
+    }
+    lab.withColumn("levels", lit(levels))
   }
 
   /** WEIGHTED move rounds over a multigraph with self-loops — the
@@ -131,8 +186,10 @@ object Louvain {
     require(!wRow.isNullAt(0) && wRow.getLong(0) > 0L,
       "louvain: empty multigraph has no modularity to optimize")
     val bigW = wRow.getLong(0)
-    require(bigW < 1000000000L,
-      s"louvain: total weight $bigW — 2W^2 lattice scores would overflow BIGINT; upgrade to DECIMAL")
+    // same DECIMAL(38,0) lattice as [[oneLevel]]: 4W^2 fits up to
+    // W = 10^18 — i.e. any weight mass a BIGINT column can even hold
+    require(bigW <= 1000000000000000000L,
+      s"louvain: total weight $bigW — 4W^2 exceeds the DECIMAL(38,0) score lattice")
     // non-self rows both directions for votes; self-loops only in deg
     val nonSelf = e.filter(col("id_a") =!= col("id_b"))
     val ed = nonSelf.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
@@ -162,9 +219,11 @@ object Louvain {
         .join(sigma, Seq("lbl"))
         .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
         .select(col("node"), col("lbl"), col("cur"),
-          (lit(2L * bigW) * col("kic") -
-            col("k") * (col("tot") -
-              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L))))
+          (lit(BigDecimal(2L) * BigDecimal(bigW)).cast("decimal(38,0)")
+              * col("kic").cast("decimal(38,0)") -
+            col("k").cast("decimal(38,0)") * (col("tot") -
+              when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L)))
+              .cast("decimal(38,0)"))
             .as("score"))
       val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
       lab = keepers.unionByName(

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * in_c = intra-community edges, deg_c = degree mass, m = edges.
   *
   * Exactness discipline: everything is integer until ONE division —
-  * per community the numerator 4·m·in_c − deg_c² is exact BIGINT
-  * (loudly bounded: m < 10⁹ keeps 4m² under 2⁶³; beyond that the
-  * numerators upgrade to DECIMAL, documented here, not needed at any
-  * test SF), the shared denominator is 4m², and the double quotient
-  * is a single IEEE operation — deterministic across engines (the
-  * o9_retention precedent), unlike a sum of per-term doubles.
+  * per community the numerator 4·m·in_c − deg_c² is exact on a
+  * DECIMAL(38,0) lattice (4m² fits up to m ≤ 10¹⁸ edges — decimal128
+  * at scale 0 is exact integer arithmetic, so there is no refusal
+  * ceiling left; the lattice columns are per-COMMUNITY, never
+  * corpus-scale), the shared denominator is 4m², and the double
+  * quotient is a single IEEE operation — deterministic across engines
+  * (the o9_retention precedent), unlike a sum of per-term doubles.
+  * BigDecimal→double conversion is correctly rounded, so the quotient
+  * equals the BIGINT-lattice value wherever both representations hold
+  * the same integer (hash parity with a BIGINT-arithmetic oracle).
   *
   * Shape: intra counts are one join of the (a < b) edge list against
   * the label relation on BOTH endpoints + one aggregate; degree mass
@@ -25,15 +29,17 @@ object Modularity {
 
   /** Per-community modularity decomposition plus the whole-partition
     * score on every row: (community, n_members, in_edges, deg_sum,
-    * numer, denom, q_contrib, q_total). `edges`: distinct undirected
-    * pairs (id_a, id_b), a < b, no self-loops; `labels`: (node, lbl)
-    * covering every edge endpoint. */
+    * numer, denom, q_contrib, q_total). `numer`/`denom` are
+    * DECIMAL(38,0) — exact past the BIGINT range; consumers reporting
+    * at verified SFs may cast them back to long. `edges`: distinct
+    * undirected pairs (id_a, id_b), a < b, no self-loops; `labels`:
+    * (node, lbl) covering every edge endpoint. */
   def ofPartition(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val lab = labels.select(col("node"), col("lbl")).localCheckpoint(true)
     val m = e.count()
-    require(m < 1000000000L,
-      s"modularity: $m edges — 4m^2 would overflow BIGINT; upgrade numerators to DECIMAL")
+    require(m <= 1000000000000000000L, // 10^18: 4m^2 <= 4e36 < 10^38
+      s"modularity: $m edges — 4m^2 exceeds the DECIMAL(38,0) lattice")
     val intra = e
       .join(lab.select(col("node").as("id_a"), col("lbl").as("la")), Seq("id_a"))
       .join(lab.select(col("node").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
@@ -47,9 +53,12 @@ object Modularity {
     val per = degs.join(intra, Seq("lbl"), "left")
       .select(col("lbl").as("community"), col("n_members"),
         coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("deg_sum"),
-        (lit(4L * m) * coalesce(col("in_edges"), lit(0L))
-          - col("deg_sum") * col("deg_sum")).as("numer"),
-        lit(4L * m * m).as("denom"))
+        (lit(BigDecimal(4L) * BigDecimal(m)).cast("decimal(38,0)")
+            * coalesce(col("in_edges"), lit(0L)).cast("decimal(38,0)")
+          - col("deg_sum").cast("decimal(38,0)")
+            * col("deg_sum").cast("decimal(38,0)")).as("numer"),
+        lit(BigDecimal(4L) * BigDecimal(m) * BigDecimal(m))
+          .cast("decimal(38,0)").as("denom"))
       .withColumn("q_contrib",
         col("numer").cast("double") / col("denom").cast("double"))
     val total = per.agg(sum(col("numer")).as("numer_total"))

@@ -98,8 +98,7 @@ object Walks {
     require(steps >= 1, "walks: steps >= 1")
     require(wRet >= 1L && wIn >= 1L && wFar >= 1L,
       "walks: bias weights must be positive integers")
-    require(Seq(wRet, wIn, wFar).max <= (1L << 20),
-      "walks: bias weights capped at 2^20 so the 32-bit md5 bucket stays unbiased over deg * maxW")
+    val maxW = Seq(wRet, wIn, wFar).max
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = e
@@ -107,6 +106,18 @@ object Walks {
       .withColumn("deg", count(lit(1)).over(w
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .localCheckpoint(true)
+    // the draw is a 32-bit md5 bucket taken mod the per-step candidate
+    // total deg·maxW (at most — mixed weights sum lower); once that
+    // total reaches 2^32 the upper cumulative intervals become
+    // UNREACHABLE (the draw never lands there), silently zeroing tail
+    // candidates' probability — so the bound is enforced loudly against
+    // the graph's ACTUAL max degree, not assumed from a weight cap
+    // alone (the r16 ADVICE finding on the old maxW <= 2^20 require)
+    val maxDeg = adj.agg(max(col("deg"))).collect().head.getLong(0)
+    require(maxDeg * maxW < (1L << 32),
+      s"walks: max degree $maxDeg x max bias weight $maxW >= 2^32 — the 32-bit " +
+        "md5 draw cannot reach the tail cumulative intervals; lower the weights " +
+        "(the candidate total must stay under 2^32)")
     // edge-existence probe side for the distance-1 flag (distinct by
     // construction when edges are — the adjacency convention)
     val probe = e.select(col("src").as("p_src"), col("dst").as("p_dst"))

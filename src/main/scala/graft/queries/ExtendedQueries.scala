@@ -1061,9 +1061,13 @@ object ExtendedQueries {
     val edges = strong.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(strong.select(col("id_b").as("src"), col("id_a").as("dst")))
     val labels = graft.ops.Lpa.propagate(edges, rounds = 4)
+    // the op's lattice is DECIMAL(38,0) (exact past 1e9 edges); the
+    // REPORT casts it to BIGINT — the compare-friendly type, in range
+    // at any driver-verified SF (the cast is ANSI-loud, never silent)
     graft.ops.Modularity.ofPartition(strong, labels)
       .select(col("community"), col("n_members"), col("in_edges"),
-        col("deg_sum"), col("numer"), col("denom"), col("q_contrib"),
+        col("deg_sum"), col("numer").cast("long").as("numer"),
+        col("denom").cast("long").as("denom"), col("q_contrib"),
         col("q_total"))
   }
 
@@ -2472,8 +2476,19 @@ object ExtendedQueries {
          |$peel
          |SELECT CAST(e.a AS BIGINT) AS part_a, CAST(e.b AS BIGINT) AS part_b,
          |  s.support
-         |FROM t$rounds e JOIN sp$rounds s ON s.id_a = e.a AND s.id_b = e.b"""
+         |FROM t$rounds e JOIN sp$rounds s ON s.id_a = e.a AND s.id_b = e.b
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         |  CAST((SELECT count(*) FROM t${rounds - 1})
+         |    - (SELECT count(*) FROM t$rounds) AS BIGINT)
+         |WHERE (SELECT count(*) FROM t${rounds - 1})
+         |  <> (SELECT count(*) FROM t$rounds)"""
         .stripMargin
+      // the trailing sentinel ASSERTS the unroll reached the fixpoint:
+      // round N is the identity iff |t(N-1)| = |tN| (the peel only
+      // shrinks), so a larger SF needing > N rounds surfaces as a loud
+      // extra (-1, -1, shrinkage) row instead of a silent non-fixpoint
+      // parity break (the r16 ADVICE finding on the probed round count)
     }),
     QueryDef("g35_ktruss_incremental", g35KtrussIncremental, {
       // two cold peel unrolls (the g24 oracle convention): the corpus
@@ -2510,8 +2525,22 @@ object ExtendedQueries {
          |  sc.support AS support_prev
          |FROM mt$rounds e
          |JOIN msp$rounds sm ON sm.id_a = e.a AND sm.id_b = e.b
-         |LEFT JOIN csp$rounds sc ON sc.id_a = e.a AND sc.id_b = e.b"""
+         |LEFT JOIN csp$rounds sc ON sc.id_a = e.a AND sc.id_b = e.b
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         |  CAST((SELECT count(*) FROM ct${rounds - 1})
+         |      - (SELECT count(*) FROM ct$rounds)
+         |    + (SELECT count(*) FROM mt${rounds - 1})
+         |      - (SELECT count(*) FROM mt$rounds) AS BIGINT),
+         |  CAST(NULL AS BIGINT)
+         |WHERE (SELECT count(*) FROM ct${rounds - 1})
+         |    <> (SELECT count(*) FROM ct$rounds)
+         |  OR (SELECT count(*) FROM mt${rounds - 1})
+         |    <> (SELECT count(*) FROM mt$rounds)"""
         .stripMargin
+      // same fixpoint sentinel as g34, over BOTH cold unrolls: either
+      // tier still shrinking at the probed round ceiling yields a loud
+      // extra row, never a silent non-fixpoint oracle
     }),
     QueryDef("g36_louvain_multilevel", g36LouvainMultilevel, {
       // the g31 unroll (4 rounds), the contraction aggregate, then the

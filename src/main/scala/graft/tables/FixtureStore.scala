@@ -138,15 +138,26 @@ private[graft] object FixtureStore {
     * root, because the graph and ER prepares share one root (a whole-
     * root swap by either would drop the other's output). */
   def write(df: DataFrame, root: String, key: String): Unit = {
-    val tmp = s"$root/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"$root/.tmp-$key-$tag"
     df.write.mode("overwrite").parquet(tmp)
     val (hfs, tmpP) = fs(df.sparkSession, tmp)
     val dst = new org.apache.hadoop.fs.Path(s"$root/$key")
-    if (hfs.exists(dst)) hfs.delete(dst, true)
+    // swap order keeps SOME complete fixture present at every step: the
+    // old dst is renamed ASIDE (not deleted) before the tmp moves in,
+    // and is dropped only after the move succeeds; on a failed move the
+    // aside copy is restored and the tmp dir is LEFT for diagnosis —
+    // a failed prepare falls back to the previous fixtures, never to
+    // nothing (the r16 ADVICE finding on the delete-first swap)
+    val aside = new org.apache.hadoop.fs.Path(s"$root/.old-$key-$tag")
+    val hadOld = hfs.exists(dst)
+    if (hadOld && !hfs.rename(dst, aside))
+      throw new java.io.IOException(s"fixture swap failed: cannot move $dst aside (tmp kept at $tmp)")
     if (!hfs.rename(tmpP, dst)) {
-      hfs.delete(tmpP, true)
-      throw new java.io.IOException(s"fixture swap failed: $tmp -> $dst")
+      if (hadOld) hfs.rename(aside, dst) // restore; best-effort by construction
+      throw new java.io.IOException(s"fixture swap failed: $tmp -> $dst (tmp kept)")
     }
+    if (hadOld) hfs.delete(aside, true)
   }
 
   /** Pin the source data dir the root's fixtures were derived from. */

@@ -72,6 +72,32 @@ class BenchRenderSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration_sec rides both lines; the spin is stable within ~10% across runs") {
+    val r = Map("a" -> 1.0)
+    val (full, compact) = Bench.renderLines(r, Nil, "/tmp/sf",
+      runs = 3, prepareSec = -1.0, calibrationSec = 0.12345)
+    for (line <- Seq(full, compact)) {
+      val parsed = JsonMethods.parse(line)
+      val cal = (parsed \ "calibration_sec") match {
+        case JDouble(d)  => d
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"calibration_sec not numeric: $other")
+      }
+      assert(math.abs(cal - 0.1235) < 1e-9, s"rounded 4-dp passthrough: $cal")
+    }
+    // default (absent) renders the -1 sentinel, never breaks the JSON
+    val (f2, _) = Bench.renderLines(r, Nil, "/tmp/sf")
+    assert((JsonMethods.parse(f2) \ "calibration_sec") === JInt(-1))
+    // the spin itself: constant work => two back-to-back min-of-3
+    // measurements on the same host agree within the noise the field
+    // exists to expose (generous 25% gate — CI hosts wobble)
+    val c1 = Bench.calibrate()
+    val c2 = Bench.calibrate()
+    assert(c1 > 0.01 && c1 < 10.0, s"implausible calibration time $c1")
+    assert(math.abs(c1 - c2) / math.max(c1, c2) < 0.25,
+      s"calibration unstable: $c1 vs $c2")
+  }
+
   test("error list in the compact line is capped at 10 with a true total") {
     val errs = (1 to 25).map(i => s"q${i}_fail")
     val r = errs.map(_ -> -1.0).toMap + ("ok" -> 1.0)

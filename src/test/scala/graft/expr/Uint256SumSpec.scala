@@ -30,6 +30,15 @@ class Uint256SumSpec extends SparkSpec {
     assert(new BigInteger(sub, 16) === tail)
   }
 
+  test("wrong arity from SQL fails with the registry's clear message") {
+    Exprs.register(spark)
+    Seq(HexMath.pad64("1")).toDF("q").createOrReplaceTempView("qa")
+    val e = intercept[Exception](
+      spark.sql("SELECT uint256_sum(q, q) FROM qa").collect())
+    assert(e.getMessage.contains("uint256_sum expects (hex_value)"),
+      s"expected the arity guard message, got: ${e.getMessage}")
+  }
+
   test("negative sums render the canonical '-' + pad64 form, like hex_sub") {
     // signed inputs legitimately arise when hex_sub results feed back
     // into arithmetic; the sign must lead the string, never sit inside

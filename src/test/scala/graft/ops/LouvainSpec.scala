@@ -157,6 +157,30 @@ class LouvainSpec extends SparkSpec {
     assert(l2(c1) !== l2(c2), s"bridge merged the triangles at level 2: $l2")
   }
 
+  test("wide lattice: weights past 2^31 score exactly on DECIMAL(38,0) — scale invariance") {
+    // modularity gain scores scale by c^2 when every weight scales by
+    // c, so the ARGMAX (and the labels) are scale-invariant; running
+    // the same multigraph at w and at w * 2^31 must agree label for
+    // label. At c = 2^31 the totals pass W > 2^31 and the products
+    // 2W·k_ic overflow BIGINT by ~20 bits — the case the old m < 1e9
+    // refusal guarded; the DECIMAL(38,0) lattice scores it exactly.
+    val rnd = new Random(97)
+    val g = ((for {
+      i <- 0L until 18L; j <- i + 1 until 18L if rnd.nextDouble() < 0.2
+    } yield (i, j, 1L + rnd.nextInt(4).toLong)) ++
+      Seq((2L, 2L, 2L), (7L, 7L, 1L))).toSeq
+    val c = 1L << 31
+    val narrow = Louvain.oneLevelWeighted(g.toDF("id_a", "id_b", "w"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val wide = Louvain.oneLevelWeighted(
+        g.map { case (a, b, w) => (a, b, w * c) }.toDF("id_a", "id_b", "w"),
+        rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(wide === narrow, "wide-lattice labels diverged from the scale-invariant result")
+    val wTot = g.map(_._3).sum * c
+    assert(wTot > (1L << 31), s"fixture too small to exercise the wide lattice: $wTot")
+  }
+
   test("weighted guards are loud: null/non-positive weights and empty graphs") {
     val bad = Seq((1L, 2L, Some(0L))).toDF("id_a", "id_b", "w")
     val e1 = intercept[IllegalArgumentException](Louvain.oneLevelWeighted(bad, 1))

@@ -26,7 +26,9 @@ class ModularitySpec extends SparkSpec {
     Modularity.ofPartition(edges.toDF("id_a", "id_b"),
         labels.toSeq.toDF("node", "lbl"))
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        // numer/denom ride the DECIMAL(38,0) lattice; exact longs here
+        (r.getLong(2), r.getLong(3),
+          r.getDecimal(4).longValueExact(), r.getDecimal(5).longValueExact(),
           r.getDouble(6), r.getDouble(7))).toMap
 
   test("matches the integer reference on random LPA partitions") {

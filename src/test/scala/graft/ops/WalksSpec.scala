@@ -114,15 +114,21 @@ class WalksSpec extends SparkSpec {
     assert(biased === uniform)
   }
 
-  test("biased walks reject non-positive and oversized weights loudly") {
+  test("biased walks reject non-positive and draw-overflowing weights loudly") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val starts = Seq(1L).toDF("id")
     val e1 = intercept[IllegalArgumentException](
       Walks.biasedWalks(edges, starts, 2, 0L, 1L, 1L))
     assert(e1.getMessage.contains("positive"))
+    // the bound is on the ACTUAL candidate total deg·maxW, not a fixed
+    // weight cap: deg 2 at weight 2^31 reaches 2^32, where the 32-bit
+    // md5 draw can never land in the tail cumulative interval
+    val wide = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
     val e2 = intercept[IllegalArgumentException](
-      Walks.biasedWalks(edges, starts, 2, 1L, 1L, (1L << 21)))
-    assert(e2.getMessage.contains("capped"))
+      Walks.biasedWalks(wide, starts, 2, 1L, 1L, 1L << 31))
+    assert(e2.getMessage.contains("2^32"))
+    // the same weight is fine at degree 1 — the total stays under 2^32
+    Walks.biasedWalks(edges, starts, 2, 1L, 1L, 1L << 31).count()
   }
 
   test("a start with no outgoing edges emits only its step-0 row; reruns are identical") {
