@@ -1037,6 +1037,83 @@ object ExtendedQueries {
         col("n_members"), col("component_prev"))
   }
 
+  private val x7EffDiameter: QFn = (s, dir) => {
+    // Effective diameter + reach profile read off the ANF state — the
+    // Palmer et al. 2002 headline statistic: the smallest hop h whose
+    // neighborhood function N(h) reaches 90% of the hop-H plateau,
+    // plus the whole N(h)/N(H) profile in ppm. Deterministic surface =
+    // the exact BFS side (x6's harness): profile_ppm and
+    // is_eff_diameter derive from exact pair counts on the integer
+    // lattice (the 90% test is the cross-multiplied compare
+    // N(h)·10⁶ ≥ 9·10⁵·N(H) — no division before the comparison).
+    // The ANF estimates bind through TWO assertion booleans: the x6
+    // per-hop envelope, and anf_eff_ok = the sketch-derived effective
+    // diameter lands within ±1 hop of the exact one (HLL sketches are
+    // deterministic functions of the node sets, so both are
+    // rerun-stable). At 100 TB only the sketch path runs — this
+    // query's exact BFS is the sf-scale truth harness, x2/x3's role.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val est = graft.ops.Anf.neighborhoodFunction(edges, maxHop = 3)
+      .localCheckpoint(true) // three consumers: join, plateau, eff scan
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var visited = nodes.select(col("node").as("seed"), col("node").as("id"))
+      .localCheckpoint(true)
+    val exact = (1 to 3).map { h =>
+      val next = edges
+        .join(visited.select(col("seed"), col("id").as("src")), Seq("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
+      visited = visited.unionByName(next).localCheckpoint(true)
+      visited.agg(count(lit(1)).as("exact_pairs"))
+        .select(lit(h.toLong).as("hop"), col("exact_pairs"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val exactH = exact.filter(col("hop") === 3)
+      .select(col("exact_pairs").as("ep_h"))
+    val estH = est.filter(col("hop") === 3).select(col("est_pairs").as("est_h"))
+    val effExact = exact.join(broadcast(exactH))
+      .filter(col("exact_pairs") * lit(1000000L) >= lit(900000L) * col("ep_h"))
+      .agg(min(col("hop")).as("eff_exact"))
+    val effEst = est.join(broadcast(estH))
+      .filter(col("est_pairs") >= lit(0.9) * col("est_h"))
+      .agg(min(col("hop")).as("eff_est"))
+    exact.join(est, Seq("hop"))
+      .join(broadcast(exactH)).join(broadcast(estH))
+      .join(broadcast(effExact)).join(broadcast(effEst))
+      .select(col("hop"), col("exact_pairs"),
+        expr("exact_pairs * 1000000 div ep_h").as("profile_ppm"),
+        (col("hop") === col("eff_exact")).as("is_eff_diameter"),
+        (abs(col("est_pairs").cast("double") - col("exact_pairs").cast("double"))
+          <= greatest(col("exact_pairs").cast("double") * lit(0.10), lit(50.0)))
+          .as("anf_ok"),
+        (abs(col("eff_est") - col("eff_exact")) <= 1).as("anf_eff_ok"))
+  }
+
+  private val g41Node2vecPairs: QFn = (s, dir) => {
+    // Skip-gram training pairs from the g30 node2vec corpus — the g17
+    // window-pair extraction applied to BIASED walks, so node2vec has
+    // the same corpus→pairs path DeepWalk has: every ordered
+    // (center, context) co-occurrence within ±2 steps of the same
+    // walk, counted. Pairing is an equi-join on walk_id with the step
+    // band as a residual; walk rows are unions of staged step
+    // frontiers, so the self-join reads leaves twice, not the build.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+    val edges = strong.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(strong.select(col("b").as("src"), col("a").as("dst")))
+    val starts = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 20 === 0)
+    val walks = graft.ops.Walks.biasedWalks(edges, starts, steps = 3,
+      wRet = 1L, wIn = 2L, wFar = 4L)
+    walks.as("l").join(walks.as("r"),
+        col("l.walk_id") === col("r.walk_id")
+          && abs(col("l.step") - col("r.step")) <= 2
+          && col("l.step") =!= col("r.step"))
+      .groupBy(col("l.node").as("center"), col("r.node").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2291,6 +2368,57 @@ object ExtendedQueries {
          |  UNION ALL SELECT walk_id, 2, node FROM w2
          |  UNION ALL SELECT walk_id, 3, node FROM w3)""".stripMargin
     }),
+    QueryDef("g41_node2vec_pairs", g41Node2vecPairs, {
+      // the g30 biased unroll verbatim, then the g17 banded self-join
+      // pairing over the assembled corpus
+      def hex8(t: Int, al: String) = (0 until 8).map { i =>
+        s"""(position(substr(md5(CAST($al.walk_id AS VARCHAR) || ':$t'),
+           | ${i + 1}, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (7 - i))}"""
+          .stripMargin.replace("\n", "")
+      }.mkString(" + ")
+      val biased = (2 to 3).map { t =>
+        s"""c$t AS MATERIALIZED (SELECT w.walk_id, w.prev, w.node, a.dst,
+           |  CASE WHEN a.dst = w.prev THEN 1
+           |       WHEN pe.src IS NOT NULL THEN 2
+           |       ELSE 4 END AS wt
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+           |  LEFT JOIN me pe ON pe.src = w.prev AND pe.dst = a.dst),
+           |s$t AS MATERIALIZED (SELECT walk_id, node, dst, wt,
+           |  SUM(wt) OVER (PARTITION BY walk_id ORDER BY dst) AS cum,
+           |  SUM(wt) OVER (PARTITION BY walk_id) AS tot
+           |  FROM c$t),
+           |w$t AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, w.dst AS node
+           |  FROM s$t w
+           |  WHERE (${hex8(t, "w")}) % w.tot >= w.cum - w.wt
+           |    AND (${hex8(t, "w")}) % w.tot < w.cum)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |adj AS MATERIALIZED (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM me),
+         |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node
+         |  FROM me WHERE src % 20 = 0),
+         |w1 AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, a.dst AS node
+         |  FROM w0 w JOIN adj a ON a.src = w.node
+         |  AND a.rk = (${hex8(1, "w")}) % a.deg + 1),
+         |$biased,
+         |walks AS MATERIALIZED (
+         |  SELECT walk_id, 0 AS step, node FROM w0
+         |  UNION ALL SELECT walk_id, 1, node FROM w1
+         |  UNION ALL SELECT walk_id, 2, node FROM w2
+         |  UNION ALL SELECT walk_id, 3, node FROM w3)
+         |SELECT CAST(l.node AS BIGINT) AS center, CAST(r.node AS BIGINT) AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM walks l JOIN walks r ON l.walk_id = r.walk_id
+         |  AND abs(l.step - r.step) <= 2 AND l.step <> r.step
+         |GROUP BY 1, 2""".stripMargin
+    }),
     QueryDef("g31_louvain", g31Louvain, {
       // parity-alternating greedy move rounds unrolled: per round the
       // movers' candidate communities (neighbors ∪ current) score on
@@ -2662,6 +2790,46 @@ object ExtendedQueries {
          |UNION ALL SELECT 2, CAST(c0 + c1 + c2 AS BIGINT), TRUE FROM c
          |UNION ALL SELECT 3, CAST(c0 + c1 + c2 + c3 AS BIGINT), TRUE FROM c"""
         .stripMargin
+    }),
+    QueryDef("x7_eff_diameter", x7EffDiameter, {
+      // the x6 exact BFS verbatim, then the profile/effective-diameter
+      // read on the same integer lattice (cross-multiplied 90% test,
+      // one integer division for the displayed ppm); the two sketch
+      // assertions are literal TRUE — the x2 one-sided discipline
+      val layers = (1 to 3).map { h =>
+        val prev = if (h == 1) "s0" else s"b${h - 1}"
+        val excl = (Seq("s0") ++ (1 until h).map(i => s"b$i")).map(t =>
+          s"NOT EXISTS (SELECT 1 FROM $t p$t WHERE p$t.seed = f.seed AND p$t.id = e.dst)")
+          .mkString("\n    AND ")
+        s"""b$h AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS id
+           |  FROM me e JOIN $prev f ON e.src = f.id
+           |  WHERE $excl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS id FROM me),
+         |$layers,
+         |n AS (SELECT
+         |  CAST((SELECT count(*) FROM s0) + (SELECT count(*) FROM b1) AS BIGINT) AS n1,
+         |  CAST((SELECT count(*) FROM s0) + (SELECT count(*) FROM b1)
+         |    + (SELECT count(*) FROM b2) AS BIGINT) AS n2,
+         |  CAST((SELECT count(*) FROM s0) + (SELECT count(*) FROM b1)
+         |    + (SELECT count(*) FROM b2) + (SELECT count(*) FROM b3) AS BIGINT) AS n3),
+         |eff AS (SELECT CASE WHEN n1 * 1000000 >= 900000 * n3 THEN 1
+         |  WHEN n2 * 1000000 >= 900000 * n3 THEN 2 ELSE 3 END AS eh FROM n)
+         |SELECT CAST(1 AS BIGINT) AS hop, n.n1 AS exact_pairs,
+         |  CAST(n.n1 * 1000000 // n.n3 AS BIGINT) AS profile_ppm,
+         |  (eff.eh = 1) AS is_eff_diameter, TRUE AS anf_ok, TRUE AS anf_eff_ok
+         |FROM n, eff
+         |UNION ALL SELECT 2, n.n2, CAST(n.n2 * 1000000 // n.n3 AS BIGINT),
+         |  (eff.eh = 2), TRUE, TRUE FROM n, eff
+         |UNION ALL SELECT 3, n.n3, CAST(n.n3 * 1000000 // n.n3 AS BIGINT),
+         |  (eff.eh = 3), TRUE, TRUE FROM n, eff""".stripMargin
     }),
     QueryDef("g37_link_incremental", g37LinkIncremental, {
       // refresh == cold (delta-region correctness is the Spark side's
