@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions._
   * full-synchronous moves two-color OSCILLATE (two singleton
   * neighbors each greedily adopt the other's community and swap
   * forever — observed on the triangle fixture); restricting each
-  * round to one id-parity class is the deterministic version of the
+  * round to one parity class is the deterministic version of the
   * coloring schedule parallel Louvain uses (Lu, Halappanavar &
   * Kalyanaraman 2015, "Parallel heuristics for scalable community
-  * detection"), and it mirrors in SQL as one WHERE clause.
+  * detection"), and it mirrors in SQL as one WHERE clause. The class
+  * is the parity of an md5 DIGIT of the node id, not of the id
+  * itself: contracted supernode labels are arbitrary surviving
+  * community ids whose raw parities can collapse onto one class
+  * (observed: a coarsened clique hierarchy whose every label was
+  * even — the odd half-sweeps moved nobody and every same-class
+  * merge pair swap-oscillated), while the hashed coloring stays
+  * balanced for ANY label structure — the Walks md5-bucket
+  * discipline applied to scheduling.
   *
   * The gain is compared on the SAME integer lattice
   * [[Modularity.ofPartition]] scores on: moving node i (degree k_i)
@@ -51,29 +59,43 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
+  /** The scheduling 2-coloring, RE-DRAWN PER ROUND: low bit of the
+    * 8th hex digit of md5(node ‖ ":" ‖ round) — the Walks draw keying
+    * applied to scheduling. A FIXED coloring (id parity, or one hash)
+    * leaves some favorable merge pairs same-colored forever, and
+    * same-colored partners swap-oscillate instead of merging
+    * (observed on an all-even-label coarsened hierarchy AND on a
+    * same-color triangle); re-drawing each round splits every pair in
+    * ~half the rounds, so every favorable move gets a round where
+    * exactly one partner is active. Deterministic, engine-exact:
+    * mirrors in SQL as one position()-over-substr expression. */
+  private def active(c: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(c.cast("string"), lit(s":$r"))), 8, 1), 16, 10)
+      .cast("long") % 2L === 0L
+
   /** `rounds` synchronous greedy-move rounds from `labels` (node,
     * lbl) over undirected `edges` (id_a, id_b — distinct, a < b, no
     * self-loops). Returns (node, lbl) for every edge endpoint. */
   def oneLevel(edges: DataFrame, labels: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "louvain: rounds >= 1")
-    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val e = Staging.fresh(edges.select(col("id_a"), col("id_b")))
     val m = e.count()
     require(m > 0L, "louvain: empty edge set has no modularity to optimize")
     require(m <= 1000000000000000000L, // 10^18: 4m^2 <= 4e36 < 10^38
       s"louvain: $m edges — 4m^2 exceeds the DECIMAL(38,0) score lattice")
-    val ed = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
-    var lab = labels.select(col("node"), col("lbl")).localCheckpoint(true)
+    val ed = Staging.fresh(
+      e.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val deg = Staging.fresh(
+      ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")))
+    var lab = Staging.fresh(labels.select(col("node"), col("lbl")))
     for (r <- 1 to rounds) {
       // Σtot per community: degree mass of its members
       val sigma = lab.join(deg, Seq("node"))
         .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
       // this round's parity class re-decides; the other half carries
-      val movers = lab.filter(pmod(col("node"), lit(2L)) === lit(r % 2))
-      val keepers = lab.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2))
+      val movers = lab.filter(active(col("node"), r))
+      val keepers = lab.filter(!active(col("node"), r))
       // k_{i,c}: edges from mover i into community c
       val kic = ed
         .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
@@ -100,11 +122,10 @@ object Louvain {
               .cast("decimal(38,0)"))
             .as("score"))
       val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
-      lab = keepers.unionByName(
+      lab = Staging.fresh(keepers.unionByName(
           scored.join(best, Seq("node"))
             .filter(col("score") === col("ms"))
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-        .localCheckpoint(true)
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))))
     }
     lab
   }
@@ -139,24 +160,52 @@ object Louvain {
   def multiLevel(edges: DataFrame, level1Rounds: Int, weightedRounds: Int,
       maxLevels: Int): DataFrame = {
     require(maxLevels >= 1, "louvain: maxLevels >= 1")
-    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    def qNumer(lab: DataFrame): java.math.BigDecimal =
-      Modularity.ofPartition(e, lab)
-        .agg(sum(col("numer"))).collect().head.getDecimal(0)
-    var lab = fromSingletons(e, level1Rounds).localCheckpoint(true)
+    val e = Staging.fresh(edges.select(col("id_a"), col("id_b")))
+    val m = e.count()
+    require(m > 0L, "louvain: empty edge set has no modularity to optimize")
+    require(m <= 1000000000000000000L, // contract preserves total weight = m
+      s"louvain: $m edges — 4m^2 exceeds the DECIMAL(38,0) score lattice")
+    // lean per-level Q scorer: the [[Modularity.ofPartition]] numerator
+    // total (Σ_c 4m·in_c − deg_c², the exact partition order — shared
+    // denominator), as ONE aggregate job instead of the decomposition's
+    // staged relation (m is counted once up front, never per level)
+    def qNumer(lab: DataFrame): java.math.BigDecimal = {
+      val l = lab.select(col("node"), col("lbl"))
+      val intra = e
+        .join(l.select(col("node").as("id_a"), col("lbl").as("la")), Seq("id_a"))
+        .join(l.select(col("node").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("in_edges"))
+      val degs = e.select(col("id_a").as("node"))
+        .unionByName(e.select(col("id_b").as("node")))
+        .join(l, Seq("node"))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("deg_sum"))
+      degs.join(intra, Seq("lbl"), "left")
+        .agg(sum(
+          lit(BigDecimal(4L) * BigDecimal(m)).cast("decimal(38,0)")
+            * coalesce(col("in_edges"), lit(0L)).cast("decimal(38,0)")
+          - col("deg_sum").cast("decimal(38,0)")
+            * col("deg_sum").cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
+    }
+    var lab = Staging.fresh(fromSingletons(e, level1Rounds))
     var q = qNumer(lab)
     var levels = 1
     var converged = false
     while (!converged) {
+      // contraction preserves the weight mass (Σw = m, positive by
+      // construction: every supernode pair/self-loop carries a count),
+      // so the weighted pass skips the public entry's re-validation
       val cand = lab
-        .join(oneLevelWeighted(Coarsen.contract(e, lab), weightedRounds)
+        .join(weightedMoves(Staging.fresh(Coarsen.contract(e, lab)),
+            weightedRounds, bigW = m)
           .select(col("node").as("lbl"), col("lbl").as("super")), Seq("lbl"))
         .select(col("node"), col("super").as("lbl"))
       val q2 = qNumer(cand)
       if (q2.compareTo(q) > 0) {
         require(levels < maxLevels,
           s"louvain: modularity still improving after $maxLevels levels — raise maxLevels")
-        lab = cand.localCheckpoint(true)
+        lab = Staging.fresh(cand)
         q = q2
         levels += 1
       } else converged = true
@@ -178,8 +227,8 @@ object Louvain {
     * input partition is the identity over level N−1's communities). */
   def oneLevelWeighted(g: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "louvain: rounds >= 1")
-    val e = g.select(col("id_a"), col("id_b"), col("w").cast("long"))
-      .localCheckpoint(true)
+    val e = Staging.fresh(
+      g.select(col("id_a"), col("id_b"), col("w").cast("long")))
     require(e.filter(col("w").isNull || col("w") <= 0L).isEmpty,
       "louvain: edge weights must be positive and non-null")
     val wRow = e.agg(sum(col("w"))).collect().head
@@ -190,22 +239,30 @@ object Louvain {
     // W = 10^18 — i.e. any weight mass a BIGINT column can even hold
     require(bigW <= 1000000000000000000L,
       s"louvain: total weight $bigW — 4W^2 exceeds the DECIMAL(38,0) score lattice")
+    weightedMoves(e, rounds, bigW)
+  }
+
+  /** The weighted move rounds over a VALIDATED staged multigraph `e`
+    * (id_a, id_b, w long — positive, non-null, Σw = `bigW`):
+    * [[oneLevelWeighted]] minus the entry checks, for callers that
+    * guarantee them structurally ([[multiLevel]]'s contraction). */
+  private def weightedMoves(e: DataFrame, rounds: Int, bigW: Long): DataFrame = {
     // non-self rows both directions for votes; self-loops only in deg
     val nonSelf = e.filter(col("id_a") =!= col("id_b"))
-    val ed = nonSelf.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
-      .unionByName(nonSelf.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
-      .localCheckpoint(true)
-    val deg = ed.select(col("src").as("node"), col("w"))
-      .unionByName(e.filter(col("id_a") === col("id_b"))
-        .select(col("id_a").as("node"), (col("w") * 2L).as("w")))
-      .groupBy(col("node")).agg(sum(col("w")).as("k"))
-      .localCheckpoint(true)
-    var lab = deg.select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    val ed = Staging.fresh(
+      nonSelf.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+        .unionByName(nonSelf.select(col("id_b").as("src"), col("id_a").as("dst"), col("w"))))
+    val deg = Staging.fresh(
+      ed.select(col("src").as("node"), col("w"))
+        .unionByName(e.filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("node"), (col("w") * 2L).as("w")))
+        .groupBy(col("node")).agg(sum(col("w")).as("k")))
+    var lab = Staging.fresh(deg.select(col("node"), col("node").as("lbl")))
     for (r <- 1 to rounds) {
       val sigma = lab.join(deg, Seq("node"))
         .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
-      val movers = lab.filter(pmod(col("node"), lit(2L)) === lit(r % 2))
-      val keepers = lab.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2))
+      val movers = lab.filter(active(col("node"), r))
+      val keepers = lab.filter(!active(col("node"), r))
       val kic = ed
         .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
@@ -226,11 +283,10 @@ object Louvain {
               .cast("decimal(38,0)"))
             .as("score"))
       val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
-      lab = keepers.unionByName(
+      lab = Staging.fresh(keepers.unionByName(
           scored.join(best, Seq("node"))
             .filter(col("score") === col("ms"))
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-        .localCheckpoint(true)
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))))
     }
     lab
   }

@@ -1114,6 +1114,27 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  private val g42LouvainConverged: QFn = (s, dir) => {
+    // Multi-level Louvain run to CONVERGENCE (ops.Louvain.multiLevel —
+    // the full Blondel outer loop): contract-and-move levels are
+    // accepted while the exact integer modularity numerator strictly
+    // improves on the base graph, bounded by a loud maxLevels. Output
+    // = the converged partition with member counts plus the accepted
+    // level count (audit column). The oracle unrolls the probed level
+    // chain AND asserts the stop rule from its own Q numerators: a
+    // sentinel row fires if any accepted level failed to improve Q or
+    // the next candidate level would still improve it — the same
+    // discipline as g34's fixpoint sentinel, lifted to the level loop.
+    val strong = graft.tables.GraphFixtures.strongPairs(s, dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val ml = graft.ops.Louvain.multiLevel(strong,
+      level1Rounds = 4, weightedRounds = 2, maxLevels = 10)
+    val sz = ml.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    ml.join(sz, Seq("lbl"))
+      .select(col("node").as("part_id"), col("lbl").as("community"),
+        col("n_members"), col("levels"))
+  }
+
   private val g29Assortativity: QFn = (s, dir) => {
     // Degree assortativity of the strong co-purchase graph
     // (ops.Assortativity — exact BIGINT moment sums, one fixed
@@ -2419,24 +2440,32 @@ object ExtendedQueries {
          |  AND abs(l.step - r.step) <= 2 AND l.step <> r.step
          |GROUP BY 1, 2""".stripMargin
     }),
-    QueryDef("g31_louvain", g31Louvain, {
-      // parity-alternating greedy move rounds unrolled: per round the
-      // movers' candidate communities (neighbors ∪ current) score on
-      // the exact lattice 2m·kic − k_i·(tot − [cur]·k_i); argmax is
-      // max-score + MIN-label (two grouped selects); off-parity nodes
-      // carry via UNION ALL
-      val rounds = (1 to 4).map { r =>
-        val par = r % 2
+    QueryDef("g42_louvain_converged", g42LouvainConverged, {
+      // the g31 level-1 unroll, then the g36 contract+weighted-rounds
+      // template ITERATED for the probed accepted-level count (5 at
+      // sf0.01), each level's labels projected back to base nodes and
+      // Q-scored on the base graph; the stop rule is ASSERTED from the
+      // oracle's own Q numerators via sentinel rows (g34's fixpoint
+      // discipline lifted to the level loop): a row fires if any
+      // accepted level failed to improve Q, or if the first REJECTED
+      // level would still have improved it
+      val accepted = 6 // probed at sf0.01; the sentinels police it
+      // the per-round hashed activation (Louvain.active): low bit of
+      // the 8th md5 hex digit of node ":" round
+      def act(c: String, r: Int) =
+        s"(position(substr(md5(CAST($c AS VARCHAR) || ':$r'), 8, 1) " +
+          "IN '0123456789abcdef') - 1) % 2 = 0"
+      val l1Rounds = (1 to 4).map { r =>
         s"""sg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS tot
            |  FROM r${r - 1} l JOIN deg d ON d.v = l.node GROUP BY l.lbl),
            |kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
            |    CAST(count(*) AS BIGINT) AS kic
            |  FROM me e JOIN r${r - 1} l ON l.node = e.dst
-           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |  WHERE ${act("e.src", r)} GROUP BY 1, 2),
            |cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
            |  SELECT node, lbl, kic FROM kic$r
            |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM r${r - 1}
-           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |    WHERE ${act("node", r)}) GROUP BY 1, 2),
            |sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
            |    2 * mm.m * c.kic - d.d * (s.tot
            |      - CASE WHEN c.lbl = cur.lbl THEN d.d ELSE 0 END) AS score
@@ -2448,7 +2477,138 @@ object ExtendedQueries {
            |  JOIN (SELECT node, MAX(score) AS ms FROM sc$r GROUP BY node) x
            |    ON x.node = s.node AND s.score = x.ms
            |  GROUP BY s.node
-           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE node % 2 <> $par)"""
+           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE NOT (${act("node", r)}))"""
+          .stripMargin
+      }.mkString(",\n")
+      // Q numerator of base-node partition P on the base graph
+      def qOf(j: Int, p: String) =
+        s"""qin$j AS (SELECT la.lbl AS lbl, CAST(count(*) AS BIGINT) AS in_edges
+           |  FROM e0 JOIN $p la ON la.node = e0.a JOIN $p lb ON lb.node = e0.b
+           |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+           |qdg$j AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS deg_sum
+           |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) n
+           |  JOIN $p l ON l.node = n.v GROUP BY l.lbl),
+           |q$j AS (SELECT CAST(SUM(4 * mm.m * COALESCE(i.in_edges, 0)
+           |    - d.deg_sum * d.deg_sum) AS BIGINT) AS qn
+           |  FROM qdg$j d LEFT JOIN qin$j i ON i.lbl = d.lbl, mm)""".stripMargin
+      // one contract + 2 weighted rounds + base projection, level j
+      // (input partition p${j-1}; weight mass is m — contraction
+      // preserves it — so scores use mm.m directly)
+      def level(j: Int) = {
+        val p = s"p${j - 1}"
+        val rounds = (1 to 2).map { r =>
+            s"""v${j}sg$r AS MATERIALIZED (SELECT l.lbl,
+             |    CAST(SUM(d.k) AS BIGINT) AS tot
+             |  FROM v${j}w${r - 1} l JOIN v${j}deg d ON d.node = l.node
+             |  GROUP BY l.lbl),
+             |v${j}kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
+             |    CAST(SUM(e.w) AS BIGINT) AS kic
+             |  FROM v${j}ed e JOIN v${j}w${r - 1} l ON l.node = e.dst
+             |  WHERE ${act("e.src", r)} GROUP BY 1, 2),
+             |v${j}cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic
+             |  FROM (SELECT node, lbl, kic FROM v${j}kic$r
+             |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM v${j}w${r - 1}
+             |    WHERE ${act("node", r)}) GROUP BY 1, 2),
+             |v${j}sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
+             |    2 * mm.m * c.kic - d.k * (s.tot
+             |      - CASE WHEN c.lbl = cur.lbl THEN d.k ELSE 0 END) AS score
+             |  FROM v${j}cand$r c JOIN v${j}deg d ON d.node = c.node
+             |  JOIN v${j}sg$r s ON s.lbl = c.lbl
+             |  JOIN v${j}w${r - 1} cur ON cur.node = c.node, mm),
+             |v${j}w$r AS MATERIALIZED (
+             |  SELECT s.node, MIN(s.lbl) AS lbl FROM v${j}sc$r s
+             |  JOIN (SELECT node, MAX(score) AS ms FROM v${j}sc$r
+             |    GROUP BY node) x
+             |    ON x.node = s.node AND s.score = x.ms
+             |  GROUP BY s.node
+             |  UNION ALL SELECT node, lbl FROM v${j}w${r - 1}
+             |    WHERE NOT (${act("node", r)}))""".stripMargin
+        }.mkString(",\n")
+        s"""v${j}cg AS MATERIALIZED (SELECT LEAST(la.lbl, lb.lbl) AS a2,
+           |    GREATEST(la.lbl, lb.lbl) AS b2, CAST(count(*) AS BIGINT) AS w
+           |  FROM e0 JOIN $p la ON la.node = e0.a JOIN $p lb ON lb.node = e0.b
+           |  GROUP BY 1, 2),
+           |v${j}deg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS k
+           |  FROM (SELECT a2 AS node, w FROM v${j}cg WHERE a2 <> b2
+           |  UNION ALL SELECT b2, w FROM v${j}cg WHERE a2 <> b2
+           |  UNION ALL SELECT a2, 2 * w FROM v${j}cg WHERE a2 = b2)
+           |  GROUP BY node),
+           |v${j}ed AS MATERIALIZED (SELECT a2 AS src, b2 AS dst, w FROM v${j}cg
+           |  WHERE a2 <> b2
+           |  UNION ALL SELECT b2, a2, w FROM v${j}cg WHERE a2 <> b2),
+           |v${j}w0 AS MATERIALIZED (SELECT node, node AS lbl FROM v${j}deg),
+           |$rounds,
+           |p$j AS MATERIALIZED (SELECT p.node, w.lbl FROM $p p
+           |  JOIN v${j}w2 w ON w.node = p.lbl),
+           |${qOf(j, s"p$j")}""".stripMargin
+      }
+      val levels = (2 to accepted + 1).map(level).mkString(",\n")
+      val improveChecks = (2 to accepted).map(j =>
+        s"(SELECT qn FROM q$j) <= (SELECT qn FROM q${j - 1})").mkString("\n  OR ")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |me AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |r0 AS MATERIALIZED (SELECT v AS node, v AS lbl FROM deg),
+         |$l1Rounds,
+         |p1 AS MATERIALIZED (SELECT node, lbl FROM r4),
+         |${qOf(1, "p1")},
+         |$levels,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM p$accepted GROUP BY lbl)
+         |SELECT CAST(p.node AS BIGINT) AS part_id,
+         |  CAST(p.lbl AS BIGINT) AS community, sz.n_members,
+         |  CAST($accepted AS INT) AS levels
+         |FROM p$accepted p JOIN sz ON sz.lbl = p.lbl
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         |  CAST((SELECT qn FROM q${accepted + 1})
+         |    - (SELECT qn FROM q$accepted) AS BIGINT), CAST(-1 AS INT)
+         |WHERE $improveChecks
+         |  OR (SELECT qn FROM q${accepted + 1}) > (SELECT qn FROM q$accepted)"""
+        .stripMargin
+    }),
+    QueryDef("g31_louvain", g31Louvain, {
+      // parity-alternating greedy move rounds unrolled: per round the
+      // movers' candidate communities (neighbors ∪ current) score on
+      // the exact lattice 2m·kic − k_i·(tot − [cur]·k_i); argmax is
+      // max-score + MIN-label (two grouped selects); off-parity nodes
+      // carry via UNION ALL
+      // the per-round hashed activation (Louvain.active): low bit of
+      // the 8th md5 hex digit of node ":" round
+      def act(c: String, r: Int) =
+        s"(position(substr(md5(CAST($c AS VARCHAR) || ':$r'), 8, 1) " +
+          "IN '0123456789abcdef') - 1) % 2 = 0"
+      val rounds = (1 to 4).map { r =>
+        s"""sg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS tot
+           |  FROM r${r - 1} l JOIN deg d ON d.v = l.node GROUP BY l.lbl),
+           |kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
+           |    CAST(count(*) AS BIGINT) AS kic
+           |  FROM me e JOIN r${r - 1} l ON l.node = e.dst
+           |  WHERE ${act("e.src", r)} GROUP BY 1, 2),
+           |cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
+           |  SELECT node, lbl, kic FROM kic$r
+           |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM r${r - 1}
+           |    WHERE ${act("node", r)}) GROUP BY 1, 2),
+           |sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
+           |    2 * mm.m * c.kic - d.d * (s.tot
+           |      - CASE WHEN c.lbl = cur.lbl THEN d.d ELSE 0 END) AS score
+           |  FROM cand$r c JOIN deg d ON d.v = c.node
+           |  JOIN sg$r s ON s.lbl = c.lbl
+           |  JOIN r${r - 1} cur ON cur.node = c.node, mm),
+           |r$r AS MATERIALIZED (
+           |  SELECT s.node, MIN(s.lbl) AS lbl FROM sc$r s
+           |  JOIN (SELECT node, MAX(score) AS ms FROM sc$r GROUP BY node) x
+           |    ON x.node = s.node AND s.score = x.ms
+           |  GROUP BY s.node
+           |  UNION ALL SELECT node, lbl FROM r${r - 1}
+           |    WHERE NOT (${act("node", r)}))"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH li AS MATERIALIZED (
@@ -2672,19 +2832,22 @@ object ExtendedQueries {
     }),
     QueryDef("g36_louvain_multilevel", g36LouvainMultilevel, {
       // the g31 unroll (4 rounds), the contraction aggregate, then the
-      // weighted rounds with SUM(w) votes and the weight-mass scalar
+      // weighted rounds with SUM(w) votes and the weight-mass scalar;
+      // per-round hashed activation as in Louvain.active
+      def act(c: String, r: Int) =
+        s"(position(substr(md5(CAST($c AS VARCHAR) || ':$r'), 8, 1) " +
+          "IN '0123456789abcdef') - 1) % 2 = 0"
       val l1Rounds = (1 to 4).map { r =>
-        val par = r % 2
         s"""sg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS tot
            |  FROM r${r - 1} l JOIN deg d ON d.v = l.node GROUP BY l.lbl),
            |kic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
            |    CAST(count(*) AS BIGINT) AS kic
            |  FROM me e JOIN r${r - 1} l ON l.node = e.dst
-           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |  WHERE ${act("e.src", r)} GROUP BY 1, 2),
            |cand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
            |  SELECT node, lbl, kic FROM kic$r
            |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM r${r - 1}
-           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |    WHERE ${act("node", r)}) GROUP BY 1, 2),
            |sc$r AS MATERIALIZED (SELECT c.node, c.lbl,
            |    2 * mm.m * c.kic - d.d * (s.tot
            |      - CASE WHEN c.lbl = cur.lbl THEN d.d ELSE 0 END) AS score
@@ -2696,21 +2859,20 @@ object ExtendedQueries {
            |  JOIN (SELECT node, MAX(score) AS ms FROM sc$r GROUP BY node) x
            |    ON x.node = s.node AND s.score = x.ms
            |  GROUP BY s.node
-           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE node % 2 <> $par)"""
+           |  UNION ALL SELECT node, lbl FROM r${r - 1} WHERE NOT (${act("node", r)}))"""
           .stripMargin
       }.mkString(",\n")
       val l2Rounds = (1 to 2).map { r =>
-        val par = r % 2
         s"""wsg$r AS MATERIALIZED (SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
            |  FROM w${r - 1} l JOIN wdeg d ON d.node = l.node GROUP BY l.lbl),
            |wkic$r AS MATERIALIZED (SELECT e.src AS node, l.lbl,
            |    CAST(SUM(e.w) AS BIGINT) AS kic
            |  FROM wed e JOIN w${r - 1} l ON l.node = e.dst
-           |  WHERE e.src % 2 = $par GROUP BY 1, 2),
+           |  WHERE ${act("e.src", r)} GROUP BY 1, 2),
            |wcand$r AS MATERIALIZED (SELECT node, lbl, MAX(kic) AS kic FROM (
            |  SELECT node, lbl, kic FROM wkic$r
            |  UNION ALL SELECT node, lbl, CAST(0 AS BIGINT) FROM w${r - 1}
-           |    WHERE node % 2 = $par) GROUP BY 1, 2),
+           |    WHERE ${act("node", r)}) GROUP BY 1, 2),
            |wsc$r AS MATERIALIZED (SELECT c.node, c.lbl,
            |    2 * ww.wtot * c.kic - d.k * (s.tot
            |      - CASE WHEN c.lbl = cur.lbl THEN d.k ELSE 0 END) AS score
@@ -2722,7 +2884,7 @@ object ExtendedQueries {
            |  JOIN (SELECT node, MAX(score) AS ms FROM wsc$r GROUP BY node) x
            |    ON x.node = s.node AND s.score = x.ms
            |  GROUP BY s.node
-           |  UNION ALL SELECT node, lbl FROM w${r - 1} WHERE node % 2 <> $par)"""
+           |  UNION ALL SELECT node, lbl FROM w${r - 1} WHERE NOT (${act("node", r)}))"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH li AS MATERIALIZED (

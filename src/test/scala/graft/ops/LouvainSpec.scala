@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
 class LouvainSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The op's per-round scheduling color: low bit of the 8th hex
+    * digit of md5(node ":" round) — see Louvain.active. */
+  private def isActive(v: Long, r: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$v:$r".getBytes("UTF-8"))
+    (d(3) & 1) == 0
+  }
+
   /** The same synchronous round, no Spark: per node in the round's
     * parity class, candidates = neighbor communities ∪ current;
     * score = 2m·k_ic − k_i·(tot_c − [c = cur]·k_i); max score, ties
@@ -28,7 +36,7 @@ class LouvainSpec extends SparkSpec {
       val kic = ed.groupBy(x => (x._1, lab(x._2))).view
         .mapValues(_.size.toLong).toMap
       lab = lab.map { case (i, cur) =>
-        if (i % 2 != r % 2) i -> cur
+        if (!isActive(i, r)) i -> cur
         else {
           val cands = kic.keysIterator.collect { case (n, c) if n == i => c }.toSet + cur
           val scored = cands.map { c =>
@@ -67,7 +75,10 @@ class LouvainSpec extends SparkSpec {
   test("two triangles with a bridge: singletons merge into the two triangles and Q rises") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
       (2L, 3L)).toDF("id_a", "id_b")
-    val lab = Louvain.fromSingletons(edges, rounds = 3)
+    // 6 rounds: the per-round hashed activation needs a split round
+    // per merge pair, so small fixtures converge in ~2x the fixed-
+    // alternation round count
+    val lab = Louvain.fromSingletons(edges, rounds = 6)
       .as[(Long, Long)].collect().toMap
     assert(lab(0L) === lab(1L) && lab(1L) === lab(2L), s"left triangle split: $lab")
     assert(lab(3L) === lab(4L) && lab(4L) === lab(5L), s"right triangle split: $lab")
@@ -95,7 +106,7 @@ class LouvainSpec extends SparkSpec {
       val kic = ed.groupBy(x => (x._1, lab(x._2))).view
         .mapValues(_.map(_._3).sum).toMap
       lab = lab.map { case (i, cur) =>
-        if (i % 2 != r % 2) i -> cur
+        if (!isActive(i, r)) i -> cur
         else {
           val cands = kic.keysIterator.collect { case (n, c) if n == i => c }.toSet + cur
           val scored = cands.map { c =>
@@ -144,7 +155,7 @@ class LouvainSpec extends SparkSpec {
     // supernodes over a weight-1 bridge lowers Q)
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
       (2L, 3L)).toDF("id_a", "id_b")
-    val l1 = Louvain.fromSingletons(edges, rounds = 3)
+    val l1 = Louvain.fromSingletons(edges, rounds = 6)
     val cg = Coarsen.contract(edges, l1)
       .as[(Long, Long, Long)].collect().toSet
     val c1 = l1.as[(Long, Long)].collect().toMap.apply(0L)
@@ -155,6 +166,52 @@ class LouvainSpec extends SparkSpec {
         Coarsen.contract(edges, l1), rounds = 2)
       .as[(Long, Long)].collect().toMap
     assert(l2(c1) !== l2(c2), s"bridge merged the triangles at level 2: $l2")
+  }
+
+  test("multiLevel converges on a hierarchical fixture: >= 3 levels, Q non-decreasing, loud bound") {
+    // seeded stochastic-block hierarchy built to NEED multiple
+    // contraction levels: 8 six-node blocks (intra p 0.62), pairs of
+    // blocks tied at p 0.20, pairs-of-pairs at p 0.10, one weak super
+    // tie — level 1 resolves blocks, each contraction exposes the
+    // next tier (probed: seed 13 converges at exactly 3 levels).
+    // Random ties, not structured offsets: any fixed offset pattern
+    // between blocks composes into accidental cross-cliques that
+    // level 1 adopts (observed twice while building this fixture).
+    val rnd = new Random(13)
+    val blocks = (0 until 8).map(b => (b * 6L until b * 6L + 6L).toSeq)
+    def cross(xs: Seq[Long], ys: Seq[Long], p: Double) =
+      for (x <- xs; y <- ys if rnd.nextDouble() < p)
+        yield (math.min(x, y), math.max(x, y))
+    val intra = blocks.flatMap(ns =>
+      for (i <- ns; j <- ns if i < j && rnd.nextDouble() < 0.62) yield (i, j))
+    val pair = Seq((0, 1), (2, 3), (4, 5), (6, 7)).flatMap { case (x, y) =>
+      cross(blocks(x), blocks(y), 0.20) }
+    val quad = Seq((0, 2), (0, 3), (1, 2), (1, 3), (4, 6), (4, 7), (5, 6), (5, 7))
+      .flatMap { case (x, y) => cross(blocks(x), blocks(y), 0.10) }
+    val sup = cross(blocks.take(4).flatten, blocks.drop(4).flatten, 0.004)
+    val all = (intra ++ pair ++ quad ++ sup).distinct
+    val edges = all.toDF("id_a", "id_b")
+    val ml = Louvain.multiLevel(edges, level1Rounds = 6, weightedRounds = 3,
+      maxLevels = 10)
+    val rows = ml.as[(Long, Long, Int)].collect()
+    val levels = rows.map(_._3).distinct
+    assert(levels.length === 1, s"levels column must be constant: ${levels.toSeq}")
+    assert(levels.head >= 3, s"fixture was built to need >= 3 levels, got ${levels.head}")
+    assert(rows.map(_._1).toSet === all.flatMap(e => Seq(e._1, e._2)).toSet,
+      "must label every edge endpoint")
+    // Q(converged) strictly above Q(level 1 alone) — the outer loop
+    // only accepts improving levels, so the fixture must show gain
+    def q(lab: Map[Long, Long]): Double =
+      Modularity.ofPartition(edges, lab.toSeq.toDF("node", "lbl"))
+        .select(col("q_total")).head().getDouble(0)
+    val l1 = Louvain.fromSingletons(edges, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    val mlLab = rows.map(r => r._1 -> r._2).toMap
+    assert(q(mlLab) > q(l1), "multi-level must improve on the single level here")
+    // the bound is loud: capping at 1 level throws while improving
+    val e = intercept[IllegalArgumentException](
+      Louvain.multiLevel(edges, 6, 3, maxLevels = 1))
+    assert(e.getMessage.contains("still improving"))
   }
 
   test("wide lattice: weights past 2^31 score exactly on DECIMAL(38,0) — scale invariance") {
