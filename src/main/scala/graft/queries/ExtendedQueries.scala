@@ -2442,14 +2442,20 @@ object ExtendedQueries {
     }),
     QueryDef("g42_louvain_converged", g42LouvainConverged, {
       // the g31 level-1 unroll, then the g36 contract+weighted-rounds
-      // template ITERATED for the probed accepted-level count (5 at
-      // sf0.01), each level's labels projected back to base nodes and
-      // Q-scored on the base graph; the stop rule is ASSERTED from the
-      // oracle's own Q numerators via sentinel rows (g34's fixpoint
-      // discipline lifted to the level loop): a row fires if any
-      // accepted level failed to improve Q, or if the first REJECTED
-      // level would still have improved it
-      val accepted = 6 // probed at sf0.01; the sentinels police it
+      // template ITERATED to a fixed probe depth; the CONVERGENCE level
+      // is then DERIVED inside the oracle from its own Q numerators —
+      // jstar = the first level j whose candidate level j+1 fails to
+      // improve Q — and the output selects level jstar's partition.
+      // This replaces the r16-interim probed `accepted = 6` constant,
+      // which silently encoded ONE SF's convergence depth (correct at
+      // sf0.01, wrong at sf0.001 where the chain converges earlier —
+      // caught by the r17 green-tree check). The stop rule needs no
+      // separate accepted-level sentinel now: every level below jstar
+      // strictly improved by jstar's minimality, exactly the Spark
+      // loop's accept rule. The one remaining sentinel fires when the
+      // chain is STILL improving at the probe depth (jstar undefined)
+      // — the loud too-shallow-unroll signal, g34's discipline.
+      val maxUnroll = 7 // probe depth; sentinel polices sufficiency
       // the per-round hashed activation (Louvain.active): low bit of
       // the 8th md5 hex digit of node ":" round
       def act(c: String, r: Int) =
@@ -2542,9 +2548,20 @@ object ExtendedQueries {
            |  JOIN v${j}w2 w ON w.node = p.lbl),
            |${qOf(j, s"p$j")}""".stripMargin
       }
-      val levels = (2 to accepted + 1).map(level).mkString(",\n")
-      val improveChecks = (2 to accepted).map(j =>
-        s"(SELECT qn FROM q$j) <= (SELECT qn FROM q${j - 1})").mkString("\n  OR ")
+      val levels = (2 to maxUnroll + 1).map(level).mkString(",\n")
+      // the per-level Q spine and the derived convergence level
+      val qSpine = (1 to maxUnroll + 1)
+        .map(j => s"SELECT $j AS j, (SELECT qn FROM q$j) AS qn")
+        .mkString("\n  UNION ALL ")
+      val partRows = (1 to maxUnroll).map { j =>
+        s"""SELECT CAST(p.node AS BIGINT) AS part_id,
+           |  CAST(p.lbl AS BIGINT) AS community,
+           |  CAST(s.n AS BIGINT) AS n_members, CAST($j AS INT) AS levels
+           |FROM p$j p
+           |JOIN (SELECT lbl, count(*) AS n FROM p$j GROUP BY lbl) s
+           |  ON s.lbl = p.lbl
+           |WHERE (SELECT jstar FROM conv) = $j""".stripMargin
+      }.mkString("\nUNION ALL\n")
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
@@ -2560,18 +2577,15 @@ object ExtendedQueries {
          |p1 AS MATERIALIZED (SELECT node, lbl FROM r4),
          |${qOf(1, "p1")},
          |$levels,
-         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
-         |  FROM p$accepted GROUP BY lbl)
-         |SELECT CAST(p.node AS BIGINT) AS part_id,
-         |  CAST(p.lbl AS BIGINT) AS community, sz.n_members,
-         |  CAST($accepted AS INT) AS levels
-         |FROM p$accepted p JOIN sz ON sz.lbl = p.lbl
+         |qs AS ($qSpine),
+         |conv AS (SELECT MIN(a.j) AS jstar FROM qs a
+         |  JOIN qs b ON b.j = a.j + 1 WHERE b.qn <= a.qn)
+         |$partRows
          |UNION ALL
          |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-         |  CAST((SELECT qn FROM q${accepted + 1})
-         |    - (SELECT qn FROM q$accepted) AS BIGINT), CAST(-1 AS INT)
-         |WHERE $improveChecks
-         |  OR (SELECT qn FROM q${accepted + 1}) > (SELECT qn FROM q$accepted)"""
+         |  CAST((SELECT qn FROM q${maxUnroll + 1})
+         |    - (SELECT qn FROM q$maxUnroll) AS BIGINT), CAST(-1 AS INT)
+         |WHERE (SELECT jstar FROM conv) IS NULL"""
         .stripMargin
     }),
     QueryDef("g31_louvain", g31Louvain, {
