@@ -35,4 +35,22 @@ object Coarsen {
         greatest(col("la"), col("lb")).as("id_b"))
       .agg(count(lit(1)).as("w"))
   }
+
+  /** Contract an already-weighted multigraph `g` (id_a <= id_b, w;
+    * self-loops allowed) by `labels` (node, lbl — covering every
+    * endpoint), SUMMING weights: contraction composes, so contracting
+    * level N's multigraph by level N+1's labels equals contracting the
+    * base graph by the composed labels — every base edge lands in the
+    * same supernode cell either way, and the summed counts are the
+    * same integers. This is what lets [[Louvain.multiLevel]] never
+    * re-touch the base edge set past level 1 (r17, guide §2.4). */
+  def contractWeighted(g: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("lbl")).localCheckpoint(true)
+    g
+      .join(lab.select(col("node").as("id_a"), col("lbl").as("la")), Seq("id_a"))
+      .join(lab.select(col("node").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
+      .groupBy(least(col("la"), col("lb")).as("id_a"),
+        greatest(col("la"), col("lb")).as("id_b"))
+      .agg(sum(col("w")).as("w"))
+  }
 }

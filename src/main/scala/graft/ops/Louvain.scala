@@ -90,45 +90,61 @@ object Louvain {
       ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")))
     var lab = Staging.fresh(labels.select(col("node"), col("lbl")))
     for (r <- 1 to rounds) {
+      // one deg join feeds BOTH Σtot and the mover side (r17: deg was
+      // joined twice per round — once for sigma, once inside scored)
+      val labk = lab.join(deg, Seq("node"))
       // Σtot per community: degree mass of its members
-      val sigma = lab.join(deg, Seq("node"))
-        .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
+      val sigma = labk.groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
       // this round's parity class re-decides; the other half carries
-      val movers = lab.filter(active(col("node"), r))
+      val movers = labk.filter(active(col("node"), r))
       val keepers = lab.filter(!active(col("node"), r))
-      // k_{i,c}: edges from mover i into community c
-      val kic = ed
+      // k_{i,c}: edges from mover i into community c. The mover
+      // restriction is the MAP-SIDE src-activity filter — the md5
+      // parity draw is a pure function of (src, round), so filtering
+      // the edge relation before the label join is exactly the old
+      // movers left-semi-join, minus one shuffle-join per round and
+      // with ~half the rows entering the aggregate (guide §2.3/§2.4)
+      val kic = ed.filter(active(col("src"), r))
         .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("kic"))
-        .join(movers.select(col("node")), Seq("node"), "left_semi")
       // candidate set per mover: neighbor communities ∪ its CURRENT
       // community (staying must stay comparable even with no
       // intra-community neighbor left); max() dedups the overlap —
       // the current-community row carries its true kic when it is
       // also a neighbor community, else 0
       val cand = kic.unionByName(
-          movers.withColumn("kic", lit(0L)))
+          movers.select(col("node"), col("lbl")).withColumn("kic", lit(0L)))
         .groupBy(col("node"), col("lbl")).agg(max(col("kic")).as("kic"))
       val scored = cand
-        .join(deg, Seq("node"))
         .join(sigma, Seq("lbl"))
-        .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
-        .select(col("node"), col("lbl"), col("cur"),
+        .join(movers.select(col("node"), col("lbl").as("cur"), col("k")),
+          Seq("node"))
+        .select(col("node"), col("lbl"),
           (lit(BigDecimal(2L) * BigDecimal(m)).cast("decimal(38,0)")
               * col("kic").cast("decimal(38,0)") -
             col("k").cast("decimal(38,0)") * (col("tot") -
               when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L)))
               .cast("decimal(38,0)"))
             .as("score"))
-      val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
-      lab = Staging.fresh(keepers.unionByName(
-          scored.join(best, Seq("node"))
-            .filter(col("score") === col("ms"))
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))))
+      // argmax in ONE aggregate: max(struct(score, −lbl)) orders by
+      // score then by SMALLEST label (struct comparison is
+      // lexicographic) — the same (max score, min label among
+      // achievers) pick the old max-then-join-then-min computed with
+      // an extra aggregate + join per round
+      lab = Staging.fresh(keepers.unionByName(argmaxLabel(scored)))
     }
     lab
   }
+
+  /** (node, lbl) of the max-score candidate per node, ties to the
+    * SMALLEST label — one HashAggregate over the scored relation:
+    * max(struct(score, −lbl)) is (max score, then min label)
+    * lexicographically, exactly the two-aggregate argmax it replaces. */
+  private def argmaxLabel(scored: DataFrame): DataFrame =
+    scored.groupBy(col("node"))
+      .agg(max(struct(col("score"), (-col("lbl")).as("nl"))).as("b"))
+      .select(col("node"), (-col("b.nl")).as("lbl"))
 
   /** The classic level-1 entry: every node starts as its own
     * community (the singleton partition scores Q-contributions of
@@ -151,9 +167,12 @@ object Louvain {
     * partition still improving at the bound throws rather than
     * silently shipping a non-converged level (the KTruss maxRounds
     * rule). Each accepted level's projected labels are staged; Q is
-    * scored per level as one aggregate over the per-community
-    * decomposition — O(levels) extra passes, each on the skinny
-    * label relation plus one edge join.
+    * scored per level off the level's contracted multigraph (whose
+    * self-loop / degree weights carry the base graph's intra counts
+    * and degree mass exactly), and each level contracts the PREVIOUS
+    * level's multigraph rather than the base edge set — the base
+    * edges are label-joined exactly once in the whole loop, every
+    * later pass is supernode-relation-sized.
     *
     * Returns (node, lbl, levels) over the BASE nodes — `levels` = the
     * accepted level count (constant column, audit surface). */
@@ -165,22 +184,24 @@ object Louvain {
     require(m > 0L, "louvain: empty edge set has no modularity to optimize")
     require(m <= 1000000000000000000L, // contract preserves total weight = m
       s"louvain: $m edges — 4m^2 exceeds the DECIMAL(38,0) score lattice")
-    // lean per-level Q scorer: the [[Modularity.ofPartition]] numerator
-    // total (Σ_c 4m·in_c − deg_c², the exact partition order — shared
-    // denominator), as ONE aggregate job instead of the decomposition's
-    // staged relation (m is counted once up front, never per level)
-    def qNumer(lab: DataFrame): java.math.BigDecimal = {
-      val l = lab.select(col("node"), col("lbl"))
-      val intra = e
-        .join(l.select(col("node").as("id_a"), col("lbl").as("la")), Seq("id_a"))
-        .join(l.select(col("node").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
-        .filter(col("la") === col("lb"))
-        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("in_edges"))
-      val degs = e.select(col("id_a").as("node"))
-        .unionByName(e.select(col("id_b").as("node")))
-        .join(l, Seq("node"))
-        .groupBy(col("lbl")).agg(count(lit(1)).as("deg_sum"))
-      degs.join(intra, Seq("lbl"), "left")
+    // lean per-level Q scorer, READ OFF THE CONTRACTED MULTIGRAPH: the
+    // [[Modularity.ofPartition]] numerator total (Σ_c 4m·in_c − deg_c²,
+    // the exact partition order — shared denominator). Contraction
+    // preserves the counts the numerator is made of EXACTLY — in_c is
+    // the supernode self-loop weight (= the base graph's intra-
+    // community edge count), deg_c is 2·w_self + Σ inter weights (= the
+    // base degree mass; the explode emits a self-loop's endpoint twice,
+    // so its w is counted twice) — so the score equals the base-graph
+    // aggregate the r16 version joined the full edge set twice per
+    // level to compute, at supernode-relation cost (guide §2.4: the
+    // contraction already paid the only edge-scale pass a level needs).
+    def qNumerContracted(cg: DataFrame): java.math.BigDecimal = {
+      val deg = cg
+        .select(explode(array(col("id_a"), col("id_b"))).as("lbl"), col("w"))
+        .groupBy(col("lbl")).agg(sum(col("w")).as("deg_sum"))
+      val selfw = cg.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("lbl"), col("w").as("in_edges"))
+      deg.join(selfw, Seq("lbl"), "left")
         .agg(sum(
           lit(BigDecimal(4L) * BigDecimal(m)).cast("decimal(38,0)")
             * coalesce(col("in_edges"), lit(0L)).cast("decimal(38,0)")
@@ -189,23 +210,37 @@ object Louvain {
         .collect().head.getDecimal(0)
     }
     var lab = Staging.fresh(fromSingletons(e, level1Rounds))
-    var q = qNumer(lab)
+    // the level's contracted multigraph is computed ONCE and serves
+    // three readers — the Q scorer, the next weighted move pass, and
+    // (via [[Coarsen.contractWeighted]]) the NEXT level's contraction —
+    // so the base edge set is label-joined exactly once in the whole
+    // outer loop (level-1's contract) instead of 3× per level (the r16
+    // shape: contract + two qNumer edge joins per accepted level)
+    var cg = Staging.fresh(Coarsen.contract(e, lab))
+    var q = qNumerContracted(cg)
     var levels = 1
     var converged = false
     while (!converged) {
       // contraction preserves the weight mass (Σw = m, positive by
       // construction: every supernode pair/self-loop carries a count),
       // so the weighted pass skips the public entry's re-validation
+      val sup = weightedMoves(cg, weightedRounds, bigW = m)
+      // candidate partition of the BASE graph, and its contraction —
+      // contracting the current multigraph by the super labels equals
+      // contracting the base graph by the composed labels: every base
+      // edge lands in the same (super_a, super_b) cell either way, and
+      // the weights are the same summed base counts
       val cand = lab
-        .join(weightedMoves(Staging.fresh(Coarsen.contract(e, lab)),
-            weightedRounds, bigW = m)
-          .select(col("node").as("lbl"), col("lbl").as("super")), Seq("lbl"))
+        .join(sup.select(col("node").as("lbl"), col("lbl").as("super")),
+          Seq("lbl"))
         .select(col("node"), col("super").as("lbl"))
-      val q2 = qNumer(cand)
+      val cg2 = Staging.fresh(Coarsen.contractWeighted(cg, sup))
+      val q2 = qNumerContracted(cg2)
       if (q2.compareTo(q) > 0) {
         require(levels < maxLevels,
           s"louvain: modularity still improving after $maxLevels levels — raise maxLevels")
         lab = Staging.fresh(cand)
+        cg = cg2
         q = q2
         levels += 1
       } else converged = true
@@ -259,34 +294,32 @@ object Louvain {
         .groupBy(col("node")).agg(sum(col("w")).as("k")))
     var lab = Staging.fresh(deg.select(col("node"), col("node").as("lbl")))
     for (r <- 1 to rounds) {
-      val sigma = lab.join(deg, Seq("node"))
-        .groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
-      val movers = lab.filter(active(col("node"), r))
+      // same r17 round-shape trims as [[oneLevel]]: one deg join per
+      // round, map-side src-activity filter instead of the movers
+      // semi-join, single-aggregate argmax
+      val labk = lab.join(deg, Seq("node"))
+      val sigma = labk.groupBy(col("lbl")).agg(sum(col("k")).as("tot"))
+      val movers = labk.filter(active(col("node"), r))
       val keepers = lab.filter(!active(col("node"), r))
-      val kic = ed
+      val kic = ed.filter(active(col("src"), r))
         .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(sum(col("w")).as("kic"))
-        .join(movers.select(col("node")), Seq("node"), "left_semi")
       val cand = kic.unionByName(
-          movers.withColumn("kic", lit(0L)))
+          movers.select(col("node"), col("lbl")).withColumn("kic", lit(0L)))
         .groupBy(col("node"), col("lbl")).agg(max(col("kic")).as("kic"))
       val scored = cand
-        .join(deg, Seq("node"))
         .join(sigma, Seq("lbl"))
-        .join(movers.withColumnRenamed("lbl", "cur"), Seq("node"))
-        .select(col("node"), col("lbl"), col("cur"),
+        .join(movers.select(col("node"), col("lbl").as("cur"), col("k")),
+          Seq("node"))
+        .select(col("node"), col("lbl"),
           (lit(BigDecimal(2L) * BigDecimal(bigW)).cast("decimal(38,0)")
               * col("kic").cast("decimal(38,0)") -
             col("k").cast("decimal(38,0)") * (col("tot") -
               when(col("lbl") === col("cur"), col("k")).otherwise(lit(0L)))
               .cast("decimal(38,0)"))
             .as("score"))
-      val best = scored.groupBy(col("node")).agg(max(col("score")).as("ms"))
-      lab = Staging.fresh(keepers.unionByName(
-          scored.join(best, Seq("node"))
-            .filter(col("score") === col("ms"))
-            .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))))
+      lab = Staging.fresh(keepers.unionByName(argmaxLabel(scored)))
     }
     lab
   }
