@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch A/B measurement harness for the optimization rounds: times
+  * labeled variants of hot operator shapes against the same at-rest
+  * fixtures the bench reads, min-of-N inside one JVM (the Bench
+  * protocol), so a shape change can be judged in isolation before it
+  * is wired into an operator. Not part of the driver contract; results
+  * print as one line per variant.
+  *
+  * Usage: runMain graft.Probe <variant> [...]  (no args = all)
+  */
+object Probe {
+
+  private def time(runs: Int)(body: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var sig = 0L
+    for (_ <- 1 to runs) {
+      val t0 = System.nanoTime()
+      sig = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, sig)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // same at-rest fixture resolution as Bench
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_probe_fixtures"
+    if (!graft.tables.FixtureStore.readMarker(spark, root).contains(sfDir)) {
+      graft.tables.GraphFixtures.materialize(spark, sfDir, root)
+      graft.tables.ErFixtures.materialize(spark, sfDir, root)
+    }
+    spark.conf.set("graft.fixtures.dir", root)
+    graft.tables.FixtureStore.release(spark)
+
+    val runs = sys.env.get("PROBE_RUNS").flatMap(_.toIntOption).getOrElse(3)
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains _
+
+    def report(name: String)(body: => Long): Unit = if (wanted(name)) {
+      val (sec, sig) = time(runs)(body)
+      println(f"PROBE $name%-28s $sec%8.3f s   sig=$sig")
+    }
+
+    def bidir(pairs: DataFrame) =
+      pairs.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
+        .unionByName(
+          pairs.select((col("supp") + 1000000000L).as("src"), col("cust").as("dst")))
+
+    // g8 shape: 5 cold PageRank iterations over the bipartite graph
+    report("pagerank_cold_current") {
+      val e0 = graft.tables.GraphFixtures.custSuppFlagged(spark, sfDir)
+        .select(col("cust"), col("supp"))
+      val r = graft.ops.PageRank.cold(bidir(e0), rounds = 5)
+      r.agg(sum(col("pr"))).collect().head.getLong(0)
+    }
+
+    // variant: degree-annotated edges pre-partitioned by the per-round
+    // join key before staging — does the per-round edge-side exchange
+    // disappear, and does it pay?
+    report("pagerank_cold_prepart") {
+      val e0 = graft.tables.GraphFixtures.custSuppFlagged(spark, sfDir)
+        .select(col("cust"), col("supp"))
+      val edges = bidir(e0)
+      val withDeg = edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      val init = withDeg.select(col("src").as("id")).distinct()
+        .withColumn("pr", lit(graft.ops.PageRank.InitRank)).localCheckpoint(true)
+      val r = graft.ops.PageRank.iterate(withDeg, init, rounds = 5)
+      r.agg(sum(col("pr"))).collect().head.getLong(0)
+    }
+
+    // variant: no per-round checkpoint — one lazy 5-round chain
+    report("pagerank_cold_lazy") {
+      val e0 = graft.tables.GraphFixtures.custSuppFlagged(spark, sfDir)
+        .select(col("cust"), col("supp"))
+      val edges = bidir(e0)
+      val withDeg = edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint(true)
+      var ranks = withDeg.select(col("src").as("id")).distinct()
+        .withColumn("pr", lit(graft.ops.PageRank.InitRank)).localCheckpoint(true)
+      for (_ <- 1 to 5)
+        ranks = withDeg.join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+          .select(col("dst").as("id"), (lit(graft.ops.PageRank.BaseRank) + col("cs")).as("pr"))
+      ranks.agg(sum(col("pr"))).collect().head.getLong(0)
+    }
+
+    // ann_recall execution-mode A/B: current = interpreted plans
+    report("ann_recall_current") {
+      SparkEntry.queries("ann_recall")(spark, sfDir).count()
+    }
+    report("ann_recall_codegen") {
+      // same harness through the normal codegen path
+      spark.conf.set("graft.interpretedHarness", "false")
+      try SparkEntry.queries("ann_recall")(spark, sfDir).count()
+      finally spark.conf.unset("graft.interpretedHarness")
+    }
+
+    spark.stop()
+  }
+}

@@ -735,6 +735,11 @@ object PipelineQueries {
     * relation is a LocalRelation of already-collected rows, so no lazy
     * execution escapes the scope. */
   private def withInterpretedPlans[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    // escape hatch for A/B measurement (graft.interpretedHarness=false
+    // runs the same harness through the normal codegen path — results
+    // identical, only the execution mode changes)
+    if (s.conf.getOption("graft.interpretedHarness").contains("false"))
+      return body
     val keys = Seq(
       "spark.sql.codegen.wholeStage" -> "false",
       // non-wholestage operators still compile per-operator unsafe
