@@ -103,13 +103,12 @@ object Probe {
       ranks.agg(sum(col("pr"))).collect().head.getLong(0)
     }
 
-    // ann_recall execution-mode A/B: current = interpreted plans
-    report("ann_recall_current") {
+    // ann_recall execution-mode A/B (r17 default = codegen)
+    report("ann_recall_codegen") {
       SparkEntry.queries("ann_recall")(spark, sfDir).count()
     }
-    report("ann_recall_codegen") {
-      // same harness through the normal codegen path
-      spark.conf.set("graft.interpretedHarness", "false")
+    report("ann_recall_interpreted") {
+      spark.conf.set("graft.interpretedHarness", "true")
       try SparkEntry.queries("ann_recall")(spark, sfDir).count()
       finally spark.conf.unset("graft.interpretedHarness")
     }
