@@ -36,29 +36,81 @@ object KTruss {
 
   /** Edges of the k-truss of `edges` (distinct undirected pairs
     * id_a < id_b, no self-loops), plus each surviving edge's in-truss
-    * support: (id_a, id_b, support). */
+    * support: (id_a, id_b, support).
+    *
+    * r17: the degree-rank ORIENTATION is computed ONCE, before the
+    * peel loop, and the oriented relation is what peels. Orientation
+    * is an enumeration strategy only — the triangle set of any
+    * subgraph (hence every support count) is identical under ANY total
+    * node order — so reusing the initial ranks across rounds changes
+    * no result while dropping the per-round degree aggregate and two
+    * rank joins (guide §2.4). The skew cap survives: out-degrees under
+    * the initial ranks only shrink as edges peel, so per-round wedge
+    * work stays within the initial graph's Σ outdeg² bound. */
   def truss(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 3, "k_truss: k >= 3 (the 2-truss is the whole graph)")
     require(maxRounds >= 1, "k_truss: maxRounds >= 1")
-    var cur = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    var cur = orient(edges.select(col("id_a"), col("id_b")))
+      .localCheckpoint(true)
     var curEdges = cur.count()
     var rounds = 0
     var result: DataFrame = null
     while (result == null) {
       require(rounds < maxRounds,
         s"k_truss: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
-      val sup = support(cur)
+      val sup = supportOriented(cur)
       val next = cur.join(sup, Seq("id_a", "id_b"))
         .filter(col("support") >= k - 2)
       val nextEdges = next.count()
       if (nextEdges == curEdges || nextEdges == 0L) result = next
       else {
-        cur = next.select(col("id_a"), col("id_b")).localCheckpoint(true)
+        cur = next.select(col("src"), col("dst"), col("rkdst"),
+          col("id_a"), col("id_b")).localCheckpoint(true)
         curEdges = nextEdges
         rounds += 1
       }
     }
-    result
+    result.select(col("id_a"), col("id_b"), col("support"))
+  }
+
+  /** Degree-rank orientation of a canonical (id_a < id_b) edge list:
+    * (src, dst, rkdst, id_a, id_b) with src the rank-min endpoint —
+    * the [[support]] preamble factored out so peel loops pay it once. */
+  private def orient(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val vOk = when(col("v") >= 0 && col("v") < lit(1L << 32), col("v"))
+      .otherwise(raise_error(concat(
+        lit("k_truss: node id out of [0, 2^32): "), col("v").cast("string"))))
+    val rk = deg.select(vOk.as("v"),
+      (col("d") * lit(1L << 32) + col("v")).as("rk"))
+    e
+      .join(broadcast(rk.select(col("v").as("id_a"), col("rk").as("rka"))), "id_a")
+      .join(broadcast(rk.select(col("v").as("id_b"), col("rk").as("rkb"))), "id_b")
+      .select(
+        when(col("rka") < col("rkb"), col("id_a")).otherwise(col("id_b")).as("src"),
+        when(col("rka") < col("rkb"), col("id_b")).otherwise(col("id_a")).as("dst"),
+        greatest(col("rka"), col("rkb")).as("rkdst"),
+        col("id_a"), col("id_b"))
+  }
+
+  /** Per-edge triangle support within an already-oriented staged
+    * relation (the [[orient]] shape): wedge join at the rank-min
+    * corner, closing-edge probe, one aggregate over the three
+    * canonical projections. Edges in no triangle are ABSENT. */
+  private def supportOriented(o: DataFrame): DataFrame = {
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rkdst") < col("e2.rkdst"))
+      .select(col("e1.src").as("v0"), col("e1.dst").as("v1"), col("e2.dst").as("v2"))
+      .join(o.select(col("src").as("v1"), col("dst").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+    tri.select(least(col("v0"), col("v1")).as("id_a"),
+        greatest(col("v0"), col("v1")).as("id_b"))
+      .unionByName(tri.select(least(col("v0"), col("v2")).as("id_a"),
+        greatest(col("v0"), col("v2")).as("id_b")))
+      .unionByName(tri.select(least(col("v1"), col("v2")).as("id_a"),
+        greatest(col("v1"), col("v2")).as("id_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
   }
 
   /** WEIGHTED truss peel — the support threshold lifted from triangle
@@ -85,23 +137,27 @@ object KTruss {
       maxRounds: Int = 64): DataFrame = {
     require(minSupport >= 1L, "k_truss weighted: minSupport >= 1")
     require(maxRounds >= 1, "k_truss: maxRounds >= 1")
-    var cur = edges.select(col("id_a"), col("id_b"), col("w").cast("long"))
+    val e0 = edges.select(col("id_a"), col("id_b"), col("w").cast("long"))
       .localCheckpoint(true)
-    require(cur.filter(col("w").isNull || col("w") <= 0L).isEmpty,
+    require(e0.filter(col("w").isNull || col("w") <= 0L).isEmpty,
       "k_truss weighted: edge weights must be positive and non-null")
+    // orientation hoisted out of the loop — the [[truss]] r17 argument
+    // verbatim (weights ride along; supports are orientation-free)
+    var cur = orientWeighted(e0).localCheckpoint(true)
     var curEdges = cur.count()
     var rounds = 0
     var result: DataFrame = null
     while (result == null) {
       require(rounds < maxRounds,
         s"k_truss weighted: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
-      val sup = weightedSupport(cur)
+      val sup = weightedSupportOriented(cur)
       val next = cur.join(sup, Seq("id_a", "id_b"))
         .filter(col("w_support") >= minSupport)
       val nextEdges = next.count()
       if (nextEdges == curEdges || nextEdges == 0L) result = next
       else {
-        cur = next.select(col("id_a"), col("id_b"), col("w")).localCheckpoint(true)
+        cur = next.select(col("src"), col("dst"), col("rkdst"), col("w"),
+          col("id_a"), col("id_b")).localCheckpoint(true)
         curEdges = nextEdges
         rounds += 1
       }
@@ -109,10 +165,8 @@ object KTruss {
     result.select(col("id_a"), col("id_b"), col("w"), col("w_support"))
   }
 
-  /** Per-edge weighted support within `e` (staged, a < b, w): the
-    * [[support]] enumeration with each triangle's min edge weight
-    * carried through the three canonical projections and SUMMED. */
-  private def weightedSupport(e: DataFrame): DataFrame = {
+  /** [[orient]] with the edge weight carried through. */
+  private def orientWeighted(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val vOk = when(col("v") >= 0 && col("v") < lit(1L << 32), col("v"))
@@ -120,19 +174,26 @@ object KTruss {
         lit("k_truss: node id out of [0, 2^32): "), col("v").cast("string"))))
     val rk = deg.select(vOk.as("v"),
       (col("d") * lit(1L << 32) + col("v")).as("rk"))
-    val oriented = e
+    e
       .join(broadcast(rk.select(col("v").as("id_a"), col("rk").as("rka"))), "id_a")
       .join(broadcast(rk.select(col("v").as("id_b"), col("rk").as("rkb"))), "id_b")
       .select(
         when(col("rka") < col("rkb"), col("id_a")).otherwise(col("id_b")).as("src"),
         when(col("rka") < col("rkb"), col("id_b")).otherwise(col("id_a")).as("dst"),
-        greatest(col("rka"), col("rkb")).as("rkdst"), col("w"))
-      .localCheckpoint(true) // wedge sides + closing probe
-    val tri = oriented.as("e1").join(oriented.as("e2"),
+        greatest(col("rka"), col("rkb")).as("rkdst"), col("w"),
+        col("id_a"), col("id_b"))
+  }
+
+  /** Per-edge weighted support within an already-oriented staged
+    * relation (the [[orientWeighted]] shape): the [[supportOriented]]
+    * enumeration with each triangle's min edge weight carried through
+    * the three canonical projections and SUMMED. */
+  private def weightedSupportOriented(o: DataFrame): DataFrame = {
+    val tri = o.as("e1").join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.rkdst") < col("e2.rkdst"))
       .select(col("e1.src").as("v0"), col("e1.dst").as("v1"), col("e2.dst").as("v2"),
         col("e1.w").as("w1"), col("e2.w").as("w2"))
-      .join(oriented.select(col("src").as("v1"), col("dst").as("v2"),
+      .join(o.select(col("src").as("v1"), col("dst").as("v2"),
         col("w").as("w3")), Seq("v1", "v2"))
       .select(col("v0"), col("v1"), col("v2"),
         least(col("w1"), col("w2"), col("w3")).as("minw"))

@@ -137,25 +137,24 @@ object ExtendedQueries {
     // per hop one semi-join against the edge relation + one anti-join
     // against the visited set; frontiers and visited sets are skinny
     // id relations, paths are never materialized.
-    // The EDGE list is deliberately NOT staged: Catalyst pushes each
-    // hop's frontier semi-probe BELOW the lineitem⋈orders join
-    // (PushDownLeftSemiAntiJoin), so every hop derives only the edge
-    // rows its frontier reaches — one PRUNED fact scan per hop beats
-    // one full un-pruned edge materialization (an eager edge
-    // localCheckpoint measured SLOWER, 4.5 s vs 3.7 s at sf0.1). The
-    // FRONTIERS are the opposite case: each hop's definition nests the
+    // The FRONTIERS are staged: each hop's definition nests the
     // previous hop's, so unstaged lineage re-derives every earlier hop
-    // inside every later one — 2^h-1 fact scans (7 at h=3, observed in
-    // the r12 plan), the classic iterative-algorithm lineage blow-up.
-    // Frontiers are skinny id relations, so an eager localCheckpoint
-    // per hop costs one tiny job and caps the plan at one pruned fact
-    // scan per hop (3 total). GraphPlanSpec pins both shapes.
-    // At production scale the edge list is a staged parquet table (the
-    // Prepare convention) built once per graph snapshot, not per query.
-    val e = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    // inside every later one — 2^h-1 edge derivations (7 at h=3,
+    // observed in the r12 plan), the classic iterative-algorithm
+    // lineage blow-up. Frontiers are skinny id relations, so an eager
+    // localCheckpoint per hop costs one tiny job; GraphPlanSpec pins
+    // the shape.
+    // r17: the edge list is the shared GraphFixtures relation (the
+    // custSuppFlagged key set — same distinct pairs; the flag is
+    // ignored, the g8/g13/g18 convention) instead of an inline
+    // lineitem⋈orders rebuild PER HOP: the r12 A/B that kept the
+    // inline build ("pruned fact scan per hop beats an eager edge
+    // checkpoint") predates the at-rest fixture tier — with fixtures
+    // at rest each hop probes a small parquet relation instead of
+    // re-deriving the join three times, and in the memo regime the
+    // build is shared with the rank/ppr queries instead of paid again.
+    val e = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
+      .select(col("cust"), col("supp"))
     val c0 = Tables.customer(s, dir).filter(col("c_custkey") % 50 === 0)
       .select(col("c_custkey").as("id"))
     val s1 = e.join(c0.withColumnRenamed("id", "cust"), Seq("cust"), "left_semi")
@@ -190,10 +189,11 @@ object ExtendedQueries {
     // of both (warm min-of-3 at sf0.1: current 2.2 s, capped-staged
     // 2.6 s, pairs-staged 2.1 s) — AQE stage reuse already dedupes the
     // shared subtrees at runtime, so staging only adds a barrier.
-    val e = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    // r17: the distinct pair set is the shared GraphFixtures relation's
+    // key set (the g8/g13/g18 convention) — at rest it is one small
+    // parquet read instead of a lineitem⋈orders + distinct rebuild
+    val e = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
+      .select(col("cust"), col("supp"))
     val capped = graft.ops.Dedup.capBuckets(e, Seq(col("cust")), col("supp"), 100)
     val x = capped.select(col("cust"), col("supp").as("supp_a"))
     val y = capped.select(col("cust"), col("supp").as("supp_b"))

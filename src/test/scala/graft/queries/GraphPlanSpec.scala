@@ -44,18 +44,17 @@ class GraphPlanSpec extends SparkSpec {
       "g6 hop 3 must exclude visited nodes with an anti join")
   }
 
-  test("g6: frontier staging caps lineage — 1 fact scan and 2 checkpointed frontiers") {
+  test("g6: frontier staging caps lineage — no fact scan, checkpointed frontiers") {
     // each hop's definition nests the previous hop's, so WITHOUT the
     // per-hop frontier localCheckpoint the final plan re-derives every
-    // earlier hop inside every later one — 2^h-1 lineitem scans (7 at
-    // h=3, observed in the r12 plan). With hops 1 and 2 checkpointed,
-    // the returned plan must contain EXACTLY one lineitem scan (hop
-    // 3's, frontier-pruned via the pushed semi-probe) and two RDD-scan
-    // leaves (the staged skinny frontiers). A refactor that drops the
-    // staging brings the scan count back up; one that checkpoints the
-    // EDGE list (A/B'd slower — it defeats the semi-probe pushdown)
-    // removes the lineitem scan entirely. Both must be deliberate
-    // re-pins, measured at scale.
+    // earlier hop inside every later one — 2^h-1 edge derivations (7
+    // at h=3, observed in the r12 plan). r17 DELIBERATE RE-PIN: the
+    // edge relation is now the shared GraphFixtures relation (at rest:
+    // one small parquet read per hop; memo regime: one staged RDD
+    // shared with the rank/ppr queries), so NO lineitem scan may
+    // appear in the final plan at all — one here means the fixture
+    // sharing regressed to an inline rebuild. The staged skinny
+    // frontiers must still show as RDD-scan leaves.
     val qe = q("g6_khop_reachability").queryExecution
     val leaves = qe.sparkPlan.collectLeaves()
     val factScans = leaves.count {
@@ -63,8 +62,8 @@ class GraphPlanSpec extends SparkSpec {
         s.metadata("Location").contains("lineitem")
       case _ => false
     }
-    assert(factScans == 1,
-      s"g6 expects exactly hop-3's pruned lineitem scan, found $factScans")
+    assert(factScans == 0,
+      s"g6 re-derives the edge list from the fact table ($factScans lineitem scans)")
     val rddLeaves = leaves.count {
       case _: org.apache.spark.sql.execution.RDDScanExec => true
       case _ => false
