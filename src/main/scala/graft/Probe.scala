@@ -103,6 +103,22 @@ object Probe {
       ranks.agg(sum(col("pr"))).collect().head.getLong(0)
     }
 
+    // plan inspection: one PageRank step over the staged edge relation
+    // (prints instead of timing — evidence for the exchange-count diff)
+    if (wanted("pagerank_step_plan")) {
+      val e0 = graft.tables.GraphFixtures.custSuppFlagged(spark, sfDir)
+        .select(col("cust"), col("supp"))
+      val withDeg = graft.ops.PageRank.withDegrees(bidir(e0))
+      val init = withDeg.select(col("src").as("id")).distinct()
+        .withColumn("pr", lit(graft.ops.PageRank.InitRank)).localCheckpoint(true)
+      println("=== pagerank step (withDeg staged partitioned on src) ===")
+      withDeg.join(init, col("src") === col("id"))
+        .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+        .select(col("dst").as("id"), (lit(graft.ops.PageRank.BaseRank) + col("cs")).as("pr"))
+        .explain("formatted")
+    }
+
     // ann_recall execution-mode A/B (r17 default = codegen)
     report("ann_recall_codegen") {
       SparkEntry.queries("ann_recall")(spark, sfDir).count()

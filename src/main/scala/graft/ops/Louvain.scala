@@ -209,7 +209,13 @@ object Louvain {
             * col("deg_sum").cast("decimal(38,0)")))
         .collect().head.getDecimal(0)
     }
-    var lab = Staging.fresh(fromSingletons(e, level1Rounds))
+    // level-1 labels arrive already staged (oneLevel stages its final
+    // round); the base-node projection of later levels is COMPOSED
+    // LAZILY — each accepted level appends one join against its staged
+    // skinny super-label relation instead of materializing a base-
+    // node-scale checkpoint per level (lineage depth = accepted
+    // levels, bounded by maxLevels; every join side is a staged leaf)
+    var lab = fromSingletons(e, level1Rounds)
     // the level's contracted multigraph is computed ONCE and serves
     // three readers — the Q scorer, the next weighted move pass, and
     // (via [[Coarsen.contractWeighted]]) the NEXT level's contraction —
@@ -225,21 +231,19 @@ object Louvain {
       // construction: every supernode pair/self-loop carries a count),
       // so the weighted pass skips the public entry's re-validation
       val sup = weightedMoves(cg, weightedRounds, bigW = m)
-      // candidate partition of the BASE graph, and its contraction —
-      // contracting the current multigraph by the super labels equals
-      // contracting the base graph by the composed labels: every base
-      // edge lands in the same (super_a, super_b) cell either way, and
-      // the weights are the same summed base counts
-      val cand = lab
-        .join(sup.select(col("node").as("lbl"), col("lbl").as("super")),
-          Seq("lbl"))
-        .select(col("node"), col("super").as("lbl"))
+      // the candidate's contraction: contracting the current multigraph
+      // by the super labels equals contracting the base graph by the
+      // composed labels — every base edge lands in the same
+      // (super_a, super_b) cell either way, same summed base counts
       val cg2 = Staging.fresh(Coarsen.contractWeighted(cg, sup))
       val q2 = qNumerContracted(cg2)
       if (q2.compareTo(q) > 0) {
         require(levels < maxLevels,
           s"louvain: modularity still improving after $maxLevels levels — raise maxLevels")
-        lab = Staging.fresh(cand)
+        lab = lab
+          .join(sup.select(col("node").as("lbl"), col("lbl").as("super")),
+            Seq("lbl"))
+          .select(col("node"), col("super").as("lbl"))
         cg = cg2
         q = q2
         levels += 1

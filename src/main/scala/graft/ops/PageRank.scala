@@ -44,18 +44,19 @@ object PageRank {
   val InitRank = 1000000L
   val BaseRank = 150000L
 
-  /** Edges annotated with their source's out-degree, eagerly staged,
-    * hash-partitioned on `src` — the key every iteration's rank join
-    * probes — so the one-time stage pays the edge relation's exchange
-    * once instead of every round re-shuffling it (guide §2.4: two
-    * operations keyed the same way share one exchange; measured −15%
-    * on the 5-round cold chain at sf0.1, same staged row set).
+  /** Edges annotated with their source's out-degree, eagerly staged.
+    * r17 audit note: a pre-partition-by-src staging variant was probed
+    * and REJECTED — the per-step plan already broadcasts the skinny
+    * rank side (the edge relation is never re-shuffled per round; one
+    * Exchange per step, on the post-partial-agg contribs only), and
+    * `localCheckpoint` drops partitioning metadata
+    * (UnknownPartitioning in the staged leaf), so the extra exchange
+    * at staging time buys nothing downstream.
     * `edges`: columns `src`, `dst` (directed; callers union both
     * directions for an undirected walk). */
   def withDegrees(edges: DataFrame): DataFrame =
     edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
       .localCheckpoint(true)
 
   /** One power-iteration step over a degree-annotated edge relation;
@@ -136,7 +137,6 @@ object PageRank {
       "weighted pagerank: edge weights must be positive and non-null")
     val withW = e
       .join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src")
-      .repartition(col("src")) // the withDegrees src-key staging rule
       .localCheckpoint(true)
     var ranks = withW.select(col("src").as("id")).distinct()
       .withColumn("pr", lit(InitRank)).localCheckpoint(true)
