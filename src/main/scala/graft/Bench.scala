@@ -144,13 +144,17 @@ object Bench {
 
   /** MD5 over every file's (relative path, length, mtime) under the
     * sf dir — a cheap local-fs content fingerprint (metadata-scale:
-    * one directory walk, no data read). */
+    * one directory walk, no data read). Salted with the FIXTURE-SET
+    * version: a root prepared by an older binary lacks newer keys
+    * (served as silent inline fallbacks — correct but cold), so a
+    * key-set change must land in a fresh root and re-prepare. */
   private def dataFingerprint(sfDir: String): String = {
     val base = new java.io.File(sfDir)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
+    md.update("fixture_set:r17;".getBytes("UTF-8"))
     walk(base).foreach { f =>
       md.update(s"${f.getPath.stripPrefix(base.getPath)}:${f.length()}:${f.lastModified()};"
         .getBytes("UTF-8"))

@@ -470,14 +470,16 @@ object ExtendedQueries {
     // the oracle unrolls BOTH chains (r0..r5 standing, w0..w3 merged)
     // and hash-matches exactly.
     import graft.ops.PageRank
-    // session-memoized (shared with g8): staged once, two consumers
-    // here (corpus edges + merged edges)
+    // session-memoized (shared with g8): staged once; the STANDING
+    // ranks are the GraphFixtures.corpusRanks relation (r17 — at rest
+    // in the production regime, the same 5-round deterministic chain
+    // built inline otherwise; the measured work is the REFRESH)
     val flagged = graft.tables.GraphFixtures.custSuppFlagged(s, dir)
     def bidir(pairs: org.apache.spark.sql.DataFrame) =
       pairs.select(col("cust").as("src"), (col("supp") + 1000000000L).as("dst"))
         .unionByName(
           pairs.select((col("supp") + 1000000000L).as("src"), col("cust").as("dst")))
-    val standing = PageRank.cold(bidir(flagged.filter(col("in_corpus"))), rounds = 5)
+    val standing = graft.tables.GraphFixtures.corpusRanks(s, dir)
     val refreshed = PageRank.warmStart(standing, bidir(flagged), rounds = 3)
     refreshed
       .join(standing.select(col("id"), col("pr").as("pr_prev")), Seq("id"), "left")
@@ -512,17 +514,15 @@ object ExtendedQueries {
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     // the support-filtered edge lists are ~400x smaller than the pair
-    // relation; staged, each BFS hop / relaxation round reads a skinny
-    // RDD instead of re-scanning + re-filtering the pair relation per
-    // job (measured 9.3 -> ~4 s at sf0.1). batchE feeds ONE join —
+    // relation; staged, each relaxation round reads a skinny RDD
+    // instead of re-scanning + re-filtering the pair relation per job
+    // (measured 9.3 -> ~4 s at sf0.1). batchE feeds ONE join —
     // staging it would do the same scan-filter work a job earlier.
-    val corpusE = bidir(sup.filter(col("csup") >= 2)).localCheckpoint(true)
+    // The STANDING labels are the GraphFixtures.corpusHops relation
+    // (r17 standing-state convention; same deterministic BFS).
     val mergedE = bidir(sup.filter(col("tsup") >= 2)).localCheckpoint(true)
     val batchE = bidir(sup.filter(col("tsup") >= 2 && col("csup") < 2))
-    val seeds = Tables.part(s, dir)
-      .filter(col("p_partkey") % 100 === 0)
-      .select(col("p_partkey").cast("long").as("id"))
-    val standing = Reachability.hops(corpusE, seeds, maxHop = 3)
+    val standing = graft.tables.GraphFixtures.corpusHops(s, dir)
     Reachability.refreshHops(standing, mergedE, batchE, maxHop = 3)
       .select(col("id").as("part_id"), col("hop"), col("hop_prev"))
   }
@@ -680,11 +680,12 @@ object ExtendedQueries {
     def bidir(pairs: org.apache.spark.sql.DataFrame) =
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // each edge set feeds ONE Lpa call, which stages internally —
-    // checkpointing here would stage the same relation twice
-    val corpusE = bidir(sup.filter(col("csup") >= 2))
+    // the merged edge set feeds ONE Lpa call, which stages internally —
+    // checkpointing here would stage the same relation twice. The
+    // STANDING labels are the GraphFixtures.corpusLabels relation (r17
+    // standing-state convention; same deterministic 4-round chain).
     val mergedE = bidir(sup.filter(col("tsup") >= 2))
-    val standing = graft.ops.Lpa.propagate(corpusE, rounds = 4)
+    val standing = graft.tables.GraphFixtures.corpusLabels(s, dir)
     val refreshed = graft.ops.Lpa.warmStart(standing, mergedE, rounds = 2)
     refreshed
       .join(standing.select(col("node"), col("lbl").as("community_prev")),
@@ -886,12 +887,12 @@ object ExtendedQueries {
     // for batch-promoted edges. Both edge tiers come off the shared
     // supCounts fixture (csup >= 2 ⊆ tsup >= 2, so arrival is
     // insert-only by construction).
+    // The STANDING truss is the GraphFixtures.corpusTruss relation (r17
+    // standing-state convention; same deterministic peel).
     val sup = graft.tables.GraphFixtures.supCounts(s, dir)
-    val corpusE = sup.filter(col("csup") >= 2)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
     val mergedE = sup.filter(col("tsup") >= 2)
       .select(col("a").as("id_a"), col("b").as("id_b"))
-    val standing = graft.ops.KTruss.truss(corpusE, k = 3)
+    val standing = graft.tables.GraphFixtures.corpusTruss(s, dir)
     graft.ops.KTruss.refreshTruss(standing, mergedE, k = 3)
       .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
         col("support"), col("support_prev"))
@@ -969,13 +970,14 @@ object ExtendedQueries {
     // fixpoint == cold merged features (spec-proven). Output the
     // g33 top-1000 with prev_common_neighbors (NULL = batch-created
     // pair, the delta convention).
+    // The STANDING features are the GraphFixtures.corpusLinkFeatures
+    // relation (r17 standing-state convention; same hub cap).
     val sup = graft.tables.GraphFixtures.supCounts(s, dir)
-    val corpusE = sup.filter(col("csup") >= 2)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
     val mergedE = sup.filter(col("tsup") >= 2)
       .select(col("a").as("id_a"), col("b").as("id_b"))
-    val batchE = mergedE.join(corpusE, Seq("id_a", "id_b"), "left_anti")
-    val standing = graft.ops.LinkPrediction.features(corpusE, maxHubDeg = 64L)
+    val batchE = sup.filter(col("tsup") >= 2 && col("csup") < 2)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val standing = graft.tables.GraphFixtures.corpusLinkFeatures(s, dir)
     graft.ops.LinkPrediction.refreshFeatures(standing, mergedE, batchE,
         maxHubDeg = 64L)
       .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
@@ -1020,14 +1022,13 @@ object ExtendedQueries {
     // the full edge set). Same corpus/full split as g35/g37; output
     // the g19 shape; refresh == cold proven by the spec and by this
     // oracle (which just computes the merged CC cold).
+    // The STANDING components are the GraphFixtures.corpusComponents
+    // relation (r17 standing-state convention; staged by the getter —
+    // refresh input + the prev column share it).
     val sup = graft.tables.GraphFixtures.supCounts(s, dir)
-    val corpusE = sup.filter(col("csup") >= 2)
+    val batchE = sup.filter(col("tsup") >= 2 && col("csup") < 2)
       .select(col("a").as("id_a"), col("b").as("id_b"))
-    val batchE = sup.filter(col("tsup") >= 2)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
-      .join(corpusE, Seq("id_a", "id_b"), "left_anti")
-    val standing = graft.ops.Dedup.connectedComponents(corpusE)
-      .localCheckpoint(true) // refresh input + the prev column
+    val standing = graft.tables.GraphFixtures.corpusComponents(s, dir)
     val cc = graft.ops.Components.refreshComponents(standing, batchE)
     val sz = cc.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     cc.join(sz, Seq("label"))
