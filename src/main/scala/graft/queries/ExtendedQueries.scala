@@ -3358,12 +3358,24 @@ object ExtendedQueries {
       // peel LEVELS x ROUNDS unrolled as MATERIALIZED n/e CTE pairs
       // (the g12 lesson, telescoped: level k starts from the prior
       // level's final edge set c{k-1}); coreness(v) = count of levels
-      // whose core contains v. Levels 2..6 x 16 rounds vs observed max
-      // coreness 3 / deepest cascade 10 rounds — ~2x headroom on both
-      // axes, and surplus levels/rounds are near-free identity passes
-      // at the fixpoint (the g12 headroom discipline: an unroll >= the
-      // actual depth matches hash-exactly).
-      val rounds = 16
+      // whose core contains v. Levels 2..18 x 24 rounds — the r16
+      // unroll stopped at level 6, probed against sf0.01/sf0.1 maxima
+      // (3), but this round's sf0.001 fixture has degeneracy 15 and the
+      // silent truncation mis-labeled 197 of 200 nodes (caught by the
+      // r17 green-tree check; the r16 ADVICE flagged exactly this
+      // defect class on the g34/g35 round unrolls). Surplus levels are
+      // near-free identity passes over empty cores. The probe depth is
+      // now POLICED rather than trusted: a sentinel row fires when the
+      // top unrolled core is still non-empty (truncated decomposition)
+      // and one per level whose 16-round peel did not reach fixpoint —
+      // either turns a would-be silent mismatch into a loud row-count
+      // failure (the g34 fixpoint-sentinel discipline).
+      // rounds: the deepest probed cascade is level 16's 19-round
+      // final collapse at sf0.001 (the whole 15-core unravelling);
+      // 24 gives headroom and the per-level fixpoint sentinels police
+      // the rest. Surplus rounds at the fixpoint are identity passes.
+      val rounds = 24
+      val maxK = 18
       def level(k: Int) = ((1 to rounds).map { r =>
         val p = if (r == 1) s"c${k - 1}" else s"e${k}_${r - 1}"
         s"""n${k}_$r AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM $p
@@ -3371,10 +3383,15 @@ object ExtendedQueries {
            |e${k}_$r AS MATERIALIZED (SELECT e.a, e.b FROM $p e
            |  JOIN n${k}_$r x ON x.v = e.a JOIN n${k}_$r y ON y.v = e.b)""".stripMargin
       } :+ s"c$k AS MATERIALIZED (SELECT a, b FROM e${k}_$rounds)").mkString(",\n")
-      val levels = (2 to 6).map(level).mkString(",\n")
-      val mem = (1 to 6).map(k =>
+      val levels = (2 to maxK).map(level).mkString(",\n")
+      val mem = (1 to maxK).map(k =>
         s"SELECT DISTINCT v FROM (SELECT a AS v FROM c$k UNION ALL SELECT b FROM c$k)")
         .mkString("\n  UNION ALL ")
+      val fixpointChecks = (2 to maxK).map(k =>
+        s"""SELECT CAST(-$k AS BIGINT) AS part_id, CAST(-1 AS BIGINT) AS coreness
+           |WHERE (SELECT count(*) FROM e${k}_$rounds)
+           |  <> (SELECT count(*) FROM e${k}_${rounds - 1})""".stripMargin)
+        .mkString("\nUNION ALL\n")
       s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          |c1 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM li x
@@ -3383,7 +3400,12 @@ object ExtendedQueries {
          |$levels,
          |mem AS ($mem)
          |SELECT CAST(v AS BIGINT) AS part_id, CAST(count(*) AS BIGINT) AS coreness
-         |FROM mem GROUP BY v""".stripMargin
+         |FROM mem GROUP BY v
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |WHERE EXISTS (SELECT 1 FROM c$maxK)
+         |UNION ALL
+         |$fixpointChecks""".stripMargin
     }),
     QueryDef("g21_communities_incremental", g21CommunitiesIncremental, {
       // both LPA chains unrolled (4 standing rounds over the corpus
