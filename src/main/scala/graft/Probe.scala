@@ -119,6 +119,36 @@ object Probe {
         .explain("formatted")
     }
 
+    // dedup_recall phase split: exact-truth postings join vs the three
+    // banded candidate generators
+    report("dedup_truth_only") {
+      import graft.tables.Tables
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+      val ts = docs.select(col("doc_id"),
+          graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
+        .filter(col("ts").isNotNull)
+      val sizes = ts.select(col("doc_id"), size(col("ts")).as("n"))
+      val posts = ts.select(col("doc_id"), explode(col("ts")).as("sh"))
+      val shared = posts.alias("x")
+        .join(posts.alias("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), Seq("id_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), Seq("id_b"))
+        .filter(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double") >= 0.5)
+        .count()
+    }
+    report("dedup_methods_only") {
+      import graft.tables.Tables
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+      graft.ops.Dedup.minhashCandidatePairs(docs).count() +
+        graft.ops.Dedup.simhashPairs(docs, bits = 16, maxDist = 1).count() +
+        graft.ops.Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 3L).count()
+    }
+
     // ann_recall execution-mode A/B (r17 default = codegen)
     report("ann_recall_codegen") {
       SparkEntry.queries("ann_recall")(spark, sfDir).count()

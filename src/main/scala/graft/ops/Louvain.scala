@@ -249,7 +249,12 @@ object Louvain {
         levels += 1
       } else converged = true
     }
-    lab.withColumn("levels", lit(levels))
+    // stage the composed projection ONCE at loop exit: callers consume
+    // the labels more than once (size counts + the output join), and
+    // an unstaged multi-level join chain re-executes per consumer with
+    // multiplicatively-inflated stats (the Staging hazard) — observed
+    // 11 s → 36 s on g42 at sf0.1 before this final stage landed
+    Staging.fresh(lab).withColumn("levels", lit(levels))
   }
 
   /** WEIGHTED move rounds over a multigraph with self-loops — the
