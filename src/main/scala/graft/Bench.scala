@@ -5,18 +5,18 @@ object Bench {
 
   /** Render the two bench output lines.
     *
-    * Line 1 (full): every query at full precision, headline fields last —
-    * a complete log capture gets everything from this one line.
+    * Emission order (r18, per the r17 VERDICT item 2): the COMPACT line
+    * first, the FULL line LAST — `tools/bench.sh` keeps `tail -1`
+    * (line-based), so the retained line now carries every query at full
+    * precision. The r17 PERF diff mislabeled 14 queries as
+    * "dropped_from_bench" because the compact line's slowest-47 cutoff
+    * was the last line; the full map ends that artifact.
     *
-    * Line 2 (compact): a self-contained JSON line guaranteed short enough
-    * to survive a tail-only log capture. The scoring harness retains only
-    * the last ~2000 chars of stdout (observed: BENCH_r08 tail=2000,
-    * parsed=null when the full line ran ~2400 chars — a front-truncated
-    * JSON line parses as nothing), and sbt appends its own ~90-char
-    * "[success] …" line after us. The compact line carries the headline
-    * metric, the error list (capped), and as many of the SLOWEST queries
-    * as fit a fixed character budget, so the perf-relevant subset is
-    * always visible even when the full map is not.
+    * The compact line is still emitted (first): a char-truncated tail
+    * capture (observed: BENCH_r08 tail=2000, parsed=null when the full
+    * line ran ~2400 chars — a front-truncated JSON line parses as
+    * nothing) can still recover the headline metric, the error list
+    * (capped), and the SLOWEST queries from it, one line up.
     *
     * `runs`: per-query repetitions whose MIN each reported number is —
     * carried in both lines so a reader knows the trimming protocol.
@@ -108,7 +108,10 @@ object Bench {
         case Some(_) => -1.0 // env var is read by FixtureStore directly
         case None =>
           val provided = s"$sfDir/_fixtures"
-          if (FixtureStore.readMarker(spark, provided).contains(sfDir)) {
+          // marker AND fixture-set version must match: a provided root
+          // prepared by an older binary silently serves inline rebuilds
+          // for newer keys (the r17 ADVICE finding)
+          if (FixtureStore.markerCurrent(spark, provided, sfDir)) {
             spark.conf.set("graft.fixtures.dir", provided)
             -1.0
           } else {
@@ -120,7 +123,7 @@ object Bench {
             val root = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_" +
               dataFingerprint(sfDir)
             val prepSec =
-              if (FixtureStore.readMarker(spark, root).contains(sfDir)) -1.0
+              if (FixtureStore.markerCurrent(spark, root, sfDir)) -1.0
               else {
                 val t0 = System.nanoTime()
                 GraphFixtures.materialize(spark, sfDir, root)
@@ -154,7 +157,8 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update("fixture_set:r17;".getBytes("UTF-8"))
+    md.update(s"fixture_set:${graft.tables.FixtureStore.FixtureSetVersion};"
+      .getBytes("UTF-8"))
     walk(base).foreach { f =>
       md.update(s"${f.getPath.stripPrefix(base.getPath)}:${f.length()}:${f.lastModified()};"
         .getBytes("UTF-8"))
@@ -239,8 +243,10 @@ object Bench {
     val calibrationSec = calibrate()
     val (full, compact) = renderLines(results, errors.result(), sfDir, runs,
       prepareSec, calibrationSec)
-    println(full)
+    // compact first, FULL LAST: tail -1 must retain the complete
+    // per-query map (r17 VERDICT item 2)
     println(compact)
+    println(full)
     spark.stop()
   }
 }

@@ -39,7 +39,10 @@ object Probe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // same at-rest fixture resolution as Bench
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_probe_fixtures"
-    if (!graft.tables.FixtureStore.readMarker(spark, root).contains(sfDir)) {
+    // marker + fixture-set version, like Bench: a stale probe root would
+    // silently serve inline rebuilds for newer keys and skew every A/B
+    // this round decides from (the r17 ADVICE finding)
+    if (!graft.tables.FixtureStore.markerCurrent(spark, root, sfDir)) {
       graft.tables.GraphFixtures.materialize(spark, sfDir, root)
       graft.tables.ErFixtures.materialize(spark, sfDir, root)
     }
@@ -147,6 +150,57 @@ object Probe {
       graft.ops.Dedup.minhashCandidatePairs(docs).count() +
         graft.ops.Dedup.simhashPairs(docs, bits = 16, maxDist = 1).count() +
         graft.ops.Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 3L).count()
+    }
+
+    // g10/g9 triangle-family phase split (r18 item 3: the driver's
+    // 32-core run put g10 at 37.1 s vs < 1.9 s at 8 cores — find which
+    // phase anti-scales). Phases are cumulative prefixes of
+    // Triangles.perNodeCounts over the g10 edge set; subtract
+    // neighbors to attribute time.
+    def triOriented() = {
+      val e = graft.tables.GraphFixtures.partCoPairs(spark, sfDir)
+        .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val rk = deg.select(col("v"), (col("d") * lit(1L << 32) + col("v")).as("rk"))
+      e.join(broadcast(rk.select(col("v").as("a"), col("rk").as("rka"))), "a")
+        .join(broadcast(rk.select(col("v").as("b"), col("rk").as("rkb"))), "b")
+        .select(
+          when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
+          when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
+          greatest(col("rka"), col("rkb")).as("rkdst"))
+        .localCheckpoint()
+    }
+    report("tri_edges_scan") {
+      graft.tables.GraphFixtures.partCoPairs(spark, sfDir).count()
+    }
+    report("tri_orient") { triOriented().count() }
+    report("tri_adj_agg") {
+      val o = triOriented()
+      o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+        .select(size(col("nbrs")).as("n")).agg(sum(col("n"))).collect().head.getLong(0)
+    }
+    report("tri_intersect_full") {
+      graft.ops.Triangles.perNodeCounts(
+        graft.tables.GraphFixtures.partCoPairs(spark, sfDir))
+        .agg(sum(col("n_tri"))).collect().head.getLong(0)
+    }
+    report("g10_full") {
+      SparkEntry.queries("g10_clustering")(spark, sfDir).count()
+    }
+    report("g9_full") {
+      SparkEntry.queries("g9_triangles")(spark, sfDir).count()
+    }
+    if (wanted("tri_stats")) {
+      val o = triOriented()
+      val m = o.count()
+      val st = o.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(max(col("od")), avg(col("od")), count(lit(1))).collect().head
+      val nTri = graft.ops.Triangles.perNodeCounts(
+        graft.tables.GraphFixtures.partCoPairs(spark, sfDir))
+        .agg(sum(col("n_tri"))).collect().head.getLong(0)
+      println(s"TRI_STATS edges=$m maxOutdeg=${st.get(0)} avgOutdeg=${st.get(1)} " +
+        s"srcNodes=${st.get(2)} triangleCorners=$nTri")
     }
 
     // ann_recall execution-mode A/B (r17 default = codegen)

@@ -31,18 +31,20 @@ object Centrality {
   def harmonic(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
     require(maxHop >= 1, "harmonic: maxHop >= 1")
     // layer 0: each seed at distance 0 of itself
-    var visited = seeds.select(col("id").cast("long").as("seed"))
-      .distinct()
-      .select(col("seed"), col("seed").as("id"), lit(0L).as("hop"))
-      .localCheckpoint(true)
+    var (visited, fCount) = Staging.freshCounted(
+      seeds.select(col("id").cast("long").as("seed"))
+        .distinct()
+        .select(col("seed"), col("seed").as("id"), lit(0L).as("hop")))
     var frontier = visited
     var h = 1
-    while (h <= maxHop && !frontier.isEmpty) {
-      frontier = edges
+    while (h <= maxHop && fCount > 0L) {
+      val staged = Staging.freshCounted(edges
         .join(frontier.select(col("seed"), col("id").as("src")), Seq("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
         .join(visited.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .withColumn("hop", lit(h.toLong)).localCheckpoint(true)
+        .withColumn("hop", lit(h.toLong)))
+      frontier = staged._1
+      fCount = staged._2
       visited = visited.unionByName(frontier)
       h += 1
     }
@@ -92,14 +94,15 @@ object Centrality {
     // backward pass re-reads every one of them
     val layers = scala.collection.mutable.ArrayBuffer(l0)
     var visited = l0.select(col("seed"), col("id"))
+    var lastCount = l0.count() // counts the staged seed layer (cheap)
     var h = 1
-    while (h <= maxHop && !layers.last.isEmpty) {
-      val next = e
+    while (h <= maxHop && lastCount > 0L) {
+      val (next, n) = Staging.freshCounted(e
         .join(layers.last.select(col("seed"), col("id").as("src"), col("sigma")),
           Seq("src"))
         .groupBy(col("seed"), col("dst").as("id")).agg(sum(col("sigma")).as("sigma"))
-        .join(visited, Seq("seed", "id"), "left_anti")
-        .localCheckpoint(true)
+        .join(visited, Seq("seed", "id"), "left_anti"))
+      lastCount = n
       layers += next
       visited = visited.unionByName(next.select(col("seed"), col("id")))
         .localCheckpoint(true)

@@ -223,6 +223,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** EXACT 3-gram-shingle-set Jaccard >= `tauNum/tauDen` pairs — the
+    * truth side of dedup_recall, factored out so the differential spec
+    * can pin it against a brute-force all-pairs scan. Complete for any
+    * tau > 0: a qualifying pair shares >= 1 shingle, so the postings
+    * self-join enumerates a superset (sum-of-df² cost, never |S|²).
+    *
+    * r18 size-ratio prefilter (guide §2.3 — shuffle/aggregate fewer
+    * rows): J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so
+    * J >= tau implies tauDen·min >= tauNum·max. The ratio check rides
+    * the postings join as a residual — a pair that fails it is dropped
+    * BEFORE the per-pair aggregate, and it can never have reached tau
+    * (strictly: min/max <= tau − 1/(den·max) < tau, a gap far above
+    * double rounding), so the pair set out of the final filter is
+    * IDENTICAL (DedupOpsSpec proves it differentially). Sizes ride the
+    * postings rows (one int), which also removes the two size joins
+    * the old formulation paid after the aggregate. */
+  def exactShingleJaccardPairs(docs: DataFrame,
+      tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
+    val ts = docs.select(col("doc_id"),
+        graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
+      .filter(col("ts").isNotNull) // < 3 tokens: can't shingle, can't band
+    val posts = ts.select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+      explode(col("ts")).as("sh"))
+    posts.alias("x")
+      .join(posts.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * tauDen >=
+            greatest(col("x.n"), col("y.n")) * tauNum)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      // the EXACT threshold, same double comparison as the oracle
+      .filter(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")).cast("double") >=
+        tauNum.toDouble / tauDen.toDouble)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Connected components over an undirected candidate-pair edge list:
     * turns pairwise duplicate evidence into duplicate CLUSTERS, each
     * labeled by its minimum member id — the canonical representative a
@@ -280,9 +319,10 @@ object Dedup {
     // depend on which path the data volume selects.
     val fwd = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
+    // lazy checkpoint: the size-gate count below is the materializing
+    // action, so the stage + count are ONE driver job (§2.6)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // materialized once, re-joined every round
-    // Cheap: counts the just-materialized checkpoint blocks, no recompute.
+      .localCheckpoint(false) // materialized once, re-joined every round
     if (edges.count() <= 2 * localEdgeLimit) return unionFindLocal(edges)
     // Round 0 folded into the init: label = min(self, neighbors). A band
     // clique (the common dup-graph shape) is already converged here, so
@@ -315,11 +355,13 @@ object Dedup {
         lit(null).cast("long").as("prev"))
       // The old label rides along as `prev` (min ignores the nulls from
       // the propagation rows), so convergence is a filter over the
-      // checkpointed result — no extra shuffle join per round.
+      // checkpointed result — no extra shuffle join per round. The
+      // checkpoint is LAZY: the changed-count action materializes the
+      // blocks, so the stage + convergence probe are one driver job.
       val next = labels.select(col("node"), col("label"), col("label").as("prev"))
         .union(self).union(push).union(jump)
         .groupBy("node").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.filter(col("label") < col("prev")).count()
       cached.unpersist()
       cached = next

@@ -35,12 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Peel `edges0` (already staged) to the k-core fixpoint; returns the
-    * surviving edge set, staged. The per-round shape documented in the
-    * header; shared by [[core]] and [[coreness]]. */
-  private def peel(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  /** Peel `edges0` (already staged, with its known edge count) to the
+    * k-core fixpoint; returns the surviving edge set, staged, WITH its
+    * count — the convergence probe rides the staging job
+    * (Staging.freshCounted: one driver job per round, not two), and
+    * callers that need the survivor count (coreness's level loop)
+    * read it instead of re-counting. Shared by [[core]] and
+    * [[coreness]]. */
+  private def peel(edges0: DataFrame, edges0Count: Long, k: Int,
+      maxRounds: Int): (DataFrame, Long) = {
     var cur = edges0
-    var curEdges = cur.count()
+    var curEdges = edges0Count
     var rounds = 0
     var converged = curEdges == 0L
     while (!converged) {
@@ -50,17 +55,15 @@ object KCore {
         .unionByName(cur.select(col("id_b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      val next = cur
+      val (next, nextEdges) = Staging.freshCounted(cur
         .join(keep.select(col("v").as("ka")), col("id_a") === col("ka"), "left_semi")
-        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi")
-        .localCheckpoint(true)
-      val nextEdges = next.count()
+        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi"))
       converged = nextEdges == curEdges || nextEdges == 0L
       cur = next
       curEdges = nextEdges
       rounds += 1
     }
-    cur
+    (cur, curEdges)
   }
 
   /** Nodes of the k-core of `edges` with their in-core degrees.
@@ -68,8 +71,8 @@ object KCore {
   def core(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 1, "k_core: k >= 1")
     require(maxRounds >= 1, "k_core: maxRounds >= 1")
-    val cur = peel(edges.select(col("id_a"), col("id_b")).localCheckpoint(true),
-      k, maxRounds)
+    val (e0, n0) = Staging.freshCounted(edges.select(col("id_a"), col("id_b")))
+    val (cur, _) = peel(e0, n0, k, maxRounds)
     cur.select(col("id_a").as("node_id"))
       .unionByName(cur.select(col("id_b").as("node_id")))
       .groupBy(col("node_id")).agg(count(lit(1)).as("core_deg"))
@@ -112,9 +115,9 @@ object KCore {
       .localCheckpoint(true)
     val coreE = flagged.filter(col("fa").isNotNull && col("fb").isNotNull)
       .select(col("id_a"), col("id_b"))
-    var cur = flagged.filter(col("fa").isNull || col("fb").isNull)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    var curEdges = cur.count()
+    var (cur, curEdges) = Staging.freshCounted(
+      flagged.filter(col("fa").isNull || col("fb").isNull)
+        .select(col("id_a"), col("id_b")))
     var rounds = 0
     var converged = curEdges == 0L
     while (!converged) {
@@ -129,11 +132,9 @@ object KCore {
         .filter(col("deg") >= k)
         .select(col("v"))
         .unionByName(prot).distinct()
-      val next = cur
+      val (next, nextEdges) = Staging.freshCounted(cur
         .join(keep.select(col("v").as("ka")), col("id_a") === col("ka"), "left_semi")
-        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi")
-        .localCheckpoint(true)
-      val nextEdges = next.count()
+        .join(keep.select(col("v").as("kb")), col("id_b") === col("kb"), "left_semi"))
       converged = nextEdges == curEdges || nextEdges == 0L
       cur = next
       curEdges = nextEdges
@@ -168,16 +169,17 @@ object KCore {
     def nodesOf(e: DataFrame) =
       e.select(col("id_a").as("v")).unionByName(e.select(col("id_b").as("v")))
         .distinct()
-    var cur = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    var curEdges = cur.count()
+    var (cur, curEdges) = Staging.freshCounted(
+      edges.select(col("id_a"), col("id_b")))
     var levels = List.empty[DataFrame]
     if (curEdges > 0) levels ::= nodesOf(cur) // k = 1: every node with an edge
     var k = 2
     while (curEdges > 0) {
       require(k <= maxK,
         s"coreness: ${k}-core still non-empty past maxK=$maxK ($curEdges edges live)")
-      cur = peel(cur, k, maxRounds)
-      curEdges = cur.count()
+      val peeled = peel(cur, curEdges, k, maxRounds)
+      cur = peeled._1
+      curEdges = peeled._2
       if (curEdges > 0) levels ::= nodesOf(cur)
       k += 1
     }

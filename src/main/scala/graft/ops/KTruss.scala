@@ -50,22 +50,27 @@ object KTruss {
   def truss(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 3, "k_truss: k >= 3 (the 2-truss is the whole graph)")
     require(maxRounds >= 1, "k_truss: maxRounds >= 1")
-    var cur = orient(edges.select(col("id_a"), col("id_b")))
-      .localCheckpoint(true)
-    var curEdges = cur.count()
+    var (cur, curEdges) = Staging.freshCounted(
+      orient(edges.select(col("id_a"), col("id_b"))))
     var rounds = 0
     var result: DataFrame = null
     while (result == null) {
       require(rounds < maxRounds,
         s"k_truss: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
       val sup = supportOriented(cur)
-      val next = cur.join(sup, Seq("id_a", "id_b"))
-        .filter(col("support") >= k - 2)
-      val nextEdges = next.count()
+      // staged BEFORE the convergence count (r18, §2.6): the old shape
+      // counted the unstaged join (one full support computation), then
+      // checkpointed the surviving projection (a SECOND full support
+      // computation) — every non-final round ran its wedge join twice.
+      // freshCounted materializes once and the count rides that job;
+      // the next round's carrier is a projection over the staged leaf.
+      val (next, nextEdges) = Staging.freshCounted(
+        cur.join(sup, Seq("id_a", "id_b"))
+          .filter(col("support") >= k - 2))
       if (nextEdges == curEdges || nextEdges == 0L) result = next
       else {
         cur = next.select(col("src"), col("dst"), col("rkdst"),
-          col("id_a"), col("id_b")).localCheckpoint(true)
+          col("id_a"), col("id_b"))
         curEdges = nextEdges
         rounds += 1
       }
@@ -143,21 +148,22 @@ object KTruss {
       "k_truss weighted: edge weights must be positive and non-null")
     // orientation hoisted out of the loop — the [[truss]] r17 argument
     // verbatim (weights ride along; supports are orientation-free)
-    var cur = orientWeighted(e0).localCheckpoint(true)
-    var curEdges = cur.count()
+    var (cur, curEdges) = Staging.freshCounted(orientWeighted(e0))
     var rounds = 0
     var result: DataFrame = null
     while (result == null) {
       require(rounds < maxRounds,
         s"k_truss weighted: no fixpoint after $maxRounds peel rounds ($curEdges edges live)")
       val sup = weightedSupportOriented(cur)
-      val next = cur.join(sup, Seq("id_a", "id_b"))
-        .filter(col("w_support") >= minSupport)
-      val nextEdges = next.count()
+      // staged before the convergence count — see [[truss]]: the old
+      // count-then-checkpoint pair ran each round's support join twice
+      val (next, nextEdges) = Staging.freshCounted(
+        cur.join(sup, Seq("id_a", "id_b"))
+          .filter(col("w_support") >= minSupport))
       if (nextEdges == curEdges || nextEdges == 0L) result = next
       else {
         cur = next.select(col("src"), col("dst"), col("rkdst"), col("w"),
-          col("id_a"), col("id_b")).localCheckpoint(true)
+          col("id_a"), col("id_b"))
         curEdges = nextEdges
         rounds += 1
       }
@@ -235,10 +241,9 @@ object KTruss {
     require(maxRounds >= 1, "k_truss: maxRounds >= 1")
     val protectedE = standingTruss.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    var active = mergedEdges.select(col("id_a"), col("id_b"))
-      .join(protectedE, Seq("id_a", "id_b"), "left_anti")
-      .localCheckpoint(true)
-    var activeEdges = active.count()
+    var (active, activeEdges) = Staging.freshCounted(
+      mergedEdges.select(col("id_a"), col("id_b"))
+        .join(protectedE, Seq("id_a", "id_b"), "left_anti"))
     var rounds = 0
     var fixed = activeEdges == 0L
     while (!fixed) {
@@ -248,9 +253,8 @@ object KTruss {
       val keep = activeSupport(cur, active)
         .filter(col("support") >= k - 2)
         .select(col("id_a"), col("id_b"))
-      val next = active.join(keep, Seq("id_a", "id_b"), "left_semi")
-        .localCheckpoint(true)
-      val nextEdges = next.count()
+      val (next, nextEdges) = Staging.freshCounted(
+        active.join(keep, Seq("id_a", "id_b"), "left_semi"))
       fixed = nextEdges == activeEdges || nextEdges == 0L
       active = next
       activeEdges = nextEdges

@@ -39,14 +39,18 @@ import org.apache.spark.sql.functions._
   *   `2m·k_{i,c} − k_i·(Σtot_c − [c = cur]·k_i)`
   * (the self-degree leaves Σtot of the CURRENT community when
   * comparing against staying — the standard remove-then-place
-  * bookkeeping). Argmax is two aggregates — max score per node, then
-  * MIN label among the achievers — fully deterministic in both
-  * engines, no packing needed since scores exceed 32 bits.
+  * bookkeeping). Argmax is ONE aggregate — `max(struct(score, −lbl))`
+  * is lexicographically (max score, then MIN label among achievers) —
+  * fully deterministic in both engines (the r17 reshape; the oracle
+  * keeps the equivalent two-step SQL).
   *
-  * Scale shape: per round ONE equi-join of the bidirectional edge
-  * relation against the skinny label relation (k_{i,c} counts), one
-  * label⋈degree aggregate (Σtot), and the two argmax aggregates —
-  * everything keyed, nothing quadratic; labels staged per round.
+  * Scale shape (post-r17): per round ONE equi-join of the
+  * mover-filtered bidirectional edge relation against the skinny
+  * label relation (k_{i,c} counts; the mover restriction is a
+  * map-side `active(src, round)` filter, not a join), ONE shared
+  * label⋈degree join (`labk`) feeding both the Σtot aggregate and the
+  * mover side, and the single-aggregate argmax — everything keyed,
+  * nothing quadratic; labels staged per round.
   * Bounds: scores live on a DECIMAL(38,0) lattice — 2m·k_{i,c} and
   * k_i·Σtot_c are both ≤ 4m², which fits DECIMAL(38) up to m ≤ 10¹⁸
   * edges (any conceivable corpus; the counts themselves overflow

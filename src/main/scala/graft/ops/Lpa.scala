@@ -89,31 +89,34 @@ object Lpa {
       require(sb.getLong(0) >= 0L && sb.getLong(1) < (1L << 32),
         s"lpa: seed labels must lie in [0, 2^32), got [${sb.getLong(0)}, ${sb.getLong(1)}]")
     val mask = (1L << 32) - 1L
-    var labels = seeds
+    // r18 round-body fold (guide §2.4): the clamp merge is ONE
+    // full-outer join per round — seeds ride the labels relation as an
+    // is_seed flag, so "seeds keep their class; every other
+    // labeled-or-voted node takes this round's vote, falling back to
+    // its previous label" is a single when/coalesce over the joined
+    // row. Row set and values are IDENTICAL to the old five-operator
+    // form (seeds ∪ ((labels ∪ voted) \ seeds) with two left joins):
+    // seeds ⊆ labels every round, so labels ⊚full voted enumerates
+    // exactly labels ∪ voted, and the clamp branch reproduces the old
+    // seed-first union. Saves a union+distinct and three joins per
+    // round (LpaSpec's differential pins the equality).
+    var labels = seeds.withColumn("is_seed", lit(true))
     for (_ <- 1 to rounds) {
       val voted = e
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(col("cnt") * (mask + 1L) + (lit(mask) - col("lbl"))).as("packed"))
         .select(col("dst").as("node"),
           (lit(mask) - (col("packed") % (mask + 1L))).as("vlbl"))
-      // clamp: seeds keep their class; every other labeled-or-voted
-      // node takes this round's vote, falling back to its previous
-      // label when no vote reached it (directed-input keep rule;
-      // identity on bidirectional graphs — the neighbor that labeled
-      // it stays labeled, so votes persist)
-      val nonSeed = labels.select(col("node"))
-        .unionByName(voted.select(col("node"))).distinct()
-        .join(seeds, Seq("node"), "left_anti")
-      labels = seeds.unionByName(
-        nonSeed
-          .join(voted, Seq("node"), "left")
-          .join(labels.withColumnRenamed("lbl", "old_lbl"), Seq("node"), "left")
-          .select(col("node"), coalesce(col("vlbl"), col("old_lbl")).as("lbl"))
-      ).localCheckpoint(true)
+      labels = labels.join(voted, Seq("node"), "full_outer")
+        .select(col("node"),
+          when(coalesce(col("is_seed"), lit(false)), col("lbl"))
+            .otherwise(coalesce(col("vlbl"), col("lbl"))).as("lbl"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .localCheckpoint(true)
     }
-    labels
+    labels.select(col("node"), col("lbl"))
   }
 
   private def run(edges: DataFrame, seed: Option[DataFrame], rounds: Int): DataFrame = {

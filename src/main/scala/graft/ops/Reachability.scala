@@ -43,17 +43,21 @@ object Reachability {
     require(maxHop >= 0, "reachability: maxHop >= 0")
     // only the frontiers are checkpointed (they nest hop over hop —
     // the g6 lineage lesson); the visited set is a UNION of already-
-    // staged leaves, so it needs no checkpoint job of its own
-    var visited = seeds.select(col("id")).distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    // staged leaves, so it needs no checkpoint job of its own. The
+    // emptiness probe rides the checkpoint job (Staging.freshCounted):
+    // one driver job per hop, not two (§2.6).
+    var (visited, fCount) = Staging.freshCounted(
+      seeds.select(col("id")).distinct().withColumn("hop", lit(0L)))
     var frontier = visited
     var h = 1
-    while (h <= maxHop && !frontier.isEmpty) {
-      frontier = edges
+    while (h <= maxHop && fCount > 0L) {
+      val staged = Staging.freshCounted(edges
         .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .withColumn("hop", lit(h.toLong)).localCheckpoint(true)
+        .withColumn("hop", lit(h.toLong)))
+      frontier = staged._1
+      fCount = staged._2
       visited = visited.unionByName(frontier)
       h += 1
     }
@@ -88,18 +92,20 @@ object Reachability {
     // relaxation candidates instead of failing loudly
     require(e.filter(col("w").isNull || col("w") <= 0L).isEmpty,
       "weighted distances: edge weights must be positive and non-null")
-    var best = seeds.select(col("id").cast("long").as("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var (best, fCount) = Staging.freshCounted(
+      seeds.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)))
     var frontier = best
     var h = 1
-    while (h <= maxHop && !frontier.isEmpty) {
-      frontier = e
+    while (h <= maxHop && fCount > 0L) {
+      val staged = Staging.freshCounted(e
         .join(frontier.select(col("id").as("src"), col("dist").as("sdist")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("sdist") + col("w")).as("cand"))
         .join(best.select(col("id").as("dst"), col("dist").as("known")), Seq("dst"), "left")
         .filter(col("cand") < coalesce(col("known"), lit(Long.MaxValue)))
-        .select(col("dst").as("id"), col("cand").as("dist"))
-        .localCheckpoint(true)
+        .select(col("dst").as("id"), col("cand").as("dist")))
+      frontier = staged._1
+      fCount = staged._2
       best = best.unionByName(frontier)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
       h += 1
@@ -130,19 +136,21 @@ object Reachability {
     require(maxHop >= 0, "reachability: maxHop >= 0")
     val e = edges.select(col("src"), col("dst"), col("t").cast("long"))
       .localCheckpoint(true)
-    var best = seeds.select(col("id").cast("long").as("id")).distinct()
-      .withColumn("arr", lit(0L)).localCheckpoint(true)
+    var (best, fCount) = Staging.freshCounted(
+      seeds.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("arr", lit(0L)))
     var frontier = best
     var h = 1
-    while (h <= maxHop && !frontier.isEmpty) {
-      frontier = e
+    while (h <= maxHop && fCount > 0L) {
+      val staged = Staging.freshCounted(e
         .join(frontier.select(col("id").as("src"), col("arr").as("sarr")), Seq("src"))
         .filter(col("t") >= col("sarr"))
         .groupBy(col("dst")).agg(min(col("t")).as("cand"))
         .join(best.select(col("id").as("dst"), col("arr").as("known")), Seq("dst"), "left")
         .filter(col("cand") < coalesce(col("known"), lit(Long.MaxValue)))
-        .select(col("dst").as("id"), col("cand").as("arr"))
-        .localCheckpoint(true)
+        .select(col("dst").as("id"), col("cand").as("arr")))
+      frontier = staged._1
+      fCount = staged._2
       best = best.unionByName(frontier)
         .groupBy(col("id")).agg(min(col("arr")).as("arr"))
       h += 1
@@ -174,24 +182,26 @@ object Reachability {
     var best = standing.select(col("id"), col("hop"))
     // candidate improvements seeded by the batch edges alone: a batch
     // edge from a labeled source offers src.hop + 1 to its target
-    var frontier = better(
+    var (frontier, fCount) = Staging.freshCounted(better(
       batchEdges
         .join(best.select(col("id").as("src"), col("hop").as("shop")), Seq("src"))
         .select(col("dst").as("id"), (col("shop") + 1L).as("cand"))
         .filter(col("cand") <= maxHop.toLong),
-      best).localCheckpoint(true)
+      best))
     // relax through the merged graph; value-k improvements only spawn
     // value-(k+1) ones, values live in [1, maxHop] -> maxHop rounds
     var r = 1
-    while (r <= maxHop && !frontier.isEmpty) {
+    while (r <= maxHop && fCount > 0L) {
       best = best.unionByName(frontier)
         .groupBy(col("id")).agg(min(col("hop")).as("hop"))
-      frontier = better(
+      val staged = Staging.freshCounted(better(
         mergedEdges
           .join(frontier.select(col("id").as("src"), col("hop").as("shop")), Seq("src"))
           .select(col("dst").as("id"), (col("shop") + 1L).as("cand"))
           .filter(col("cand") <= maxHop.toLong),
-        best).localCheckpoint(true)
+        best))
+      frontier = staged._1
+      fCount = staged._2
       r += 1
     }
     best.unionByName(frontier)

@@ -34,4 +34,22 @@ private[graft] object Staging {
     if (ck.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 62) ck
     else ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Staged relation PLUS its row count, in ONE driver job (guide
+    * §2.6): the local checkpoint is taken lazily and the count() action
+    * materializes the blocks — so an iterative loop that needs its
+    * round-carrier staged AND a convergence/emptiness signal pays one
+    * job per round, not two (eager-checkpoint job + isEmpty/count probe
+    * job — at sf0.1 the iterative graph queries are launch-bound, and
+    * per round the probe job was pure scheduling overhead). Identical
+    * blocks, identical lineage truncation, same stats-snowball cut as
+    * [[fresh]]. */
+  def freshCounted(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(false)
+    val n = ck.count()
+    val out =
+      if (ck.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 62) ck
+      else ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    (out, n)
+  }
 }

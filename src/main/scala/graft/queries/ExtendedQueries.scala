@@ -3367,7 +3367,7 @@ object ExtendedQueries {
       // near-free identity passes over empty cores. The probe depth is
       // now POLICED rather than trusted: a sentinel row fires when the
       // top unrolled core is still non-empty (truncated decomposition)
-      // and one per level whose 16-round peel did not reach fixpoint —
+      // and one per level whose `rounds`-round peel missed fixpoint —
       // either turns a would-be silent mismatch into a loud row-count
       // failure (the g34 fixpoint-sentinel discipline).
       // rounds: the deepest probed cascade is level 16's 19-round

@@ -443,22 +443,12 @@ object PipelineQueries {
   private val dedupRecall: QFn = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
-    val ts = docs.select(col("doc_id"),
-        graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
-      .filter(col("ts").isNotNull) // < 3 tokens: can't shingle, can't band
-    val sizes = ts.select(col("doc_id"), size(col("ts")).as("n"))
-    val posts = ts.select(col("doc_id"), explode(col("ts")).as("sh"))
-    val shared = posts.alias("x")
-      .join(posts.alias("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
-    val truth = shared
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), Seq("id_b"))
-      .filter(col("n_shared").cast("double") /
-        (col("na") + col("nb") - col("n_shared")).cast("double") >= 0.5)
-      .select("id_a", "id_b").persist()
+    // r18: the truth computation moved to Dedup.exactShingleJaccardPairs
+    // with the size-ratio prefilter pushed into the postings join
+    // (J >= 0.5 ⟹ 2·min(|A|,|B|) >= max — provably truth-preserving,
+    // DedupOpsSpec differential) and the sizes riding the postings rows
+    // instead of two post-aggregate joins. Same truth set, same report.
+    val truth = Dedup.exactShingleJaccardPairs(docs).persist()
     try {
       val nTruth = truth.count()
       val all = Seq(
@@ -794,15 +784,15 @@ object PipelineQueries {
       require(nTruth > 0, "annRecall: no truth pairs — the fixture has no " +
         "query vectors at stride 100 (needs vec_id % 100 == 0 rows and >= 2 vectors)")
       val ivf = Similarity.ivfSearch(trainedCentroids(s, dir), prepped, queries, k = 3)
-        .select(lit("ivf").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       val lsh = Similarity.lshTopK(prepped, queries, k = 3, bits = 8)
-        .select(lit("lsh").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       val lshMulti = Similarity.lshTopKMulti(prepped, queries, k = 3,
           bits = 5, tables = 12)
-        .select(lit("lsh_multi").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       val lshProbe = Similarity.lshTopKProbe(prepped, queries, k = 3,
           bits = 8, probeDist = 2)
-        .select(lit("lsh_probe").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       // PQ is the COMPRESSION dial (exhaustive scan over 8-byte codes):
       // its recall here quantifies pure quantization loss, no pruning
       val pqBooks = pqBookCache.computeIfAbsent(dir,
@@ -810,25 +800,48 @@ object PipelineQueries {
       // ONE depth-32 ADC pass feeds both PQ rows: the pure-ADC method is
       // its rank<=3 prefix, the rerank re-scores the whole shortlist
       // exactly (Q x 32 raw-vector fetches, corpus never rescanned).
-      // persist: the shortlist's lineage is the O(Q·N) compressed scan
-      // and it feeds two consumers (the truth pattern above).
+      // persist + count: materialized ONCE before the concurrent hit
+      // jobs race for it (the truth pattern above).
       val pqShortlist = Pq.adcTopK(prepped, queries, k = 32, pqBooks).persist()
+      pqShortlist.count()
       val pq = pqShortlist.filter(col("rank") <= 3)
-        .select(lit("pq").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       val pqRerank = Pq.rerank(pqShortlist, prepped, queries, k = 3)
-        .select(lit("pq_rerank").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
       // the full production composition: cell-pruned, code-scored,
       // exactly reranked — its recall vs the pure tiers IS the report
       val ivfpq = Pq.ivfAdcRerankTopK(prepped, queries, k = 3, pqBooks,
           trainedCentroids(s, dir), nprobe = 2, shortlist = 32)
-        .select(lit("ivfpq").as("method"), col("q_id"), col("c_id"))
+        .select(col("q_id"), col("c_id"))
+      // r18: ONE SMALL JOB PER METHOD instead of one 7-way-union plan.
+      // The union serialized every pipeline into each downstream stage's
+      // task closure — 6.6–8.7 MiB task binaries (observed, WARN
+      // DAGScheduler) where every method's standalone plan ships
+      // <= 1 MiB — and that driver-side serialize/broadcast per stage
+      // was the noise amplifier behind the query's 6–45 s swings.
+      // Per-method semi-join counts are the SAME numbers the union's
+      // groupBy(method) produced (the method column was only a tag).
+      // The jobs run from a small driver pool so their stages overlap
+      // like the union's did (guide §2.6); job descriptions label them.
       val hits =
         try {
-          ivf.union(lsh).union(lshMulti).union(lshProbe).union(pq).union(pqRerank)
-            .union(ivfpq)
-            .join(truth, Seq("q_id", "c_id"), "left_semi")
-            .groupBy(col("method")).agg(count(lit(1)).as("n_hits")).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val futures = Seq(
+              "ivf" -> ivf, "lsh" -> lsh, "lsh_multi" -> lshMulti,
+              "lsh_probe" -> lshProbe, "pq" -> pq, "pq_rerank" -> pqRerank,
+              "ivfpq" -> ivfpq).map { case (m, df) =>
+              scala.concurrent.Future {
+                s.sparkContext.setJobDescription(s"ann_recall: $m hits")
+                m -> df.join(truth, Seq("q_id", "c_id"), "left_semi").count()
+              }
+            }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(futures),
+              scala.concurrent.duration.Duration.Inf).toMap
+          } finally pool.shutdown()
         } finally pqShortlist.unpersist(blocking = true)
       // literal method spine: a method with zero hits must still report
       Seq("ivf", "lsh", "lsh_multi", "lsh_probe", "pq", "pq_rerank", "ivfpq").map { m =>

@@ -154,6 +154,12 @@ final class RateLimitedJsonRpcClient(inner: JsonRpcClient, perSecond: Int)
   * *reconnect + replay* behavior of the reference's websocket client
   * (`core/rpc.py:327-353`) falls out of HTTP request semantics: each
   * batch is retried by the caller, never half-applied. */
+object HttpJsonRpcClient {
+  /** Extra send attempts after a transport-level IOException. */
+  val TransportRetries = 2
+  val RetryBackoffMs = 100L
+}
+
 final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpcClient {
   private val ids = new AtomicLong(0L)
   private lazy val http = HttpClient.newBuilder()
@@ -211,15 +217,27 @@ final class HttpJsonRpcClient(endpoint: String, timeoutMs: Long) extends JsonRpc
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
-    val resp =
+    // Transient socket-level failures (reset/refused/timeout under load)
+    // are replayed in place, bounded — the HTTP analog of the reference
+    // websocket client's reconnect-with-in-flight-replay
+    // (`core/rpc.py:327-353`). JSON-RPC reads are idempotent, so the
+    // replay duplicates nothing. Only IOException retries: an ANSWERED
+    // error (HTTP 500/429, JSON-RPC error object) is the server speaking
+    // and keeps its one-shot taxonomy below.
+    def send(attemptsLeft: Int): HttpResponse[String] =
       try http.send(req, HttpResponse.BodyHandlers.ofString())
       catch {
+        case e: java.io.IOException if attemptsLeft > 0 =>
+          Thread.sleep(HttpJsonRpcClient.RetryBackoffMs *
+            (HttpJsonRpcClient.TransportRetries - attemptsLeft + 1))
+          send(attemptsLeft - 1)
         case e: java.io.IOException =>
           throw new RpcClientException(s"$endpoint transport failure: ${e.getMessage}", e)
         case e: InterruptedException =>
           Thread.currentThread().interrupt()
           throw new RpcClientException(s"$endpoint interrupted", e)
       }
+    val resp = send(HttpJsonRpcClient.TransportRetries)
     resp.statusCode() match {
       case 200 =>
         try JsonMethods.parse(resp.body())

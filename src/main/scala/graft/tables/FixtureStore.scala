@@ -31,6 +31,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
   */
 private[graft] object FixtureStore {
 
+  /** Version of the fixture KEY SET a prepared root carries — bump when
+    * getters/keys are added or removed. A root prepared by an older
+    * binary lacks the newer keys; its getters would silently fall back
+    * to inline builds, charging standing-state build cost to the very
+    * queries a round claims moved it out (the r17 ADVICE finding, which
+    * hit Probe's unsalted root and Bench's provided-root path). The
+    * version is recorded next to the `_source_dir` marker and checked
+    * wherever the marker is. */
+  val FixtureSetVersion: String = "r17"
+
   private val cache =
     scala.collection.mutable.Map.empty[(String, String, String), DataFrame]
   private val hookedApps = scala.collection.mutable.Set.empty[String]
@@ -110,6 +120,15 @@ private[graft] object FixtureStore {
           System.err.println(
             s"[graft] fixtures at $root were prepared for '$src', not '$dir' — building inline")
           None
+        case Some(_) if !readVersion(spark, root).contains(FixtureSetVersion) =>
+          // a stale-version root would serve its OLD keys and silently
+          // rebuild the new ones inline — half at-rest, half cold, the
+          // worst measurement regime; refuse the whole root loudly
+          System.err.println(
+            s"[graft] fixtures at $root carry fixture-set '" +
+              s"${readVersion(spark, root).getOrElse("<none>")}', need " +
+              s"'$FixtureSetVersion' — building inline (re-prepare the root)")
+          None
         case _ =>
           val path = s"$root/$key"
           val (hfs, p) = fs(spark, path)
@@ -160,15 +179,36 @@ private[graft] object FixtureStore {
     if (hadOld) hfs.delete(aside, true)
   }
 
-  /** Pin the source data dir the root's fixtures were derived from. */
+  /** Pin the source data dir the root's fixtures were derived from,
+    * plus the fixture-set version this binary prepares. */
   def writeMarker(spark: SparkSession, root: String, dir: String): Unit = {
-    val (hfs, p) = fs(spark, s"$root/_source_dir")
-    val out = hfs.create(p, true)
-    try out.write(dir.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(spark, s"$root/_source_dir", dir)
+    writeSmallFile(spark, s"$root/_fixture_set", FixtureSetVersion)
   }
 
-  def readMarker(spark: SparkSession, root: String): Option[String] = {
-    val (hfs, p) = fs(spark, s"$root/_source_dir")
+  private def writeSmallFile(spark: SparkSession, path: String, body: String): Unit = {
+    val (hfs, p) = fs(spark, path)
+    val out = hfs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The fixture-set version recorded at the root; None for roots
+    * prepared before versioning existed (treated as stale). */
+  def readVersion(spark: SparkSession, root: String): Option[String] =
+    readSmallFile(spark, s"$root/_fixture_set")
+
+  /** True when the root was prepared for `dir` by a binary with the
+    * CURRENT fixture-set version — the one check every at-rest
+    * consumer (Bench, Probe, atRest itself) must make before serving. */
+  def markerCurrent(spark: SparkSession, root: String, dir: String): Boolean =
+    readMarker(spark, root).contains(dir) &&
+      readVersion(spark, root).contains(FixtureSetVersion)
+
+  def readMarker(spark: SparkSession, root: String): Option[String] =
+    readSmallFile(spark, s"$root/_source_dir")
+
+  private def readSmallFile(spark: SparkSession, path: String): Option[String] = {
+    val (hfs, p) = fs(spark, path)
     if (!hfs.exists(p)) None
     else {
       val in = hfs.open(p)

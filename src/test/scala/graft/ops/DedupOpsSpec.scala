@@ -623,6 +623,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(!lsh.contains((0L, 3L)))
   }
 
+  test("exactShingleJaccardPairs: size-ratio prefilter preserves the exact truth set") {
+    // The r18 prefilter drops postings pairs with 2·min(|A|,|B|) <
+    // max(|A|,|B|) BEFORE the pair aggregate; J <= min/max proves no
+    // J >= 0.5 pair can be dropped. This differential pins it against
+    // a brute-force all-pairs array_intersect reference (no postings,
+    // no prefilter) on the real fixture corpora.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.tables.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 0)
+      val ts = docs.select(col("doc_id"),
+          graft.expr.ArrayExprs.shingleHashes(col("text")).as("ts"))
+        .filter(col("ts").isNotNull)
+      val ref = ts.as("x").join(ts.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          size(array_intersect(col("x.ts"), col("y.ts"))).cast("double").as("inter"),
+          size(array_union(col("x.ts"), col("y.ts"))).cast("double").as("uni"))
+        .filter(col("inter") / col("uni") >= 0.5)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.exactShingleJaccardPairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref, s"$dir: prefiltered truth set drifted from brute force")
+      assert(got.nonEmpty, s"$dir: vacuous differential — no truth pairs at all")
+    }
+  }
+
   test("dedup_recall floors hold at the gate SFs (banding quality is measured, not asserted)") {
     // dedup_recall is oracle-checked for VALUES; this pins the QUALITY
     // floors across fixture drift (the SimilarityTrainedSpec pattern).

@@ -235,6 +235,71 @@ class JsonRpcUnitSpec extends AnyFunSuite {
     assert(f.getInt(e) === 10)
   }
 
+  test("http transport replays transient socket failures in place (bounded), answered errors stay one-shot") {
+    // a pass-through TCP proxy that KILLS the first connection outright —
+    // the reset a loaded host injects mid-crawl — then pipes faithfully
+    val stub = new StubRpcServer()
+    val targetPort = java.net.URI.create(stub.url).getPort
+    val proxy = new java.net.ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    val kills = new AtomicInteger(1)
+    val killed = new AtomicInteger(0)
+    val pump = Executors.newCachedThreadPool()
+    pump.submit(new Runnable {
+      override def run(): Unit = try {
+        while (true) {
+          val c = proxy.accept()
+          if (kills.getAndDecrement() > 0) { killed.incrementAndGet(); c.close() }
+          else {
+            val t = new java.net.Socket("127.0.0.1", targetPort)
+            def pipe(in: java.io.InputStream, out: java.io.OutputStream): Runnable =
+              () => try {
+                val buf = new Array[Byte](8192)
+                var n = in.read(buf)
+                while (n >= 0) { out.write(buf, 0, n); out.flush(); n = in.read(buf) }
+              } catch { case _: java.io.IOException => } finally {
+                try c.close() catch { case _: Throwable => }
+                try t.close() catch { case _: Throwable => }
+              }
+            pump.submit(pipe(c.getInputStream, t.getOutputStream))
+            pump.submit(pipe(t.getInputStream, c.getOutputStream))
+          }
+        }
+      } catch { case _: Throwable => } // proxy.close() ends the loop
+    })
+    try {
+      val c = new HttpJsonRpcClient(s"http://127.0.0.1:${proxy.getLocalPort}/", 5000)
+      // first connection dies at the socket level; the bounded replay
+      // lands the SAME request on the healthy path — the job survives
+      val v = c.call("eth_blockNumber")
+      assert(killed.get() === 1, "the flaky first connection was never exercised")
+      assert(v.isInstanceOf[JString])
+      // an ANSWERED 500 is the server speaking: one shot, no replay
+      stub.dead.set(true)
+      val before = stub.httpRequests.get()
+      intercept[RpcClientException] { c.call("eth_blockNumber") }
+      assert(stub.httpRequests.get() === before + 1,
+        "an answered HTTP 500 must not be replayed")
+    } finally { proxy.close(); pump.shutdownNow(); stub.stop() }
+  }
+
+  test("http transport surfaces a persistent socket failure after exhausting retries") {
+    // accept-and-close forever: every attempt dies at the transport
+    val ss = new java.net.ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    val accepts = new AtomicInteger(0)
+    val t = new Thread(() => try {
+      while (true) { val s = ss.accept(); accepts.incrementAndGet(); s.close() }
+    } catch { case _: Throwable => })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new HttpJsonRpcClient(s"http://127.0.0.1:${ss.getLocalPort}/", 2000)
+      intercept[RpcClientException] { c.call("eth_blockNumber") }
+      // every configured attempt was spent before surfacing (>=: the JDK
+      // client may add its own connection-level re-tries on top)
+      assert(accepts.get() >= HttpJsonRpcClient.TransportRetries + 1,
+        s"only ${accepts.get()} attempts before surfacing")
+    } finally ss.close()
+  }
+
   test("error taxonomy: throttle vs range-too-large classification") {
     assert(JsonRpc.isThrottle(429, "anything"))
     assert(JsonRpc.isThrottle(-32005, "Rate limit exceeded"))
